@@ -1,0 +1,650 @@
+"""Streamiz-shaped DSL compiled to PySpark DataFrames.
+
+The reference (LGouellec/kafka-stream-net) builds a record-at-a-time processor
+topology; here every DSL call is a *logical* DataFrame transformation and
+Catalyst replaces the reference's whole runtime (SURVEY.md §3-4).  Design
+rules, enforced throughout:
+
+  * Expression-first: operators take ``pyspark.sql.Column`` expressions (the
+    blessed JVM/codegen path).  Arbitrary Python lambdas go through the
+    explicitly-named ``*_py`` escape hatches (Arrow-batched pandas UDFs /
+    ``applyInPandas``), never row-at-a-time ``udf`` — reference "any C# lambda"
+    surface per SURVEY §2.8.
+  * No driver-side collect in any operator path.
+  * Broadcast only for the GlobalKTable analog (reference replicates those
+    tables to every instance: core/Processors/GlobalStreamThread.cs:15-110);
+    regular joins shuffle on the key and rely on AQE for skew.
+  * KTable = latest-value-per-key view of a changelog
+    (core/Processors/KTableSourceProcessor.cs:7-62) — implemented with one
+    window-function pass (single shuffle by key), never a Python groupByKey.
+
+Null-handling parity (SURVEY §2.5 note):
+  * table sources drop null keys (KTableSourceProcessor.cs:37-41)
+  * grouped aggregations skip null keys (KStreamAggregateProcessor.cs:24-28,
+    KStreamWindowAggregateProcessor.cs:45-49)
+  * stream joins drop null-key records (KStreamKStreamJoinProcessor.cs:42-46,
+    KStreamKTableJoinProcessor.cs:31-35)
+  * join output timestamp = max(left.ts, right.ts)
+    (KStreamKStreamJoinProcessor.cs:59-61, KTableKTableJoinProcessor.cs:35)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .windows import (
+    CustomWindowOptions,
+    HoppingWindowOptions,
+    JoinWindowOptions,
+    TumblingWindowOptions,
+    WindowOptions,
+)
+
+
+def _as_tuple(x) -> tuple[str, ...]:
+    if x is None:
+        return ()
+    if isinstance(x, str):
+        return (x,)
+    return tuple(x)
+
+
+def _interval_ms(ms: int) -> Column:
+    """Millisecond-precision timestamp interval (join windows, window sizes)."""
+    return F.expr(f"INTERVAL {int(ms)} MILLISECOND")
+
+
+def _not_null(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    for c in cols:
+        df = df.filter(F.col(c).isNotNull())
+    return df
+
+
+class StreamBuilder:
+    """Entry point mirroring ``StreamBuilder`` (core/StreamBuilder.cs:49-636).
+
+    ``stream`` ≈ consume a topic as KStream; ``table`` ≈ consume as KTable
+    (upsert latest per key); ``global_table`` ≈ fully-replicated dimension,
+    joined via ``broadcast()``.  In batch mode sources are parquet tables
+    (name resolved under ``data_dir``) or pre-built DataFrames.
+    """
+
+    def __init__(self, spark: SparkSession, data_dir: str | None = None):
+        self.spark = spark
+        self.data_dir = data_dir
+
+    def _load(self, source) -> DataFrame:
+        if isinstance(source, DataFrame):
+            return source
+        path = str(source)
+        if self.data_dir is not None and "/" not in path:
+            from .runtime import read_table
+
+            return read_table(self.spark, self.data_dir, path)
+        return self.spark.read.parquet(path)
+
+    def stream(self, source, key=(), ts: str | None = None) -> "KStream":
+        """KStream source (core/StreamBuilder.cs:49-134)."""
+        return KStream(self._load(source), _as_tuple(key), ts)
+
+    def table(self, source, key, ts: str | None = None, order=None) -> "KTable":
+        """KTable source: latest value per key, null keys dropped
+        (core/StreamBuilder.cs:249-372; KTableSourceProcessor.cs:7-62).
+
+        ``order`` lists columns that totally order the changelog per key (the
+        Kafka-offset analog); highest wins.  Defaults to ``(ts,)``.
+        """
+        return KStream(self._load(source), _as_tuple(key), ts).to_table(order=order)
+
+    def global_table(self, source, key, ts: str | None = None, order=None) -> "GlobalKTable":
+        """GlobalKTable source (core/StreamBuilder.cs:524-636): replicated to
+        every instance — the Spark analog is a broadcast join side."""
+        tbl = self.table(source, key, ts, order=order)
+        return GlobalKTable(tbl.df, tbl.key, tbl.ts)
+
+
+class KStream:
+    """Unbounded record stream (core/Stream/IKStream.cs:21).
+
+    Holds a DataFrame plus the designated key columns and optional event-time
+    column; all remaining columns are the "value".  Every operator is a pure
+    logical transformation — Catalyst sees the whole pipeline.
+    """
+
+    def __init__(self, df: DataFrame, key: Sequence[str] = (), ts: str | None = None):
+        self.df = df
+        self.key = _as_tuple(key)
+        self.ts = ts
+
+    def _with_df(self, df: DataFrame) -> "KStream":
+        return KStream(df, self.key, self.ts)
+
+    # ---------------- stateless transforms (SURVEY §2.2) ----------------
+
+    def filter(self, predicate: Column) -> "KStream":
+        """Keep matching records (KStreamFilterProcessor.cs:5-26)."""
+        return self._with_df(self.df.filter(predicate))
+
+    def filter_not(self, predicate: Column) -> "KStream":
+        """Keep non-matching records (IKStream.cs:79)."""
+        return self._with_df(self.df.filter(~predicate))
+
+    def map(self, key: dict[str, Column], values: dict[str, Column]) -> "KStream":
+        """Re-key + re-value, 1→1 (KStreamMapProcessor.cs:6-23).
+
+        Changing the key marks a repartition in the reference; Spark inserts
+        the shuffle automatically at the next keyed (stateful) operator.
+        """
+        cols = [v.alias(k) for k, v in key.items()]
+        cols += [v.alias(k) for k, v in values.items()]
+        if self.ts is not None:
+            cols.append(F.col(self.ts))
+        return KStream(self.df.select(*cols), tuple(key), self.ts)
+
+    def map_values(self, **values: Column) -> "KStream":
+        """New value, key unchanged — no repartition (IKStream.cs:313-372)."""
+        cols = [F.col(c) for c in self.key]
+        if self.ts is not None and self.ts not in values:
+            cols.append(F.col(self.ts))
+        cols += [v.alias(k) for k, v in values.items()]
+        return KStream(self.df.select(*cols), self.key, self.ts)
+
+    def with_values(self, **values: Column) -> "KStream":
+        """Convenience: add/replace value columns, keep the rest."""
+        return self._with_df(self.df.withColumns(dict(values)))
+
+    def map_values_py(self, fn: Callable, return_type, *cols, alias: str) -> "KStream":
+        """Arbitrary-Python value mapper via an Arrow-batched pandas UDF — the
+        UDF escape hatch for opaque lambdas (SURVEY §2.8).  ~10-100× faster
+        than row-at-a-time ``udf``; still slower than Column exprs, so only
+        for logic expressions can't state."""
+        u = F.pandas_udf(fn, return_type)
+        return self.with_values(**{alias: u(*[F.col(c) for c in cols])})
+
+    def flat_map(self, arr: Column, alias: str, new_key, keep: Sequence[str] = ()) -> "KStream":
+        """1→N records with new keys (KStreamFlatMapProcessor.cs:6-22):
+        explode ``arr`` into ``alias`` and re-key on ``new_key``."""
+        cols = [F.col(c) for c in keep]
+        if self.ts is not None:
+            cols.append(F.col(self.ts))
+        df = self.df.select(*cols, F.explode(arr).alias(alias))
+        return KStream(df, _as_tuple(new_key), self.ts)
+
+    def flat_map_values(self, arr: Column, alias: str, keep: Sequence[str] = ()) -> "KStream":
+        """1→N values, key preserved (KStreamFlatMapValuesProcessor.cs:6-23)."""
+        cols = [F.col(c) for c in self.key]
+        if self.ts is not None:
+            cols.append(F.col(self.ts))
+        cols += [F.col(c) for c in keep]
+        df = self.df.select(*cols, F.explode(arr).alias(alias))
+        return KStream(df, self.key, self.ts)
+
+    def select_key(self, expr: Column, alias: str) -> "KStream":
+        """New key, value unchanged (IKStream.cs:409,433)."""
+        return KStream(self.df.withColumn(alias, expr), (alias,), self.ts)
+
+    def rename(self, **renames: str) -> "KStream":
+        """Rename columns (old=new), tracking key/ts designation — used to
+        disambiguate the two sides of a self-join."""
+        df = self.df
+        for old, new in renames.items():
+            df = df.withColumnRenamed(old, new)
+        key = tuple(renames.get(k, k) for k in self.key)
+        ts = renames.get(self.ts, self.ts) if self.ts else None
+        return KStream(df, key, ts)
+
+    def peek(self, name: str | None = None, *aggs: Column) -> "KStream":
+        """Side-effect pass-through (KStreamPeekProcessor.cs:5-24).
+
+        Spark-idiomatic peek: attach a named ``observe`` metric (accumulator
+        semantics, zero plan impact) instead of a per-record callback.  With
+        no metric it is the identity."""
+        if name is None:
+            return self
+        metrics = aggs or (F.count(F.lit(1)).alias("records"),)
+        return self._with_df(self.df.observe(name, *metrics))
+
+    def branch(self, *predicates: Column) -> list["KStream"]:
+        """Split by ordered predicates, first-match wins, no-match dropped
+        (KStreamBranchProcessor.cs:5-29).  Branch i = p_i ∧ ¬p_0 ∧ … ∧ ¬p_{i-1};
+        each branch is an independent filtered view of one scan."""
+        out: list[KStream] = []
+        for i, p in enumerate(predicates):
+            cond = p
+            for earlier in predicates[:i]:
+                cond = cond & ~earlier
+            out.append(self._with_df(self.df.filter(cond)))
+        return out
+
+    def merge(self, other: "KStream") -> "KStream":
+        """Stream union (absent in the reference snapshot — roadmap item;
+        Spark gives it for free via unionByName)."""
+        return self._with_df(self.df.unionByName(other.df))
+
+    # ---------------- table conversion (SURVEY §2.2 ToTable) ----------------
+
+    def to_table(self, order: Sequence[str] | None = None) -> "KTable":
+        """KStream → KTable upsert-by-key (IKStream.cs:1451-1462).
+
+        Latest record per key wins, "latest" = max over ``order`` columns
+        (default: the ts column — pass explicit tie-breakers for determinism,
+        the Kafka-offset analog).  Null keys dropped
+        (KTableSourceProcessor.cs:37-41).
+
+        Scale: one shuffle by key + one window-function pass; AQE handles
+        skew.  No Python, no collect."""
+        if not self.key:
+            raise ValueError("to_table requires key columns")
+        order_cols = _as_tuple(order) or ((self.ts,) if self.ts else ())
+        if not order_cols:
+            raise ValueError("to_table requires an order (ts or explicit columns)")
+        df = _not_null(self.df, self.key)
+        w = Window.partitionBy(*self.key).orderBy(*[F.col(c).desc() for c in order_cols])
+        df = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+        return KTable(df, self.key, self.ts)
+
+    # ---------------- grouping (SURVEY §2.3) ----------------
+
+    def group_by_key(self) -> "KGroupedStream":
+        """Group by current key, no re-key (IKStream.cs:546,567)."""
+        return KGroupedStream(self)
+
+    def group_by(self, **key_exprs: Column) -> "KGroupedStream":
+        """Re-key then group (IKStream.cs:456-527).  The reference would need
+        a repartition topic (TODO there: GroupedStreamAggregateBuilder.cs:37-38);
+        Spark shuffles on the new key automatically."""
+        df = self.df.withColumns(dict(key_exprs))
+        return KGroupedStream(KStream(df, tuple(key_exprs), self.ts))
+
+    # ---------------- joins (SURVEY §2.5) ----------------
+
+    def join(
+        self,
+        other: "KStream",
+        window: JoinWindowOptions,
+        how: str = "inner",
+        ts_alias: str = "ts",
+    ) -> "KStream":
+        """KStream⋈KStream windowed join (KStreamKStreamJoinProcessor.cs:40-67).
+
+        Match: equal keys ∧ right.ts ∈ [left.ts - before, left.ts + after]
+        (JoinWindowOptions.cs:8-60).  Output timestamp = max(l.ts, r.ts)
+        (:59-61).  Null-key records dropped on both sides (:42-46).
+        ``how`` ∈ inner|left|full — left/full emit the unmatched side with
+        nulls (eager-emission timing differences in the reference don't affect
+        final state; SURVEY §7.3.4).
+
+        Sides must have disjoint column names (pre-project with map_values).
+        Key arity must match pairwise.
+
+        Scale: this is a shuffled sort-merge join on the key with the time
+        bound as a secondary condition — both sides partition by key, no
+        broadcast, no cross product.  In streaming the same predicate becomes
+        a watermarked stream-stream interval join."""
+        if len(self.key) != len(other.key):
+            raise ValueError("join key arity mismatch")
+        if self.ts is None or other.ts is None:
+            raise ValueError("stream-stream join requires ts on both sides")
+        l, r = self.df, other.df
+        cond = None
+        for lk, rk in zip(self.key, other.key):
+            c = l[lk] == r[rk]
+            cond = c if cond is None else cond & c
+        cond = cond & (r[other.ts] >= l[self.ts] - _interval_ms(window.before_ms))
+        cond = cond & (r[other.ts] <= l[self.ts] + _interval_ms(window.after_ms))
+        l = _not_null(l, self.key)
+        r = _not_null(r, other.key)
+        joined = l.join(r, cond, how)
+        out_key = []
+        cols = []
+        for lk, rk in zip(self.key, other.key):
+            cols.append(F.coalesce(l[lk], r[rk]).alias(lk))
+            out_key.append(lk)
+        for c in self.df.columns:
+            if c not in self.key and c != self.ts:
+                cols.append(l[c])
+        for c in other.df.columns:
+            if c not in other.key and c != other.ts:
+                cols.append(r[c])
+        cols.append(F.greatest(l[self.ts], r[other.ts]).alias(ts_alias))
+        return KStream(joined.select(*cols), tuple(out_key), ts_alias)
+
+    def join_table(self, table: "KTable", how: str = "inner") -> "KStream":
+        """KStream⋈KTable lookup join (KStreamKTableJoinProcessor.cs:28-43).
+
+        Stream records with null keys are dropped even for left joins
+        (:31-35); output keeps the stream record's timestamp.  Batch semantics
+        = join against the table's final latest-per-key snapshot (SURVEY
+        §7.3.1).
+
+        Scale: shuffled equi-join on the key (both sides co-partition); use
+        join_global for broadcast-size dims."""
+        if how not in ("inner", "left"):
+            raise ValueError("stream-table join supports inner|left")
+        if len(self.key) != len(table.key):
+            raise ValueError("join key arity mismatch")
+        l = _not_null(self.df, self.key)
+        r = table.df
+        cond = None
+        for lk, rk in zip(self.key, table.key):
+            c = l[lk] == r[rk]
+            cond = c if cond is None else cond & c
+        joined = l.join(r, cond, how)
+        cols = [l[c] for c in self.df.columns]
+        cols += [r[c] for c in table.df.columns if c not in table.key]
+        return KStream(joined.select(*cols), self.key, self.ts)
+
+    def join_global(self, gt: "GlobalKTable", key_mapper: Column, how: str = "inner") -> "KStream":
+        """KStream⋈GlobalKTable join (IKStream.cs:836-931): key computed per
+        record by ``key_mapper``, lookup in the replicated table.
+
+        The replicated store maps to ``broadcast()`` — at 100 TB this is the
+        design requirement, not an optimization: the dim ships to every
+        executor once, the fact side never shuffles."""
+        if how not in ("inner", "left"):
+            raise ValueError("global-table join supports inner|left")
+        if len(gt.key) != 1:
+            raise ValueError("global-table join requires single-column table key")
+        l = self.df
+        r = F.broadcast(gt.df)
+        joined = l.join(r, key_mapper == gt.df[gt.key[0]], how)
+        cols = [l[c] for c in self.df.columns]
+        cols += [gt.df[c] for c in gt.df.columns if c not in gt.key]
+        return KStream(joined.select(*cols), self.key, self.ts)
+
+    # ---------------- sinks (SURVEY §2.1) ----------------
+
+    def to(self, path: str, fmt: str = "parquet", mode: str = "overwrite", **options) -> None:
+        """Sink to storage (reference ``To`` → Kafka topic,
+        core/Processors/SinkProcessor.cs:34-53; batch analog = file sink)."""
+        self.df.write.format(fmt).mode(mode).options(**options).save(path)
+
+    def to_dynamic(self, topic_expr: Column, path: str, fmt: str = "parquet") -> None:
+        """Dynamic-destination sink (topic name extractor,
+        IKStream.cs:90-137): partition the output by a computed destination
+        column — the batch analog of Kafka's per-record topic routing."""
+        self.df.withColumn("__dest", topic_expr).write.format(fmt).mode("overwrite").partitionBy("__dest").save(path)
+
+    def print_(self, n: int = 20) -> None:
+        """Debug print sink (KStreamPrintProcessor.cs:5-26)."""
+        self.df.show(n, truncate=False)
+
+    def for_each_batch(self, fn: Callable[[DataFrame], None]) -> None:
+        """Terminal side-effect (Foreach, KStreamPeekProcessor with
+        forwardDownStream=false).  Batch: hand the DataFrame to the callback
+        once; streaming: ``writeStream.foreachBatch``."""
+        fn(self.df)
+
+
+class KTable:
+    """Latest-value-per-key changelog view (core/Table/IKTable.cs).
+
+    In batch mode the DataFrame *is* the final table state: retractions/
+    tombstones are represented by row absence, which the re-aggregation
+    semantics below rely on (SURVEY §2.3 grouped-table note)."""
+
+    def __init__(self, df: DataFrame, key: Sequence[str], ts: str | None = None):
+        self.df = df
+        self.key = _as_tuple(key)
+        self.ts = ts
+
+    def _with_df(self, df: DataFrame) -> "KTable":
+        return type(self)(df, self.key, self.ts)
+
+    def filter(self, predicate: Column) -> "KTable":
+        """Table filter (KTableFilterProcessor.cs:9-55): values failing the
+        predicate become tombstones — in the batch view, absent rows."""
+        return self._with_df(self.df.filter(predicate))
+
+    def filter_not(self, predicate: Column) -> "KTable":
+        return self._with_df(self.df.filter(~predicate))
+
+    def map_values(self, **values: Column) -> "KTable":
+        """New value per key (IKTable.cs:190-348, KTableMapValuesProcessor.cs:7-46)."""
+        cols = [F.col(c) for c in self.key]
+        if self.ts is not None and self.ts not in values:
+            cols.append(F.col(self.ts))
+        cols += [v.alias(k) for k, v in values.items()]
+        return KTable(self.df.select(*cols), self.key, self.ts)
+
+    def to_stream(self) -> "KStream":
+        """Changelog → stream of current values (IKTable.cs:126-161)."""
+        return KStream(self.df, self.key, self.ts)
+
+    def group_by(self, **key_exprs: Column) -> "KGroupedTable":
+        """Re-key the table for re-aggregation (IKTable.cs:376-464).
+
+        The reference emits (retraction, addition) pairs per update
+        (KTableMapProcessor.cs:8-40); over the batch latest-per-key view the
+        retractions net out, so a plain re-aggregation over the current state
+        is semantically equivalent (result-equivalence is what the oracle
+        checks — SURVEY §7.1 step 3)."""
+        df = self.df.withColumns(dict(key_exprs))
+        return KGroupedTable(KTable(df, tuple(key_exprs), self.ts))
+
+    def join(self, other: "KTable", how: str = "inner", ts_alias: str | None = None) -> "KTable":
+        """KTable⋈KTable changelog join (IKTable.cs:500-952;
+        KTableKTableJoinProcessor.cs:20-48, left :15-56, outer :15-51).
+
+        Batch semantics: equi-join of the two latest-per-key views; output
+        timestamp = max(l.ts, r.ts) (KTableKTableJoinProcessor.cs:35).
+        Sides must have disjoint non-key column names."""
+        if how not in ("inner", "left", "full"):
+            raise ValueError("table-table join supports inner|left|full")
+        if len(self.key) != len(other.key):
+            raise ValueError("join key arity mismatch")
+        l, r = self.df, other.df
+        cond = None
+        for lk, rk in zip(self.key, other.key):
+            c = l[lk] == r[rk]
+            cond = c if cond is None else cond & c
+        joined = l.join(r, cond, how)
+        cols = []
+        for lk, rk in zip(self.key, other.key):
+            cols.append(F.coalesce(l[lk], r[rk]).alias(lk))
+        merge_ts = ts_alias is not None and self.ts and other.ts
+        for c in self.df.columns:
+            if c not in self.key and not (merge_ts and c == self.ts):
+                cols.append(l[c])
+        for c in other.df.columns:
+            if c not in other.key and not (merge_ts and c == other.ts):
+                cols.append(r[c])
+        out_ts = None
+        if merge_ts:
+            cols.append(F.greatest(l[self.ts], r[other.ts]).alias(ts_alias))
+            out_ts = ts_alias
+        return KTable(joined.select(*cols), self.key, out_ts)
+
+    def materialize(self, store_name: str) -> "KTable":
+        """Interactive-query surface (SURVEY §2.7): register the table state
+        as a queryable temp view — the analog of
+        ``KafkaStream.Store(...)`` (core/KafkaStream.cs:474-479).  Readers use
+        ``spark.table(store_name)`` / SQL."""
+        self.df.createOrReplaceTempView(store_name)
+        return self
+
+
+class GlobalKTable(KTable):
+    """Fully-replicated table (core/Table/Internal/GlobalKTable.cs), joined
+    via ``broadcast()`` — see KStream.join_global."""
+
+
+class KGroupedStream:
+    """Grouped stream (core/Stream/Internal/KGroupedStream.cs).
+
+    Aggregations skip null keys / null values
+    (KStreamAggregateProcessor.cs:24-28) — enforced on construction.
+    All built-in aggregations are map-side-combinable hash aggregates
+    (partial aggregation before the shuffle — Spark does this automatically
+    for declarative aggs, which is why the expression path matters at scale).
+    """
+
+    def __init__(self, stream: KStream):
+        if not stream.key:
+            raise ValueError("grouping requires key columns")
+        self.stream = KStream(_not_null(stream.df, stream.key), stream.key, stream.ts)
+        self.key = self.stream.key
+        self.ts = self.stream.ts
+
+    def count(self, alias: str = "cnt") -> KTable:
+        """Running count per key (IKGroupedStream.cs:27-55); batch result =
+        final count."""
+        return self.aggregate(**{alias: F.count(F.lit(1))})
+
+    def aggregate(self, **agg_exprs: Column) -> KTable:
+        """Fold per key (IKGroupedStream.cs:82-223,
+        KStreamAggregateProcessor.cs:8-50) — expression path: any Spark
+        aggregate expression(s).  Result is a KTable keyed by the group key."""
+        aggs = [v.alias(k) for k, v in agg_exprs.items()]
+        return KTable(self.stream.df.groupBy(*self.key).agg(*aggs), self.key)
+
+    def reduce(self, **agg_exprs: Column) -> KTable:
+        """Reduce = fold seeded by the first value
+        (KStreamReduceProcessor.cs:7-46).  For order-insensitive combine
+        functions (min/max/sum/...) the batch result equals the streaming
+        fold; expression path identical to aggregate."""
+        return self.aggregate(**agg_exprs)
+
+    def aggregate_py(self, fn: Callable, schema: str) -> KTable:
+        """Arbitrary-Python fold via ``applyInPandas`` (Arrow-batched, grouped)
+        — the escape hatch for opaque Aggregator delegates
+        (core/Stream/Aggregator.cs).  ``fn(pdf) -> pdf`` per key group.
+        Streaming equivalent: ``applyInPandasWithState``.
+
+        Scale: one shuffle by key; each group handled in a single Arrow batch,
+        so keys must have bounded cardinality per group (true for running
+        aggregates).  Prefer ``aggregate`` whenever expressible."""
+        return KTable(self.stream.df.groupBy(*self.key).applyInPandas(fn, schema), self.key)
+
+    def windowed_by(
+        self,
+        window: WindowOptions | CustomWindowOptions,
+        arrival_order: Sequence | None = None,
+        arrival_partition: Column | None = None,
+    ) -> "TimeWindowedKStream":
+        """Enter windowed aggregation (IKGroupedStream.cs:348).
+
+        ``arrival_order``/``arrival_partition`` only matter when the window
+        has a grace period: they define the batch replay order used to emulate
+        per-task stream-time (see TimeWindowedKStream)."""
+        return TimeWindowedKStream(self.stream, window, arrival_order, arrival_partition)
+
+
+class KGroupedTable:
+    """Re-keyed table awaiting re-aggregation (core/Table/Internal/KGroupedTable.cs).
+
+    The reference maintains these incrementally with adder+subtractor pairs
+    (KTableAggregateProcessor.cs:9-74); over the batch latest-per-key state a
+    plain re-aggregation produces the identical final result (retractions net
+    out) — declared equivalence per SURVEY §7.1 step 3."""
+
+    def __init__(self, table: KTable):
+        if not table.key:
+            raise ValueError("grouping requires key columns")
+        self.table = KTable(_not_null(table.df, table.key), table.key, table.ts)
+        self.key = self.table.key
+
+    def count(self, alias: str = "cnt") -> KTable:
+        """IKGroupedTable.Count (core/Table/IKGroupedTable.cs:25-53)."""
+        return self.aggregate(**{alias: F.count(F.lit(1))})
+
+    def aggregate(self, **agg_exprs: Column) -> KTable:
+        """IKGroupedTable.Aggregate (core/Table/IKGroupedTable.cs:220-438)."""
+        aggs = [v.alias(k) for k, v in agg_exprs.items()]
+        return KTable(self.table.df.groupBy(*self.key).agg(*aggs), self.key)
+
+    def reduce(self, **agg_exprs: Column) -> KTable:
+        """IKGroupedTable.Reduce (core/Table/IKGroupedTable.cs:93-189)."""
+        return self.aggregate(**agg_exprs)
+
+
+class TimeWindowedKStream:
+    """Windowed aggregation (core/Stream/Internal/TimeWindowedKStream.cs;
+    processor core/Processors/KStreamWindowAggregateProcessor.cs:43-84).
+
+    Output key = (group key, window_start, window_end) — the ``Windowed<K>``
+    composite (core/State/Windowed.cs:18-38); we expose start/end as explicit
+    timestamp columns (SURVEY §7.3.6: only the logical triple must round-trip).
+
+    Grace emulation (batch): the reference drops a record for a window once
+    per-task stream-time (max observed ts, KStreamWindowAggregateProcessor.cs:51)
+    minus grace passes the window end (:77-82).  Batch replay: stream-time at
+    each record = running max(ts) over the arrival order within the arrival
+    partition (the task analog), computed with one window-function pass.  In
+    streaming mode this is exactly ``withWatermark(ts, grace)``.
+    """
+
+    def __init__(
+        self,
+        stream: KStream,
+        window: WindowOptions | CustomWindowOptions,
+        arrival_order: Sequence | None = None,
+        arrival_partition: Column | None = None,
+    ):
+        if stream.ts is None:
+            raise ValueError("windowed aggregation requires a ts column")
+        self.stream = stream
+        self.window = window
+        self.arrival_order = tuple(arrival_order) if arrival_order is not None else ()
+        self.arrival_partition = arrival_partition
+
+    def _assign(self) -> DataFrame:
+        """Attach __w_start/__w_end window-bound columns (and apply grace)."""
+        df = self.stream.df
+        ts = F.col(self.stream.ts)
+        w = self.window
+        if isinstance(w, CustomWindowOptions):
+            start, end = w.assign(ts)
+            df = df.withColumn("__w_start", start).withColumn("__w_end", end)
+        elif w.advance_ms == w.size_ms:  # tumbling
+            win = F.window(ts, f"{w.size_ms} milliseconds")
+            df = df.withColumn("__w", win).withColumn("__w_start", F.col("__w.start")).withColumn(
+                "__w_end", F.col("__w.end")
+            ).drop("__w")
+        else:  # hopping: explode into the member windows
+            if w.grace_ms:
+                raise NotImplementedError("grace emulation supports tumbling/custom windows")
+            win = F.window(ts, f"{w.size_ms} milliseconds", f"{w.advance_ms} milliseconds")
+            df = df.withColumn("__w", win).withColumn("__w_start", F.col("__w.start")).withColumn(
+                "__w_end", F.col("__w.end")
+            ).drop("__w")
+        if getattr(w, "grace_ms", 0):
+            if not self.arrival_order:
+                raise ValueError("grace emulation requires arrival_order (the offset analog)")
+            part = self.arrival_partition if self.arrival_partition is not None else F.lit(0)
+            order_cols = [c if isinstance(c, Column) else F.col(c) for c in self.arrival_order]
+            ow = (
+                Window.partitionBy(part)
+                .orderBy(*order_cols)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            df = df.withColumn("__stream_time", F.max(ts).over(ow))
+            # keep while window_end >= stream_time - grace  (:77-82)
+            df = df.filter(F.col("__w_end") >= F.col("__stream_time") - _interval_ms(w.grace_ms))
+            df = df.drop("__stream_time")
+        return df
+
+    def _agg(self, agg_exprs: dict[str, Column], start_alias: str, end_alias: str) -> KTable:
+        df = self._assign()
+        key = list(self.stream.key)
+        grouped = df.groupBy(
+            *key,
+            F.col("__w_start").alias(start_alias),
+            F.col("__w_end").alias(end_alias),
+        )
+        aggs = [v.alias(k) for k, v in agg_exprs.items()]
+        out = grouped.agg(*aggs)
+        return KTable(out, tuple(key) + (start_alias, end_alias))
+
+    def count(self, alias: str = "cnt", start_alias: str = "w_start", end_alias: str = "w_end") -> KTable:
+        return self._agg({alias: F.count(F.lit(1))}, start_alias, end_alias)
+
+    def aggregate(self, start_alias: str = "w_start", end_alias: str = "w_end", **agg_exprs: Column) -> KTable:
+        return self._agg(agg_exprs, start_alias, end_alias)
+
+    def reduce(self, start_alias: str = "w_start", end_alias: str = "w_end", **agg_exprs: Column) -> KTable:
+        return self._agg(agg_exprs, start_alias, end_alias)

@@ -1,0 +1,403 @@
+"""LLM-data-pipeline operators: dedup, similarity search, text analysis,
+multimodal plumbing.
+
+These are beyond the reference's operator set (it is a Kafka Streams DSL) but
+first-class here: the 100 TB training-data use case.  Design rules:
+
+  * Everything is expression-based (higher-order functions, xxhash64,
+    array ops) — JVM-side, whole-stage-codegen-friendly.  Python appears only
+    in the clearly-marked multimodal stubs (the image/audio libs aren't in
+    this container).
+  * Near-dup candidate generation is ALWAYS banded/bucketed (MinHash-LSH,
+    SimHash pigeonhole, hyperplane buckets) — never all-pairs.  At 100 TB the
+    candidate join shuffles O(docs × bands) small rows instead of O(docs²).
+  * Exact verification (Jaccard / hamming / cosine) runs only on candidate
+    pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# ---------------------------------------------------------------- tokenize
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, lowercased."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles via one higher-order-function pass."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------- exact dedup
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Exact dedup by content hash: keep the lowest id per distinct content.
+
+    Scale: hash-groupBy on a 128-bit digest — one shuffle keyed by the digest,
+    partial min() combine map-side.  Never compares full payloads pairwise.
+    """
+    return (
+        df.select(F.md5(F.col(content_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+
+
+# ---------------------------------------------------------------- MinHash-LSH
+
+_MAX_LONG = (1 << 63) - 1
+
+
+def minhash_signature_from_grams(grams: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature in ONE pass over the shingle array.
+
+    hash_j(s) = xxhash64(s, j); signature[j] = min over shingles.  The
+    accumulator is the running 64-wide min vector, merged per shingle with
+    zip_with(least) — all JVM expressions, no UDF.  (NB: per-j lambdas must
+    close over j via the comprehension inside F.array, never via default
+    args — pyspark binds HOF lambdas by parameter count.)"""
+    init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), num_hashes)
+    return F.aggregate(
+        grams,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(j)) for j in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
+def minhash_signature(toks: Column, num_hashes: int = 64, shingle: int = 3) -> Column:
+    return minhash_signature_from_grams(word_ngrams(toks, shingle), num_hashes)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH + exact Jaccard verify.
+
+    Pipeline: shingle → 64 minhashes → ``bands`` bands of ``num_hashes/bands``
+    rows → bucket-join on (band, band-hash) → exact word-shingle Jaccard on
+    candidates only → filter ≥ threshold.  Returns (id_a, id_b) with
+    id_a < id_b.
+
+    Scale: the only shuffles are (1) explode+groupBy on band buckets
+    (O(docs × bands) rows) and (2) the candidate-pair self-join — no O(n²)
+    stage.  A hot bucket (boilerplate text) is bounded by salting upstream or
+    capping bucket size; AQE skew-join handles moderate skew."""
+    rows = num_hashes // bands
+    grams = word_ngrams(tokens(F.col(text_col)), shingle)
+    # materialize the shingle array once, then derive the signature from the
+    # stored column — recomputing shingling per hash would defeat codegen
+    base = (
+        df.select(F.col(id_col).alias("__id"), grams.alias("__grams"))
+        .filter(F.size("__grams") > 0)
+        .select("__id", "__grams", minhash_signature_from_grams(F.col("__grams"), num_hashes).alias("__sig"))
+    )
+    band_arr = F.array(*[F.xxhash64(F.slice("__sig", b * rows + 1, rows), F.lit(b)) for b in range(bands)])
+    banded = base.select("__id", F.posexplode(band_arr).alias("__band", "__bh"))
+    lhs = banded.alias("a")
+    rhs = banded.alias("b")
+    cand = (
+        lhs.join(
+            rhs,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bh") == F.col("b.__bh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    ga = base.select(F.col("__id").alias("id_a"), F.col("__grams").alias("__ga"))
+    gb = base.select(F.col("__id").alias("id_b"), F.col("__grams").alias("__gb"))
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__ga", "__gb")) / F.size(F.array_union("__ga", "__gb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------- SimHash
+
+def _bit_masks() -> list[int]:
+    return [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]  # two's-complement sign bit
+
+
+def simhash_votes(toks: Column) -> Column:
+    """Per-bit SimHash vote vector in ONE pass over the tokens:
+    votes[i] = Σ_tokens (+1 if bit i of xxhash64(token) set else -1)."""
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+    init = F.array_repeat(F.lit(0), 64)
+    return F.aggregate(
+        h,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(*[F.when(x.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1) for m in _bit_masks()]),
+            lambda a, b: a + b,
+        ),
+    )
+
+
+def simhash_from_votes(votes: Column) -> Column:
+    """Collapse the vote vector to the 64-bit fingerprint."""
+    out = F.lit(0).cast("long")
+    for i, m in enumerate(_bit_masks()):
+        out = out + F.when(F.element_at(votes, i + 1) > 0, F.lit(m)).otherwise(F.lit(0))
+    return out
+
+
+def simhash64(toks: Column) -> Column:
+    """64-bit SimHash fingerprint from token hashes, pure expressions.
+
+    bit_i = sign of Σ_tokens (±1 depending on bit i of xxhash64(token))."""
+    return simhash_from_votes(simhash_votes(toks))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash with pigeonhole candidate generation.
+
+    Split the 64-bit fingerprint into 4 × 16-bit chunks: any pair within
+    hamming distance ≤ 3 agrees on ≥ 1 chunk, so bucket-join on (chunk index,
+    chunk value) then verify with bit_count(xor) — never all-pairs."""
+    fp = df.select(
+        F.col(id_col).alias("__id"), simhash_votes(tokens(F.col(text_col))).alias("__votes")
+    ).select("__id", simhash_from_votes(F.col("__votes")).alias("__fp"))
+    chunks = F.array(
+        *[F.shiftrightunsigned("__fp", k * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"c{k}") for k in range(4)]
+    )
+    buckets = fp.select("__id", "__fp", F.posexplode(chunks).alias("__chunk", "__cv"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__chunk") == F.col("b.__chunk"))
+            & (F.col("a.__cv") == F.col("b.__cv"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__fp").alias("__fa"),
+            F.col("b.__fp").alias("__fb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------- embeddings
+
+def _dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two array<float> columns, one pass."""
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k: the exact baseline.
+
+    ``queries`` is a (small) subset of rows with the same schema.  Broadcast
+    the queries against the full corpus; rank per query.
+
+    Scale: O(|queries| × corpus) — fine for a bounded query batch (the
+    broadcast side), NOT for all-pairs.  For corpus-scale knn use
+    ``ann_lsh_topk`` (bucketed)."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("__qv"))
+    )
+    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        q.join(c, F.col("q_id") != F.col("n_id"))
+        .withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("__sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("q_id", "n_id")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a hash counter (no RNG
+    state, reproducible across runs/partitions)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.sha256(f"{seed}:{p}:{d}".encode()).digest()
+            v = int.from_bytes(h[:8], "big") / float(1 << 64) - 0.5
+            row.append(v)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 12, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of ``n_planes`` projections.
+
+    Planes are literal arrays (deterministic, broadcast in the plan); the
+    projection is one zip_with+aggregate pass per plane — JVM-side."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        proj = _dot(vec, lit_plane)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-bucket the corpus, rank only within the
+    query's bucket.  The scale path: the corpus side shuffles once on the
+    bucket id; each query joins only its bucket's partition.
+
+    Recall tuning = fewer planes (bigger buckets) or multi-probe; exactness is
+    cosine_topk's job."""
+    qb = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+    )
+    cb = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("__cv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+    )
+    scored = (
+        F.broadcast(qb)
+        .join(cb, (F.col("q_id") != F.col("n_id")) & (qb["__bucket"] == cb["__bucket"]))
+        .withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("__sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("q_id", "n_id")
+    )
+
+
+# ---------------------------------------------------------------- text analysis
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality-scoring signals: token count, char stats, stopword ratio,
+    punctuation count — all single-pass Column expressions."""
+    toks = tokens(F.col(text_col))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars_text"),
+        F.size(toks).alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+        (stop_hits / F.size(toks)).alias("stop_ratio"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0)).alias("punct_count"),
+        (F.length(text_col) / F.size(toks)).alias("chars_per_token"),
+    )
+
+
+def token_count_bpe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letter runs / digit runs / single non-space symbols)."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0)).alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID from stopword-hit counts (deterministic n-gram
+    heuristic; a real model slots in via mapInPandas at the same signature)."""
+    toks = tokens(F.col(text_col))
+    en_hits = F.size(F.filter(toks, lambda t: t.isin("the", "and", "of", "is", "a")))
+    return df.select(
+        F.col(id_col),
+        F.when(en_hits >= 3, F.lit("en")).when(F.size(toks) < 5, F.lit("und")).otherwise(F.lit("other")).alias(
+            "guessed_lang"
+        ),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (stable content identity for dedup joins)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+# ---------------------------------------------------------------- multimodal
+
+MULTIMODAL_META_SCHEMA = "doc_id long, media_type string, n_bytes long, sha string"
+
+
+def multimodal_meta(df: DataFrame, id_col: str, payload_col: str, media_type: str) -> DataFrame:
+    """Typed metadata over an opaque binary payload column — the Spark-side
+    plumbing (schema, partitioning, batch shape) for multimodal data."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(media_type).alias("media_type"),
+        F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        F.sha2(F.col(payload_col), 256).alias("sha"),
+    )
+
+
+def decode_image_batches(it: Iterator, shape=(64, 64)) -> Iterator:
+    """mapInPandas worker for image decode / resize / feature-extract.
+
+    STUB: the decode step needs an image library not present in this
+    container.  The Arrow batch plumbing (signature, schema, batch iteration)
+    is real; swap the body for PIL/torchvision in a real deployment."""
+    raise NotImplementedError(
+        "image decode requires an image library (PIL/cv2) not present in this container; "
+        "wire this function into df.mapInPandas(decode_image_batches, schema=...)"
+    )

@@ -1,0 +1,98 @@
+"""Session/runtime helpers: configuration for scale, table loading, and the
+interactive-query (materialized store) surface.
+
+The reference's runtime (threads, tasks, rebalance, changelogs —
+core/KafkaStream.cs, core/Processors/StreamThread.cs) is replaced wholesale by
+Spark's scheduler/shuffle/checkpointing (SURVEY §3.2, §4.2).  What remains is
+configuration policy, centralized here so every entry point (driver contract,
+tests, bench) runs with the same scale-oriented settings.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Runtime conf applied defensively on sessions we didn't create.
+
+    - UTC session time zone: deterministic timestamp semantics vs the oracle.
+    - AQE on (runtime re-plan, skew-join splitting, partition coalescing) —
+      the 100 TB posture; harmless locally.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # the driver testdata stores events.ts as parquet TIMESTAMP(NANOS), which
+    # Spark only reads via the nanos-as-long legacy path (converted back to a
+    # microsecond timestamp in read_table, truncating exactly like DuckDB)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def build_session(app: str = "pyspark_engine", cpus: int | None = None, shuffle_partitions: int | None = None) -> SparkSession:
+    """Local session factory for tests/bench; on a real cluster the session
+    comes from the environment and only ``configure`` applies."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    return configure(spark)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a driver testdata table, normalizing timestamp representation.
+
+    events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong it arrives as an
+    int64 of nanoseconds; integer-divide (``div``, exact on int64 — a double
+    division would lose precision above 2^53) to microseconds and rebuild the
+    timestamp.  DuckDB performs the same ns→µs truncation, so both engines see
+    identical values."""
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+class StoreRegistry:
+    """Interactive-query facade: the analog of ``KafkaStream.Store(...)``
+    (core/KafkaStream.cs:474-479).  Materialized KTables register temp views
+    (KTable.materialize); this class is the read side."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def store(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def get(self, name: str, **key_values) -> list:
+        df = self.store(name)
+        for k, v in key_values.items():
+            df = df.filter(df[k] == v)
+        return df.collect()  # point lookup on a materialized store — driver-side by design
