@@ -59,6 +59,18 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 _MAX_LONG = (1 << 63) - 1
 
 
+def _affine_coeffs(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine minhash permutations
+    h_j(x) = (a_j * x + b_j) mod p, a_j odd, both < 2^31."""
+    out = []
+    for j in range(n):
+        h = hashlib.sha256(f"minhash:{seed}:{j}".encode()).digest()
+        a = (int.from_bytes(h[:4], "big") | 1) & 0x7FFFFFFF
+        b = int.from_bytes(h[4:8], "big") & 0x7FFFFFFF
+        out.append((a or 1, b))
+    return out
+
+
 def minhash_signature_from_grams(grams: Column, num_hashes: int = 64) -> Column:
     """MinHash signature in ONE pass over the shingle array.
 
@@ -105,15 +117,32 @@ def minhash_lsh_pairs(
     capping bucket size; AQE skew-join handles moderate skew."""
     rows = num_hashes // bands
     grams = word_ngrams(tokens(F.col(text_col)), shingle)
-    # materialize the shingle array once, then derive the signature from the
-    # stored column — recomputing shingling per hash would defeat codegen
-    base = (
-        df.select(F.col(id_col).alias("__id"), grams.alias("__grams"))
-        .filter(F.size("__grams") > 0)
-        .select("__id", "__grams", minhash_signature_from_grams(F.col("__grams"), num_hashes).alias("__sig"))
+    base = df.select(F.col(id_col).alias("__id"), grams.alias("__grams")).filter(F.size("__grams") > 0)
+    # Scale path: explode shingles to rows and compute the signature as 64
+    # declarative min() aggregates over affine permutations of one base hash.
+    # This is map-side-combinable (partial min before the shuffle) and stays
+    # in whole-stage codegen — unlike a 64-wide higher-order-function lambda,
+    # which costs ~20s of codegen compile alone.  Arithmetic is kept under
+    # 2^62 (31-bit hash × 31-bit multiplier) so ANSI overflow checking never
+    # trips.
+    p = 2147483647  # 2^31 - 1 (Mersenne prime)
+    coeffs = _affine_coeffs(num_hashes)
+    gram_rows = base.select("__id", F.explode("__grams").alias("__g")).withColumn(
+        "__h", F.pmod(F.xxhash64("__g"), F.lit(p))
     )
-    band_arr = F.array(*[F.xxhash64(F.slice("__sig", b * rows + 1, rows), F.lit(b)) for b in range(bands)])
-    banded = base.select("__id", F.posexplode(band_arr).alias("__band", "__bh"))
+    sig = gram_rows.groupBy("__id").agg(
+        *[
+            F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(bq), F.lit(p))).alias(f"mh{j}")
+            for j, (a, bq) in enumerate(coeffs)
+        ]
+    )
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"mh{j}") for j in range(b * rows, (b + 1) * rows)])
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("__id", F.posexplode(band_arr).alias("__band", "__bh"))
     lhs = banded.alias("a")
     rhs = banded.alias("b")
     cand = (
@@ -184,9 +213,21 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     Split the 64-bit fingerprint into 4 × 16-bit chunks: any pair within
     hamming distance ≤ 3 agrees on ≥ 1 chunk, so bucket-join on (chunk index,
     chunk value) then verify with bit_count(xor) — never all-pairs."""
-    fp = df.select(
-        F.col(id_col).alias("__id"), simhash_votes(tokens(F.col(text_col))).alias("__votes")
-    ).select("__id", simhash_from_votes(F.col("__votes")).alias("__fp"))
+    # Scale path (mirrors minhash_lsh_pairs): explode tokens to rows, compute
+    # the 64 per-bit votes as declarative sum() aggregates — map-side
+    # combinable, no higher-order-function codegen cost.
+    tok_rows = df.select(F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t"))
+    tok_rows = tok_rows.withColumn("__h", F.xxhash64("__t"))
+    votes = tok_rows.groupBy("__id").agg(
+        *[
+            F.sum(F.when(F.col("__h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)).alias(f"v{i}")
+            for i, m in enumerate(_bit_masks())
+        ]
+    )
+    fp_expr = F.lit(0).cast("long")
+    for i, m in enumerate(_bit_masks()):
+        fp_expr = fp_expr + F.when(F.col(f"v{i}") > 0, F.lit(m)).otherwise(F.lit(0))
+    fp = votes.select("__id", fp_expr.alias("__fp"))
     chunks = F.array(
         *[F.shiftrightunsigned("__fp", k * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"c{k}") for k in range(4)]
     )
