@@ -33,8 +33,11 @@ def tokens(text: Column) -> Column:
 
 
 def word_ngrams(toks: Column, n: int) -> Column:
-    """Distinct word n-gram shingles via one higher-order-function pass."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    """Distinct word n-gram shingles via one higher-order-function pass.
+    Documents shorter than n tokens yield an empty shingle set (guarded:
+    Spark's sequence(1, 0) would otherwise DESCEND and index 0)."""
+    count = F.size(toks) - (n - 1)
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     return F.array_distinct(grams)
 
@@ -333,18 +336,26 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-bucket the corpus, rank only within the
-    query's bucket.  The scale path: the corpus side shuffles once on the
-    bucket id; each query joins only its bucket's partition.
+    buckets the query probes.  The scale path: the corpus side shuffles once
+    on the bucket id; each query examines its own bucket plus (multiprobe=1)
+    every bucket at hamming distance 1 — the standard recall lever without
+    growing the corpus-side state.
 
-    Recall tuning = fewer planes (bigger buckets) or multi-probe; exactness is
-    cosine_topk's job."""
+    Recall is bounded by the data: on near-uniform vectors no sign-LSH probe
+    set separates true neighbors; exactness is cosine_topk's job."""
     qb = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("__qv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__b0"),
     )
+    if multiprobe >= 1:
+        probes = F.array(F.col("__b0"), *[F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+    else:
+        probes = F.array(F.col("__b0"))
+    qb = qb.select("q_id", "__qv", F.explode(probes).alias("__bucket"))
     cb = emb.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("__cv"),

@@ -1,0 +1,169 @@
+"""Targeted semantics tests on tiny literal inputs — the analog of the
+reference's pipe-records-assert-exact-output unit tests
+(e.g. KStreamFilterTests.cs, KStreamBranchProcessor first-match rule,
+KTableSourceProcessor null-key drop / upsert order)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pyspark_engine.dsl import KStream, StreamBuilder
+from pyspark_engine.windows import JoinWindowOptions, TumblingWindowOptions
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, ts timestamp")
+
+
+TS = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def sec(s):
+    return TS + dt.timedelta(seconds=s)
+
+
+def test_branch_first_match_wins_and_drops_no_match(spark):
+    df = spark.createDataFrame([(1, 10), (2, 200), (3, 5)], "k long, v long")
+    s = KStream(df, key=("k",))
+    b = s.branch(F.col("v") >= 100, F.col("v") >= 10)
+    # record (2,200) matches predicate 0 only (first match wins)
+    assert [r.k for r in b[0].df.collect()] == [2]
+    assert sorted(r.k for r in b[1].df.collect()) == [1]
+    # (3,5) matches nothing -> dropped from every branch
+    all_keys = {r.k for br in b for r in br.df.collect()}
+    assert 3 not in all_keys
+
+
+def test_to_table_latest_per_key_and_null_key_drop(spark):
+    rows = [
+        (1, "a", sec(1)),
+        (1, "b", sec(5)),  # latest for key 1
+        (2, "c", sec(3)),
+        (None, "dropped", sec(9)),  # null key dropped (KTableSourceProcessor.cs:37-41)
+    ]
+    t = KStream(_events(spark, rows), key=("k",), ts="ts").to_table(order=("ts",))
+    got = {r.k: r.v for r in t.df.collect()}
+    assert got == {1: "b", 2: "c"}
+
+
+def test_to_table_tie_break_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "x", sec(1)), (1, 20, "y", sec(1))], "k long, off long, v string, ts timestamp"
+    )
+    t = KStream(df, key=("k",), ts="ts").to_table(order=("ts", "off"))
+    assert [r.v for r in t.df.collect()] == ["y"]  # highest offset wins on ts tie
+
+
+def test_grouped_aggregation_skips_null_keys(spark):
+    df = spark.createDataFrame([(1, 1), (None, 1), (1, 2)], "k long, v long")
+    t = KStream(df, key=("k",)).group_by_key().count("c")
+    assert [(r.k, r.c) for r in t.df.collect()] == [(1, 2)]
+
+
+def test_ss_join_interval_asymmetry(spark):
+    """JoinWindowOptions before/after are asymmetric bounds
+    (core/Stream/JoinWindowOptions.cs:8-60): right.ts in [l.ts-before, l.ts+after]."""
+    left = KStream(_events(spark, [(1, "L", sec(100))]), key=("k",), ts="ts")
+    right_rows = [(1, "early", sec(94)), (1, "in_before", sec(96)), (1, "in_after", sec(109)), (1, "late", sec(111))]
+    right = KStream(
+        spark.createDataFrame(right_rows, "rk long, rv string, rts timestamp"), key=("rk",), ts="rts"
+    )
+    w = JoinWindowOptions.of(0).before(5_000).after(10_000)
+    j = left.join(right, w, how="inner")
+    assert sorted(r.rv for r in j.df.collect()) == ["in_after", "in_before"]
+
+
+def test_ss_join_output_ts_is_max(spark):
+    """Join output timestamp = max(l.ts, r.ts) (KStreamKStreamJoinProcessor.cs:59-61)."""
+    left = KStream(_events(spark, [(1, "L", sec(10))]), key=("k",), ts="ts")
+    right = KStream(
+        spark.createDataFrame([(1, "R", sec(40))], "rk long, rv string, rts timestamp"),
+        key=("rk",),
+        ts="rts",
+    )
+    j = left.join(right, JoinWindowOptions.of(60_000), how="inner")
+    [row] = j.df.collect()
+    assert row[j.ts] == sec(40)
+
+
+def test_ss_join_drops_null_keys_even_outer(spark):
+    left = KStream(
+        spark.createDataFrame([(None, "L1", sec(1)), (1, "L2", sec(1))], "k long, v string, ts timestamp"),
+        key=("k",),
+        ts="ts",
+    )
+    right = KStream(
+        spark.createDataFrame([(2, "R", sec(1))], "rk long, rv string, rts timestamp"), key=("rk",), ts="rts"
+    )
+    j = left.join(right, JoinWindowOptions.of(60_000), how="full")
+    got = sorted(((r.v, r.rv) for r in j.df.collect()), key=str)
+    # null-key left record dropped entirely; unmatched sides emit with nulls
+    assert got == sorted([("L2", None), (None, "R")], key=str)
+
+
+def test_stream_table_left_join_keeps_stream_ts(spark):
+    stream = KStream(_events(spark, [(1, "s1", sec(7)), (9, "s2", sec(8))]), key=("k",), ts="ts")
+    table = KStream(
+        spark.createDataFrame([(1, "t1", sec(99))], "tk long, tv string, tts timestamp"),
+        key=("tk",),
+        ts="tts",
+    ).to_table(order=("tts",))
+    j = stream.join_table(table, how="left")
+    got = {r.v: (r.tv, r.ts) for r in j.df.collect()}
+    assert got == {"s1": ("t1", sec(7)), "s2": (None, sec(8))}
+
+
+def test_table_table_outer_join_coalesced_key(spark):
+    a = KStream(_events(spark, [(1, "a1", sec(1))]), key=("k",), ts="ts").to_table(order=("ts",))
+    b = KStream(
+        spark.createDataFrame([(2, "b2", sec(2))], "k2 long, bv string, ts2 timestamp"), key=("k2",), ts="ts2"
+    ).to_table(order=("ts2",))
+    j = a.join(b, how="full")
+    got = sorted((r.k, r.v, r.bv) for r in j.df.collect())
+    assert got == [(1, "a1", None), (2, None, "b2")]
+
+
+def test_tumbling_window_grace_drops_late_records(spark):
+    """Replay order makes record C late: stream-time has advanced past its
+    window end + grace (KStreamWindowAggregateProcessor.cs:77-82)."""
+    rows = [
+        ("k", 1, sec(5)),    # arrival 1, window [0,10)
+        ("k", 2, sec(125)),  # arrival 2 -> stream time 125; closes windows ending <= 115
+        ("k", 3, sec(7)),    # arrival 3, window [0,10) ends at 10 < 115 -> dropped
+        ("k", 4, sec(119)),  # arrival 4, window [110,120) ends 120 >= 115 -> kept
+    ]
+    df = spark.createDataFrame(rows, "k string, arrival long, ts timestamp")
+    t = (
+        KStream(df, key=("k",), ts="ts")
+        .group_by_key()
+        .windowed_by(TumblingWindowOptions.of(10_000, grace_ms=10_000), arrival_order=("arrival",))
+        .count("c")
+    )
+    got = {(int(r.w_start.timestamp() - TS.timestamp()), r.c) for r in t.df.collect()}
+    assert got == {(0, 1), (120, 1), (110, 1)}
+
+
+def test_merge_unions_streams(spark):
+    a = KStream(_events(spark, [(1, "a", sec(1))]), key=("k",), ts="ts")
+    b = KStream(_events(spark, [(2, "b", sec(2))]), key=("k",), ts="ts")
+    assert sorted(r.v for r in a.merge(b).df.collect()) == ["a", "b"]
+
+
+def test_global_table_join_is_broadcast(spark):
+    """The GlobalKTable analog must broadcast — assert the physical plan."""
+    b = StreamBuilder(spark, data_dir="/root/testdata/sf0.001")
+    cust = b.stream("customer", key="c_custkey")
+    nation = b.global_table("nation", key="n_nationkey", order=("n_nationkey",))
+    j = cust.join_global(nation, key_mapper=F.col("c_nationkey"))
+    plan = j.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_peek_observe_metric(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    s = KStream(df, key=("k",)).peek("peek_test")
+    s.df.collect()
+    # observation is attached without altering results
+    assert s.df.count() == 2

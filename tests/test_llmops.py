@@ -1,0 +1,85 @@
+"""LLM-pipeline operator tests: planted near-duplicates must be found by the
+banded paths; exact baselines cross-checked with numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pyspark_engine import llmops
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 8
+    near = base.replace("lazy", "sleepy")  # one token of ~96 differs
+    other = "completely different content about spark query engines and shuffles " * 8
+    rows = [(1, base), (2, near), (3, other), (4, "tiny"), (5, base)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = llmops.exact_dedup(_docs(spark), "doc_id", "text").collect()
+    kept = sorted(r.doc_id for r in out)
+    assert kept == [1, 2, 3, 4]  # doc 5 is an exact dup of 1 -> min id kept
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    pairs = llmops.minhash_lsh_pairs(_docs(spark), "doc_id", "text", threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 5) in got and (2, 5) in got
+    assert all(3 not in p and 4 not in p for p in got)
+
+
+def test_simhash_near_dup_and_identical(spark):
+    pairs = llmops.simhash_pairs(_docs(spark), "doc_id", "text", max_hamming=8)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 5)] == 0  # identical docs -> identical fingerprint
+    assert (1, 2) in got  # near dup within hamming budget
+    assert not any(3 in p for p in got)
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = {
+        (r.q_id, r.n_id)
+        for r in llmops.cosine_topk(emb, queries, k=3).collect()
+    }
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    want = set()
+    for q in range(4):
+        sims = (mat @ mat[q]) / (norms * norms[q])
+        sims[ids == q] = -np.inf
+        top = ids[np.argsort(-sims, kind="stable")][:3]
+        want |= {(q, int(n)) for n in top}
+    assert got == want
+
+
+def test_ann_lsh_better_than_random(spark, sf_dir):
+    """The driver embeddings are near-uniform (top-5 neighbors share a label
+    ~9% ≈ chance), so absolute recall is bounded by the data.  The honest
+    property: ANN-selected neighbors must score well above the mean pairwise
+    similarity, and each query must return rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    approx = llmops.ann_lsh_topk(emb, queries, dim=64, k=5, n_planes=6).collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.q_id, []).append(r.n_id)
+    assert set(by_q) == set(range(8))
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    picked = np.array([sims[q, n] for q, ns in by_q.items() for n in ns])
+    baseline = sims[np.triu_indices_from(sims, k=1)].mean()
+    assert picked.mean() > baseline + 0.05, f"ANN mean {picked.mean():.3f} vs random {baseline:.3f}"
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame([(1, "Hello  World"), (2, " hello world ")], "doc_id long, text string")
+    fps = {r.doc_id: r.fp for r in llmops.fingerprint(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[2]
