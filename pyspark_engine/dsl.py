@@ -30,6 +30,7 @@ Null-handling parity (SURVEY §2.5 note):
 
 from __future__ import annotations
 
+import dataclasses
 from collections.abc import Callable, Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -225,6 +226,16 @@ class KStream:
         Spark gives it for free via unionByName)."""
         return self._with_df(self.df.unionByName(other.df))
 
+    def with_watermark(self, delay: str) -> "KStream":
+        """Late-data bound on the event-time column — the streaming-mode
+        realization of the reference's grace period
+        (KStreamWindowAggregateProcessor.cs:51-58, where stream-time - grace
+        closes a window).  No-op semantics on batch DataFrames (Spark ignores
+        watermarks in batch), so topologies stay mode-agnostic."""
+        if self.ts is None:
+            raise ValueError("with_watermark requires a ts column")
+        return self._with_df(self.df.withWatermark(self.ts, delay))
+
     # ---------------- table conversion (SURVEY §2.2 ToTable) ----------------
 
     def to_table(self, order: Sequence[str] | None = None) -> "KTable":
@@ -236,13 +247,25 @@ class KStream:
         (KTableSourceProcessor.cs:37-41).
 
         Scale: one shuffle by key + one window-function pass; AQE handles
-        skew.  No Python, no collect."""
+        skew.  No Python, no collect.
+
+        Streaming input: window functions aren't streamable, so the same
+        semantics compile to ``groupBy(key).agg(max_by(struct(values),
+        struct(order)))`` — an incrementally-maintained aggregate (update/
+        complete mode), state = one row per key, map-side partial combine
+        before the shuffle."""
         if not self.key:
             raise ValueError("to_table requires key columns")
         order_cols = _as_tuple(order) or ((self.ts,) if self.ts else ())
         if not order_cols:
             raise ValueError("to_table requires an order (ts or explicit columns)")
         df = _not_null(self.df, self.key)
+        if df.isStreaming:
+            value_cols = [c for c in df.columns if c not in self.key]
+            ord_struct = F.struct(*[F.col(c) for c in order_cols])
+            latest = F.max_by(F.struct(*[F.col(c) for c in value_cols]), ord_struct)
+            df = df.groupBy(*self.key).agg(latest.alias("__v")).select(*self.key, "__v.*")
+            return KTable(df, self.key, self.ts)
         w = Window.partitionBy(*self.key).orderBy(*[F.col(c).desc() for c in order_cols])
         df = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
         return KTable(df, self.key, self.ts)
@@ -597,6 +620,11 @@ class TimeWindowedKStream:
         df = self.stream.df
         ts = F.col(self.stream.ts)
         w = self.window
+        if df.isStreaming and getattr(w, "grace_ms", 0):
+            # streaming mode: grace IS the watermark (late rows dropped by the
+            # engine, windows closed at watermark - grace); no batch emulation
+            df = df.withWatermark(self.stream.ts, f"{int(w.grace_ms)} milliseconds")
+            w = dataclasses.replace(w, grace_ms=0)
         if isinstance(w, CustomWindowOptions):
             start, end = w.assign(ts)
             df = df.withColumn("__w_start", start).withColumn("__w_end", end)

@@ -1,0 +1,146 @@
+"""Serde adapters: the analog of the reference's ISerDes surface
+(core/SerDes/*.cs — StringSerDes, Int64SerDes, JsonSerDes/SchemaSerDes,
+AbstractSerDes byte contracts).
+
+The reference deserializes Kafka key/value byte arrays into typed objects at
+the source and serializes back at the sink (core/Processors/SourceProcessor.cs:16-49,
+core/Kafka/Internal/RecordCollector.cs:82-120).  In Spark the typed record IS
+the row, so serdes collapse to column expressions applied at the edges:
+
+  * decode: ``from_json`` / ``from_csv`` / ``from_avro`` / primitive casts on
+    the Kafka ``key``/``value`` binary columns;
+  * encode: ``to_json`` / ``to_csv`` / ``to_avro`` / casts building the
+    ``key``/``value`` binary columns the Kafka sink expects.
+
+All of it is JVM-side Catalyst expressions — no Python in the serde path.
+Avro needs the external spark-avro package, so it is gated behind a lazy
+import (not bundled with pyspark; parity with the reference's separate
+Streamiz.Kafka.Net.SchemaRegistry.SerDes.Avro package).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "decode_json",
+    "encode_json",
+    "decode_csv",
+    "encode_csv",
+    "decode_avro",
+    "encode_avro",
+    "decode_primitive",
+    "encode_primitive",
+    "decode_kafka",
+    "encode_kafka",
+]
+
+
+def decode_json(col: Column, schema: str) -> Column:
+    """JSON bytes/string → struct (JsonSerDes analog).  ``schema`` is a DDL
+    string like ``"a INT, b STRING"``."""
+    return F.from_json(col.cast("string"), schema)
+
+
+def encode_json(*cols: Column) -> Column:
+    """struct/columns → JSON string (single col: pass a struct)."""
+    c = cols[0] if len(cols) == 1 else F.struct(*cols)
+    return F.to_json(c)
+
+
+def decode_csv(col: Column, schema: str) -> Column:
+    return F.from_csv(col.cast("string"), F.lit(schema))
+
+
+def encode_csv(col: Column) -> Column:
+    return F.to_csv(col)
+
+
+def decode_avro(col: Column, json_schema: str) -> Column:
+    """Avro bytes → struct.  Requires the spark-avro package on the cluster
+    classpath (org.apache.spark:spark-avro); raises if absent."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("spark-avro package not on classpath") from e
+    return from_avro(col, json_schema)
+
+
+def encode_avro(col: Column, json_schema: str | None = None) -> Column:
+    try:
+        from pyspark.sql.avro.functions import to_avro
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("spark-avro package not on classpath") from e
+    return to_avro(col, json_schema) if json_schema else to_avro(col)
+
+
+_PRIMITIVES = {"string", "bigint", "int", "long", "double", "float", "boolean"}
+
+
+def decode_primitive(col: Column, dtype: str) -> Column:
+    """UTF-8 primitive serdes (StringSerDes/Int64SerDes/... analogs): the
+    Kafka wire value is the textual form of the primitive."""
+    if dtype not in _PRIMITIVES:
+        raise ValueError(f"unsupported primitive serde: {dtype}")
+    return col.cast("string").cast(dtype)
+
+
+def encode_primitive(col: Column) -> Column:
+    return col.cast("string").cast("binary")
+
+
+def decode_kafka(
+    df: DataFrame,
+    value_schema: str,
+    key_type: str = "string",
+    value_format: str = "json",
+    ts_alias: str = "ts",
+) -> DataFrame:
+    """Kafka wire record → typed row: the SourceProcessor deserialize step.
+
+    Input columns (Spark's Kafka source schema): ``key``/``value`` binary,
+    ``timestamp``, ``topic``, ``partition``, ``offset``.  Output: ``key``
+    (typed), the value struct's fields flattened, and the record timestamp
+    (the reference's default FailOnInvalidTimestamp extractor just reads the
+    broker timestamp — core/Processors/Internal/DefaultTimestampExtractor)."""
+    if value_format == "json":
+        value = decode_json(F.col("value"), value_schema)
+    elif value_format == "csv":
+        value = decode_csv(F.col("value"), value_schema)
+    elif value_format == "avro":
+        value = decode_avro(F.col("value"), value_schema)
+    else:
+        raise ValueError(f"unsupported value format: {value_format}")
+    return df.select(
+        decode_primitive(F.col("key"), key_type).alias("key"),
+        F.col("timestamp").alias(ts_alias),
+        value.alias("__v"),
+    ).select("key", ts_alias, "__v.*")
+
+
+def encode_kafka(
+    df: DataFrame,
+    key_col: str | Column,
+    value_cols: list | None = None,
+    value_format: str = "json",
+    topic: str | Column | None = None,
+) -> DataFrame:
+    """Typed row → Kafka wire record: the SinkProcessor serialize step
+    (core/Processors/SinkProcessor.cs:34-53).
+
+    ``topic`` may be a literal name or a per-record Column — the dynamic
+    topic-name-extractor analog (IKStream.cs:90-137); Spark's Kafka sink
+    honors a ``topic`` column."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    vals = [F.col(c) for c in value_cols] if value_cols else [F.col(c) for c in df.columns]
+    if value_format == "json":
+        value = encode_json(*vals).cast("binary")
+    elif value_format == "avro":
+        value = encode_avro(F.struct(*vals))
+    else:
+        raise ValueError(f"unsupported value format: {value_format}")
+    out = [encode_primitive(key).alias("key"), value.alias("value")]
+    if topic is not None:
+        out.append((F.lit(topic) if isinstance(topic, str) else topic).alias("topic"))
+    return df.select(*out)

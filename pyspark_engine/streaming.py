@@ -1,0 +1,264 @@
+"""Structured Streaming wiring: the runtime surface of the reference
+(core/KafkaStream.cs Start/Dispose lifecycle, core/Kafka/* consumer/producer
+plumbing, core/Processors/StreamThread.cs) re-expressed as
+``readStream``/``writeStream`` around the SAME logical DSL.
+
+Design (SURVEY §3.2, §4.2): every operator in dsl.py is a logical DataFrame
+transformation, so the identical topology runs in batch (parquet in, result
+out) and streaming (Kafka/file in, sink out) — the analog of the reference's
+topology being driven either by unit-test drivers (TopologyTestDriver) or the
+live consumer loop.  Batch is the correctness oracle; the parity tests in
+tests/test_streaming.py replay the same data through both paths and require
+identical final state.
+
+Mappings:
+  * consume loop + rebalance   → Spark microbatch scheduler (nothing to write)
+  * changelog/state restore    → checkpointLocation (RocksDB/HDFS state store)
+  * grace period               → withWatermark (KStream.with_watermark)
+  * KTable upsert              → groupBy(key).agg(max_by(values, order)) in
+                                 update/complete mode (dsl.KStream.to_table
+                                 branches on df.isStreaming)
+  * custom stateful processor  → applyInPandasWithState (stateful_map)
+  * Kafka serdes               → serdes.decode_kafka / encode_kafka
+
+Kafka connectivity needs the external spark-sql-kafka package (same situation
+as the reference needing librdkafka at runtime); the builders construct the
+real plan and raise a clear error when the connector is absent.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dsl import KStream, KTable, _as_tuple
+from .runtime import configure
+from .serdes import decode_kafka, encode_kafka
+
+__all__ = [
+    "StreamingBuilder",
+    "run_available_now",
+    "start_to_files",
+    "start_to_kafka",
+    "start_foreach_batch",
+    "stateful_map",
+]
+
+
+def _checkpoint(path: str | None) -> str:
+    """Checkpoint dir (the changelog-topic analog: exactly-once state).  A
+    real deployment MUST pass a durable path; tests get a throwaway one."""
+    return path or os.path.join(tempfile.gettempdir(), f"pse-ckpt-{uuid.uuid4().hex}")
+
+
+class StreamingBuilder:
+    """Streaming twin of ``StreamBuilder`` (core/StreamBuilder.cs:49-134):
+    sources produce *streaming* DataFrames wrapped in the same KStream, so
+    the whole DSL composes unchanged downstream."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = configure(spark)
+
+    # ---------------- sources ----------------
+
+    def kafka_stream(
+        self,
+        bootstrap: str,
+        topics: str,
+        value_schema: str,
+        key: str = "key",
+        key_type: str = "string",
+        value_format: str = "json",
+        ts_alias: str = "ts",
+        starting_offsets: str = "earliest",
+        **options,
+    ) -> KStream:
+        """Kafka-topic KStream source (core/StreamBuilder.cs:49-134 +
+        SourceProcessor deserialize step).  ``value_schema`` is a DDL string;
+        wire decode is pure Catalyst expressions (serdes.decode_kafka)."""
+        try:
+            raw = (
+                self.spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", bootstrap)
+                .option("subscribe", topics)
+                .option("startingOffsets", starting_offsets)
+                .options(**options)
+                .load()
+            )
+        except Exception as e:  # pragma: no cover - connector not bundled locally
+            raise NotImplementedError(
+                "Kafka source requires the spark-sql-kafka connector on the "
+                "classpath (org.apache.spark:spark-sql-kafka-0-10)"
+            ) from e
+        df = decode_kafka(raw, value_schema, key_type=key_type, value_format=value_format, ts_alias=ts_alias)
+        return KStream(df, ("key",) if key == "key" else _as_tuple(key), ts_alias)
+
+    def file_stream(
+        self,
+        path: str,
+        key=(),
+        ts: str | None = None,
+        fmt: str = "parquet",
+        schema=None,
+        max_files_per_trigger: int | None = None,
+    ) -> KStream:
+        """File-directory streaming source (new files = new records) — the
+        local-testable source; also the pattern for object-store landing zones
+        at scale.  Schema is inferred from a batch read when not given (driver
+        metadata only, no data scan).
+
+        The file source wants a directory; a single-file path is exposed
+        through a symlink in a temp dir (read-only testdata friendly)."""
+        if schema is None:
+            schema = self.spark.read.format(fmt).load(path).schema
+        if os.path.isfile(path):
+            d = tempfile.mkdtemp(prefix="pse-src-")
+            os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+            path = d
+        reader = self.spark.readStream.format(fmt).schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        df = reader.load(path)
+        return KStream(df, _as_tuple(key), ts)
+
+    def table_stream(self, path: str, key, ts: str, order=None, **kw) -> KTable:
+        """Streaming KTable source: changelog → latest-per-key, maintained
+        incrementally (update mode).  See dsl.KStream.to_table streaming
+        branch (max_by aggregate, one shuffle, state = one row per key)."""
+        return self.file_stream(path, key=key, ts=ts, **kw).to_table(order=order)
+
+    def rate_stream(self, rows_per_second: int = 10) -> KStream:
+        """Synthetic load source (testing/backpressure experiments)."""
+        df = (
+            self.spark.readStream.format("rate")
+            .option("rowsPerSecond", str(rows_per_second))
+            .load()
+        )
+        return KStream(df, ("value",), "timestamp")
+
+
+# ---------------- sinks (SinkProcessor / To analogs) ----------------
+
+
+def run_available_now(obj, name: str | None = None, output_mode: str = "append") -> DataFrame:
+    """Drain everything currently available through the streaming plan into an
+    in-memory table and return it — the TopologyTestDriver analog
+    (reference test harness: test/Streamiz.Kafka.Net.Tests/Helpers).
+
+    ``output_mode``: append for stateless/watermark-expired output, complete
+    for full aggregate state (how the parity tests read final KTable state).
+    """
+    df = obj.df if hasattr(obj, "df") else obj
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", _checkpoint(None))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def start_to_files(
+    obj,
+    path: str,
+    fmt: str = "parquet",
+    checkpoint: str | None = None,
+    output_mode: str = "append",
+    available_now: bool = False,
+):
+    """File sink (``To`` with a path destination).  Returns the
+    StreamingQuery handle (the KafkaStream.Start analog — caller owns
+    lifecycle, q.stop() ≈ Dispose)."""
+    df = obj.df if hasattr(obj, "df") else obj
+    w = (
+        df.writeStream.format(fmt)
+        .outputMode(output_mode)
+        .option("path", path)
+        .option("checkpointLocation", _checkpoint(checkpoint))
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def start_to_kafka(
+    obj,
+    bootstrap: str,
+    topic: str | None = None,
+    key_col: str = "key",
+    value_cols: Sequence[str] | None = None,
+    topic_expr=None,
+    checkpoint: str | None = None,
+    output_mode: str = "append",
+):
+    """Kafka sink (core/Processors/SinkProcessor.cs:34-53).  ``topic_expr``
+    (a Column) is the dynamic topic-name-extractor analog
+    (IKStream.cs:90-137): Spark's Kafka sink routes on a ``topic`` column."""
+    df = obj.df if hasattr(obj, "df") else obj
+    wire = encode_kafka(df, key_col, list(value_cols) if value_cols else None, topic=topic_expr)
+    w = (
+        wire.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .outputMode(output_mode)
+        .option("checkpointLocation", _checkpoint(checkpoint))
+    )
+    if topic is not None:
+        w = w.option("topic", topic)
+    try:
+        return w.start()
+    except Exception as e:  # pragma: no cover - connector not bundled locally
+        raise NotImplementedError(
+            "Kafka sink requires the spark-sql-kafka connector on the classpath"
+        ) from e
+
+
+def start_foreach_batch(obj, fn: Callable[[DataFrame, int], None], checkpoint: str | None = None, available_now: bool = False):
+    """Foreach terminal (IKStream.cs Foreach / KStreamPeekProcessor with
+    forwardDownStream=false): arbitrary per-microbatch side effects with the
+    batch id for idempotence."""
+    df = obj.df if hasattr(obj, "df") else obj
+    w = df.writeStream.foreachBatch(fn).option("checkpointLocation", _checkpoint(checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+# ---------------- custom stateful operator escape hatch ----------------
+
+
+def stateful_map(
+    grouped,
+    fn: Callable,
+    output_schema: str,
+    state_schema: str,
+    output_mode: str = "update",
+    timeout: str = "NoTimeout",
+):
+    """Arbitrary per-key stateful processing via ``applyInPandasWithState`` —
+    the analog of the reference's low-level Processor API + state store
+    (core/Processors/IProcessor.cs + core/State/Stores.cs surface), for
+    semantics the declarative operators can't express (session gap logic,
+    custom eviction, cross-record state machines).
+
+    ``fn(key, pdf_iter, state)`` per the applyInPandasWithState contract.
+    Arrow-batched; state = one row per key in the state store; scale bound =
+    state size per key, not stream length.  Only valid on streaming input —
+    batch equivalents go through KGroupedStream.aggregate_py.
+    """
+    stream = grouped.stream
+    df = stream.df
+    if not df.isStreaming:
+        raise ValueError("stateful_map requires a streaming KStream; use aggregate_py in batch")
+    out = df.groupBy(*grouped.key).applyInPandasWithState(
+        fn, output_schema, state_schema, output_mode, timeout
+    )
+    return KStream(out, grouped.key, None)

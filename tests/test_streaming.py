@@ -1,0 +1,136 @@
+"""Stream=batch parity: replay the same parquet data through Structured
+Streaming and require the final state to equal the batch result — the analog
+of the reference's TopologyTestDriver tests (test/Streamiz.Kafka.Net.Tests/
+Processors/*, which pipe records through a topology and assert final
+KeyValueStore state)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_engine import StreamBuilder, TumblingWindowOptions
+from pyspark_engine.dsl import KStream
+from pyspark_engine.streaming import (
+    StreamingBuilder,
+    run_available_now,
+    start_to_files,
+    stateful_map,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_stream(spark) -> KStream:
+    sb = StreamingBuilder(spark)
+    ks = sb.file_stream(f"{SF}/events.parquet", key="user_id", ts="ts")
+    # same ns→µs normalization as runtime.read_table
+    return KStream(
+        ks.df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))), ks.key, "ts"
+    )
+
+
+def _events_batch(spark) -> KStream:
+    return StreamBuilder(spark, SF).stream("events", key="user_id", ts="ts")
+
+
+def _sorted_pdf(df, cols):
+    return (
+        df.select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+    )
+
+
+def test_stateless_parity(spark):
+    def topo(ks):
+        return ks.filter(F.col("event_type") == "click").with_values(
+            value2=F.col("value") * 2
+        )
+
+    got = run_available_now(topo(_events_stream(spark)), output_mode="append")
+    want = topo(_events_batch(spark)).df
+    cols = ["event_id", "user_id", "value2"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+
+
+def test_grouped_count_parity(spark):
+    got = run_available_now(
+        _events_stream(spark).group_by_key().count(), output_mode="complete"
+    )
+    want = _events_batch(spark).group_by_key().count().df
+    cols = ["user_id", "cnt"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+
+
+def test_to_table_parity(spark):
+    """Streaming KTable (incremental max_by) == batch KTable (window pass)."""
+    got = run_available_now(
+        _events_stream(spark).to_table(order=("ts", "event_id")),
+        output_mode="complete",
+    )
+    want = _events_batch(spark).to_table(order=("ts", "event_id")).df
+    cols = ["user_id", "event_id", "event_type", "value"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+
+
+def test_windowed_grace_watermark_parity(spark):
+    """Tumbling+grace compiles to withWatermark in streaming; with all data
+    on time (single replay batch) final window counts equal the batch result."""
+    w = TumblingWindowOptions.of(3_600_000, grace_ms=600_000)
+
+    got = run_available_now(
+        _events_stream(spark).group_by_key().windowed_by(w).count(),
+        output_mode="complete",
+    )
+    want = (
+        _events_batch(spark)
+        .group_by_key()
+        .windowed_by(TumblingWindowOptions.of(3_600_000))
+        .count()
+        .df
+    )
+    cols = ["user_id", "w_start", "w_end", "cnt"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+
+
+def test_stateful_map_running_count(spark):
+    """applyInPandasWithState escape hatch: running per-key count; final
+    emitted state == batch grouped count."""
+
+    def fn(key, pdfs, state):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"user_id": [key[0]], "cnt": [cnt]})
+
+    ks = _events_stream(spark)
+    got = run_available_now(
+        stateful_map(
+            ks.group_by_key(), fn, "user_id bigint, cnt bigint", "cnt bigint"
+        ),
+        output_mode="update",
+    )
+    # one availableNow replay may still split into several microbatches; the
+    # last emitted row per key is the final state
+    final = (
+        got.groupBy("user_id").agg(F.max("cnt").alias("cnt"))
+    )
+    want = _events_batch(spark).group_by_key().count().df
+    cols = ["user_id", "cnt"]
+    pd.testing.assert_frame_equal(_sorted_pdf(final, cols), _sorted_pdf(want, cols))
+
+
+def test_file_sink_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "out")
+    q = start_to_files(
+        _events_stream(spark).filter(F.col("event_type") == "purchase"),
+        out,
+        available_now=True,
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    want = _events_batch(spark).filter(F.col("event_type") == "purchase").df
+    assert got.count() == want.count()
+    cols = ["event_id", "user_id"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
