@@ -22,13 +22,14 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_engine import llmops
+from pyspark_engine import llmops, serdes
 from pyspark_engine.dsl import StreamBuilder
 from pyspark_engine.runtime import configure, read_table
 from pyspark_engine.windows import (
     CustomWindowOptions,
     HoppingWindowOptions,
     JoinWindowOptions,
+    SessionWindowOptions,
     TumblingWindowOptions,
 )
 
@@ -587,6 +588,127 @@ def q52_multimodal_meta(spark, sf_dir):
 
 
 # =====================================================================
+# §2.6 extensions (merge, top-k, set ops, analytic fns, sessions) + serde
+# roundtrip + embedding near-dup
+# =====================================================================
+
+def q53_merge_union(spark, sf_dir):
+    """Branch then merge (KStream.merge — stream union)."""
+    b = _b(spark, sf_dir)
+    s = b.stream("events", key="user_id", ts="ts")
+    clicks, purchases = s.branch(
+        F.col("event_type") == "click", F.col("event_type") == "purchase"
+    )
+    merged = clicks.merge(purchases)
+    return merged.group_by(etype=F.col("event_type")).count("cnt").df.select("etype", "cnt")
+
+
+def q54_topk_per_group(spark, sf_dir):
+    """Per-group top-k (rank window, deterministic total order)."""
+    b = _b(spark, sf_dir)
+    s = b.stream("orders", key="o_orderkey").top_k(
+        3,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        by=["o_orderpriority"],
+    )
+    return s.df.select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
+def q55_global_topn(spark, sf_dir):
+    """Global top-n → TakeOrderedAndProject (per-partition heaps, no full sort)."""
+    b = _b(spark, sf_dir)
+    s = b.stream("events", key="user_id", ts="ts").top_k(
+        20, [F.col("value").desc(), F.col("event_id")]
+    )
+    return s.df.select("event_id", "user_id", "value")
+
+
+def q56_set_except(spark, sf_dir):
+    """EXCEPT DISTINCT: users who click but never purchase."""
+    b = _b(spark, sf_dir)
+    s = b.stream("events", key="user_id")
+    clicks = s.filter((F.col("event_type") == "click") & (F.col("value") > 150)).map_values()
+    buys = s.filter((F.col("event_type") == "purchase") & (F.col("value") > 150)).map_values()
+    return clicks.subtract(buys).df.select("user_id")
+
+
+def q57_set_intersect(spark, sf_dir):
+    """INTERSECT DISTINCT: users with both clicks and errors."""
+    b = _b(spark, sf_dir)
+    s = b.stream("events", key="user_id")
+    clicks = s.filter(F.col("event_type") == "click").map_values()
+    errors = s.filter(F.col("event_type") == "error").map_values()
+    return clicks.intersect(errors).df.select("user_id")
+
+
+def q58_analytic_running(spark, sf_dir):
+    """Analytic/window functions: per-customer running total + sequence number
+    over the order history (Spark-native extension; one shuffle on the key)."""
+    from pyspark.sql.window import Window
+
+    b = _b(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    s = b.stream("orders", key="o_custkey").with_values(
+        running_total=F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"),
+        rn=F.row_number().over(rk).cast("long"),
+    )
+    return s.df.select("o_orderkey", "o_custkey", "running_total", "rn")
+
+
+def q59_serde_roundtrip(spark, sf_dir):
+    """Serde surface: typed rows → Kafka wire (JSON value, primitive key) →
+    decode → aggregate.  Exercises serdes.encode_kafka/decode_kafka in batch;
+    the same expressions run at the edges of the streaming Kafka source/sink."""
+    df = read_table(configure(spark), sf_dir, "events")
+    wire = serdes.encode_kafka(df, "user_id", ["event_id", "event_type", "value"])
+    wire = wire.withColumn("timestamp", F.timestamp_micros(F.lit(0)))
+    decoded = serdes.decode_kafka(
+        wire, "event_id bigint, event_type string, value double", key_type="bigint"
+    )
+    return (
+        decoded.groupBy(F.col("key").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+def q60_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup over a corpus with planted duplicates
+    (vec_id+10000 copies): LSH-bucketed candidates + exact cosine ≥ 0.9.
+    The oracle brute-forces the same corpus, so this checks both candidate
+    recall (identical vectors share buckets by construction) and verify
+    precision (natural pairs top out at cosine ≈ 0.48)."""
+    emb = read_table(configure(spark), sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    return llmops.embedding_neardup(corpus, dim=64, threshold=0.9)
+
+
+def q61_session_window(spark, sf_dir):
+    """Gap-based session windows (SessionWindowOptions → F.session_window)."""
+    b = _b(spark, sf_dir)
+    t = (
+        b.stream("events", key="user_id", ts="ts")
+        .group_by_key()
+        .windowed_by(SessionWindowOptions.of(30 * 60 * 1000))
+        .count("cnt")
+    )
+    return t.df.select(
+        "user_id",
+        F.unix_millis(F.col("w_start")).alias("s_start_ms"),
+        F.unix_millis(F.col("w_end")).alias("s_end_ms"),
+        "cnt",
+    )
+
+
+# =====================================================================
 # driver contract
 # =====================================================================
 
@@ -644,6 +766,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_language_id": q50_language_id,
         "q51_fingerprint": q51_fingerprint,
         "q52_multimodal_meta": q52_multimodal_meta,
+        "q53_merge_union": q53_merge_union,
+        "q54_topk_per_group": q54_topk_per_group,
+        "q55_global_topn": q55_global_topn,
+        "q56_set_except": q56_set_except,
+        "q57_set_intersect": q57_set_intersect,
+        "q58_analytic_running": q58_analytic_running,
+        "q59_serde_roundtrip": q59_serde_roundtrip,
+        "q60_embedding_neardup": q60_embedding_neardup,
+        "q61_session_window": q61_session_window,
     }
 
 
@@ -912,6 +1043,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q51_fingerprint": r"""
             SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents
+        """,
+        "q53_merge_union": """
+            SELECT etype, count(*) AS cnt FROM (
+                SELECT event_type AS etype FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT event_type AS etype FROM events WHERE event_type = 'purchase'
+            ) GROUP BY etype
+        """,
+        "q54_topk_per_group": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                FROM orders
+            ) WHERE rk <= 3
+        """,
+        "q55_global_topn": """
+            SELECT event_id, user_id, value FROM events
+            ORDER BY value DESC, event_id LIMIT 20
+        """,
+        "q56_set_except": """
+            SELECT user_id FROM events WHERE event_type = 'click' AND value > 150
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+        """,
+        "q57_set_intersect": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'error'
+        """,
+        "q58_analytic_running": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders
+        """,
+        "q59_serde_roundtrip": """
+            SELECT user_id, count(*) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM events GROUP BY user_id
+        """,
+        "q60_embedding_neardup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                 u AS (SELECT vec_id, v FROM e
+                       UNION ALL
+                       SELECT vec_id + 10000 AS vec_id, v FROM e WHERE vec_id % 5 = 0)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+        """,
+        "q61_session_window": """
+            WITH e AS (SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
+                 m AS (SELECT user_id, ts,
+                              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                                   THEN 1 ELSE 0 END AS brk
+                       FROM e),
+                 s AS (SELECT user_id, ts,
+                              sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                       FROM m)
+            SELECT user_id,
+                   epoch_ms(min(ts)) AS s_start_ms,
+                   epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS s_end_ms,
+                   count(*) AS cnt
+            FROM s GROUP BY user_id, sid
         """,
         "q52_multimodal_meta": """
             SELECT doc_id, 'text/plain' AS media_type,

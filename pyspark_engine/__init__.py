@@ -16,7 +16,13 @@ Layout:
 """
 
 from .dsl import GlobalKTable, KGroupedStream, KGroupedTable, KStream, KTable, StreamBuilder, TimeWindowedKStream
-from .windows import CustomWindowOptions, HoppingWindowOptions, JoinWindowOptions, TumblingWindowOptions
+from .windows import (
+    CustomWindowOptions,
+    HoppingWindowOptions,
+    JoinWindowOptions,
+    SessionWindowOptions,
+    TumblingWindowOptions,
+)
 
 __all__ = [
     "StreamBuilder",
@@ -29,5 +35,6 @@ __all__ = [
     "TumblingWindowOptions",
     "HoppingWindowOptions",
     "CustomWindowOptions",
+    "SessionWindowOptions",
     "JoinWindowOptions",
 ]

@@ -41,6 +41,7 @@ from .windows import (
     CustomWindowOptions,
     HoppingWindowOptions,
     JoinWindowOptions,
+    SessionWindowOptions,
     TumblingWindowOptions,
     WindowOptions,
 )
@@ -225,6 +226,33 @@ class KStream:
         """Stream union (absent in the reference snapshot — roadmap item;
         Spark gives it for free via unionByName)."""
         return self._with_df(self.df.unionByName(other.df))
+
+    # ------------- sorts / top-k / set ops (§2.6 analogs — Spark-native
+    # extensions; the reference snapshot lacks these, SURVEY §2.6) -------------
+
+    def distinct(self) -> "KStream":
+        """Distinct records (one shuffle on all columns, partial-agg combine)."""
+        return self._with_df(self.df.distinct())
+
+    def top_k(self, n: int, order, by: Sequence[str] = ()) -> "KStream":
+        """Top-k records.  Global (``by`` empty): orderBy+limit compiles to
+        TakeOrderedAndProject — each partition keeps a k-heap, the driver
+        merges k×partitions rows, no full sort.  Per-group: rank window
+        (one shuffle on the group key).  Pass a total order for determinism."""
+        order = [order] if isinstance(order, Column) else list(order)
+        if not by:
+            return self._with_df(self.df.orderBy(*order).limit(n))
+        w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
+        df = self.df.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= n).drop("__rk")
+        return self._with_df(df)
+
+    def intersect(self, other: "KStream") -> "KStream":
+        """INTERSECT DISTINCT (set semantics, like SQL INTERSECT)."""
+        return self._with_df(self.df.intersect(other.df))
+
+    def subtract(self, other: "KStream") -> "KStream":
+        """EXCEPT DISTINCT (set semantics, like SQL EXCEPT)."""
+        return self._with_df(self.df.subtract(other.df))
 
     def with_watermark(self, delay: str) -> "KStream":
         """Late-data bound on the event-time column — the streaming-mode
@@ -657,6 +685,8 @@ class TimeWindowedKStream:
         return df
 
     def _agg(self, agg_exprs: dict[str, Column], start_alias: str, end_alias: str) -> KTable:
+        if isinstance(self.window, SessionWindowOptions):
+            return self._agg_session(agg_exprs, start_alias, end_alias)
         df = self._assign()
         key = list(self.stream.key)
         grouped = df.groupBy(
@@ -666,6 +696,31 @@ class TimeWindowedKStream:
         )
         aggs = [v.alias(k) for k, v in agg_exprs.items()]
         out = grouped.agg(*aggs)
+        return KTable(out, tuple(key) + (start_alias, end_alias))
+
+    def _agg_session(self, agg_exprs: dict[str, Column], start_alias: str, end_alias: str) -> KTable:
+        """Session windows merge on the gap, so assignment can't be a per-row
+        expression; ``F.session_window`` handles the merge natively in batch
+        (agg-time merge) and streaming (merging session state store).  Grace
+        maps to the watermark in streaming; batch has no late-drop emulation
+        for sessions (final state over complete input is already exact)."""
+        w = self.window
+        df = self.stream.df
+        if df.isStreaming and w.grace_ms:
+            df = df.withWatermark(self.stream.ts, f"{int(w.grace_ms)} milliseconds")
+        key = list(self.stream.key)
+        sw = F.session_window(F.col(self.stream.ts), f"{int(w.gap_ms)} milliseconds")
+        aggs = [v.alias(k) for k, v in agg_exprs.items()]
+        out = (
+            df.groupBy(*key, sw.alias("__sw"))
+            .agg(*aggs)
+            .select(
+                *key,
+                F.col("__sw.start").alias(start_alias),
+                F.col("__sw.end").alias(end_alias),
+                *agg_exprs.keys(),
+            )
+        )
         return KTable(out, tuple(key) + (start_alias, end_alias))
 
     def count(self, alias: str = "cnt", start_alias: str = "w_start", end_alias: str = "w_end") -> KTable:

@@ -374,6 +374,56 @@ def ann_lsh_topk(
     )
 
 
+def embedding_neardup(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector analog of
+    minhash_lsh_pairs.  Candidate generation: hyperplane-LSH bucket the corpus
+    once; one side additionally probes every bucket at hamming distance ≤ 1
+    (multiprobe recall lever).  Exact double-precision cosine verifies
+    candidates only; returns (id_a, id_b) with id_a < id_b and cosine ≥
+    threshold.
+
+    Scale: corpus shuffles on the bucket id (16 B/row), candidate pairs are
+    |bucket|²-bounded per bucket, never a global O(n²) stage; identical or
+    near-identical vectors land in the same bucket by construction."""
+    base = emb.select(
+        F.col(id_col).alias("__id"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__b0"),
+    )
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("__b0"), *[F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        )
+    else:
+        probes = F.array(F.col("__b0"))
+    a = base.select("__id", F.explode(probes).alias("__bucket")).alias("a")
+    b = base.withColumnRenamed("__b0", "__bucket").alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("__sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------- text analysis
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")

@@ -67,6 +67,25 @@ class CustomWindowOptions:
 
 
 @dataclass(frozen=True)
+class SessionWindowOptions:
+    """Gap-based session windows: consecutive records for a key belong to one
+    session while each arrives within ``gap_ms`` of the session end; the
+    session closes at last_ts + gap (exclusive).
+
+    Not in the reference snapshot (its §2.4 surface is tumbling/hopping/
+    custom) — Kafka Streams-family parity extension, native in Spark via
+    ``F.session_window`` in both batch and streaming (merging session state).
+    """
+
+    gap_ms: int
+    grace_ms: int = 0
+
+    @classmethod
+    def of(cls, gap_ms: int, grace_ms: int = 0) -> "SessionWindowOptions":
+        return cls(gap_ms=gap_ms, grace_ms=grace_ms)
+
+
+@dataclass(frozen=True)
 class JoinWindowOptions:
     """Stream-stream join interval: right.ts ∈ [left.ts - before, left.ts + after]."""
 
