@@ -274,28 +274,23 @@ class KStream:
         the Kafka-offset analog).  Null keys dropped
         (KTableSourceProcessor.cs:37-41).
 
-        Scale: one shuffle by key + one window-function pass; AQE handles
-        skew.  No Python, no collect.
-
-        Streaming input: window functions aren't streamable, so the same
-        semantics compile to ``groupBy(key).agg(max_by(struct(values),
-        struct(order)))`` — an incrementally-maintained aggregate (update/
-        complete mode), state = one row per key, map-side partial combine
-        before the shuffle."""
+        Implementation (batch AND streaming): ``groupBy(key).agg(max_by(
+        struct(values), struct(order)))`` — a declarative aggregate, so Spark
+        partial-aggregates map-side before the single shuffle and (streaming)
+        maintains it incrementally with one state row per key.  Chosen over a
+        row_number window pass, which would sort every changelog record
+        within each partition; at changelog scale the partial-combine path
+        shuffles only one pre-reduced row per key per map task."""
         if not self.key:
             raise ValueError("to_table requires key columns")
         order_cols = _as_tuple(order) or ((self.ts,) if self.ts else ())
         if not order_cols:
             raise ValueError("to_table requires an order (ts or explicit columns)")
         df = _not_null(self.df, self.key)
-        if df.isStreaming:
-            value_cols = [c for c in df.columns if c not in self.key]
-            ord_struct = F.struct(*[F.col(c) for c in order_cols])
-            latest = F.max_by(F.struct(*[F.col(c) for c in value_cols]), ord_struct)
-            df = df.groupBy(*self.key).agg(latest.alias("__v")).select(*self.key, "__v.*")
-            return KTable(df, self.key, self.ts)
-        w = Window.partitionBy(*self.key).orderBy(*[F.col(c).desc() for c in order_cols])
-        df = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+        value_cols = [c for c in df.columns if c not in self.key]
+        ord_struct = F.struct(*[F.col(c) for c in order_cols])
+        latest = F.max_by(F.struct(*[F.col(c) for c in value_cols]), ord_struct)
+        df = df.groupBy(*self.key).agg(latest.alias("__v")).select(*self.key, "__v.*")
         return KTable(df, self.key, self.ts)
 
     # ---------------- grouping (SURVEY §2.3) ----------------

@@ -25,6 +25,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least session-parallelism partitions before an
+    expression-heavy stage.  A small/single-file scan arrives as one split
+    (parquet row-group granularity), which would serialize per-document
+    hashing onto one task; the repartition is a shuffle of (id, payload) rows
+    only.  At cluster scale inputs already have >= parallelism splits and
+    this is a no-op — no shuffle is added for large corpora."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------- tokenize
 
 def tokens(text: Column) -> Column:
@@ -32,14 +45,20 @@ def tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
-def word_ngrams(toks: Column, n: int) -> Column:
-    """Distinct word n-gram shingles via one higher-order-function pass.
-    Documents shorter than n tokens yield an empty shingle set (guarded:
-    Spark's sequence(1, 0) would otherwise DESCEND and index 0)."""
+def word_ngrams_multiset(toks: Column, n: int) -> Column:
+    """Word n-gram shingles (with duplicates) via one higher-order-function
+    pass.  Documents shorter than n tokens yield an empty shingle set
+    (guarded: Spark's sequence(1, 0) would otherwise DESCEND and index 0)."""
     count = F.size(toks) - (n - 1)
     idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.array_distinct(grams)
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles.  array_distinct is interpreted O(k²)
+    per row — use the multiset variant when downstream ops already have set
+    semantics (min-hash; array_intersect/array_union)."""
+    return F.array_distinct(word_ngrams_multiset(toks, n))
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -119,8 +138,18 @@ def minhash_lsh_pairs(
     stage.  A hot bucket (boilerplate text) is bounded by salting upstream or
     capping bucket size; AQE skew-join handles moderate skew."""
     rows = num_hashes // bands
-    grams = word_ngrams(tokens(F.col(text_col)), shingle)
-    base = df.select(F.col(id_col).alias("__id"), grams.alias("__grams")).filter(F.size("__grams") > 0)
+    # multiset shingles: min-hash is distinct-insensitive and the Jaccard
+    # verify uses array_intersect/array_union (set semantics) — skipping
+    # array_distinct avoids an interpreted O(k²) pass per document
+    grams = word_ngrams_multiset(tokens(F.col(text_col)), shingle)
+    base = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("__id"), grams.alias("__grams")
+    ).filter(F.size("__grams") > 0)
+    # the shingle table feeds the signature pipeline AND both verify sides —
+    # materialize it once (memory, spilling to disk) instead of re-running
+    # the tokenize+shingle expressions three times; at corpus scale this is
+    # the same move as writing the shingle table out before the pair phase
+    base = base.persist()
     # Scale path: explode shingles to rows and compute the signature as 64
     # declarative min() aggregates over affine permutations of one base hash.
     # This is map-side-combinable (partial min before the shuffle) and stays
@@ -219,7 +248,9 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     # Scale path (mirrors minhash_lsh_pairs): explode tokens to rows, compute
     # the 64 per-bit votes as declarative sum() aggregates — map-side
     # combinable, no higher-order-function codegen cost.
-    tok_rows = df.select(F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t"))
+    tok_rows = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
     tok_rows = tok_rows.withColumn("__h", F.xxhash64("__t"))
     votes = tok_rows.groupBy("__id").agg(
         *[
@@ -230,7 +261,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     fp_expr = F.lit(0).cast("long")
     for i, m in enumerate(_bit_masks()):
         fp_expr = fp_expr + F.when(F.col(f"v{i}") > 0, F.lit(m)).otherwise(F.lit(0))
-    fp = votes.select("__id", fp_expr.alias("__fp"))
+    fp = votes.select("__id", fp_expr.alias("__fp")).persist()  # reused by both join sides
     chunks = F.array(
         *[F.shiftrightunsigned("__fp", k * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"c{k}") for k in range(4)]
     )
@@ -288,7 +319,7 @@ def cosine_topk(
     q = F.broadcast(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("__qv"))
     )
-    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("__cv"))
+    c = _spread(emb).select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("__cv"))
     scored = (
         q.join(c, F.col("q_id") != F.col("n_id"))
         .withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))
@@ -356,7 +387,7 @@ def ann_lsh_topk(
     else:
         probes = F.array(F.col("__b0"))
     qb = qb.select("q_id", "__qv", F.explode(probes).alias("__bucket"))
-    cb = emb.select(
+    cb = _spread(emb).select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("__cv"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
@@ -393,10 +424,10 @@ def embedding_neardup(
     Scale: corpus shuffles on the bucket id (16 B/row), candidate pairs are
     |bucket|²-bounded per bucket, never a global O(n²) stage; identical or
     near-identical vectors land in the same bucket by construction."""
-    base = emb.select(
+    base = _spread(emb).select(
         F.col(id_col).alias("__id"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("__b0"),
-    )
+    ).persist()  # (id, bucket) pairs, reused by both join sides
     if multiprobe >= 1:
         probes = F.array(
             F.col("__b0"), *[F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]

@@ -40,6 +40,10 @@ def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # split small file scans to at least the session parallelism: a single
+    # parquet file must not serialize expression-heavy stages onto one task
+    # (at cluster scale scans have many splits anyway, so this is a no-op)
+    spark.conf.set("spark.sql.files.minPartitionNum", str(spark.sparkContext.defaultParallelism))
     # the driver testdata stores events.ts as parquet TIMESTAMP(NANOS), which
     # Spark only reads via the nanos-as-long legacy path (converted back to a
     # microsecond timestamp in read_table, truncating exactly like DuckDB)
