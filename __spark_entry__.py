@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_engine import llmops, serdes
-from pyspark_engine.dsl import StreamBuilder
+from pyspark_engine.dsl import KStream, StreamBuilder
 from pyspark_engine.runtime import configure, read_table
 from pyspark_engine.windows import (
     CustomWindowOptions,
@@ -708,6 +708,88 @@ def q61_session_window(spark, sf_dir):
     )
 
 
+def q62_asof_join(spark, sf_dir):
+    """As-of join: each click enriched with the user's latest purchase at or
+    before the click time (KStream.join_asof — union + one window pass, no
+    candidate fan-out).  Right side deduped to one purchase per (user, ts)
+    so the as-of pick is deterministic."""
+    b = _b(spark, sf_dir)
+    s = b.stream("events", key="user_id", ts="ts")
+    clicks = s.filter(F.col("event_type") == "click").map_values(l_id=F.col("event_id"))
+    purchases = s.filter(F.col("event_type") == "purchase").map_values(
+        p_value=F.col("value"), p_id=F.col("event_id")
+    )
+    # unique (user_id, ts): keep the highest event id on ties
+    dedup = (
+        KStream(purchases.df, ("user_id", "ts"), None)
+        .to_table(order=("p_id",))
+        .to_stream()
+    )
+    purchases = KStream(dedup.df, ("user_id",), "ts")
+    j = clicks.join_asof(purchases, how="left")
+    return j.df.select(
+        "user_id",
+        "l_id",
+        "p_value",
+        F.unix_micros(F.col("matched_ts")).alias("matched_ts_us"),
+    )
+
+
+def q63_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP subtotals (aggregate_rollup extension)."""
+    b = _b(spark, sf_dir)
+    s = b.stream("events", key="user_id", ts="ts").with_values(
+        day_ms=F.unix_millis(F.date_trunc("day", F.col("ts")))
+    )
+    out = s.aggregate_rollup(
+        ["event_type", "day_ms"],
+        cnt=F.count(F.lit(1)),
+        total=F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+    )
+    return out.df.select("event_type", "day_ms", "cnt", "total")
+
+
+def q64_count_distinct(spark, sf_dir):
+    """Distinct aggregate (§2.3 "absent" row — expression path, no new op)."""
+    b = _b(spark, sf_dir)
+    t = (
+        b.stream("events", key="user_id", ts="ts")
+        .group_by(etype=F.col("event_type"))
+        .aggregate(users=F.count_distinct(F.col("user_id")))
+    )
+    return t.df.select("etype", "users")
+
+
+def q65_semi_join(spark, sf_dir):
+    """Left-semi join: events of well-funded customers (KStream.join_semi)."""
+    b = _b(spark, sf_dir)
+    rich = b.table("customer", key="c_custkey", order=("c_custkey",)).filter(
+        F.col("c_acctbal") > 5000
+    )
+    s = b.stream("events", key="user_id", ts="ts").join_semi(rich)
+    return s.df.select("event_id", "user_id", "event_type")
+
+
+def q66_anti_join(spark, sf_dir):
+    """Left-anti join: events of everyone else (KStream.join_anti)."""
+    b = _b(spark, sf_dir)
+    rich = b.table("customer", key="c_custkey", order=("c_custkey",)).filter(
+        F.col("c_acctbal") > 5000
+    )
+    s = b.stream("events", key="user_id", ts="ts").join_anti(rich)
+    return s.df.select("event_id", "user_id", "event_type")
+
+
+def q67_fk_table_join(spark, sf_dir):
+    """Foreign-key table join (KTable.join_fk): orders table → customer table
+    via o_custkey (the Kafka Streams 2.4 FK-join analog)."""
+    b = _b(spark, sf_dir)
+    orders = b.table("orders", key="o_orderkey", order=("o_orderkey",))
+    customers = b.table("customer", key="c_custkey", order=("c_custkey",))
+    t = orders.join_fk(customers, "o_custkey")
+    return t.df.select("o_orderkey", "o_custkey", "c_name", "c_acctbal")
+
+
 # =====================================================================
 # driver contract
 # =====================================================================
@@ -775,6 +857,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_serde_roundtrip": q59_serde_roundtrip,
         "q60_embedding_neardup": q60_embedding_neardup,
         "q61_session_window": q61_session_window,
+        "q62_asof_join": q62_asof_join,
+        "q63_rollup": q63_rollup,
+        "q64_count_distinct": q64_count_distinct,
+        "q65_semi_join": q65_semi_join,
+        "q66_anti_join": q66_anti_join,
+        "q67_fk_table_join": q67_fk_table_join,
     }
 
 
@@ -1111,6 +1199,42 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS s_end_ms,
                    count(*) AS cnt
             FROM s GROUP BY user_id, sid
+        """,
+        "q62_asof_join": """
+            WITH c AS (SELECT user_id, ts, event_id AS l_id FROM events WHERE event_type = 'click'),
+                 p0 AS (SELECT user_id, ts, value AS p_value, event_id AS p_id
+                        FROM events WHERE event_type = 'purchase'),
+                 p AS (SELECT user_id, ts, p_value FROM (
+                         SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY p_id DESC) AS rn
+                         FROM p0) WHERE rn = 1)
+            SELECT c.user_id, c.l_id, p.p_value, epoch_us(p.ts) AS matched_ts_us
+            FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "q63_rollup": """
+            SELECT event_type,
+                   epoch_ms(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day_ms,
+                   count(*) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM events
+            GROUP BY ROLLUP(event_type, day_ms)
+        """,
+        "q64_count_distinct": """
+            SELECT event_type AS etype, count(DISTINCT user_id) AS users
+            FROM events GROUP BY event_type
+        """,
+        "q65_semi_join": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        """,
+        "q66_anti_join": """
+            SELECT event_id, user_id, event_type FROM events e
+            WHERE user_id IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer
+                              WHERE c_custkey = e.user_id AND c_acctbal > 5000)
+        """,
+        "q67_fk_table_join": """
+            SELECT o_orderkey, o_custkey, c_name, c_acctbal
+            FROM orders JOIN customer ON o_custkey = c_custkey
         """,
         "q52_multimodal_meta": """
             SELECT doc_id, 'text/plain' AS media_type,

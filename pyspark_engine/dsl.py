@@ -384,6 +384,114 @@ class KStream:
         cols += [r[c] for c in table.df.columns if c not in table.key]
         return KStream(joined.select(*cols), self.key, self.ts)
 
+    def join_semi(self, table: "KTable") -> "KStream":
+        """Left-semi join: keep stream records whose key exists in the table
+        (absent in the reference — §2.5 extension; Spark-native).  Output =
+        left columns only; no fan-out on duplicate table keys."""
+        return self._join_existence(table, "left_semi")
+
+    def join_anti(self, table: "KTable") -> "KStream":
+        """Left-anti join: keep stream records whose key does NOT exist in
+        the table (§2.5 extension)."""
+        return self._join_existence(table, "left_anti")
+
+    def _join_existence(self, table: "KTable", how: str) -> "KStream":
+        if len(self.key) != len(table.key):
+            raise ValueError("join key arity mismatch")
+        l = _not_null(self.df, self.key)
+        r = table.df
+        cond = None
+        for lk, rk in zip(self.key, table.key):
+            c = l[lk] == r[rk]
+            cond = c if cond is None else cond & c
+        return KStream(l.join(r, cond, how), self.key, self.ts)
+
+    def join_asof(
+        self,
+        other: "KStream",
+        tolerance_ms: int | None = None,
+        how: str = "left",
+        matched_ts: str = "matched_ts",
+    ) -> "KStream":
+        """As-of join: each left record picks the LATEST right record with the
+        same key and right.ts <= left.ts (optionally within ``tolerance_ms``).
+        The classic enrich-with-most-recent-state operator (absent in the
+        reference — §2.5 extension).
+
+        Implementation is the scale path: tag the sides, union, and carry the
+        latest right values forward with one ``last(..., ignorenulls)`` window
+        pass ordered by (ts, side) — a single shuffle+sort by key, NO
+        candidate fan-out (a join-then-max_by plan would materialize every
+        (left, earlier-right) pair first).  Right records sort before left at
+        equal ts, giving the inclusive <= bound.  Sides must have disjoint
+        non-key/non-ts column names; ties on right (key, ts) are broken by
+        the remaining right sort being stable per the union order."""
+        if self.ts is None or other.ts is None:
+            raise ValueError("as-of join requires ts on both sides")
+        if len(self.key) != len(other.key):
+            raise ValueError("join key arity mismatch")
+        if how not in ("inner", "left"):
+            raise ValueError("as-of join supports inner|left")
+        l_vals = [c for c in self.df.columns if c not in self.key and c != self.ts]
+        r_vals = [c for c in other.df.columns if c not in other.key and c != other.ts]
+        key_names = list(self.key)
+        l = _not_null(self.df, self.key).select(
+            *[F.col(k).alias(a) for k, a in zip(self.key, key_names)],
+            F.col(self.ts).alias("__ts"),
+            F.lit(1).alias("__side"),
+            *[F.col(c) for c in l_vals],
+            *[F.lit(None).cast(other.df.schema[c].dataType).alias(c) for c in r_vals],
+            F.lit(None).cast("timestamp").alias("__rts"),
+        )
+        r = _not_null(other.df, other.key).select(
+            *[F.col(k).alias(a) for k, a in zip(other.key, key_names)],
+            F.col(other.ts).alias("__ts"),
+            F.lit(0).alias("__side"),
+            *[F.lit(None).cast(self.df.schema[c].dataType).alias(c) for c in l_vals],
+            *[F.col(c) for c in r_vals],
+            F.col(other.ts).alias("__rts"),
+        )
+        u = l.unionByName(r)
+        w = (
+            Window.partitionBy(*key_names)
+            .orderBy(F.col("__ts"), F.col("__side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.select(
+            *key_names,
+            "__ts",
+            "__side",
+            *[F.col(c) for c in l_vals],
+            *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in r_vals],
+            F.last(F.col("__rts"), ignorenulls=True).over(w).alias(matched_ts),
+        ).filter(F.col("__side") == 1)
+        if tolerance_ms is not None:
+            in_tol = F.col(matched_ts) >= F.col("__ts") - _interval_ms(tolerance_ms)
+            filled = filled.select(
+                *key_names,
+                "__ts",
+                *l_vals,
+                *[F.when(in_tol, F.col(c)).otherwise(F.lit(None)).alias(c) for c in r_vals],
+                F.when(in_tol, F.col(matched_ts)).otherwise(F.lit(None)).alias(matched_ts),
+            )
+        out = filled.withColumnRenamed("__ts", self.ts).drop("__side")
+        if how == "inner":
+            out = out.filter(F.col(matched_ts).isNotNull())
+        return KStream(out, tuple(key_names), self.ts)
+
+    def aggregate_rollup(self, group_cols: Sequence[str], **agg_exprs: Column) -> "KStream":
+        """Hierarchical subtotals (GROUP BY ROLLUP — §2.3 "absent" row;
+        Spark-native extension).  Subtotal rows carry nulls in the rolled-up
+        columns, matching SQL ROLLUP semantics; same partial-agg + single
+        shuffle shape as a plain groupBy."""
+        aggs = [v.alias(k) for k, v in agg_exprs.items()]
+        return KStream(self.df.rollup(*group_cols).agg(*aggs), (), None)
+
+    def aggregate_cube(self, group_cols: Sequence[str], **agg_exprs: Column) -> "KStream":
+        """All grouping-set combinations (GROUP BY CUBE — §2.3 extension)."""
+        aggs = [v.alias(k) for k, v in agg_exprs.items()]
+        return KStream(self.df.cube(*group_cols).agg(*aggs), (), None)
+
     def join_global(self, gt: "GlobalKTable", key_mapper: Column, how: str = "inner") -> "KStream":
         """KStream⋈GlobalKTable join (IKStream.cs:836-931): key computed per
         record by ``key_mapper``, lookup in the replicated table.
@@ -504,6 +612,24 @@ class KTable:
             cols.append(F.greatest(l[self.ts], r[other.ts]).alias(ts_alias))
             out_ts = ts_alias
         return KTable(joined.select(*cols), self.key, out_ts)
+
+    def join_fk(self, other: "KTable", fk, how: str = "inner") -> "KTable":
+        """Foreign-key table join (Kafka Streams 2.4 feature, absent in the
+        reference — §2.5 note): join via a non-key column of this table to
+        the other table's primary key.  The reference/KS implementation needs
+        a subscription/response topic pair to re-key; in Spark it is a plain
+        equi-join on the fk expression (shuffle on fk, or broadcast if the
+        right side is small).  Result keyed by this table's key."""
+        if how not in ("inner", "left"):
+            raise ValueError("fk join supports inner|left")
+        if len(other.key) != 1:
+            raise ValueError("fk join requires single-column right key")
+        fk_col = F.col(fk) if isinstance(fk, str) else fk
+        l, r = self.df, other.df
+        joined = l.join(r, fk_col == r[other.key[0]], how)
+        cols = [l[c] for c in self.df.columns]
+        cols += [r[c] for c in other.df.columns if c not in other.key]
+        return KTable(joined.select(*cols), self.key, self.ts)
 
     def materialize(self, store_name: str) -> "KTable":
         """Interactive-query surface (SURVEY §2.7): register the table state
