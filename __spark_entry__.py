@@ -708,6 +708,18 @@ def q61_session_window(spark, sf_dir):
     )
 
 
+def q68_multimodal_features(spark, sf_dir):
+    """Multimodal feature extraction: binary payloads → Arrow-batched
+    mapInPandas worker (deterministic fake decoder; real plumbing).
+    Python-side per-payload logic isn't SQL-expressible → rows-only check;
+    exact values are unit-tested in tests/test_llmops.py."""
+    docs = read_table(configure(spark), sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    out = llmops.multimodal_features(docs, "doc_id", "payload", bins=8)
+    return out.select("doc_id", "n_bytes", "mean_byte", "hist")
+
+
 def q62_asof_join(spark, sf_dir):
     """As-of join: each click enriched with the user's latest purchase at or
     before the click time (KStream.join_asof — union + one window pass, no
@@ -863,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_semi_join": q65_semi_join,
         "q66_anti_join": q66_anti_join,
         "q67_fk_table_join": q67_fk_table_join,
+        "q68_multimodal_features": q68_multimodal_features,
     }
 
 

@@ -529,8 +529,53 @@ def decode_image_batches(it: Iterator, shape=(64, 64)) -> Iterator:
 
     STUB: the decode step needs an image library not present in this
     container.  The Arrow batch plumbing (signature, schema, batch iteration)
-    is real; swap the body for PIL/torchvision in a real deployment."""
+    is real — see multimodal_features for the same pipeline running end-to-end
+    with a deterministic fake decoder; swap the body for PIL/torchvision in a
+    real deployment."""
     raise NotImplementedError(
         "image decode requires an image library (PIL/cv2) not present in this container; "
         "wire this function into df.mapInPandas(decode_image_batches, schema=...)"
     )
+
+
+MULTIMODAL_FEATURES_SCHEMA = "doc_id long, n_bytes long, mean_byte double, hist array<long>"
+
+
+def _fake_decode_worker(bins: int):
+    """Arrow-batched worker computing deterministic per-payload features
+    (byte histogram) — a stand-in for a real decode+feature-extract body with
+    the identical batch shape: iterate Arrow batches, vectorize per payload,
+    emit one feature row per input row."""
+
+    def worker(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr // (256 // bins), minlength=bins)[:bins]
+                rows.append(
+                    (
+                        doc_id,
+                        int(arr.size),
+                        float(arr.mean()) if arr.size else 0.0,
+                        hist.astype("int64").tolist(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "mean_byte", "hist"])
+
+    return worker
+
+
+def multimodal_features(df: DataFrame, id_col: str, payload_col: str, bins: int = 8) -> DataFrame:
+    """Feature extraction over an opaque binary column via ``mapInPandas`` —
+    the real multimodal plumbing (schema, partitioning, Arrow batch shape)
+    with a deterministic fake decoder in place of the image/audio library.
+
+    Scale: the payload column streams through Python workers in Arrow
+    batches, one pass, no shuffle; partition sizing (maxPartitionBytes)
+    bounds worker memory, and _spread keeps small corpora parallel."""
+    proj = _spread(df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")))
+    return proj.mapInPandas(_fake_decode_worker(bins), MULTIMODAL_FEATURES_SCHEMA)

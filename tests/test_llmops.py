@@ -79,6 +79,30 @@ def test_ann_lsh_better_than_random(spark, sf_dir):
     assert picked.mean() > baseline + 0.05, f"ANN mean {picked.mean():.3f} vs random {baseline:.3f}"
 
 
+def test_embedding_neardup_finds_planted_copies(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    pairs = llmops.embedding_neardup(emb.unionByName(planted), dim=64, threshold=0.9)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(i, i + 10000) for i in range(10)}
+
+
+def test_multimodal_features_exact(spark):
+    """mapInPandas plumbing with the deterministic fake decoder: features
+    must equal a direct numpy computation on the same payloads."""
+    rows = [(1, b"\x00\x10\xff\xff"), (2, b"abc"), (3, b"")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in llmops.multimodal_features(df, "doc_id", "payload", bins=4).collect()}
+    for doc_id, payload in rows:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        r = got[doc_id]
+        assert r.n_bytes == arr.size
+        assert r.mean_byte == (float(arr.mean()) if arr.size else 0.0)
+        assert r.hist == np.bincount(arr // 64, minlength=4)[:4].tolist()
+
+
 def test_fingerprint_normalizes_whitespace(spark):
     df = spark.createDataFrame([(1, "Hello  World"), (2, " hello world ")], "doc_id long, text string")
     fps = {r.doc_id: r.fp for r in llmops.fingerprint(df, "doc_id", "text").collect()}
