@@ -708,6 +708,20 @@ def q61_session_window(spark, sf_dir):
     )
 
 
+def q69_sliding_agg(spark, sf_dir):
+    """Per-record sliding window (KIP-450 analog): count + decimal sum of the
+    user's events in the 10 minutes up to and including each event."""
+    b = _b(spark, sf_dir)
+    s = b.stream("events", key="user_id", ts="ts").sliding_agg(
+        600_000,
+        w_cnt=F.count(F.lit(1)),
+        w_total_dec=F.sum(F.col("value").cast("decimal(18,2)")),
+    )
+    return s.df.select(
+        "event_id", "user_id", "w_cnt", F.col("w_total_dec").cast("double").alias("w_total")
+    )
+
+
 def q68_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction: binary payloads → Arrow-batched
     mapInPandas worker (deterministic fake decoder; real plumbing).
@@ -876,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_anti_join": q66_anti_join,
         "q67_fk_table_join": q67_fk_table_join,
         "q68_multimodal_features": q68_multimodal_features,
+        "q69_sliding_agg": q69_sliding_agg,
     }
 
 
@@ -1212,6 +1227,14 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS s_end_ms,
                    count(*) AS cnt
             FROM s GROUP BY user_id, sid
+        """,
+        "q69_sliding_agg": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS w_cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS w_total
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 599999999 PRECEDING AND CURRENT ROW)
         """,
         "q62_asof_join": """
             WITH c AS (SELECT user_id, ts, event_id AS l_id FROM events WHERE event_type = 'click'),

@@ -254,6 +254,32 @@ class KStream:
         """EXCEPT DISTINCT (set semantics, like SQL EXCEPT)."""
         return self._with_df(self.df.subtract(other.df))
 
+    def repartition(self, num: int | None = None) -> "KStream":
+        """Explicit repartition by the stream key (the reference's roadmap
+        `Repartition`/`Through` operator — a manual repartition topic).  In
+        Spark a shuffle on the key; normally unnecessary (stateful ops insert
+        it), useful to pre-co-locate ahead of several same-key operations so
+        one exchange is reused."""
+        cols = [F.col(c) for c in self.key]
+        df = self.df.repartition(num, *cols) if num else self.df.repartition(*cols)
+        return self._with_df(df)
+
+    def sliding_agg(self, size_ms: int, **agg_exprs: Column) -> "KStream":
+        """Per-record sliding-window aggregates (the KIP-450 sliding-window
+        analog, absent in the reference — §2.4 note): for each record, the
+        aggregate over this key's records in (ts - size, ts].  One RANGE-frame
+        window pass — a single shuffle by key, no window explosion."""
+        if self.ts is None:
+            raise ValueError("sliding_agg requires a ts column")
+        ord_us = F.unix_micros(F.col(self.ts))
+        w = (
+            Window.partitionBy(*[F.col(c) for c in self.key])
+            .orderBy(ord_us)
+            .rangeBetween(-(size_ms * 1000 - 1), 0)
+        )
+        out = self.df.withColumns({k: v.over(w) for k, v in agg_exprs.items()})
+        return self._with_df(out)
+
     def with_watermark(self, delay: str) -> "KStream":
         """Late-data bound on the event-time column — the streaming-mode
         realization of the reference's grace period
