@@ -340,6 +340,28 @@ def q28_window_grace(spark, sf_dir):
     )
 
 
+def q70_window_hopping_grace(spark, sf_dir):
+    """Hopping windows + grace: the late-record drop applies per exploded
+    (record, member-window) row against per-partition stream time."""
+    b = _b(spark, sf_dir)
+    t = (
+        b.stream("events", key="event_type", ts="ts")
+        .group_by_key()
+        .windowed_by(
+            HoppingWindowOptions.of(1_800_000, 600_000, grace_ms=600_000),
+            arrival_order=(F.col("event_id") % 97, F.col("event_id")),
+            arrival_partition=F.col("user_id") % 4,
+        )
+        .count("cnt")
+    )
+    return t.df.select(
+        "event_type",
+        F.unix_millis("w_start").alias("w_start_ms"),
+        F.unix_millis("w_end").alias("w_end_ms"),
+        "cnt",
+    )
+
+
 # =====================================================================
 # §2.5 joins
 # =====================================================================
@@ -891,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_fk_table_join": q67_fk_table_join,
         "q68_multimodal_features": q68_multimodal_features,
         "q69_sliding_agg": q69_sliding_agg,
+        "q70_window_hopping_grace": q70_window_hopping_grace,
     }
 
 
@@ -1227,6 +1250,23 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS s_end_ms,
                    count(*) AS cnt
             FROM s GROUP BY user_id, sid
+        """,
+        "q70_window_hopping_grace": """
+            WITH arr AS (
+                SELECT event_type, ts,
+                       max(ts) OVER (PARTITION BY user_id % 4 ORDER BY event_id % 97, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stream_time
+                FROM events
+            ),
+            hopped AS (
+                SELECT event_type, ts, stream_time,
+                       ((epoch_ms(ts) // 600000) - k) * 600000 AS w_start_ms
+                FROM arr CROSS JOIN (VALUES (0), (1), (2)) AS hop(k)
+            )
+            SELECT event_type, w_start_ms, w_start_ms + 1800000 AS w_end_ms, count(*) AS cnt
+            FROM hopped
+            WHERE make_timestamp((w_start_ms + 1800000) * 1000) >= stream_time - INTERVAL 10 MINUTE
+            GROUP BY 1, 2, 3
         """,
         "q69_sliding_agg": """
             SELECT event_id, user_id,

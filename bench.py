@@ -4,10 +4,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Headliners cover every subsystem: scan+agg (q01), projection (q05), keyed agg
-(q16), windowed agg (q25/q26), stream-stream interval join (q29/q31),
-stream-table join (q32), broadcast dim join (q34), table-table join (q36),
-dedup exact/minhash (q42/q43), embedding top-k (q46), text analysis (q48).
-Results are fully materialized through the noop sink (no driver collect).
+(q16), windowed agg (q25/q26/q28), session windows (q61), sliding agg (q69),
+stream-stream interval join (q29/q31), stream-table join (q32), broadcast dim
+join (q34), table-table join (q36), as-of join (q62), per-group top-k (q54),
+dedup exact/minhash (q42/q43), embedding near-dup (q60), embedding top-k
+(q46), text analysis (q48).  Results are fully materialized through the noop
+sink (no driver collect); each query runs twice and reports the second
+(steady-state) time.
 """
 
 from __future__ import annotations
@@ -38,6 +41,11 @@ HEADLINE = [
     "q43_dedup_minhash",
     "q46_cosine_topk",
     "q48_text_stats",
+    "q54_topk_per_group",
+    "q60_embedding_neardup",
+    "q61_session_window",
+    "q62_asof_join",
+    "q69_sliding_agg",
 ]
 
 

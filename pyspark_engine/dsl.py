@@ -808,9 +808,10 @@ class TimeWindowedKStream:
             df = df.withColumn("__w", win).withColumn("__w_start", F.col("__w.start")).withColumn(
                 "__w_end", F.col("__w.end")
             ).drop("__w")
-        else:  # hopping: explode into the member windows
-            if w.grace_ms:
-                raise NotImplementedError("grace emulation supports tumbling/custom windows")
+        else:  # hopping: explode into the member windows; the grace filter
+            # below operates per exploded (record, window) row — stream-time
+            # (a running max of ts) is unaffected by the duplication, so the
+            # same emulation covers hopping windows
             win = F.window(ts, f"{w.size_ms} milliseconds", f"{w.advance_ms} milliseconds")
             df = df.withColumn("__w", win).withColumn("__w_start", F.col("__w.start")).withColumn(
                 "__w_end", F.col("__w.end")

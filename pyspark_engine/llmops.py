@@ -301,6 +301,12 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _norm(v: Column) -> Column:
+    """L2 norm — precompute per ROW before any pairwise stage: evaluating
+    dot(a,a)/dot(b,b) inside the pair join costs 2/3 of the verify work."""
+    return F.sqrt(_dot(v, v))
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -317,12 +323,20 @@ def cosine_topk(
     broadcast side), NOT for all-pairs.  For corpus-scale knn use
     ``ann_lsh_topk`` (bucketed)."""
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("__qv"))
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("__qv"),
+            _norm(F.col(vec_col)).alias("__qn"),
+        )
     )
-    c = _spread(emb).select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("__cv"))
+    c = _spread(emb).select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         q.join(c, F.col("q_id") != F.col("n_id"))
-        .withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn("__sim", _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("__sim").desc(), F.col("n_id"))
     return (
@@ -380,22 +394,24 @@ def ann_lsh_topk(
     qb = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("__b0"),
     )
     if multiprobe >= 1:
         probes = F.array(F.col("__b0"), *[F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
     else:
         probes = F.array(F.col("__b0"))
-    qb = qb.select("q_id", "__qv", F.explode(probes).alias("__bucket"))
+    qb = qb.select("q_id", "__qv", "__qn", F.explode(probes).alias("__bucket"))
     cb = _spread(emb).select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
     )
     scored = (
         F.broadcast(qb)
         .join(cb, (F.col("q_id") != F.col("n_id")) & (qb["__bucket"] == cb["__bucket"]))
-        .withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn("__sim", _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("__sim").desc(), F.col("n_id"))
     return (
@@ -444,12 +460,17 @@ def embedding_neardup(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    vecs = _spread(emb).select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__vec"),
+        _norm(F.col(vec_col)).alias("__vn"),
+    ).persist()
+    va = vecs.select(F.col("__vid").alias("id_a"), F.col("__vec").alias("__va"), F.col("__vn").alias("__na"))
+    vb = vecs.select(F.col("__vid").alias("id_b"), F.col("__vec").alias("__vb"), F.col("__vn").alias("__nb"))
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("__sim", cosine(F.col("__va"), F.col("__vb")))
+        .withColumn("__sim", _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
         .filter(F.col("__sim") >= threshold)
         .select("id_a", "id_b")
     )

@@ -93,6 +93,25 @@ def test_windowed_grace_watermark_parity(spark):
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
 
 
+def test_session_window_parity(spark):
+    """Streaming session windows (merging session state) == batch sessions."""
+    from pyspark_engine import SessionWindowOptions
+
+    w = SessionWindowOptions.of(30 * 60 * 1000)
+    got = run_available_now(
+        _events_stream(spark).with_watermark("0 seconds").group_by_key().windowed_by(w).count(),
+        output_mode="append",
+    )
+    batch = _events_batch(spark)
+    want = batch.group_by_key().windowed_by(w).count().df
+    # append mode emits a session once the watermark passes its end; sessions
+    # still open at the final watermark (= global max ts) stay in state
+    cutoff = batch.df.agg(F.max("ts")).collect()[0][0]
+    want = want.filter(F.col("w_end") <= F.lit(cutoff))
+    cols = ["user_id", "w_start", "w_end", "cnt"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+
+
 def test_stateful_map_running_count(spark):
     """applyInPandasWithState escape hatch: running per-key count; final
     emitted state == batch grouped count."""
