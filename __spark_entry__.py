@@ -566,6 +566,14 @@ def q47_ann_lsh(spark, sf_dir):
     return llmops.ann_lsh_topk(emb, queries, dim=64, k=5, n_planes=8)
 
 
+def q71_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k (KMeans cells + n_probe scan; rows-only like
+    q47 — KMeans index build isn't SQL-expressible)."""
+    emb = read_table(configure(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    return llmops.ann_ivf_topk(emb, queries, dim=64, k=5, n_lists=16, n_probe=4)
+
+
 def q48_text_stats(spark, sf_dir):
     docs = read_table(configure(spark), sf_dir, "documents")
     out = llmops.text_stats(docs, "doc_id", "text")
@@ -914,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_multimodal_features": q68_multimodal_features,
         "q69_sliding_agg": q69_sliding_agg,
         "q70_window_hopping_grace": q70_window_hopping_grace,
+        "q71_ann_ivf": q71_ann_ivf,
     }
 
 

@@ -657,6 +657,15 @@ class KTable:
         cols += [r[c] for c in other.df.columns if c not in other.key]
         return KTable(joined.select(*cols), self.key, self.ts)
 
+    def suppress(self) -> "KTable":
+        """Emit-final (the reference's roadmap `Suppress`, README.md:106;
+        Kafka Streams KIP-328).  Batch: the latest-per-key view IS final
+        state — identity.  Streaming: emit-on-window-close is Spark's append
+        output mode with a watermark (see streaming.run_available_now
+        output_mode='append'), so suppression is an output-mode choice, not
+        a plan node."""
+        return self
+
     def materialize(self, store_name: str) -> "KTable":
         """Interactive-query surface (SURVEY §2.7): register the table state
         as a queryable temp view — the analog of

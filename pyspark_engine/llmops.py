@@ -18,7 +18,7 @@ first-class here: the 100 TB training-data use case.  Design rules:
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -117,6 +117,22 @@ def minhash_signature(toks: Column, num_hashes: int = 64, shingle: int = 3) -> C
     return minhash_signature_from_grams(word_ngrams(toks, shingle), num_hashes)
 
 
+def _cap_buckets(banded: DataFrame, bucket_cols: Sequence[str], max_bucket_size: int | None) -> DataFrame:
+    """Skew lever: drop buckets above ``max_bucket_size`` before the
+    candidate self-join.  A hot bucket (boilerplate text, zero vectors)
+    turns the per-bucket |b|² pair blow-up into a stall at corpus scale;
+    capping trades recall on degenerate content for a bounded join.  The
+    window count shuffles on the same key the join needs anyway."""
+    if not max_bucket_size:
+        return banded
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bucket_n") <= max_bucket_size)
+        .drop("__bucket_n")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -125,6 +141,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact Jaccard verify.
 
@@ -175,6 +192,7 @@ def minhash_lsh_pairs(
         ]
     )
     banded = sig.select("__id", F.posexplode(band_arr).alias("__band", "__bh"))
+    banded = _cap_buckets(banded, ("__band", "__bh"), max_bucket_size)
     lhs = banded.alias("a")
     rhs = banded.alias("b")
     cand = (
@@ -473,6 +491,72 @@ def embedding_neardup(
         .withColumn("__sim", _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
         .filter(F.col("__sim") >= threshold)
         .select("id_a", "id_b")
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    ``n_lists`` Voronoi cells via distributed KMeans, then each query scans
+    only its ``n_probe`` nearest cells.
+
+    Scale: the KMeans fit is a standard distributed index-build step; only
+    the centroid matrix (n_lists × dim floats) comes to the driver and is
+    re-broadcast as literals.  The corpus shuffles once on cell id; query
+    fan-out is n_probe cells, so scanned fraction ≈ n_probe/n_lists of the
+    corpus regardless of corpus size.  The recall/latency trade is n_probe —
+    the standard IVF lever (vs. multiprobe for the hyperplane-LSH variant)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spread = _spread(emb)
+    train = spread.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    def _dist2(vec: Column, cen: list[float]) -> Column:
+        lit_c = F.array(*[F.lit(v) for v in cen])
+        diff = F.zip_with(vec, lit_c, lambda a, b: a.cast("double") - b)
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+
+    def _cell(vec: Column) -> Column:
+        """argmin over centroid distances, as one sorted struct array."""
+        pairs = F.array(
+            *[F.struct(_dist2(vec, c).alias("d"), F.lit(i).alias("i")) for i, c in enumerate(centroids)]
+        )
+        return F.array_sort(pairs)
+
+    cb = spread.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+        F.element_at(_cell(F.col(vec_col)), 1)["i"].alias("__cell"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+        F.slice(F.transform(_cell(F.col(vec_col)), lambda s: s["i"]), 1, n_probe).alias("__cells"),
+    ).select("q_id", "__qv", "__qn", F.explode("__cells").alias("__cell"))
+    scored = (
+        F.broadcast(qb)
+        .join(cb, (F.col("q_id") != F.col("n_id")) & (qb["__cell"] == cb["__cell"]))
+        .withColumn("__sim", _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("__sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("q_id", "n_id")
     )
 
 

@@ -161,6 +161,98 @@ def test_global_table_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_asof_join_picks_latest_at_or_before(spark):
+    """As-of: latest right with r.ts <= l.ts (inclusive); earlier rights
+    superseded; no right at/before -> null (left join)."""
+    left = KStream(
+        spark.createDataFrame(
+            [(1, "L1", sec(10)), (1, "L2", sec(30)), (2, "L3", sec(5))],
+            "k long, v string, ts timestamp",
+        ),
+        key=("k",),
+        ts="ts",
+    )
+    right = KStream(
+        spark.createDataFrame(
+            [(1, 100.0, sec(10)), (1, 200.0, sec(20)), (2, 300.0, sec(7))],
+            "k long, rv double, rts timestamp",
+        ),
+        key=("k",),
+        ts="rts",
+    )
+    j = left.join_asof(right, how="left")
+    got = {r.v: r.rv for r in j.df.collect()}
+    # L1@10 matches right@10 (inclusive =), L2@30 matches right@20 (latest),
+    # L3@5 has no right at or before -> null
+    assert got == {"L1": 100.0, "L2": 200.0, "L3": None}
+
+
+def test_asof_join_tolerance_and_inner(spark):
+    left = KStream(
+        spark.createDataFrame([(1, "L", sec(100))], "k long, v string, ts timestamp"),
+        key=("k",),
+        ts="ts",
+    )
+    right = KStream(
+        spark.createDataFrame([(1, 5.0, sec(10))], "k long, rv double, rts timestamp"),
+        key=("k",),
+        ts="rts",
+    )
+    # match is 90s old; 60s tolerance voids it
+    j = left.join_asof(right, tolerance_ms=60_000, how="left")
+    assert [r.rv for r in j.df.collect()] == [None]
+    j2 = left.join_asof(right, tolerance_ms=60_000, how="inner")
+    assert j2.df.count() == 0
+    j3 = left.join_asof(right, tolerance_ms=120_000, how="inner")
+    assert [r.rv for r in j3.df.collect()] == [5.0]
+
+
+def test_top_k_global_and_per_group(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 30), (3, "a", 20), (4, "b", 5)], "id long, g string, v long"
+    )
+    s = KStream(df, key=("id",))
+    top_global = s.top_k(2, [F.col("v").desc(), F.col("id")])
+    assert sorted(r.id for r in top_global.df.collect()) == [2, 3]
+    top_grouped = s.top_k(1, [F.col("v").desc(), F.col("id")], by=["g"])
+    assert sorted(r.id for r in top_grouped.df.collect()) == [2, 4]
+
+
+def test_set_ops_distinct_semantics(spark):
+    a = KStream(spark.createDataFrame([(1,), (1,), (2,)], "k long"), key=("k",))
+    b = KStream(spark.createDataFrame([(2,)], "k long"), key=("k",))
+    assert sorted(r.k for r in a.subtract(b).df.collect()) == [1]  # dedup + except
+    assert sorted(r.k for r in a.intersect(b).df.collect()) == [2]
+
+
+def test_sliding_agg_trailing_window(spark):
+    rows = [(1, 1.0, sec(0)), (1, 2.0, sec(5)), (1, 4.0, sec(11)), (2, 8.0, sec(5))]
+    df = spark.createDataFrame(rows, "k long, v double, ts timestamp")
+    s = KStream(df, key=("k",), ts="ts").sliding_agg(10_000, c=F.count(F.lit(1)))
+    got = {(r.k, r.v): r.c for r in s.df.collect()}
+    # window is (ts-10s, ts]: @5 sees @0; @11 sees @5 but NOT @0 (exclusive lower bound)
+    assert got == {(1, 1.0): 1, (1, 2.0): 2, (1, 4.0): 2, (2, 8.0): 1}
+
+
+def test_minhash_bucket_cap_drops_hot_bucket(spark):
+    from pyspark_engine import llmops
+
+    text = "the quick brown fox jumps over the lazy dog again and again " * 8
+    rows = [(i, text) for i in range(6)]  # 6 identical docs -> one hot bucket
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = llmops.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5)
+    assert uncapped.count() == 15  # all C(6,2) pairs
+    capped = llmops.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5, max_bucket_size=3)
+    assert capped.count() == 0  # hot bucket dropped entirely
+
+
+def test_suppress_is_final_state_identity(spark):
+    t = KStream(_events(spark, [(1, "a", sec(1)), (1, "b", sec(2))]), key=("k",), ts="ts").to_table(
+        order=("ts",)
+    )
+    assert t.suppress().df.collect() == t.df.collect()
+
+
 def test_peek_observe_metric(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
     s = KStream(df, key=("k",)).peek("peek_test")

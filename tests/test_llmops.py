@@ -79,6 +79,25 @@ def test_ann_lsh_better_than_random(spark, sf_dir):
     assert picked.mean() > baseline + 0.05, f"ANN mean {picked.mean():.3f} vs random {baseline:.3f}"
 
 
+def test_ann_ivf_better_than_random(spark, sf_dir):
+    """IVF variant: same honest property as the LSH test — probed neighbors
+    must beat the mean pairwise similarity, every query returns rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    approx = llmops.ann_ivf_topk(emb, queries, dim=64, k=5, n_lists=8, n_probe=3).collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.q_id, []).append(r.n_id)
+    assert set(by_q) == set(range(8))
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    picked = np.array([sims[q, n] for q, ns in by_q.items() for n in ns])
+    baseline = sims[np.triu_indices_from(sims, k=1)].mean()
+    assert picked.mean() > baseline + 0.05
+
+
 def test_embedding_neardup_finds_planted_copies(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") < 10).select(
