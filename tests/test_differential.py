@@ -1,0 +1,94 @@
+"""Property-based differential tests: random tiny inputs, engine result
+compared against an independent pandas implementation of the same semantics
+(pandas.merge_asof for as-of joins, groupby idxmax for upserts, per-row scan
+for sliding windows).  Bounded example counts keep the Spark round-trips
+cheap."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pyspark_engine.dsl import KStream
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(s):
+    return T0 + dt.timedelta(seconds=int(s))
+
+
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(-100, 100)),
+    min_size=1,
+    max_size=25,
+)
+
+SETTINGS = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+
+@given(left=rows_strategy, right=rows_strategy)
+@SETTINGS
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    # unique (key, ts) on the right so the as-of pick is well-defined
+    rseen = {}
+    for k, s, v in right:
+        rseen[(k, s)] = v
+    rrows = [(k, _ts(s), float(v)) for (k, s), v in rseen.items()]
+    lrows = [(k, _ts(s), i) for i, (k, s, _v) in enumerate(left)]
+    ldf = KStream(
+        spark.createDataFrame(lrows, "k long, ts timestamp, l_id long"), key=("k",), ts="ts"
+    )
+    rdf = KStream(
+        spark.createDataFrame(rrows, "k long, ts timestamp, rv double"), key=("k",), ts="ts"
+    )
+    got = (
+        ldf.join_asof(rdf, how="left")
+        .df.select("l_id", "rv")
+        .toPandas()
+        .sort_values("l_id")
+        .reset_index(drop=True)
+    )
+    lp = pd.DataFrame(lrows, columns=["k", "ts", "l_id"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(rrows, columns=["k", "ts", "rv"]).sort_values("ts", kind="stable")
+    want = (
+        pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+        .sort_values("l_id")
+        .reset_index(drop=True)[["l_id", "rv"]]
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_to_table_matches_pandas_last_per_key(spark, rows):
+    data = [(k, _ts(s), i) for i, (k, s, _v) in enumerate(rows)]
+    t = KStream(
+        spark.createDataFrame(data, "k long, ts timestamp, seq long"), key=("k",), ts="ts"
+    ).to_table(order=("ts", "seq"))
+    got = {r.k: r.seq for r in t.df.collect()}
+    pdf = pd.DataFrame(data, columns=["k", "ts", "seq"]).sort_values(["ts", "seq"], kind="stable")
+    want = pdf.drop_duplicates("k", keep="last").set_index("k")["seq"].to_dict()
+    assert got == want
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_sliding_agg_matches_pandas_scan(spark, rows):
+    size_ms = 60_000
+    data = [(k, _ts(s), float(v), i) for i, (k, s, v) in enumerate(rows)]
+    s = KStream(
+        spark.createDataFrame(data, "k long, ts timestamp, v double, i long"), key=("k",), ts="ts"
+    ).sliding_agg(size_ms, c=F.count(F.lit(1)))
+    got = {r.i: r.c for r in s.df.collect()}
+    want = {}
+    for k, ts, _v, i in data:
+        lo = ts - dt.timedelta(milliseconds=size_ms)
+        want[i] = sum(1 for k2, ts2, _v2, _i2 in data if k2 == k and lo < ts2 <= ts)
+    assert got == want

@@ -140,6 +140,33 @@ def test_stateful_map_running_count(spark):
     pd.testing.assert_frame_equal(_sorted_pdf(final, cols), _sorted_pdf(want, cols))
 
 
+def test_stream_stream_interval_join_parity(spark):
+    """The SAME dsl.join() call runs as a watermarked stream-stream interval
+    join in streaming mode; inner-join results equal the batch interval join."""
+    from pyspark_engine import JoinWindowOptions
+
+    def sides(ks):
+        clicks = ks.filter(F.col("event_type") == "click").map(
+            key={"user_id": F.col("user_id")}, values={"l_id": F.col("event_id")}
+        )
+        purchases = ks.filter(F.col("event_type") == "purchase").map(
+            key={"r_user": F.col("user_id")}, values={"r_id": F.col("event_id")}
+        ).rename(ts="r_ts")
+        return clicks, purchases
+
+    lc, rp = sides(_events_stream(spark))
+    got = run_available_now(
+        lc.with_watermark("1 hour").join(
+            rp.with_watermark("1 hour"), JoinWindowOptions.of(30 * 60 * 1000), how="inner"
+        ),
+        output_mode="append",
+    )
+    blc, brp = sides(_events_batch(spark))
+    want = blc.join(brp, JoinWindowOptions.of(30 * 60 * 1000), how="inner").df
+    cols = ["user_id", "l_id", "r_id"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+
+
 def test_file_sink_roundtrip(spark, tmp_path):
     out = str(tmp_path / "out")
     q = start_to_files(
