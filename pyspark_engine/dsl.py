@@ -167,6 +167,15 @@ class KStream:
         u = F.pandas_udf(fn, return_type)
         return self.with_values(**{alias: u(*[F.col(c) for c in cols])})
 
+    def transform_py(self, fn: Callable, schema: str, key=(), ts: str | None = None) -> "KStream":
+        """Arbitrary 1→N Python record transform via ``mapInPandas`` — the
+        analog of the reference's low-level Processor/Transform API
+        (core/Processors/TransformProcessor.cs:8-27, dead code there; live
+        here).  ``fn(iter_of_pdf) -> iter_of_pdf``; Arrow-batched, streams
+        per partition with no shuffle.  Output key/ts must be re-declared
+        (the transform may change both)."""
+        return KStream(self.df.mapInPandas(fn, schema), _as_tuple(key), ts)
+
     def flat_map(self, arr: Column, alias: str, new_key, keep: Sequence[str] = ()) -> "KStream":
         """1→N records with new keys (KStreamFlatMapProcessor.cs:6-22):
         explode ``arr`` into ``alias`` and re-key on ``new_key``."""

@@ -1,0 +1,89 @@
+"""Plan-regression tests: the scale properties the engine is designed around
+must be visible in the physical plan, not just claimed in docstrings —
+pushdown, pruning, broadcast for the replicated-dim join, partial (map-side)
+aggregation, and top-k without a full sort.  A refactor that silently loses
+one of these is a perf bug even while results stay correct."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from pyspark.sql import functions as F
+
+from pyspark_engine.dsl import KStream, StreamBuilder
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_pushdown_and_pruning(spark):
+    df = entry.queries()["q01_pricing_summary"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: the 16-column lineitem scan must read only what q01 uses
+    scan = next(l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l)
+    assert "l_comment" not in scan and "l_partkey" not in scan
+
+
+def test_q01_partial_aggregation_before_exchange(spark):
+    df = entry.queries()["q01_pricing_summary"](spark, SF)
+    plan = _plan(df)
+    # map-side combine: partial_sum below the shuffle
+    assert "partial_sum" in plan
+
+
+def test_global_join_broadcasts_not_shuffles_fact(spark):
+    df = entry.queries()["q34_global_join_inner"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the fact side (customer) must not hash-exchange for this join
+    fact_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning(c_" not in fact_side
+
+
+def test_global_topn_uses_take_ordered(spark):
+    df = entry.queries()["q55_global_topn"](spark, SF)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_stateless_chain_is_single_stage(spark):
+    """Filters/projections must not introduce a shuffle."""
+    b = StreamBuilder(spark, data_dir=SF)
+    s = (
+        b.stream("events", key="user_id", ts="ts")
+        .filter(F.col("value") > 10)
+        .with_values(v2=F.col("value") * 2)
+        .select_key(F.col("event_type"), "etype")
+    )
+    assert "Exchange" not in _plan(s.df)
+
+
+def test_to_table_is_single_shuffle_hash_agg(spark):
+    b = StreamBuilder(spark, data_dir=SF)
+    t = b.stream("events", key="user_id", ts="ts").to_table(order=("ts", "event_id"))
+    plan = _plan(t.df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    # the point of max_by over row_number: partial aggregation BEFORE the
+    # exchange, so one pre-reduced row per key per map task crosses the wire
+    # (max_by(struct) lowers to SortAggregate — local sorts are fine; a
+    # row_number window would shuffle every raw row instead)
+    map_side = plan.split("Exchange hashpartitioning")[1]  # children print below
+    assert "partial_max_by" in map_side
+
+
+def test_transform_py_roundtrip(spark):
+    def double_rows(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["v2"] = pdf["value"] * 2
+            yield pdf[["event_id", "v2"]]
+
+    b = StreamBuilder(spark, data_dir=SF)
+    s = b.stream("events", key="user_id", ts="ts").transform_py(
+        double_rows, "event_id long, v2 double", key="event_id"
+    )
+    row = s.df.orderBy("event_id").first()
+    base = b.stream("events", key="user_id").df.orderBy("event_id").first()
+    assert row.v2 == base.value * 2
