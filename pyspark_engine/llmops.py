@@ -193,6 +193,7 @@ def minhash_lsh_pairs(
     )
     banded = sig.select("__id", F.posexplode(band_arr).alias("__band", "__bh"))
     banded = _cap_buckets(banded, ("__band", "__bh"), max_bucket_size)
+    banded = banded.persist()  # (id, band, hash) triples, reused by both join sides
     lhs = banded.alias("a")
     rhs = banded.alias("b")
     cand = (

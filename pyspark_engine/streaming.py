@@ -43,6 +43,7 @@ from .serdes import decode_kafka, encode_kafka
 __all__ = [
     "StreamingBuilder",
     "run_available_now",
+    "materialize_stream",
     "start_to_files",
     "start_to_kafka",
     "start_foreach_batch",
@@ -230,6 +231,16 @@ def start_foreach_batch(obj, fn: Callable[[DataFrame, int], None], checkpoint: s
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def materialize_stream(obj, store_name: str, output_mode: str = "complete") -> DataFrame:
+    """Streaming interactive-query surface (SURVEY §2.7; KafkaStream.Store
+    analog, core/KafkaStream.cs:474-479): drain the current stream state into
+    a named in-memory table queryable via ``spark.table(store_name)`` /
+    ``StoreRegistry``.  Batch KTables use KTable.materialize (temp view)
+    instead; this is the streaming twin — state lands in the table as of the
+    drain point, re-invoke to refresh."""
+    return run_available_now(obj, name=store_name, output_mode=output_mode)
 
 
 # ---------------- custom stateful operator escape hatch ----------------

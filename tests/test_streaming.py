@@ -167,6 +167,23 @@ def test_stream_stream_interval_join_parity(spark):
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
 
 
+def test_materialize_stream_interactive_query(spark):
+    """Streaming state drained into a queryable named store (§2.7 twin)."""
+    from pyspark_engine.runtime import StoreRegistry
+    from pyspark_engine.streaming import materialize_stream
+
+    materialize_stream(
+        _events_stream(spark).group_by_key().count(), "stream_user_counts"
+    )
+    reg = StoreRegistry(spark)
+    total = reg.store("stream_user_counts").count()
+    want = _events_batch(spark).group_by_key().count().df.count()
+    assert total == want
+    # point lookup path
+    first = _events_batch(spark).group_by_key().count().df.first()
+    assert reg.get("stream_user_counts", user_id=first.user_id)[0].cnt == first.cnt
+
+
 def test_file_sink_roundtrip(spark, tmp_path):
     out = str(tmp_path / "out")
     q = start_to_files(
