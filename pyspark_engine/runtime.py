@@ -84,6 +84,66 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+class StreamConfig:
+    """The reference's StreamConfig surface (core/StreamConfig.cs) mapped to
+    Spark runtime choices, so a Streamiz user's configuration carries over.
+
+    | Reference key                    | Here                               |
+    |----------------------------------|------------------------------------|
+    | ApplicationId                    | app_id → appName / checkpoint root |
+    | BootstrapServers                 | bootstrap → Kafka source/sink opt  |
+    | ProcessingGuarantee AT_LEAST_ONCE| checkpointing (default)            |
+    | ProcessingGuarantee EXACTLY_ONCE | checkpointing + idempotent sink    |
+    | CommitIntervalMs (:169,1904)     | trigger processing-time interval   |
+    | NumStreamThreads (:1897)         | shuffle partitions / local cores   |
+    | StateDir                         | checkpoint_dir root                |
+    | MaxPollRecords / BufferedRecords | maxOffsetsPerTrigger               |
+    """
+
+    def __init__(
+        self,
+        app_id: str,
+        bootstrap: str | None = None,
+        guarantee: str = "at_least_once",
+        commit_interval_ms: int | None = None,
+        num_threads: int | None = None,
+        state_dir: str | None = None,
+        max_records_per_batch: int | None = None,
+    ):
+        if guarantee not in ("at_least_once", "exactly_once"):
+            raise ValueError("guarantee must be at_least_once|exactly_once")
+        self.app_id = app_id
+        self.bootstrap = bootstrap
+        self.guarantee = guarantee
+        self.commit_interval_ms = commit_interval_ms
+        self.num_threads = num_threads
+        self.state_dir = state_dir
+        self.max_records_per_batch = max_records_per_batch
+
+    def checkpoint(self, query_name: str) -> str:
+        root = self.state_dir or "/tmp/pyspark-engine-state"
+        return f"{root}/{self.app_id}/{query_name}"
+
+    def source_options(self) -> dict[str, str]:
+        opts: dict[str, str] = {}
+        if self.max_records_per_batch is not None:
+            opts["maxOffsetsPerTrigger"] = str(self.max_records_per_batch)
+        return opts
+
+    def writer_options(self, query_name: str) -> dict[str, str]:
+        # exactly-once = checkpointed offsets + idempotent/transactional sink;
+        # Spark's checkpoint covers the source side for both guarantees
+        return {"checkpointLocation": self.checkpoint(query_name)}
+
+    def trigger_kwargs(self) -> dict:
+        if self.commit_interval_ms is None:
+            return {}
+        return {"processingTime": f"{self.commit_interval_ms} milliseconds"}
+
+    def session(self) -> SparkSession:
+        return build_session(self.app_id, cpus=self.num_threads)
+
+
 class StoreRegistry:
     """Interactive-query facade: the analog of ``KafkaStream.Store(...)``
     (core/KafkaStream.cs:474-479).  Materialized KTables register temp views

@@ -37,10 +37,19 @@ __all__ = [
 ]
 
 
-def decode_json(col: Column, schema: str) -> Column:
+def decode_json(col: Column, schema: str, on_error: str = "continue") -> Column:
     """JSON bytes/string → struct (JsonSerDes analog).  ``schema`` is a DDL
-    string like ``"a INT, b STRING"``."""
-    return F.from_json(col.cast("string"), schema)
+    string like ``"a INT, b STRING"``.
+
+    ``on_error`` is the DeserializationExceptionHandler analog
+    (reference core/Errors/DeserializationExceptionHandler.cs: CONTINUE
+    skips the poison record, FAIL stops the task): ``continue`` → malformed
+    input decodes to null fields (PERMISSIVE), ``fail`` → the task errors
+    (FAILFAST)."""
+    modes = {"continue": "PERMISSIVE", "fail": "FAILFAST"}
+    if on_error not in modes:
+        raise ValueError("on_error must be continue|fail")
+    return F.from_json(col.cast("string"), schema, {"mode": modes[on_error]})
 
 
 def encode_json(*cols: Column) -> Column:
@@ -96,6 +105,8 @@ def decode_kafka(
     key_type: str = "string",
     value_format: str = "json",
     ts_alias: str = "ts",
+    on_error: str = "continue",
+    include_headers: bool = False,
 ) -> DataFrame:
     """Kafka wire record → typed row: the SourceProcessor deserialize step.
 
@@ -105,18 +116,25 @@ def decode_kafka(
     (the reference's default FailOnInvalidTimestamp extractor just reads the
     broker timestamp — core/Processors/Internal/DefaultTimestampExtractor)."""
     if value_format == "json":
-        value = decode_json(F.col("value"), value_schema)
+        value = decode_json(F.col("value"), value_schema, on_error=on_error)
     elif value_format == "csv":
         value = decode_csv(F.col("value"), value_schema)
     elif value_format == "avro":
         value = decode_avro(F.col("value"), value_schema)
     else:
         raise ValueError(f"unsupported value format: {value_format}")
-    return df.select(
+    cols = [
         decode_primitive(F.col("key"), key_type).alias("key"),
         F.col("timestamp").alias(ts_alias),
         value.alias("__v"),
-    ).select("key", ts_alias, "__v.*")
+    ]
+    out = ["key", ts_alias, "__v.*"]
+    if include_headers:
+        # Kafka record headers (IRecordContext.Headers analog); requires
+        # .option("includeHeaders", "true") on the Kafka source
+        cols.append(F.col("headers"))
+        out.append("headers")
+    return df.select(*cols).select(*out)
 
 
 def encode_kafka(
@@ -135,7 +153,8 @@ def encode_kafka(
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     vals = [F.col(c) for c in value_cols] if value_cols else [F.col(c) for c in df.columns]
     if value_format == "json":
-        value = encode_json(*vals).cast("binary")
+        # always a struct: a bare single column isn't a valid to_json input
+        value = encode_json(F.struct(*vals)).cast("binary")
     elif value_format == "avro":
         value = encode_avro(F.struct(*vals))
     else:

@@ -1,0 +1,70 @@
+"""Serde + config surface tests: wire-format roundtrips, the
+DeserializationExceptionHandler analog, and StreamConfig mapping."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_engine import serdes
+from pyspark_engine.runtime import StreamConfig
+
+
+def test_json_roundtrip(spark):
+    df = spark.createDataFrame([(1, "a", 2.5)], "k long, s string, v double")
+    wire = serdes.encode_kafka(df, "k", ["s", "v"])
+    assert dict(wire.dtypes) == {"key": "binary", "value": "binary"}
+    wire = wire.withColumn("timestamp", F.timestamp_micros(F.lit(0)))
+    back = serdes.decode_kafka(wire, "s string, v double", key_type="bigint")
+    [row] = back.collect()
+    assert (row.key, row.s, row.v) == (1, "a", 2.5)
+
+
+def test_decode_json_continue_yields_nulls(spark):
+    """CONTINUE handler analog: poison records decode to null fields instead
+    of killing the task (DeserializationExceptionHandler.cs CONTINUE)."""
+    df = spark.createDataFrame([("not json{",), ('{"a": 7}',)], "raw string")
+    out = df.select(serdes.decode_json(F.col("raw"), "a int").alias("v")).select("v.a")
+    got = sorted((r.a is None, r.a) for r in out.collect())
+    assert got == [(False, 7), (True, None)]
+
+
+def test_decode_json_fail_raises(spark):
+    df = spark.createDataFrame([("not json{",)], "raw string")
+    out = df.select(serdes.decode_json(F.col("raw"), "a int", on_error="fail").alias("v"))
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        out.collect()
+
+
+def test_decode_kafka_headers_passthrough(spark):
+    df = spark.createDataFrame(
+        [(b"1", b'{"a": 5}', None, [("h1", b"x")])],
+        "key binary, value binary, timestamp timestamp, headers array<struct<key:string,value:binary>>",
+    )
+    back = serdes.decode_kafka(df, "a int", key_type="bigint", include_headers=True)
+    [row] = back.collect()
+    assert row.a == 5 and row.headers[0].key == "h1"
+
+
+def test_dynamic_topic_column(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "k long, s string")
+    wire = serdes.encode_kafka(df, "k", ["s"], topic=F.concat(F.lit("out-"), F.col("s")))
+    topics = sorted(r.topic for r in wire.collect())
+    assert topics == ["out-x", "out-y"]
+
+
+def test_stream_config_mapping(tmp_path):
+    cfg = StreamConfig(
+        "my-app",
+        bootstrap="broker:9092",
+        guarantee="exactly_once",
+        commit_interval_ms=500,
+        state_dir=str(tmp_path),
+        max_records_per_batch=1000,
+    )
+    assert cfg.checkpoint("q1") == f"{tmp_path}/my-app/q1"
+    assert cfg.source_options() == {"maxOffsetsPerTrigger": "1000"}
+    assert cfg.writer_options("q1")["checkpointLocation"].endswith("my-app/q1")
+    assert cfg.trigger_kwargs() == {"processingTime": "500 milliseconds"}
+    with pytest.raises(ValueError):
+        StreamConfig("x", guarantee="exactly_twice")
