@@ -1247,7 +1247,7 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
                  m AS (SELECT user_id, ts,
                               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
                                    THEN 1 ELSE 0 END AS brk
                        FROM e),
                  s AS (SELECT user_id, ts,

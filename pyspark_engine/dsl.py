@@ -89,9 +89,18 @@ class StreamBuilder:
             return read_table(self.spark, self.data_dir, path)
         return self.spark.read.parquet(path)
 
-    def stream(self, source, key=(), ts: str | None = None) -> "KStream":
-        """KStream source (core/StreamBuilder.cs:49-134)."""
-        return KStream(self._load(source), _as_tuple(key), ts)
+    def stream(self, source, key=(), ts: str | Column | None = None, ts_alias: str = "ts") -> "KStream":
+        """KStream source (core/StreamBuilder.cs:49-134).
+
+        ``ts`` may be a column name or an arbitrary Column expression — the
+        ITimestampExtractor analog (core/Processors/ITimestampExtractor.cs:
+        10-29; e.g. extracting event time from a payload field instead of the
+        broker timestamp).  An expression is materialized as ``ts_alias``."""
+        df = self._load(source)
+        if isinstance(ts, Column):
+            df = df.withColumn(ts_alias, ts)
+            ts = ts_alias
+        return KStream(df, _as_tuple(key), ts)
 
     def table(self, source, key, ts: str | None = None, order=None) -> "KTable":
         """KTable source: latest value per key, null keys dropped

@@ -69,8 +69,9 @@ class CustomWindowOptions:
 @dataclass(frozen=True)
 class SessionWindowOptions:
     """Gap-based session windows: consecutive records for a key belong to one
-    session while each arrives within ``gap_ms`` of the session end; the
-    session closes at last_ts + gap (exclusive).
+    session while each arrives within ``gap_ms`` of the previous record
+    (INCLUSIVE — records exactly gap apart merge); the session end is
+    last_ts + gap.
 
     Not in the reference snapshot (its §2.4 surface is tumbling/hopping/
     custom) — Kafka Streams-family parity extension, native in Spark via

@@ -80,6 +80,39 @@ def test_to_table_matches_pandas_last_per_key(spark, rows):
 
 @given(rows=rows_strategy)
 @SETTINGS
+def test_session_windows_match_gap_islands(spark, rows):
+    """Session windows vs a direct gap-island computation: sessions break
+    only when the gap to the previous event EXCEEDS the session gap (Spark
+    merges events exactly gap apart — inclusive boundary)."""
+    from pyspark_engine import SessionWindowOptions
+
+    gap_s = 30
+    data = [(k, _ts(s)) for k, s, _v in rows]
+    t = (
+        KStream(spark.createDataFrame(data, "k long, ts timestamp"), key=("k",), ts="ts")
+        .group_by_key()
+        .windowed_by(SessionWindowOptions.of(gap_s * 1000))
+        .count("c")
+    )
+    got = {(r.k, r.w_start, r.w_end): r.c for r in t.df.collect()}
+    want = {}
+    by_key: dict[int, list] = {}
+    for k, ts in sorted(data, key=lambda x: (x[0], x[1])):
+        by_key.setdefault(k, []).append(ts)
+    for k, stamps in by_key.items():
+        start, last, n = stamps[0], stamps[0], 1
+        for ts in stamps[1:]:
+            if (ts - last).total_seconds() > gap_s:
+                want[(k, start, last + dt.timedelta(seconds=gap_s))] = n
+                start, n = ts, 0
+            n += 1
+            last = ts
+        want[(k, start, last + dt.timedelta(seconds=gap_s))] = n
+    assert got == want
+
+
+@given(rows=rows_strategy)
+@SETTINGS
 def test_sliding_agg_matches_pandas_scan(spark, rows):
     size_ms = 60_000
     data = [(k, _ts(s), float(v), i) for i, (k, s, v) in enumerate(rows)]

@@ -253,6 +253,21 @@ def test_suppress_is_final_state_identity(spark):
     assert t.suppress().df.collect() == t.df.collect()
 
 
+def test_timestamp_extractor_expression(spark):
+    """ts can be an arbitrary Column expression (ITimestampExtractor analog):
+    extract event time from a payload field instead of the stored column."""
+    b = StreamBuilder(spark, data_dir="/root/testdata/sf0.001")
+    s = b.stream(
+        "events",
+        key="user_id",
+        ts=F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+        ts_alias="shifted",
+    )
+    assert s.ts == "shifted"
+    row = s.df.select("ts", "shifted").first()
+    assert (row.shifted - row.ts).total_seconds() == 3600
+
+
 def test_peek_observe_metric(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
     s = KStream(df, key=("k",)).peek("peek_test")
