@@ -846,6 +846,43 @@ def q67_fk_table_join(spark, sf_dir):
     return t.df.select("o_orderkey", "o_custkey", "c_name", "c_acctbal")
 
 
+def q72_composed_pipeline(spark, sf_dir):
+    """End-to-end composition showcase: branch → merge → window → table join
+    → per-group top-k, all through the DSL in one topology (the switch-over
+    proof: a reference user's full pipeline shape, Spark-first)."""
+    b = _b(spark, sf_dir)
+    s = b.stream("events", key="user_id", ts="ts")
+    clicks, purchases, _rest = s.branch_with_default(
+        F.col("event_type") == "click", F.col("event_type") == "purchase"
+    )
+    merged = clicks.merge(purchases)
+    windowed = (
+        merged.group_by_key()
+        .windowed_by(TumblingWindowOptions.of(3_600_000))
+        .aggregate(
+            n=F.count(F.lit(1)),
+            total=F.sum(F.col("value").cast("decimal(18,2)")),
+        )
+        .to_stream()
+    )
+    cust = b.table("customer", key="c_custkey", order=("c_custkey",)).map_values(
+        c_mktsegment=F.col("c_mktsegment")
+    )
+    enriched = KStream(windowed.df, ("user_id",), None).join_table(cust, how="inner")
+    top = KStream(enriched.df, ("user_id",)).top_k(
+        2,
+        [F.col("total").desc(), F.col("w_start"), F.col("user_id")],
+        by=["c_mktsegment"],
+    )
+    return top.df.select(
+        "c_mktsegment",
+        "user_id",
+        F.unix_millis("w_start").alias("w_start_ms"),
+        "n",
+        F.col("total").cast("double").alias("total"),
+    )
+
+
 # =====================================================================
 # driver contract
 # =====================================================================
@@ -923,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_sliding_agg": q69_sliding_agg,
         "q70_window_hopping_grace": q70_window_hopping_grace,
         "q71_ann_ivf": q71_ann_ivf,
+        "q72_composed_pipeline": q72_composed_pipeline,
     }
 
 
@@ -1320,6 +1358,30 @@ def oracle_sql() -> dict[str, str]:
         "q67_fk_table_join": """
             SELECT o_orderkey, o_custkey, c_name, c_acctbal
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "q72_composed_pipeline": """
+            WITH merged AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL
+            ),
+            win AS (
+                SELECT user_id,
+                       (epoch_ms(ts) // 3600000) * 3600000 AS w_start_ms,
+                       count(*) AS n,
+                       sum(CAST(value AS DECIMAL(18,2))) AS total
+                FROM merged GROUP BY 1, 2
+            ),
+            joined AS (
+                SELECT w.user_id, w.w_start_ms, w.n, w.total, c.c_mktsegment
+                FROM win w JOIN customer c ON w.user_id = c.c_custkey
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                             ORDER BY total DESC, w_start_ms, user_id) AS rk
+                FROM joined
+            )
+            SELECT c_mktsegment, user_id, w_start_ms, n, CAST(total AS DOUBLE) AS total
+            FROM ranked WHERE rk <= 2
         """,
         "q52_multimodal_meta": """
             SELECT doc_id, 'text/plain' AS media_type,

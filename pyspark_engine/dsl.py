@@ -240,6 +240,17 @@ class KStream:
             out.append(self._with_df(self.df.filter(cond)))
         return out
 
+    def branch_with_default(self, *predicates: Column) -> list["KStream"]:
+        """Branch plus a default branch for no-match records (Kafka Streams
+        2.8 named-branch defaultBranch; the reference's Branch drops them).
+        Returns len(predicates)+1 streams; the last is the remainder."""
+        out = self.branch(*predicates)
+        none_match = None
+        for p in predicates:
+            none_match = ~p if none_match is None else none_match & ~p
+        out.append(self._with_df(self.df.filter(none_match)))
+        return out
+
     def merge(self, other: "KStream") -> "KStream":
         """Stream union (absent in the reference snapshot — roadmap item;
         Spark gives it for free via unionByName)."""

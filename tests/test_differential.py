@@ -65,6 +65,32 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     pd.testing.assert_frame_equal(got, want)
 
 
+@given(left=rows_strategy, right=rows_strategy)
+@SETTINGS
+def test_interval_join_matches_direct_product_filter(spark, left, right):
+    """Windowed stream-stream inner join vs brute-force pairs-in-interval."""
+    from pyspark_engine import JoinWindowOptions
+
+    before_ms, after_ms = 20_000, 40_000
+    lrows = [(k, _ts(s), i) for i, (k, s, _v) in enumerate(left)]
+    rrows = [(k, _ts(s), i) for i, (k, s, _v) in enumerate(right)]
+    l = KStream(spark.createDataFrame(lrows, "k long, ts timestamp, l_id long"), key=("k",), ts="ts")
+    r = KStream(
+        spark.createDataFrame(rrows, "rk long, rts timestamp, r_id long"), key=("rk",), ts="rts"
+    )
+    j = l.join(r, JoinWindowOptions(before_ms=before_ms, after_ms=after_ms), how="inner")
+    got = {(row.l_id, row.r_id) for row in j.df.collect()}
+    want = {
+        (li, ri)
+        for lk, lts, li in lrows
+        for rk, rts, ri in rrows
+        if lk == rk
+        and rts >= lts - dt.timedelta(milliseconds=before_ms)
+        and rts <= lts + dt.timedelta(milliseconds=after_ms)
+    }
+    assert got == want
+
+
 @given(rows=rows_strategy)
 @SETTINGS
 def test_to_table_matches_pandas_last_per_key(spark, rows):

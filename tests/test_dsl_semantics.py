@@ -253,6 +253,15 @@ def test_suppress_is_final_state_identity(spark):
     assert t.suppress().df.collect() == t.df.collect()
 
 
+def test_branch_with_default_catches_remainder(spark):
+    df = spark.createDataFrame([(1, 10), (2, 200), (3, 5)], "k long, v long")
+    s = KStream(df, key=("k",))
+    hi, mid, rest = s.branch_with_default(F.col("v") >= 100, F.col("v") >= 10)
+    assert [r.k for r in hi.df.collect()] == [2]
+    assert [r.k for r in mid.df.collect()] == [1]
+    assert [r.k for r in rest.df.collect()] == [3]  # no-match kept, not dropped
+
+
 def test_timestamp_extractor_expression(spark):
     """ts can be an arbitrary Column expression (ITimestampExtractor analog):
     extract event time from a payload field instead of the stored column."""
