@@ -846,6 +846,24 @@ def q67_fk_table_join(spark, sf_dir):
     return t.df.select("o_orderkey", "o_custkey", "c_name", "c_acctbal")
 
 
+def q73_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (§2.3 "absent" row: the
+    reference has no percentile/median aggregate at all; Spark's exact
+    `percentile` is a one-shuffle grouped aggregate).  approx_percentile /
+    approx_count_distinct slot into the same aggregate() call when a sketch
+    is acceptable at scale."""
+    b = _b(spark, sf_dir)
+    t = (
+        b.stream("events", key="user_id", ts="ts")
+        .group_by(etype=F.col("event_type"))
+        .aggregate(
+            p50=F.expr("percentile(value, 0.5)"),
+            p90=F.expr("percentile(value, 0.9)"),
+        )
+    )
+    return t.df.select("etype", "p50", "p90")
+
+
 def q72_composed_pipeline(spark, sf_dir):
     """End-to-end composition showcase: branch → merge → window → table join
     → per-group top-k, all through the DSL in one topology (the switch-over
@@ -961,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_window_hopping_grace": q70_window_hopping_grace,
         "q71_ann_ivf": q71_ann_ivf,
         "q72_composed_pipeline": q72_composed_pipeline,
+        "q73_percentiles": q73_percentiles,
     }
 
 
@@ -1358,6 +1377,12 @@ def oracle_sql() -> dict[str, str]:
         "q67_fk_table_join": """
             SELECT o_orderkey, o_custkey, c_name, c_acctbal
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "q73_percentiles": """
+            SELECT event_type AS etype,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90
+            FROM events GROUP BY event_type
         """,
         "q72_composed_pipeline": """
             WITH merged AS (
