@@ -277,6 +277,36 @@ def test_timestamp_extractor_expression(spark):
     assert (row.shifted - row.ts).total_seconds() == 3600
 
 
+def test_print_sink_writes_rows(spark, capsys):
+    s = KStream(spark.createDataFrame([(1, "hello-print")], "k long, v string"), key=("k",))
+    s.print_(5)
+    assert "hello-print" in capsys.readouterr().out
+
+
+def test_foreach_terminal_side_effect(spark, tmp_path):
+    s = KStream(spark.createDataFrame([(1,), (2,)], "k long"), key=("k",))
+    seen = []
+    s.for_each_batch(lambda df: seen.append(df.count()))
+    assert seen == [2]
+
+
+def test_to_sink_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    s = KStream(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), key=("k",))
+    s.to(out)
+    assert sorted(r.v for r in spark.read.parquet(out).collect()) == ["a", "b"]
+
+
+def test_dynamic_destination_sink_partitions(spark, tmp_path):
+    out = str(tmp_path / "dyn")
+    s = KStream(spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string"), key=("k",))
+    s.to_dynamic(F.concat(F.lit("t-"), F.col("v")), out)
+    import os
+
+    dests = sorted(d for d in os.listdir(out) if d.startswith("__dest="))
+    assert dests == ["__dest=t-x", "__dest=t-y"]
+
+
 def test_peek_observe_metric(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
     s = KStream(df, key=("k",)).peek("peek_test")
