@@ -263,6 +263,21 @@ class KStream:
         """Distinct records (one shuffle on all columns, partial-agg combine)."""
         return self._with_df(self.df.distinct())
 
+    def drop_duplicates(self, subset: Sequence[str] | None = None, within_watermark: bool = False) -> "KStream":
+        """Exact record dedup by ``subset`` columns (default: all).
+
+        Streaming: pass ``within_watermark=True`` (after with_watermark) to
+        use ``dropDuplicatesWithinWatermark`` — dedup state is EVICTED once
+        the watermark passes, so state stays bounded by the lateness budget
+        instead of growing with the stream.  The 100 TB requirement for
+        unbounded streams; plain dropDuplicates keeps every key forever."""
+        cols = list(subset) if subset else None
+        if within_watermark:
+            df = self.df.dropDuplicatesWithinWatermark(cols) if cols else self.df.dropDuplicatesWithinWatermark()
+        else:
+            df = self.df.dropDuplicates(cols) if cols else self.df.dropDuplicates()
+        return self._with_df(df)
+
     def top_k(self, n: int, order, by: Sequence[str] = ()) -> "KStream":
         """Top-k records.  Global (``by`` empty): orderBy+limit compiles to
         TakeOrderedAndProject — each partition keeps a k-heap, the driver

@@ -167,6 +167,21 @@ def test_stream_stream_interval_join_parity(spark):
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
 
 
+def test_streaming_dedup_within_watermark(spark):
+    """Replay events twice (planted exact dups); state-bounded streaming
+    dedup must recover the single-copy batch row set."""
+    src = _events_stream(spark)
+    doubled = src.merge(src)
+    got = run_available_now(
+        doubled.with_watermark("1 hour").drop_duplicates(["event_id"], within_watermark=True),
+        output_mode="append",
+    )
+    want = _events_batch(spark).df
+    assert got.count() == want.count()
+    cols = ["event_id", "user_id"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+
+
 def test_materialize_stream_interactive_query(spark):
     """Streaming state drained into a queryable named store (§2.7 twin)."""
     from pyspark_engine.runtime import StoreRegistry
