@@ -846,6 +846,16 @@ def q67_fk_table_join(spark, sf_dir):
     return t.df.select("o_orderkey", "o_custkey", "c_name", "c_acctbal")
 
 
+def q74_minhash_high_threshold(spark, sf_dir):
+    """MinHash-LSH at a high threshold, oracle-checked against brute-force
+    shingle Jaccard: at j >= 0.9 the 8x8 banding's candidate recall is 100%
+    on this corpus (deterministic hashes, deterministic data), so the banded
+    path must reproduce the exact brute-force pair set — candidate
+    generation correctness, not just verify correctness."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.9)
+
+
 def q73_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per group (§2.3 "absent" row: the
     reference has no percentile/median aggregate at all; Spark's exact
@@ -980,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_ann_ivf": q71_ann_ivf,
         "q72_composed_pipeline": q72_composed_pipeline,
         "q73_percentiles": q73_percentiles,
+        "q74_minhash_high_threshold": q74_minhash_high_threshold,
     }
 
 
@@ -1377,6 +1388,19 @@ def oracle_sql() -> dict[str, str]:
         "q67_fk_table_join": """
             SELECT o_orderkey, o_custkey, c_name, c_acctbal
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "q74_minhash_high_threshold": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                                                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+                FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+                      FROM documents)
+                WHERE len(toks) >= 3
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.9
         """,
         "q73_percentiles": """
             SELECT event_type AS etype,
