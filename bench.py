@@ -46,6 +46,8 @@ HEADLINE = [
     "q61_session_window",
     "q62_asof_join",
     "q69_sliding_agg",
+    "q72_composed_pipeline",
+    "q73_percentiles",
 ]
 
 
