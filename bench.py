@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+from pyspark_engine import llmops
 from pyspark_engine.runtime import build_session
 
 HEADLINE = [
@@ -67,9 +68,11 @@ def main() -> None:
         # codegen/JIT compile (amortized to ~0 in a real long-running job),
         # time the second execution
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        llmops.release_cache()  # drop warm-up persists so the timed run re-caches once
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        llmops.release_cache()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -245,9 +245,9 @@ class KStream:
         2.8 named-branch defaultBranch; the reference's Branch drops them).
         Returns len(predicates)+1 streams; the last is the remainder."""
         out = self.branch(*predicates)
-        none_match = None
+        none_match = F.lit(True)  # zero predicates → the whole stream is the default branch
         for p in predicates:
-            none_match = ~p if none_match is None else none_match & ~p
+            none_match = none_match & ~p
         out.append(self._with_df(self.df.filter(none_match)))
         return out
 
@@ -493,33 +493,43 @@ class KStream:
         pass ordered by (ts, side) — a single shuffle+sort by key, NO
         candidate fan-out (a join-then-max_by plan would materialize every
         (left, earlier-right) pair first).  Right records sort before left at
-        equal ts, giving the inclusive <= bound.  Sides must have disjoint
-        non-key/non-ts column names; ties on right (key, ts) are broken by
-        the remaining right sort being stable per the union order."""
+        equal ts, giving the inclusive <= bound.  The right value columns plus
+        the matched timestamp travel as ONE struct, so every output column is
+        guaranteed to come from the SAME right row even when some right values
+        are null (per-column last(ignorenulls) would mix rows).  Sides must
+        have disjoint non-key/non-ts column names; ties on right (key, ts) are
+        broken by the remaining right sort being stable per the union order."""
         if self.ts is None or other.ts is None:
             raise ValueError("as-of join requires ts on both sides")
         if len(self.key) != len(other.key):
             raise ValueError("join key arity mismatch")
         if how not in ("inner", "left"):
             raise ValueError("as-of join supports inner|left")
+        from pyspark.sql import types as T
+
         l_vals = [c for c in self.df.columns if c not in self.key and c != self.ts]
         r_vals = [c for c in other.df.columns if c not in other.key and c != other.ts]
         key_names = list(self.key)
+        rstruct = T.StructType(
+            [T.StructField(c, other.df.schema[c].dataType) for c in r_vals]
+            + [T.StructField("__rts", T.TimestampType())]
+        )
         l = _not_null(self.df, self.key).select(
             *[F.col(k).alias(a) for k, a in zip(self.key, key_names)],
             F.col(self.ts).alias("__ts"),
             F.lit(1).alias("__side"),
             *[F.col(c) for c in l_vals],
-            *[F.lit(None).cast(other.df.schema[c].dataType).alias(c) for c in r_vals],
-            F.lit(None).cast("timestamp").alias("__rts"),
+            F.lit(None).cast(rstruct).alias("__rpack"),
         )
         r = _not_null(other.df, other.key).select(
             *[F.col(k).alias(a) for k, a in zip(other.key, key_names)],
             F.col(other.ts).alias("__ts"),
             F.lit(0).alias("__side"),
             *[F.lit(None).cast(self.df.schema[c].dataType).alias(c) for c in l_vals],
-            *[F.col(c) for c in r_vals],
-            F.col(other.ts).alias("__rts"),
+            F.struct(
+                *[F.col(c).alias(c) for c in r_vals],
+                F.col(other.ts).cast("timestamp").alias("__rts"),
+            ).alias("__rpack"),
         )
         u = l.unionByName(r)
         w = (
@@ -527,14 +537,24 @@ class KStream:
             .orderBy(F.col("__ts"), F.col("__side"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        filled = u.select(
-            *key_names,
-            "__ts",
-            "__side",
-            *[F.col(c) for c in l_vals],
-            *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in r_vals],
-            F.last(F.col("__rts"), ignorenulls=True).over(w).alias(matched_ts),
-        ).filter(F.col("__side") == 1)
+        filled = (
+            u.select(
+                *key_names,
+                "__ts",
+                "__side",
+                *[F.col(c) for c in l_vals],
+                F.last(F.col("__rpack"), ignorenulls=True).over(w).alias("__rp"),
+            )
+            .filter(F.col("__side") == 1)
+            .select(
+                *key_names,
+                "__ts",
+                "__side",
+                *[F.col(c) for c in l_vals],
+                *[F.col("__rp")[c].alias(c) for c in r_vals],
+                F.col("__rp")["__rts"].alias(matched_ts),
+            )
+        )
         if tolerance_ms is not None:
             in_tol = F.col(matched_ts) >= F.col("__ts") - _interval_ms(tolerance_ms)
             filled = filled.select(
@@ -872,7 +892,19 @@ class TimeWindowedKStream:
         if getattr(w, "grace_ms", 0):
             if not self.arrival_order:
                 raise ValueError("grace emulation requires arrival_order (the offset analog)")
-            part = self.arrival_partition if self.arrival_partition is not None else F.lit(0)
+            if self.arrival_partition is None:
+                # The reference's stream-time is per TASK (max observed ts per
+                # StreamTask, KStreamWindowAggregateProcessor.cs:51); a global
+                # stream-time would need Window.partitionBy(lit(0)) — an
+                # Exchange SinglePartition funneling the whole input through
+                # one task, a stall at 100 TB.  Requiring the partition column
+                # is both more faithful and the scale-safe plan.
+                raise ValueError(
+                    "batch grace emulation requires arrival_partition (the per-task "
+                    "stream-time analog, e.g. F.col('user_id') % 8); a global stream-time "
+                    "would serialize the whole input through one partition"
+                )
+            part = self.arrival_partition
             order_cols = [c if isinstance(c, Column) else F.col(c) for c in self.arrival_order]
             ow = (
                 Window.partitionBy(part)

@@ -27,15 +27,44 @@ from pyspark.sql.window import Window
 
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure at least session-parallelism partitions before an
-    expression-heavy stage.  A small/single-file scan arrives as one split
-    (parquet row-group granularity), which would serialize per-document
-    hashing onto one task; the repartition is a shuffle of (id, payload) rows
-    only.  At cluster scale inputs already have >= parallelism splits and
-    this is a no-op — no shuffle is added for large corpora."""
+    expression-heavy stage.  A few-file scan arrives as few non-empty splits
+    (parquet row-group granularity: splitting a single-row-group file yields
+    one real task no matter how many byte-range splits are cut), which would
+    serialize per-document hashing onto one task; the repartition is a
+    shuffle of (id, payload) rows only.  The probe is ``inputFiles()`` —
+    driver-side file listing on the analyzed plan, NO physical planning /
+    RDD conversion.  At cluster scale a corpus has >> parallelism files and
+    this is a no-op; non-file inputs (in-memory test frames, post-shuffle
+    plans) are left untouched."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if files and len(files) < target:
         return df.repartition(target)
     return df
+
+
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """Persist an intermediate reused by multiple join sides, registering it
+    so ``release_cache()`` can drop it.  Results are lazy, so the pipelines
+    can't unpersist eagerly themselves — callers own cleanup (bench loops /
+    repeated invocations call release_cache between runs to stop cached
+    blocks accumulating)."""
+    _CACHED.append(df.persist())
+    return df
+
+
+def release_cache() -> None:
+    """Unpersist every intermediate persisted by this module's pipelines.
+    Call after the returned DataFrames have been materialized (collected /
+    written); safe to call repeatedly."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
 
 
 # ---------------------------------------------------------------- tokenize
@@ -166,7 +195,7 @@ def minhash_lsh_pairs(
     # materialize it once (memory, spilling to disk) instead of re-running
     # the tokenize+shingle expressions three times; at corpus scale this is
     # the same move as writing the shingle table out before the pair phase
-    base = base.persist()
+    base = _persist(base)
     # Scale path: explode shingles to rows and compute the signature as 64
     # declarative min() aggregates over affine permutations of one base hash.
     # This is map-side-combinable (partial min before the shuffle) and stays
@@ -193,7 +222,7 @@ def minhash_lsh_pairs(
     )
     banded = sig.select("__id", F.posexplode(band_arr).alias("__band", "__bh"))
     banded = _cap_buckets(banded, ("__band", "__bh"), max_bucket_size)
-    banded = banded.persist()  # (id, band, hash) triples, reused by both join sides
+    banded = _persist(banded)  # (id, band, hash) triples, reused by both join sides
     lhs = banded.alias("a")
     rhs = banded.alias("b")
     cand = (
@@ -280,7 +309,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     fp_expr = F.lit(0).cast("long")
     for i, m in enumerate(_bit_masks()):
         fp_expr = fp_expr + F.when(F.col(f"v{i}") > 0, F.lit(m)).otherwise(F.lit(0))
-    fp = votes.select("__id", fp_expr.alias("__fp")).persist()  # reused by both join sides
+    fp = _persist(votes.select("__id", fp_expr.alias("__fp")))  # reused by both join sides
     chunks = F.array(
         *[F.shiftrightunsigned("__fp", k * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"c{k}") for k in range(4)]
     )
@@ -462,7 +491,8 @@ def embedding_neardup(
     base = _spread(emb).select(
         F.col(id_col).alias("__id"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("__b0"),
-    ).persist()  # (id, bucket) pairs, reused by both join sides
+    )
+    base = _persist(base)  # (id, bucket) pairs, reused by both join sides
     if multiprobe >= 1:
         probes = F.array(
             F.col("__b0"), *[F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
@@ -483,7 +513,8 @@ def embedding_neardup(
         F.col(id_col).alias("__vid"),
         F.col(vec_col).alias("__vec"),
         _norm(F.col(vec_col)).alias("__vn"),
-    ).persist()
+    )
+    vecs = _persist(vecs)
     va = vecs.select(F.col("__vid").alias("id_a"), F.col("__vec").alias("__va"), F.col("__vn").alias("__na"))
     vb = vecs.select(F.col("__vid").alias("id_b"), F.col("__vec").alias("__vb"), F.col("__vn").alias("__nb"))
     return (

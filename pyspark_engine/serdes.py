@@ -115,6 +115,19 @@ def decode_kafka(
     (typed), the value struct's fields flattened, and the record timestamp
     (the reference's default FailOnInvalidTimestamp extractor just reads the
     broker timestamp — core/Processors/Internal/DefaultTimestampExtractor)."""
+    if value_format in ("json", "csv"):
+        # the value struct is flattened next to the decoded 'key'/ts columns —
+        # a value field named like either would silently produce duplicate/
+        # ambiguous columns downstream, so reject it up front
+        from pyspark.sql.types import StructType
+
+        reserved = {"key", ts_alias} | ({"headers"} if include_headers else set())
+        clash = reserved.intersection(f.name for f in StructType.fromDDL(value_schema))
+        if clash:
+            raise ValueError(
+                f"value schema field(s) {sorted(clash)} collide with the decoded "
+                f"key/timestamp column names; rename the field or change ts_alias"
+            )
     if value_format == "json":
         value = decode_json(F.col("value"), value_schema, on_error=on_error)
     elif value_format == "csv":

@@ -20,6 +20,7 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
+from pyspark_engine import llmops
 from pyspark_engine.runtime import TABLES, build_session
 
 
@@ -79,6 +80,7 @@ def main() -> int:
         if only and not any(name.startswith(o) for o in only):
             continue
         t0 = time.time()
+        llmops.release_cache()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:

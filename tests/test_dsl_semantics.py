@@ -138,7 +138,11 @@ def test_tumbling_window_grace_drops_late_records(spark):
     t = (
         KStream(df, key=("k",), ts="ts")
         .group_by_key()
-        .windowed_by(TumblingWindowOptions.of(10_000, grace_ms=10_000), arrival_order=("arrival",))
+        .windowed_by(
+            TumblingWindowOptions.of(10_000, grace_ms=10_000),
+            arrival_order=("arrival",),
+            arrival_partition=F.col("k"),  # per-task stream time (required)
+        )
         .count("c")
     )
     got = {(int(r.w_start.timestamp() - TS.timestamp()), r.c) for r in t.df.collect()}
@@ -313,3 +317,48 @@ def test_peek_observe_metric(spark):
     s.df.collect()
     # observation is attached without altering results
     assert s.df.count() == 2
+
+
+def test_asof_join_null_right_value_does_not_mix_rows(spark):
+    """A right row with a NULL value column must not inherit that column from
+    an OLDER right row: all matched columns (and matched_ts) come from the
+    single as-of row, carried as one struct through last(ignorenulls)."""
+    left = KStream(
+        spark.createDataFrame([(1, "L", sec(30))], "k long, v string, ts timestamp"),
+        key=("k",),
+        ts="ts",
+    )
+    right = KStream(
+        spark.createDataFrame(
+            [(1, 100.0, "old", sec(10)), (1, None, "new", sec(20))],
+            "k long, rv double, tag string, rts timestamp",
+        ),
+        key=("k",),
+        ts="rts",
+    )
+    j = left.join_asof(right, how="left")
+    row = j.df.collect()[0]
+    # the as-of match is the @20 row: rv must be NULL (not 100.0 from @10)
+    assert row.tag == "new" and row.rv is None
+    assert row.matched_ts == sec(20)
+
+
+def test_branch_with_default_zero_predicates_returns_whole_stream(spark):
+    df = spark.createDataFrame([(1, 10), (2, 200)], "k long, v long")
+    (only,) = KStream(df, key=("k",)).branch_with_default()
+    assert sorted(r.k for r in only.df.collect()) == [1, 2]
+
+
+def test_batch_grace_requires_arrival_partition(spark):
+    """Per-task stream time needs a declared partition in batch replay; a
+    silent global fallback would funnel the stream through one task."""
+    df = spark.createDataFrame([("k", 1, sec(5))], "k string, arrival long, ts timestamp")
+    twk = (
+        KStream(df, key=("k",), ts="ts")
+        .group_by_key()
+        .windowed_by(TumblingWindowOptions.of(10_000, grace_ms=10_000), arrival_order=("arrival",))
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="arrival_partition"):
+        twk.count("c").df.collect()

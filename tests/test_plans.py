@@ -87,3 +87,10 @@ def test_transform_py_roundtrip(spark):
     row = s.df.orderBy("event_id").first()
     base = b.stream("events", key="user_id").df.orderBy("event_id").first()
     assert row.v2 == base.value * 2
+
+
+def test_batch_grace_has_no_single_partition_exchange(spark):
+    """The grace stream-time window must partition by the declared arrival
+    partition — never Exchange SinglePartition (the 100 TB stall)."""
+    df = entry.queries()["q28_window_grace"](spark, SF)
+    assert "Exchange SinglePartition" not in _plan(df)
