@@ -529,13 +529,21 @@ def q42_dedup_exact(spark, sf_dir):
 
 
 def q43_dedup_minhash(spark, sf_dir):
+    """Banded MinHash-LSH near-dup pairs with the portable base hash
+    (llmops.portable_hash32): the DuckDB oracle recomputes the 64 affine
+    minhash signatures and bands EXACTLY (band bucket = tuple equality), so
+    the hash check covers LSH candidate generation — the probabilistic
+    recall behavior itself — not just the Jaccard verify step."""
     docs = read_table(configure(spark), sf_dir, "documents")
-    return llmops.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4)
+    return llmops.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4, portable=True)
 
 
 def q44_dedup_simhash(spark, sf_dir):
+    """Pigeonhole SimHash near-dup pairs (portable 32-bit fingerprint): the
+    oracle recomputes per-bit votes, fingerprints, the 4×8-bit chunk
+    candidate rule, and the hamming verify exactly."""
     docs = read_table(configure(spark), sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    return llmops.simhash_pairs(docs, "doc_id", "text", max_hamming=16)
+    return llmops.simhash_pairs(docs, "doc_id", "text", max_hamming=8, portable=True)
 
 
 def q45_ngram_jaccard(spark, sf_dir):
@@ -1009,6 +1017,131 @@ _LATEST_ORDERS = """
 """
 
 
+def _minhash_oracle_sql(threshold: float, num_hashes: int = 64, bands: int = 8) -> str:
+    """Full DuckDB simulation of llmops.minhash_lsh_pairs(portable=True):
+    identical 32-bit md5-prefix base hash, identical affine permutations
+    (same _affine_coeffs), band membership expressed as minhash-tuple
+    equality (≡ the band-hash bucket join, minus ~2^-64 xxhash collisions),
+    then the exact distinct-shingle Jaccard verify.  The SQL is generated,
+    not handwritten, so the permutation constants can't drift."""
+    from pyspark_engine.llmops import _affine_coeffs
+
+    p = 2147483647
+    rows = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"min((h * {a}::BIGINT + {b}) % {p}) AS mh{j}"
+        for j, (a, b) in enumerate(_affine_coeffs(num_hashes))
+    )
+    band_eq = "\n                 OR ".join(
+        "(" + " AND ".join(f"a.mh{j} = b.mh{j}" for j in range(bd * rows, (bd + 1) * rows)) + ")"
+        for bd in range(bands)
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                                                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+            FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+                  FROM documents)
+            WHERE len(toks) >= 3
+        ),
+        gr AS (
+            SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % {p} AS h
+            FROM (SELECT doc_id, unnest(g) AS s FROM d)
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM gr GROUP BY doc_id
+        ),
+        cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE {band_eq}
+        )
+        SELECT id_a, id_b
+        FROM cand
+        JOIN d da ON da.doc_id = cand.id_a
+        JOIN d db ON db.doc_id = cand.id_b
+        WHERE CAST(len(list_intersect(da.g, db.g)) AS DOUBLE)
+              / len(list_distinct(da.g || db.g)) >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int, nbits: int = 32, chunk_bits: int = 8) -> str:
+    """Full DuckDB simulation of llmops.simhash_pairs(portable=True):
+    identical 32-bit token hash, per-bit vote sums, fingerprint collapse,
+    the 4-chunk pigeonhole candidate rule, and the hamming verify."""
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN ((th >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(nbits)
+    )
+    fp = "\n                 + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)" for i in range(nbits)
+    )
+    mask = (1 << chunk_bits) - 1
+    chunk_eq = " OR ".join(
+        f"((a.f >> {k * chunk_bits}) & {mask}) = ((b.f >> {k * chunk_bits}) & {mask})"
+        for k in range(nbits // chunk_bits)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th FROM t),
+        v AS (SELECT doc_id,
+                   {votes}
+              FROM h GROUP BY doc_id),
+        fp AS (SELECT doc_id,
+                   {fp} AS f
+               FROM v),
+        cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.f AS fa, b.f AS fb
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ({chunk_eq})
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+    """
+
+
+def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 8, k: int = 5, n_queries: int = 16) -> str:
+    """Full DuckDB simulation of llmops.ann_lsh_topk: the hyperplanes are
+    deterministic driver-side constants (llmops._hyperplanes), embedded here
+    as the SAME double literals Spark broadcasts, so bucket assignment,
+    multiprobe fan-out (own bucket + every hamming-1 neighbor), candidate
+    join, and cosine ranking are reproduced exactly."""
+    from pyspark_engine.llmops import _hyperplanes
+
+    bucket_terms = "\n                 + ".join(
+        "(CASE WHEN list_dot_product(cv, ["
+        + ", ".join(repr(v) for v in plane)
+        + f"]) > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i, plane in enumerate(_hyperplanes(dim, n_planes))
+    )
+    probe_vals = ", ".join(f"({i})" for i in range(-1, n_planes))
+    return f"""
+        WITH c0 AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        c AS (
+            SELECT n_id, cv, sqrt(list_dot_product(cv, cv)) AS cn,
+                   {bucket_terms} AS bkt
+            FROM c0
+        ),
+        q AS (SELECT n_id AS q_id, cv AS qv, cn AS qn, bkt AS b0 FROM c WHERE n_id < {n_queries}),
+        probes AS (
+            SELECT q_id, qv, qn,
+                   CASE WHEN i < 0 THEN b0 ELSE xor(b0, (1::BIGINT << i)) END AS bkt
+            FROM q CROSS JOIN (VALUES {probe_vals}) AS pr(i)
+        )
+        SELECT q_id, n_id FROM (
+            SELECT p.q_id, c.n_id,
+                   row_number() OVER (PARTITION BY p.q_id
+                                      ORDER BY list_dot_product(p.qv, c.cv) / (p.qn * c.cn) DESC,
+                                               c.n_id) AS rk
+            FROM probes p JOIN c ON p.bkt = c.bkt AND p.q_id != c.n_id
+        ) WHERE rk <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": """
@@ -1208,8 +1341,12 @@ def oracle_sql() -> dict[str, str]:
         "q42_dedup_exact": """
             SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
         """,
-        # q43/q44/q47: banded LSH / simhash / ANN — not SQL-expressible at the
-        # same semantics (hash-function parity); driver records rows-only.
+        # q43/q44/q47 use the portable (md5-prefix) hash so the generated SQL
+        # below simulates the full LSH pipelines — banding / pigeonhole
+        # candidate generation included — not just the verify step.
+        "q43_dedup_minhash": _minhash_oracle_sql(threshold=0.4),
+        "q44_dedup_simhash": _simhash_oracle_sql(max_hamming=8),
+        "q47_ann_lsh": _ann_lsh_oracle_sql(),
         "q45_ngram_jaccard": r"""
             WITH d AS (
                 SELECT doc_id,

@@ -110,6 +110,21 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 _MAX_LONG = (1 << 63) - 1
 
 
+def portable_hash32(col: Column) -> Column:
+    """32-bit content hash computable IDENTICALLY in Spark and DuckDB:
+    the first 8 hex chars of md5, parsed as an unsigned int (Spark:
+    conv(substr(md5,1,8),16,10); DuckDB: ('0x'||substr(md5,1,8))::BIGINT).
+
+    Purpose: with a shared hash, an external SQL oracle can recompute the
+    exact minhash signatures / simhash fingerprints and therefore simulate
+    the WHOLE LSH pipeline — banding, pigeonhole candidate generation,
+    verify — turning probabilistic-recall behavior into an exactly
+    checkable result.  xxhash64 stays the default production hash (one
+    JVM intrinsic vs an md5 digest per token); both paths are the same
+    JVM-side expression shape."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def _affine_coeffs(n: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the affine minhash permutations
     h_j(x) = (a_j * x + b_j) mod p, a_j odd, both < 2^31."""
@@ -171,6 +186,7 @@ def minhash_lsh_pairs(
     shingle: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact Jaccard verify.
 
@@ -178,6 +194,12 @@ def minhash_lsh_pairs(
     rows → bucket-join on (band, band-hash) → exact word-shingle Jaccard on
     candidates only → filter ≥ threshold.  Returns (id_a, id_b) with
     id_a < id_b.
+
+    ``portable=True`` swaps the shingle base hash to :func:`portable_hash32`
+    so a DuckDB oracle can recompute the signatures and simulate the banded
+    candidate generation exactly (band membership = equality of the band's
+    minhash tuple) — the oracle then checks not just the verify step but the
+    LSH recall behavior itself.
 
     Scale: the only shuffles are (1) explode+groupBy on band buckets
     (O(docs × bands) rows) and (2) the candidate-pair self-join — no O(n²)
@@ -205,8 +227,9 @@ def minhash_lsh_pairs(
     # trips.
     p = 2147483647  # 2^31 - 1 (Mersenne prime)
     coeffs = _affine_coeffs(num_hashes)
+    base_hash = portable_hash32(F.col("__g")) if portable else F.xxhash64("__g")
     gram_rows = base.select("__id", F.explode("__grams").alias("__g")).withColumn(
-        "__h", F.pmod(F.xxhash64("__g"), F.lit(p))
+        "__h", F.pmod(base_hash, F.lit(p))
     )
     sig = gram_rows.groupBy("__id").agg(
         *[
@@ -287,31 +310,52 @@ def simhash64(toks: Column) -> Column:
     return simhash_from_votes(simhash_votes(toks))
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, portable: bool = False
+) -> DataFrame:
     """Near-dup pairs by SimHash with pigeonhole candidate generation.
 
-    Split the 64-bit fingerprint into 4 × 16-bit chunks: any pair within
-    hamming distance ≤ 3 agrees on ≥ 1 chunk, so bucket-join on (chunk index,
-    chunk value) then verify with bit_count(xor) — never all-pairs."""
+    Split the fingerprint into 4 equal chunks: any pair within hamming
+    distance ≤ 3 agrees on ≥ 1 chunk (pigeonhole — a guarantee, not a
+    probability), so bucket-join on (chunk index, chunk value) then verify
+    with bit_count(xor) — never all-pairs.  Above hamming 3 the candidate
+    rule is still exactly "agrees on ≥ 1 chunk"; recall is data-dependent.
+
+    ``portable=True`` uses a 32-bit fingerprint over :func:`portable_hash32`
+    token hashes (4 × 8-bit chunks) so a DuckDB oracle can recompute the
+    fingerprints and simulate candidates + verify exactly; default is the
+    64-bit xxhash64 fingerprint (4 × 16-bit chunks)."""
     # Scale path (mirrors minhash_lsh_pairs): explode tokens to rows, compute
-    # the 64 per-bit votes as declarative sum() aggregates — map-side
+    # the per-bit votes as declarative sum() aggregates — map-side
     # combinable, no higher-order-function codegen cost.
+    if portable:
+        masks: list[int] = [1 << i for i in range(32)]
+        chunk_bits = 8
+    else:
+        masks = _bit_masks()
+        chunk_bits = 16
     tok_rows = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t")
     )
-    tok_rows = tok_rows.withColumn("__h", F.xxhash64("__t"))
+    tok_hash = portable_hash32(F.col("__t")) if portable else F.xxhash64("__t")
+    tok_rows = tok_rows.withColumn("__h", tok_hash)
     votes = tok_rows.groupBy("__id").agg(
         *[
             F.sum(F.when(F.col("__h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)).alias(f"v{i}")
-            for i, m in enumerate(_bit_masks())
+            for i, m in enumerate(masks)
         ]
     )
     fp_expr = F.lit(0).cast("long")
-    for i, m in enumerate(_bit_masks()):
+    for i, m in enumerate(masks):
         fp_expr = fp_expr + F.when(F.col(f"v{i}") > 0, F.lit(m)).otherwise(F.lit(0))
     fp = _persist(votes.select("__id", fp_expr.alias("__fp")))  # reused by both join sides
     chunks = F.array(
-        *[F.shiftrightunsigned("__fp", k * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"c{k}") for k in range(4)]
+        *[
+            F.shiftrightunsigned("__fp", k * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            .alias(f"c{k}")
+            for k in range(4)
+        ]
     )
     buckets = fp.select("__id", "__fp", F.posexplode(chunks).alias("__chunk", "__cv"))
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -331,7 +375,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))))
+        cand.withColumn("hamming", F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
