@@ -864,6 +864,36 @@ def q74_minhash_high_threshold(spark, sf_dir):
     return llmops.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.9)
 
 
+def q75_window_store_fetch(spark, sf_dir):
+    """Windowed-store interactive query (QueryableStoreTypes.WindowStore,
+    core/State/QueryableStoreTypes.cs:24-41; IWindowStore.Fetch(key, from,
+    to)): materialize a windowed KTable as a named store, then range-fetch
+    one key's windows by start-time bounds via StoreRegistry.fetch_df — the
+    key + time filters push down to the store scan."""
+    from pyspark_engine.runtime import StoreRegistry
+
+    b = _b(spark, sf_dir)
+    (
+        b.stream("events", key="user_id", ts="ts")
+        .group_by_key()
+        .windowed_by(TumblingWindowOptions.of(3_600_000))
+        .count("cnt")
+        .materialize("q75_window_store")
+    )
+    df = StoreRegistry(spark).fetch_df(
+        "q75_window_store",
+        {"user_id": 7},
+        t_from_ms=1704412800000,  # 2024-01-05T00:00Z
+        t_to_ms=1705276800000,  # 2024-01-15T00:00Z
+    )
+    return df.select(
+        "user_id",
+        F.unix_millis("w_start").alias("w_start_ms"),
+        F.unix_millis("w_end").alias("w_end_ms"),
+        "cnt",
+    )
+
+
 def q73_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per group (§2.3 "absent" row: the
     reference has no percentile/median aggregate at all; Spark's exact
@@ -999,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_composed_pipeline": q72_composed_pipeline,
         "q73_percentiles": q73_percentiles,
         "q74_minhash_high_threshold": q74_minhash_high_threshold,
+        "q75_window_store_fetch": q75_window_store_fetch,
     }
 
 
@@ -1544,6 +1575,12 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.5) AS p50,
                    quantile_cont(value, 0.9) AS p90
             FROM events GROUP BY event_type
+        """,
+        "q75_window_store_fetch": """
+            SELECT user_id, w_start_ms, w_start_ms + 3600000 AS w_end_ms, cnt FROM (
+                SELECT user_id, (epoch_ms(ts) // 3600000) * 3600000 AS w_start_ms, count(*) AS cnt
+                FROM events WHERE user_id = 7 GROUP BY 1, 2
+            ) WHERE w_start_ms BETWEEN 1704412800000 AND 1705276800000
         """,
         "q72_composed_pipeline": """
             WITH merged AS (

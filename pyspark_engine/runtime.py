@@ -160,3 +160,46 @@ class StoreRegistry:
         for k, v in key_values.items():
             df = df.filter(df[k] == v)
         return df.collect()  # point lookup on a materialized store — driver-side by design
+
+    def fetch_df(
+        self,
+        name: str,
+        key_values: dict | None = None,
+        t_from_ms: int | None = None,
+        t_to_ms: int | None = None,
+        start_col: str = "w_start",
+    ) -> DataFrame:
+        """Windowed-store key + time-range fetch as a DataFrame — the analog
+        of ``QueryableStoreTypes.WindowStore`` range reads
+        (core/State/QueryableStoreTypes.cs:24-41; IWindowStore.Fetch(key,
+        from, to) returns the windows whose START time falls in [from, to]).
+        Bounds are epoch millis, matching the reference's long timestamps.
+
+        Stays a DataFrame so the range read composes (and pushes the key +
+        time filters down to the materialized store's scan); ``fetch`` is
+        the collect()ing convenience twin."""
+        df = self.store(name)
+        for k, v in (key_values or {}).items():
+            df = df.filter(df[k] == v)
+        start_ms = F.unix_millis(F.col(start_col))
+        if t_from_ms is not None:
+            df = df.filter(start_ms >= F.lit(int(t_from_ms)))
+        if t_to_ms is not None:
+            df = df.filter(start_ms <= F.lit(int(t_to_ms)))
+        return df
+
+    def fetch(
+        self,
+        name: str,
+        key_values: dict | None = None,
+        t_from_ms: int | None = None,
+        t_to_ms: int | None = None,
+        start_col: str = "w_start",
+    ) -> list:
+        """IWindowStore.Fetch analog: windows for the key in the time range,
+        ordered by window start (WindowStoreEnumerator order)."""
+        return (
+            self.fetch_df(name, key_values, t_from_ms, t_to_ms, start_col)
+            .orderBy(F.col(start_col))
+            .collect()
+        )

@@ -48,6 +48,7 @@ __all__ = [
     "start_to_kafka",
     "start_foreach_batch",
     "stateful_map",
+    "join_tables_streaming",
 ]
 
 
@@ -241,6 +242,108 @@ def materialize_stream(obj, store_name: str, output_mode: str = "complete") -> D
     instead; this is the streaming twin — state lands in the table as of the
     drain point, re-invoke to refresh."""
     return run_available_now(obj, name=store_name, output_mode=output_mode)
+
+
+def join_tables_streaming(
+    left: KStream,
+    right: KStream,
+    how: str = "inner",
+    l_order: Sequence[str] | None = None,
+    r_order: Sequence[str] | None = None,
+    ts_alias: str | None = None,
+    store_name: str | None = None,
+    state_dir: str | None = None,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Continuous KTable⋈KTable changelog join — the streaming realization of
+    KTable.join (reference: KTableKTableJoinProcessor.cs:20-48 joins the two
+    changelogs record-at-a-time against each other's state stores; output
+    timestamp = max of the sides, :35).
+
+    Spark has no built-in update-stream⋈update-stream join, so this is the
+    SURVEY §7.3.2 plan: ONE streaming query over the union of both (tagged)
+    changelogs; each microbatch (a) upserts each side's latest-per-key state
+    — ``max_by`` over the declared order merged with the previous snapshot,
+    associative, so snapshot ∪ batch ≡ full-changelog replay — and (b)
+    recomputes the equi-join over the two materialized states, emitting the
+    joined snapshot.  Emission cadence is per-microbatch instead of
+    per-record (§7.3.3: coarser cadence, same final state — which is what
+    the parity tests compare).
+
+    State lives in parquet ping-pong directories (write generation N+1 while
+    reading N; atomic swap by generation counter).  At scale the same loop
+    runs on Delta/Iceberg with MERGE for incremental upsert — the recompute
+    here rewrites state per batch, bounded by key cardinality, never by
+    stream length.  Drains with an availableNow trigger and returns the
+    final joined snapshot (also registered under ``store_name`` for the
+    interactive-query surface).
+    """
+    if not (left.df.isStreaming and right.df.isStreaming):
+        raise ValueError("join_tables_streaming requires streaming inputs; use KTable.join in batch")
+    if how not in ("inner", "left", "full"):
+        raise ValueError("table-table join supports inner|left|full")
+    if len(left.key) != len(right.key):
+        raise ValueError("join key arity mismatch")
+    overlap = set(left.df.columns) & set(right.df.columns)
+    if overlap:
+        raise ValueError(f"sides must have disjoint column names; overlap: {sorted(overlap)}")
+    l_cols, r_cols = list(left.df.columns), list(right.df.columns)
+    lord = tuple(l_order) if l_order else ((left.ts,) if left.ts else ())
+    rord = tuple(r_order) if r_order else ((right.ts,) if right.ts else ())
+    if not lord or not rord:
+        raise ValueError("changelog order required per side (ts or explicit l_order/r_order)")
+    root = state_dir or tempfile.mkdtemp(prefix="pse-ttjoin-")
+    tagged = left.df.select(
+        F.lit(1).alias("__side"),
+        *l_cols,
+        *[F.lit(None).cast(right.df.schema[c].dataType).alias(c) for c in r_cols],
+    ).unionByName(
+        right.df.select(
+            F.lit(0).alias("__side"),
+            *[F.lit(None).cast(left.df.schema[c].dataType).alias(c) for c in l_cols],
+            *r_cols,
+        )
+    )
+    gen = {"n": 0}
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cur, nxt = gen["n"] % 2, (gen["n"] + 1) % 2
+        sides = (
+            ("l", F.col("__side") == 1, l_cols, left.key, lord),
+            ("r", F.col("__side") == 0, r_cols, right.key, rord),
+        )
+        for tag, pred, cols, key, order in sides:
+            rows = batch.filter(pred).select(*cols)
+            prev_path = os.path.join(root, f"{tag}-{cur}")
+            if os.path.exists(prev_path):
+                rows = spark.read.parquet(prev_path).unionByName(rows)
+            latest = KStream(rows, key, None).to_table(order=order).df
+            latest.write.mode("overwrite").parquet(os.path.join(root, f"{tag}-{nxt}"))
+        l_t = KTable(spark.read.parquet(os.path.join(root, f"l-{nxt}")), left.key, left.ts)
+        r_t = KTable(spark.read.parquet(os.path.join(root, f"r-{nxt}")), right.key, right.ts)
+        out = l_t.join(r_t, how=how, ts_alias=ts_alias)
+        out.df.write.mode("overwrite").parquet(os.path.join(root, "out"))
+        gen["n"] += 1
+
+    q = (
+        tagged.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", _checkpoint(checkpoint))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = left.df.sparkSession
+    out_path = os.path.join(root, "out")
+    if not os.path.exists(out_path):
+        # no microbatch ever fired (both changelogs empty): empty join result
+        l_t = KTable(spark.createDataFrame([], left.df.schema), left.key, left.ts)
+        r_t = KTable(spark.createDataFrame([], right.df.schema), right.key, right.ts)
+        return l_t.join(r_t, how=how, ts_alias=ts_alias).df
+    out = spark.read.parquet(out_path)
+    if store_name is not None:
+        out.createOrReplaceTempView(store_name)
+    return out
 
 
 # ---------------- custom stateful operator escape hatch ----------------

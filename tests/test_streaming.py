@@ -212,3 +212,76 @@ def test_file_sink_roundtrip(spark, tmp_path):
     assert got.count() == want.count()
     cols = ["event_id", "user_id"]
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+
+
+def test_tt_join_streaming_parity(spark, tmp_path):
+    """Streaming KTable⋈KTable (foreachBatch state upsert + join recompute,
+    SURVEY §7.3.2) over multi-microbatch changelogs == batch KTable.join —
+    the continuous analog of KTableKTableJoinProcessor.cs:20-48."""
+    from pyspark_engine.streaming import join_tables_streaming
+
+    ev = (
+        StreamBuilder(spark, SF)
+        .stream("events", key="user_id", ts="ts")
+        .df.select("user_id", "ts", "event_id", F.col("event_type").alias("a_type"))
+    )
+    ev.repartition(3).write.parquet(str(tmp_path / "ev"))  # 3 files -> 3 microbatches
+    od = (
+        StreamBuilder(spark, SF)
+        .stream("orders", key="o_custkey", ts="o_orderdate")
+        .df.select("o_custkey", "o_orderdate", "o_orderkey", F.col("o_totalprice").alias("b_total"))
+    )
+    od.write.parquet(str(tmp_path / "od"))
+
+    sb = StreamingBuilder(spark)
+    lks = sb.file_stream(str(tmp_path / "ev"), key="user_id", ts="ts", max_files_per_trigger=1)
+    rks = sb.file_stream(str(tmp_path / "od"), key="o_custkey", ts="o_orderdate")
+    got = join_tables_streaming(
+        lks,
+        rks,
+        how="full",
+        l_order=("ts", "event_id"),
+        r_order=("o_orderdate", "o_orderkey"),
+        ts_alias="jts",
+        store_name="tt_join_store",
+    )
+
+    lb = KStream(spark.read.parquet(str(tmp_path / "ev")), ("user_id",), "ts").to_table(
+        order=("ts", "event_id")
+    )
+    rb = KStream(spark.read.parquet(str(tmp_path / "od")), ("o_custkey",), "o_orderdate").to_table(
+        order=("o_orderdate", "o_orderkey")
+    )
+    want = lb.join(rb, how="full", ts_alias="jts").df
+    cols = ["user_id", "a_type", "b_total", "jts"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+    # interactive-query surface: the final snapshot is registered as a view
+    assert spark.table("tt_join_store").count() == got.count()
+
+
+def test_window_store_fetch_range_and_order(spark):
+    """IWindowStore.Fetch analog: key + [from, to] on window START, ordered
+    by start (core/State/QueryableStoreTypes.cs:24-41)."""
+    import datetime as dt
+
+    from pyspark_engine.runtime import StoreRegistry
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + dt.timedelta(minutes=m)) for m in (5, 65, 125, 185)
+    ] + [("b", t0 + dt.timedelta(minutes=65))]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    (
+        KStream(df, key=("k",), ts="ts")
+        .group_by_key()
+        .windowed_by(TumblingWindowOptions.of(3_600_000))
+        .count("cnt")
+        .materialize("ws_test")
+    )
+    reg = StoreRegistry(spark)
+    base_ms = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    # windows for 'a' start at +0h,+1h,+2h,+3h; fetch [+1h, +2h] inclusive
+    got = reg.fetch("ws_test", {"k": "a"}, t_from_ms=base_ms + 3_600_000, t_to_ms=base_ms + 7_200_000)
+    starts = [int(r.w_start.replace(tzinfo=dt.timezone.utc).timestamp() * 1000) - base_ms for r in got]
+    assert starts == [3_600_000, 7_200_000]  # in-range only, ordered by start
+    assert all(r.k == "a" and r.cnt == 1 for r in got)
