@@ -864,6 +864,56 @@ def q74_minhash_high_threshold(spark, sf_dir):
     return llmops.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.9)
 
 
+def q76_kafka_wire_full(spark, sf_dir):
+    """FULL Kafka wire-schema roundtrip, offline: typed rows → producer
+    record (binary key, JSON binary value, per-record DYNAMIC topic,
+    headers) → broker frame (timestamp/partition/offset emulated — the
+    spark-sql-kafka connector is absent in this container, no network) →
+    source-side decode (typed key, flattened value, header map, record
+    metadata) → aggregate per topic.  Exercises the exact column contract
+    of Spark's Kafka source/sink (reference wire path:
+    core/Kafka/Internal/RecordCollector.cs:82-120 serialize,
+    core/Processors/SourceProcessor.cs:16-49 deserialize).  The oracle
+    computes the same aggregate from the raw table, so any encode/decode
+    loss breaks the hash."""
+    df = read_table(configure(spark), sf_dir, "events")
+    wire = serdes.encode_kafka(
+        df,
+        "user_id",
+        ["event_id", "value"],
+        topic=F.concat(F.lit("events-"), F.col("event_type")),
+        headers=F.array(
+            F.struct(
+                F.lit("etype").alias("key"),
+                F.encode(F.col("event_type"), "UTF-8").alias("value"),
+            )
+        ),
+        extra=(
+            F.col("ts").alias("timestamp"),  # broker timestamp := event time
+            F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("partition"),
+            F.col("event_id").alias("offset"),
+        ),
+    )
+    decoded = serdes.decode_kafka(
+        wire,
+        "event_id bigint, value double",
+        key_type="bigint",
+        include_headers=True,
+        include_meta=True,
+    )
+    hdr_etype = F.decode(F.element_at(F.map_from_entries(F.col("headers")), "etype"), "UTF-8")
+    return (
+        decoded.withColumn("etype_hdr", hdr_etype)
+        .groupBy("topic", "etype_hdr")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.max("offset").alias("max_off"),
+            F.max(F.unix_micros("ts")).alias("max_ts_us"),
+        )
+    )
+
+
 def q75_window_store_fetch(spark, sf_dir):
     """Windowed-store interactive query (QueryableStoreTypes.WindowStore,
     core/State/QueryableStoreTypes.cs:24-41; IWindowStore.Fetch(key, from,
@@ -1030,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_percentiles": q73_percentiles,
         "q74_minhash_high_threshold": q74_minhash_high_threshold,
         "q75_window_store_fetch": q75_window_store_fetch,
+        "q76_kafka_wire_full": q76_kafka_wire_full,
     }
 
 
@@ -1581,6 +1632,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, (epoch_ms(ts) // 3600000) * 3600000 AS w_start_ms, count(*) AS cnt
                 FROM events WHERE user_id = 7 GROUP BY 1, 2
             ) WHERE w_start_ms BETWEEN 1704412800000 AND 1705276800000
+        """,
+        "q76_kafka_wire_full": """
+            SELECT 'events-' || event_type AS topic, event_type AS etype_hdr,
+                   count(*) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                   max(event_id) AS max_off,
+                   max(epoch_us(ts)) AS max_ts_us
+            FROM events GROUP BY event_type
         """,
         "q72_composed_pipeline": """
             WITH merged AS (

@@ -30,6 +30,8 @@ __all__ = [
     "encode_csv",
     "decode_avro",
     "encode_avro",
+    "decode_protobuf",
+    "encode_protobuf",
     "decode_primitive",
     "encode_primitive",
     "decode_kafka",
@@ -84,6 +86,32 @@ def encode_avro(col: Column, json_schema: str | None = None) -> Column:
     return to_avro(col, json_schema) if json_schema else to_avro(col)
 
 
+def decode_protobuf(col: Column, message_name: str, desc_file_path: str | None = None, binary_descriptor: bytes | None = None) -> Column:
+    """Protobuf bytes → struct (SchemaProtobufSerDes analog, reference
+    serdes/Streamiz.Kafka.Net.SchemaRegistry.SerDes.Protobuf/
+    SchemaProtobufSerDes.cs).  Requires the spark-protobuf package on the
+    cluster classpath (org.apache.spark:spark-protobuf); like Avro, the
+    plan is built lazily and raises only when the package is absent —
+    parity with the reference shipping protobuf in a satellite package."""
+    try:
+        from pyspark.sql.protobuf.functions import from_protobuf
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("spark-protobuf package not on classpath") from e
+    if binary_descriptor is not None:
+        return from_protobuf(col, message_name, binaryDescriptorSet=binary_descriptor)
+    return from_protobuf(col, message_name, descFilePath=desc_file_path)
+
+
+def encode_protobuf(col: Column, message_name: str, desc_file_path: str | None = None, binary_descriptor: bytes | None = None) -> Column:
+    try:
+        from pyspark.sql.protobuf.functions import to_protobuf
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("spark-protobuf package not on classpath") from e
+    if binary_descriptor is not None:
+        return to_protobuf(col, message_name, binaryDescriptorSet=binary_descriptor)
+    return to_protobuf(col, message_name, descFilePath=desc_file_path)
+
+
 _PRIMITIVES = {"string", "bigint", "int", "long", "double", "float", "boolean"}
 
 
@@ -107,6 +135,7 @@ def decode_kafka(
     ts_alias: str = "ts",
     on_error: str = "continue",
     include_headers: bool = False,
+    include_meta: bool = False,
 ) -> DataFrame:
     """Kafka wire record → typed row: the SourceProcessor deserialize step.
 
@@ -114,7 +143,9 @@ def decode_kafka(
     ``timestamp``, ``topic``, ``partition``, ``offset``.  Output: ``key``
     (typed), the value struct's fields flattened, and the record timestamp
     (the reference's default FailOnInvalidTimestamp extractor just reads the
-    broker timestamp — core/Processors/Internal/DefaultTimestampExtractor)."""
+    broker timestamp — core/Processors/Internal/DefaultTimestampExtractor).
+    ``include_meta`` keeps topic/partition/offset — the IRecordContext
+    surface (core/Processors/IRecordContext.cs)."""
     if value_format in ("json", "csv"):
         # the value struct is flattened next to the decoded 'key'/ts columns —
         # a value field named like either would silently produce duplicate/
@@ -147,6 +178,10 @@ def decode_kafka(
         # .option("includeHeaders", "true") on the Kafka source
         cols.append(F.col("headers"))
         out.append("headers")
+    if include_meta:
+        for m in ("topic", "partition", "offset"):
+            cols.append(F.col(m))
+            out.append(m)
     return df.select(*cols).select(*out)
 
 
@@ -156,13 +191,20 @@ def encode_kafka(
     value_cols: list | None = None,
     value_format: str = "json",
     topic: str | Column | None = None,
+    headers: Column | None = None,
+    extra: tuple = (),
 ) -> DataFrame:
     """Typed row → Kafka wire record: the SinkProcessor serialize step
     (core/Processors/SinkProcessor.cs:34-53).
 
     ``topic`` may be a literal name or a per-record Column — the dynamic
     topic-name-extractor analog (IKStream.cs:90-137); Spark's Kafka sink
-    honors a ``topic`` column."""
+    honors a ``topic`` column.  ``headers`` is an optional
+    ``array<struct<key string, value binary>>`` Column (the sink's headers
+    column; IRecordContext.Headers analog).  ``extra`` columns are appended
+    verbatim — NOT part of the producer record; used to emulate
+    broker-assigned fields (timestamp/partition/offset) when driving the
+    wire schema offline (the connectorless test path)."""
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     vals = [F.col(c) for c in value_cols] if value_cols else [F.col(c) for c in df.columns]
     if value_format == "json":
@@ -175,4 +217,7 @@ def encode_kafka(
     out = [encode_primitive(key).alias("key"), value.alias("value")]
     if topic is not None:
         out.append((F.lit(topic) if isinstance(topic, str) else topic).alias("topic"))
+    if headers is not None:
+        out.append(headers.alias("headers"))
+    out.extend(extra)
     return df.select(*out)
