@@ -51,9 +51,16 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def build_session(app: str = "pyspark_engine", cpus: int | None = None, shuffle_partitions: int | None = None) -> SparkSession:
+def build_session(
+    app: str = "pyspark_engine",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    ui: bool = False,
+) -> SparkSession:
     """Local session factory for tests/bench; on a real cluster the session
-    comes from the environment and only ``configure`` applies."""
+    comes from the environment and only ``configure`` applies.  ``ui=True``
+    enables the Spark UI so its REST API can report per-query shuffle/spill
+    bytes (bench.py's scale evidence)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -63,7 +70,7 @@ def build_session(app: str = "pyspark_engine", cpus: int | None = None, shuffle_
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if ui else "false")
         .getOrCreate()
     )
     return configure(spark)
