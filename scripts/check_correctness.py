@@ -6,10 +6,15 @@ and order-insensitive exact value comparison.  Queries without an oracle get a
 rows-only check.
 
 Usage: python scripts/check_correctness.py [sf_dir] [only_query_prefix...]
+       CHECK_JSON_OUT=path.json python scripts/check_correctness.py sf_dir
+(the JSON artifact mirrors the driver's CORRECTNESS_r{N}.json row shape so
+committed evidence can be refreshed to match HEAD between driver rounds)
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 import traceback
@@ -76,6 +81,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and not any(name.startswith(o) for o in only):
             continue
@@ -86,11 +92,15 @@ def main() -> int:
         except Exception:
             n_fail += 1
             failures.append(name)
+            record[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                            "spark_rows": None, "oracle_rows": None, "err": "spark_error"}
             print(f"FAIL  {name}: SPARK ERROR\n{traceback.format_exc()}")
             continue
         if name not in oracles:
             status = "ROWS" if len(sdf) >= 0 else "??"
             n_rows_only += 1
+            record[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                            "spark_rows": len(sdf), "oracle_rows": None, "err": "no_oracle"}
             print(f"{status}  {name}: rows={len(sdf)} ({time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
@@ -98,11 +108,21 @@ def main() -> int:
         except Exception:
             n_fail += 1
             failures.append(name)
+            record[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                            "spark_rows": len(sdf), "oracle_rows": None, "err": "duckdb_error"}
             print(f"FAIL  {name}: DUCKDB ERROR\n{traceback.format_exc()}")
             continue
         issues = compare(name, sdf, ddf)
         real = [i for i in issues if not i.startswith("dtype")]
         dtype_warn = [i for i in issues if i.startswith("dtype")]
+        record[name] = {
+            "rows_match": len(sdf) == len(ddf),
+            "schema_match": not any(i.startswith("columns") for i in real),
+            "hash_match": not real,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(ddf),
+            "err": "; ".join(real) if real else None,
+        }
         if real:
             n_fail += 1
             failures.append(name)
@@ -114,6 +134,11 @@ def main() -> int:
     print(f"\n== {n_pass} pass, {n_rows_only} rows-only, {n_fail} fail ==")
     if failures:
         print("failures:", " ".join(failures))
+    out_path = os.environ.get("CHECK_JSON_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(record, f, indent=2)
+        print(f"wrote {out_path} ({len(record)} queries)")
     return 1 if n_fail else 0
 
 
