@@ -228,6 +228,17 @@ class KStream:
         metrics = aggs or (F.count(F.lit(1)).alias("records"),)
         return self._with_df(self.df.observe(name, *metrics))
 
+    def observe(self, observation, *aggs: Column) -> "KStream":
+        """Named metrics sensor — the KafkaStream metrics surface analog
+        (reference exposes per-processor sensors via KafkaStream; this
+        snapshot's Metrics subsystem is roadmap, so the surface here is the
+        Spark-native one).  Batch: pass a ``pyspark.sql.Observation`` and
+        read ``observation.get`` after an action — accumulator semantics,
+        zero plan impact.  Streaming: pass a string name and read the values
+        from each progress event (streaming.observed_metrics)."""
+        metrics = aggs or (F.count(F.lit(1)).alias("records"),)
+        return self._with_df(self.df.observe(observation, *metrics))
+
     def branch(self, *predicates: Column) -> list["KStream"]:
         """Split by ordered predicates, first-match wins, no-match dropped
         (KStreamBranchProcessor.cs:5-29).  Branch i = p_i ∧ ¬p_0 ∧ … ∧ ¬p_{i-1};

@@ -115,11 +115,20 @@ def encode_protobuf(col: Column, message_name: str, desc_file_path: str | None =
 _PRIMITIVES = {"string", "bigint", "int", "long", "double", "float", "boolean"}
 
 
-def decode_primitive(col: Column, dtype: str) -> Column:
+def decode_primitive(col: Column, dtype: str, on_error: str = "fail") -> Column:
     """UTF-8 primitive serdes (StringSerDes/Int64SerDes/... analogs): the
-    Kafka wire value is the textual form of the primitive."""
+    Kafka wire value is the textual form of the primitive.
+
+    ``on_error`` is the DeserializationExceptionHandler analog for the KEY
+    side (core/Errors/DeserializationException.cs): ``continue`` decodes a
+    poison key to NULL via try_cast — downstream null-key semantics (table
+    upsert drop, grouped-agg skip, join drop) then skip the record exactly
+    like the reference's CONTINUE response; ``fail`` keeps the strict ANSI
+    cast, so a poison record fails the task (FAIL response)."""
     if dtype not in _PRIMITIVES:
         raise ValueError(f"unsupported primitive serde: {dtype}")
+    if on_error == "continue":
+        return col.cast("string").try_cast(dtype)
     return col.cast("string").cast(dtype)
 
 
@@ -168,7 +177,7 @@ def decode_kafka(
     else:
         raise ValueError(f"unsupported value format: {value_format}")
     cols = [
-        decode_primitive(F.col("key"), key_type).alias("key"),
+        decode_primitive(F.col("key"), key_type, on_error=on_error).alias("key"),
         F.col("timestamp").alias(ts_alias),
         value.alias("__v"),
     ]
@@ -193,6 +202,8 @@ def encode_kafka(
     topic: str | Column | None = None,
     headers: Column | None = None,
     extra: tuple = (),
+    max_bytes: int | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Typed row → Kafka wire record: the SinkProcessor serialize step
     (core/Processors/SinkProcessor.cs:34-53).
@@ -204,7 +215,21 @@ def encode_kafka(
     column; IRecordContext.Headers analog).  ``extra`` columns are appended
     verbatim — NOT part of the producer record; used to emulate
     broker-assigned fields (timestamp/partition/offset) when driving the
-    wire schema offline (the connectorless test path)."""
+    wire schema offline (the connectorless test path).
+
+    ``max_bytes``/``on_error`` are the ProductionExceptionHandler analog
+    (core/Kafka/Internal/RecordCollector.cs:122-157: a per-record produce
+    error such as MsgSizeTooLarge goes to the handler, which chooses FAIL —
+    stop processing — or CONTINUE — skip the record;
+    core/StreamConfig.cs:1908 defaults to FAIL).  Here the broker's
+    message.max.bytes check is applied at encode time against
+    len(key)+len(value): ``fail`` raises on the first oversized record,
+    ``continue`` drops oversized records and keeps going.  Serialization
+    failures themselves (invalid casts) stay fatal under ANSI — parity with
+    the reference treating Local_KeySerialization/Local_ValueSerialization
+    as fatal (RecordCollector.cs:88-101)."""
+    if on_error not in ("fail", "continue"):
+        raise ValueError("on_error must be fail|continue")
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     vals = [F.col(c) for c in value_cols] if value_cols else [F.col(c) for c in df.columns]
     if value_format == "json":
@@ -220,4 +245,19 @@ def encode_kafka(
     if headers is not None:
         out.append(headers.alias("headers"))
     out.extend(extra)
-    return df.select(*out)
+    wire = df.select(*out)
+    if max_bytes is not None:
+        size = F.coalesce(F.length("key"), F.lit(0)) + F.coalesce(F.length("value"), F.lit(0))
+        if on_error == "continue":
+            wire = wire.filter(size <= max_bytes)
+        else:
+            err = F.concat(
+                F.lit(f"record exceeds max_bytes={max_bytes} (ProductionException analog): "),
+                size.cast("string"),
+                F.lit(" bytes"),
+            )
+            wire = wire.withColumn(
+                "value",
+                F.when(size <= max_bytes, F.col("value")).otherwise(F.raise_error(err).cast("binary")),
+            )
+    return wire

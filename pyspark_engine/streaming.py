@@ -49,7 +49,19 @@ __all__ = [
     "start_foreach_batch",
     "stateful_map",
     "join_tables_streaming",
+    "observed_metrics",
 ]
+
+
+def observed_metrics(query) -> dict:
+    """Read the named ``observe`` metrics from a StreamingQuery's last
+    progress event — the streaming read side of KStream.observe/peek (the
+    KafkaStream metrics surface analog).  Returns {name: {metric: value}};
+    empty before the first completed microbatch."""
+    progress = query.lastProgress
+    if not progress:
+        return {}
+    return dict(progress.get("observedMetrics") or {})
 
 
 def _checkpoint(path: str | None) -> str:

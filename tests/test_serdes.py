@@ -114,3 +114,34 @@ def test_protobuf_serde_gated(spark):
     except Exception:
         return  # JVM-side gate: protobuf jar absent (or descriptor invalid) — raised at use
     raise AssertionError("expected protobuf decode to be gated without the package")
+
+
+def test_encode_max_bytes_continue_drops_oversized(spark):
+    """ProductionExceptionHandler CONTINUE analog (RecordCollector.cs:142-152):
+    oversized records are skipped, processing continues."""
+    df = spark.createDataFrame([(1, "x" * 10), (2, "y")], "k long, s string")
+    wire = serdes.encode_kafka(df, "k", ["s"], max_bytes=16, on_error="continue")
+    rows = wire.collect()
+    assert len(rows) == 1 and bytes(rows[0].key) == b"2"
+
+
+def test_encode_max_bytes_fail_raises(spark):
+    """FAIL response (the reference default, StreamConfig.cs:1908)."""
+    df = spark.createDataFrame([(1, "x" * 100)], "k long, s string")
+    wire = serdes.encode_kafka(df, "k", ["s"], max_bytes=16, on_error="fail")
+    with pytest.raises(Exception, match="max_bytes"):
+        wire.collect()
+
+
+def test_decode_poison_key_continue_vs_fail(spark):
+    """DeserializationExceptionHandler on the key: CONTINUE nulls the poison
+    key (downstream null-key semantics skip the record); FAIL errors."""
+    df = spark.createDataFrame(
+        [(b"not-a-number", b'{"a": 1}', None), (b"7", b'{"a": 2}', None)],
+        "key binary, value binary, timestamp timestamp",
+    )
+    ok = serdes.decode_kafka(df, "a int", key_type="bigint", on_error="continue")
+    got = {r.a: r.key for r in ok.collect()}
+    assert got == {1: None, 2: 7}
+    with pytest.raises(Exception):
+        serdes.decode_kafka(df, "a int", key_type="bigint", on_error="fail").collect()

@@ -285,3 +285,23 @@ def test_window_store_fetch_range_and_order(spark):
     starts = [int(r.w_start.replace(tzinfo=dt.timezone.utc).timestamp() * 1000) - base_ms for r in got]
     assert starts == [3_600_000, 7_200_000]  # in-range only, ordered by start
     assert all(r.k == "a" and r.cnt == 1 for r in got)
+
+
+def test_observe_metrics_batch_and_streaming(spark, tmp_path):
+    """Metrics surface (KafkaStream metrics analog): batch reads a
+    pyspark Observation after the action; streaming reads the named observe
+    values from the query progress (observed_metrics)."""
+    from pyspark.sql import Observation
+
+    from pyspark_engine.streaming import observed_metrics, start_to_files
+
+    obs = Observation("sink_metrics")
+    s = _events_batch(spark).observe(obs, F.count(F.lit(1)).alias("records"), F.sum("value").alias("v"))
+    n = s.df.count()
+    assert obs.get["records"] == n
+
+    stream = _events_stream(spark).peek("stream_metrics", F.count(F.lit(1)).alias("records"))
+    q = start_to_files(stream, str(tmp_path / "out"), checkpoint=str(tmp_path / "ck"), available_now=True)
+    q.awaitTermination()
+    m = observed_metrics(q)
+    assert m["stream_metrics"]["records"] == n
