@@ -575,11 +575,14 @@ def q47_ann_lsh(spark, sf_dir):
 
 
 def q71_ann_ivf(spark, sf_dir):
-    """IVF approximate top-k (KMeans cells + n_probe scan; rows-only like
-    q47 — KMeans index build isn't SQL-expressible)."""
+    """IVF approximate top-k with the deterministic hash-sample centroid
+    init: the DuckDB oracle rebuilds the IDENTICAL index (same centroids,
+    same |c|²-2v·c cell argmin, same n_probe probe order, same cosine
+    ranking), so the whole approximate pipeline is hash-checked end-to-end —
+    the KMeans init stays the default quality path, recall-tested in pytest."""
     emb = read_table(configure(spark), sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 16)
-    return llmops.ann_ivf_topk(emb, queries, dim=64, k=5, n_lists=16, n_probe=4)
+    return llmops.ann_ivf_topk(emb, queries, dim=64, k=5, n_lists=16, n_probe=4, init="hash_sample")
 
 
 def q48_text_stats(spark, sf_dir):
@@ -762,14 +765,20 @@ def q69_sliding_agg(spark, sf_dir):
 
 def q68_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction: binary payloads → Arrow-batched
-    mapInPandas worker (deterministic fake decoder; real plumbing).
-    Python-side per-payload logic isn't SQL-expressible → rows-only check;
-    exact values are unit-tested in tests/test_llmops.py."""
+    mapInPandas worker (deterministic fake decoder; real plumbing).  The
+    worker's byte-level features ARE SQL-expressible (hex-pair expansion in
+    DuckDB), so this is oracle-exact: n_bytes, mean_byte, and the 8-bin byte
+    histogram (as a CSV string — array columns don't compare portably)."""
     docs = read_table(configure(spark), sf_dir, "documents").withColumn(
         "payload", F.encode(F.col("text"), "UTF-8")
     )
     out = llmops.multimodal_features(docs, "doc_id", "payload", bins=8)
-    return out.select("doc_id", "n_bytes", "mean_byte", "hist")
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "mean_byte",
+        F.concat_ws(",", F.col("hist").cast("array<string>")).alias("hist_csv"),
+    )
 
 
 def q62_asof_join(spark, sf_dir):
@@ -1183,6 +1192,69 @@ def _simhash_oracle_sql(max_hamming: int, nbits: int = 32, chunk_bits: int = 8) 
         )
         SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+    """
+
+
+def _ann_ivf_oracle_sql(n_lists: int = 16, n_probe: int = 4, k: int = 5, n_queries: int = 16) -> str:
+    """Full DuckDB simulation of llmops.ann_ivf_topk(init='hash_sample'):
+    identical centroid selection (n_lists smallest md5(vec_id)), identical
+    cell argmin (|c|² - 2v·c with (d, i) tie order), identical n_probe probe
+    list, identical cosine ranking — the whole IVF index build + search is
+    reproduced, not just the verify step."""
+    return f"""
+        WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (
+            SELECT i - 1 AS i, cv FROM (
+                SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS i, v AS cv
+                FROM c0
+            ) WHERE i <= {n_lists}
+        ),
+        asg AS (
+            SELECT c0.vec_id, c0.v, cent.i,
+                   list_dot_product(cent.cv, cent.cv) - 2.0 * list_dot_product(c0.v, cent.cv) AS d,
+                   cent.cv AS ccv
+            FROM c0 CROSS JOIN cent
+        ),
+        cells AS (
+            SELECT vec_id AS n_id, v AS cv, sqrt(list_dot_product(v, v)) AS cn, i AS cell
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn FROM asg)
+            WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS q_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn, i AS cell
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
+                  FROM asg WHERE vec_id < {n_queries})
+            WHERE rn <= {n_probe}
+        )
+        SELECT q_id, n_id FROM (
+            SELECT p.q_id, c.n_id,
+                   row_number() OVER (PARTITION BY p.q_id
+                                      ORDER BY list_dot_product(p.qv, c.cv) / (p.qn * c.cn) DESC,
+                                               c.n_id) AS rk
+            FROM probes p JOIN cells c ON p.cell = c.cell AND p.q_id != c.n_id
+        ) WHERE rk <= {k}
+    """
+
+
+def _multimodal_oracle_sql(bins: int = 8) -> str:
+    """Full DuckDB simulation of llmops.multimodal_features' deterministic
+    fake decoder (byte histogram over the UTF-8 payload): the blob is expanded
+    byte-by-byte via hex pairs, then n_bytes / mean_byte / per-bin counts are
+    plain aggregates.  mean_byte compares bitwise because both sides sum
+    integers exactly in double before one division."""
+    width = 256 // bins
+    hist = ",\n                     ".join(
+        f"count(*) FILTER (byte // {width} = {b})" for b in range(bins)
+    )
+    return f"""
+        WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+        h AS (SELECT doc_id, lower(hex(p)) AS hx, octet_length(p) AS n FROM b),
+        e AS (SELECT doc_id, ('0x' || substr(hx, 2*i-1, 2))::BIGINT AS byte
+              FROM h, unnest(generate_series(1, n)) AS t(i))
+        SELECT doc_id, count(*) AS n_bytes, avg(byte) AS mean_byte,
+               concat_ws(',',
+                     {hist}) AS hist_csv
+        FROM e GROUP BY doc_id
     """
 
 
@@ -1608,6 +1680,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, c_name, c_acctbal
             FROM orders JOIN customer ON o_custkey = c_custkey
         """,
+        "q68_multimodal_features": _multimodal_oracle_sql(bins=8),
+        "q71_ann_ivf": _ann_ivf_oracle_sql(),
         "q74_minhash_high_threshold": r"""
             WITH d AS (
                 SELECT doc_id,

@@ -580,29 +580,54 @@ def ann_ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    init: str = "kmeans",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
-    ``n_lists`` Voronoi cells via distributed KMeans, then each query scans
-    only its ``n_probe`` nearest cells.
+    ``n_lists`` Voronoi cells, then each query scans only its ``n_probe``
+    nearest cells.
 
-    Scale: the KMeans fit is a standard distributed index-build step; only
-    the centroid matrix (n_lists × dim floats) comes to the driver and is
-    re-broadcast as literals.  The corpus shuffles once on cell id; query
-    fan-out is n_probe cells, so scanned fraction ≈ n_probe/n_lists of the
-    corpus regardless of corpus size.  The recall/latency trade is n_probe —
-    the standard IVF lever (vs. multiprobe for the hyperplane-LSH variant)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    ``init`` picks the centroid build: ``kmeans`` (default) is a distributed
+    Spark-ML fit — the quality path; ``hash_sample`` takes the ``n_lists``
+    corpus vectors with the smallest md5(id) as centroids — one centroid
+    fetch instead of an iterative fit, fully deterministic AND portable (the
+    DuckDB oracle reproduces the identical index, making the whole
+    approximate pipeline hash-checkable; random-sample init is also a
+    textbook IVF baseline, trading some cell balance for build cost).
 
+    Scale: either index build brings only the centroid matrix
+    (n_lists × dim floats) to the driver, re-broadcast as literals.  The
+    corpus shuffles once on cell id; query fan-out is n_probe cells, so
+    scanned fraction ≈ n_probe/n_lists of the corpus regardless of corpus
+    size.  The recall/latency trade is n_probe — the standard IVF lever
+    (vs. multiprobe for the hyperplane-LSH variant)."""
     spread = _spread(emb)
-    train = spread.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
-    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    if init == "hash_sample":
+        rows = (
+            emb.select(
+                F.col(vec_col).cast("array<double>").alias("v"),
+                F.md5(F.col(id_col).cast("string")).alias("__h"),
+            )
+            .orderBy("__h")
+            .limit(n_lists)
+            .collect()
+        )
+        centroids = [[float(x) for x in r.v] for r in rows]
+    elif init == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = spread.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+        model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+        centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    else:
+        raise ValueError("init must be kmeans|hash_sample")
 
     def _dist2(vec: Column, cen: list[float]) -> Column:
+        # argmin-equivalent distance |c|^2 - 2 v·c (|v|^2 is constant per row);
+        # kept in the |c|^2 - 2v·c form on BOTH engines so the oracle's argmin
+        # rounds identically
         lit_c = F.array(*[F.lit(v) for v in cen])
-        diff = F.zip_with(vec, lit_c, lambda a, b: a.cast("double") - b)
-        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+        return _dot(lit_c, lit_c) - F.lit(2.0) * _dot(vec, lit_c)
 
     def _cell(vec: Column) -> Column:
         """argmin over centroid distances, as one sorted struct array."""
