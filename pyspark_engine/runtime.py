@@ -91,6 +91,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_STATE_STORE_PROVIDERS = {
+    "memory": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+}
+
+
 class StreamConfig:
     """The reference's StreamConfig surface (core/StreamConfig.cs) mapped to
     Spark runtime choices, so a Streamiz user's configuration carries over.
@@ -105,6 +111,11 @@ class StreamConfig:
     | NumStreamThreads (:1897)         | shuffle partitions / local cores   |
     | StateDir                         | checkpoint_dir root                |
     | MaxPollRecords / BufferedRecords | maxOffsetsPerTrigger               |
+    | RocksDbConfigHandler (in-mem vs  | state_store memory|rocksdb →       |
+    |   RocksDB stores, core/State/    |   stateStore.providerClass         |
+    |   RocksDb/RocksDbKeyValueStore)  |                                    |
+    | Changelog topics (core/State/    | rocksdb_changelog → RocksDB        |
+    |   Logging/*)                     |   changelog checkpointing          |
     """
 
     def __init__(
@@ -116,9 +127,13 @@ class StreamConfig:
         num_threads: int | None = None,
         state_dir: str | None = None,
         max_records_per_batch: int | None = None,
+        state_store: str = "memory",
+        rocksdb_changelog: bool = False,
     ):
         if guarantee not in ("at_least_once", "exactly_once"):
             raise ValueError("guarantee must be at_least_once|exactly_once")
+        if state_store not in _STATE_STORE_PROVIDERS:
+            raise ValueError(f"state_store must be one of {sorted(_STATE_STORE_PROVIDERS)}")
         self.app_id = app_id
         self.bootstrap = bootstrap
         self.guarantee = guarantee
@@ -126,6 +141,32 @@ class StreamConfig:
         self.num_threads = num_threads
         self.state_dir = state_dir
         self.max_records_per_batch = max_records_per_batch
+        self.state_store = state_store
+        self.rocksdb_changelog = rocksdb_changelog
+
+    def apply_state_store(self, spark: SparkSession) -> SparkSession:
+        """Select the streaming state-store backend, the reference's
+        in-memory-vs-RocksDB store choice (core/State/Stores.cs suppliers;
+        RocksDbKeyValueStore for large state).  Spark ships a RocksDB
+        provider; at 100 TB state must spill off-heap, so ``rocksdb`` is the
+        production posture while ``memory`` (HDFS-backed heap provider) is
+        the small-state default.  ``rocksdb_changelog=True`` additionally
+        enables changelog checkpointing — incremental per-batch deltas, the
+        direct analog of the reference's changelog topics (core/State/
+        Logging/ChangeLoggingTimestampedKeyValueBytesStore.cs) vs full
+        snapshot uploads.  Providers are read from session conf when a query
+        STARTS, so call this before start_* (queries already running keep
+        their backend)."""
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            _STATE_STORE_PROVIDERS[self.state_store],
+        )
+        if self.state_store == "rocksdb":
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+                "true" if self.rocksdb_changelog else "false",
+            )
+        return spark
 
     def checkpoint(self, query_name: str) -> str:
         root = self.state_dir or "/tmp/pyspark-engine-state"

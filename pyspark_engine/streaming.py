@@ -256,6 +256,48 @@ def materialize_stream(obj, store_name: str, output_mode: str = "complete") -> D
     return run_available_now(obj, name=store_name, output_mode=output_mode)
 
 
+def read_state_store(
+    spark,
+    checkpoint: str,
+    operator_id: int = 0,
+    batch_id: int | None = None,
+    store_name: str | None = None,
+    join_side: str | None = None,
+) -> DataFrame:
+    """Read a streaming query's STATE STORE from its checkpoint as a
+    DataFrame — Spark's State Data Source.  This is the closest analog of the
+    reference's interactive queries over the real stores
+    (KafkaStream.Store(StoreQueryParameters) →
+    QueryableStoreTypes.KeyValueStore/WindowStore,
+    core/State/QueryableStoreTypes.cs:24-41): unlike materialize_stream
+    (which drains OUTPUT into a table), this reads the operator's internal
+    keyed state — aggregation buffers, join buffers, dedup sets — exactly
+    what the reference exposes via store queries, including time-travel to an
+    earlier ``batch_id`` (the closest thing to replaying a changelog topic).
+
+    Returns rows of (key struct, value struct, partition_id); flatten with
+    ``select("key.*", "value.*")``.  Works on either provider (heap or
+    RocksDB).  Distributed scan — no driver collect."""
+    r = spark.read.format("statestore")
+    if batch_id is not None:
+        r = r.option("batchId", int(batch_id))
+    if operator_id:
+        r = r.option("operatorId", int(operator_id))
+    if store_name:
+        r = r.option("storeName", store_name)
+    if join_side:
+        r = r.option("joinSide", join_side)
+    return r.load(checkpoint)
+
+
+def read_state_metadata(spark, checkpoint: str) -> DataFrame:
+    """Enumerate the stateful operators / state stores recorded in a
+    checkpoint (Spark's state-metadata source) — the discovery half of the
+    interactive-query surface (the reference's KafkaStream exposes the store
+    registry by name; here the checkpoint is the registry)."""
+    return spark.read.format("state-metadata").load(checkpoint)
+
+
 def join_tables_streaming(
     left: KStream,
     right: KStream,

@@ -305,3 +305,69 @@ def test_observe_metrics_batch_and_streaming(spark, tmp_path):
     q.awaitTermination()
     m = observed_metrics(q)
     assert m["stream_metrics"]["records"] == n
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """StreamConfig state_store='rocksdb' runs stateful aggregation on
+    Spark's RocksDB state-store provider (the RocksDbKeyValueStore analog,
+    core/State/RocksDb/RocksDbKeyValueStore.cs:58) with changelog
+    checkpointing (the changelog-topic analog) — results must equal the
+    heap-provider batch truth, and the query's state operator must report
+    RocksDB metrics (proof the backend actually switched)."""
+    from pyspark_engine.runtime import StreamConfig
+
+    cfg = StreamConfig("rocks-app", state_store="rocksdb", rocksdb_changelog=True)
+    cfg.apply_state_store(spark)
+    try:
+        s = _events_stream(spark).group_by_key().count()
+        q = (
+            s.df.writeStream.format("memory")
+            .queryName("rocks_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("rocks_counts")
+        want = _events_batch(spark).group_by_key().count().df
+        cols = ["user_id", "cnt"]
+        pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+        ops = q.lastProgress["stateOperators"]
+        assert ops and any("rocksdb" in k.lower() for k in ops[0].get("customMetrics", {}))
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+
+
+def test_state_data_source_interactive_query(spark, tmp_path):
+    """Interactive query over the query's INTERNAL state store (not its
+    output): Spark's state data source reads the aggregation buffers straight
+    from the checkpoint — the KafkaStream.Store(QueryableStoreTypes.KeyValueStore)
+    analog (core/State/QueryableStoreTypes.cs:24-41) — and state-metadata is
+    the store-registry discovery half.  The keyed state must equal the batch
+    truth."""
+    from pyspark_engine.streaming import read_state_metadata, read_state_store
+
+    ck = str(tmp_path / "ck")
+    s = _events_stream(spark).group_by_key().count()
+    q = (
+        s.df.writeStream.format("memory")
+        .queryName("state_src_out")
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    meta = read_state_metadata(spark, ck)
+    ops = {r.operatorName for r in meta.collect()}
+    assert "stateStoreSave" in ops
+
+    state = read_state_store(spark, ck).select(
+        F.col("key.user_id").alias("user_id"), F.col("value.count").alias("cnt")
+    )
+    want = _events_batch(spark).group_by_key().count().df
+    cols = ["user_id", "cnt"]
+    pd.testing.assert_frame_equal(_sorted_pdf(state, cols), _sorted_pdf(want, cols))
