@@ -873,6 +873,29 @@ def q74_minhash_high_threshold(spark, sf_dir):
     return llmops.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.9)
 
 
+def q77_named_branches(spark, sf_dir):
+    """Named branching (KStream.split, the Kafka Streams 2.8 successor of
+    the reference's positional Branch, core/Stream/IKStream.cs:37): route
+    events to first-match-wins named branches plus a default, tag each with
+    its branch name, and merge back — order-insensitive union the oracle
+    reproduces with CASE."""
+    b = _b(spark, sf_dir)
+    s = b.stream("events", key="user_id", ts="ts")
+    out = (
+        s.split("ev-")
+        .branch(F.col("value") >= 180.0, "hot")
+        .branch(F.col("event_type") == "purchase", "buy")
+        .default_branch("rest")
+    )
+    tagged = [
+        ks.with_values(branch=F.lit(name)) for name, ks in sorted(out.items())
+    ]
+    merged = tagged[0]
+    for t in tagged[1:]:
+        merged = merged.merge(t)
+    return merged.df.select("event_id", "branch")
+
+
 def q76_kafka_wire_full(spark, sf_dir):
     """FULL Kafka wire-schema roundtrip, offline: typed rows → producer
     record (binary key, JSON binary value, per-record DYNAMIC topic,
@@ -1090,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_minhash_high_threshold": q74_minhash_high_threshold,
         "q75_window_store_fetch": q75_window_store_fetch,
         "q76_kafka_wire_full": q76_kafka_wire_full,
+        "q77_named_branches": q77_named_branches,
     }
 
 
@@ -1681,6 +1705,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
         """,
         "q68_multimodal_features": _multimodal_oracle_sql(bins=8),
+        "q77_named_branches": """
+            SELECT event_id,
+                   CASE WHEN value >= 180.0 THEN 'ev-hot'
+                        WHEN event_type = 'purchase' THEN 'ev-buy'
+                        ELSE 'ev-rest' END AS branch
+            FROM events
+        """,
         "q71_ann_ivf": _ann_ivf_oracle_sql(),
         "q74_minhash_high_threshold": r"""
             WITH d AS (

@@ -262,6 +262,15 @@ class KStream:
         out.append(self._with_df(self.df.filter(none_match)))
         return out
 
+    def split(self, prefix: str = "") -> "BranchedKStream":
+        """Named branching — the Kafka Streams 2.8 ``split(Named)`` surface
+        (the reference snapshot only ships positional Branch,
+        core/Stream/IKStream.cs:37; named branches are its successor API).
+        Same first-match-wins semantics as ``branch``, but branches carry
+        names: ``split("e-").branch(p, "hot").default_branch("rest")``
+        returns {"e-hot": ..., "e-rest": ...}."""
+        return BranchedKStream(self, prefix)
+
     def merge(self, other: "KStream") -> "KStream":
         """Stream union (absent in the reference snapshot — roadmap item;
         Spark gives it for free via unionByName)."""
@@ -633,6 +642,40 @@ class KStream:
         forwardDownStream=false).  Batch: hand the DataFrame to the callback
         once; streaming: ``writeStream.foreachBatch``."""
         fn(self.df)
+
+
+class BranchedKStream:
+    """Builder for KStream.split(): ordered named branches, first-match-wins
+    (each branch i filters p_i ∧ ¬p_0 ∧ … ∧ ¬p_{i-1} over one scan, exactly
+    like positional branch).  Terminal calls return ``dict[name, KStream]``."""
+
+    def __init__(self, source: "KStream", prefix: str = ""):
+        self._source = source
+        self._prefix = prefix
+        self._names: list[str] = []
+        self._preds: list[Column] = []
+
+    def branch(self, predicate: Column, name: str | None = None) -> "BranchedKStream":
+        self._names.append(name if name is not None else str(len(self._preds) + 1))
+        self._preds.append(predicate)
+        return self
+
+    def _built(self) -> dict[str, "KStream"]:
+        streams = self._source.branch(*self._preds)
+        return {self._prefix + n: s for n, s in zip(self._names, streams)}
+
+    def no_default_branch(self) -> dict[str, "KStream"]:
+        """No-match records are dropped (the reference Branch behavior)."""
+        return self._built()
+
+    def default_branch(self, name: str = "default") -> dict[str, "KStream"]:
+        """No-match records land in one extra named branch."""
+        out = self._built()
+        rest = F.lit(True)
+        for p in self._preds:
+            rest = rest & ~p
+        out[self._prefix + name] = self._source._with_df(self._source.df.filter(rest))
+        return out
 
 
 class KTable:

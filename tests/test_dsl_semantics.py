@@ -362,3 +362,24 @@ def test_batch_grace_requires_arrival_partition(spark):
 
     with pytest.raises(ValueError, match="arrival_partition"):
         twk.count("c").df.collect()
+
+
+def test_split_named_branches(spark):
+    """KStream.split(): named first-match-wins branches + named default
+    (Kafka Streams 2.8 split/Branched surface; positional branch is the
+    reference snapshot's API)."""
+    df = spark.createDataFrame([(1, 10), (2, 200), (3, 5)], "k long, v long")
+    out = (
+        KStream(df, key=("k",))
+        .split("t-")
+        .branch(F.col("v") >= 100, "big")
+        .branch(F.col("v") >= 10, "mid")
+        .default_branch("rest")
+    )
+    assert sorted(out) == ["t-big", "t-mid", "t-rest"]
+    assert [r.k for r in out["t-big"].df.collect()] == [2]
+    assert [r.k for r in out["t-mid"].df.collect()] == [1]
+    assert [r.k for r in out["t-rest"].df.collect()] == [3]
+    dropped = KStream(df, key=("k",)).split().branch(F.col("v") >= 100, "big").no_default_branch()
+    assert sorted(dropped) == ["big"]
+    assert {r.k for r in dropped["big"].df.collect()} == {2}
