@@ -896,6 +896,39 @@ def q77_named_branches(spark, sf_dir):
     return merged.df.select("event_id", "branch")
 
 
+def q78_quality_filter(spark, sf_dir):
+    """Gopher-style quality filtering (llmops.quality_filter): per-doc
+    signals + keep verdict, thresholds tuned to this corpus so both verdicts
+    occur; every signal is an integer sum divided once, so the oracle
+    matches bitwise."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.quality_filter(
+        docs, "doc_id", "text",
+        min_words=20, max_words=80,
+        min_mean_word_len=3.0, max_mean_word_len=8.0,
+        max_symbol_ratio=0.1, min_stop_hits=1,
+    )
+
+
+def q79_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (llmops.sample_stratified_hash):
+    md5-prefix bucket per doc id, per-language mixture weights — the
+    reproducible training-mixture draw; strata without a weight drop."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    out = llmops.sample_stratified_hash(
+        docs, "doc_id", "lang", {"en": 0.5, "fr": 0.25, "zh": 0.1}, salt="mix1:"
+    )
+    return out.select("doc_id", "lang")
+
+
+def q80_chunk_text(spark, sf_dir):
+    """Token-window chunking (llmops.chunk_text): 32-token windows with
+    8-token overlap; chunk starts, tail handling, and the joined chunk text
+    are all reproduced by the generate_series/list_slice oracle."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.chunk_text(docs, "doc_id", "text", max_tokens=32, overlap=8)
+
+
 def q76_kafka_wire_full(spark, sf_dir):
     """FULL Kafka wire-schema roundtrip, offline: typed rows → producer
     record (binary key, JSON binary value, per-record DYNAMIC topic,
@@ -1114,6 +1147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_window_store_fetch": q75_window_store_fetch,
         "q76_kafka_wire_full": q76_kafka_wire_full,
         "q77_named_branches": q77_named_branches,
+        "q78_quality_filter": q78_quality_filter,
+        "q79_sample_stratified": q79_sample_stratified,
+        "q80_chunk_text": q80_chunk_text,
     }
 
 
@@ -1711,6 +1747,45 @@ def oracle_sql() -> dict[str, str]:
                         WHEN event_type = 'purchase' THEN 'ev-buy'
                         ELSE 'ev-rest' END AS branch
             FROM events
+        """,
+        "q78_quality_filter": r"""
+            WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks
+                       FROM documents),
+            s AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_words,
+                       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+                       CAST(len(regexp_extract_all(text, '[#@*^]')) AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+                       CAST(len(list_filter(toks, t -> list_contains(
+                           ['the','be','to','of','and','that','have','with'], t))) AS BIGINT) AS stop_hits
+                FROM t
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_hits,
+                   (n_words BETWEEN 20 AND 80)
+                   AND (mean_word_len BETWEEN 3.0 AND 8.0)
+                   AND (symbol_ratio <= 0.1)
+                   AND (stop_hits >= 1) AS keep
+            FROM s
+        """,
+        "q79_sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+                  < CASE lang WHEN 'en' THEN 500000 WHEN 'fr' THEN 250000
+                              WHEN 'zh' THEN 100000 ELSE 0 END
+        """,
+        "q80_chunk_text": r"""
+            WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, toks,
+                         unnest(generate_series(1, greatest(len(toks) - 8, 1), 24)) AS st
+                  FROM t)
+            SELECT doc_id,
+                   CAST((st - 1) // 24 AS BIGINT) AS chunk_idx,
+                   CAST(len(list_slice(toks, st, st + 31)) AS BIGINT) AS n_tokens_chunk,
+                   array_to_string(list_slice(toks, st, st + 31), ' ') AS chunk_text
+            FROM s
         """,
         "q71_ann_ivf": _ann_ivf_oracle_sql(),
         "q74_minhash_high_threshold": r"""

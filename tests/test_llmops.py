@@ -126,3 +126,48 @@ def test_fingerprint_normalizes_whitespace(spark):
     df = spark.createDataFrame([(1, "Hello  World"), (2, " hello world ")], "doc_id long, text string")
     fps = {r.doc_id: r.fp for r in llmops.fingerprint(df, "doc_id", "text").collect()}
     assert fps[1] == fps[2]
+
+
+def test_chunk_text_windows_and_tail(spark):
+    """Chunk starts advance by stride; the tail is covered by a short final
+    window; short docs yield exactly one chunk."""
+    words = " ".join(f"w{i}" for i in range(1, 11))  # 10 tokens
+    df = spark.createDataFrame([(1, words), (2, "a b")], "doc_id long, text string")
+    out = llmops.chunk_text(df, "doc_id", "text", max_tokens=4, overlap=1).collect()
+    got = {(r.doc_id, r.chunk_idx): (r.n_tokens_chunk, r.chunk_text) for r in out}
+    # doc 1: stride 3, starts while s <= 10-1=9 -> 1,4,7 ; slice(7,4)=w7..w10
+    assert got[(1, 0)] == (4, "w1 w2 w3 w4")
+    assert got[(1, 1)] == (4, "w4 w5 w6 w7")
+    assert got[(1, 2)] == (4, "w7 w8 w9 w10")
+    assert (1, 3) not in got
+    assert got[(2, 0)] == (2, "a b")
+
+
+def test_sample_hash_deterministic_and_disjoint_strata(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 2 == 0).cast("string").alias("s")
+    )
+    a = llmops.sample_hash(df, "doc_id", 0.3, salt="x")
+    b = llmops.sample_hash(df, "doc_id", 0.3, salt="x")
+    assert sorted(r.doc_id for r in a.collect()) == sorted(r.doc_id for r in b.collect())
+    n = a.count()
+    assert 450 <= n <= 750  # ~600 expected, deterministic but hash-distributed
+    strat = llmops.sample_stratified_hash(df, "doc_id", "s", {"true": 1.0}, salt="x")
+    rows = strat.collect()
+    assert all(r.s == "true" for r in rows) and len(rows) == 1000  # frac-1.0 stratum complete, other drops
+
+
+def test_quality_filter_rules(spark):
+    good = "the quick brown fox and the lazy dog have fun with all of that " * 3
+    short = "too short"
+    symbols = "the " + "#@ " * 40 + "of and that with have be to"
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in llmops.quality_filter(
+        df, "doc_id", "text", min_words=10, max_words=100, min_mean_word_len=2.0,
+        max_mean_word_len=8.0, max_symbol_ratio=0.1, min_stop_hits=2,
+    ).collect()}
+    assert out[1].keep is True
+    assert out[2].keep is False          # word count below minimum
+    assert out[3].keep is False and out[3].symbol_ratio > 0.1
