@@ -896,6 +896,19 @@ def q77_named_branches(spark, sf_dir):
     return merged.df.select("event_id", "branch")
 
 
+def q81_salted_join(spark, sf_dir):
+    """Skew-salted stream⋈table join (KStream.join_table_salted): stream rows
+    carry a deterministic row-hash salt, the table side replicates n_salt×,
+    and the join runs on (key, salt) — spreading any hot key over n_salt
+    reducers.  The oracle is the PLAIN join: salting must not change the
+    result set."""
+    b = _b(spark, sf_dir)
+    orders = b.stream("orders", key="o_custkey", ts="o_orderdate")
+    cust = b.table("customer", key="c_custkey", order=("c_custkey",))
+    j = orders.join_table_salted(cust, n_salt=8, how="inner")
+    return j.df.select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+
+
 def q78_quality_filter(spark, sf_dir):
     """Gopher-style quality filtering (llmops.quality_filter): per-doc
     signals + keep verdict, thresholds tuned to this corpus so both verdicts
@@ -1150,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_quality_filter": q78_quality_filter,
         "q79_sample_stratified": q79_sample_stratified,
         "q80_chunk_text": q80_chunk_text,
+        "q81_salted_join": q81_salted_join,
     }
 
 
@@ -1747,6 +1761,10 @@ def oracle_sql() -> dict[str, str]:
                         WHEN event_type = 'purchase' THEN 'ev-buy'
                         ELSE 'ev-rest' END AS branch
             FROM events
+        """,
+        "q81_salted_join": """
+            SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
         """,
         "q78_quality_filter": r"""
             WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks

@@ -474,6 +474,37 @@ class KStream:
         cols += [r[c] for c in table.df.columns if c not in table.key]
         return KStream(joined.select(*cols), self.key, self.ts)
 
+    def join_table_salted(self, table: "KTable", n_salt: int = 8, how: str = "inner") -> "KStream":
+        """join_table with explicit SKEW SALTING — the manual lever for when
+        one key dominates the stream (the 100 TB hot-key case AQE's runtime
+        skew split can miss, e.g. under a deliberately pinned partitioning):
+        the stream side gets a deterministic salt (hash of the whole row mod
+        ``n_salt``) appended to the join key, the table side is replicated
+        ``n_salt``× via explode, and the equi-join on (key, salt) spreads
+        each hot key over ``n_salt`` reducers.  Result set is IDENTICAL to
+        join_table (q81's oracle is the unsalted join); cost is n_salt×
+        duplication of the (small) table side — never salt when the table is
+        broadcast-size, use join_global instead."""
+        if how not in ("inner", "left"):
+            raise ValueError("stream-table join supports inner|left")
+        if len(self.key) != len(table.key):
+            raise ValueError("join key arity mismatch")
+        if n_salt < 1:
+            raise ValueError("n_salt must be >= 1")
+        l = _not_null(self.df, self.key).withColumn(
+            "__salt", F.pmod(F.xxhash64(*self.df.columns), F.lit(n_salt)).cast("int")
+        )
+        r = table.df.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        cond = l["__salt"] == r["__salt"]
+        for lk, rk in zip(self.key, table.key):
+            cond = cond & (l[lk] == r[rk])
+        joined = l.join(r, cond, how)
+        cols = [l[c] for c in self.df.columns]
+        cols += [r[c] for c in table.df.columns if c not in table.key]
+        return KStream(joined.select(*cols), self.key, self.ts)
+
     def join_semi(self, table: "KTable") -> "KStream":
         """Left-semi join: keep stream records whose key exists in the table
         (absent in the reference — §2.5 extension; Spark-native).  Output =

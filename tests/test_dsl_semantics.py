@@ -383,3 +383,23 @@ def test_split_named_branches(spark):
     dropped = KStream(df, key=("k",)).split().branch(F.col("v") >= 100, "big").no_default_branch()
     assert sorted(dropped) == ["big"]
     assert {r.k for r in dropped["big"].df.collect()} == {2}
+
+
+def test_salted_join_equals_plain_join(spark):
+    """join_table_salted must produce exactly join_table's result set (inner
+    and left, including unmatched-left nulls) — salting only changes the
+    physical key distribution."""
+    from pyspark_engine.dsl import KTable
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "d"), (9, "e")], "k long, v string"
+    )  # key 1 is the hot key; 9 has no match
+    right = spark.createDataFrame([(1, "X"), (2, "Y"), (3, "Z")], "k2 long, w string")
+    s = KStream(left, key=("k",))
+    t = KTable(right, key=("k2",))
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.v, r.w) for r in s.join_table_salted(t, n_salt=4, how=how).df.collect()
+        )
+        want = sorted((r.k, r.v, r.w) for r in s.join_table(t, how=how).df.collect())
+        assert got == want, how

@@ -371,3 +371,22 @@ def test_state_data_source_interactive_query(spark, tmp_path):
     want = _events_batch(spark).group_by_key().count().df
     cols = ["user_id", "cnt"]
     pd.testing.assert_frame_equal(_sorted_pdf(state, cols), _sorted_pdf(want, cols))
+
+
+def test_stream_global_table_join_streaming_parity(spark):
+    """KStream⋈GlobalKTable in STREAMING mode: Spark's stream-static join —
+    the static (broadcast) side is the replicated store looked up per record
+    (KStreamKTableJoinProcessor with the global getter); final output equals
+    the batch broadcast join."""
+    from pyspark_engine import StreamBuilder
+    from pyspark_engine.dsl import GlobalKTable
+
+    cust = StreamBuilder(spark, SF).global_table("customer", key="c_custkey", order=("c_custkey",))
+
+    def topo(ks):
+        return ks.join_global(cust, F.col("user_id") % 100 + 1, how="inner")
+
+    got = run_available_now(topo(_events_stream(spark)), output_mode="append")
+    want = topo(_events_batch(spark)).df
+    cols = ["event_id", "user_id", "c_name"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
