@@ -896,6 +896,32 @@ def q77_named_branches(spark, sf_dir):
     return merged.df.select("event_id", "branch")
 
 
+def q82_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (llmops.decontaminate): flag docs sharing
+    any 8-gram with the 'benchmark' subset (doc_id % 10 = 0); md5 digests
+    keep the candidate join byte-portable to the oracle."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    return llmops.decontaminate(docs, ref, "doc_id", "text", n=8)
+
+
+def q83_repetition_stats(spark, sf_dir):
+    """Within-doc repetition signals (llmops.repetition_stats): bigram
+    totals, top-bigram fraction, duplicate-bigram fraction."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.repetition_stats(docs, "doc_id", "text")
+
+
+def q84_quantize_embeddings(spark, sf_dir):
+    """Per-vector int8 quantization (llmops.quantize_embeddings): floor-based
+    codes + per-row scale, CSV-rendered codes for portable compare."""
+    emb = read_table(configure(spark), sf_dir, "embeddings")
+    out = llmops.quantize_embeddings(emb, "vec_id", "embedding")
+    return out.select(
+        "vec_id", "q_scale", F.concat_ws(",", F.col("q_codes").cast("array<string>")).alias("codes_csv")
+    )
+
+
 def q81_salted_join(spark, sf_dir):
     """Skew-salted stream⋈table join (KStream.join_table_salted): stream rows
     carry a deterministic row-hash salt, the table side replicates n_salt×,
@@ -1164,6 +1190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_sample_stratified": q79_sample_stratified,
         "q80_chunk_text": q80_chunk_text,
         "q81_salted_join": q81_salted_join,
+        "q82_decontaminate": q82_decontaminate,
+        "q83_repetition_stats": q83_repetition_stats,
+        "q84_quantize_embeddings": q84_quantize_embeddings,
     }
 
 
@@ -1765,6 +1794,44 @@ def oracle_sql() -> dict[str, str]:
         "q81_salted_join": """
             SELECT o_orderkey, o_custkey, c_name, c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "q82_decontaminate": r"""
+            WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                          FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+                                                      i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS gs
+                  FROM toks),
+            d AS (SELECT doc_id, md5(gg) AS dg FROM (SELECT doc_id, unnest(gs) AS gg FROM g)),
+            r AS (SELECT DISTINCT md5(gg) AS dg
+                  FROM (SELECT unnest(gs) AS gg FROM g WHERE doc_id % 10 = 0)),
+            h AS (SELECT doc_id, count(*) AS n FROM d JOIN r USING (dg) GROUP BY doc_id)
+            SELECT b.doc_id,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_ngrams,
+                   COALESCE(h.n, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents) b LEFT JOIN h USING (doc_id)
+        """,
+        "q83_repetition_stats": r"""
+            WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                          FROM documents),
+            e AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                                                       i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+                  FROM toks),
+            pg AS (SELECT doc_id, g, count(*) AS c FROM e GROUP BY doc_id, g)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac,
+                   1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_bigram_frac
+            FROM pg GROUP BY doc_id
+        """,
+        "q84_quantize_embeddings": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+            s AS (SELECT vec_id, v, CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END AS sc FROM m)
+            SELECT vec_id, sc AS q_scale,
+                   array_to_string(list_transform(v,
+                       x -> CAST(greatest(-127, least(127, floor(x * sc))) AS INT)), ',') AS codes_csv
+            FROM s
         """,
         "q78_quality_filter": r"""
             WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks

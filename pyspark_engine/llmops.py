@@ -714,6 +714,97 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
 
 
+def decontaminate(
+    docs: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing any word ``n``-gram
+    with a reference corpus (the standard eval-set leak check for training
+    data).  Emits every doc with its shared-n-gram count so the pipeline can
+    audit severity, not just drop.
+
+    Scale: both sides reduce to DISTINCT n-gram digests (md5 — 32 hex chars,
+    so the join key is fixed-width regardless of n); the contaminated set
+    comes from one digest equi-join whose ref side is |ref n-grams| —
+    typically tiny next to the corpus and broadcastable by AQE; the corpus
+    text itself never re-shuffles (count re-attaches by doc id).  Digests are
+    md5 rather than xxhash64 so the DuckDB oracle can replay the join
+    byte-for-byte."""
+    ref_text_col = ref_text_col or text_col
+    d_sh = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("__g"),
+    ).select(F.col(id_col), F.md5("__g").alias("__d"))
+    r_sh = (
+        ref.select(F.explode(word_ngrams(tokens(F.col(ref_text_col)), n)).alias("__g"))
+        .select(F.md5("__g").alias("__d"))
+        .distinct()
+    )
+    hits = d_sh.join(r_sh, "__d").groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared"))
+    return docs.select(F.col(id_col)).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared_ngrams"),
+        (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition-rule family):
+    bigram occurrence count, the most-frequent-bigram fraction, and the
+    duplicate-bigram fraction (1 − distinct/total).  High values mark
+    boilerplate/spam for downstream filtering.
+
+    Scale: explode → two keyed aggregations — (doc, gram) then (doc) — both
+    map-side combinable; nothing pairwise, nothing driver-side."""
+    big = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams_multiset(tokens(F.col(text_col)), 2)).alias("__g"),
+    )
+    per_gram = big.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_bigrams"),
+            F.max("__c").alias("__top"),
+            F.count(F.lit(1)).alias("__distinct"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            (F.col("__top").cast("double") / F.col("n_bigrams").cast("double")).alias("top_bigram_frac"),
+            (
+                F.lit(1.0)
+                - F.col("__distinct").cast("double") / F.col("n_bigrams").cast("double")
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization (the storage/serving format for
+    corpus-scale embedding stores): scale = 127 / max|v| per row, code =
+    floor(v·scale) clamped to [-127, 127].  floor (not round) keeps the codes
+    bitwise-portable across engines — round-half modes differ between Spark
+    and DuckDB.  Single-pass Column expressions; emits the per-row scale so
+    consumers can dequantize (v ≈ code / scale)."""
+    v = F.col(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(max_abs > 0, F.lit(127.0) / max_abs).otherwise(F.lit(0.0))
+    code = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(x.cast("double") * scale).cast("int"))
+        ),
+    )
+    return df.select(F.col(id_col), scale.alias("q_scale"), code.alias("q_codes"))
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

@@ -171,3 +171,31 @@ def test_quality_filter_rules(spark):
     assert out[1].keep is True
     assert out[2].keep is False          # word count below minimum
     assert out[3].keep is False and out[3].symbol_ratio > 0.1
+
+
+def test_decontaminate_flags_shared_ngram(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame([(1, base), (2, clean)], "doc_id long, text string")
+    ref = spark.createDataFrame([(99, "zzz " + base)], "doc_id long, text string")
+    out = {r.doc_id: r for r in llmops.decontaminate(docs, ref, "doc_id", "text", n=8).collect()}
+    assert out[1].contaminated is True and out[1].n_shared_ngrams >= 1
+    assert out[2].contaminated is False and out[2].n_shared_ngrams == 0
+
+
+def test_repetition_stats_planted(spark):
+    df = spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
+    r = llmops.repetition_stats(df, "doc_id", "text").collect()[0]
+    # bigrams: ab ba ab ba ab -> total 5, top 'a b' x3, distinct 2
+    assert r.n_bigrams == 5
+    assert abs(r.top_bigram_frac - 3 / 5) < 1e-12
+    assert abs(r.dup_bigram_frac - (1 - 2 / 5)) < 1e-12
+
+
+def test_quantize_embeddings_planted(spark):
+    df = spark.createDataFrame([(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+                               "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in llmops.quantize_embeddings(df).collect()}
+    assert abs(got[1].q_scale - 63.5) < 1e-12
+    assert got[1].q_codes == [63, -127, 31]
+    assert got[2].q_scale == 0.0 and got[2].q_codes == [0, 0, 0]
