@@ -8,7 +8,8 @@ Headliners cover every subsystem: scan+agg (q01), projection (q05), keyed agg
 stream-stream interval join (q29/q31), stream-table join (q32), broadcast dim
 join (q34), table-table join (q36), as-of join (q62), per-group top-k (q54),
 dedup exact/minhash (q42/q43), embedding near-dup (q60), embedding top-k
-(q46), text analysis (q48).  Results are fully materialized through the noop
+(q46), ANN IVF (q71), text analysis (q48), quality filter (q78), chunking
+(q80), decontamination (q82).  Results are fully materialized through the noop
 sink (no driver collect); each query runs twice and reports the second
 (steady-state) time.
 
@@ -57,8 +58,12 @@ HEADLINE = [
     "q61_session_window",
     "q62_asof_join",
     "q69_sliding_agg",
+    "q71_ann_ivf",
     "q72_composed_pipeline",
     "q73_percentiles",
+    "q78_quality_filter",
+    "q80_chunk_text",
+    "q82_decontaminate",
 ]
 
 

@@ -735,12 +735,13 @@ def decontaminate(
     md5 rather than xxhash64 so the DuckDB oracle can replay the join
     byte-for-byte."""
     ref_text_col = ref_text_col or text_col
-    d_sh = docs.select(
+    d_sh = _spread(docs).select(
         F.col(id_col),
         F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("__g"),
     ).select(F.col(id_col), F.md5("__g").alias("__d"))
     r_sh = (
-        ref.select(F.explode(word_ngrams(tokens(F.col(ref_text_col)), n)).alias("__g"))
+        _spread(ref)
+        .select(F.explode(word_ngrams(tokens(F.col(ref_text_col)), n)).alias("__g"))
         .select(F.md5("__g").alias("__d"))
         .distinct()
     )
