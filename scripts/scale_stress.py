@@ -1,0 +1,150 @@
+"""Scale-stress evidence: replicate the sf0.1 fact tables 10x/30x (keeping
+key cardinality fixed, so per-key fan-in grows with scale — the hard
+direction), rerun representative headline queries, and report how wall time
+degrades.  Near-linear growth (exponent ~1 in the replication factor) is the
+pass signal: it means the plans are shuffle/partition-bound, not
+driver-bound or pairwise-bound, and survive a 100x scale-up.
+
+Also measures the hot-key skew demo: a 90%-one-key stream joined to a dim
+table, plain join_table vs join_table_salted, to show the explicit skew
+lever (and AQE's behavior) under deliberate imbalance.
+
+Usage: python scripts/scale_stress.py            # factors 1,10,30
+       SCALE_FACTORS=1,10,100 python scripts/scale_stress.py
+Writes one JSON line; regenerated tables cache under /tmp/pse-scale.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
+from pyspark_engine import llmops
+from pyspark_engine.dsl import KStream, KTable
+from pyspark_engine.runtime import build_session, configure
+
+BASE = "/root/testdata/sf0.1"
+ROOT = "/tmp/pse-scale"
+SCALED = ("events", "lineitem", "orders")
+COPIED = ("customer",)
+QUERIES = [
+    "q01_pricing_summary",     # lineitem scan + decimal agg
+    "q05_stream_map_values",   # projection
+    "q16_grouped_count",       # keyed agg, fan-in grows with factor
+    "q26_window_hopping_sum",  # windowed agg
+    "q29_ss_join_inner",       # stream-stream interval join
+    "q32_st_join_inner",       # stream-table join (orders x customer)
+    "q62_asof_join",           # as-of join (union + one window pass)
+    "q73_percentiles",         # exact percentiles
+]
+
+
+def _build_dir(spark, k: int) -> str:
+    out = f"{ROOT}/x{k}"
+    if os.path.isdir(out) and os.path.exists(f"{out}/_DONE"):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for t in SCALED:
+        df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        if k > 1:
+            rep = spark.range(k).select(F.col("id").alias("__rep"))
+            df = df.crossJoin(rep)
+            # keep row identity unique where the engine relies on it; keys
+            # (user_id / custkey) stay fixed so per-key volume grows k-fold
+            if t == "events":
+                df = df.select(
+                    (F.col("event_id") * k + F.col("__rep")).alias("event_id"),
+                    "user_id", "event_type", "value",
+                    (F.col("ts") + F.col("__rep")).alias("ts"),  # ns-scale shift
+                )
+            elif t == "orders":
+                df = df.select(
+                    (F.col("o_orderkey") * k + F.col("__rep")).alias("o_orderkey"),
+                    *[c for c in df.columns if c not in ("o_orderkey", "__rep")],
+                )
+            else:
+                df = df.drop("__rep")
+        # 32*k files per table so scan parallelism tracks data volume at every
+        # factor; otherwise the single-file x1 base reads with 1 task and the
+        # x1 timings (the exponent denominator) are a layout artifact
+        df.repartition(32 * k).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    for t in COPIED:
+        shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+    open(f"{out}/_DONE", "w").close()
+    return out
+
+
+def _steady(df) -> float:
+    df.write.format("noop").mode("overwrite").save()
+    best = math.inf
+    for _ in range(2):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def _skew_demo(spark, sf_dir: str) -> dict:
+    """90% of 1M stream rows on one key, joined to a 1500-row dim."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    skewed = ev.withColumn(
+        "user_id", F.when(F.pmod(F.col("event_id"), F.lit(10)) < 9, F.lit(1)).otherwise(F.col("user_id"))
+    )
+    cust = spark.read.parquet(f"{BASE}/customer.parquet").select(
+        F.col("c_custkey").alias("u2"), "c_name", "c_mktsegment"
+    )
+    s = KStream(skewed, key=("user_id",))
+    t = KTable(cust, key=("u2",))
+    out = {}
+    out["plain_join_sec"] = _steady(s.join_table(t, how="inner").df)
+    out["salted_join_sec"] = _steady(s.join_table_salted(t, n_salt=32, how="inner").df)
+    return out
+
+
+def main() -> None:
+    factors = [int(x) for x in os.environ.get("SCALE_FACTORS", "1,10,30").split(",")]
+    spark = build_session("scale_stress", ui=False)
+    qs = entrymod.queries()
+    results: dict[str, dict] = {q: {} for q in QUERIES}
+    for k in factors:
+        d = _build_dir(spark, k)
+        for q in QUERIES:
+            llmops.release_cache()
+            results[q][f"x{k}"] = _steady(qs[q](spark, d))
+    base, top = factors[0], factors[-1]
+    exponents = {}
+    for q in QUERIES:
+        t1, tk = results[q][f"x{base}"], results[q][f"x{top}"]
+        if t1 > 0 and tk > 0 and top > base:
+            exponents[q] = round(math.log(tk / t1) / math.log(top / base), 2)
+    out = {
+        "metric": "scale_stress",
+        "factors": factors,
+        "base_sf_dir": BASE,
+        "queries": results,
+        "scaling_exponent_vs_factor": exponents,
+        "note": (
+            "exponent ~1 = linear in input, <1 = amortizing fixed costs; "
+            "keys fixed so per-key fan-in grows with factor"
+        ),
+        "skew_note": (
+            "batch AQE already splits skewed sort-merge partitions, so salting may "
+            "not win here; join_table_salted is the manual lever for paths where "
+            "AQE cannot act (Structured Streaming joins, fixed partitioning)"
+        ),
+        "skew_demo_x10": _skew_demo(spark, _build_dir(spark, 10)),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
