@@ -922,6 +922,33 @@ def q84_quantize_embeddings(spark, sf_dir):
     )
 
 
+def q85_cogroup(spark, sf_dir):
+    """Cogroup (KGroupedStream.cogroup → CogroupedKStream.aggregate,
+    KIP-150): events grouped by user_id and orders re-keyed to the same key
+    space each contribute their own aggregators to ONE shared table; keys
+    seen by only one stream keep the other stream's initializer (counts
+    fill to 0, sums stay null)."""
+    b = _b(spark, sf_dir)
+    ev = b.stream("events", key="user_id", ts="ts").group_by_key()
+    orders = (
+        b.stream("orders", key="o_orderkey", ts="o_orderdate")
+        .group_by(user_id=F.col("o_custkey"))
+    )
+    table = (
+        ev.cogroup(
+            ev_cnt=F.count(F.lit(1)),
+            ev_sum=F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        )
+        .cogroup(
+            orders,
+            ord_cnt=F.count(F.lit(1)),
+            ord_total=F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+        )
+        .aggregate(fill={"ev_cnt": 0, "ord_cnt": 0})
+    )
+    return table.df.select("user_id", "ev_cnt", "ev_sum", "ord_cnt", "ord_total")
+
+
 def q81_salted_join(spark, sf_dir):
     """Skew-salted stream⋈table join (KStream.join_table_salted): stream rows
     carry a deterministic row-hash salt, the table side replicates n_salt×,
@@ -1193,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_decontaminate": q82_decontaminate,
         "q83_repetition_stats": q83_repetition_stats,
         "q84_quantize_embeddings": q84_quantize_embeddings,
+        "q85_cogroup": q85_cogroup,
     }
 
 
@@ -1823,6 +1851,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac,
                    1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_bigram_frac
             FROM pg GROUP BY doc_id
+        """,
+        "q85_cogroup": """
+            WITH e AS (
+                SELECT user_id, count(*) AS ev_cnt,
+                       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ev_sum
+                FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+            ),
+            o AS (
+                SELECT o_custkey AS user_id, count(*) AS ord_cnt,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ord_total
+                FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+            )
+            SELECT coalesce(e.user_id, o.user_id) AS user_id,
+                   coalesce(e.ev_cnt, 0) AS ev_cnt, e.ev_sum,
+                   coalesce(o.ord_cnt, 0) AS ord_cnt, o.ord_total
+            FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
         """,
         "q84_quantize_embeddings": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -889,6 +889,90 @@ class KGroupedStream:
         per-task stream-time (see TimeWindowedKStream)."""
         return TimeWindowedKStream(self.stream, window, arrival_order, arrival_partition)
 
+    def cogroup(self, **agg_exprs: Column) -> "CogroupedKStream":
+        """Start a cogroup — the Kafka Streams 2.5 ``cogroup`` surface (absent
+        from the reference snapshot, which predates KIP-150; successor API of
+        its KGroupedStream like ``split`` is of Branch).  Each participating
+        grouped stream contributes its own aggregators to one shared table:
+        ``a.cogroup(cnt=F.count('*')).cogroup(b, total=F.sum('x'))
+        .aggregate()``.  A key present in only some streams still appears;
+        the other streams' columns hold their initializer value (null, or the
+        ``fill`` default given to ``aggregate``)."""
+        return CogroupedKStream().cogroup(self, **agg_exprs)
+
+
+class CogroupedKStream:
+    """Builder for KGroupedStream.cogroup (KIP-150 semantics).
+
+    Spark-first plan: each stream is aggregated independently (hash
+    aggregate → map-side partial combine, so raw records reduce to one row
+    per key per map task before their single shuffle), then the pre-reduced
+    per-stream tables — one row per key each — are stitched with
+    key-coalescing full-outer joins.  All joins key on the same columns the
+    aggregates just hash-partitioned by, so Catalyst reuses the exchange
+    instead of reshuffling; the join inputs are aggregate-sized, not
+    raw-data-sized.  At 100 TB the cost is N aggregation shuffles of
+    pre-combined rows — the same work N separate aggregates would do — plus
+    joins over |distinct keys| rows, never a second pass over raw data."""
+
+    def __init__(self):
+        self._parts: list[tuple[KGroupedStream, dict[str, Column]]] = []
+
+    def cogroup(self, grouped: KGroupedStream, **agg_exprs: Column) -> "CogroupedKStream":
+        if not agg_exprs:
+            raise ValueError("cogroup requires at least one named aggregate expression")
+        if self._parts and len(grouped.key) != len(self._parts[0][0].key):
+            raise ValueError(
+                "all cogrouped streams must share the key arity; re-key with group_by first"
+            )
+        self._parts.append((grouped, dict(agg_exprs)))
+        return self
+
+    def aggregate(self, fill: dict[str, object] | None = None) -> KTable:
+        """Materialize the cogroup as one KTable keyed by the first stream's
+        key names.  ``fill`` maps aggregate column → initializer value used
+        when that stream never saw the key (KIP-150's Initializer; default
+        null)."""
+        if not self._parts:
+            raise ValueError("cogroup requires at least one stream")
+        key = self._parts[0][0].key
+        seen: set[str] = set()
+        for _, aggs in self._parts:
+            dup = seen.intersection(aggs)
+            if dup:
+                raise ValueError(f"duplicate aggregate column name(s): {sorted(dup)}")
+            seen.update(aggs)
+        tables = []
+        for grouped, aggs in self._parts:
+            t = grouped.aggregate(**aggs).df
+            # align key column names to the first stream's
+            for old, new in zip(grouped.key, key):
+                if old != new:
+                    t = t.withColumnRenamed(old, new)
+            tables.append(t)
+        out = tables[0]
+        for t in tables[1:]:
+            cond = None
+            for k in key:
+                c = out[k].eqNullSafe(t[k])
+                cond = c if cond is None else cond & c
+            joined = out.join(t, cond, "full_outer")
+            coalesced = [F.coalesce(out[k], t[k]).alias(k) for k in key]
+            others = [out[c] for c in out.columns if c not in key] + [
+                t[c] for c in t.columns if c not in key
+            ]
+            out = joined.select(*coalesced, *others)
+        if fill:
+            out = out.select(
+                *key,
+                *[
+                    F.coalesce(F.col(c), F.lit(fill[c])).alias(c) if c in fill else F.col(c)
+                    for c in out.columns
+                    if c not in key
+                ],
+            )
+        return KTable(out, key)
+
 
 class KGroupedTable:
     """Re-keyed table awaiting re-aggregation (core/Table/Internal/KGroupedTable.cs).

@@ -403,3 +403,37 @@ def test_salted_join_equals_plain_join(spark):
         )
         want = sorted((r.k, r.v, r.w) for r in s.join_table(t, how=how).df.collect())
         assert got == want, how
+
+
+def test_cogroup_disjoint_keys_fill_and_shared(spark):
+    a = spark.createDataFrame([(1, 10), (1, 20), (2, 5)], "k long, x long")
+    b = spark.createDataFrame([(2, 100), (3, 7)], "k2 long, y long")
+    ga = KStream(a, key=("k",)).group_by_key()
+    gb = KStream(b, key=("k2",)).group_by_key()
+    out = (
+        ga.cogroup(a_cnt=F.count(F.lit(1)), a_sum=F.sum("x"))
+        .cogroup(gb, b_cnt=F.count(F.lit(1)), b_max=F.max("y"))
+        .aggregate(fill={"a_cnt": 0, "b_cnt": 0})
+    )
+    rows = {r.k: r for r in out.df.collect()}
+    # key renamed to the first stream's name; all three keys present
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1].a_cnt, rows[1].a_sum, rows[1].b_cnt, rows[1].b_max) == (2, 30, 0, None)
+    assert (rows[2].a_cnt, rows[2].a_sum, rows[2].b_cnt, rows[2].b_max) == (1, 5, 1, 100)
+    assert (rows[3].a_cnt, rows[3].a_sum, rows[3].b_cnt, rows[3].b_max) == (0, None, 1, 7)
+
+
+def test_cogroup_rejects_duplicate_names_and_key_arity(spark):
+    import pytest as _pytest
+
+    a = spark.createDataFrame([(1, 10)], "k long, x long")
+    b = spark.createDataFrame([(1, 2, 3)], "k long, k2 long, y long")
+    ga = KStream(a, key=("k",)).group_by_key()
+    with _pytest.raises(ValueError, match="duplicate aggregate column"):
+        ga.cogroup(n=F.count(F.lit(1))).cogroup(
+            KStream(a, key=("k",)).group_by_key(), n=F.sum("x")
+        ).aggregate()
+    with _pytest.raises(ValueError, match="key arity"):
+        ga.cogroup(n=F.count(F.lit(1))).cogroup(
+            KStream(b, key=("k", "k2")).group_by_key(), m=F.sum("y")
+        )
