@@ -13,6 +13,7 @@ Layout:
     llmops.py    LLM-data-pipeline operators (dedup, similarity, text analysis)
     runtime.py   session helpers, materialized-store registry (interactive queries)
     streaming.py Structured Streaming wiring (Kafka/file sources, parity helpers)
+    testing.py   TopologyTestDriver analog (in-memory topics, no broker)
 """
 
 from .dsl import GlobalKTable, KGroupedStream, KGroupedTable, KStream, KTable, StreamBuilder, TimeWindowedKStream

@@ -1,0 +1,402 @@
+"""TopologyTestDriver analog — the reference's in-memory test harness
+(core/Mock/TopologyTestDriver.cs:63-399, TestInputTopic.cs:25-170,
+TestOutputTopic.cs:30-155, TestRecord.cs) re-expressed over the batch DSL.
+
+The reference spins an in-memory Kafka cluster (MockConsumer/MockProducer)
+and pumps records through the processor topology synchronously (SYNC_TASK
+mode).  Here the topology is a *logical* DataFrame pipeline, so the driver
+keeps per-topic record logs on the Python side, materializes them as
+DataFrames, and (re)runs the topology lazily on every read — the Spark
+analog of "process everything piped so far".  No broker, no threads, no
+checkpoint dirs: a driver + StreamBuilder pair is all a unit test needs,
+which is exactly the reference harness's pitch.
+
+Shape differences, both deliberate (SURVEY §3-4):
+
+  * Sinks: the reference topology ends with ``.To("topic")``; a file write
+    would be wrong for a unit-test harness, so here the topology function
+    *returns* ``{output_topic_name: KStream | KTable}`` and the driver owns
+    materialization.  Same declarative spirit as the rest of the DSL.
+  * Emission cadence: the reference emits one record per processed input
+    (update-per-record); batch recompute yields final results.  For
+    stateless operators the two are identical record-for-record; for
+    aggregations the driver exposes the *current state* per read — the
+    final-state comparison contract from SURVEY §7.3.3.  Drain semantics
+    (each output record read once) are preserved via a multiset cursor.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Callable, Iterable, Mapping
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from .dsl import KStream, KTable, StreamBuilder
+from .runtime import StoreRegistry
+
+# Deterministic auto-timestamp base (the reference uses wall-clock "now" as
+# the default base time, TestInputTopic.cs:60-66; a fixed epoch keeps unit
+# tests reproducible).
+_DEFAULT_BASE_MS = 1_700_000_000_000  # 2023-11-14T22:13:20Z
+
+
+class TestRecord:
+    """Piped record (core/Mock/TestRecord.cs): key, value, event timestamp."""
+
+    __test__ = False  # not a pytest class, despite the reference's name
+    __slots__ = ("key", "value", "timestamp_ms")
+
+    def __init__(self, key=None, value=None, timestamp_ms: int | None = None):
+        self.key = key
+        self.value = value
+        self.timestamp_ms = timestamp_ms
+
+
+class _TopicLog:
+    """Append-only in-memory topic (the MockCluster partition-log analog)."""
+
+    def __init__(self, schema: str, key_col: str, value_col: str, ts_col: str | None):
+        self.schema = schema
+        self.key_col = key_col
+        self.value_col = value_col
+        self.ts_col = ts_col
+        self.rows: list[dict] = []
+        self.next_auto_ms = _DEFAULT_BASE_MS
+
+
+class TestInputTopic:
+    """Pipe records into one source topic (core/Mock/TestInputTopic.cs).
+
+    ``pipe_input`` accepts either a full row ``dict`` (the general DataFrame
+    shape) or the reference's ``(key, value)`` / ``(value,)`` convenience
+    forms, which fill ``key_col``/``value_col``.  Event timestamps default to
+    a deterministic auto-advancing clock (+1ms per record), matching the
+    reference's base-time + advance behavior (TestInputTopic.cs:99-170)."""
+
+    def __init__(self, driver: "TopologyTestDriver", name: str):
+        self._driver = driver
+        self._name = name
+
+    def _log(self) -> _TopicLog:
+        return self._driver._logs[self._name]
+
+    def _row(self, key, value, timestamp_ms) -> dict:
+        log = self._log()
+        if isinstance(value, Mapping):
+            row = dict(value)
+        else:
+            row = {log.value_col: value}
+        if key is not None:
+            row[log.key_col] = key
+        if log.ts_col is not None and log.ts_col not in row:
+            if timestamp_ms is None:
+                timestamp_ms = log.next_auto_ms
+                log.next_auto_ms += 1
+            row[log.ts_col] = timestamp_ms
+        elif timestamp_ms is not None and log.ts_col is not None:
+            row[log.ts_col] = timestamp_ms
+        return row
+
+    def pipe_input(self, *args, timestamp_ms: int | None = None) -> None:
+        """``pipe_input(value)`` | ``pipe_input(key, value)`` |
+        ``pipe_input(row_dict)`` (TestInputTopic.cs:99-134)."""
+        if len(args) == 1:
+            key, value = None, args[0]
+        elif len(args) == 2:
+            key, value = args
+        else:
+            raise TypeError("pipe_input takes (value) or (key, value)")
+        if isinstance(value, TestRecord):
+            key, value, timestamp_ms = value.key, value.value, value.timestamp_ms
+        self._log().rows.append(self._row(key, value, timestamp_ms))
+        self._driver._dirty = True
+
+    def pipe_inputs(
+        self,
+        inputs: Iterable,
+        start_ms: int | None = None,
+        advance_ms: int = 1,
+    ) -> None:
+        """Pipe a batch with an advancing timestamp
+        (TestInputTopic.cs:135-170).  ``inputs`` items may be values,
+        ``(key, value)`` tuples, row dicts, or TestRecords."""
+        log = self._log()
+        t = start_ms if start_ms is not None else log.next_auto_ms
+        for item in inputs:
+            if isinstance(item, TestRecord):
+                self.pipe_input(item.key, item.value, timestamp_ms=item.timestamp_ms)
+                continue
+            if isinstance(item, tuple) and len(item) == 2:
+                self.pipe_input(item[0], item[1], timestamp_ms=t)
+            else:
+                self.pipe_input(item, timestamp_ms=t)
+            t += advance_ms
+        log.next_auto_ms = max(log.next_auto_ms, t)
+
+
+class TestOutputTopic:
+    """Read + drain one output topic (core/Mock/TestOutputTopic.cs).
+
+    Each read recomputes the topology over everything piped so far and
+    returns only records not yet consumed (multiset difference), so the
+    reference's queue-drain contract holds: ``read_key_value_list`` twice
+    with no new input returns records once, then nothing
+    (TestOutputTopic.cs:102-155).  Rows come back sorted by event time then
+    remaining columns — a deterministic total order standing in for the
+    reference's single-task processing order."""
+
+    def __init__(self, driver: "TopologyTestDriver", name: str):
+        self._driver = driver
+        self._name = name
+        self._consumed: Counter = Counter()
+
+    def _current(self) -> tuple[list[str], Counter]:
+        df = self._driver._output_df(self._name)
+        cols = df.columns
+        return cols, Counter(tuple(r[c] for c in cols) for r in df.collect())
+
+    def _pending(self) -> tuple[list[str], Counter]:
+        cols, cur = self._current()
+        return cols, cur - self._consumed
+
+    @property
+    def is_empty(self) -> bool:
+        """TestOutputTopic.IsEmpty (TestOutputTopic.cs:61)."""
+        return not self._pending()[1]
+
+    @property
+    def queue_size(self) -> int:
+        """TestOutputTopic.QueueSize (TestOutputTopic.cs:66)."""
+        return sum(self._pending()[1].values())
+
+    def read_key_value_list(self) -> list[Row]:
+        """Drain all pending records (TestOutputTopic.cs:121-148)."""
+        cols, pending = self._pending()
+        self._consumed += pending
+        rows = []
+        for values, n in sorted(pending.items(), key=lambda kv: tuple(map(_sort_key, kv[0]))):
+            rows.extend([Row(**dict(zip(cols, values)))] * n)
+        return rows
+
+    def read_value_list(self, value_col: str = "value") -> list:
+        return [r[value_col] for r in self.read_key_value_list()]
+
+    def read_key_value(self) -> Row:
+        """Drain exactly one record; raises if empty (TestOutputTopic.cs:102)."""
+        rows = self.read_key_value_list()
+        if not rows:
+            raise IndexError(f"output topic '{self._name}' is empty")
+        # keep the rest pending for later reads
+        cols = rows[0].__fields__
+        for r in rows[1:]:
+            self._consumed[tuple(r[c] for c in cols)] -= 1
+        self._consumed += Counter()  # drop zero entries
+        return rows[0]
+
+    def read_value(self, value_col: str = "value"):
+        return self.read_key_value()[value_col]
+
+    def read_key_values_to_map(self) -> dict:
+        """Final-state table view keyed by the terminal's key columns — the
+        Kafka Streams ``readKeyValuesToMap`` analog, natural for KTable
+        terminals where reads are state snapshots, not deltas."""
+        node = self._driver._terminal(self._name)
+        df = self._driver._output_df(self._name)
+        key = list(node.key)
+        out = {}
+        for r in df.collect():
+            k = tuple(r[c] for c in key)
+            out[k[0] if len(k) == 1 else k] = {c: r[c] for c in df.columns if c not in key}
+        return out
+
+
+def _sort_key(v):
+    return (v is None, str(type(v)), v if v is not None else 0)
+
+
+class _TestBuilder(StreamBuilder):
+    """StreamBuilder whose topic names resolve to the driver's in-memory
+    logs (the MockConsumer read path, ClusterInMemoryTopologyDriver.cs)."""
+
+    def __init__(self, driver: "TopologyTestDriver"):
+        super().__init__(driver.spark, data_dir=None)
+        self._driver = driver
+
+    def _load(self, source) -> DataFrame:
+        if isinstance(source, DataFrame):
+            return source
+        return self._driver._topic_df(str(source))
+
+
+class ReadOnlyKeyValueStore:
+    """Driver-side store handle (TopologyTestDriver.GetKeyValueStore,
+    core/Mock/TopologyTestDriver.cs:340-360; IReadOnlyKeyValueStore)."""
+
+    def __init__(self, registry: StoreRegistry, name: str, key: tuple[str, ...]):
+        self._registry = registry
+        self._name = name
+        self._key = key
+
+    def get(self, *key_values):
+        """Point lookup; None when absent (IReadOnlyKeyValueStore.Get)."""
+        rows = self._registry.get(self._name, **dict(zip(self._key, key_values)))
+        if not rows:
+            return None
+        r = rows[0]
+        vals = {c: r[c] for c in r.__fields__ if c not in self._key}
+        return next(iter(vals.values())) if len(vals) == 1 else vals
+
+    def all(self) -> list[Row]:
+        """Full scan (IReadOnlyKeyValueStore.All)."""
+        return self._registry.store(self._name).collect()
+
+    def approximate_num_entries(self) -> int:
+        return self._registry.store(self._name).count()
+
+
+class ReadOnlyWindowStore:
+    """Windowed-store handle (TopologyTestDriver.GetWindowStore,
+    core/Mock/TopologyTestDriver.cs:363-377); fetches delegate to
+    StoreRegistry.fetch (IWindowStore.Fetch semantics)."""
+
+    def __init__(self, registry: StoreRegistry, name: str, key: tuple[str, ...], start_col: str = "w_start"):
+        self._registry = registry
+        self._name = name
+        self._key = key
+        self._start_col = start_col
+
+    def fetch(self, *key_values, t_from_ms: int | None = None, t_to_ms: int | None = None) -> list[Row]:
+        return self._registry.fetch(
+            self._name,
+            dict(zip(self._key, key_values)),
+            t_from_ms,
+            t_to_ms,
+            start_col=self._start_col,
+        )
+
+
+class TopologyTestDriver:
+    """Drive a topology against in-memory topics with no broker
+    (core/Mock/TopologyTestDriver.cs:63-399, SYNC_TASK mode).
+
+    ``topology`` is a function ``(StreamBuilder) -> {output_topic:
+    KStream | KTable}``; sources reference topic names declared via
+    ``create_input_topic``.  The driver re-runs the (purely logical)
+    topology whenever inputs changed since the last read — cheap, because
+    plans are lazy and the logs are unit-test sized.
+
+    Usage (mirroring TopologyTestDriver.cs:40-60)::
+
+        driver = TopologyTestDriver(spark, lambda b: {
+            "test-output": b.stream("test", key="key", ts="ts")
+                            .filter(F.col("value").contains("test"))
+        })
+        inp = driver.create_input_topic("test")
+        out = driver.create_output_topic("test-output")
+        inp.pipe_input("k", "test-1234")
+        assert out.read_key_value()["value"] == "test-1234"
+    """
+
+    DEFAULT_SCHEMA = "key string, value string, ts timestamp"
+
+    def __init__(self, spark: SparkSession, topology: Callable[[StreamBuilder], Mapping]):
+        self.spark = spark
+        self._topology = topology
+        self._logs: dict[str, _TopicLog] = {}
+        self._dirty = True
+        self._terminals: Mapping[str, KStream | KTable] | None = None
+        self._registry = StoreRegistry(spark)
+
+    # ---------------- topics ----------------
+
+    def create_input_topic(
+        self,
+        name: str,
+        schema: str | None = None,
+        key_col: str = "key",
+        value_col: str = "value",
+        ts_col: str | None = "ts",
+    ) -> TestInputTopic:
+        """CreateInputTopic (TopologyTestDriver.cs:178-209).  ``schema`` is a
+        DDL string for the topic's rows; the default is the reference's
+        string-serde (key, value) pair plus an event-time column."""
+        if name not in self._logs:
+            self._logs[name] = _TopicLog(schema or self.DEFAULT_SCHEMA, key_col, value_col, ts_col)
+        return TestInputTopic(self, name)
+
+    def create_output_topic(self, name: str) -> TestOutputTopic:
+        """CreateOuputTopic (TopologyTestDriver.cs:224-272)."""
+        return TestOutputTopic(self, name)
+
+    # ---------------- stores ----------------
+
+    def get_key_value_store(self, name: str, key: str | tuple[str, ...]) -> ReadOnlyKeyValueStore:
+        """GetKeyValueStore (TopologyTestDriver.cs:340-360): the topology must
+        have called ``KTable.materialize(name)``."""
+        self._run()
+        k = (key,) if isinstance(key, str) else tuple(key)
+        return ReadOnlyKeyValueStore(self._registry, name, k)
+
+    def get_window_store(self, name: str, key: str | tuple[str, ...], start_col: str = "w_start") -> ReadOnlyWindowStore:
+        """GetWindowStore (TopologyTestDriver.cs:363-377)."""
+        self._run()
+        k = (key,) if isinstance(key, str) else tuple(key)
+        return ReadOnlyWindowStore(self._registry, name, k, start_col)
+
+    # ---------------- internals ----------------
+
+    def _topic_df(self, name: str) -> DataFrame:
+        if name not in self._logs:
+            raise KeyError(f"unknown input topic '{name}' — create_input_topic first")
+        log = self._logs[name]
+        df = self.spark.createDataFrame([], log.schema) if not log.rows else self.spark.createDataFrame(
+            [_coerce_ts(dict(r), log, self.spark) for r in log.rows], log.schema
+        )
+        return df
+
+    def _run(self) -> Mapping[str, KStream | KTable]:
+        if self._dirty or self._terminals is None:
+            self._terminals = dict(self._topology(_TestBuilder(self)))
+            self._dirty = False
+        return self._terminals
+
+    def _terminal(self, name: str) -> KStream | KTable:
+        terminals = self._run()
+        if name not in terminals:
+            raise KeyError(f"topology declares no output topic '{name}' (has: {sorted(terminals)})")
+        return terminals[name]
+
+    def _output_df(self, name: str) -> DataFrame:
+        return self._terminal(name).df
+
+    def close(self) -> None:
+        """Dispose analog (TopologyTestDriver.cs:155) — drop the logs; the
+        SparkSession is caller-owned and survives."""
+        self._logs.clear()
+        self._terminals = None
+
+    def __enter__(self) -> "TopologyTestDriver":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def _coerce_ts(row: dict, log: _TopicLog, spark: SparkSession) -> dict:
+    """Epoch-ms ints piped for a timestamp-typed ts column become datetimes
+    (the reference pipes long timestamps; DataFrame wants datetime)."""
+    import datetime
+
+    c = log.ts_col
+    if c and isinstance(row.get(c), int) and "timestamp" in _ts_type(log.schema, c):
+        row[c] = datetime.datetime.fromtimestamp(row[c] / 1000.0, tz=datetime.timezone.utc).replace(tzinfo=None)
+    return row
+
+
+def _ts_type(schema: str, col: str) -> str:
+    for part in schema.split(","):
+        bits = part.strip().split()
+        if bits and bits[0] == col:
+            return " ".join(bits[1:]).lower()
+    return ""

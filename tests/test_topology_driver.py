@@ -1,0 +1,154 @@
+"""TopologyTestDriver analog tests — scenarios mirroring the reference's
+mock-driver usage (core/Mock/TopologyTestDriver.cs:40-60 doc example;
+test/Streamiz.Kafka.Net.Tests/TestDriver/*)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_engine.testing import TestRecord, TopologyTestDriver
+
+
+def _filter_topology(b):
+    return {
+        "test-output": b.stream("test", key="key", ts="ts").filter(
+            F.col("value").contains("test")
+        )
+    }
+
+
+def test_driver_filter_pipe_and_read(spark):
+    """The TopologyTestDriver.cs:40-60 doc example: filter on value."""
+    with TopologyTestDriver(spark, _filter_topology) as driver:
+        inp = driver.create_input_topic("test")
+        out = driver.create_output_topic("test-output")
+        inp.pipe_input("k1", "test-1234")
+        inp.pipe_input("k2", "nope")
+        r = out.read_key_value()
+        assert (r["key"], r["value"]) == ("k1", "test-1234")
+        assert out.is_empty
+
+
+def test_driver_drain_semantics(spark):
+    """Queue contract (TestOutputTopic.cs:102-155): each output record is
+    read exactly once; new pipes surface only the new records."""
+    with TopologyTestDriver(spark, _filter_topology) as driver:
+        inp = driver.create_input_topic("test")
+        out = driver.create_output_topic("test-output")
+        inp.pipe_inputs([("a", "test-1"), ("b", "test-2"), ("c", "drop")])
+        assert out.queue_size == 2
+        assert len(out.read_key_value_list()) == 2
+        assert out.is_empty
+        inp.pipe_input("d", "test-3")
+        vals = out.read_value_list()
+        assert vals == ["test-3"]
+
+
+def test_driver_aggregation_store(spark):
+    """Count topology + GetKeyValueStore (TopologyTestDriver.cs:340-360)."""
+
+    def topo(b):
+        counts = (
+            b.stream("words", key="key", ts="ts")
+            .group_by_key()
+            .count(alias="cnt")
+            .materialize("word_counts_store")
+        )
+        return {"counts": counts}
+
+    with TopologyTestDriver(spark, topo) as driver:
+        inp = driver.create_input_topic("words")
+        inp.pipe_inputs([("a", "x"), ("b", "y"), ("a", "z")])
+        store = driver.get_key_value_store("word_counts_store", key="key")
+        assert store.get("a") == 2
+        assert store.get("b") == 1
+        assert store.get("missing") is None
+        assert store.approximate_num_entries() == 2
+        out = driver.create_output_topic("counts")
+        assert out.read_key_values_to_map() == {"a": {"cnt": 2}, "b": {"cnt": 1}}
+
+
+def test_driver_window_store_fetch(spark):
+    """Windowed count + GetWindowStore range fetch
+    (TopologyTestDriver.cs:363-377; IWindowStore.Fetch)."""
+    from pyspark_engine.windows import TumblingWindowOptions
+
+    def topo(b):
+        wt = (
+            b.stream("events", key="key", ts="ts")
+            .group_by_key()
+            .windowed_by(TumblingWindowOptions.of(60_000))
+            .count(alias="cnt")
+        )
+        wt.materialize("win_store")
+        return {"win": wt.to_stream()}
+
+    base = 1_700_000_000_000
+    with TopologyTestDriver(spark, topo) as driver:
+        inp = driver.create_input_topic("events")
+        inp.pipe_inputs(
+            [("a", "e1"), ("a", "e2"), ("a", "e3")], start_ms=base, advance_ms=61_000
+        )
+        store = driver.get_window_store("win_store", key="key")
+        # three records 61s apart -> three distinct minute windows
+        all_windows = store.fetch("a")
+        assert [r["cnt"] for r in all_windows] == [1, 1, 1]
+
+        def _ms(dt):
+            import datetime
+
+            return int(dt.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+
+        first_start = min(_ms(r["w_start"]) for r in all_windows)
+        ranged = store.fetch("a", t_from_ms=first_start, t_to_ms=first_start + 60_000)
+        assert len(ranged) == 2  # window starts at first_start and first_start+60s
+
+
+def test_driver_two_input_topics_join(spark):
+    """Multi-topic driver (TestMultiInputTopic analog): stream-table join."""
+
+    def topo(b):
+        dim = b.table("dim", key="key", ts="dim_ts")
+        enriched = b.stream("facts", key="key", ts="ts").join_table(dim, how="inner")
+        return {"enriched": enriched}
+
+    with TopologyTestDriver(spark, topo) as driver:
+        facts = driver.create_input_topic("facts", schema="key string, value string, ts timestamp")
+        dim = driver.create_input_topic(
+            "dim",
+            schema="key string, dim_val string, dim_ts timestamp",
+            value_col="dim_val",
+            ts_col="dim_ts",
+        )
+        dim.pipe_input("a", "A-old")
+        dim.pipe_input("a", "A-new")  # upsert: latest per key wins
+        facts.pipe_input("a", "f1")
+        facts.pipe_input("zzz", "f2")  # no dim row -> dropped by inner join
+        out = driver.create_output_topic("enriched")
+        rows = out.read_key_value_list()
+        assert len(rows) == 1
+        assert rows[0]["dim_val"] == "A-new"
+
+
+def test_driver_test_record_and_explicit_ts(spark):
+    """TestRecord piping with explicit event timestamps (TestRecord.cs)."""
+    with TopologyTestDriver(spark, _filter_topology) as driver:
+        inp = driver.create_input_topic("test")
+        out = driver.create_output_topic("test-output")
+        inp.pipe_input(TestRecord(key="k", value="test-x", timestamp_ms=1_700_000_123_456))
+        r = out.read_key_value()
+        import datetime
+
+        assert int(r["ts"].replace(tzinfo=datetime.timezone.utc).timestamp() * 1000) == 1_700_000_123_456
+
+
+def test_driver_unknown_topic_raises(spark):
+    """Unknown store/topic raise clear errors (TestGetWindowStoreDoesntNotExist
+    analog, TopologyTestDriverTests.cs:15-38)."""
+    with TopologyTestDriver(spark, _filter_topology) as driver:
+        driver.create_input_topic("test")
+        with pytest.raises(KeyError):
+            driver.create_output_topic("nope").read_key_value_list()
+        with pytest.raises(KeyError):
+            driver._topic_df("never-created")
