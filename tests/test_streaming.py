@@ -390,3 +390,68 @@ def test_stream_global_table_join_streaming_parity(spark):
     want = topo(_events_batch(spark)).df
     cols = ["event_id", "user_id", "c_name"]
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+
+
+def test_stateful_map_event_time_ttl_eviction(spark, tmp_path):
+    """State TTL via EventTimeTimeout — the analog of the reference's store
+    retention / expired-state eviction (core/State/ RocksDb & InMemory window
+    stores evict by retention; Processor API punctuation-based cleanup).
+
+    Key "a" sees one event then goes silent; key "b" keeps sending.  Once the
+    watermark passes a's timeout (+10 min), the no-data microbatch fires the
+    timer and the processor emits an eviction record and removes the state.
+    """
+    import datetime as dt
+    import os
+    import time
+
+    from pyspark_engine.streaming import StreamingBuilder
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    src = tmp_path / "ttl-src"
+    os.makedirs(src)
+    # file 1: both keys at t0; file 2 (later batch): only b, two hours on
+    pd.DataFrame({"k": ["a", "b"], "ts": [t0, t0]}).to_parquet(
+        src / "f1.parquet", coerce_timestamps="us"
+    )
+    time.sleep(1.05)  # distinct mtimes -> file source preserves batch order
+    pd.DataFrame({"k": ["b"], "ts": [t0 + dt.timedelta(hours=2)]}).to_parquet(
+        src / "f2.parquet", coerce_timestamps="us"
+    )
+
+    TTL_MS = 10 * 60 * 1000
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            (cnt,) = state.get
+            state.remove()
+            yield pd.DataFrame({"k": [key[0]], "cnt": [cnt], "evicted": [True]})
+            return
+        cnt = state.get[0] if state.exists else 0
+        last_ms = 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+            last_ms = max(last_ms, int(pdf["ts"].max().timestamp() * 1000))
+        state.update((cnt,))
+        state.setTimeoutTimestamp(last_ms + TTL_MS)
+        yield pd.DataFrame({"k": [key[0]], "cnt": [cnt], "evicted": [False]})
+
+    ks = StreamingBuilder(spark).file_stream(
+        str(src), key="k", ts="ts", max_files_per_trigger=1
+    ).with_watermark("1 minute")
+    got = run_available_now(
+        stateful_map(
+            ks.group_by_key(),
+            fn,
+            "k string, cnt bigint, evicted boolean",
+            "cnt bigint",
+            timeout="EventTimeTimeout",
+        ),
+        output_mode="update",
+    ).collect()
+
+    evicted = {r["k"] for r in got if r["evicted"]}
+    assert evicted == {"a"}  # a expired; b's timer is beyond the final watermark
+    a_evict = [r for r in got if r["k"] == "a" and r["evicted"]]
+    assert a_evict[0]["cnt"] == 1  # eviction carries the final state
+    assert max(r["cnt"] for r in got if r["k"] == "b") == 2
