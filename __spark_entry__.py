@@ -1134,6 +1134,54 @@ def q72_composed_pipeline(spark, sf_dir):
 # driver contract
 # =====================================================================
 
+
+def q86_pii_scrub(spark, sf_dir):
+    """PII scrub (llmops.pii_scrub): synthesize deterministic PII spans
+    (email/phone/SSN/IPv4) around each document, then redact with typed
+    placeholders and count pre-redaction hits.  Pure regexp_replace/
+    regexp_count projection — no shuffle; patterns are RE2-compatible so
+    the oracle runs the identical regexes."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@mail.example.com")),
+            F.lit("call 555 123 4567 ssn 123-45-6789 ip"),
+            F.concat(F.lit("10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    out = llmops.pii_scrub(synth, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+    )
+
+
+def q87_paragraph_dedup(spark, sf_dir):
+    """Cross-corpus paragraph-level exact dedup (llmops.paragraph_dedup, the
+    C4/RefinedWeb recipe): paragraphs = spans between ' spark ' separators;
+    first corpus-wide occurrence (lowest doc_id, pos) survives, documents are
+    reassembled from their surviving paragraphs."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    out = llmops.paragraph_dedup(docs, "doc_id", "text", sep=" spark ")
+    return out.select("doc_id", "clean_text", F.col("n_kept").cast("long").alias("n_kept"))
+
+
+def q88_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-k bigrams (llmops.top_ngrams): map-side partial
+    counts + TakeOrderedAndProject; deterministic (cnt desc, ngram asc)."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.top_ngrams(docs, "text", n=2, k=20).select(
+        "ngram", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1221,6 +1269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_repetition_stats": q83_repetition_stats,
         "q84_quantize_embeddings": q84_quantize_embeddings,
         "q85_cogroup": q85_cogroup,
+        "q86_pii_scrub": q86_pii_scrub,
+        "q87_paragraph_dedup": q87_paragraph_dedup,
+        "q88_top_ngrams": q88_top_ngrams,
     }
 
 
@@ -1851,6 +1902,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac,
                    1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_bigram_frac
             FROM pg GROUP BY doc_id
+        """,
+        "q86_pii_scrub": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                     'user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' || ' ' ||
+                     'call 555 123 4567 ssn 123-45-6789 ip' || ' ' ||
+                     '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' || ' ' || text AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                       '\+?\d[\d \-]{7,}\d', '<PHONE>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+                   CAST(len(regexp_extract_all(text, '\+?\d[\d \-]{7,}\d')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4
+            FROM synth
+        """,
+        "q87_paragraph_dedup": r"""
+            WITH parts AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' spark ')) AS para,
+                     unnest(range(0, len(string_split(text, ' spark ')))) AS pos
+              FROM documents
+            ),
+            ranked AS (
+              SELECT doc_id, pos, para,
+                     row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+              FROM parts
+            )
+            SELECT doc_id,
+                   string_agg(para, ' spark ' ORDER BY pos) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM ranked WHERE rn = 1
+            GROUP BY doc_id
+        """,
+        "q88_top_ngrams": r"""
+            WITH toks AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+            grams AS (
+              SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS ngram
+              FROM toks
+            )
+            SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+            FROM grams GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20
         """,
         "q85_cogroup": """
             WITH e AS (

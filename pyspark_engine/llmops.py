@@ -978,3 +978,93 @@ def multimodal_features(df: DataFrame, id_col: str, payload_col: str, bins: int 
     bounds worker memory, and _spread keeps small corpora parallel."""
     proj = _spread(df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")))
     return proj.mapInPandas(_fake_decode_worker(bins), MULTIMODAL_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------- PII scrub
+
+# Pattern set kept RE2-compatible (no backrefs/lookaround) so the DuckDB
+# oracle can run the identical regexes; order matters (SSN before the
+# greedier phone pattern).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\d[\d \-]{7,}\d", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact common PII shapes (emails, SSNs, phone numbers, IPv4s) with
+    typed placeholder tokens and count what was found — the standard scrub
+    pass before LLM training-data release.
+
+    Scale: a chain of regexp_replace/regexp_count Column expressions — one
+    projection, whole-stage codegen, no shuffle, no Python.  Counts are
+    taken BEFORE redaction (a later pattern can't hide an earlier hit)."""
+    out = df.select(F.col(id_col), F.col(text_col))
+    clean = F.col(text_col)
+    counts = []
+    for name, pat, _ in PII_PATTERNS:
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}"))
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return out.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        *counts,
+    )
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+def paragraph_dedup(df: DataFrame, id_col: str, text_col: str, sep: str = "\n") -> DataFrame:
+    """Cross-corpus paragraph-level exact dedup (the C4/RefinedWeb recipe):
+    split each document on ``sep``, keep only the FIRST occurrence of every
+    distinct paragraph corpus-wide (first = lowest (doc id, position)), and
+    reassemble the surviving paragraphs in document order.  Documents whose
+    every paragraph was seen earlier disappear entirely.
+
+    Scale: explode → one shuffle keyed by the paragraph's 128-bit digest
+    (row_number window; state per distinct paragraph, never pairwise) → one
+    shuffle back on doc id to reassemble.  Payload carried through the
+    digest shuffle is the paragraph text itself (needed for reassembly) —
+    at 100 TB, cap paragraph length upstream or carry (digest, doc, pos)
+    only and re-join, trading a third shuffle for narrower rows."""
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "para"),
+    )
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(F.col(id_col), F.col("pos"))
+    kept = parts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("para")))),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+
+
+# ------------------------------------------------- corpus-level n-grams
+
+def top_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams (vocabulary / contamination
+    triage).  Deterministic order: count desc, then n-gram asc.
+
+    Scale: explode → hash-aggregate with map-side partial counts (the
+    distinct n-gram space, not the corpus, hits the shuffle) → global top-k
+    via TakeOrderedAndProject (each partition keeps k rows; only n_part×k
+    rows reach the driver-side final sort)."""
+    grams = df.select(F.explode(word_ngrams_multiset(tokens(F.col(text_col)), n)).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram"))
+        .limit(k)
+    )

@@ -199,3 +199,49 @@ def test_quantize_embeddings_planted(spark):
     assert abs(got[1].q_scale - 63.5) < 1e-12
     assert got[1].q_codes == [63, -127, 31]
     assert got[2].q_scale == 0.0 and got[2].q_codes == [0, 0, 0]
+
+
+def test_pii_scrub_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.example.org or call 555 123 4567 now"),
+            (2, "ssn 123-45-6789 from host 192.168.0.1 end"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in llmops.pii_scrub(df, "doc_id", "text").collect()}
+    assert out[1].clean_text == "mail me at <EMAIL> or call <PHONE> now"
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    # the SSN shape also matches the looser phone pattern pre-redaction,
+    # but SSN redacts first (pattern order), so the output is typed <SSN>
+    assert out[2].clean_text == "ssn <SSN> from host <IP> end"
+    assert out[2].n_ssn == 1 and out[2].n_ipv4 == 1 and out[2].n_phone == 1
+    assert out[3].clean_text == "nothing sensitive here"
+    assert out[3].n_email == out[3].n_ssn == out[3].n_phone == out[3].n_ipv4 == 0
+
+
+def test_paragraph_dedup_planted(spark):
+    # P1 appears in docs 1, 2, 3; doc 3 is entirely duplicates -> vanishes
+    df = spark.createDataFrame(
+        [(1, "P1\nP2"), (2, "P3\nP1\nP4"), (3, "P1\nP2")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in llmops.paragraph_dedup(df, "doc_id", "text").collect()}
+    assert out[1].clean_text == "P1\nP2" and out[1].n_kept == 2
+    assert out[2].clean_text == "P3\nP4" and out[2].n_kept == 2
+    assert 3 not in out
+
+
+def test_top_ngrams_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "x y x y z"), (2, "x y q")], "doc_id long, text string"
+    )
+    got = [(r.ngram, r.cnt) for r in llmops.top_ngrams(df, "text", n=2, k=3).collect()]
+    # 'x y' x3; ties at cnt=1 break by ngram asc
+    assert got == [("x y", 3), ("y q", 1), ("y x", 1)]
+
+
+def test_top_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert llmops.top_ngrams(df, "text", n=2, k=5).count() == 0
