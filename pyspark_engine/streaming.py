@@ -235,6 +235,66 @@ def start_to_kafka(
         ) from e
 
 
+
+_LAKEHOUSE_SOURCES = {
+    "delta": ("io.delta.sql.DeltaSparkSessionExtension", "delta-spark"),
+    "iceberg": ("org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions", "iceberg-spark-runtime"),
+}
+
+
+def lakehouse_available(spark: SparkSession, fmt: str) -> bool:
+    """True when the Delta/Iceberg runtime is on the JVM classpath.  The
+    reference sinks only to Kafka topics; a 100 TB training-data pipeline
+    lands in a transactional table format instead, so these sinks are
+    first-class here — gated lazily, like the Avro/Protobuf serdes, because
+    the satellite jars aren't bundled with plain pyspark."""
+    cls, _ = _LAKEHOUSE_SOURCES[fmt]
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(cls)
+        return True
+    except Exception:
+        return False
+
+
+def _require_lakehouse(spark: SparkSession, fmt: str) -> None:
+    if fmt not in _LAKEHOUSE_SOURCES:
+        raise ValueError(f"unsupported table format: {fmt!r} (delta|iceberg)")
+    if not lakehouse_available(spark, fmt):
+        _, pkg = _LAKEHOUSE_SOURCES[fmt]
+        raise NotImplementedError(
+            f"{fmt} sink requires the {pkg} package on the classpath "
+            f"(spark.jars.packages) plus its SQL extension/catalog conf"
+        )
+
+
+def start_to_lakehouse(
+    obj,
+    path: str,
+    fmt: str = "delta",
+    checkpoint: str | None = None,
+    output_mode: str = "append",
+    available_now: bool = False,
+):
+    """Streaming sink into a transactional table format (exactly-once via
+    checkpoint + the format's transaction log — the closest Spark analog of
+    the reference's EOS Kafka transactions, SURVEY §7.2).  Same contract as
+    start_to_files otherwise."""
+    df = obj.df if hasattr(obj, "df") else obj
+    _require_lakehouse(df.sparkSession, fmt)
+    return start_to_files(
+        obj, path, fmt=fmt, checkpoint=checkpoint,
+        output_mode=output_mode, available_now=available_now,
+    )
+
+
+def write_lakehouse(obj, path: str, fmt: str = "delta", mode: str = "overwrite") -> None:
+    """Batch twin of start_to_lakehouse (KStream.to with a table-format
+    destination)."""
+    df = obj.df if hasattr(obj, "df") else obj
+    _require_lakehouse(df.sparkSession, fmt)
+    df.write.format(fmt).mode(mode).save(path)
+
+
 def start_foreach_batch(obj, fn: Callable[[DataFrame, int], None], checkpoint: str | None = None, available_now: bool = False):
     """Foreach terminal (IKStream.cs Foreach / KStreamPeekProcessor with
     forwardDownStream=false): arbitrary per-microbatch side effects with the

@@ -455,3 +455,27 @@ def test_stateful_map_event_time_ttl_eviction(spark, tmp_path):
     a_evict = [r for r in got if r["k"] == "a" and r["evicted"]]
     assert a_evict[0]["cnt"] == 1  # eviction carries the final state
     assert max(r["cnt"] for r in got if r["k"] == "b") == 2
+
+
+def test_lakehouse_sink_gated(spark, tmp_path):
+    """Delta/Iceberg sinks are honest capability gates (like Avro/Protobuf):
+    with the runtime jar absent they raise NotImplementedError up front —
+    with it present the same call writes through start_to_files."""
+    import pytest as _pytest
+
+    from pyspark_engine.streaming import (
+        lakehouse_available,
+        start_to_lakehouse,
+        write_lakehouse,
+    )
+
+    ks = _events_stream(spark)
+    for fmt in ("delta", "iceberg"):
+        if lakehouse_available(spark, fmt):  # pragma: no cover - not bundled
+            continue
+        with _pytest.raises(NotImplementedError):
+            start_to_lakehouse(ks, str(tmp_path / fmt), fmt=fmt)
+        with _pytest.raises(NotImplementedError):
+            write_lakehouse(_events_batch(spark), str(tmp_path / f"b-{fmt}"), fmt=fmt)
+    with _pytest.raises(ValueError):
+        write_lakehouse(_events_batch(spark), str(tmp_path / "x"), fmt="hudi")
