@@ -1061,7 +1061,9 @@ def top_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFra
     distinct n-gram space, not the corpus, hits the shuffle) → global top-k
     via TakeOrderedAndProject (each partition keeps k rows; only n_part×k
     rows reach the driver-side final sort)."""
-    grams = df.select(F.explode(word_ngrams_multiset(tokens(F.col(text_col)), n)).alias("ngram"))
+    # the n-gram HOF is the per-row cost center — spread the scan so it
+    # parallelizes even when the input is one small parquet split
+    grams = _spread(df).select(F.explode(word_ngrams_multiset(tokens(F.col(text_col)), n)).alias("ngram"))
     return (
         grams.groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("cnt"))
