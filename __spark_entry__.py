@@ -1182,6 +1182,32 @@ def q88_top_ngrams(spark, sf_dir):
     )
 
 
+
+def q89_llm_pipeline(spark, sf_dir):
+    """Flagship end-to-end training-data pipeline: Gopher quality filter →
+    PII scrub → cross-corpus paragraph dedup → token-window chunking — the
+    operators a 100 TB curation job chains, composed as ONE logical plan so
+    Catalyst sees (and can pipeline) the whole thing.  Every stage's
+    semantics are individually oracle-verified (q78/q86/q87/q80); this
+    query verifies the composition."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    kept = (
+        llmops.quality_filter(
+            docs, "doc_id", "text",
+            min_words=20, max_words=80,
+            min_mean_word_len=3.0, max_mean_word_len=8.0,
+            max_symbol_ratio=0.1, min_stop_hits=1,
+        )
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    base = docs.join(kept, "doc_id")
+    scrub = llmops.pii_scrub(base, "doc_id", "text")
+    dedup = llmops.paragraph_dedup(scrub, "doc_id", "clean_text", sep=" spark ")
+    chunks = llmops.chunk_text(dedup, "doc_id", "clean_text", max_tokens=32, overlap=8)
+    return chunks
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1272,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_pii_scrub": q86_pii_scrub,
         "q87_paragraph_dedup": q87_paragraph_dedup,
         "q88_top_ngrams": q88_top_ngrams,
+        "q89_llm_pipeline": q89_llm_pipeline,
     }
 
 
@@ -1949,6 +1976,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
             FROM grams GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20
+        """,
+        "q89_llm_pipeline": r"""
+            WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks
+                       FROM documents),
+            sig AS (
+                SELECT doc_id, text,
+                       CAST(len(toks) AS BIGINT) AS n_words,
+                       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+                       CAST(len(regexp_extract_all(text, '[#@*^]')) AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+                       CAST(len(list_filter(toks, t -> list_contains(
+                           ['the','be','to','of','and','that','have','with'], t))) AS BIGINT) AS stop_hits
+                FROM t
+            ),
+            scrub AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                           '\+?\d[\d \-]{7,}\d', '<PHONE>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+                FROM sig
+                WHERE (n_words BETWEEN 20 AND 80)
+                  AND (mean_word_len BETWEEN 3.0 AND 8.0)
+                  AND (symbol_ratio <= 0.1)
+                  AND (stop_hits >= 1)
+            ),
+            parts AS (
+                SELECT doc_id,
+                       unnest(string_split(clean_text, ' spark ')) AS para,
+                       unnest(range(0, len(string_split(clean_text, ' spark ')))) AS pos
+                FROM scrub
+            ),
+            ranked AS (
+                SELECT doc_id, pos, para,
+                       row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+                FROM parts
+            ),
+            dedup AS (
+                SELECT doc_id, string_agg(para, ' spark ' ORDER BY pos) AS clean_text
+                FROM ranked WHERE rn = 1 GROUP BY doc_id
+            ),
+            t2 AS (SELECT doc_id, string_split_regex(lower(trim(clean_text)), '\s+') AS toks
+                   FROM dedup),
+            s2 AS (SELECT doc_id, toks,
+                          unnest(generate_series(1, greatest(len(toks) - 8, 1), 24)) AS st
+                   FROM t2)
+            SELECT doc_id,
+                   CAST((st - 1) // 24 AS BIGINT) AS chunk_idx,
+                   CAST(len(list_slice(toks, st, st + 31)) AS BIGINT) AS n_tokens_chunk,
+                   array_to_string(list_slice(toks, st, st + 31), ' ') AS chunk_text
+            FROM s2
         """,
         "q85_cogroup": """
             WITH e AS (

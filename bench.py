@@ -66,6 +66,7 @@ HEADLINE = [
     "q82_decontaminate",
     "q87_paragraph_dedup",
     "q88_top_ngrams",
+    "q89_llm_pipeline",
 ]
 
 
