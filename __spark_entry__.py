@@ -506,6 +506,16 @@ def q01_pricing_summary(spark, sf_dir):
     t = (
         b.stream("lineitem", key=("l_returnflag", "l_linestatus"))
         .filter(F.col("l_shipdate") <= F.lit("2024-10-01").cast("timestamp"))
+        # prune to the 5 needed columns, then compensate the single-row-group
+        # test file (KStream.spread: no-op when the scan has >= cores files)
+        # so the decimal partial-aggregate parallelizes instead of
+        # serializing on the one real scan task
+        .map_values(
+            l_quantity=F.col("l_quantity"),
+            l_extendedprice=F.col("l_extendedprice"),
+            l_discount=F.col("l_discount"),
+        )
+        .spread()
         .group_by_key()
         .aggregate(
             sum_qty=F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"),

@@ -328,6 +328,18 @@ class KStream:
         df = self.df.repartition(num, *cols) if num else self.df.repartition(*cols)
         return self._with_df(df)
 
+    def spread(self) -> "KStream":
+        """Conditional round-robin repartition to session parallelism, taken
+        ONLY when the scan has fewer input files than cores (parquet splits
+        are row-group granular, so a single-row-group file is one real task
+        no matter how many byte-range splits are cut — everything downstream
+        of it serializes).  On a real corpus (files >> cores) this is a
+        no-op by construction; use after pruning to the needed columns so
+        the compensating shuffle moves narrow rows."""
+        from .runtime import ensure_min_parallelism
+
+        return self._with_df(ensure_min_parallelism(self.df))
+
     def sliding_agg(self, size_ms: int, **agg_exprs: Column) -> "KStream":
         """Per-record sliding-window aggregates (the KIP-450 sliding-window
         analog, absent in the reference — §2.4 note): for each record, the

@@ -26,24 +26,12 @@ from pyspark.sql.window import Window
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Ensure at least session-parallelism partitions before an
-    expression-heavy stage.  A few-file scan arrives as few non-empty splits
-    (parquet row-group granularity: splitting a single-row-group file yields
-    one real task no matter how many byte-range splits are cut), which would
-    serialize per-document hashing onto one task; the repartition is a
-    shuffle of (id, payload) rows only.  The probe is ``inputFiles()`` —
-    driver-side file listing on the analyzed plan, NO physical planning /
-    RDD conversion.  At cluster scale a corpus has >> parallelism files and
-    this is a no-op; non-file inputs (in-memory test frames, post-shuffle
-    plans) are left untouched."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return df
-    if files and len(files) < target:
-        return df.repartition(target)
-    return df
+    """Alias of runtime.ensure_min_parallelism (kept under the historical
+    name used throughout this module): compensate single-row-group test
+    files; no-op at corpus scale."""
+    from .runtime import ensure_min_parallelism
+
+    return ensure_min_parallelism(df)
 
 
 _CACHED: list[DataFrame] = []

@@ -76,6 +76,26 @@ def build_session(
     return configure(spark)
 
 
+
+def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to session parallelism IF the plan scans
+    fewer files than cores.  Parquet splits are row-group granular: a
+    single-row-group file is one real task no matter how many byte-range
+    splits `files.minPartitionNum` cuts, so every expression downstream of
+    such a scan serializes.  The probe is ``inputFiles()`` — driver-side
+    file listing on the analyzed plan, no physical planning.  At cluster
+    scale a table has >> parallelism files and this is a no-op; non-file
+    inputs (memory frames, post-shuffle plans) are left untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if files and len(files) < target:
+        return df.repartition(target)
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a driver testdata table, normalizing timestamp representation.
 
