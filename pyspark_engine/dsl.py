@@ -66,6 +66,11 @@ def _not_null(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return df
 
 
+def _describe_plan(df: DataFrame, mode: str = "formatted") -> str:
+    """Explain string for a DataFrame (shared by KStream/KTable.describe)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
 class StreamBuilder:
     """Entry point mirroring ``StreamBuilder`` (core/StreamBuilder.cs:49-636).
 
@@ -327,6 +332,17 @@ class KStream:
         cols = [F.col(c) for c in self.key]
         df = self.df.repartition(num, *cols) if num else self.df.repartition(*cols)
         return self._with_df(df)
+
+    def describe(self, mode: str = "formatted") -> str:
+        """Topology description (Topology.Describe → ITopologyDescription,
+        core/Stream/Topology.cs:32, ITopologyDescription.cs:17-28).  The
+        reference describes its processor graph grouped into sub-topologies
+        split at repartition topics; the Spark-native meta-representation of
+        the same pipeline is the Catalyst plan — stages split at exchanges
+        play the sub-topology role, scans are source nodes, exchanges the
+        repartition topics.  ``mode``: simple | extended | codegen | cost |
+        formatted (explain modes)."""
+        return _describe_plan(self.df, mode)
 
     def spread(self) -> "KStream":
         """Conditional round-robin repartition to session parallelism, taken
@@ -834,6 +850,11 @@ class KTable:
         ``spark.table(store_name)`` / SQL."""
         self.df.createOrReplaceTempView(store_name)
         return self
+
+    def describe(self, mode: str = "formatted") -> str:
+        """Topology description (Topology.Describe analog) — see
+        KStream.describe."""
+        return _describe_plan(self.df, mode)
 
 
 class GlobalKTable(KTable):

@@ -437,3 +437,20 @@ def test_cogroup_rejects_duplicate_names_and_key_arity(spark):
         ga.cogroup(n=F.count(F.lit(1))).cogroup(
             KStream(b, key=("k", "k2")).group_by_key(), m=F.sum("y")
         )
+
+
+def test_describe_topology(spark, sf_dir):
+    """Topology.Describe analog (ITopologyDescription): the plan description
+    exposes source nodes (scans), processors, and the exchange boundaries
+    that play the reference's sub-topology/repartition-topic role."""
+    from pyspark_engine import StreamBuilder
+    from pyspark.sql import functions as F
+
+    b = StreamBuilder(spark, sf_dir)
+    ks = b.stream("events", key="user_id", ts="ts").filter(F.col("value") > 10)
+    d = ks.describe()
+    assert "Scan parquet" in d and "PushedFilters" in d
+    t = ks.group_by_key().count()
+    dt = t.describe()
+    assert "Exchange" in dt or "AdaptiveSparkPlan" in dt  # the sub-topology split
+    assert "Scan parquet" in t.describe(mode="simple")
