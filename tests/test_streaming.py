@@ -479,3 +479,35 @@ def test_lakehouse_sink_gated(spark, tmp_path):
             write_lakehouse(_events_batch(spark), str(tmp_path / f"b-{fmt}"), fmt=fmt)
     with _pytest.raises(ValueError):
         write_lakehouse(_events_batch(spark), str(tmp_path / "x"), fmt="hudi")
+
+
+def test_curation_pipeline_streaming_parity(spark):
+    """The stateless LLM-curation stages (quality filter → PII scrub →
+    chunking) are pure Column expressions, so the SAME calls run unchanged
+    over a streaming source — documents replayed through the file source
+    produce exactly the batch pipeline's chunks.  (The stateful stage —
+    cross-corpus paragraph dedup — needs the batch/foreachBatch path, like
+    any global-history operator.)"""
+    from pyspark_engine import llmops
+    from pyspark_engine.streaming import StreamingBuilder
+
+    def pipeline(docs_df):
+        kept = (
+            llmops.quality_filter(
+                docs_df, "doc_id", "text",
+                min_words=20, max_words=80,
+                min_mean_word_len=3.0, max_mean_word_len=8.0,
+                max_symbol_ratio=0.1, min_stop_hits=1,
+            )
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        base = docs_df.join(kept, "doc_id")
+        scrub = llmops.pii_scrub(base, "doc_id", "text")
+        return llmops.chunk_text(scrub, "doc_id", "clean_text", max_tokens=32, overlap=8)
+
+    batch = pipeline(spark.read.parquet(f"{SF}/documents.parquet"))
+    ks = StreamingBuilder(spark).file_stream(f"{SF}/documents.parquet", key="doc_id")
+    got = run_available_now(pipeline(ks.df), output_mode="append")
+    cols = ["doc_id", "chunk_idx", "n_tokens_chunk", "chunk_text"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(batch, cols))
