@@ -14,9 +14,12 @@ Layout:
     runtime.py   session helpers, materialized-store registry (interactive queries)
     streaming.py Structured Streaming wiring (Kafka/file sources, parity helpers)
     testing.py   TopologyTestDriver analog (in-memory topics, no broker)
+    app.py       KafkaStream lifecycle analog (state machine, listeners)
 """
 
+from .app import State, StreamApp
 from .dsl import GlobalKTable, KGroupedStream, KGroupedTable, KStream, KTable, StreamBuilder, TimeWindowedKStream
+from .testing import TopologyTestDriver
 from .windows import (
     CustomWindowOptions,
     HoppingWindowOptions,
@@ -38,4 +41,7 @@ __all__ = [
     "CustomWindowOptions",
     "SessionWindowOptions",
     "JoinWindowOptions",
+    "StreamApp",
+    "State",
+    "TopologyTestDriver",
 ]

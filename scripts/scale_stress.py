@@ -33,7 +33,7 @@ from pyspark_engine.runtime import build_session, configure
 
 BASE = "/root/testdata/sf0.1"
 ROOT = "/tmp/pse-scale"
-SCALED = ("events", "lineitem", "orders")
+SCALED = ("events", "lineitem", "orders", "documents")
 COPIED = ("customer",)
 QUERIES = [
     "q01_pricing_summary",     # lineitem scan + decimal agg
@@ -44,6 +44,10 @@ QUERIES = [
     "q32_st_join_inner",       # stream-table join (orders x customer)
     "q62_asof_join",           # as-of join (union + one window pass)
     "q73_percentiles",         # exact percentiles
+    "q42_dedup_exact",         # digest groupBy under k-fold duplication
+    "q43_dedup_minhash",       # LSH: dup groups inflate bucket sizes k-fold
+    "q87_paragraph_dedup",     # cross-corpus paragraph dedup, k-fold dups
+    "q88_top_ngrams",          # corpus n-gram agg + top-k
 ]
 
 
@@ -70,6 +74,14 @@ def _build_dir(spark, k: int) -> str:
                 df = df.select(
                     (F.col("o_orderkey") * k + F.col("__rep")).alias("o_orderkey"),
                     *[c for c in df.columns if c not in ("o_orderkey", "__rep")],
+                )
+            elif t == "documents":
+                # unique ids, IDENTICAL text across replicas: the heavy-
+                # duplication regime — k-fold dup groups stress the dedup
+                # paths (digest fan-in, LSH bucket sizes) the hard way
+                df = df.select(
+                    (F.col("doc_id") * k + F.col("__rep")).alias("doc_id"),
+                    *[c for c in df.columns if c not in ("doc_id", "__rep")],
                 )
             else:
                 df = df.drop("__rep")
