@@ -122,6 +122,25 @@ def _skew_demo(spark, sf_dir: str) -> dict:
     return out
 
 
+
+def _dedup_pipeline_demo(spark, sf_dir: str) -> dict:
+    """The heavy-duplication regime head-on: k-fold IDENTICAL copies make
+    every replica pair a true near-dup, so minhash alone must emit Ω(k²)
+    pairs per group — output-bound, not a plan defect.  The production
+    recipe is exact-dedup FIRST (digest groupBy collapses identical copies),
+    then LSH over the representatives; this measures both on the same
+    replicated corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    alone = _steady(llmops.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4))
+    llmops.release_cache()
+    reps = llmops.exact_dedup(docs, "doc_id", "text").select("doc_id")
+    composed = _steady(
+        llmops.minhash_lsh_pairs(docs.join(reps, "doc_id"), "doc_id", "text", threshold=0.4)
+    )
+    llmops.release_cache()
+    return {"minhash_alone_sec": alone, "exact_then_minhash_sec": composed}
+
+
 def main() -> None:
     factors = [int(x) for x in os.environ.get("SCALE_FACTORS", "1,10,30").split(",")]
     spark = build_session("scale_stress", ui=False)
@@ -154,6 +173,12 @@ def main() -> None:
             "AQE cannot act (Structured Streaming joins, fixed partitioning)"
         ),
         "skew_demo_x10": _skew_demo(spark, _build_dir(spark, 10)),
+        "dedup_pipeline_x30": _dedup_pipeline_demo(spark, _build_dir(spark, 30)),
+        "dedup_note": (
+            "q43 alone on the replicated corpus is output-bound (every replica "
+            "pair IS a near-dup: Ω(k²) result rows per dup group); exact-dedup "
+            "first collapses identical copies so LSH sees only representatives"
+        ),
     }
     print(json.dumps(out))
 

@@ -151,3 +151,38 @@ def test_sliding_agg_matches_pandas_scan(spark, rows):
         lo = ts - dt.timedelta(milliseconds=size_ms)
         want[i] = sum(1 for k2, ts2, _v2, _i2 in data if k2 == k and lo < ts2 <= ts)
     assert got == want
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=5),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=docs_strategy)
+@SETTINGS
+def test_paragraph_dedup_matches_reference_fold(spark, docs):
+    """paragraph_dedup == a sequential first-occurrence fold over
+    (doc_id, pos) order: every distinct paragraph survives exactly once,
+    in its earliest position; documents reassemble from survivors only."""
+    from pyspark_engine import llmops
+
+    rows = [(i, "\n".join(paras)) for i, paras in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept)
+        for r in llmops.paragraph_dedup(df, "doc_id", "text").collect()
+    }
+
+    seen: set[str] = set()
+    want = {}
+    for i, paras in enumerate(docs):
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        if kept:
+            want[i] = ("\n".join(kept), len(kept))
+    assert got == want
