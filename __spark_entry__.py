@@ -1218,6 +1218,32 @@ def q89_llm_pipeline(spark, sf_dir):
     return chunks
 
 
+
+def q90_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering (llmops.dedup_clusters): exact 3-gram Jaccard
+    pairs over the whole corpus (brute force — the correctness baseline),
+    then connected components via min-label propagation so transitive
+    near-dups (A≈B≈C) collapse to one canonical id.  The oracle recomputes
+    the pairs and closes them with a recursive CTE — an exact, independent
+    connected-components implementation."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    toks = llmops.tokens(F.col("text"))
+    grams = llmops.word_ngrams(toks, 3)
+    d = llmops._spread(docs).select(F.col("doc_id"), grams.alias("g"))
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    bb = d.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
+        F.array_union("ga", "gb")
+    ).cast("double")
+    pairs = (
+        a.join(bb, F.col("id_a") < F.col("id_b"))
+        .filter(jac >= 0.02)
+        .select("id_a", "id_b")
+    )
+    out = llmops.dedup_clusters(pairs)
+    return out.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1309,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_paragraph_dedup": q87_paragraph_dedup,
         "q88_top_ngrams": q88_top_ngrams,
         "q89_llm_pipeline": q89_llm_pipeline,
+        "q90_dedup_clusters": q90_dedup_clusters,
     }
 
 
@@ -2039,6 +2066,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_slice(toks, st, st + 31)) AS BIGINT) AS n_tokens_chunk,
                    array_to_string(list_slice(toks, st, st + 31), ' ') AS chunk_text
             FROM s2
+        """,
+        "q90_dedup_clusters": r"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                                                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+                FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+                      FROM documents)
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM d a JOIN d b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                      / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) >= 0.02
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(node, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+            )
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "q85_cogroup": """
             WITH e AS (

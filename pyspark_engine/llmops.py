@@ -1058,3 +1058,54 @@ def top_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFra
         .orderBy(F.col("cnt").desc(), F.col("ngram"))
         .limit(k)
     )
+
+
+# ------------------------------------------------- near-dup clustering
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over near-duplicate pairs → one canonical id per
+    cluster (min member id), the step after any pair generator (minhash /
+    simhash / embedding LSH): transitive dups (A≈B, B≈C) collapse to one
+    cluster so exactly one representative survives per group.
+
+    Returns (node, cluster_id) for every id that appears in ``pairs``.
+
+    Algorithm: min-label propagation — labels start as the node id, each
+    round takes the min over neighbors, until a fixpoint.  Rounds are pure
+    DataFrame joins+aggregates (distributed); the driver only checks the
+    converged-count per round — the same bounded-iteration pattern as the
+    IVF KMeans trainer.  ``localCheckpoint`` truncates the growing lineage
+    each round.  Convergence is O(component diameter) rounds: dup clusters
+    are shallow by construction (most are cliques from a shared bucket), so
+    this terminates in a few rounds.  For adversarially long chains at
+    corpus scale, swap in the large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce"), which is O(log²) rounds of the
+    same join shape."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()  # pair generation may be expensive (LSH) — run it once
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "cluster_id", F.col("node")
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges["dst"] == labels["node"]).select(
+            edges["src"].alias("node"), F.col("cluster_id")
+        )
+        new = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("cluster_id", "old"), "node")
+            .filter(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

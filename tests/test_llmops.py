@@ -245,3 +245,13 @@ def test_top_ngrams_planted(spark):
 def test_top_ngrams_short_doc_empty(spark):
     df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
     assert llmops.top_ngrams(df, "text", n=2, k=5).count() == 0
+
+
+def test_dedup_clusters_planted(spark):
+    # chain 1-2-3 (transitive), pair 5-6, long chain 10..14
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (12, 13), (13, 14)],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.cluster_id for r in llmops.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
