@@ -1244,6 +1244,37 @@ def q90_dedup_clusters(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+
+def q91_url_stats(spark, sf_dir):
+    """URL/domain triage (llmops.url_stats + top_domains): deterministic
+    synthetic links appended per doc, then per-doc URL counts + distinct
+    hosts, plus the corpus-wide top-10 hosts — one projection + one
+    map-side-combined count."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://src"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" and https://mirror.example.org")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    per_doc = llmops.url_stats(synth, "doc_id", "text").select(
+        "doc_id",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_domains").cast("long").alias("n_domains"),
+        "domains",
+    )
+    top = llmops.top_domains(synth, "text", k=10).select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.col("cnt").cast("long").alias("n_urls"),
+        F.lit(-1).cast("long").alias("n_domains"),
+        F.col("domain").alias("domains"),
+    )
+    return per_doc.unionByName(top)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1336,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_top_ngrams": q88_top_ngrams,
         "q89_llm_pipeline": q89_llm_pipeline,
         "q90_dedup_clusters": q90_dedup_clusters,
+        "q91_url_stats": q91_url_stats,
     }
 
 
@@ -2093,6 +2125,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(label) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "q91_url_stats": r"""
+            WITH synth AS (
+                SELECT doc_id,
+                       text || ' see https://src' || CAST(doc_id % 20 AS VARCHAR) ||
+                       '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+                       CASE WHEN doc_id % 3 = 0 THEN ' and https://mirror.example.org' ELSE '' END AS text
+                FROM documents
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(?:/[^\s]*)?')) AS BIGINT) AS n_urls,
+                       CAST(len(list_distinct(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1))) AS BIGINT) AS n_domains,
+                       array_to_string(list_sort(list_distinct(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1))), ',') AS domains
+                FROM synth
+            ),
+            top AS (
+                SELECT CAST(-1 AS BIGINT) AS doc_id,
+                       CAST(cnt AS BIGINT) AS n_urls,
+                       CAST(-1 AS BIGINT) AS n_domains,
+                       domain AS domains
+                FROM (
+                    SELECT domain, count(*) AS cnt
+                    FROM (SELECT unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM synth)
+                    GROUP BY domain ORDER BY cnt DESC, domain LIMIT 10
+                )
+            )
+            SELECT * FROM per_doc UNION ALL SELECT * FROM top
         """,
         "q85_cogroup": """
             WITH e AS (

@@ -1109,3 +1109,38 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
         if changed == 0:
             break
     return labels
+
+
+# ------------------------------------------------- URL / domain triage
+
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[^\s]*)?"
+_DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document URL signals: count + distinct registrable hosts — the
+    boilerplate/spam triage pass of a web corpus.  Single projection of
+    regexp expressions (RE2-compatible, so the oracle runs them verbatim)."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    hosts = F.array_distinct(F.regexp_extract_all(F.col(text_col), F.lit(_DOMAIN_PATTERN), 1))
+    return df.select(
+        F.col(id_col),
+        F.size(urls).alias("n_urls"),
+        F.size(hosts).alias("n_domains"),
+        F.array_join(F.array_sort(hosts), ",").alias("domains"),
+    )
+
+
+def top_domains(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Corpus-wide most-linked hosts (count desc, host asc — deterministic).
+    Same scale shape as top_ngrams: explode → map-side-combined count →
+    TakeOrderedAndProject."""
+    hosts = F.regexp_extract_all(F.col(text_col), F.lit(_DOMAIN_PATTERN), 1)
+    return (
+        _spread(df)
+        .select(F.explode(hosts).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("domain"))
+        .limit(k)
+    )

@@ -255,3 +255,19 @@ def test_dedup_clusters_planted(spark):
     )
     got = {r.node: r.cluster_id for r in llmops.dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
+
+
+def test_url_stats_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "read https://a.example.com/x and https://b.example.org plus https://a.example.com/y"),
+            (2, "no links here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in llmops.url_stats(df, "doc_id", "text").collect()}
+    assert out[1].n_urls == 3 and out[1].n_domains == 2
+    assert out[1].domains == "a.example.com,b.example.org"
+    assert out[2].n_urls == 0 and out[2].domains == ""
+    top = [(r.domain, r.cnt) for r in llmops.top_domains(df, "text", k=5).collect()]
+    assert top == [("a.example.com", 2), ("b.example.org", 1)]
