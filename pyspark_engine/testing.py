@@ -325,6 +325,12 @@ class TopologyTestDriver:
             self._logs[name] = _TopicLog(schema or self.DEFAULT_SCHEMA, key_col, value_col, ts_col)
         return TestInputTopic(self, name)
 
+    def create_multi_input_topic(self, *topics: str, schema: str | None = None, **kw) -> TestMultiInputTopic:
+        """CreateMultiInputTopic (TopologyTestDriver.cs:287-322)."""
+        for t in topics:
+            self.create_input_topic(t, schema, **kw)
+        return TestMultiInputTopic(self, topics)
+
     def create_output_topic(self, name: str) -> TestOutputTopic:
         """CreateOuputTopic (TopologyTestDriver.cs:224-272)."""
         return TestOutputTopic(self, name)
@@ -400,3 +406,33 @@ def _ts_type(schema: str, col: str) -> str:
         if bits and bits[0] == col:
             return " ".join(bits[1:]).lower()
     return ""
+
+
+class TestMultiInputTopic:
+    """Pipe into several topics through one handle
+    (core/Mock/TestMultiInputTopic.cs:27-193).  Records buffer locally and
+    land on ``flush()`` (the reference's Flush), which preserves the global
+    pipe order across topics via the shared auto-timestamp clock."""
+
+    def __init__(self, driver: "TopologyTestDriver", topics: Sequence[str]):
+        self._driver = driver
+        self._topics = {t: TestInputTopic(driver, t) for t in topics}
+        self._buffer: list[tuple[str, tuple, int | None]] = []
+
+    def pipe_input(self, topic: str, *args, timestamp_ms: int | None = None) -> None:
+        if topic not in self._topics:
+            raise KeyError(f"topic '{topic}' not in multi-input set {sorted(self._topics)}")
+        self._buffer.append((topic, args, timestamp_ms))
+
+    def pipe_inputs(self, topic: str, inputs: Iterable) -> None:
+        for item in inputs:
+            if isinstance(item, tuple) and len(item) == 2:
+                self.pipe_input(topic, item[0], item[1])
+            else:
+                self.pipe_input(topic, item)
+
+    def flush(self) -> None:
+        """Deliver buffered records in pipe order (TestMultiInputTopic.cs:188)."""
+        for topic, args, ts in self._buffer:
+            self._topics[topic].pipe_input(*args, timestamp_ms=ts)
+        self._buffer.clear()

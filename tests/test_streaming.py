@@ -511,3 +511,27 @@ def test_curation_pipeline_streaming_parity(spark):
     got = run_available_now(pipeline(ks.df), output_mode="append")
     cols = ["doc_id", "chunk_idx", "n_tokens_chunk", "chunk_text"]
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(batch, cols))
+
+
+def test_file_sink_checkpoint_idempotent_restart(spark, tmp_path):
+    """EOS analog (SURVEY §7.2): the reference gets exactly-once from Kafka
+    transactions; the Spark path is checkpoint + replayable source + an
+    idempotent sink.  Restarting the SAME query (same checkpoint, same
+    source) after it drained everything must write nothing new — no
+    duplicate records in the sink."""
+    import os
+
+    from pyspark_engine.streaming import StreamingBuilder, start_to_files
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    os.symlink(f"{SF}/events.parquet", src / "events.parquet")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    for _ in range(2):  # first run drains; second finds no new offsets
+        ks = StreamingBuilder(spark).file_stream(str(src), key="user_id")
+        q = start_to_files(ks, out, checkpoint=ck, available_now=True)
+        q.awaitTermination()
+
+    want = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert spark.read.parquet(out).count() == want

@@ -152,3 +152,34 @@ def test_driver_unknown_topic_raises(spark):
             driver.create_output_topic("nope").read_key_value_list()
         with pytest.raises(KeyError):
             driver._topic_df("never-created")
+
+
+def test_multi_input_topic_flush_order(spark):
+    """TestMultiInputTopic (TopologyTestDriver.cs:287-322): buffered pipes
+    across topics land on flush, preserving the shared clock order."""
+
+    def topo(b):
+        dim = b.table("d2", key="key", ts="dts")
+        return {"out": b.stream("f2", key="key", ts="ts").join_table(dim, how="left")}
+
+    with TopologyTestDriver(spark, topo) as driver:
+        multi = driver.create_multi_input_topic("f2")
+        driver.create_input_topic("d2", schema="key string, dv string, dts timestamp",
+                                  value_col="dv", ts_col="dts")
+        multi.pipe_input("f2", "a", "x1")
+        multi.pipe_inputs("f2", [("b", "x2"), ("a", "x3")])
+        out = driver.create_output_topic("out")
+        assert out.is_empty  # nothing delivered before flush
+        multi.flush()
+        driver.create_input_topic("d2")  # already exists; no-op
+        dimt = driver.create_input_topic("d2", schema="key string, dv string, dts timestamp",
+                                         value_col="dv", ts_col="dts")
+        dimt.pipe_input("a", "A")
+        rows = out.read_key_value_list()
+        assert len(rows) == 3
+        vals = {(r["key"], r["value"]): r["dv"] for r in rows}
+        assert vals[("a", "x1")] == "A" and vals[("b", "x2")] is None
+        import pytest as _pytest
+
+        with _pytest.raises(KeyError):
+            multi.pipe_input("unknown-topic", "k", "v")
