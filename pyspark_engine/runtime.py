@@ -271,3 +271,31 @@ class StoreRegistry:
             .orderBy(F.col(start_col))
             .collect()
         )
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 256,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a directory of (typically streaming-
+    produced) small files into ~``target_mb`` output files; returns the
+    output file count.  The operational cousin of the streaming sinks — a
+    micro-batch file sink emits one file per trigger per partition, and at
+    100 TB the resulting millions of small files dominate scan planning
+    time.  Sizing is driver-side file listing only; the rewrite is one
+    round-robin shuffle.  Writes to ``dst_path`` (non-destructive — callers
+    swap directories after validating)."""
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(conf)
+    total = fs.getContentSummary(path).getLength()
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(src_path)
+    df.repartition(n_out).write.format(fmt).mode("overwrite").save(dst_path)
+    return n_out

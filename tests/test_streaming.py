@@ -535,3 +535,21 @@ def test_file_sink_checkpoint_idempotent_restart(spark, tmp_path):
 
     want = spark.read.parquet(f"{SF}/events.parquet").count()
     assert spark.read.parquet(out).count() == want
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    """Small-file compaction: a fragmented (streaming-sink-shaped) directory
+    rewrites to few right-sized files with all rows intact."""
+    import glob
+
+    from pyspark_engine.runtime import compact_files
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    events.repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+
+    n_out = compact_files(spark, src, dst, target_mb=256)
+    assert n_out == 1  # tiny corpus fits one target-size file
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
+    assert spark.read.parquet(dst).count() == events.count()
