@@ -553,3 +553,41 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     assert n_out == 1  # tiny corpus fits one target-size file
     assert len(glob.glob(f"{dst}/*.parquet")) == 1
     assert spark.read.parquet(dst).count() == events.count()
+
+
+def test_find_sessions_intersection_semantics(spark):
+    """Session-store range read (Kafka Streams findSessions contract:
+    sessions INTERSECTING [earliest, latest]); the reference's session store
+    is an unimplemented stub (IReadOnlySessionStore.cs), ours is queryable."""
+    import datetime as dt
+
+    from pyspark_engine import SessionWindowOptions
+    from pyspark_engine.dsl import KStream
+    from pyspark_engine.runtime import StoreRegistry
+
+    t0 = dt.datetime(2024, 1, 1)
+    # key a: two sessions (gap 10 min): [0,1min] and [30,31min]
+    rows = [
+        ("a", t0), ("a", t0 + dt.timedelta(minutes=1)),
+        ("a", t0 + dt.timedelta(minutes=30)), ("a", t0 + dt.timedelta(minutes=31)),
+        ("b", t0 + dt.timedelta(minutes=2)),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    (
+        KStream(df, key=("k",), ts="ts")
+        .group_by_key()
+        .windowed_by(SessionWindowOptions.of(10 * 60 * 1000))
+        .count("cnt")
+        .materialize("sess_store")
+    )
+    reg = StoreRegistry(spark)
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    # range [0.5min, 5min] intersects only a's FIRST session
+    got = reg.find_sessions(
+        "sess_store", {"k": "a"},
+        earliest_end_ms=base + 30_000, latest_start_ms=base + 300_000,
+    )
+    assert len(got) == 1 and got[0].cnt == 2
+    # unbounded: both sessions, ordered by start
+    both = reg.find_sessions("sess_store", {"k": "a"})
+    assert [r.cnt for r in both] == [2, 2] and len(both) == 2
