@@ -1275,6 +1275,27 @@ def q91_url_stats(spark, sf_dir):
     return per_doc.unionByName(top)
 
 
+
+def q92_pack_tokens(spark, sf_dir):
+    """Sequence packing (llmops.pack_tokens): chunk the corpus (q80
+    semantics), then lay chunks end-to-end in (doc_id, chunk_idx) order and
+    cut every 512 tokens — each chunk gets its training-context id and
+    offset.  One window cumsum; the oracle reproduces it with the same
+    running sum."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    chunks = llmops.chunk_text(docs, "doc_id", "text", max_tokens=32, overlap=8)
+    packed = llmops.pack_tokens(
+        chunks.select("doc_id", "chunk_idx", "n_tokens_chunk"),
+        "doc_id", "n_tokens_chunk", budget=512,
+        order_cols=("doc_id", "chunk_idx"),
+    )
+    return packed.select(
+        "doc_id", "chunk_idx",
+        F.col("n_tokens_chunk").cast("long").alias("n_tokens_chunk"),
+        "pack_id", "pack_offset",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1368,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_llm_pipeline": q89_llm_pipeline,
         "q90_dedup_clusters": q90_dedup_clusters,
         "q91_url_stats": q91_url_stats,
+        "q92_pack_tokens": q92_pack_tokens,
     }
 
 
@@ -2153,6 +2175,29 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             SELECT * FROM per_doc UNION ALL SELECT * FROM top
+        """,
+        "q92_pack_tokens": r"""
+            WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, toks,
+                         unnest(generate_series(1, greatest(len(toks) - 8, 1), 24)) AS st
+                  FROM t),
+            chunks AS (
+                SELECT doc_id,
+                       CAST((st - 1) // 24 AS BIGINT) AS chunk_idx,
+                       CAST(len(list_slice(toks, st, st + 31)) AS BIGINT) AS n_tokens_chunk
+                FROM s
+            ),
+            cum AS (
+                SELECT doc_id, chunk_idx, n_tokens_chunk,
+                       sum(n_tokens_chunk) OVER (ORDER BY doc_id, chunk_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens_chunk AS before
+                FROM chunks
+            )
+            SELECT doc_id, chunk_idx, n_tokens_chunk,
+                   CAST(before // 512 AS BIGINT) AS pack_id,
+                   CAST(before % 512 AS BIGINT) AS pack_offset
+            FROM cum
         """,
         "q85_cogroup": """
             WITH e AS (

@@ -1144,3 +1144,34 @@ def top_domains(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("domain"))
         .limit(k)
     )
+
+
+# ------------------------------------------------- sequence packing
+
+def pack_tokens(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Concatenate-and-split sequence packing: lay all chunks end-to-end in
+    a deterministic global order and cut every ``budget`` tokens — the
+    Megatron/GPT-style packing that fills each training context exactly
+    (documents may straddle a boundary; pair with an attention-mask reset
+    downstream).  Adds (pack_id, pack_offset) per chunk.
+
+    Scale: one window cumsum over the global order.  The single-partition
+    global ordering is the honest cost of a total order — at corpus scale,
+    partition by a shard column first (pack per shard, shard = e.g.
+    doc_id range or hash bucket) so each shard packs independently; the
+    global pass here is the per-shard inner step."""
+    order = [F.col(c) for c in (list(order_cols) or [id_col])]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(F.col(n_tokens_col)).over(w)
+    before = (cum - F.col(n_tokens_col)).cast("long")
+    return df.select(
+        "*",
+        (before / F.lit(budget)).cast("long").alias("pack_id"),
+        (before % F.lit(budget)).cast("long").alias("pack_offset"),
+    )

@@ -271,3 +271,17 @@ def test_url_stats_planted(spark):
     assert out[2].n_urls == 0 and out[2].domains == ""
     top = [(r.domain, r.cnt) for r in llmops.top_domains(df, "text", k=5).collect()]
     assert top == [("a.example.com", 2), ("b.example.org", 1)]
+
+
+def test_pack_tokens_planted(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 300), (1, 1, 300), (2, 0, 300), (3, 0, 100)],
+        "doc_id long, chunk_idx long, n long",
+    )
+    out = {
+        (r.doc_id, r.chunk_idx): (r.pack_id, r.pack_offset)
+        for r in llmops.pack_tokens(df, "doc_id", "n", budget=512,
+                                    order_cols=("doc_id", "chunk_idx")).collect()
+    }
+    # cumulative starts: 0, 300, 600, 900 -> packs 0,0,1,1 at offsets 0,300,88,388
+    assert out == {(1, 0): (0, 0), (1, 1): (0, 300), (2, 0): (1, 88), (3, 0): (1, 388)}
