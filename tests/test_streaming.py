@@ -591,3 +591,18 @@ def test_find_sessions_intersection_semantics(spark):
     # unbounded: both sessions, ordered by start
     both = reg.find_sessions("sess_store", {"k": "a"})
     assert [r.cnt for r in both] == [2, 2] and len(both) == 2
+
+
+def test_hopping_window_streaming_parity(spark):
+    """Hopping windows (overlapping assignment) maintained as streaming
+    state == the batch hopping aggregation."""
+    from pyspark_engine import HoppingWindowOptions
+
+    w = HoppingWindowOptions.of(3_600_000, 900_000)
+    got = run_available_now(
+        _events_stream(spark).group_by_key().windowed_by(w).count(),
+        output_mode="complete",
+    )
+    want = _events_batch(spark).group_by_key().windowed_by(w).count().df
+    cols = ["user_id", "w_start", "w_end", "cnt"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
