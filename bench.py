@@ -67,6 +67,8 @@ HEADLINE = [
     "q87_paragraph_dedup",
     "q88_top_ngrams",
     "q89_llm_pipeline",
+    "q91_url_stats",
+    "q92_pack_tokens",
 ]
 
 
