@@ -606,3 +606,60 @@ def test_hopping_window_streaming_parity(spark):
     want = _events_batch(spark).group_by_key().windowed_by(w).count().df
     cols = ["user_id", "w_start", "w_end", "cnt"]
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+
+
+def test_stream_stream_left_join_streaming_parity(spark, tmp_path):
+    """Stream-stream LEFT interval join in streaming mode: the unmatched
+    left row is held in state and emitted with nulls only after the
+    watermark passes its join window (Spark's timing; the reference emits
+    eagerly — KStreamKStreamJoinProcessor.cs:51-66 — same final state,
+    SURVEY §7.3.4).  Two micro-batches advance the watermark; final rows
+    equal the batch left join."""
+    import datetime as dt
+    import os
+    import time
+
+    from pyspark_engine import JoinWindowOptions
+    from pyspark_engine.dsl import KStream
+    from pyspark_engine.streaming import StreamingBuilder
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    os.makedirs(ldir)
+    os.makedirs(rdir)
+    pd.DataFrame({"k": ["a", "b"], "lv": [1, 2], "ts": [t0, t0]}).to_parquet(
+        ldir / "f1.parquet", coerce_timestamps="us"
+    )
+    pd.DataFrame({"rk": ["a"], "rv": [10], "rts": [t0 + dt.timedelta(seconds=60)]}).to_parquet(
+        rdir / "f1.parquet", coerce_timestamps="us"
+    )
+    time.sleep(1.05)
+    late = t0 + dt.timedelta(hours=3)
+    pd.DataFrame({"k": ["z"], "lv": [3], "ts": [late]}).to_parquet(
+        ldir / "f2.parquet", coerce_timestamps="us"
+    )
+    pd.DataFrame({"rk": ["z"], "rv": [30], "rts": [late]}).to_parquet(
+        rdir / "f2.parquet", coerce_timestamps="us"
+    )
+
+    w = JoinWindowOptions.of(30 * 60 * 1000)
+
+    def topo(lks, rks):
+        return lks.join(rks, w, how="left")
+
+    sb = StreamingBuilder(spark)
+    lks = sb.file_stream(str(ldir), key="k", ts="ts", max_files_per_trigger=1).with_watermark("1 minute")
+    rks = KStream(
+        sb.file_stream(str(rdir), key="rk", ts="rts", max_files_per_trigger=1).df,
+        ("rk",), "rts",
+    ).with_watermark("1 minute")
+    got = run_available_now(topo(lks, rks), output_mode="append")
+
+    lb = KStream(spark.read.parquet(str(ldir)), ("k",), "ts")
+    rb = KStream(spark.read.parquet(str(rdir)), ("rk",), "rts")
+    want = topo(lb, rb).df
+    cols = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+    # the unmatched left row is present with a null right side
+    rows = {r.k: r.rv for r in got.collect()}
+    assert rows["b"] is None and rows["a"] == 10 and rows["z"] == 30
