@@ -663,3 +663,51 @@ def test_stream_stream_left_join_streaming_parity(spark, tmp_path):
     # the unmatched left row is present with a null right side
     rows = {r.k: r.rv for r in got.collect()}
     assert rows["b"] is None and rows["a"] == 10 and rows["z"] == 30
+
+
+def test_stream_stream_outer_join_streaming_parity(spark, tmp_path):
+    """FULL OUTER interval join in streaming: both unmatched sides emit with
+    nulls after watermark expiry; final state equals the batch full join."""
+    import datetime as dt
+    import os
+    import time
+
+    from pyspark_engine import JoinWindowOptions
+    from pyspark_engine.dsl import KStream
+    from pyspark_engine.streaming import StreamingBuilder
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    os.makedirs(ldir)
+    os.makedirs(rdir)
+    pd.DataFrame({"k": ["a", "b"], "lv": [1, 2], "ts": [t0, t0]}).to_parquet(
+        ldir / "f1.parquet", coerce_timestamps="us"
+    )
+    pd.DataFrame(
+        {"rk": ["a", "c"], "rv": [10, 20], "rts": [t0 + dt.timedelta(seconds=60)] * 2}
+    ).to_parquet(rdir / "f1.parquet", coerce_timestamps="us")
+    time.sleep(1.05)
+    late = t0 + dt.timedelta(hours=3)
+    pd.DataFrame({"k": ["z"], "lv": [3], "ts": [late]}).to_parquet(
+        ldir / "f2.parquet", coerce_timestamps="us"
+    )
+    pd.DataFrame({"rk": ["z"], "rv": [30], "rts": [late]}).to_parquet(
+        rdir / "f2.parquet", coerce_timestamps="us"
+    )
+
+    w = JoinWindowOptions.of(30 * 60 * 1000)
+    sb = StreamingBuilder(spark)
+    lks = sb.file_stream(str(ldir), key="k", ts="ts", max_files_per_trigger=1).with_watermark("1 minute")
+    rks = KStream(
+        sb.file_stream(str(rdir), key="rk", ts="rts", max_files_per_trigger=1).df,
+        ("rk",), "rts",
+    ).with_watermark("1 minute")
+    got = run_available_now(lks.join(rks, w, how="full"), output_mode="append")
+
+    lb = KStream(spark.read.parquet(str(ldir)), ("k",), "ts")
+    rb = KStream(spark.read.parquet(str(rdir)), ("rk",), "rts")
+    want = lb.join(rb, w, how="full").df
+    cols = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+    rows = {r.k: (r.lv, r.rv) for r in got.collect()}
+    assert rows["b"] == (2, None) and rows["c"] == (None, 20)  # both null sides
