@@ -1296,6 +1296,37 @@ def q92_pack_tokens(spark, sf_dir):
     )
 
 
+
+def q93_session_store_fetch(spark, sf_dir):
+    """Session-store range read (StoreRegistry.find_sessions_df): sessions
+    for user 7 INTERSECTING [2024-01-05, 2024-01-15] — findSessions
+    semantics (end >= earliest AND start <= latest).  The reference's
+    session store is an unimplemented stub (IReadOnlySessionStore.cs); this
+    query oracle-verifies ours against a gap-island reconstruction."""
+    from pyspark_engine.runtime import StoreRegistry
+
+    b = _b(spark, sf_dir)
+    (
+        b.stream("events", key="user_id", ts="ts")
+        .group_by_key()
+        .windowed_by(SessionWindowOptions.of(30 * 60 * 1000))
+        .count("cnt")
+        .materialize("sess_store_q93")
+    )
+    df = StoreRegistry(spark).find_sessions_df(
+        "sess_store_q93",
+        {"user_id": 7},
+        earliest_end_ms=1704412800000,
+        latest_start_ms=1705276800000,
+    )
+    return df.select(
+        "user_id",
+        F.unix_millis(F.col("w_start")).alias("s_start_ms"),
+        F.unix_millis(F.col("w_end")).alias("s_end_ms"),
+        "cnt",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1390,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_dedup_clusters": q90_dedup_clusters,
         "q91_url_stats": q91_url_stats,
         "q92_pack_tokens": q92_pack_tokens,
+        "q93_session_store_fetch": q93_session_store_fetch,
     }
 
 
@@ -2198,6 +2230,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(before // 512 AS BIGINT) AS pack_id,
                    CAST(before % 512 AS BIGINT) AS pack_offset
             FROM cum
+        """,
+        "q93_session_store_fetch": """
+            WITH e AS (SELECT user_id, ts FROM events WHERE user_id = 7),
+                 m AS (SELECT user_id, ts,
+                              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                                   THEN 1 ELSE 0 END AS brk
+                       FROM e),
+                 s AS (SELECT user_id, ts,
+                              sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                       FROM m)
+            SELECT user_id,
+                   epoch_ms(min(ts)) AS s_start_ms,
+                   epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS s_end_ms,
+                   count(*) AS cnt
+            FROM s GROUP BY user_id, sid
+            HAVING epoch_ms(max(ts) + INTERVAL 30 MINUTE) >= 1704412800000
+               AND epoch_ms(min(ts)) <= 1705276800000
         """,
         "q85_cogroup": """
             WITH e AS (

@@ -272,6 +272,30 @@ class StoreRegistry:
             .collect()
         )
 
+    def find_sessions_df(
+        self,
+        name: str,
+        key_values: dict | None = None,
+        earliest_end_ms: int | None = None,
+        latest_start_ms: int | None = None,
+        start_col: str = "w_start",
+        end_col: str = "w_end",
+    ) -> DataFrame:
+        """Session-store range read as a DataFrame — the Kafka Streams
+        ``findSessions`` contract (sessions whose [start, end] INTERSECTS
+        the query range: end >= earliest AND start <= latest).  The
+        reference stubs its session store
+        (core/State/IReadOnlySessionStore.cs: "NOT IMPLEMENTED FOR MOMENT");
+        here session windows are first-class, so the read side is too."""
+        df = self.store(name)
+        for k, v in (key_values or {}).items():
+            df = df.filter(df[k] == v)
+        if earliest_end_ms is not None:
+            df = df.filter(F.unix_millis(F.col(end_col)) >= F.lit(int(earliest_end_ms)))
+        if latest_start_ms is not None:
+            df = df.filter(F.unix_millis(F.col(start_col)) <= F.lit(int(latest_start_ms)))
+        return df
+
     def find_sessions(
         self,
         name: str,
@@ -281,20 +305,14 @@ class StoreRegistry:
         start_col: str = "w_start",
         end_col: str = "w_end",
     ) -> list:
-        """Session-store range read — the Kafka Streams ``findSessions``
-        contract (sessions whose [start, end] INTERSECTS the query range:
-        end >= earliest AND start <= latest).  The reference stubs its
-        session store (core/State/IReadOnlySessionStore.cs: "NOT IMPLEMENTED
-        FOR MOMENT"); here session windows are first-class, so the read side
-        is too.  Ordered by session start."""
-        df = self.store(name)
-        for k, v in (key_values or {}).items():
-            df = df.filter(df[k] == v)
-        if earliest_end_ms is not None:
-            df = df.filter(F.unix_millis(F.col(end_col)) >= F.lit(int(earliest_end_ms)))
-        if latest_start_ms is not None:
-            df = df.filter(F.unix_millis(F.col(start_col)) <= F.lit(int(latest_start_ms)))
-        return df.orderBy(F.col(start_col)).collect()
+        """Collecting twin of find_sessions_df, ordered by session start."""
+        return (
+            self.find_sessions_df(
+                name, key_values, earliest_end_ms, latest_start_ms, start_col, end_col
+            )
+            .orderBy(F.col(start_col))
+            .collect()
+        )
 
 
 def compact_files(
