@@ -1327,6 +1327,19 @@ def q93_session_store_fetch(spark, sf_dir):
     )
 
 
+
+def q94_frame_sample(spark, sf_dir):
+    """Frame sampling (llmops.frame_sample): every 2nd 16-byte frame of each
+    payload via Arrow-batched mapInPandas (1→N fan-out, no shuffle).  Frames
+    surface as hex so the DuckDB oracle (blob substring + hex) compares
+    byte-exactly."""
+    docs = read_table(configure(spark), sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    out = llmops.frame_sample(docs, "doc_id", "payload", frame_bytes=16, stride=2)
+    return out.select("doc_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1422,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_url_stats": q91_url_stats,
         "q92_pack_tokens": q92_pack_tokens,
         "q93_session_store_fetch": q93_session_store_fetch,
+        "q94_frame_sample": q94_frame_sample,
     }
 
 
@@ -2249,6 +2263,14 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sid
             HAVING epoch_ms(max(ts) + INTERVAL 30 MINUTE) >= 1704412800000
                AND epoch_ms(min(ts)) <= 1705276800000
+        """,
+        "q94_frame_sample": """
+            WITH p AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+                 f AS (SELECT doc_id, h, unnest(range(0, length(h) // 32, 2)) AS j FROM p)
+            SELECT doc_id,
+                   CAST(j AS INT) AS frame_idx,
+                   substring(h, CAST(j * 32 + 1 AS INT), 32) AS frame_hex
+            FROM f
         """,
         "q85_cogroup": """
             WITH e AS (

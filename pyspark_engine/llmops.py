@@ -1175,3 +1175,40 @@ def pack_tokens(
         (before / F.lit(budget)).cast("long").alias("pack_id"),
         (before % F.lit(budget)).cast("long").alias("pack_offset"),
     )
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    frame_bytes: int = 16,
+    stride: int = 2,
+) -> DataFrame:
+    """Frame sampling over opaque media payloads: treat the binary as a
+    sequence of fixed-size frames and keep every ``stride``-th one — the
+    video-keyframe-extraction plumbing (a real container-aware sampler slots
+    into the same mapInPandas signature; codecs aren't in this container, so
+    frames are fixed-byte slices — the Spark-side batch shape, schema, and
+    1→N fan-out are the real thing).
+
+    Scale: Arrow-batched mapInPandas, no shuffle — frames are emitted on the
+    scan partitioning; a trailing partial frame is dropped (codec analog:
+    incomplete trailing data is undecodable)."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    out_schema = f"{id_col} long, frame_idx int, frame binary"
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b) if b is not None else b""
+                for j in range(0, len(b) // frame_bytes, stride):
+                    ids.append(i)
+                    idxs.append(j)
+                    frames.append(b[j * frame_bytes : (j + 1) * frame_bytes])
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(gen, out_schema)

@@ -285,3 +285,17 @@ def test_pack_tokens_planted(spark):
     }
     # cumulative starts: 0, 300, 600, 900 -> packs 0,0,1,1 at offsets 0,300,88,388
     assert out == {(1, 0): (0, 0), (1, 1): (0, 300), (2, 0): (1, 88), (3, 0): (1, 388)}
+
+
+def test_frame_sample_planted(spark):
+    payload = bytes(range(44))  # frames of 8: idx 0..4; 4 trailing bytes dropped
+    df = spark.createDataFrame([(1, payload), (2, b"short")], "doc_id long, payload binary")
+    out = {
+        (r.doc_id, r.frame_idx): bytes(r.frame)
+        for r in llmops.frame_sample(df, "doc_id", "payload", frame_bytes=8, stride=2).collect()
+    }
+    assert out == {
+        (1, 0): bytes(range(0, 8)),
+        (1, 2): bytes(range(16, 24)),
+        (1, 4): bytes(range(32, 40)),
+    }  # doc 2 (< one frame) yields nothing; odd frames skipped; partial tail dropped
