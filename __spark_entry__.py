@@ -1340,6 +1340,19 @@ def q94_frame_sample(spark, sf_dir):
     return out.select("doc_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex"))
 
 
+def q95_resize_thumbs(spark, sf_dir):
+    """Thumbnail resize (llmops.resize_payloads): mean-pool each payload's
+    bytes into a fixed 8-byte thumb via Arrow-batched mapInPandas (1→1, no
+    shuffle, constant output row width — the point of resizing early).
+    Thumbs surface as hex so the DuckDB oracle (integer bucket edges +
+    per-bucket floor-mean) compares byte-exactly."""
+    docs = read_table(configure(spark), sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    out = llmops.resize_payloads(docs, "doc_id", "payload", target_bytes=8)
+    return out.select("doc_id", F.hex(F.col("thumb")).alias("thumb_hex"), "orig_bytes")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1436,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_pack_tokens": q92_pack_tokens,
         "q93_session_store_fetch": q93_session_store_fetch,
         "q94_frame_sample": q94_frame_sample,
+        "q95_resize_thumbs": q95_resize_thumbs,
     }
 
 
@@ -2271,6 +2285,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(j AS INT) AS frame_idx,
                    substring(h, CAST(j * 32 + 1 AS INT), 32) AS frame_hex
             FROM f
+        """,
+        "q95_resize_thumbs": """
+            WITH p AS (SELECT doc_id, hex(encode(text)) AS h,
+                              octet_length(encode(text)) AS n FROM documents),
+                 b AS (SELECT doc_id, n, h, unnest(range(0, n)) AS i FROM p),
+                 v AS (SELECT doc_id,
+                              CASE WHEN n >= 8 THEN ((i + 1) * 8 + n - 1) // n - 1
+                                   ELSE i END AS j,
+                              CAST('0x' || substring(h, CAST(i * 2 + 1 AS INT), 2) AS INT) AS byte
+                       FROM b),
+                 agg AS (SELECT doc_id, j, sum(byte) // count(*) AS tb
+                         FROM v GROUP BY doc_id, j),
+                 grid AS (SELECT doc_id, n, unnest(range(0, 8)) AS j FROM p)
+            SELECT g.doc_id,
+                   string_agg(printf('%02X', CAST(coalesce(a.tb, 0) AS INT)), ''
+                              ORDER BY g.j) AS thumb_hex,
+                   CAST(max(g.n) AS BIGINT) AS orig_bytes
+            FROM grid g LEFT JOIN agg a ON g.doc_id = a.doc_id AND g.j = a.j
+            GROUP BY g.doc_id
         """,
         "q85_cogroup": """
             WITH e AS (

@@ -1212,3 +1212,49 @@ def frame_sample(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(gen, out_schema)
+
+
+def resize_payloads(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    target_bytes: int = 64,
+) -> DataFrame:
+    """Resize over opaque media payloads: downsample each binary to exactly
+    ``target_bytes`` by mean-pooling equal byte buckets (the deterministic
+    stand-in for image resize — a PIL/cv2 body slots into the same
+    mapInPandas signature; see decode_image_batches for the honest gate).
+    Payloads shorter than ``target_bytes`` zero-pad — output shape is fixed,
+    like a real thumbnail pipeline.
+
+    Scale: Arrow-batched, 1→1, no shuffle; output row width is constant
+    regardless of input payload size (the point of resizing early: carry
+    64 B/row downstream instead of the raw media)."""
+    out_schema = f"{id_col} long, thumb binary, orig_bytes long"
+
+    def worker(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, thumbs, sizes = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(bytes(b) if b is not None else b"", dtype=np.uint8)
+                n = arr.size
+                if n == 0:
+                    thumb = np.zeros(target_bytes, dtype=np.uint8)
+                elif n < target_bytes:
+                    thumb = np.pad(arr, (0, target_bytes - n))
+                else:
+                    # mean-pool into target_bytes buckets (bucket edges via
+                    # integer split so every byte lands in exactly one bucket)
+                    edges = (np.arange(target_bytes + 1) * n) // target_bytes
+                    sums = np.add.reduceat(arr.astype("int64"), edges[:-1])
+                    counts = np.diff(edges)
+                    thumb = (sums // counts).astype(np.uint8)
+                ids.append(i)
+                thumbs.append(thumb.tobytes())
+                sizes.append(int(n))
+            yield pd.DataFrame({id_col: ids, "thumb": thumbs, "orig_bytes": sizes})
+
+    return df.mapInPandas(worker, out_schema)

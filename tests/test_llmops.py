@@ -299,3 +299,18 @@ def test_frame_sample_planted(spark):
         (1, 2): bytes(range(16, 24)),
         (1, 4): bytes(range(32, 40)),
     }  # doc 2 (< one frame) yields nothing; odd frames skipped; partial tail dropped
+
+
+def test_resize_payloads_planted(spark):
+    import numpy as np
+
+    big = bytes(range(200)) * 2  # 400 bytes -> 4 buckets of 100 for target 4
+    small = b"\x01\x02"
+    df = spark.createDataFrame([(1, big), (2, small), (3, b"")], "doc_id long, payload binary")
+    out = {r.doc_id: r for r in llmops.resize_payloads(df, "doc_id", "payload", target_bytes=4).collect()}
+    arr = np.frombuffer(big, dtype=np.uint8).astype("int64")
+    want = bytes(int(arr[i * 100:(i + 1) * 100].sum() // 100) for i in range(4))
+    assert bytes(out[1].thumb) == want and out[1].orig_bytes == 400
+    assert bytes(out[2].thumb) == b"\x01\x02\x00\x00" and out[2].orig_bytes == 2
+    assert bytes(out[3].thumb) == b"\x00\x00\x00\x00" and out[3].orig_bytes == 0
+    assert all(len(bytes(r.thumb)) == 4 for r in out.values())  # fixed output width
