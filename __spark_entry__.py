@@ -1353,6 +1353,43 @@ def q95_resize_thumbs(spark, sf_dir):
     return out.select("doc_id", F.hex(F.col("thumb")).alias("thumb_hex"), "orig_bytes")
 
 
+def q96_tfidf_topk(spark, sf_dir):
+    """Per-doc top-5 TF-IDF keywords (llmops.tfidf_topk): tf agg → vocab df
+    agg → broadcast N → ranked window.  Score floor-quantized so the DuckDB
+    ln-based oracle compares integer-exactly."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.tfidf_topk(docs, "doc_id", "text", k=5, min_df=2)
+
+
+def q97_unigram_xent(spark, sf_dir):
+    """Unigram-LM cross-entropy quality proxy (llmops.unigram_logprob):
+    corpus-trained p(w), per-doc H = ln(total) − Σtf·ln(cnt)/n, quantized."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.unigram_logprob(docs, "doc_id", "text")
+
+
+def q98_inverted_index(spark, sf_dir):
+    """Bigram-phrase → sorted posting-list index (llmops.inverted_index)
+    with min_df/max_df pruning (the stop-phrase cut doubles as the skew
+    guard); postings comma-joined for exact comparison."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.inverted_index(docs, "doc_id", "text", min_df=3, max_df_ratio=0.1, n=2)
+
+
+def q99_sample_mixture(spark, sf_dir):
+    """Budget-constrained mixture rebalance (llmops.sample_to_mixture):
+    rates = min(1, share·budget/n_domain) derived from per-domain counts
+    (en downsamples, small langs clamp at 1.0, es drops), md5-bucket keep
+    rule — reproducible across engines."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    out = llmops.sample_to_mixture(
+        docs, "doc_id", "lang",
+        {"en": 0.25, "fr": 0.25, "zh": 0.25, "de": 0.25},
+        budget=400, salt="mix2:",
+    )
+    return out.select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1450,6 +1487,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_session_store_fetch": q93_session_store_fetch,
         "q94_frame_sample": q94_frame_sample,
         "q95_resize_thumbs": q95_resize_thumbs,
+        "q96_tfidf_topk": q96_tfidf_topk,
+        "q97_unigram_xent": q97_unigram_xent,
+        "q98_inverted_index": q98_inverted_index,
+        "q99_sample_mixture": q99_sample_mixture,
     }
 
 
@@ -2285,6 +2326,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(j AS INT) AS frame_idx,
                    substring(h, CAST(j * 32 + 1 AS INT), 32) AS frame_hex
             FROM f
+        """,
+        "q96_tfidf_topk": r"""
+            WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+                       FROM documents),
+                 tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                        FROM t WHERE term <> '' GROUP BY doc_id, term),
+                 dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df_count FROM tf GROUP BY term),
+                 n AS (SELECT count(*) AS n_docs FROM documents),
+                 s AS (SELECT tf.doc_id, tf.term, tf.tf, dfc.df_count,
+                              CAST(floor(tf.tf * ln((n.n_docs + 1.0) / (dfc.df_count + 1.0)) * 1000)
+                                   AS BIGINT) AS score_q
+                       FROM tf JOIN dfc USING (term) CROSS JOIN n
+                       WHERE dfc.df_count >= 2),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, term)
+                              AS rnk FROM s)
+            SELECT doc_id, term, tf, df_count, score_q, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 5
+        """,
+        "q97_unigram_xent": r"""
+            WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+                       FROM documents),
+                 tf AS (SELECT doc_id, term, count(*) AS tf
+                        FROM t WHERE term <> '' GROUP BY doc_id, term),
+                 v AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+                 tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v),
+                 d AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                              sum(tf.tf * ln(CAST(v.cnt AS DOUBLE))) AS s
+                       FROM tf JOIN v USING (term) GROUP BY tf.doc_id)
+            SELECT doc_id, n_tokens,
+                   CAST(floor((ln(tot.total) - d.s / d.n_tokens) * 1000) AS BIGINT) AS xent_q
+            FROM d CROSS JOIN tot
+        """,
+        "q98_inverted_index": r"""
+            WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                          FROM documents),
+                 raw AS (SELECT doc_id,
+                                unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+                                    AS term
+                         FROM toks),
+                 p AS (SELECT DISTINCT doc_id, term FROM raw WHERE term <> ''),
+                 n AS (SELECT count(*) AS n_docs FROM documents),
+                 g AS (SELECT term, CAST(count(*) AS BIGINT) AS df_count,
+                              string_agg(CAST(doc_id AS VARCHAR), ','
+                                         ORDER BY CAST(doc_id AS VARCHAR)) AS postings
+                       FROM p GROUP BY term)
+            SELECT term, df_count, postings FROM g CROSS JOIN n
+            WHERE df_count >= 3 AND df_count <= n.n_docs * 0.1
+        """,
+        "q99_sample_mixture": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+                 r AS (SELECT lang,
+                              CAST(floor(least(1000000.0,
+                                   CASE lang WHEN 'en' THEN 100000000.0 WHEN 'fr' THEN 100000000.0
+                                             WHEN 'zh' THEN 100000000.0 WHEN 'de' THEN 100000000.0
+                                             ELSE 0.0 END / n)) AS BIGINT) AS thr
+                       FROM c)
+            SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+            WHERE ('0x' || substr(md5('mix2:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+                  < r.thr
         """,
         "q95_resize_thumbs": """
             WITH p AS (SELECT doc_id, hex(encode(text)) AS h,

@@ -1258,3 +1258,164 @@ def resize_payloads(
             yield pd.DataFrame({id_col: ids, "thumb": thumbs, "orig_bytes": sizes})
 
     return df.mapInPandas(worker, out_schema)
+
+
+# ------------------------------------------------- corpus statistics / IR
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_df: int = 2,
+    quant: int = 1000,
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (idf = ln((N+1)/(df+1)),
+    smoothed).  The score surfaces floor-quantized (``score_q`` =
+    floor(score·quant)) so an external SQL oracle compares integer-exactly —
+    a raw double would be hostage to last-ulp differences between the two
+    engines' ln implementations.
+
+    Scale: term-frequency agg (map-side partial count; the (doc, term) space
+    hits the shuffle once), document-frequency derived FROM the tf aggregate
+    (the vocabulary, not the corpus, shuffles again), corpus size joined as a
+    broadcast 1-row aggregate (no driver action), shuffled equi-join back on
+    term, then per-doc top-k via one ranked window.  Nothing rescans the raw
+    text twice and no stage is driver-bound."""
+    terms = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.join(dfreq.filter(F.col("df_count") >= min_df), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df_count",
+            F.floor(
+                F.col("tf")
+                * F.log((F.col("__n_docs") + F.lit(1.0)) / (F.col("df_count") + F.lit(1.0)))
+                * F.lit(quant)
+            ).cast("long").alias("score_q"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score_q").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_df_ratio: float = 0.5,
+    n: int = 1,
+) -> DataFrame:
+    """Build a term → sorted posting-list index over the corpus (``n`` > 1
+    indexes word n-gram phrases — phrase search / contamination lookup).
+    Terms in fewer than ``min_df`` docs (typos/noise) or more than
+    ``max_df_ratio`` of all docs (stop words — ALSO the scale guard: a
+    stop-word posting list at 100 TB would be a giant skewed row) are
+    pruned.  Postings surface as a comma-joined sorted string so the oracle
+    compares exactly.
+
+    Scale: distinct (doc, term) pairs shuffle once on term; the posting agg
+    is the only wide row producer and the max_df cut bounds it; corpus size
+    arrives as a broadcast 1-row aggregate."""
+    pairs = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("term")
+    ).filter(F.col("term") != "")
+    ndocs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df_count"),
+            F.array_join(F.sort_array(F.collect_list(F.col(id_col).cast("string"))), ",").alias(
+                "postings"
+            ),
+        )
+        .crossJoin(F.broadcast(ndocs))
+        .filter(
+            (F.col("df_count") >= min_df)
+            & (F.col("df_count") <= F.col("__n_docs") * F.lit(max_df_ratio))
+        )
+        .drop("__n_docs")
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quant: int = 1000,
+) -> DataFrame:
+    """Unigram-LM cross-entropy per document (the classic cheap perplexity
+    proxy for quality scoring: gibberish / rare-token documents score high,
+    formulaic ones low).  The model is the corpus itself: p(w) = cnt(w)/total;
+    H(doc) = ln(total) − (Σ tf·ln cnt(w)) / n_tokens, floor-quantized like
+    tfidf_topk so the comparison is integer-exact.
+
+    Scale: one (doc, term) tf aggregate, a vocabulary-sized count re-agg, a
+    shuffled join on term, a per-doc sum — all map-side combinable; the
+    1-row totals frame broadcasts.  No second scan of the text."""
+    terms = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    totals = vocab.agg(F.sum("cnt").cast("double").alias("__total"))
+    return (
+        tf.join(vocab, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.log(F.col("cnt").cast("double"))).alias("__s"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.floor(
+                (F.log(F.col("__total")) - F.col("__s") / F.col("n_tokens")) * F.lit(quant)
+            ).cast("long").alias("xent_q"),
+        )
+    )
+
+
+def sample_to_mixture(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    target_shares: dict,
+    budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Sample DOWN to a target domain mixture: given per-domain target
+    shares of a ``budget`` (in rows), each domain keeps rate
+    min(1, share·budget / n_domain) of its rows — the data-DEPENDENT
+    companion to sample_stratified_hash (there the caller fixes rates; here
+    rates derive from the actual corpus counts, which is how a training-mix
+    rebalance actually runs).  Domains without a share drop.  Same
+    deterministic md5-bucket keep rule, so the draw is reproducible across
+    engines/reruns and consistent across same-keyed tables.
+
+    Scale: pass 1 is a tiny per-domain count (map-side combinable, result is
+    |domains| rows); it broadcasts back and the keep rule stays a pure
+    filter on the big side — the corpus itself never shuffles."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    numer = F.lit(0.0)
+    for d, share in sorted(target_shares.items()):
+        numer = F.when(F.col(domain_col) == d, F.lit(float(share * budget * 1_000_000))).otherwise(numer)
+    rates = counts.select(
+        F.col(domain_col),
+        F.floor(F.least(F.lit(1_000_000.0), numer / F.col("__n"))).cast("long").alias("__thr"),
+    )
+    bucket = portable_hash32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 1_000_000
+    return df.join(F.broadcast(rates), domain_col).filter(bucket < F.col("__thr")).drop("__thr")

@@ -314,3 +314,66 @@ def test_resize_payloads_planted(spark):
     assert bytes(out[2].thumb) == b"\x01\x02\x00\x00" and out[2].orig_bytes == 2
     assert bytes(out[3].thumb) == b"\x00\x00\x00\x00" and out[3].orig_bytes == 0
     assert all(len(bytes(r.thumb)) == 4 for r in out.values())  # fixed output width
+
+
+def test_tfidf_topk_planted(spark):
+    import math
+
+    # 3 docs over a 3-word vocab: "rare" only in doc 1, "mid" in docs 1+2,
+    # "common" everywhere (df below min_df drops nothing here: min_df=1).
+    rows = [(1, "rare rare mid common"), (2, "mid common common"), (3, "common")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = llmops.tfidf_topk(df, "doc_id", "text", k=2, min_df=1).collect()
+    got = {(r.doc_id, r.rnk): (r.term, r.tf, r.df_count, r.score_q) for r in out}
+
+    def q(tf, dfc):
+        return math.floor(tf * math.log(4.0 / (dfc + 1.0)) * 1000)
+
+    assert got[(1, 1)] == ("rare", 2, 1, q(2, 1))
+    assert got[(1, 2)] == ("mid", 1, 2, q(1, 2))
+    # doc 2: mid (df 2) outscores common (df 3); doc 3: common scores ln(1)=0
+    assert got[(2, 1)][0] == "mid" and got[(2, 2)][0] == "common"
+    assert got[(3, 1)] == ("common", 1, 3, 0)
+    assert len(out) == 5  # doc 3 has only one term
+
+
+def test_unigram_logprob_planted(spark):
+    import math
+
+    # corpus: a×3, b×1 → p(a)=3/4, p(b)=1/4
+    rows = [(1, "a a b"), (2, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in llmops.unigram_logprob(df, "doc_id", "text").collect()}
+    h1 = math.log(4.0) - (2 * math.log(3.0) + 1 * math.log(1.0)) / 3
+    h2 = math.log(4.0) - math.log(3.0)
+    assert got[1].n_tokens == 3 and got[1].xent_q == math.floor(h1 * 1000)
+    assert got[2].n_tokens == 1 and got[2].xent_q == math.floor(h2 * 1000)
+
+
+def test_inverted_index_planted(spark):
+    rows = [(10, "x y x"), (2, "x z"), (3, "x y"), (4, "w")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.term: r for r in llmops.inverted_index(df, "doc_id", "text", min_df=2, max_df_ratio=0.6).collect()}
+    # x: df=3 > 0.6*4=2.4 → pruned as stop word; w: df=1 < min_df → pruned
+    assert set(out) == {"y"}
+    assert out["y"].df_count == 2 and out["y"].postings == "10,3"  # lexicographic ids
+
+
+def test_sample_to_mixture_rates(spark):
+    import hashlib
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    out = llmops.sample_to_mixture(df, "doc_id", "dom", {"big": 0.5, "small": 0.5}, budget=40, salt="s:")
+    got = {(r.doc_id, r.dom) for r in out.select("doc_id", "dom").collect()}
+    # small: rate = min(1, 20/20) = 1.0 → all 20 kept; big: thr = 20/80 → 250000
+    assert {(i, "small") for i in range(80, 100)} <= got
+
+    def bucket(i):
+        return int(hashlib.md5(f"s:{i}".encode()).hexdigest()[:8], 16) % 1_000_000
+
+    want_big = {(i, "big") for i in range(80) if bucket(i) < 250_000}
+    assert {p for p in got if p[1] == "big"} == want_big
+    # domains without a share drop entirely
+    df2 = df.withColumn("dom", F.lit("other"))
+    assert llmops.sample_to_mixture(df2, "doc_id", "dom", {"big": 1.0}, budget=10).count() == 0
