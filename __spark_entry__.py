@@ -1390,6 +1390,24 @@ def q99_sample_mixture(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q100_pmi_collocations(spark, sf_dir):
+    """Top-20 bigram collocations by PMI (llmops.pmi_collocations):
+    log-domain score over bigram/unigram counts, floor-quantized; global
+    top-k via TakeOrderedAndProject."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.pmi_collocations(docs, "text", min_count=5, k=20)
+
+
+def q101_sample_quota(spark, sf_dir):
+    """Exact per-group quota sample (llmops.sample_per_group_quota): 30 docs
+    per language, ranked by (md5-bucket, id) — the deterministic reservoir
+    analog for fixed-size eval splits."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.sample_per_group_quota(docs, "doc_id", "lang", quota=30, salt="q:").select(
+        "doc_id", "lang"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1491,6 +1509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_unigram_xent": q97_unigram_xent,
         "q98_inverted_index": q98_inverted_index,
         "q99_sample_mixture": q99_sample_mixture,
+        "q100_pmi_collocations": q100_pmi_collocations,
+        "q101_sample_quota": q101_sample_quota,
     }
 
 
@@ -2385,6 +2405,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
             WHERE ('0x' || substr(md5('mix2:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
                   < r.thr
+        """,
+        "q100_pmi_collocations": r"""
+            WITH toks AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+                 uni AS (SELECT w, count(*) AS c
+                         FROM (SELECT unnest(t) AS w FROM toks) WHERE w <> '' GROUP BY w),
+                 big AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+                                AS xy FROM toks),
+                 bc AS (SELECT xy, count(*) AS c_xy FROM big GROUP BY xy HAVING count(*) >= 5),
+                 t1 AS (SELECT CAST(sum(c) AS DOUBLE) AS t1 FROM uni),
+                 t2 AS (SELECT CAST(count(*) AS DOUBLE) AS t2 FROM big),
+                 s AS (SELECT split_part(xy, ' ', 1) AS x, split_part(xy, ' ', 2) AS y, c_xy FROM bc),
+                 j AS (SELECT s.x, s.y, s.c_xy, ux.c AS c_x, uy.c AS c_y
+                       FROM s JOIN uni ux ON s.x = ux.w JOIN uni uy ON s.y = uy.w)
+            SELECT x, y, CAST(c_xy AS BIGINT) AS c_xy,
+                   CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y,
+                   CAST(floor((ln(CAST(c_xy AS DOUBLE)) - ln(t2.t2)
+                               - ln(CAST(c_x AS DOUBLE)) - ln(CAST(c_y AS DOUBLE))
+                               + 2.0 * ln(t1.t1)) * 1000) AS BIGINT) AS pmi_q
+            FROM j CROSS JOIN t1 CROSS JOIN t2
+            ORDER BY pmi_q DESC, x, y LIMIT 20
+        """,
+        "q101_sample_quota": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang ORDER BY
+                           ('0x' || substr(md5('q:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                               % 1000000,
+                           doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 30
         """,
         "q95_resize_thumbs": """
             WITH p AS (SELECT doc_id, hex(encode(text)) AS h,

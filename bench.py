@@ -69,6 +69,9 @@ HEADLINE = [
     "q89_llm_pipeline",
     "q91_url_stats",
     "q92_pack_tokens",
+    "q96_tfidf_topk",
+    "q98_inverted_index",
+    "q100_pmi_collocations",
 ]
 
 

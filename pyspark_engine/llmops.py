@@ -1419,3 +1419,91 @@ def sample_to_mixture(
     )
     bucket = portable_hash32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 1_000_000
     return df.join(F.broadcast(rates), domain_col).filter(bucket < F.col("__thr")).drop("__thr")
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 20,
+    quant: int = 1000,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    PMI(x,y) = ln p(x,y) − ln p(x) − ln p(y), with p(x,y) over bigram events
+    and marginals over unigram events — the standard phrase-mining /
+    tokenizer-merge-candidate signal.  Computed in the LOG domain
+    (ln c_xy − ln T2 − ln c_x − ln c_y + 2·ln T1) so no integer product can
+    overflow a double at corpus scale, and floor-quantized so the oracle
+    compares integer-exactly.
+
+    Scale: one bigram count agg + one unigram count agg (both map-side
+    combinable; the n-gram space, not the corpus, shuffles), two
+    vocabulary-sized equi-joins for the marginals, 1-row totals broadcast,
+    global top-k via TakeOrderedAndProject."""
+    base = _spread(df.select(F.col(text_col))).select(tokens(F.col(text_col)).alias("__t"))
+    uni = (
+        base.select(F.explode("__t").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        base.select(F.explode(word_ngrams_multiset(F.col("__t"), 2)).alias("xy"))
+        .groupBy("xy")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+        .select(
+            F.split_part(F.col("xy"), F.lit(" "), F.lit(1)).alias("x"),
+            F.split_part(F.col("xy"), F.lit(" "), F.lit(2)).alias("y"),
+            "c_xy",
+        )
+    )
+    totals = F.broadcast(
+        uni.agg(F.sum("c").cast("double").alias("__t1")).crossJoin(
+            base.select(F.explode(word_ngrams_multiset(F.col("__t"), 2)).alias("xy"))
+            .agg(F.count(F.lit(1)).cast("double").alias("__t2"))
+        )
+    )
+    ux = uni.select(F.col("w").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("w").alias("y"), F.col("c").alias("c_y"))
+    pmi = (
+        F.log(F.col("c_xy").cast("double"))
+        - F.log(F.col("__t2"))
+        - F.log(F.col("c_x").cast("double"))
+        - F.log(F.col("c_y").cast("double"))
+        + F.lit(2.0) * F.log(F.col("__t1"))
+    )
+    return (
+        bi.join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(totals)
+        .select("x", "y", "c_xy", "c_x", "c_y", F.floor(pmi * F.lit(quant)).cast("long").alias("pmi_q"))
+        .orderBy(F.col("pmi_q").desc(), F.col("x"), F.col("y"))
+        .limit(k)
+    )
+
+
+def sample_per_group_quota(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    quota: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACT k rows per group, deterministically: rank each group's rows by
+    (md5-bucket, id) and keep the first ``quota`` — the reproducible analog
+    of per-group reservoir sampling (same draw on every rerun/engine), for
+    fixed-quota eval/holdout splits where sample_to_mixture's rate-based
+    draw only hits the budget in expectation.
+
+    Scale: one shuffle on the group key + a ranked window.  A pathologically
+    hot group funnels through one task's sort — for those, pre-filter with
+    sample_hash to ~10·quota/|group| first (the rank then only orders the
+    survivors); groups at or below quota pass through unchanged."""
+    bucket = portable_hash32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 1_000_000
+    w = Window.partitionBy(group_col).orderBy(bucket.asc(), F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )

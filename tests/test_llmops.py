@@ -377,3 +377,37 @@ def test_sample_to_mixture_rates(spark):
     # domains without a share drop entirely
     df2 = df.withColumn("dom", F.lit("other"))
     assert llmops.sample_to_mixture(df2, "doc_id", "dom", {"big": 1.0}, budget=10).count() == 0
+
+
+def test_pmi_collocations_planted(spark):
+    import math
+
+    # corpus: [a b a b], [a c] → uni a:3 b:2 c:1 (T1=6); bigrams: "a b"×2,
+    # "b a"×1, "a c"×1 (T2=4); min_count=2 keeps only "a b":
+    # PMI = ln 2 − ln 4 − ln 3 − ln 2 + 2·ln 6 = ln 3
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a c")], "doc_id long, text string")
+    out = llmops.pmi_collocations(df, "text", min_count=2, k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.x, r.y, r.c_xy, r.c_x, r.c_y) == ("a", "b", 2, 3, 2)
+    assert r.pmi_q == math.floor(
+        (math.log(2.0) - math.log(4.0) - math.log(3.0) - math.log(2.0) + 2.0 * math.log(6.0)) * 1000
+    )
+
+
+def test_sample_per_group_quota_exact(spark):
+    import hashlib
+
+    rows = [(i, "big" if i < 50 else "small") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = llmops.sample_per_group_quota(df, "doc_id", "g", quota=10, salt="s:")
+    got = {(r.doc_id, r.g) for r in out.select("doc_id", "g").collect()}
+    # small group (10 rows) passes through whole; big keeps exactly 10
+    assert {(i, "small") for i in range(50, 60)} <= got
+    assert sum(1 for p in got if p[1] == "big") == 10
+
+    def bucket(i):
+        return int(hashlib.md5(f"s:{i}".encode()).hexdigest()[:8], 16) % 1_000_000
+
+    want_big = set(sorted(range(50), key=lambda i: (bucket(i), i))[:10])
+    assert {p[0] for p in got if p[1] == "big"} == want_big
