@@ -128,11 +128,11 @@ def _stream_replay(spark, sf_dir: str) -> dict:
     stateful streaming plan itself — micro-batch planning, state store
     read/write — not just the batch analog of the same query."""
     from pyspark_engine.dsl import KStream
+    from pyspark_engine.runtime import normalize_event_time
     from pyspark_engine.streaming import StreamingBuilder, run_available_now
-    from pyspark.sql import functions as F
 
     ks = StreamingBuilder(spark).file_stream(f"{sf_dir}/events.parquet", key="user_id", ts="ts")
-    ks = KStream(ks.df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))), ks.key, "ts")
+    ks = KStream(normalize_event_time(ks.df, "ts"), ks.key, "ts")
     t0 = time.time()
     final = run_available_now(ks.group_by_key().count(), output_mode="complete")
     wall = round(time.time() - t0, 3)

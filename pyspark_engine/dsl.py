@@ -363,7 +363,9 @@ class KStream:
         window pass — a single shuffle by key, no window explosion."""
         if self.ts is None:
             raise ValueError("sliding_agg requires a ts column")
-        ord_us = F.unix_micros(F.col(self.ts))
+        from .runtime import epoch_us
+
+        ord_us = epoch_us(self.ts)
         w = (
             Window.partitionBy(*[F.col(c) for c in self.key])
             .orderBy(ord_us)

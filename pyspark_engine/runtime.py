@@ -96,18 +96,57 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a driver testdata table, normalizing timestamp representation.
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (µs precision, session tz
+    pinned UTC by ``configure``) across every physical representation the
+    testdata has shipped with:
 
-    events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong it arrives as an
-    int64 of nanoseconds; integer-divide (``div``, exact on int64 — a double
-    division would lose precision above 2^53) to microseconds and rebuild the
-    timestamp.  DuckDB performs the same ns→µs truncation, so both engines see
-    identical values."""
+    - parquet TIMESTAMP(NANOS) + ``nanosAsLong`` → int64 nanos: integer-divide
+      (``div``, exact on int64 — a double division would lose precision above
+      2^53) to microseconds and rebuild the timestamp.  DuckDB performs the
+      same ns→µs truncation, so both engines see identical values.
+    - parquet timestamp[us] without tz (Spark 4 reads as TIMESTAMP_NTZ): cast
+      to TIMESTAMP.  With the session tz at UTC the wall-clock field values
+      are reinterpreted as the same UTC instant, so this is value-preserving
+      and the DuckDB oracle (which reads the same file as naive TIMESTAMP)
+      agrees bit-for-bit.
+    - TIMESTAMP already: no-op.
+
+    The reference's event time is an epoch long from ITimestampExtractor
+    (core/Processors/ITimestampExtractor.cs:10-29) — physical-encoding
+    agnostic by construction; this helper gives the engine the same
+    robustness.  Works on batch and streaming DataFrames alike."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def epoch_ms(col) -> "F.Column":
+    """Epoch milliseconds of a timestamp column, NTZ-safe: ``unix_millis``
+    requires TIMESTAMP, so cast first (no-op on TIMESTAMP inputs, UTC-session
+    reinterpretation on TIMESTAMP_NTZ — see normalize_event_time)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_millis(c.cast("timestamp"))
+
+
+def epoch_us(col) -> "F.Column":
+    """Epoch microseconds of a timestamp column, NTZ-safe (see epoch_ms)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a driver testdata table, normalizing timestamp representation so
+    downstream epoch conversions always see TIMESTAMP (see
+    normalize_event_time for the three physical encodings handled)."""
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for c, dtype in df.dtypes:
+        if dtype in ("bigint", "timestamp_ntz") and (c == "ts" or dtype == "timestamp_ntz"):
+            df = normalize_event_time(df, c)
     return df
 
 
@@ -249,7 +288,7 @@ class StoreRegistry:
         df = self.store(name)
         for k, v in (key_values or {}).items():
             df = df.filter(df[k] == v)
-        start_ms = F.unix_millis(F.col(start_col))
+        start_ms = epoch_ms(start_col)
         if t_from_ms is not None:
             df = df.filter(start_ms >= F.lit(int(t_from_ms)))
         if t_to_ms is not None:
@@ -291,9 +330,9 @@ class StoreRegistry:
         for k, v in (key_values or {}).items():
             df = df.filter(df[k] == v)
         if earliest_end_ms is not None:
-            df = df.filter(F.unix_millis(F.col(end_col)) >= F.lit(int(earliest_end_ms)))
+            df = df.filter(epoch_ms(end_col) >= F.lit(int(earliest_end_ms)))
         if latest_start_ms is not None:
-            df = df.filter(F.unix_millis(F.col(start_col)) <= F.lit(int(latest_start_ms)))
+            df = df.filter(epoch_ms(start_col) <= F.lit(int(latest_start_ms)))
         return df
 
     def find_sessions(

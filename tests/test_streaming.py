@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from pyspark_engine import StreamBuilder, TumblingWindowOptions
 from pyspark_engine.dsl import KStream
+from pyspark_engine.runtime import normalize_event_time
 from pyspark_engine.streaming import (
     StreamingBuilder,
     run_available_now,
@@ -25,10 +26,8 @@ SF = "/root/testdata/sf0.001"
 def _events_stream(spark) -> KStream:
     sb = StreamingBuilder(spark)
     ks = sb.file_stream(f"{SF}/events.parquet", key="user_id", ts="ts")
-    # same ns→µs normalization as runtime.read_table
-    return KStream(
-        ks.df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))), ks.key, "ts"
-    )
+    # same physical-type normalization as runtime.read_table
+    return KStream(normalize_event_time(ks.df, "ts"), ks.key, "ts")
 
 
 def _events_batch(spark) -> KStream:
