@@ -1062,6 +1062,33 @@ def top_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 20) -> DataFra
 
 # ------------------------------------------------- near-dup clustering
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: for every node u, link each strictly-LARGER
+    neighbor to the minimum of u's closed neighborhood.  Input/output edges
+    are canonical (u > v); neighborhoods are formed over both directions."""
+    bi = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = bi.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        bi.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: edges arrive canonical (u > v), so every
+    neighborhood N(u) is all-smaller; link each of N(u) ∪ {u} to its min."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        edges.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_link = mins.select("u", F.col("m").alias("v"))
+    return relink.union(self_link).distinct()
+
+
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
     """Connected components over near-duplicate pairs → one canonical id per
     cluster (min member id), the step after any pair generator (minhash /
@@ -1070,45 +1097,48 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max
 
     Returns (node, cluster_id) for every id that appears in ``pairs``.
 
-    Algorithm: min-label propagation — labels start as the node id, each
-    round takes the min over neighbors, until a fixpoint.  Rounds are pure
-    DataFrame joins+aggregates (distributed); the driver only checks the
-    converged-count per round — the same bounded-iteration pattern as the
-    IVF KMeans trainer.  ``localCheckpoint`` truncates the growing lineage
-    each round.  Convergence is O(component diameter) rounds: dup clusters
-    are shallow by construction (most are cliques from a shared bucket), so
-    this terminates in a few rounds.  For adversarially long chains at
-    corpus scale, swap in the large-star/small-star variant (Kiveris et al.,
-    "Connected Components in MapReduce"), which is O(log²) rounds of the
-    same join shape."""
+    Algorithm: alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — O(log²) rounds on ANY topology,
+    vs O(component diameter) for plain min-label propagation, so adversarial
+    chain-shaped dup graphs converge as fast as the common clique-shaped
+    ones.  Each round is two groupBy-min + self-join passes over the current
+    edge set; edges only ever point toward smaller ids, and the fixpoint is
+    a disjoint union of stars, each rooted at its component's min id.
+    Rounds are pure DataFrame ops (distributed); the driver only sees the
+    per-round convergence probe, and ``localCheckpoint`` truncates the
+    growing lineage each round.  Raises if ``max_iter`` rounds don't reach
+    the fixpoint rather than returning silently-partial clusters."""
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()  # pair generation may be expensive (LSH) — run it once
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "cluster_id", F.col("node")
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
     )
     for _ in range(max_iter):
-        nbr = edges.join(labels, edges["dst"] == labels["node"]).select(
-            edges["src"].alias("node"), F.col("cluster_id")
-        )
-        new = (
-            labels.union(nbr)
-            .groupBy("node")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
-        )
+        new = _small_star(_large_star(edges)).localCheckpoint()
+        # set equality probe: both sides are distinct, so two one-row
+        # exceptAll checks suffice (each is a cheap early-out job)
         changed = (
-            new.join(labels.withColumnRenamed("cluster_id", "old"), "node")
-            .filter(F.col("cluster_id") != F.col("old"))
-            .count()
+            new.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new).limit(1).count()
         )
-        labels = new
+        edges = new
         if changed == 0:
             break
-    return labels
+    else:
+        raise RuntimeError(f"dedup_clusters did not converge in {max_iter} rounds")
+    roots = edges.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    return nodes.join(roots, nodes["node"] == roots["u"], "left").select(
+        "node", F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id")
+    )
 
 
 # ------------------------------------------------- URL / domain triage

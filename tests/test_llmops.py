@@ -257,6 +257,29 @@ def test_dedup_clusters_planted(spark):
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
 
 
+def test_dedup_clusters_chain_topology(spark):
+    # adversarial worst case for label propagation: one 1000-node path graph
+    # (diameter 999).  Alternating large-star/small-star must collapse it to
+    # a single min-rooted cluster within O(log²) rounds — max_iter=20 would
+    # raise (non-convergence) under any O(diameter) scheme.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long"
+    )
+    got = llmops.dedup_clusters(pairs, max_iter=20)
+    assert got.count() == 1000
+    assert got.select("cluster_id").distinct().collect()[0][0] == 0
+
+
+def test_dedup_clusters_string_ids(spark):
+    # pair generators emit document ids of whatever type the corpus uses;
+    # min-ordering must work on strings too
+    pairs = spark.createDataFrame(
+        [("docB", "docA"), ("docB", "docC"), ("z1", "z2")], "id_a string, id_b string"
+    )
+    got = {r.node: r.cluster_id for r in llmops.dedup_clusters(pairs).collect()}
+    assert got == {"docA": "docA", "docB": "docA", "docC": "docA", "z1": "z1", "z2": "z1"}
+
+
 def test_url_stats_planted(spark):
     df = spark.createDataFrame(
         [
