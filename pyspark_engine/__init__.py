@@ -18,7 +18,16 @@ Layout:
 """
 
 from .app import State, StreamApp
-from .dsl import GlobalKTable, KGroupedStream, KGroupedTable, KStream, KTable, StreamBuilder, TimeWindowedKStream
+from .dsl import (
+    GlobalKTable,
+    KGroupedStream,
+    KGroupedTable,
+    KStream,
+    KTable,
+    StreamBuilder,
+    TimeWindowedKStream,
+    VersionedKTable,
+)
 from .testing import TopologyTestDriver
 from .windows import (
     CustomWindowOptions,
@@ -33,6 +42,7 @@ __all__ = [
     "KStream",
     "KTable",
     "GlobalKTable",
+    "VersionedKTable",
     "KGroupedStream",
     "KGroupedTable",
     "TimeWindowedKStream",

@@ -122,6 +122,19 @@ class StreamBuilder:
         tbl = self.table(source, key, ts, order=order)
         return GlobalKTable(tbl.df, tbl.key, tbl.ts)
 
+    def versioned_table(self, source, key, ts: str, order=None) -> "VersionedKTable":
+        """Versioned KTable source: the whole changelog is kept as history
+        (see VersionedKTable) instead of collapsing to latest-per-key.  Null
+        keys dropped (KTableSourceProcessor.cs:37-41).  ``order`` dedups to
+        ONE version per (key, ts) — highest ``order`` wins, the last-writer-
+        wins rule a real changelog gets from offsets — so as-of lookups are
+        deterministic under ts ties."""
+        ks = self.stream(source, key=key, ts=ts)
+        df = _not_null(ks.df, ks.key)
+        if order is not None:
+            df = KStream(df, tuple(ks.key) + (ts,), None).to_table(order=order).df
+        return VersionedKTable(df, ks.key, ts)
+
 
 class KStream:
     """Unbounded record stream (core/Stream/IKStream.cs:21).
@@ -650,6 +663,43 @@ class KStream:
             out = out.filter(F.col(matched_ts).isNotNull())
         return KStream(out, tuple(key_names), self.ts)
 
+    def join_table_asof(
+        self,
+        table: "VersionedKTable",
+        how: str = "inner",
+        tolerance_ms: int | None = None,
+        matched_ts: str = "matched_ts",
+    ) -> "KStream":
+        """Temporal stream⋈table join against a VERSIONED table: each stream
+        record joins the table version AS OF the record's own event time
+        (latest table row with same key and table.ts <= stream.ts).
+
+        This closes the reference's per-record lookup semantics in batch: the
+        reference joins each stream record against the table as the record is
+        processed (KStreamKTableJoinProcessor.cs:38-43 — ValueGetter reads
+        current store state), while ``join_table`` joins the FINAL snapshot
+        (accepted SURVEY §7.3.1 delta).  With a versioned table the lookup is
+        reproduced deterministically on EVENT time — the well-defined batch
+        analog of "table state when the record arrived" (Kafka Streams gained
+        the same semantics with versioned state stores, KIP-914).
+
+        Stream records with null keys are dropped even for left joins
+        (KStreamKTableJoinProcessor.cs:31-35).  ``tolerance_ms`` bounds the
+        version age (the versioned store's history-retention analog).
+
+        Scale: delegates to join_asof's union + single window pass — one
+        shuffle+sort by key, NO per-record candidate fan-out, NO extra join
+        against the history (a join-then-filter plan would materialize every
+        (record, earlier-version) pair first)."""
+        if how not in ("inner", "left"):
+            raise ValueError("stream-table join supports inner|left")
+        return self.join_asof(
+            KStream(table.df, table.key, table.ts),
+            tolerance_ms=tolerance_ms,
+            how=how,
+            matched_ts=matched_ts,
+        )
+
     def aggregate_rollup(self, group_cols: Sequence[str], **agg_exprs: Column) -> "KStream":
         """Hierarchical subtotals (GROUP BY ROLLUP — §2.3 "absent" row;
         Spark-native extension).  Subtotal rows carry nulls in the rolled-up
@@ -862,6 +912,64 @@ class KTable:
 class GlobalKTable(KTable):
     """Fully-replicated table (core/Table/Internal/GlobalKTable.cs), joined
     via ``broadcast()`` — see KStream.join_global."""
+
+
+class VersionedKTable:
+    """Versioned table: the FULL (key, ts, values) changelog history retained
+    instead of collapsing to latest-per-key — the versioned-state-store
+    concept Kafka Streams added with KIP-889/KIP-914, absent in the reference
+    (its stores are latest-only: core/State/IKeyValueStore.cs, and its
+    stream⋈table join therefore reads whatever is current at processing time,
+    KStreamKTableJoinProcessor.cs:38-43).
+
+    Purpose: event-time-correct stream⋈table joins via
+    ``KStream.join_table_asof`` — each stream record sees the table as of its
+    own timestamp, not the end-of-batch snapshot.  ``snapshot()`` collapses
+    to the ordinary latest-per-key KTable when snapshot semantics are wanted.
+
+    Scale: the history is just a DataFrame — nothing is materialized per key;
+    the as-of join consumes it with one shuffle+sort by key.  At 100 TB,
+    bound history growth upstream (retention filter on ts) exactly as a
+    versioned store bounds ``historyRetention``."""
+
+    def __init__(self, df: DataFrame, key: Sequence[str], ts: str):
+        if ts is None:
+            raise ValueError("versioned table requires a ts column")
+        self.df = df
+        self.key = _as_tuple(key)
+        self.ts = ts
+
+    def filter(self, predicate: Column) -> "VersionedKTable":
+        """Filter the history (versions failing the predicate are absent —
+        the tombstone representation, as in KTable.filter)."""
+        return VersionedKTable(self.df.filter(predicate), self.key, self.ts)
+
+    def map_values(self, **values: Column) -> "VersionedKTable":
+        """New value columns per version (KTableMapValuesProcessor analog
+        applied to every version, not just the latest)."""
+        cols = [F.col(c) for c in self.key] + [F.col(self.ts)]
+        cols += [v.alias(k) for k, v in values.items()]
+        return VersionedKTable(self.df.select(*cols), self.key, self.ts)
+
+    def retain(self, history_ms: int, now: Column) -> "VersionedKTable":
+        """History-retention bound (the versioned store's historyRetention):
+        keep versions younger than ``history_ms`` relative to ``now`` (a
+        literal or column expression).  The scale lever — prune before the
+        as-of join shuffles the history."""
+        return self.filter(F.col(self.ts) >= now - _interval_ms(history_ms))
+
+    def snapshot(self) -> KTable:
+        """Collapse to the ordinary latest-per-key KTable (the reference's
+        only table view)."""
+        return KStream(self.df, self.key, self.ts).to_table()
+
+    def history(self) -> KStream:
+        """The raw changelog as a stream (ordered consumption is up to the
+        caller — e.g. feeding a streaming replay)."""
+        return KStream(self.df, self.key, self.ts)
+
+    def describe(self, mode: str = "formatted") -> str:
+        return _describe_plan(self.df, mode)
 
 
 class KGroupedStream:

@@ -454,3 +454,68 @@ def test_describe_topology(spark, sf_dir):
     dt = t.describe()
     assert "Exchange" in dt or "AdaptiveSparkPlan" in dt  # the sub-topology split
     assert "Scan parquet" in t.describe(mode="simple")
+
+
+# ---------------- versioned stream-table temporal join ----------------
+
+
+def test_versioned_join_planted(spark):
+    """join_table_asof picks the latest version with v.ts <= record.ts
+    (inclusive), per key; left rows with no version get nulls; inner drops
+    them; tolerance nulls out versions older than the bound."""
+    chg = spark.createDataFrame(
+        [(1, sec(10), "v1"), (1, sec(20), "v2"), (2, sec(15), "w1")],
+        "k long, ts timestamp, val string",
+    )
+    strm = spark.createDataFrame(
+        [(100, 1, sec(5)), (101, 1, sec(10)), (102, 1, sec(25)), (103, 2, sec(14))],
+        "ev long, k long, ts timestamp",
+    )
+    b = StreamBuilder(spark)
+    vt = b.versioned_table(chg, key="k", ts="ts")
+    s = KStream(strm, ("k",), "ts")
+    got = {r.ev: r.val for r in s.join_table_asof(vt, how="left").df.collect()}
+    assert got == {100: None, 101: "v1", 102: "v2", 103: None}
+    inner = {r.ev for r in s.join_table_asof(vt, how="inner").df.collect()}
+    assert inner == {101, 102}
+    # tolerance: ev 102 (ts=25) vs v2 (ts=20) survives 5s+, dies under 5s
+    tol = {r.ev: r.val for r in s.join_table_asof(vt, how="left", tolerance_ms=4_000).df.collect()}
+    assert tol[102] is None and tol[101] == "v1"
+
+
+def test_versioned_join_matches_record_replay(spark, sf_dir):
+    """Parity with the reference's per-record lookup semantics
+    (KStreamKTableJoinProcessor.cs:38-43): replay stream + changelog in
+    event-time order through a dict-state reference implementation (table
+    updated record-at-a-time, each stream record reading current state —
+    exactly what the processor does when arrival order equals event-time
+    order) and require join_table_asof to produce the identical enrichment."""
+    from pyspark_engine.runtime import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    # reference replay: merge both feeds, sort by (ts, table-first, event_id)
+    feed = sorted(
+        [(r.ts, 0, r.event_id, r.user_id, r.value) for r in purchases.collect()]
+        + [(r.ts, 1, r.event_id, r.user_id, None) for r in clicks.collect()]
+    )
+    state, want = {}, {}
+    for ts, side, eid, uid, val in feed:
+        if side == 0:
+            state[uid] = (val, ts)  # last-writer-wins upsert (offset order = event_id)
+        else:
+            want[eid] = state.get(uid, (None, None))[0]
+    b = StreamBuilder(spark)
+    vt = b.versioned_table(
+        purchases.withColumnRenamed("event_id", "p_id"),
+        key="user_id",
+        ts="ts",
+        order=("p_id",),  # same last-writer-wins tie rule as the replay
+    )
+    s = KStream(clicks, ("user_id",), "ts").map_values(c_id=F.col("event_id"))
+    got = {r.c_id: r.value for r in s.join_table_asof(vt, how="left").df.collect()}
+    assert got == want
