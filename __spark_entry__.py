@@ -1408,6 +1408,114 @@ def q101_sample_quota(spark, sf_dir):
     )
 
 
+def q102_versioned_join(spark, sf_dir):
+    """Versioned stream⋈table temporal join (StreamBuilder.versioned_table +
+    KStream.join_table_asof): each click reads the user's purchase VERSION as
+    of the click's own event time, within a 1-hour history-retention bound —
+    the event-time-correct batch analog of the reference's per-record table
+    lookup (KStreamKTableJoinProcessor.cs:38-43), which join_table's
+    final-snapshot semantics (SURVEY §7.3.1) cannot express.  The changelog
+    dedups to one version per (user, ts) with last-writer-wins on event id,
+    the offset-order rule of a real changelog."""
+    b = _b(spark, sf_dir)
+    s = b.stream("events", key="user_id", ts="ts")
+    clicks = s.filter(F.col("event_type") == "click").map_values(c_id=F.col("event_id"))
+    purchases = s.filter(F.col("event_type") == "purchase").map_values(
+        p_val=F.col("value"), p_id=F.col("event_id")
+    )
+    vt = b.versioned_table(purchases.df, key="user_id", ts="ts", order=("p_id",)).map_values(
+        p_val=F.col("p_val")
+    )
+    j = clicks.join_table_asof(vt, how="inner", tolerance_ms=3_600_000)
+    return j.df.select(
+        "user_id",
+        "c_id",
+        "p_val",
+        F.unix_micros(F.col("matched_ts")).alias("matched_ts_us"),
+    )
+
+
+_AVRO_EVENT_SCHEMA = (
+    '{"type":"record","name":"event","fields":['
+    '{"name":"event_id","type":"long"},'
+    '{"name":"event_type","type":"string"},'
+    '{"name":"value","type":["null","double"]},'
+    '{"name":"props","type":"string"}]}'
+)
+
+
+def q103_avro_wire(spark, sf_dir):
+    """Executable Avro Schema-Registry serde path (serdes.encode_avro_py +
+    frame_confluent → unframe_confluent_payload + decode_avro_py; the
+    reference's SchemaAvroSerDes, serdes/Streamiz.Kafka.Net.SchemaRegistry.
+    SerDes.Avro/SchemaAvroSerDes.cs, run package-free on the public Avro
+    binary encoding).  The oracle recomputes both the roundtripped fields
+    AND the exact wire byte length from the Avro spec's zigzag/varint rules
+    plus the 5-byte Confluent frame — checking the byte layout itself, not
+    just encode∘decode = id."""
+    reg = serdes.InMemorySchemaRegistry()
+    sid = reg.register("events-value", _AVRO_EVENT_SCHEMA)
+    ev = read_table(configure(spark), sf_dir, "events")
+    wire = ev.select(
+        serdes.frame_confluent(
+            serdes.encode_avro_py(
+                F.struct("event_id", "event_type", "value", "props"), _AVRO_EVENT_SCHEMA
+            ),
+            sid,
+        ).alias("w")
+    )
+    back = wire.select(
+        F.length("w").cast("long").alias("wire_len"),
+        serdes.decode_avro_py(
+            serdes.unframe_confluent_payload(F.col("w")), reg.by_id(sid)
+        ).alias("r"),
+    )
+    return back.select(
+        F.col("r.event_id").alias("event_id"),
+        F.col("r.event_type").alias("event_type"),
+        F.col("r.value").alias("value"),
+        F.col("r.props").alias("props"),
+        "wire_len",
+    )
+
+
+_PB_DOC_MESSAGE = {
+    "name": "document",
+    "fields": [
+        {"num": 1, "name": "doc_id", "type": "int64"},
+        {"num": 2, "name": "lang", "type": "string"},
+        {"num": 3, "name": "text", "type": "string"},
+        {"num": 4, "name": "n_chars", "type": "int64"},
+    ],
+}
+
+
+def q104_protobuf_wire(spark, sf_dir):
+    """Executable Protobuf serde path (serdes.encode_protobuf_py /
+    decode_protobuf_py; the reference's SchemaProtobufSerDes, serdes/
+    Streamiz.Kafka.Net.SchemaRegistry.SerDes.Protobuf/SchemaProtobufSerDes.cs,
+    run package-free on the public Protobuf wire format).  Oracle recomputes
+    the roundtripped fields and the exact wire length from the tag/varint/
+    length-delimited rules."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    wire = docs.select(
+        serdes.encode_protobuf_py(
+            F.struct("doc_id", "lang", "text", "n_chars"), _PB_DOC_MESSAGE
+        ).alias("w")
+    )
+    back = wire.select(
+        F.length("w").cast("long").alias("wire_len"),
+        serdes.decode_protobuf_py(F.col("w"), _PB_DOC_MESSAGE).alias("r"),
+    )
+    return back.select(
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.lang").alias("lang"),
+        F.col("r.text").alias("text"),
+        F.col("r.n_chars").alias("n_chars"),
+        "wire_len",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1511,6 +1619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_sample_mixture": q99_sample_mixture,
         "q100_pmi_collocations": q100_pmi_collocations,
         "q101_sample_quota": q101_sample_quota,
+        "q102_versioned_join": q102_versioned_join,
+        "q103_avro_wire": q103_avro_wire,
+        "q104_protobuf_wire": q104_protobuf_wire,
     }
 
 
@@ -2425,6 +2536,53 @@ def oracle_sql() -> dict[str, str]:
                                + 2.0 * ln(t1.t1)) * 1000) AS BIGINT) AS pmi_q
             FROM j CROSS JOIN t1 CROSS JOIN t2
             ORDER BY pmi_q DESC, x, y LIMIT 20
+        """,
+        "q102_versioned_join": """
+            WITH c AS (SELECT user_id, ts, event_id AS c_id FROM events
+                       WHERE event_type = 'click' AND user_id IS NOT NULL),
+                 p0 AS (SELECT user_id, ts, value AS p_val, event_id AS p_id
+                        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+                 p AS (SELECT user_id, ts, p_val FROM (
+                         SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY p_id DESC) AS rn
+                         FROM p0) WHERE rn = 1)
+            SELECT c.user_id, c.c_id, p.p_val, epoch_us(p.ts) AS matched_ts_us
+            FROM c JOIN p ON c.user_id = p.user_id
+                         AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 1 HOUR
+            QUALIFY row_number() OVER (PARTITION BY c.c_id ORDER BY p.ts DESC) = 1
+        """,
+        "q103_avro_wire": """
+            WITH m AS (SELECT event_id, event_type, value, props,
+                              2 * event_id AS ze,
+                              octet_length(encode(event_type)) AS lt,
+                              octet_length(encode(props)) AS lp
+                       FROM events)
+            SELECT event_id, event_type, value, props,
+                   (5  -- Confluent frame: magic byte + 4-byte schema id
+                    + CASE WHEN ze < 128 THEN 1 WHEN ze < 16384 THEN 2
+                           WHEN ze < 2097152 THEN 3 WHEN ze < 268435456 THEN 4
+                           ELSE 5 END            -- zigzag varint(event_id)
+                    + CASE WHEN 2*lt < 128 THEN 1 WHEN 2*lt < 16384 THEN 2 ELSE 3 END
+                    + lt                          -- string: zigzag varint(len) + utf8
+                    + 1                           -- union branch index
+                    + CASE WHEN value IS NULL THEN 0 ELSE 8 END
+                    + CASE WHEN 2*lp < 128 THEN 1 WHEN 2*lp < 16384 THEN 2 ELSE 3 END
+                    + lp) AS wire_len
+            FROM m
+        """,
+        "q104_protobuf_wire": """
+            WITH m AS (SELECT doc_id, lang, text, n_chars,
+                              octet_length(encode(lang)) AS ll,
+                              octet_length(encode(text)) AS lx
+                       FROM documents)
+            SELECT doc_id, lang, text, n_chars,
+                   (1 + CASE WHEN doc_id < 128 THEN 1 WHEN doc_id < 16384 THEN 2
+                             WHEN doc_id < 2097152 THEN 3 WHEN doc_id < 268435456 THEN 4
+                             ELSE 5 END          -- tag + varint(doc_id)
+                    + 1 + CASE WHEN ll < 128 THEN 1 WHEN ll < 16384 THEN 2 ELSE 3 END + ll
+                    + 1 + CASE WHEN lx < 128 THEN 1 WHEN lx < 16384 THEN 2 ELSE 3 END + lx
+                    + 1 + CASE WHEN n_chars < 128 THEN 1 WHEN n_chars < 16384 THEN 2
+                              WHEN n_chars < 2097152 THEN 3 ELSE 4 END) AS wire_len
+            FROM m
         """,
         "q101_sample_quota": """
             SELECT doc_id, lang FROM (

@@ -6,10 +6,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Headliners cover every subsystem: scan+agg (q01), projection (q05), keyed agg
 (q16), windowed agg (q25/q26/q28), session windows (q61), sliding agg (q69),
 stream-stream interval join (q29/q31), stream-table join (q32), broadcast dim
-join (q34), table-table join (q36), as-of join (q62), per-group top-k (q54),
-dedup exact/minhash (q42/q43), embedding near-dup (q60), embedding top-k
-(q46), ANN IVF (q71), text analysis (q48), quality filter (q78), chunking
-(q80), decontamination (q82).  Results are fully materialized through the noop
+join (q34), table-table join (q36), as-of join (q62), versioned temporal join
+(q102), per-group top-k (q54), dedup exact/minhash (q42/q43), embedding
+near-dup (q60), embedding top-k (q46), ANN IVF (q71), text analysis (q48),
+quality filter (q78), chunking (q80), decontamination (q82), multimodal
+frame-sample/resize (q94/q95), corpus stats (q88/q96/q97/q98/q100), sampling
+(q99/q101), packing (q92).  Results are fully materialized through the noop
 sink (no driver collect); each query runs twice and reports the second
 (steady-state) time.
 
@@ -69,9 +71,16 @@ HEADLINE = [
     "q89_llm_pipeline",
     "q91_url_stats",
     "q92_pack_tokens",
+    "q94_frame_sample",
+    "q95_resize_thumbs",
     "q96_tfidf_topk",
+    "q97_unigram_xent",
     "q98_inverted_index",
+    "q99_sample_mixture",
     "q100_pmi_collocations",
+    "q101_sample_quota",
+    "q102_versioned_join",
+    "q103_avro_wire",
 ]
 
 

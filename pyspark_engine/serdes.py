@@ -12,13 +12,21 @@ the row, so serdes collapse to column expressions applied at the edges:
   * encode: ``to_json`` / ``to_csv`` / ``to_avro`` / casts building the
     ``key``/``value`` binary columns the Kafka sink expects.
 
-All of it is JVM-side Catalyst expressions — no Python in the serde path.
-Avro needs the external spark-avro package, so it is gated behind a lazy
-import (not bundled with pyspark; parity with the reference's separate
-Streamiz.Kafka.Net.SchemaRegistry.SerDes.Avro package).
+JSON/CSV/primitive serdes are JVM-side Catalyst expressions — no Python in
+the serde path.  Avro/Protobuf have two routes: the JVM functions need the
+external spark-avro / spark-protobuf packages (gated behind lazy imports;
+parity with the reference's separate Streamiz.Kafka.Net.SchemaRegistry.
+SerDes.Avro/.Protobuf satellite packages), and the package-free
+``encode_avro_py``/``decode_avro_py``/``encode_protobuf_py``/
+``decode_protobuf_py`` codecs implement the public wire formats directly
+over Arrow-batched pandas UDFs.  ``frame_confluent``/``unframe_confluent_*``
+add the Schema-Registry wire framing as pure expressions, and
+``InMemorySchemaRegistry`` is the client analog.
 """
 
 from __future__ import annotations
+
+import pandas as pd  # module-level so pandas_udf type hints resolve
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -30,12 +38,20 @@ __all__ = [
     "encode_csv",
     "decode_avro",
     "encode_avro",
+    "decode_avro_py",
+    "encode_avro_py",
     "decode_protobuf",
     "encode_protobuf",
+    "decode_protobuf_py",
+    "encode_protobuf_py",
     "decode_primitive",
     "encode_primitive",
     "decode_kafka",
     "encode_kafka",
+    "frame_confluent",
+    "unframe_confluent_id",
+    "unframe_confluent_payload",
+    "InMemorySchemaRegistry",
 ]
 
 
@@ -261,3 +277,400 @@ def encode_kafka(
                 F.when(size <= max_bytes, F.col("value")).otherwise(F.raise_error(err).cast("binary")),
             )
     return wire
+
+
+# =====================================================================
+# Package-free Avro/Protobuf binary codecs (*_py escape hatches)
+# =====================================================================
+#
+# The JVM paths above (decode_avro/encode_avro, decode_protobuf/
+# encode_protobuf) need external Spark packages that a connectorless
+# environment cannot resolve; the reference has the same split (serdes live
+# in satellite packages: serdes/Streamiz.Kafka.Net.SchemaRegistry.SerDes.
+# Avro/SchemaAvroSerDes.cs, …SerDes.Protobuf/SchemaProtobufSerDes.cs).  The
+# *_py codecs below implement the WIRE FORMATS themselves — Avro binary
+# encoding and Protobuf wire format, both public specifications — in pure
+# Python over Arrow-batched pandas UDFs, so the full serialize path is
+# executable and oracle-checkable with zero external dependencies.  On a
+# cluster with the Spark packages installed the JVM paths are the fast
+# production route; the byte output is identical.
+#
+# Caveats (documented, inherent to the pandas bridge): a NULL in a nullable
+# long field makes pandas hold the batch column as float64, so nullable
+# longs beyond 2^53 should use the JVM path; NaN in a nullable float/double
+# field is indistinguishable from null.
+
+
+_AVRO_PRIMS = {"boolean", "int", "long", "float", "double", "string", "bytes"}
+_AVRO_TO_SPARK = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "bytes": "binary",
+}
+
+
+def _avro_fields(json_schema: str) -> list:
+    """Parse a flat Avro record schema → [(name, prim_type, nullable)].
+    Unions are restricted to ["null", T] (the nullable-field idiom)."""
+    import json
+
+    sch = json.loads(json_schema)
+    if sch.get("type") != "record" or "fields" not in sch:
+        raise ValueError("avro_py codecs support flat record schemas")
+    out = []
+    for f in sch["fields"]:
+        t, nullable = f["type"], False
+        if isinstance(t, list):
+            if "null" not in t or len(t) != 2:
+                raise ValueError(f"field {f['name']}: only [\"null\", T] unions supported")
+            t = next(x for x in t if x != "null")
+            nullable = True
+        if t not in _AVRO_PRIMS:
+            raise ValueError(f"field {f['name']}: unsupported avro type {t!r}")
+        out.append((f["name"], t, nullable))
+    return out
+
+
+def _varint(n: int) -> bytes:
+    """Base-128 little-endian varint of a non-negative int (Avro/Protobuf
+    share this primitive)."""
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf, i: int):
+    n = shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, i
+        shift += 7
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _is_null(v) -> bool:
+    import math
+
+    return v is None or (isinstance(v, float) and math.isnan(v))
+
+
+def _avro_encode_val(t: str, v) -> bytes:
+    import struct
+
+    if t in ("int", "long"):
+        return _varint(_zigzag(int(v)))
+    if t == "boolean":
+        return b"\x01" if v else b"\x00"
+    if t == "float":
+        return struct.pack("<f", float(v))
+    if t == "double":
+        return struct.pack("<d", float(v))
+    if t == "string":
+        bs = str(v).encode("utf-8")
+        return _varint(_zigzag(len(bs))) + bs
+    bs = bytes(v)  # bytes
+    return _varint(_zigzag(len(bs))) + bs  # avro lengths are zigzag longs
+
+
+def _avro_encode_row(vals, fields) -> bytes:
+    out = bytearray()
+    for v, (name, t, nullable) in zip(vals, fields):
+        if nullable:
+            # union index as zigzag varint: 0 = null branch, 1 = value branch
+            if _is_null(v):
+                out += b"\x00"
+                continue
+            out += b"\x02"
+        elif _is_null(v):
+            raise ValueError(f"null in non-nullable avro field {name!r}")
+        out += _avro_encode_val(t, v)
+    return bytes(out)
+
+
+def _avro_decode_row(buf, fields) -> list:
+    import struct
+
+    vals, i = [], 0
+    for name, t, nullable in fields:
+        if nullable:
+            idx, i = _read_varint(buf, i)
+            if _unzigzag(idx) == 0:
+                vals.append(None)
+                continue
+        if t in ("int", "long"):
+            n, i = _read_varint(buf, i)
+            vals.append(_unzigzag(n))
+        elif t == "boolean":
+            vals.append(buf[i] == 1)
+            i += 1
+        elif t == "float":
+            vals.append(struct.unpack("<f", bytes(buf[i : i + 4]))[0])
+            i += 4
+        elif t == "double":
+            vals.append(struct.unpack("<d", bytes(buf[i : i + 8]))[0])
+            i += 8
+        else:
+            n, i = _read_varint(buf, i)
+            ln = _unzigzag(n)
+            raw = bytes(buf[i : i + ln])
+            i += ln
+            vals.append(raw.decode("utf-8") if t == "string" else raw)
+    return vals
+
+
+def encode_avro_py(col: Column, json_schema: str) -> Column:
+    """struct column → Avro binary (package-free; see module note above).
+    Arrow-batched pandas UDF: the JVM hands the struct over as one Arrow
+    batch per partition chunk, Python walks rows only inside the codec."""
+    from pyspark.sql.functions import pandas_udf
+
+    fields = _avro_fields(json_schema)
+    names = [f[0] for f in fields]
+
+    @pandas_udf("binary")
+    def enc(s: pd.DataFrame) -> pd.Series:
+        cols = [s[n] for n in names]
+        return pd.Series(
+            [_avro_encode_row(vals, fields) for vals in zip(*cols)],
+            dtype=object,
+        )
+
+    return enc(col)
+
+
+def decode_avro_py(col: Column, json_schema: str) -> Column:
+    """Avro binary → struct column (package-free inverse of encode_avro_py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    fields = _avro_fields(json_schema)
+    names = [f[0] for f in fields]
+    ddl = ", ".join(f"{n} {_AVRO_TO_SPARK[t]}" for n, t, _ in fields)
+
+    @pandas_udf(ddl)
+    def dec(s: pd.Series) -> pd.DataFrame:
+        rows = [
+            [None] * len(fields) if _is_null(b) else _avro_decode_row(b, fields)
+            for b in s
+        ]
+        return pd.DataFrame(rows, columns=names, dtype=object)
+
+    return dec(col)
+
+
+# ---------------- Protobuf wire format ----------------
+
+_PB_WIRE = {
+    "int64": 0,
+    "sint64": 0,
+    "bool": 0,
+    "double": 1,
+    "string": 2,
+    "bytes": 2,
+    "float": 5,
+}
+_PB_TO_SPARK = {
+    "int64": "bigint",
+    "sint64": "bigint",
+    "bool": "boolean",
+    "double": "double",
+    "string": "string",
+    "bytes": "binary",
+    "float": "float",
+}
+
+
+def _pb_fields(message: dict) -> list:
+    """Validate a descriptor-free message spec:
+    {"name": ..., "fields": [{"num": 1, "name": "a", "type": "int64"}, ...]}
+    (the binary-descriptor analog for the *_py path — field numbers, names,
+    scalar types; all fields presence-tracked like proto3 ``optional``)."""
+    out = []
+    for f in message["fields"]:
+        if f["type"] not in _PB_WIRE:
+            raise ValueError(f"field {f['name']}: unsupported protobuf type {f['type']!r}")
+        out.append((int(f["num"]), f["name"], f["type"]))
+    return sorted(out)
+
+
+def _pb_encode_row(vals, fields) -> bytes:
+    import struct
+
+    out = bytearray()
+    for v, (num, name, t) in zip(vals, fields):
+        if _is_null(v):
+            continue  # absent field (proto3 optional presence)
+        out += _varint((num << 3) | _PB_WIRE[t])
+        if t == "int64":
+            out += _varint(int(v) & 0xFFFFFFFFFFFFFFFF)
+        elif t == "sint64":
+            out += _varint(_zigzag(int(v)))
+        elif t == "bool":
+            out += b"\x01" if v else b"\x00"
+        elif t == "double":
+            out += struct.pack("<d", float(v))
+        elif t == "float":
+            out += struct.pack("<f", float(v))
+        else:
+            bs = str(v).encode("utf-8") if t == "string" else bytes(v)
+            out += _varint(len(bs)) + bs
+    return bytes(out)
+
+
+def _pb_decode_row(buf, by_num) -> dict:
+    import struct
+
+    vals, i = {}, 0
+    while i < len(buf):
+        tag, i = _read_varint(buf, i)
+        num, wt = tag >> 3, tag & 7
+        spec = by_num.get(num)
+        if spec is None:  # unknown field: skip by wire type
+            if wt == 0:
+                _, i = _read_varint(buf, i)
+            elif wt == 1:
+                i += 8
+            elif wt == 5:
+                i += 4
+            elif wt == 2:
+                ln, i = _read_varint(buf, i)
+                i += ln
+            else:
+                raise ValueError(f"unsupported wire type {wt}")
+            continue
+        name, t = spec
+        if t == "int64":
+            n, i = _read_varint(buf, i)
+            vals[name] = n - (1 << 64) if n >= 1 << 63 else n
+        elif t == "sint64":
+            n, i = _read_varint(buf, i)
+            vals[name] = _unzigzag(n)
+        elif t == "bool":
+            n, i = _read_varint(buf, i)
+            vals[name] = bool(n)
+        elif t == "double":
+            vals[name] = struct.unpack("<d", bytes(buf[i : i + 8]))[0]
+            i += 8
+        elif t == "float":
+            vals[name] = struct.unpack("<f", bytes(buf[i : i + 4]))[0]
+            i += 4
+        else:
+            ln, i = _read_varint(buf, i)
+            raw = bytes(buf[i : i + ln])
+            i += ln
+            vals[name] = raw.decode("utf-8") if t == "string" else raw
+    return vals
+
+
+def encode_protobuf_py(col: Column, message: dict) -> Column:
+    """struct column → Protobuf wire bytes (package-free; fields emitted in
+    field-number order, nulls omitted = proto3 optional absence)."""
+    from pyspark.sql.functions import pandas_udf
+
+    fields = _pb_fields(message)
+    names = [f[1] for f in fields]
+
+    @pandas_udf("binary")
+    def enc(s: pd.DataFrame) -> pd.Series:
+        cols = [s[n] for n in names]
+        return pd.Series(
+            [_pb_encode_row(vals, fields) for vals in zip(*cols)],
+            dtype=object,
+        )
+
+    return enc(col)
+
+
+def decode_protobuf_py(col: Column, message: dict) -> Column:
+    """Protobuf wire bytes → struct column; unknown fields skipped (forward
+    compatibility), absent fields decode to null."""
+    from pyspark.sql.functions import pandas_udf
+
+    fields = _pb_fields(message)
+    names = [f[1] for f in fields]
+    by_num = {num: (name, t) for num, name, t in fields}
+    ddl = ", ".join(f"{name} {_PB_TO_SPARK[t]}" for _, name, t in fields)
+
+    @pandas_udf(ddl)
+    def dec(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in s:
+            vals = {} if _is_null(b) else _pb_decode_row(b, by_num)
+            rows.append([vals.get(n) for n in names])
+        return pd.DataFrame(rows, columns=names, dtype=object)
+
+    return dec(col)
+
+
+# ---------------- Confluent Schema-Registry wire framing ----------------
+
+
+def frame_confluent(payload: Column, schema_id: int) -> Column:
+    """Prepend the Confluent wire-format frame: magic byte 0x00 + 4-byte
+    big-endian schema id (the framing every Schema-Registry serde writes —
+    reference SchemaAvroSerDes serializes through Confluent.SchemaRegistry.
+    Serdes, which produces exactly this frame).  Pure Catalyst concat."""
+    header = bytes([0]) + int(schema_id).to_bytes(4, "big")
+    return F.concat(F.lit(header), payload)
+
+
+def unframe_confluent_id(col: Column) -> Column:
+    """Schema id (int) from a Confluent-framed record — expression-only
+    (hex of bytes 2-5, base-16 → base-10)."""
+    return F.conv(F.hex(F.substring(col, 2, 4)), 16, 10).cast("int")
+
+
+def unframe_confluent_payload(col: Column) -> Column:
+    """Payload bytes after the 5-byte Confluent frame — expression-only."""
+    return F.substring(col, 6, F.length(col) - F.lit(5))
+
+
+class InMemorySchemaRegistry:
+    """Schema-registry client analog (the reference serializes through
+    Confluent's CachedSchemaRegistryClient; serdes/Streamiz.Kafka.Net.
+    SchemaRegistry.SerDes.Avro/SchemaAvroSerDes.cs): subject → versions,
+    canonical schema → stable id, id → schema.  In-memory and deterministic
+    — the test/offline stand-in with the same register/lookup surface; a
+    networked client drops in without touching the serde call sites."""
+
+    def __init__(self):
+        self._by_id: dict[int, str] = {}
+        self._ids: dict[str, int] = {}
+        self._subjects: dict[str, list[int]] = {}
+
+    def register(self, subject: str, schema: str) -> int:
+        sid = self._ids.get(schema)
+        if sid is None:
+            sid = len(self._by_id) + 1
+            self._ids[schema] = sid
+            self._by_id[sid] = schema
+        versions = self._subjects.setdefault(subject, [])
+        if sid not in versions:
+            versions.append(sid)
+        return sid
+
+    def by_id(self, schema_id: int) -> str:
+        return self._by_id[schema_id]
+
+    def latest(self, subject: str) -> tuple[int, str]:
+        sid = self._subjects[subject][-1]
+        return sid, self._by_id[sid]

@@ -48,6 +48,12 @@ QUERIES = [
     "q43_dedup_minhash",       # LSH: dup groups inflate bucket sizes k-fold
     "q87_paragraph_dedup",     # cross-corpus paragraph dedup, k-fold dups
     "q88_top_ngrams",          # corpus n-gram agg + top-k
+    "q92_pack_tokens",         # sequence packing (window cumsum)
+    "q94_frame_sample",        # multimodal mapInPandas fan-out
+    "q96_tfidf_topk",          # tf-idf: df join + per-doc top-k
+    "q98_inverted_index",      # phrase posting lists (explode + agg)
+    "q100_pmi_collocations",   # bigram/unigram stats join
+    "q102_versioned_join",     # versioned temporal join (union + window)
 ]
 
 
@@ -65,10 +71,14 @@ def _build_dir(spark, k: int) -> str:
             # keep row identity unique where the engine relies on it; keys
             # (user_id / custkey) stay fixed so per-key volume grows k-fold
             if t == "events":
+                from pyspark_engine.runtime import epoch_us, normalize_event_time
+
+                df = normalize_event_time(df, "ts")
                 df = df.select(
                     (F.col("event_id") * k + F.col("__rep")).alias("event_id"),
                     "user_id", "event_type", "value",
-                    (F.col("ts") + F.col("__rep")).alias("ts"),  # ns-scale shift
+                    # µs-scale shift keeps replica rows distinct in time
+                    F.timestamp_micros(epoch_us(F.col("ts")) + F.col("__rep")).alias("ts"),
                 )
             elif t == "orders":
                 df = df.select(

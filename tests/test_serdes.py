@@ -145,3 +145,137 @@ def test_decode_poison_key_continue_vs_fail(spark):
     assert got == {1: None, 2: 7}
     with pytest.raises(Exception):
         serdes.decode_kafka(df, "a int", key_type="bigint", on_error="fail").collect()
+
+
+# ---------------- package-free Avro/Protobuf codecs + SR framing ----------------
+
+AVRO_SCHEMA = (
+    '{"type":"record","name":"ev","fields":['
+    '{"name":"a","type":"long"},'
+    '{"name":"s","type":"string"},'
+    '{"name":"v","type":["null","double"]},'
+    '{"name":"b","type":"boolean"},'
+    '{"name":"raw","type":"bytes"}]}'
+)
+
+
+def test_avro_py_known_vectors():
+    """Byte-exact against the Avro spec's own examples: zigzag long 1→0x02,
+    -1→0x01, string "foo"→0x06+utf8."""
+    from pyspark_engine.serdes import _avro_decode_row, _avro_encode_row, _avro_fields
+
+    sch = '{"type":"record","name":"t","fields":[{"name":"a","type":"long"},{"name":"s","type":"string"}]}'
+    f = _avro_fields(sch)
+    assert _avro_encode_row([1, "foo"], f) == bytes([0x02, 0x06]) + b"foo"
+    assert _avro_encode_row([-1, ""], f) == bytes([0x01, 0x00])
+    assert _avro_decode_row(_avro_encode_row([12345, "héllo"], f), f) == [12345, "héllo"]
+
+
+def test_avro_py_spark_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "foo", 2.5, True, b"\x01\x02"), (-99, "", None, False, b"")],
+        "a long, s string, v double, b boolean, raw binary",
+    )
+    wire = df.select(serdes.encode_avro_py(F.struct("a", "s", "v", "b", "raw"), AVRO_SCHEMA).alias("w"))
+    back = wire.select(serdes.decode_avro_py(F.col("w"), AVRO_SCHEMA).alias("r")).select("r.*")
+    got = sorted([tuple(r) for r in back.collect()])
+    want = sorted([(1, "foo", 2.5, True, bytearray(b"\x01\x02")), (-99, "", None, False, bytearray(b""))])
+    assert got == want
+
+
+def test_protobuf_py_known_vectors():
+    """Byte-exact against the Protobuf encoding docs example: field 1
+    varint 150 → 08 96 01; field 2 string "testing" → 12 07 + ascii."""
+    from pyspark_engine.serdes import _pb_encode_row, _pb_fields
+
+    msg = {"name": "T", "fields": [{"num": 1, "name": "a", "type": "int64"},
+                                   {"num": 2, "name": "b", "type": "string"}]}
+    pf = _pb_fields(msg)
+    assert _pb_encode_row([150, None], pf) == bytes.fromhex("089601")
+    assert _pb_encode_row([None, "testing"], pf) == bytes.fromhex("120774657374696e67")
+
+
+def test_protobuf_py_spark_roundtrip(spark):
+    msg = {"name": "D", "fields": [
+        {"num": 1, "name": "doc_id", "type": "int64"},
+        {"num": 2, "name": "lang", "type": "string"},
+        {"num": 3, "name": "score", "type": "double"},
+        {"num": 4, "name": "flag", "type": "bool"},
+    ]}
+    df = spark.createDataFrame(
+        [(7, "en", 0.5, True), (-3, None, None, False)],
+        "doc_id long, lang string, score double, flag boolean",
+    )
+    wire = df.select(serdes.encode_protobuf_py(F.struct("doc_id", "lang", "score", "flag"), msg).alias("w"))
+    back = wire.select(serdes.decode_protobuf_py(F.col("w"), msg).alias("r")).select("r.*")
+    got = sorted([tuple(r) for r in back.collect()])
+    # absent fields decode to null (presence semantics); False bool is encoded
+    assert got == sorted([(7, "en", 0.5, True), (-3, None, None, False)])
+
+
+def test_protobuf_py_skips_unknown_fields(spark):
+    """Forward compatibility: bytes produced with a superset message decode
+    under the older message, unknown fields skipped by wire type."""
+    from pyspark_engine.serdes import _pb_decode_row, _pb_encode_row, _pb_fields
+
+    new_msg = _pb_fields({"name": "N", "fields": [
+        {"num": 1, "name": "a", "type": "int64"},
+        {"num": 2, "name": "x", "type": "double"},
+        {"num": 3, "name": "y", "type": "string"},
+        {"num": 4, "name": "z", "type": "float"}]})
+    old = {1: ("a", "int64")}
+    buf = _pb_encode_row([5, 1.5, "gone", 2.0], new_msg)
+    assert _pb_decode_row(buf, old) == {"a": 5}
+
+
+def test_confluent_framing_expressions(spark):
+    """Magic byte + 4-byte big-endian schema id, built and unpacked by pure
+    Catalyst expressions."""
+    df = spark.createDataFrame([(b"payload",)], "p binary")
+    framed = df.select(serdes.frame_confluent(F.col("p"), 0x01020304).alias("w"))
+    row = framed.select(
+        serdes.unframe_confluent_id(F.col("w")).alias("sid"),
+        serdes.unframe_confluent_payload(F.col("w")).alias("pay"),
+        F.substring("w", 1, 1).alias("magic"),
+    ).collect()[0]
+    assert row.sid == 0x01020304
+    assert bytes(row.pay) == b"payload"
+    assert bytes(row.magic) == b"\x00"
+
+
+def test_schema_registry_analog():
+    from pyspark_engine.serdes import InMemorySchemaRegistry
+
+    reg = InMemorySchemaRegistry()
+    s1 = '{"type":"record","name":"a","fields":[]}'
+    s2 = '{"type":"record","name":"b","fields":[]}'
+    id1 = reg.register("topic-value", s1)
+    assert reg.register("topic-value", s1) == id1          # idempotent
+    id2 = reg.register("topic-value", s2)                  # new version
+    assert id2 != id1
+    assert reg.by_id(id1) == s1
+    assert reg.latest("topic-value") == (id2, s2)
+    assert reg.register("other-value", s1) == id1          # same schema, same id
+
+
+def test_avro_confluent_end_to_end(spark):
+    """The SchemaAvroSerDes composition: register schema, frame the Avro
+    payload, then unframe + decode — the full Schema-Registry wire path
+    offline (reference SchemaAvroSerDes.cs Serialize/Deserialize)."""
+    from pyspark_engine.serdes import InMemorySchemaRegistry
+
+    reg = InMemorySchemaRegistry()
+    sch = '{"type":"record","name":"t","fields":[{"name":"a","type":"long"}]}'
+    sid = reg.register("events-value", sch)
+    df = spark.createDataFrame([(4,), (5,)], "a long")
+    wire = df.select(
+        serdes.frame_confluent(serdes.encode_avro_py(F.struct("a"), sch), sid).alias("w")
+    )
+    ids = {r.sid for r in wire.select(serdes.unframe_confluent_id(F.col("w")).alias("sid")).collect()}
+    assert ids == {sid}
+    back = wire.select(
+        serdes.decode_avro_py(
+            serdes.unframe_confluent_payload(F.col("w")), reg.by_id(sid)
+        ).alias("r")
+    ).select("r.*")
+    assert sorted(r.a for r in back.collect()) == [4, 5]
