@@ -94,3 +94,30 @@ def test_batch_grace_has_no_single_partition_exchange(spark):
     partition — never Exchange SinglePartition (the 100 TB stall)."""
     df = entry.queries()["q28_window_grace"](spark, SF)
     assert "Exchange SinglePartition" not in _plan(df)
+
+
+def test_versioned_join_two_exchanges_and_pruning(spark):
+    """q102 (join_table_asof): exactly TWO exchanges — the map-side-combined
+    (key, ts) version dedup and the single key-partitioned window pass.  A
+    regression to a join-then-filter formulation would add a join exchange
+    and a candidate fan-out; losing column pruning would widen both scans."""
+    df = entry.queries()["q102_versioned_join"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 2
+    assert "partial_max_by" in plan  # dedup combines map-side before its shuffle
+    for line in plan.splitlines():
+        if "FileScan" in line:
+            assert "props" not in line  # unused columns never leave the scan
+
+
+def test_avro_wire_path_no_shuffle(spark):
+    """q103: the serde path is scan → Arrow-batched encode → expressions →
+    Arrow-batched decode — ZERO exchanges, and the events scan reads only
+    the four encoded columns."""
+    df = entry.queries()["q103_avro_wire"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 0
+    assert plan.count("ArrowEvalPython") == 2  # encode + decode, both Arrow-batched
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    schema = scan.split("ReadSchema:")[1]
+    assert "user_id" not in schema and "ts:" not in schema
