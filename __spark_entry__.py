@@ -1516,6 +1516,29 @@ def q104_protobuf_wire(spark, sf_dir):
     )
 
 
+def q105_sketch_stats(spark, sf_dir):
+    """Sketch aggregates — the 100 TB path for distinct-count and quantiles
+    (SURVEY §2.3 'no approximate aggregates' absent row; Spark-native
+    HyperLogLog++ and GK-quantile sketches through the ordinary grouped
+    ``aggregate`` surface).  Exact count(DISTINCT) shuffles every distinct
+    value; the HLL sketch shuffles a fixed-size register set per group, and
+    percentile_approx a bounded GK summary — both map-side combinable.  No
+    SQL oracle: sketch internals are engine-specific (driver records the
+    rows-only check); the error-bound contract vs exact is pinned by
+    tests/test_dsl_semantics.py::test_sketch_aggregates_error_bounds."""
+    b = _b(spark, sf_dir)
+    t = (
+        b.stream("events", key="event_type", ts="ts")
+        .group_by_key()
+        .aggregate(
+            users_hll=F.approx_count_distinct("user_id", rsd=0.02),
+            p50_value=F.percentile_approx(F.col("value"), F.lit(0.5), F.lit(10000)),
+            p99_value=F.percentile_approx(F.col("value"), F.lit(0.99), F.lit(10000)),
+        )
+    )
+    return t.df.select("event_type", "users_hll", "p50_value", "p99_value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1622,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_versioned_join": q102_versioned_join,
         "q103_avro_wire": q103_avro_wire,
         "q104_protobuf_wire": q104_protobuf_wire,
+        "q105_sketch_stats": q105_sketch_stats,
     }
 
 

@@ -519,3 +519,33 @@ def test_versioned_join_matches_record_replay(spark, sf_dir):
     s = KStream(clicks, ("user_id",), "ts").map_values(c_id=F.col("event_id"))
     got = {r.c_id: r.value for r in s.join_table_asof(vt, how="left").df.collect()}
     assert got == want
+
+
+def test_sketch_aggregates_error_bounds(spark, sf_dir):
+    """q105's contract: HLL++ distinct counts within the configured rsd of
+    exact, and high-accuracy GK percentiles equal to an actual element no
+    further than a rank tolerance from the exact order statistic."""
+    import __spark_entry__ as entry
+
+    got = {r.event_type: r for r in entry.queries()["q105_sketch_stats"](spark, sf_dir).collect()}
+    from pyspark_engine.runtime import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, row in got.items():
+        ex = exact[et]
+        assert abs(row.users_hll - ex.users) <= max(3, 0.06 * ex.users)  # 3×rsd
+        # GK with accuracy 10000 >> n is exact-rank on this data; allow the
+        # discrete-vs-interpolated convention gap around the true quantile
+        assert abs(row.p50_value - ex.p50) <= 0.05 * (abs(ex.p50) + 1)
+        assert row.p99_value <= ev.filter(F.col("event_type") == et).agg(F.max("value")).collect()[0][0]
