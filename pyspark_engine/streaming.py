@@ -49,6 +49,7 @@ __all__ = [
     "start_foreach_batch",
     "stateful_map",
     "join_tables_streaming",
+    "join_table_asof_streaming",
     "observed_metrics",
 ]
 
@@ -490,3 +491,58 @@ def stateful_map(
         fn, output_schema, state_schema, output_mode, timeout
     )
     return KStream(out, grouped.key, None)
+
+
+def join_table_asof_streaming(
+    stream: KStream,
+    table,
+    how: str = "inner",
+    tolerance_ms: int | None = None,
+    matched_ts: str = "matched_ts",
+    out_dir: str | None = None,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Streaming realization of ``KStream.join_table_asof``: each microbatch
+    of stream records performs the identical event-time as-of lookup into the
+    static versioned history — the reference's per-record ValueGetter read
+    (KStreamKTableJoinProcessor.cs:38-43) at microbatch granularity, with
+    versioned (KIP-914-style) rather than processing-time semantics, so the
+    result is INDEPENDENT of how records land in microbatches (append-only
+    output; the parity test splits the stream across batches and compares to
+    the one-shot batch join).
+
+    Scale: per microbatch the as-of union+window pass shuffles (batch ∪
+    history) by key — bounded by history size, not stream length; prune the
+    history first with ``VersionedKTable.retain`` (the historyRetention
+    analog).  Drains with availableNow and returns the accumulated result.
+    """
+    if not stream.df.isStreaming:
+        raise ValueError("join_table_asof_streaming requires a streaming stream side")
+    root = out_dir or tempfile.mkdtemp(prefix="pse-asof-")
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        ks = KStream(batch, stream.key, stream.ts)
+        out = ks.join_table_asof(
+            table, how=how, tolerance_ms=tolerance_ms, matched_ts=matched_ts
+        )
+        out.df.write.mode("append").parquet(root)
+
+    q = (
+        stream.df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", _checkpoint(checkpoint))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream.df.sparkSession
+    if not any(f.endswith(".parquet") for f in os.listdir(root)) and not os.path.exists(
+        os.path.join(root, "_SUCCESS")
+    ):
+        # no microbatch fired (empty stream): schema-correct empty result
+        empty = KStream(
+            spark.createDataFrame([], stream.df.schema), stream.key, stream.ts
+        )
+        return empty.join_table_asof(
+            table, how=how, tolerance_ms=tolerance_ms, matched_ts=matched_ts
+        ).df
+    return spark.read.parquet(root)

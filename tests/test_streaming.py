@@ -710,3 +710,36 @@ def test_stream_stream_outer_join_streaming_parity(spark, tmp_path):
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
     rows = {r.k: (r.lv, r.rv) for r in got.collect()}
     assert rows["b"] == (2, None) and rows["c"] == (None, 20)  # both null sides
+
+
+def test_versioned_asof_join_streaming_parity(spark, tmp_path):
+    """join_table_asof_streaming == batch join_table_asof, with the stream
+    deliberately split across MULTIPLE microbatches (maxFilesPerTrigger=1)
+    to prove the enrichment is batching-independent — the versioned-lookup
+    analog of the reference's per-record KStream⋈KTable processing
+    (KStreamKTableJoinProcessor.cs:38-43)."""
+    from pyspark_engine import StreamBuilder as BatchBuilder
+    from pyspark_engine.streaming import join_table_asof_streaming
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev = normalize_event_time(ev, "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .withColumnRenamed("event_id", "c_id")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("value").alias("p_val"), F.col("event_id").alias("p_id"))
+    )
+    src = tmp_path / "clicks"
+    clicks.repartition(3).write.parquet(str(src))  # 3 files -> 3 microbatches
+    b = BatchBuilder(spark)
+    vt = b.versioned_table(purchases, key="user_id", ts="ts", order=("p_id",))
+
+    sb = StreamingBuilder(spark)
+    ks = sb.file_stream(str(src), key="user_id", ts="ts", max_files_per_trigger=1)
+    got = join_table_asof_streaming(ks, vt, how="left")
+    want = KStream(clicks, ("user_id",), "ts").join_table_asof(vt, how="left").df
+    cols = ["c_id", "user_id", "p_val"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
