@@ -279,3 +279,62 @@ def test_avro_confluent_end_to_end(spark):
         ).alias("r")
     ).select("r.*")
     assert sorted(r.a for r in back.collect()) == [4, 5]
+
+
+# ---------------- property-based codec fuzz (pure-Python layer) ----------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    _i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    _finite_f64 = st.floats(allow_nan=False, allow_infinity=False, width=64)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        a=_i64,
+        s=st.text(max_size=80),
+        v=st.one_of(st.none(), _finite_f64),
+        b=st.booleans(),
+        raw=st.binary(max_size=64),
+    )
+    def test_avro_row_roundtrip_property(a, s, v, b, raw):
+        """decode(encode(x)) == x for every value the flat-record codec
+        accepts — arbitrary int64s, unicode, NaN-free doubles, bytes."""
+        from pyspark_engine.serdes import _avro_decode_row, _avro_encode_row, _avro_fields
+
+        f = _avro_fields(AVRO_SCHEMA)
+        assert _avro_decode_row(_avro_encode_row([a, s, v, b, raw], f), f) == [a, s, v, b, raw]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        x=st.one_of(st.none(), _i64),
+        y=st.one_of(st.none(), _finite_f64),
+        z=st.one_of(st.none(), st.booleans()),
+        w=st.one_of(st.none(), st.binary(max_size=64)),
+        q=st.one_of(st.none(), st.text(max_size=80)),
+        sz=st.one_of(st.none(), _i64),
+    )
+    def test_protobuf_row_roundtrip_property(x, y, z, w, q, sz):
+        """Protobuf wire roundtrip incl. presence: absent (None) fields stay
+        absent, int64 full range (negatives = 10-byte varints), sint64 zigzag."""
+        from pyspark_engine.serdes import _pb_decode_row, _pb_encode_row, _pb_fields
+
+        msg = {"name": "P", "fields": [
+            {"num": 1, "name": "x", "type": "int64"},
+            {"num": 2, "name": "y", "type": "double"},
+            {"num": 3, "name": "z", "type": "bool"},
+            {"num": 4, "name": "w", "type": "bytes"},
+            {"num": 5, "name": "q", "type": "string"},
+            {"num": 6, "name": "sz", "type": "sint64"},
+        ]}
+        pf = _pb_fields(msg)
+        by_num = {n: (nm, t) for n, nm, t in pf}
+        got = _pb_decode_row(_pb_encode_row([x, y, z, w, q, sz], pf), by_num)
+        want = {k: v for k, v in zip(["x", "y", "z", "w", "q", "sz"], [x, y, z, w, q, sz]) if v is not None}
+        assert got == want
