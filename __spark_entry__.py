@@ -1438,6 +1438,7 @@ def q102_versioned_join(spark, sf_dir):
 _AVRO_EVENT_SCHEMA = (
     '{"type":"record","name":"event","fields":['
     '{"name":"event_id","type":"long"},'
+    '{"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}},'
     '{"name":"event_type","type":"string"},'
     '{"name":"value","type":["null","double"]},'
     '{"name":"props","type":"string"}]}'
@@ -1459,7 +1460,8 @@ def q103_avro_wire(spark, sf_dir):
     wire = ev.select(
         serdes.frame_confluent(
             serdes.encode_avro_py(
-                F.struct("event_id", "event_type", "value", "props"), _AVRO_EVENT_SCHEMA
+                F.struct("event_id", "ts", "event_type", "value", "props"),
+                _AVRO_EVENT_SCHEMA,
             ),
             sid,
         ).alias("w")
@@ -1472,6 +1474,7 @@ def q103_avro_wire(spark, sf_dir):
     )
     return back.select(
         F.col("r.event_id").alias("event_id"),
+        F.unix_micros(F.col("r.ts")).alias("ts_us"),
         F.col("r.event_type").alias("event_type"),
         F.col("r.value").alias("value"),
         F.col("r.props").alias("props"),
@@ -2576,15 +2579,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q103_avro_wire": """
             WITH m AS (SELECT event_id, event_type, value, props,
+                              epoch_us(ts) AS ts_us,
                               2 * event_id AS ze,
+                              2 * epoch_us(ts) AS zt2,
                               octet_length(encode(event_type)) AS lt,
                               octet_length(encode(props)) AS lp
                        FROM events)
-            SELECT event_id, event_type, value, props,
+            SELECT event_id, ts_us, event_type, value, props,
                    (5  -- Confluent frame: magic byte + 4-byte schema id
                     + CASE WHEN ze < 128 THEN 1 WHEN ze < 16384 THEN 2
                            WHEN ze < 2097152 THEN 3 WHEN ze < 268435456 THEN 4
                            ELSE 5 END            -- zigzag varint(event_id)
+                    + CASE WHEN zt2 < 128 THEN 1 WHEN zt2 < 16384 THEN 2
+                           WHEN zt2 < 2097152 THEN 3 WHEN zt2 < 268435456 THEN 4
+                           WHEN zt2 < 34359738368 THEN 5
+                           WHEN zt2 < 4398046511104 THEN 6
+                           WHEN zt2 < 562949953421312 THEN 7
+                           WHEN zt2 < 72057594037927936 THEN 8
+                           ELSE 9 END            -- zigzag varint(epoch µs ts)
                     + CASE WHEN 2*lt < 128 THEN 1 WHEN 2*lt < 16384 THEN 2 ELSE 3 END
                     + lt                          -- string: zigzag varint(len) + utf8
                     + 1                           -- union branch index

@@ -301,7 +301,8 @@ def encode_kafka(
 # field is indistinguishable from null.
 
 
-_AVRO_PRIMS = {"boolean", "int", "long", "float", "double", "string", "bytes"}
+_AVRO_PRIMS = {"boolean", "int", "long", "float", "double", "string", "bytes",
+               "timestamp-micros"}
 _AVRO_TO_SPARK = {
     "boolean": "boolean",
     "int": "int",
@@ -310,12 +311,15 @@ _AVRO_TO_SPARK = {
     "double": "double",
     "string": "string",
     "bytes": "binary",
+    "timestamp-micros": "timestamp",
 }
 
 
 def _avro_fields(json_schema: str) -> list:
     """Parse a flat Avro record schema → [(name, prim_type, nullable)].
-    Unions are restricted to ["null", T] (the nullable-field idiom)."""
+    Unions are restricted to ["null", T] (the nullable-field idiom).  The
+    ``timestamp-micros`` logical type (a long on the wire, Avro spec logical
+    types) maps to Spark TIMESTAMP — event time travels through the codec."""
     import json
 
     sch = json.loads(json_schema)
@@ -329,6 +333,8 @@ def _avro_fields(json_schema: str) -> list:
                 raise ValueError(f"field {f['name']}: only [\"null\", T] unions supported")
             t = next(x for x in t if x != "null")
             nullable = True
+        if isinstance(t, dict) and t.get("logicalType") == "timestamp-micros":
+            t = "timestamp-micros"
         if t not in _AVRO_PRIMS:
             raise ValueError(f"field {f['name']}: unsupported avro type {t!r}")
         out.append((f["name"], t, nullable))
@@ -379,6 +385,9 @@ def _avro_encode_val(t: str, v) -> bytes:
 
     if t in ("int", "long"):
         return _varint(_zigzag(int(v)))
+    if t == "timestamp-micros":
+        # pd.Timestamp (tz-naive, session-UTC) → epoch µs long on the wire
+        return _varint(_zigzag(int(v.value) // 1000))
     if t == "boolean":
         return b"\x01" if v else b"\x00"
     if t == "float":
@@ -420,6 +429,9 @@ def _avro_decode_row(buf, fields) -> list:
         if t in ("int", "long"):
             n, i = _read_varint(buf, i)
             vals.append(_unzigzag(n))
+        elif t == "timestamp-micros":
+            n, i = _read_varint(buf, i)
+            vals.append(pd.Timestamp(_unzigzag(n), unit="us"))
         elif t == "boolean":
             vals.append(buf[i] == 1)
             i += 1

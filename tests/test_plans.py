@@ -113,11 +113,11 @@ def test_versioned_join_two_exchanges_and_pruning(spark):
 def test_avro_wire_path_no_shuffle(spark):
     """q103: the serde path is scan → Arrow-batched encode → expressions →
     Arrow-batched decode — ZERO exchanges, and the events scan reads only
-    the four encoded columns."""
+    the five encoded columns (user_id is not part of the record)."""
     df = entry.queries()["q103_avro_wire"](spark, SF)
     plan = _plan(df)
     assert plan.count("Exchange") == 0
     assert plan.count("ArrowEvalPython") == 2  # encode + decode, both Arrow-batched
     scan = next(l for l in plan.splitlines() if "FileScan" in l)
     schema = scan.split("ReadSchema:")[1]
-    assert "user_id" not in schema and "ts:" not in schema
+    assert "user_id" not in schema

@@ -338,3 +338,22 @@ if _HAS_HYPOTHESIS:
         got = _pb_decode_row(_pb_encode_row([x, y, z, w, q, sz], pf), by_num)
         want = {k: v for k, v in zip(["x", "y", "z", "w", "q", "sz"], [x, y, z, w, q, sz]) if v is not None}
         assert got == want
+
+
+def test_avro_py_timestamp_micros_roundtrip(spark):
+    """timestamp-micros logical type: event time travels through the codec
+    (long µs on the wire, TIMESTAMP in the frame) — zigzag-encoded epoch."""
+    sch = (
+        '{"type":"record","name":"e","fields":['
+        '{"name":"a","type":"long"},'
+        '{"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}}]}'
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    df = spark.createDataFrame([(1, t0)], "a long, ts timestamp")
+    wire = df.select(serdes.encode_avro_py(F.struct("a", "ts"), sch).alias("w"))
+    back = wire.select(serdes.decode_avro_py(F.col("w"), sch).alias("r")).select("r.*")
+    row = back.collect()[0]
+    assert row.a == 1 and row.ts == t0
+    assert dict(back.dtypes)["ts"] == "timestamp"
