@@ -1542,6 +1542,42 @@ def q105_sketch_stats(spark, sf_dir):
     return t.df.select("event_type", "users_hll", "p50_value", "p99_value")
 
 
+_AVRO_EMB_SCHEMA = (
+    '{"type":"record","name":"emb","fields":['
+    '{"name":"vec_id","type":"long"},'
+    '{"name":"embedding","type":{"type":"array","items":"float"}}]}'
+)
+
+
+def q106_avro_embeddings(spark, sf_dir):
+    """Embedding vectors through the Avro wire codec (array<float> as
+    spec block encoding: zigzag count + packed little-endian floats +
+    terminator) — the serialization path an embedding-producing pipeline
+    ships vectors over.  Roundtrip is checked via an order-sensitive
+    floor-quantized checksum of the DECODED floats (float32→double cast and
+    ×1000 are IEEE-identical in both engines) and the exact wire byte
+    length; the oracle recomputes both from the original column."""
+    emb = read_table(configure(spark), sf_dir, "embeddings")
+    wire = emb.select(
+        serdes.encode_avro_py(F.struct("vec_id", "embedding"), _AVRO_EMB_SCHEMA).alias("w")
+    )
+    back = wire.select(
+        F.length("w").cast("long").alias("wire_len"),
+        serdes.decode_avro_py(F.col("w"), _AVRO_EMB_SCHEMA).alias("r"),
+    )
+    chk = F.aggregate(
+        F.col("r.embedding"),
+        F.lit(0).cast("long"),
+        lambda a, x: a + F.floor(x.cast("double") * F.lit(1000.0)).cast("long"),
+    )
+    return back.select(
+        F.col("r.vec_id").alias("vec_id"),
+        F.size(F.col("r.embedding")).cast("long").alias("n_dims"),
+        chk.alias("checksum"),
+        "wire_len",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1649,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_avro_wire": q103_avro_wire,
         "q104_protobuf_wire": q104_protobuf_wire,
         "q105_sketch_stats": q105_sketch_stats,
+        "q106_avro_embeddings": q106_avro_embeddings,
     }
 
 
@@ -2604,6 +2641,21 @@ def oracle_sql() -> dict[str, str]:
                     + CASE WHEN 2*lp < 128 THEN 1 WHEN 2*lp < 16384 THEN 2 ELSE 3 END
                     + lp) AS wire_len
             FROM m
+        """,
+        "q106_avro_embeddings": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS n_dims,
+                   CAST(coalesce(list_sum(list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))), 0)
+                        AS BIGINT) AS checksum,
+                   (CASE WHEN 2*vec_id < 128 THEN 1 WHEN 2*vec_id < 16384 THEN 2
+                         WHEN 2*vec_id < 2097152 THEN 3 ELSE 4 END
+                    + CASE WHEN len(embedding) = 0 THEN 1
+                           ELSE CASE WHEN 2*len(embedding) < 128 THEN 1
+                                     WHEN 2*len(embedding) < 16384 THEN 2
+                                     ELSE 3 END
+                                + 4 * len(embedding) + 1 END) AS wire_len
+            FROM embeddings
         """,
         "q104_protobuf_wire": """
             WITH m AS (SELECT doc_id, lang, text, n_chars,

@@ -303,6 +303,7 @@ def encode_kafka(
 
 _AVRO_PRIMS = {"boolean", "int", "long", "float", "double", "string", "bytes",
                "timestamp-micros"}
+_AVRO_ARRAY_ITEMS = {"int", "long", "float", "double"}
 _AVRO_TO_SPARK = {
     "boolean": "boolean",
     "int": "int",
@@ -312,6 +313,10 @@ _AVRO_TO_SPARK = {
     "string": "string",
     "bytes": "binary",
     "timestamp-micros": "timestamp",
+    "array:int": "array<int>",
+    "array:long": "array<bigint>",
+    "array:float": "array<float>",
+    "array:double": "array<double>",
 }
 
 
@@ -335,7 +340,12 @@ def _avro_fields(json_schema: str) -> list:
             nullable = True
         if isinstance(t, dict) and t.get("logicalType") == "timestamp-micros":
             t = "timestamp-micros"
-        if t not in _AVRO_PRIMS:
+        elif isinstance(t, dict) and t.get("type") == "array":
+            items = t.get("items")
+            if items not in _AVRO_ARRAY_ITEMS:
+                raise ValueError(f"field {f['name']}: unsupported avro array items {items!r}")
+            t = f"array:{items}"
+        if t not in _AVRO_PRIMS and not t.startswith("array:"):
             raise ValueError(f"field {f['name']}: unsupported avro type {t!r}")
         out.append((f["name"], t, nullable))
     return out
@@ -388,6 +398,15 @@ def _avro_encode_val(t: str, v) -> bytes:
     if t == "timestamp-micros":
         # pd.Timestamp (tz-naive, session-UTC) → epoch µs long on the wire
         return _varint(_zigzag(int(v.value) // 1000))
+    if t.startswith("array:"):
+        # Avro array: one block (zigzag count + items) + 0x00 terminator
+        item_t = t.split(":", 1)[1]
+        vals = list(v)
+        out = bytearray(_varint(_zigzag(len(vals)))) if vals else bytearray()
+        for item in vals:
+            out += _avro_encode_val(item_t, item)
+        out += b"\x00"
+        return bytes(out)
     if t == "boolean":
         return b"\x01" if v else b"\x00"
     if t == "float":
@@ -416,9 +435,44 @@ def _avro_encode_row(vals, fields) -> bytes:
     return bytes(out)
 
 
-def _avro_decode_row(buf, fields) -> list:
+def _avro_decode_val(t: str, buf, i: int):
+    """Decode one value of type ``t`` at offset ``i``; returns (value, i')."""
     import struct
 
+    if t in ("int", "long"):
+        n, i = _read_varint(buf, i)
+        return _unzigzag(n), i
+    if t == "timestamp-micros":
+        n, i = _read_varint(buf, i)
+        return pd.Timestamp(_unzigzag(n), unit="us"), i
+    if t.startswith("array:"):
+        item_t = t.split(":", 1)[1]
+        arr = []
+        while True:
+            n, i = _read_varint(buf, i)
+            count = _unzigzag(n)
+            if count == 0:
+                return arr, i
+            if count < 0:  # spec: negative count is followed by the block byte size
+                count = -count
+                _, i = _read_varint(buf, i)
+            for _ in range(count):
+                item, i = _avro_decode_val(item_t, buf, i)
+                arr.append(item)
+    if t == "boolean":
+        return buf[i] == 1, i + 1
+    if t == "float":
+        return struct.unpack("<f", bytes(buf[i : i + 4]))[0], i + 4
+    if t == "double":
+        return struct.unpack("<d", bytes(buf[i : i + 8]))[0], i + 8
+    n, i = _read_varint(buf, i)
+    ln = _unzigzag(n)
+    raw = bytes(buf[i : i + ln])
+    i += ln
+    return (raw.decode("utf-8") if t == "string" else raw), i
+
+
+def _avro_decode_row(buf, fields) -> list:
     vals, i = [], 0
     for name, t, nullable in fields:
         if nullable:
@@ -426,27 +480,8 @@ def _avro_decode_row(buf, fields) -> list:
             if _unzigzag(idx) == 0:
                 vals.append(None)
                 continue
-        if t in ("int", "long"):
-            n, i = _read_varint(buf, i)
-            vals.append(_unzigzag(n))
-        elif t == "timestamp-micros":
-            n, i = _read_varint(buf, i)
-            vals.append(pd.Timestamp(_unzigzag(n), unit="us"))
-        elif t == "boolean":
-            vals.append(buf[i] == 1)
-            i += 1
-        elif t == "float":
-            vals.append(struct.unpack("<f", bytes(buf[i : i + 4]))[0])
-            i += 4
-        elif t == "double":
-            vals.append(struct.unpack("<d", bytes(buf[i : i + 8]))[0])
-            i += 8
-        else:
-            n, i = _read_varint(buf, i)
-            ln = _unzigzag(n)
-            raw = bytes(buf[i : i + ln])
-            i += ln
-            vals.append(raw.decode("utf-8") if t == "string" else raw)
+        v, i = _avro_decode_val(t, buf, i)
+        vals.append(v)
     return vals
 
 

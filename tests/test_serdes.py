@@ -357,3 +357,22 @@ def test_avro_py_timestamp_micros_roundtrip(spark):
     row = back.collect()[0]
     assert row.a == 1 and row.ts == t0
     assert dict(back.dtypes)["ts"] == "timestamp"
+
+
+def test_avro_py_float_array_roundtrip(spark):
+    """array<float> block encoding: exact float32 roundtrip incl. the empty
+    array (bare terminator byte) and negative values."""
+    sch = (
+        '{"type":"record","name":"e","fields":['
+        '{"name":"vec_id","type":"long"},'
+        '{"name":"embedding","type":{"type":"array","items":"float"}}]}'
+    )
+    rows = [(1, [1.5, -2.25, 0.0]), (2, []), (3, [3.14159])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    wire = df.select(serdes.encode_avro_py(F.struct("vec_id", "embedding"), sch).alias("w"))
+    back = wire.select(serdes.decode_avro_py(F.col("w"), sch).alias("r")).select("r.*")
+    got = {r.vec_id: list(r.embedding) for r in back.collect()}
+    import struct as _s
+
+    want = {k: [_s.unpack("<f", _s.pack("<f", x))[0] for x in v] for k, v in rows}
+    assert got == want
