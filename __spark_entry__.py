@@ -1578,6 +1578,54 @@ def q106_avro_embeddings(spark, sf_dir):
     )
 
 
+_PB_EMB_MESSAGE = {
+    "name": "embedding",
+    "fields": [
+        {"num": 1, "name": "vec_id", "type": "int64"},
+        {"num": 2, "name": "embedding", "type": "repeated float"},
+    ],
+}
+
+
+def q107_protobuf_embeddings(spark, sf_dir):
+    """Embedding vectors over the Protobuf wire (proto3 packed repeated
+    float: tag + length + packed little-endian items; empty vectors absent
+    per proto3).  Same checksum-of-decoded-floats + exact-wire-length oracle
+    discipline as q106's Avro twin — the two codecs cross-check each other's
+    Spark-side plumbing."""
+    emb = read_table(configure(spark), sf_dir, "embeddings")
+    wire = emb.select(
+        serdes.encode_protobuf_py(F.struct("vec_id", "embedding"), _PB_EMB_MESSAGE).alias("w")
+    )
+    back = wire.select(
+        F.length("w").cast("long").alias("wire_len"),
+        serdes.decode_protobuf_py(F.col("w"), _PB_EMB_MESSAGE).alias("r"),
+    )
+    chk = F.aggregate(
+        F.coalesce(F.col("r.embedding"), F.array().cast("array<float>")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + F.floor(x.cast("double") * F.lit(1000.0)).cast("long"),
+    )
+    return back.select(
+        F.col("r.vec_id").alias("vec_id"),
+        F.size(F.coalesce(F.col("r.embedding"), F.array().cast("array<float>")))
+        .cast("long")
+        .alias("n_dims"),
+        chk.alias("checksum"),
+        "wire_len",
+    )
+
+
+def q108_repeated_spans(spark, sf_dir):
+    """Exact repeated-span detection (llmops.repeated_spans): fraction of
+    each document covered by 15-token windows that occur 2+ times
+    corpus-wide — the token-granular exact-substring-dedup signal (Lee et
+    al.); oracle reconstructs windows, corpus counts, and per-doc fractions
+    in SQL."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.repeated_spans(docs, "doc_id", "text", span_tokens=15, min_count=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1686,6 +1734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_protobuf_wire": q104_protobuf_wire,
         "q105_sketch_stats": q105_sketch_stats,
         "q106_avro_embeddings": q106_avro_embeddings,
+        "q107_protobuf_embeddings": q107_protobuf_embeddings,
+        "q108_repeated_spans": q108_repeated_spans,
     }
 
 
@@ -2656,6 +2706,44 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 3 END
                                 + 4 * len(embedding) + 1 END) AS wire_len
             FROM embeddings
+        """,
+        "q107_protobuf_embeddings": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS n_dims,
+                   CAST(coalesce(list_sum(list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))), 0)
+                        AS BIGINT) AS checksum,
+                   (1 + CASE WHEN vec_id < 128 THEN 1 WHEN vec_id < 16384 THEN 2
+                             WHEN vec_id < 2097152 THEN 3 ELSE 4 END
+                    + CASE WHEN len(embedding) = 0 THEN 0
+                           ELSE 1 + CASE WHEN 4*len(embedding) < 128 THEN 1
+                                         WHEN 4*len(embedding) < 16384 THEN 2
+                                         ELSE 3 END
+                                + 4 * len(embedding) END) AS wire_len
+            FROM embeddings
+        """,
+        "q108_repeated_spans": r"""
+            WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                          FROM documents),
+            w AS (SELECT doc_id,
+                         unnest(CASE WHEN len(t) >= 15
+                                     THEN list_transform(range(1, len(t) - 13),
+                                          i -> array_to_string(list_slice(t, i, i + 14), ' '))
+                                     ELSE [] END) AS span
+                  FROM toks),
+            c AS (SELECT span, count(*) AS cnt FROM w GROUP BY span),
+            d AS (SELECT w.doc_id,
+                         CAST(count(*) AS BIGINT) AS n_windows,
+                         CAST(count(*) FILTER (WHERE c.cnt >= 2) AS BIGINT) AS n_dup_windows
+                  FROM w JOIN c USING (span)
+                  GROUP BY w.doc_id)
+            SELECT doc_id,
+                   coalesce(n_windows, 0) AS n_windows,
+                   coalesce(n_dup_windows, 0) AS n_dup_windows,
+                   CASE WHEN coalesce(n_windows, 0) > 0
+                        THEN CAST(n_dup_windows AS DOUBLE) / CAST(n_windows AS DOUBLE)
+                        ELSE 0.0 END AS dup_frac
+            FROM documents LEFT JOIN d USING (doc_id)
         """,
         "q104_protobuf_wire": """
             WITH m AS (SELECT doc_id, lang, text, n_chars,

@@ -81,6 +81,7 @@ HEADLINE = [
     "q101_sample_quota",
     "q102_versioned_join",
     "q103_avro_wire",
+    "q108_repeated_spans",
 ]
 
 

@@ -1537,3 +1537,60 @@ def sample_per_group_quota(
         .filter(F.col("__rn") <= quota)
         .drop("__rn")
     )
+
+
+# ------------------------------------------------- exact repeated spans
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 15,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact repeated-span detection — the token-granular form of exact
+    substring dedup ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al.: substrings occurring more than once in the corpus
+    are memorization/boilerplate risk).  Every ``span_tokens``-token window
+    occurring ``min_count``+ times corpus-wide (across OR within documents)
+    counts as duplicated text; per document this reports total windows,
+    duplicated windows, and the duplicated fraction — the removal/triage
+    signal (docs under ``span_tokens`` tokens have zero windows).
+
+    Scale: explode → count on the span's md5 digest (fixed-size keys,
+    map-side combinable) → join back on digest → per-doc agg.  Shuffle
+    volume is O(total windows) digests, never pairwise; the ``min_count``
+    filter prunes the join's build side to actually-repeated digests
+    (typically a tiny fraction of the corpus).  The md5 keeps the oracle
+    portable; at 100 TB swap in xxhash64 for an 8-byte key (collision odds
+    documented) without touching the plan shape."""
+    toks = tokens(F.col(text_col))
+    spans = word_ngrams_multiset(toks, span_tokens)
+    ex = _spread(df).select(F.col(id_col), F.explode(spans).alias("__span")).select(
+        F.col(id_col), F.md5(F.col("__span")).alias("__h")
+    )
+    repeated = (
+        ex.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+    )
+    per_doc = (
+        ex.join(repeated, "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("__c").alias("n_dup_windows"),
+        )
+    )
+    base = df.select(F.col(id_col))
+    out = base.join(per_doc, id_col, "left")
+    n_w = F.coalesce(F.col("n_windows"), F.lit(0)).cast("long")
+    n_d = F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long")
+    return out.select(
+        F.col(id_col),
+        n_w.alias("n_windows"),
+        n_d.alias("n_dup_windows"),
+        F.when(n_w > 0, n_d.cast("double") / n_w.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

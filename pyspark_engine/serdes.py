@@ -535,7 +535,13 @@ _PB_WIRE = {
     "bytes": 2,
     "float": 5,
 }
+# repeated scalar fields use proto3 packed encoding (wire type 2)
+_PB_PACKED_ITEMS = {"int64", "sint64", "float", "double"}
 _PB_TO_SPARK = {
+    "repeated int64": "array<bigint>",
+    "repeated sint64": "array<bigint>",
+    "repeated float": "array<float>",
+    "repeated double": "array<double>",
     "int64": "bigint",
     "sint64": "bigint",
     "bool": "boolean",
@@ -553,9 +559,13 @@ def _pb_fields(message: dict) -> list:
     scalar types; all fields presence-tracked like proto3 ``optional``)."""
     out = []
     for f in message["fields"]:
-        if f["type"] not in _PB_WIRE:
-            raise ValueError(f"field {f['name']}: unsupported protobuf type {f['type']!r}")
-        out.append((int(f["num"]), f["name"], f["type"]))
+        t = f["type"]
+        if t.startswith("repeated "):
+            if t.split(" ", 1)[1] not in _PB_PACKED_ITEMS:
+                raise ValueError(f"field {f['name']}: unsupported repeated type {t!r}")
+        elif t not in _PB_WIRE:
+            raise ValueError(f"field {f['name']}: unsupported protobuf type {t!r}")
+        out.append((int(f["num"]), f["name"], t))
     return sorted(out)
 
 
@@ -566,6 +576,23 @@ def _pb_encode_row(vals, fields) -> bytes:
     for v, (num, name, t) in zip(vals, fields):
         if _is_null(v):
             continue  # absent field (proto3 optional presence)
+        if t.startswith("repeated "):
+            items = list(v)
+            if not items:
+                continue  # proto3: empty repeated field is absent on the wire
+            item_t = t.split(" ", 1)[1]
+            payload = bytearray()
+            for item in items:
+                if item_t == "int64":
+                    payload += _varint(int(item) & 0xFFFFFFFFFFFFFFFF)
+                elif item_t == "sint64":
+                    payload += _varint(_zigzag(int(item)))
+                elif item_t == "double":
+                    payload += struct.pack("<d", float(item))
+                else:
+                    payload += struct.pack("<f", float(item))
+            out += _varint((num << 3) | 2) + _varint(len(payload)) + payload
+            continue
         out += _varint((num << 3) | _PB_WIRE[t])
         if t == "int64":
             out += _varint(int(v) & 0xFFFFFFFFFFFFFFFF)
@@ -605,6 +632,27 @@ def _pb_decode_row(buf, by_num) -> dict:
                 raise ValueError(f"unsupported wire type {wt}")
             continue
         name, t = spec
+        if t.startswith("repeated "):
+            item_t = t.split(" ", 1)[1]
+            ln, i = _read_varint(buf, i)
+            end = i + ln
+            arr = []
+            while i < end:
+                if item_t == "int64":
+                    n, i = _read_varint(buf, i)
+                    arr.append(n - (1 << 64) if n >= 1 << 63 else n)
+                elif item_t == "sint64":
+                    n, i = _read_varint(buf, i)
+                    arr.append(_unzigzag(n))
+                elif item_t == "double":
+                    arr.append(struct.unpack("<d", bytes(buf[i : i + 8]))[0])
+                    i += 8
+                else:
+                    arr.append(struct.unpack("<f", bytes(buf[i : i + 4]))[0])
+                    i += 4
+            # spec: a packed field may arrive in several chunks — concatenate
+            vals[name] = vals.get(name, []) + arr
+            continue
         if t == "int64":
             n, i = _read_varint(buf, i)
             vals[name] = n - (1 << 64) if n >= 1 << 63 else n

@@ -54,6 +54,7 @@ QUERIES = [
     "q98_inverted_index",      # phrase posting lists (explode + agg)
     "q100_pmi_collocations",   # bigram/unigram stats join
     "q102_versioned_join",     # versioned temporal join (union + window)
+    "q108_repeated_spans",     # exact substring dedup (span digests)
 ]
 
 

@@ -434,3 +434,24 @@ def test_sample_per_group_quota_exact(spark):
 
     want_big = set(sorted(range(50), key=lambda i: (bucket(i), i))[:10])
     assert {p[0] for p in got if p[1] == "big"} == want_big
+
+
+def test_repeated_spans_planted(spark):
+    """Hand-checkable corpus: a 5-token span shared by docs 1 and 2, a
+    within-doc repeat in doc 3, a short doc with zero windows."""
+    shared = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " one two"),                   # windows: 3, first is shared
+            (2, "x " + shared),                          # windows: 2, last is shared
+            (3, "p q " + "r s t u v r s t u v"),        # repeated within one doc
+            (4, "too short"),                            # 0 windows
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in llmops.repeated_spans(df, "doc_id", "text", span_tokens=5).collect()}
+    assert (out[1].n_windows, out[1].n_dup_windows) == (3, 1)
+    assert (out[2].n_windows, out[2].n_dup_windows) == (2, 1)
+    assert out[3].n_dup_windows >= 2          # 'r s t u v' occurs twice
+    assert (out[4].n_windows, out[4].dup_frac) == (0, 0.0)
+    assert abs(out[1].dup_frac - 1 / 3) < 1e-12

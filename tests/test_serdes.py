@@ -376,3 +376,25 @@ def test_avro_py_float_array_roundtrip(spark):
 
     want = {k: [_s.unpack("<f", _s.pack("<f", x))[0] for x in v] for k, v in rows}
     assert got == want
+
+
+def test_protobuf_py_packed_repeated(spark):
+    """proto3 packed repeated scalars: docs example bytes (`220603 8e02
+    9ea705` for [3,270,86942]) plus float-vector Spark roundtrip; empty
+    repeated field is absent on the wire and decodes to null."""
+    from pyspark_engine.serdes import _pb_encode_row, _pb_fields
+
+    m = _pb_fields({"name": "T", "fields": [{"num": 4, "name": "d", "type": "repeated int64"}]})
+    assert _pb_encode_row([[3, 270, 86942]], m) == bytes.fromhex("2206038e029ea705")
+
+    msg = {"name": "V", "fields": [
+        {"num": 1, "name": "vec_id", "type": "int64"},
+        {"num": 2, "name": "vec", "type": "repeated float"},
+    ]}
+    df = spark.createDataFrame(
+        [(1, [1.5, -2.25]), (2, [])], "vec_id long, vec array<float>"
+    )
+    wire = df.select(serdes.encode_protobuf_py(F.struct("vec_id", "vec"), msg).alias("w"))
+    back = wire.select(serdes.decode_protobuf_py(F.col("w"), msg).alias("r")).select("r.*")
+    got = {r.vec_id: (list(r.vec) if r.vec is not None else None) for r in back.collect()}
+    assert got == {1: [1.5, -2.25], 2: None}
