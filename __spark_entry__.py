@@ -1626,6 +1626,21 @@ def q108_repeated_spans(spark, sf_dir):
     return llmops.repeated_spans(docs, "doc_id", "text", span_tokens=15, min_count=2)
 
 
+def q109_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (llmops.semantic_dedup): planted
+    duplicate embeddings (q60's corpus) collapse to one representative per
+    semantic cluster — LSH pair generation → connected components → keep
+    min id.  The oracle brute-forces the pairs, closes them with a recursive
+    CTE, and drops every non-minimum cluster member."""
+    emb = read_table(configure(spark), sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    out = llmops.semantic_dedup(corpus, dim=64, threshold=0.9)
+    return out.select("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1736,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_avro_embeddings": q106_avro_embeddings,
         "q107_protobuf_embeddings": q107_protobuf_embeddings,
         "q108_repeated_spans": q108_repeated_spans,
+        "q109_semantic_dedup": q109_semantic_dedup,
     }
 
 
@@ -2744,6 +2760,31 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(n_dup_windows AS DOUBLE) / CAST(n_windows AS DOUBLE)
                         ELSE 0.0 END AS dup_frac
             FROM documents LEFT JOIN d USING (doc_id)
+        """,
+        "q109_semantic_dedup": """
+            WITH RECURSIVE
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            u AS (SELECT vec_id, v FROM e
+                  UNION ALL
+                  SELECT vec_id + 10000 AS vec_id, v FROM e WHERE vec_id % 5 = 0),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM u a JOIN u b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(node, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+            ),
+            lab AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+            SELECT vec_id FROM u
+            WHERE vec_id NOT IN (SELECT node FROM lab WHERE cluster_id <> node)
         """,
         "q104_protobuf_wire": """
             WITH m AS (SELECT doc_id, lang, text, n_chars,

@@ -1594,3 +1594,44 @@ def repeated_spans(
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )
+
+
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+def semantic_dedup(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    multiprobe: int = 1,
+    max_iter: int = 25,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"): rows
+    whose embeddings are near-duplicates (cosine ≥ ``threshold``, incl.
+    transitively) form one semantic cluster; keep exactly ONE representative
+    (min id) per cluster and every untouched row.  Returns the surviving
+    rows of ``emb``.
+
+    Composition of two oracle-proven stages: bucketed-LSH pair generation
+    (embedding_neardup — never all-pairs) → alternating large-star/small-star
+    components (dedup_clusters — O(log²) rounds), then a left-anti join on
+    the non-representative ids.  At 100 TB each stage keeps its documented
+    scale levers (n_planes/multiprobe for bucket sizing, history-free
+    edge set for the components)."""
+    pairs = embedding_neardup(
+        emb,
+        dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        n_planes=n_planes,
+        multiprobe=multiprobe,
+    )
+    labels = dedup_clusters(pairs, id_a="id_a", id_b="id_b", max_iter=max_iter)
+    drop = labels.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return emb.join(drop, id_col, "left_anti")

@@ -455,3 +455,17 @@ def test_repeated_spans_planted(spark):
     assert out[3].n_dup_windows >= 2          # 'r s t u v' occurs twice
     assert (out[4].n_windows, out[4].dup_frac) == (0, 0.0)
     assert abs(out[1].dup_frac - 1 / 3) < 1e-12
+
+
+def test_semantic_dedup_keeps_one_per_cluster(spark, sf_dir):
+    """Planted copies (and a transitive chain of copies) collapse to the min
+    id; untouched vectors all survive."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 5)
+    planted = copies.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding").unionByName(
+        copies.select((F.col("vec_id") + 20000).alias("vec_id"), "embedding")
+    )
+    corpus = emb.unionByName(planted)
+    out = {r.vec_id for r in llmops.semantic_dedup(corpus, dim=64, threshold=0.9).collect()}
+    # each {i, i+10000, i+20000} triple keeps only i; everything else survives
+    assert out == {r.vec_id for r in emb.collect()}
