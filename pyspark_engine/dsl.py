@@ -85,6 +85,13 @@ class StreamBuilder:
         self.data_dir = data_dir
 
     def _load(self, source) -> DataFrame:
+        """Resolve a source: DataFrame passthrough, a table name under
+        ``data_dir``, or a file path.  File format follows the extension —
+        parquet (default), ``.csv`` (header), ``.json``/``.jsonl`` (lines) —
+        the "External Source Connector" roadmap item the reference never
+        shipped (feature.md:6; Kafka is its only connector), free on Spark.
+        CSV/JSON callers pass ``schema=`` via read options in ``spark.read``
+        style by pre-building the DataFrame when inference won't do."""
         if isinstance(source, DataFrame):
             return source
         path = str(source)
@@ -92,6 +99,11 @@ class StreamBuilder:
             from .runtime import read_table
 
             return read_table(self.spark, self.data_dir, path)
+        low = path.lower()
+        if low.endswith(".csv"):
+            return self.spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+        if low.endswith((".json", ".jsonl")):
+            return self.spark.read.json(path)
         return self.spark.read.parquet(path)
 
     def stream(self, source, key=(), ts: str | Column | None = None, ts_alias: str = "ts") -> "KStream":

@@ -549,3 +549,24 @@ def test_sketch_aggregates_error_bounds(spark, sf_dir):
         # discrete-vs-interpolated convention gap around the true quantile
         assert abs(row.p50_value - ex.p50) <= 0.05 * (abs(ex.p50) + 1)
         assert row.p99_value <= ev.filter(F.col("event_type") == et).agg(F.max("value")).collect()[0][0]
+
+
+def test_stream_builder_csv_json_sources(spark, tmp_path):
+    """Extension-dispatched file sources (the reference's unshipped external
+    source connector roadmap item): the same topology runs over CSV, JSON
+    lines, and parquet copies of one dataset with identical results."""
+    df = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], "k long, v string, x double")
+    p_csv, p_json, p_parq = str(tmp_path / "d.csv"), str(tmp_path / "d.jsonl"), str(tmp_path / "d.parquet")
+    df.coalesce(1).write.option("header", "true").csv(p_csv)
+    df.coalesce(1).write.json(p_json)
+    df.write.parquet(p_parq)
+    b = StreamBuilder(spark)
+
+    def run(path):
+        ks = b.stream(path, key="k").filter(F.col("x") > 15)
+        return sorted((r.k, r.v, r.x) for r in ks.df.select("k", "v", "x").collect())
+
+    want = [(2, "b", 20.0)]
+    assert run(p_csv) == want
+    assert run(p_json) == want
+    assert run(p_parq) == want
