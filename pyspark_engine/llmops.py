@@ -1184,26 +1184,53 @@ def pack_tokens(
     n_tokens_col: str,
     budget: int,
     order_cols: Sequence[str] = (),
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Concatenate-and-split sequence packing: lay all chunks end-to-end in
-    a deterministic global order and cut every ``budget`` tokens — the
+    a deterministic order and cut every ``budget`` tokens — the
     Megatron/GPT-style packing that fills each training context exactly
     (documents may straddle a boundary; pair with an attention-mask reset
     downstream).  Adds (pack_id, pack_offset) per chunk.
 
-    Scale: one window cumsum over the global order.  The single-partition
-    global ordering is the honest cost of a total order — at corpus scale,
-    partition by a shard column first (pack per shard, shard = e.g.
-    doc_id range or hash bucket) so each shard packs independently; the
-    global pass here is the per-shard inner step."""
+    Scale: one window cumsum.  Without ``shard_col`` the order is GLOBAL —
+    a single-partition window, the honest cost of a total order, fine for
+    bounded eval sets.  At corpus scale pass ``shard_col`` (e.g. a hash
+    bucket or doc_id range): each shard packs independently in parallel and
+    ``pack_id`` is made globally unique by offsetting with the shard's
+    dense rank (two aggregate-sized joins, no global sort of the data)."""
     order = [F.col(c) for c in (list(order_cols) or [id_col])]
-    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if shard_col is None:
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    else:
+        w = (
+            Window.partitionBy(F.col(shard_col))
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
     cum = F.sum(F.col(n_tokens_col)).over(w)
     before = (cum - F.col(n_tokens_col)).cast("long")
-    return df.select(
+    out = df.select(
         "*",
         (before / F.lit(budget)).cast("long").alias("pack_id"),
         (before % F.lit(budget)).cast("long").alias("pack_offset"),
+    )
+    if shard_col is None:
+        return out
+    # globally unique pack ids: offset each shard by the running total of
+    # earlier shards' pack counts (aggregate-sized window, deterministic
+    # shard order) — no global sort of the chunk data itself
+    per_shard = out.groupBy(shard_col).agg((F.max("pack_id") + 1).alias("__n_packs"))
+    off_w = Window.orderBy(F.col(shard_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = per_shard.select(
+        F.col(shard_col),
+        (F.sum("__n_packs").over(off_w) - F.col("__n_packs")).alias("__pack_base"),
+    )
+    return (
+        out.join(F.broadcast(offsets), shard_col)
+        .withColumn("pack_id", F.col("pack_id") + F.col("__pack_base"))
+        .drop("__pack_base")
     )
 
 

@@ -469,3 +469,31 @@ def test_semantic_dedup_keeps_one_per_cluster(spark, sf_dir):
     out = {r.vec_id for r in llmops.semantic_dedup(corpus, dim=64, threshold=0.9).collect()}
     # each {i, i+10000, i+20000} triple keeps only i; everything else survives
     assert out == {r.vec_id for r in emb.collect()}
+
+
+def test_pack_tokens_sharded_parallel(spark):
+    """shard_col packs each shard independently (parallel windows) with
+    globally unique pack ids; per-shard packing equals running pack_tokens
+    on that shard alone."""
+    df = spark.createDataFrame(
+        [(i, i % 2, 30) for i in range(10)], "chunk_id long, shard int, n long"
+    )
+    got = llmops.pack_tokens(df, "chunk_id", "n", budget=100, order_cols=("chunk_id",), shard_col="shard").collect()
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r.shard, []).append(r)
+    # shard 0: ids 0,2,4,6,8 -> cum 30..150 -> local packs 0,0,0,0(90->pack0? before=90<100),1
+    for s in (0, 1):
+        solo = llmops.pack_tokens(
+            spark.createDataFrame([(r.chunk_id, r.n) for r in by_shard[s]], "chunk_id long, n long"),
+            "chunk_id", "n", budget=100, order_cols=("chunk_id",),
+        ).collect()
+        want = {r.chunk_id: (r.pack_id, r.pack_offset) for r in solo}
+        base = min(r.pack_id for r in by_shard[s])
+        for r in by_shard[s]:
+            assert (r.pack_id - base, r.pack_offset) == want[r.chunk_id]
+    # global uniqueness: shard pack-id ranges are disjoint
+    ids0 = {r.pack_id for r in by_shard[0]}
+    ids1 = {r.pack_id for r in by_shard[1]}
+    assert not (ids0 & ids1)
+    assert ids0 | ids1 == set(range(len(ids0 | ids1)))
