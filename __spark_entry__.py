@@ -1641,6 +1641,17 @@ def q109_semantic_dedup(spark, sf_dir):
     return out.select("vec_id")
 
 
+def q110_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (llmops.dsir_logweights): score every
+    document by hashed-bigram likelihood under the English subset (target
+    domain) vs the whole corpus — integer-exact because per-bucket
+    log-ratios quantize BEFORE the per-doc sum.  The oracle rebuilds both
+    histograms, the smoothed score table, and the integer sums in SQL."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return llmops.dsir_logweights(docs, target, "doc_id", "text", n=2, n_buckets=10_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1752,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_protobuf_embeddings": q107_protobuf_embeddings,
         "q108_repeated_spans": q108_repeated_spans,
         "q109_semantic_dedup": q109_semantic_dedup,
+        "q110_dsir_weights": q110_dsir_weights,
     }
 
 
@@ -2785,6 +2797,42 @@ def oracle_sql() -> dict[str, str]:
             lab AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
             SELECT vec_id FROM u
             WHERE vec_id NOT IN (SELECT node FROM lab WHERE cluster_id <> node)
+        """,
+        "q110_dsir_weights": r"""
+            WITH toks AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t
+                          FROM documents),
+            g AS (SELECT doc_id, lang,
+                         unnest(CASE WHEN len(t) >= 2
+                                     THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+                                     ELSE [] END) AS gram
+                  FROM toks),
+            b AS (SELECT doc_id, lang,
+                         ('0x' || substr(md5(gram), 1, 8))::BIGINT % 10000 AS bk
+                  FROM g),
+            r_hist AS (SELECT bk, count(*) AS cr FROM b GROUP BY bk),
+            t_hist AS (SELECT bk, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY bk),
+            tot AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM r_hist) AS tr,
+                           (SELECT CAST(sum(ct) AS DOUBLE) FROM t_hist) AS tt),
+            scores AS (
+                SELECT r_hist.bk,
+                       CAST(floor(1000.0 * (
+                           ln(CAST(coalesce(t_hist.ct, 0) AS DOUBLE) + 1.0)
+                           - ln(tot.tt + 10000.0)
+                           - ln(CAST(r_hist.cr AS DOUBLE) + 1.0)
+                           + ln(tot.tr + 10000.0))) AS BIGINT) AS score_q
+                FROM r_hist LEFT JOIN t_hist USING (bk), tot
+            ),
+            per_doc AS (
+                SELECT b.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_grams,
+                       CAST(sum(scores.score_q) AS BIGINT) AS logw_q
+                FROM b JOIN scores ON b.bk = scores.bk
+                GROUP BY b.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(per_doc.n_grams, 0) AS n_grams,
+                   coalesce(per_doc.logw_q, 0) AS logw_q
+            FROM documents d LEFT JOIN per_doc USING (doc_id)
         """,
         "q104_protobuf_wire": """
             WITH m AS (SELECT doc_id, lang, text, n_chars,

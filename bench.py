@@ -82,6 +82,7 @@ HEADLINE = [
     "q102_versioned_join",
     "q103_avro_wire",
     "q108_repeated_spans",
+    "q110_dsir_weights",
 ]
 
 

@@ -1662,3 +1662,86 @@ def semantic_dedup(
         F.col("node").alias(id_col)
     )
     return emb.join(drop, id_col, "left_anti")
+
+
+# ------------------------------------------------- DSIR importance weights
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    n_buckets: int = 10_000,
+    quant: int = 1000,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): score each RAW document by
+    how much likelier its hashed n-gram profile is under the TARGET domain
+    than under the raw corpus — the standard recipe for selecting
+    pretraining data that matches a target distribution.  Both corpora are
+    reduced to hashed-``n``-gram bag models with add-one smoothing over
+    ``n_buckets`` buckets; a document's log-weight is the sum over its gram
+    occurrences of ln p_target(bucket) − ln p_raw(bucket).
+
+    Determinism: the per-BUCKET log-ratio is floor-quantized to an integer
+    FIRST; the per-document aggregation then sums integers — exact in any
+    partitioning/order/engine (a per-doc double sum would not be).  Returns
+    (id, n_grams, logw_q); downstream, resample with sample_hash /
+    sample_per_group_quota ranked by logw_q.
+
+    Scale: two corpus scans reduce to ``n_buckets``-row histograms (map-side
+    combinable counts); the score table is broadcast; per-doc scoring is one
+    explode + broadcast-join + integer sum — no pairwise stage, no second
+    pass over text.  The md5 bucket hash keeps the oracle portable
+    (portable_hash32); swap xxhash64 at production scale."""
+    def gram_buckets(df: DataFrame) -> DataFrame:
+        return (
+            _spread(df)
+            .select(F.explode(word_ngrams_multiset(tokens(F.col(text_col)), n)).alias("__g"))
+            .select((portable_hash32(F.col("__g")) % n_buckets).alias("__b"))
+        )
+
+    t_hist = gram_buckets(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    r_hist = gram_buckets(raw).groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    t_tot = t_hist.agg(F.sum("__ct").cast("double").alias("__tt"))
+    r_tot = r_hist.agg(F.sum("__cr").cast("double").alias("__tr"))
+    scores = (
+        r_hist.join(t_hist, "__b", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "__b",
+            F.floor(
+                F.lit(float(quant))
+                * (
+                    F.log(F.coalesce(F.col("__ct"), F.lit(0)).cast("double") + F.lit(1.0))
+                    - F.log(F.col("__tt") + F.lit(float(n_buckets)))
+                    - F.log(F.col("__cr").cast("double") + F.lit(1.0))
+                    + F.log(F.col("__tr") + F.lit(float(n_buckets)))
+                )
+            )
+            .cast("long")
+            .alias("__score_q"),
+        )
+    )
+    doc_b = _spread(raw).select(
+        F.col(id_col), F.explode(word_ngrams_multiset(tokens(F.col(text_col)), n)).alias("__g")
+    ).select(F.col(id_col), (portable_hash32(F.col("__g")) % n_buckets).alias("__b"))
+    per_doc = (
+        doc_b.join(F.broadcast(scores), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("__score_q").cast("long").alias("logw_q"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("logw_q"), F.lit(0)).cast("long").alias("logw_q"),
+        )
+    )

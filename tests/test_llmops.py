@@ -497,3 +497,22 @@ def test_pack_tokens_sharded_parallel(spark):
     ids1 = {r.pack_id for r in by_shard[1]}
     assert not (ids0 & ids1)
     assert ids0 | ids1 == set(range(len(ids0 | ids1)))
+
+
+def test_dsir_weights_favor_target_domain(spark):
+    """Importance weights must rank in-domain docs above off-domain ones:
+    target = cooking text; a cooking-like raw doc outscores a legal-like
+    one; short docs get zero grams and weight."""
+    cook = "stir the sauce and add butter to the pan then simmer the sauce "
+    legal = "the party of the first part shall indemnify the aforementioned entity "
+    target = spark.createDataFrame(
+        [(100 + i, cook * 3) for i in range(5)], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(1, cook * 2), (2, legal * 2), (3, "x")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in llmops.dsir_logweights(raw, target, "doc_id", "text").collect()}
+    assert got[1].logw_q > got[2].logw_q
+    assert got[3].n_grams == 0 and got[3].logw_q == 0
+    # per-gram normalization: the cooking doc is net-positive toward target
+    assert got[1].logw_q > 0 > got[2].logw_q
