@@ -1652,6 +1652,19 @@ def q110_dsir_weights(spark, sf_dir):
     return llmops.dsir_logweights(docs, target, "doc_id", "text", n=2, n_buckets=10_000)
 
 
+def q111_bigram_backoff(spark, sf_dir):
+    """Bigram LM with Stupid Backoff (llmops.bigram_backoff_logprob):
+    word-order-aware fluency scoring of EVERY document against a model
+    estimated from the English subset only — so non-English text actually
+    exercises the backoff branch (unseen bigram → alpha-discounted unigram;
+    unseen unigram → null, dropped from the sum).  Per-bigram scores
+    floor-quantize before the integer per-doc sum; the backoff constant
+    ln(0.4) is embedded as the identical double literal in both engines."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    model = docs.filter(F.col("lang") == "en")
+    return llmops.bigram_backoff_logprob(docs, "doc_id", "text", model=model)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1764,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_repeated_spans": q108_repeated_spans,
         "q109_semantic_dedup": q109_semantic_dedup,
         "q110_dsir_weights": q110_dsir_weights,
+        "q111_bigram_backoff": q111_bigram_backoff,
     }
 
 
@@ -2832,6 +2846,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    coalesce(per_doc.n_grams, 0) AS n_grams,
                    coalesce(per_doc.logw_q, 0) AS logw_q
+            FROM documents d LEFT JOIN per_doc USING (doc_id)
+        """,
+        "q111_bigram_backoff": r"""
+            WITH toks AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t
+                          FROM documents),
+            uni AS (SELECT w, count(*) AS c_w FROM (
+                        SELECT unnest(t) AS w FROM toks WHERE lang = 'en') WHERE w <> '' GROUP BY w),
+            tot AS (SELECT CAST(sum(c_w) AS DOUBLE) AS T FROM uni),
+            big AS (SELECT xy, count(*) AS c_xy FROM (
+                        SELECT unnest(CASE WHEN len(t) >= 2
+                                           THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+                                           ELSE [] END) AS xy
+                        FROM toks WHERE lang = 'en') GROUP BY xy),
+            occ AS (SELECT doc_id,
+                           unnest(CASE WHEN len(t) >= 2
+                                       THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+                                       ELSE [] END) AS xy
+                    FROM toks),
+            scored AS (
+                SELECT occ.doc_id,
+                       CAST(floor(1000.0 * (CASE
+                           WHEN big.c_xy IS NOT NULL
+                           THEN ln(CAST(big.c_xy AS DOUBLE)) - ln(CAST(ux.c_w AS DOUBLE))
+                           ELSE -0.916290731874155
+                                + ln(CAST(uy.c_w AS DOUBLE)) - ln(tot.T)
+                       END)) AS BIGINT) AS s_q
+                FROM occ
+                LEFT JOIN big USING (xy)
+                LEFT JOIN uni ux ON split_part(occ.xy, ' ', 1) = ux.w
+                LEFT JOIN uni uy ON split_part(occ.xy, ' ', 2) = uy.w, tot
+            ),
+            per_doc AS (SELECT doc_id,
+                               CAST(count(*) AS BIGINT) AS n_bigrams,
+                               CAST(sum(s_q) AS BIGINT) AS logp_q
+                        FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(per_doc.n_bigrams, 0) AS n_bigrams,
+                   coalesce(per_doc.logp_q, 0) AS logp_q
             FROM documents d LEFT JOIN per_doc USING (doc_id)
         """,
         "q104_protobuf_wire": """

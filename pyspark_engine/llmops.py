@@ -18,6 +18,7 @@ first-class here: the 100 TB training-data use case.  Design rules:
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -1743,5 +1744,98 @@ def dsir_logweights(
             F.col(id_col),
             F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
             F.coalesce(F.col("logw_q"), F.lit(0)).cast("long").alias("logw_q"),
+        )
+    )
+
+
+# ------------------------------------------------- bigram backoff LM score
+
+def bigram_backoff_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.4,
+    quant: int = 1000,
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """Bigram language-model score with Stupid Backoff (Brants et al.,
+    "Large Language Models in Machine Translation"): per bigram occurrence
+    xy, score = ln(c(xy)/c(x)) when the bigram was seen, else
+    ln(alpha · c(y)/T) — backoff to the unigram.  The corpus is its own
+    model (like unigram_logprob); per-doc mean negative score is the
+    cross-entropy proxy: low = formulaic/fluent, high = rare/garbled.  A
+    sharper quality signal than the unigram model because word ORDER now
+    matters.
+
+    Determinism: each bigram's score is floor-quantized to an integer
+    BEFORE the per-doc aggregation (integer sums are order/engine exact);
+    the mean divides two integers in one double op.
+
+    Scale: one bigram count (map-side combinable) joined to the
+    vocabulary-sized unigram count, then one broadcast-sized totals frame;
+    per-doc scoring is an explode + two hash joins on gram keys + integer
+    sum.  Every stage is bounded by vocabulary/bigram-type cardinality,
+    never by pairwise document interactions.
+
+    ``model`` selects the corpus the LM is estimated FROM (default: ``df``
+    itself).  With an external model the backoff branch actually fires —
+    bigrams unseen in the model fall back to alpha-discounted unigrams, and
+    bigrams whose unigram is also unseen score null and drop from the sum
+    (mirrored by the oracle)."""
+    base = _spread(df).select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    mbase = (
+        base
+        if model is None
+        else _spread(model).select(tokens(F.col(text_col)).alias("__t"))
+    )
+    uni = (
+        mbase.select(F.explode(F.col("__t")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    big = (
+        mbase.select(F.explode(word_ngrams_multiset(F.col("__t"), 2)).alias("xy"))
+        .groupBy("xy")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    tot = uni.agg(F.sum("c_w").cast("double").alias("__T"))
+    occ = base.select(
+        F.col(id_col), F.explode(word_ngrams_multiset(F.col("__t"), 2)).alias("xy")
+    ).withColumn("x", F.split(F.col("xy"), " ").getItem(0))
+    scored = (
+        occ.join(big, "xy", "left")
+        .join(uni.select(F.col("w").alias("x"), F.col("c_w").alias("c_x")), "x", "left")
+        .withColumn("y", F.split(F.col("xy"), " ").getItem(1))
+        .join(uni.select(F.col("w").alias("y"), F.col("c_w").alias("c_y")), "y", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(id_col),
+            F.floor(
+                F.lit(float(quant))
+                * F.when(
+                    F.col("c_xy").isNotNull(),
+                    F.log(F.col("c_xy").cast("double")) - F.log(F.col("c_x").cast("double")),
+                ).otherwise(
+                    F.lit(math.log(alpha))
+                    + F.log(F.col("c_y").cast("double"))
+                    - F.log(F.col("__T"))
+                )
+            )
+            .cast("long")
+            .alias("__s_q"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("__s_q").cast("long").alias("logp_q"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("logp_q"), F.lit(0)).cast("long").alias("logp_q"),
         )
     )

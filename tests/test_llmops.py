@@ -516,3 +516,21 @@ def test_dsir_weights_favor_target_domain(spark):
     assert got[3].n_grams == 0 and got[3].logw_q == 0
     # per-gram normalization: the cooking doc is net-positive toward target
     assert got[1].logw_q > 0 > got[2].logw_q
+
+
+def test_bigram_backoff_order_sensitivity(spark):
+    """Word order matters: a doc repeating the model's exact bigrams scores
+    higher (per-bigram) than the same words in scrambled order, which only
+    ever hits the alpha-discounted unigram backoff."""
+    fluent = "the cat sat on the mat " * 6
+    model = spark.createDataFrame([(100, fluent)], "doc_id long, text string")
+    scrambled = "mat the on sat the cat " * 6   # same unigrams, unseen bigrams mostly
+    raw = spark.createDataFrame(
+        [(1, fluent), (2, scrambled), (3, "zz")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in llmops.bigram_backoff_logprob(
+        raw, "doc_id", "text", model=model).collect()}
+    mean1 = got[1].logp_q / got[1].n_bigrams
+    mean2 = got[2].logp_q / got[2].n_bigrams
+    assert mean1 > mean2                       # order-aware: fluent wins
+    assert got[3].n_bigrams == 0 and got[3].logp_q == 0
