@@ -35,6 +35,8 @@ ALLOWED_BNLJ = {
     "q98_inverted_index": "crossJoin(broadcast(1-row N)) scalar join for df pruning",
     "q100_pmi_collocations": "crossJoin(broadcast(1-row totals)) scalar join for PMI denominators",
     "q109_semantic_dedup": "brute-force q90-style pair baseline inside the planted-dup corpus",
+    "q110_dsir_weights": "crossJoin(broadcast(1-row totals)) scalar joins for the smoothed denominators",
+    "q111_bigram_backoff": "crossJoin(broadcast(1-row T)) scalar join for the unigram denominator",
 }
 ALLOWED_SINGLE_PARTITION_WINDOW = {
     "q92_pack_tokens": "global packing order on a bounded eval set; shard_col is the corpus-scale mode",

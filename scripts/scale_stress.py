@@ -55,6 +55,8 @@ QUERIES = [
     "q100_pmi_collocations",   # bigram/unigram stats join
     "q102_versioned_join",     # versioned temporal join (union + window)
     "q108_repeated_spans",     # exact substring dedup (span digests)
+    "q110_dsir_weights",       # hashed-ngram histograms + broadcast score join
+    "q111_bigram_backoff",     # bigram LM joins (vocabulary-bounded)
 ]
 
 
