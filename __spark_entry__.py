@@ -1665,6 +1665,66 @@ def q111_bigram_backoff(spark, sf_dir):
     return llmops.bigram_backoff_logprob(docs, "doc_id", "text", model=model)
 
 
+def q112_char_entropy(spark, sf_dir):
+    """Shannon character entropy per document (llmops.char_entropy):
+    zero-shuffle HOF histogram, per-class terms floor-quantized before the
+    integer sum.  The oracle rebuilds the histogram with DuckDB list
+    lambdas — both engines split to the identical per-codepoint character
+    list, so counts, class totals, and the quantized entropy agree
+    exactly."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.char_entropy(docs, "doc_id", "text")
+
+
+def q113_classifier_score(spark, sf_dir):
+    """FastText-style hashed linear classifier (llmops.classifier_score):
+    word uni+bigrams → md5-bucket features → integer weight lookup → sign,
+    entirely as a zero-shuffle aggregate HOF.  The pseudo-weight model
+    w(b) = portable_hash32('w:'||b) % 2001 − 1000 is derived from the
+    bucket id itself, so the oracle recomputes the full model — buckets,
+    weights, per-doc integer score, keep decision — in SQL."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.classifier_score(docs, "doc_id", "text", n_features=4096)
+
+
+def q114_warc_roundtrip(spark, sf_dir):
+    """WARC codec round-trip (serdes.encode_warc/decode_warc): synthesize a
+    Common-Crawl-style response record per document (URI from source +
+    doc_id, Content-Length in octets), parse it back with anchored RE2-safe
+    regexes, and verify declared vs parsed octet length.  The oracle
+    performs the identical string assembly + regexp_extract in DuckDB, so
+    record length, parsed fields, and the ok flag are all exact."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    rec = serdes.encode_warc(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/doc/"), F.col("doc_id")),
+        F.col("text"),
+        F.col("doc_id"),
+    )
+    parsed = docs.select(F.col("doc_id"), rec.alias("__rec")).select(
+        F.col("doc_id"),
+        F.octet_length(F.col("__rec")).cast("long").alias("rec_len"),
+        serdes.decode_warc(F.col("__rec")).alias("__p"),
+    )
+    return parsed.select(
+        "doc_id",
+        "rec_len",
+        F.col("__p.uri").alias("uri"),
+        F.col("__p.content_length").alias("content_length"),
+        F.octet_length("__p.payload").cast("long").alias("payload_octets"),
+        F.col("__p.ok").alias("ok"),
+    )
+
+
+def q115_perplexity_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity tiles (llmops.perplexity_buckets):
+    unigram-LM cross-entropy scores (integer-quantized) tiled into
+    head/middle/tail per lang with doc_id tie-breaks, so the ntile
+    assignment is total-order exact.  The oracle reruns the scoring CTE of
+    q97 and the same ntile window in DuckDB."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.perplexity_buckets(docs, "doc_id", "text", "lang", n_buckets=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1778,6 +1838,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_semantic_dedup": q109_semantic_dedup,
         "q110_dsir_weights": q110_dsir_weights,
         "q111_bigram_backoff": q111_bigram_backoff,
+        "q112_char_entropy": q112_char_entropy,
+        "q113_classifier_score": q113_classifier_score,
+        "q114_warc_roundtrip": q114_warc_roundtrip,
+        "q115_perplexity_buckets": q115_perplexity_buckets,
     }
 
 
@@ -2885,6 +2949,101 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(per_doc.n_bigrams, 0) AS n_bigrams,
                    coalesce(per_doc.logp_q, 0) AS logp_q
             FROM documents d LEFT JOIN per_doc USING (doc_id)
+        """,
+        "q112_char_entropy": """
+            WITH c AS (SELECT doc_id,
+                              list_filter(string_split(text, ''), x -> x <> '') AS ch
+                       FROM documents),
+                 m AS (SELECT doc_id, ch, list_distinct(ch) AS d FROM c),
+                 s AS (SELECT doc_id,
+                              len(ch) AS n_chars,
+                              len(d) AS n_classes,
+                              coalesce(list_sum(list_transform(d,
+                                  g -> CAST(floor(1000.0
+                                            * len(list_filter(ch, x -> x = g))
+                                            * ln(CAST(len(list_filter(ch, x -> x = g)) AS DOUBLE)))
+                                        AS BIGINT))), 0) AS s_q
+                       FROM m)
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_classes AS BIGINT) AS n_classes,
+                   CASE WHEN n_chars > 0
+                        THEN CAST(floor(1000.0 * ln(CAST(n_chars AS DOUBLE))
+                                        - CAST(s_q AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                                  AS BIGINT)
+                        ELSE 0 END AS entropy_q
+            FROM s
+        """,
+        "q113_classifier_score": r"""
+            WITH g AS (SELECT doc_id,
+                              list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                          t -> t <> '') AS tk
+                       FROM documents),
+                 gr AS (SELECT doc_id,
+                               list_concat(tk,
+                                   CASE WHEN len(tk) >= 2
+                                        THEN list_transform(range(1, len(tk)),
+                                                            i -> tk[i] || ' ' || tk[i + 1])
+                                        ELSE [] END) AS gs
+                        FROM g),
+                 sc AS (SELECT doc_id,
+                               CAST(len(gs) AS BIGINT) AS n_grams,
+                               CAST(coalesce(list_sum(list_transform(gs,
+                                   w -> ('0x' || substr(md5('w:' || CAST(
+                                             ('0x' || substr(md5('f:' || w), 1, 8))::BIGINT % 4096
+                                         AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000)), 0)
+                                    AS BIGINT) AS score_q
+                        FROM gr)
+            SELECT doc_id, n_grams, score_q, score_q >= 0 AS keep FROM sc
+        """,
+        "q114_warc_roundtrip": r"""
+            WITH p AS (SELECT doc_id,
+                              'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+                              text
+                       FROM documents),
+                 r AS (SELECT doc_id,
+                              'WARC/1.0' || chr(13) || chr(10)
+                              || 'WARC-Type: response' || chr(13) || chr(10)
+                              || 'WARC-Record-ID: <urn:uuid:' || CAST(doc_id AS VARCHAR) || '>'
+                              || chr(13) || chr(10)
+                              || 'WARC-Target-URI: ' || uri || chr(13) || chr(10)
+                              || 'Content-Length: '
+                              || CAST(octet_length(encode(text)) AS VARCHAR)
+                              || chr(13) || chr(10) || chr(13) || chr(10)
+                              || text || chr(13) || chr(10) || chr(13) || chr(10) AS rec
+                       FROM p),
+                 d AS (SELECT doc_id,
+                              rec,
+                              regexp_extract(rec, '(?s)\r\n\r\n(.*)\r\n\r\n$', 1) AS payload
+                       FROM r)
+            SELECT doc_id,
+                   CAST(octet_length(encode(rec)) AS BIGINT) AS rec_len,
+                   regexp_extract(rec, 'WARC-Target-URI: ([^\r\n]*)', 1) AS uri,
+                   CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) AS BIGINT)
+                       AS content_length,
+                   CAST(octet_length(encode(payload)) AS BIGINT) AS payload_octets,
+                   octet_length(encode(payload))
+                       = CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) AS BIGINT) AS ok
+            FROM d
+        """,
+        "q115_perplexity_buckets": r"""
+            WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+                       FROM documents),
+                 tf AS (SELECT doc_id, term, count(*) AS tf
+                        FROM t WHERE term <> '' GROUP BY doc_id, term),
+                 v AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+                 tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v),
+                 d AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                              sum(tf.tf * ln(CAST(v.cnt AS DOUBLE))) AS s
+                       FROM tf JOIN v USING (term) GROUP BY tf.doc_id),
+                 sc AS (SELECT doc_id,
+                               CAST(floor((ln(tot.total) - d.s / d.n_tokens) * 1000) AS BIGINT)
+                                   AS xent_q
+                        FROM d CROSS JOIN tot)
+            SELECT doc.doc_id, doc.lang, sc.xent_q,
+                   CAST(ntile(3) OVER (PARTITION BY doc.lang
+                                       ORDER BY sc.xent_q, doc.doc_id) AS INTEGER) AS bucket
+            FROM documents doc JOIN sc USING (doc_id)
         """,
         "q104_protobuf_wire": """
             WITH m AS (SELECT doc_id, lang, text, n_chars,

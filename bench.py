@@ -83,6 +83,10 @@ HEADLINE = [
     "q103_avro_wire",
     "q108_repeated_spans",
     "q110_dsir_weights",
+    "q112_char_entropy",
+    "q113_classifier_score",
+    "q114_warc_roundtrip",
+    "q115_perplexity_buckets",
 ]
 
 

@@ -1839,3 +1839,157 @@ def bigram_backoff_logprob(
             F.coalesce(F.col("logp_q"), F.lit(0)).cast("long").alias("logp_q"),
         )
     )
+
+
+# -------------------------------------------------- character entropy
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str, quant: int = 1000) -> DataFrame:
+    """Shannon character entropy per document (nats, floor-quantized ×
+    ``quant``): H = ln N − (Σ n_c·ln n_c)/N over the per-doc character
+    histogram.  The classic compressibility proxy used in quality filtering
+    (Gopher/Dolma rule families): near-zero entropy = repeated-character
+    boilerplate, unusually high = binary junk / encoding damage — both are
+    cut points a curation pipeline thresholds on.
+
+    Determinism: each class term floor-quantizes to an integer BEFORE the
+    per-doc sum (integer adds are order/engine exact); the final entropy is
+    one fixed double expression over (N, S_q).
+
+    Scale: ZERO shuffle — the histogram is built per row with higher-order
+    functions (array_distinct + filter counts), so this is a narrow map
+    over the scan, O(len × alphabet) comparisons per doc.  For documents
+    far beyond ~10⁵ chars, switch to the explode + groupBy(doc, char)
+    shape instead (one map-side-combinable shuffle) — same result."""
+    base = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), ""), lambda c: c != F.lit("")).alias("__ch"),
+    )
+    counts = F.transform(
+        F.array_distinct(F.col("__ch")),
+        lambda d: F.size(F.filter(F.col("__ch"), lambda x: x == d)),
+    )
+    s_q = F.aggregate(
+        counts,
+        F.lit(0).cast("long"),
+        lambda acc, n: acc
+        + F.floor(F.lit(float(quant)) * n.cast("double") * F.log(n.cast("double"))).cast("long"),
+    )
+    return base.select(
+        F.col(id_col),
+        F.size(F.col("__ch")).cast("long").alias("n_chars"),
+        F.size(F.array_distinct(F.col("__ch"))).cast("long").alias("n_classes"),
+        F.when(
+            F.size(F.col("__ch")) > 0,
+            F.floor(
+                F.lit(float(quant)) * F.log(F.size(F.col("__ch")).cast("double"))
+                - s_q.cast("double") / F.size(F.col("__ch")).cast("double")
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("entropy_q"),
+    )
+
+
+# -------------------------------------------------- hashed linear classifier
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_features: int = 4096,
+    weights: DataFrame | None = None,
+    bias_q: int = 0,
+) -> DataFrame:
+    """Apply a fastText-style linear text classifier (hashed bag of word
+    uni+bigrams → weight lookup → sign) as pure expressions — the standard
+    shape for quality/toxicity/domain classifiers exported from a trained
+    model and applied at corpus scale without any Python in the hot path.
+
+    ``weights`` is the exported model: a (bucket int, weight_q long)
+    DataFrame, broadcast-joined to the exploded gram buckets (weights tables
+    are n_features rows — KBs).  With ``weights=None`` a deterministic
+    pseudo-weight w(b) = portable_hash32('w:'||b) % 2001 − 1000 is derived
+    INLINE from the bucket id, which keeps scoring a zero-shuffle narrow map
+    (aggregate HOF over the gram array) and lets an external SQL oracle
+    recompute the entire model exactly.
+
+    Output: (id, n_grams, score_q, keep) — keep = score_q + bias ≥ 0.
+    Integer weights make the score exact in any partitioning/order."""
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    grams = F.concat(toks, word_ngrams_multiset(toks, 2))
+    base = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), grams.alias("__g")
+    )
+
+    def bucket(g: Column) -> Column:
+        return portable_hash32(F.concat(F.lit("f:"), g)) % n_features
+
+    if weights is None:
+        def w(g: Column) -> Column:
+            return (
+                portable_hash32(F.concat(F.lit("w:"), bucket(g).cast("string"))) % 2001 - 1000
+            )
+
+        scored = base.select(
+            F.col(id_col),
+            F.size(F.col("__g")).cast("long").alias("n_grams"),
+            (
+                F.aggregate(
+                    F.col("__g"), F.lit(0).cast("long"), lambda acc, g: acc + w(g)
+                )
+                + F.lit(int(bias_q))
+            ).alias("score_q"),
+        )
+    else:
+        per_gram = base.select(F.col(id_col), F.explode_outer(F.col("__g")).alias("__gv"))
+        scored = (
+            per_gram.withColumn("bucket", bucket(F.col("__gv")))
+            .join(F.broadcast(weights), "bucket", "left")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.col("__gv")).cast("long").alias("n_grams"),
+                (
+                    F.coalesce(F.sum("weight_q"), F.lit(0)).cast("long") + F.lit(int(bias_q))
+                ).alias("score_q"),
+            )
+        )
+    return scored.select(
+        F.col(id_col), "n_grams", "score_q", (F.col("score_q") >= 0).alias("keep")
+    )
+
+
+# -------------------------------------------------- CCNet perplexity buckets
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n_buckets: int = 3,
+    quant: int = 1000,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+    High Quality Monolingual Datasets"): score each document with the cheap
+    unigram-LM cross-entropy proxy, then split every ``group_col`` slice
+    (CCNet: language) into ``n_buckets`` equal tiles by ascending score —
+    bucket 1 = head (most fluent), last = tail.  Downstream recipes keep
+    head+middle or reweight by bucket.
+
+    Determinism: scores are the integer-quantized xent_q from
+    unigram_logprob; ntile ties break on ``id_col``, so the tile assignment
+    is total-order exact in any engine.
+
+    Scale: scoring is unigram_logprob's vocabulary-bounded aggregation; the
+    tiling is one shuffle by group + per-group sort.  At corpus scale with
+    few huge groups, replace ntile with precomputed per-group score
+    thresholds (exact percentiles on the integer scores) and a broadcast
+    threshold join — same buckets, no full sort."""
+    scored = unigram_logprob(df, id_col, text_col, quant=quant)
+    joined = df.select(F.col(id_col), F.col(group_col)).join(scored, id_col)
+    w = Window.partitionBy(group_col).orderBy(F.col("xent_q").asc(), F.col(id_col).asc())
+    return joined.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("xent_q"),
+        F.ntile(n_buckets).over(w).cast("int").alias("bucket"),
+    )

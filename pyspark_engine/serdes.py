@@ -769,3 +769,51 @@ class InMemorySchemaRegistry:
     def latest(self, subject: str) -> tuple[int, str]:
         sid = self._subjects[subject][-1]
         return sid, self._by_id[sid]
+
+
+# ---------------------------------------------------------------- WARC codec
+
+def encode_warc(uri: Column, payload: Column, record_id: Column) -> Column:
+    """Build a WARC/1.0-style response record (the Common Crawl container
+    format — the canonical 100 TB LLM-pretraining input) as one string
+    column: version line, headers (WARC-Type, WARC-Record-ID,
+    WARC-Target-URI, Content-Length in OCTETS of the payload), blank line,
+    payload, record terminator.  Pure Catalyst concat — the writer side of
+    a crawl-ingest pipeline, and the synthesis side of the round-trip
+    oracle (like encode_avro_py / encode_protobuf_py)."""
+    return F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:"),
+        record_id.cast("string"),
+        F.lit(">\r\nWARC-Target-URI: "),
+        uri,
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+        payload,
+        F.lit("\r\n\r\n"),
+    )
+
+
+def decode_warc(rec: Column) -> Column:
+    """Parse a WARC-style record into struct(record_id, uri, content_length,
+    payload, ok) with pure expressions: header fields by anchored
+    regexp_extract, payload as everything between the first blank line and
+    the record terminator ((?s) DOTALL — greedy, so interior blank lines
+    stay inside the payload), ``ok`` = declared Content-Length matches the
+    parsed payload's octet length (the standard ingest sanity filter —
+    truncated records fail it and are dropped, not crashed on).
+
+    Scale: a narrow map over the scan — each record parses independently,
+    no shuffle; RE2-safe patterns (no backtracking blowup on adversarial
+    crawl bytes)."""
+    payload = F.regexp_extract(rec, r"(?s)\r\n\r\n(.*)\r\n\r\n$", 1)
+    length = F.nullif(F.regexp_extract(rec, r"Content-Length: ([0-9]+)", 1), F.lit("")).cast(
+        "long"
+    )
+    return F.struct(
+        F.regexp_extract(rec, r"WARC-Record-ID: <urn:uuid:([^>]*)>", 1).alias("record_id"),
+        F.regexp_extract(rec, r"WARC-Target-URI: ([^\r\n]*)", 1).alias("uri"),
+        length.alias("content_length"),
+        payload.alias("payload"),
+        (F.octet_length(payload) == length).alias("ok"),
+    )

@@ -37,6 +37,7 @@ ALLOWED_BNLJ = {
     "q109_semantic_dedup": "brute-force q90-style pair baseline inside the planted-dup corpus",
     "q110_dsir_weights": "crossJoin(broadcast(1-row totals)) scalar joins for the smoothed denominators",
     "q111_bigram_backoff": "crossJoin(broadcast(1-row T)) scalar join for the unigram denominator",
+    "q115_perplexity_buckets": "unigram_logprob's crossJoin(broadcast(1-row total)) scalar join (same as q97)",
 }
 ALLOWED_SINGLE_PARTITION_WINDOW = {
     "q92_pack_tokens": "global packing order on a bounded eval set; shard_col is the corpus-scale mode",

@@ -534,3 +534,63 @@ def test_bigram_backoff_order_sensitivity(spark):
     mean2 = got[2].logp_q / got[2].n_bigrams
     assert mean1 > mean2                       # order-aware: fluent wins
     assert got[3].n_bigrams == 0 and got[3].logp_q == 0
+
+
+def test_char_entropy_planted(spark):
+    """Hand-computable histograms: one repeated char -> ~0 nats; two
+    balanced chars -> ~ln 2; four distinct chars -> ~ln 4; empty -> zeros.
+    Quantization floors each n·ln n term first, so expected values are
+    computed the same way here."""
+    rows = [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in llmops.char_entropy(df, "doc_id", "text").collect()}
+    assert (got[1].n_chars, got[1].n_classes, got[1].entropy_q) == (4, 1, 0)
+    assert got[2].entropy_q == 693          # floor(1000·ln4 − 2·floor(1000·2·ln2)/4)
+    assert got[3].entropy_q == 1386         # floor(1000·ln4)
+    assert (got[4].n_chars, got[4].n_classes, got[4].entropy_q) == (0, 0, 0)
+    assert got[1].entropy_q < got[2].entropy_q < got[3].entropy_q
+
+
+def test_classifier_inline_equals_exported_weights(spark):
+    """The zero-shuffle inline pseudo-weight path and the broadcast-join
+    exported-weights path are the SAME model: materializing the pseudo
+    weights as a (bucket, weight_q) table must reproduce identical scores
+    and keep decisions, including the empty-text row."""
+    import hashlib as _h
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "spark shuffles partition data across executors"),
+            (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def w(b: int) -> int:
+        return int(_h.md5(f"w:{b}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    weights = spark.createDataFrame(
+        [(b, w(b)) for b in range(4096)], "bucket int, weight_q long"
+    )
+    inline = {r.doc_id: r for r in llmops.classifier_score(df, "doc_id", "text").collect()}
+    joined = {r.doc_id: r for r in llmops.classifier_score(
+        df, "doc_id", "text", weights=weights).collect()}
+    for d in (1, 2, 3):
+        assert inline[d].score_q == joined[d].score_q
+        assert inline[d].n_grams == joined[d].n_grams
+        assert inline[d].keep == joined[d].keep
+    assert inline[3].n_grams == 0
+
+
+def test_perplexity_buckets_head_middle_tail(spark):
+    """CCNet tiling: within one language, the doc made of the corpus's most
+    common tokens lands in bucket 1 (head) and the rare-token doc in the
+    last bucket; every bucket is used and sizes are balanced."""
+    common = "the cat sat on the mat and the dog sat too "
+    rows = [(1, "en", common * 4),
+            (2, "en", common * 3 + "qwzx vbnk "),
+            (3, "en", "qwzx vbnk jklp zzyy qqrr wwtt "),
+            (4, "de", common)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r for r in llmops.perplexity_buckets(
+        df, "doc_id", "text", "lang", n_buckets=3).collect()}
+    assert got[1].bucket == 1 and got[3].bucket == 3
+    assert got[1].xent_q < got[2].xent_q < got[3].xent_q
+    assert got[4].bucket == 1               # sole doc in its own lang partition

@@ -398,3 +398,26 @@ def test_protobuf_py_packed_repeated(spark):
     back = wire.select(serdes.decode_protobuf_py(F.col("w"), msg).alias("r")).select("r.*")
     got = {r.vec_id: (list(r.vec) if r.vec is not None else None) for r in back.collect()}
     assert got == {1: [1.5, -2.25], 2: None}
+
+
+def test_warc_roundtrip_and_truncation(spark):
+    """WARC record synth + parse: multi-byte payload with an INTERIOR blank
+    line survives the round trip (greedy payload regex), Content-Length is
+    octets not chars, and a truncated record fails the ok check instead of
+    mis-parsing."""
+    payload = "héllo wörld\r\n\r\nsecond block"
+    df = spark.createDataFrame([(7, "web.example", payload)],
+                               "doc_id long, source string, text string")
+    rec = serdes.encode_warc(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/doc/"), F.col("doc_id")),
+        F.col("text"), F.col("doc_id"))
+    out = df.select(rec.alias("rec")).select(serdes.decode_warc(F.col("rec")).alias("p"))
+    row = out.select("p.*").collect()[0]
+    assert row.uri == "https://web.example/doc/7"
+    assert row.record_id == "7"
+    assert row.payload == payload
+    assert row.content_length == len(payload.encode()) and row.ok
+
+    cut = df.select(F.substring(rec, 1, 40).alias("rec"))
+    bad = cut.select(serdes.decode_warc(F.col("rec")).alias("p")).select("p.*").collect()[0]
+    assert not bad.ok
