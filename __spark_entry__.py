@@ -1725,6 +1725,25 @@ def q115_perplexity_buckets(spark, sf_dir):
     return llmops.perplexity_buckets(docs, "doc_id", "text", "lang", n_buckets=3)
 
 
+def q116_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (llmops.bm25_topk) for the query {join, window,
+    shuffle} over the documents corpus — Lucene idf, tf saturation, length
+    normalization, per-(doc,term) contributions floor-quantized before the
+    integer per-doc sum, ranking tie-broken by doc_id.  The oracle recomputes
+    document lengths, df, avgdl, and the identical quantized formula."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.bm25_topk(docs, "doc_id", "text", ["join", "window", "shuffle"], k=10)
+
+
+def q117_corpus_report(spark, sf_dir):
+    """Per-(source, lang) corpus dashboard (llmops.corpus_report): doc
+    counts, exact-dup counts (same md5 digest as exact_dedup), token/byte
+    volume, mean tokens.  Single-pass grouped aggregation; the oracle
+    recomputes every column including the HOF token counts."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.corpus_report(docs, "doc_id", "text", "source", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1842,6 +1861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_classifier_score": q113_classifier_score,
         "q114_warc_roundtrip": q114_warc_roundtrip,
         "q115_perplexity_buckets": q115_perplexity_buckets,
+        "q116_bm25_topk": q116_bm25_topk,
+        "q117_corpus_report": q117_corpus_report,
     }
 
 
@@ -3044,6 +3065,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(3) OVER (PARTITION BY doc.lang
                                        ORDER BY sc.xent_q, doc.doc_id) AS INTEGER) AS bucket
             FROM documents doc JOIN sc USING (doc_id)
+        """,
+        "q116_bm25_topk": r"""
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                             t -> t <> '') AS t
+                          FROM documents),
+                 lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+                 tot AS (SELECT CAST(count(*) AS DOUBLE) AS N,
+                                avg(CAST(dl AS DOUBLE)) AS avgdl
+                         FROM lens),
+                 occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+                 tf AS (SELECT doc_id, term, count(*) AS tf
+                        FROM occ WHERE term IN ('join', 'window', 'shuffle')
+                        GROUP BY doc_id, term),
+                 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+                 c AS (SELECT tf.doc_id,
+                              CAST(floor(1000.0
+                                   * ln(1.0 + (tot.N - CAST(dfreq.df AS DOUBLE) + 0.5)
+                                              / (CAST(dfreq.df AS DOUBLE) + 0.5))
+                                   * (CAST(tf.tf AS DOUBLE) * 2.2)
+                                   / (CAST(tf.tf AS DOUBLE)
+                                      + 1.2 * (0.25 + 0.75 * CAST(lens.dl AS DOUBLE)
+                                                      / tot.avgdl)))
+                                   AS BIGINT) AS c_q
+                       FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id), tot),
+                 sc AS (SELECT doc_id,
+                               CAST(count(*) AS BIGINT) AS n_terms_hit,
+                               CAST(sum(c_q) AS BIGINT) AS score_q
+                        FROM c GROUP BY doc_id)
+            SELECT doc_id, n_terms_hit, score_q FROM sc
+            ORDER BY score_q DESC, doc_id LIMIT 10
+        """,
+        "q117_corpus_report": r"""
+            WITH m AS (SELECT source, lang, md5(text) AS fp,
+                              len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                              t -> t <> '')) AS ntok,
+                              octet_length(encode(text)) AS nbytes
+                       FROM documents)
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup,
+                   CAST(sum(ntok) AS BIGINT) AS total_tokens,
+                   CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+                   CAST(sum(ntok) AS DOUBLE) / count(*) AS mean_tokens
+            FROM m GROUP BY source, lang
         """,
         "q104_protobuf_wire": """
             WITH m AS (SELECT doc_id, lang, text, n_chars,

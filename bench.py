@@ -87,6 +87,8 @@ HEADLINE = [
     "q113_classifier_score",
     "q114_warc_roundtrip",
     "q115_perplexity_buckets",
+    "q116_bm25_topk",
+    "q117_corpus_report",
 ]
 
 

@@ -1993,3 +1993,115 @@ def perplexity_buckets(
         F.col("xent_q"),
         F.ntile(n_buckets).over(w).cast("int").alias("bucket"),
     )
+
+
+# -------------------------------------------------- BM25 retrieval
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    quant: int = 1000,
+) -> DataFrame:
+    """BM25 top-k retrieval for one term query over the corpus (Robertson/
+    Lucene formula: idf = ln(1 + (N − df + ½)/(df + ½)); tf saturation with
+    k1, length normalization with b).  The retrieval primitive a curation
+    pipeline uses to pull topical slices, audit contamination hits, or
+    build hard negatives — same stats as tfidf_topk but query-driven.
+
+    Determinism: per-(doc, term) BM25 contributions floor-quantize to
+    integers BEFORE the per-doc sum; ranking orders by (score_q desc, id) —
+    total order, engine-exact.
+
+    Scale: the explode filters to the broadcast query-term set IMMEDIATELY
+    (array_contains on a literal array — predicate applies at the scan
+    stage), so the shuffled intermediate is O(matching occurrences), not
+    O(all tokens).  Document lengths and df come from one token-count pass
+    + a query-terms-sized df aggregate; N/avgdl is a broadcast 1-row frame.
+    Top-k is a TakeOrderedAndProject, no global sort materialized."""
+    terms_lit = F.array(*[F.lit(t) for t in query_terms])
+    toks = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.filter(tokens(F.col(text_col)), lambda t: t != F.lit("")).alias("__t")
+    )
+    lens = toks.select(F.col(id_col), F.size("__t").alias("dl"))
+    totals = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("__N"),
+        F.avg(F.col("dl").cast("double")).alias("__avgdl"),
+    )
+    occ = toks.select(F.col(id_col), F.explode("__t").alias("term")).filter(
+        F.array_contains(terms_lit, F.col("term"))
+    )
+    tf = occ.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.floor(
+                F.lit(float(quant))
+                * F.log(
+                    F.lit(1.0)
+                    + (F.col("__N") - F.col("df").cast("double") + F.lit(0.5))
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+                * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl").cast("double") / F.col("__avgdl")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("__c_q"),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        F.sum("__c_q").cast("long").alias("score_q"),
+    )
+    return scored.orderBy(F.col("score_q").desc(), F.col(id_col).asc()).limit(k)
+
+
+# -------------------------------------------------- corpus quality report
+
+def corpus_report(df: DataFrame, id_col: str, text_col: str, *group_cols: str) -> DataFrame:
+    """Per-slice corpus dashboard (the first artifact a curation run
+    produces): document counts, exact-duplicate fraction, token/char
+    volume, and mean document length per ``group_cols`` slice (e.g.
+    source × lang).  Duplicate counting uses the same md5 digest as
+    exact_dedup, so 'n_dup' here == rows exact_dedup would drop in-slice.
+
+    Determinism: all counts/sums are integers; the one mean is a single
+    integer/integer double division.
+
+    Scale: one pass — per-doc token count is a HOF size (no explode), the
+    dup count is count(*) − count(distinct digest) inside the same
+    aggregation; shuffle is one hash partitioning on the (low-cardinality)
+    group keys with map-side partial aggregation."""
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    base = _spread(df).select(
+        *[F.col(c) for c in group_cols],
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("__fp"),
+        F.size(toks).cast("long").alias("__ntok"),
+        F.octet_length(F.col(text_col)).cast("long").alias("__nbytes"),
+    )
+    return (
+        base.groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.count(F.lit(1)) - F.count_distinct(F.col("__fp"))).cast("long").alias("n_dup"),
+            F.sum("__ntok").cast("long").alias("total_tokens"),
+            F.sum("__nbytes").cast("long").alias("total_bytes"),
+            (F.sum("__ntok").cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
+        )
+    )

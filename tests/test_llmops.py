@@ -594,3 +594,38 @@ def test_perplexity_buckets_head_middle_tail(spark):
     assert got[1].bucket == 1 and got[3].bucket == 3
     assert got[1].xent_q < got[2].xent_q < got[3].xent_q
     assert got[4].bucket == 1               # sole doc in its own lang partition
+
+
+def test_bm25_ranking_idf_and_saturation(spark):
+    """BM25 sanity on a planted corpus: a doc matching the RARE query term
+    outranks one matching only the common term (idf); more mentions of the
+    same term rank higher (tf); docs with no query term don't appear; k
+    caps the result."""
+    filler = "alpha beta gamma delta " * 5
+    rows = [(1, filler + "zebra"),                   # rare term once
+            (2, filler + "common"),                  # common term once
+            (3, filler + "common common common"),    # common term x3
+            (4, filler),                             # no query terms
+            (5, filler + "common"),
+            (6, filler + "common")]                  # make 'common' common
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = llmops.bm25_topk(df, "doc_id", "text", ["zebra", "common"], k=3).collect()
+    ids = [r.doc_id for r in out]
+    assert len(ids) == 3 and 4 not in ids
+    scores = {r.doc_id: r.score_q for r in out}
+    assert scores[1] > scores[3] > scores[2]         # idf beats tf; tf beats single hit
+
+
+def test_corpus_report_planted(spark):
+    """Grouped dashboard: dup count matches exact_dedup's drop count per
+    slice; token/byte sums and the mean are hand-checkable."""
+    rows = [(1, "s1", "en", "aa bb cc"), (2, "s1", "en", "aa bb cc"),
+            (3, "s1", "en", "dd ee"), (4, "s2", "de", "ff")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+    got = {(r.source, r.lang): r for r in llmops.corpus_report(
+        df, "doc_id", "text", "source", "lang").collect()}
+    s1 = got[("s1", "en")]
+    assert (s1.n_docs, s1.n_dup, s1.total_tokens, s1.total_bytes) == (3, 1, 8, 21)
+    assert abs(s1.mean_tokens - 8 / 3) < 1e-12
+    s2 = got[("s2", "de")]
+    assert (s2.n_docs, s2.n_dup, s2.total_tokens) == (1, 0, 1)
