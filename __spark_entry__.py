@@ -1744,6 +1744,74 @@ def q117_corpus_report(spark, sf_dir):
     return llmops.corpus_report(docs, "doc_id", "text", "source", "lang")
 
 
+def q118_token_budget_mixture(spark, sf_dir):
+    """Token-budget mixture sampling (llmops.sample_to_token_budget): keep
+    rates derive from per-language TOKEN mass (en gets 50% of a 20k-token
+    budget, fr 25%, others drop), applied via the deterministic md5-bucket
+    rule — the unit training mixes are actually specified in.  The oracle
+    recomputes token sums, thresholds, and the bucket filter; the share ×
+    budget numerators are exact binary fractions so both engines hold the
+    identical double."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    out = llmops.sample_to_token_budget(
+        docs, "doc_id", "text", "lang", {"en": 0.5, "fr": 0.25}, 20_000, salt="tb:"
+    )
+    return out.select("doc_id", "lang")
+
+
+def q119_incremental_dedup(spark, sf_dir):
+    """Continuous-ingestion exact dedup (llmops.exact_dedup_incremental):
+    history = digests of doc_id < 250; batch = doc_id ≥ 200 plus planted
+    in-batch copies of docs 300–309 under shifted ids.  Rows 200–249 fall
+    to the history anti-join, the planted copies fall to the in-batch
+    min-id rule — both deduplication paths live in one result the oracle
+    reproduces with NOT EXISTS + min()."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") < 250).select(F.md5("text").alias("fp"))
+    base = docs.filter(F.col("doc_id") >= 200).select("doc_id", "text")
+    planted = (
+        docs.filter(F.col("doc_id").between(300, 309))
+        .select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    batch = base.unionByName(planted)
+    return llmops.exact_dedup_incremental(batch, seen, "doc_id", "text")
+
+
+def q120_corpus_diff(spark, sf_dir):
+    """Snapshot diff (llmops.corpus_diff): old = docs 0–399 as-is; new =
+    docs 100–499 with 150–159's text uppercased — yielding all four
+    statuses (0–99 removed, 400–499 added, 150–159 changed, rest
+    unchanged).  Digest-only join; the oracle mirrors it with a FULL OUTER
+    JOIN over md5 digests."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") >= 100)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id").between(150, 159), F.upper(F.col("text"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    return llmops.corpus_diff(old, new, "doc_id", "text")
+
+
+def q121_leakage_free_split(spark, sf_dir):
+    """Leakage-free split assignment (llmops.leakage_free_split) over the
+    corpus plus planted exact duplicates of docs 0–49 under shifted ids:
+    the split hash is over the CONTENT digest, so each planted copy must
+    land in the same split as its original (checked by the oracle, which
+    recomputes the same md5 per-mille bucketing)."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    out = llmops.leakage_free_split(corpus, "doc_id", "text", salt="sp:")
+    return out.select("doc_id", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1863,6 +1931,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_perplexity_buckets": q115_perplexity_buckets,
         "q116_bm25_topk": q116_bm25_topk,
         "q117_corpus_report": q117_corpus_report,
+        "q118_token_budget_mixture": q118_token_budget_mixture,
+        "q119_incremental_dedup": q119_incremental_dedup,
+        "q120_corpus_diff": q120_corpus_diff,
+        "q121_leakage_free_split": q121_leakage_free_split,
     }
 
 
@@ -3110,6 +3182,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nbytes) AS BIGINT) AS total_bytes,
                    CAST(sum(ntok) AS DOUBLE) / count(*) AS mean_tokens
             FROM m GROUP BY source, lang
+        """,
+        "q118_token_budget_mixture": r"""
+            WITH n AS (SELECT doc_id, lang,
+                              len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                              t -> t <> '')) AS ntok
+                       FROM documents),
+                 c AS (SELECT lang, CAST(sum(ntok) AS DOUBLE) AS toks FROM n GROUP BY lang),
+                 r AS (SELECT lang,
+                              CAST(floor(least(1000000.0,
+                                   (CASE WHEN lang = 'fr' THEN 5000000000.0
+                                         WHEN lang = 'en' THEN 10000000000.0
+                                         ELSE 0.0 END) / toks)) AS BIGINT) AS thr
+                       FROM c)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN r USING (lang)
+            WHERE ('0x' || substr(md5('tb:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 1000000 < r.thr
+        """,
+        "q119_incremental_dedup": """
+            WITH seen AS (SELECT md5(text) AS fp FROM documents WHERE doc_id < 250),
+                 b AS (SELECT doc_id, text FROM documents WHERE doc_id >= 200
+                       UNION ALL
+                       SELECT doc_id + 10000, text FROM documents
+                       WHERE doc_id BETWEEN 300 AND 309),
+                 f AS (SELECT md5(b.text) AS fp, b.doc_id FROM b
+                       WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.fp = md5(b.text)))
+            SELECT fp, CAST(min(doc_id) AS BIGINT) AS doc_id FROM f GROUP BY fp
+        """,
+        "q120_corpus_diff": """
+            WITH o AS (SELECT doc_id, md5(text) AS old_fp FROM documents WHERE doc_id < 400),
+                 n AS (SELECT doc_id,
+                              md5(CASE WHEN doc_id BETWEEN 150 AND 159
+                                       THEN upper(text) ELSE text END) AS new_fp
+                       FROM documents WHERE doc_id >= 100)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.old_fp IS NULL THEN 'added'
+                        WHEN n.new_fp IS NULL THEN 'removed'
+                        WHEN o.old_fp <> n.new_fp THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """,
+        "q121_leakage_free_split": """
+            WITH corpus AS (SELECT doc_id, text FROM documents
+                            UNION ALL
+                            SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+                 b AS (SELECT doc_id,
+                              ('0x' || substr(md5('sp:' || md5(text)), 1, 8))::BIGINT % 1000
+                                  AS bucket
+                       FROM corpus)
+            SELECT doc_id,
+                   CASE WHEN bucket < 50 THEN 'test'
+                        WHEN bucket < 100 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM b
         """,
         "q104_protobuf_wire": """
             WITH m AS (SELECT doc_id, lang, text, n_chars,

@@ -89,6 +89,10 @@ HEADLINE = [
     "q115_perplexity_buckets",
     "q116_bm25_topk",
     "q117_corpus_report",
+    "q118_token_budget_mixture",
+    "q119_incremental_dedup",
+    "q120_corpus_diff",
+    "q121_leakage_free_split",
 ]
 
 

@@ -1479,6 +1479,125 @@ def sample_to_mixture(
     return df.join(F.broadcast(rates), domain_col).filter(bucket < F.col("__thr")).drop("__thr")
 
 
+def sample_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    target_shares: dict,
+    token_budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Token-budget mixture sampling: like sample_to_mixture, but shares
+    and budget are in TOKENS — the unit training mixes are actually
+    specified in (a 30%-code / 70%-web mix means token mass, not document
+    count, and domains with long documents must keep proportionally fewer
+    of them).  Per domain, keep rate = min(1, share·token_budget /
+    domain_tokens), applied with the same deterministic md5-bucket rule on
+    ``id_col``, so the expected kept-token mass per domain hits the budget
+    while the draw stays reproducible across engines and reruns.
+
+    Scale: pass 1 reduces the corpus to |domains| rows of token sums
+    (HOF token count — no explode — then map-side-combinable sum); the
+    rates broadcast back and the keep rule is a pure filter — the corpus
+    never shuffles."""
+    ntok = F.size(F.filter(tokens(F.col(text_col)), lambda t: t != F.lit("")))
+    counts = (
+        _spread(df)
+        .select(F.col(domain_col), ntok.alias("__ntok"))
+        .groupBy(domain_col)
+        .agg(F.sum("__ntok").cast("double").alias("__toks"))
+    )
+    numer = F.lit(0.0)
+    for d, share in sorted(target_shares.items()):
+        numer = F.when(
+            F.col(domain_col) == d, F.lit(float(share * token_budget * 1_000_000))
+        ).otherwise(numer)
+    rates = counts.select(
+        F.col(domain_col),
+        F.floor(F.least(F.lit(1_000_000.0), numer / F.col("__toks"))).cast("long").alias("__thr"),
+    )
+    bucket = portable_hash32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 1_000_000
+    return df.join(F.broadcast(rates), domain_col).filter(bucket < F.col("__thr")).drop("__thr")
+
+
+def exact_dedup_incremental(
+    batch: DataFrame, seen_digests: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """Continuous-ingestion exact dedup: drop every batch row whose content
+    digest already exists in the historical ``seen_digests`` store (one
+    ``fp`` column of md5 digests), then keep the lowest id per digest
+    WITHIN the batch — so appending the survivors' digests to the store
+    preserves the invariant 'one row ever per distinct content'.  This is
+    the day-2 shape of exact_dedup: the corpus arrives in increments and
+    yesterday's corpus must not be re-scanned.
+
+    Scale: the history side is digests only (16 bytes/doc, not payloads);
+    the anti join shuffles on the digest key (or broadcasts when the store
+    fits), and the in-batch min() is the same digest-keyed partial agg as
+    exact_dedup.  Returns (fp, id) like exact_dedup."""
+    fresh = (
+        batch.select(F.md5(F.col(content_col)).alias("fp"), F.col(id_col))
+        .join(seen_digests.select("fp"), "fp", "left_anti")
+    )
+    return fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
+
+
+def corpus_diff(
+    old: DataFrame, new: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: per id, status =
+    'added' (only in new), 'removed' (only in old), 'changed' (both, digest
+    differs), 'unchanged'.  The audit step between two curation runs —
+    what did the new filter chain actually do — and the input to
+    incremental downstream recompute (only added/changed docs re-embed,
+    re-tokenize, re-dedup).
+
+    Scale: both sides reduce to (id, digest) BEFORE the join — 16-byte rows,
+    never payloads; one shuffle on id (or broadcast when one snapshot is a
+    small increment)."""
+    o = old.select(F.col(id_col), F.md5(F.col(content_col)).alias("__old_fp"))
+    n = new.select(F.col(id_col), F.md5(F.col(content_col)).alias("__new_fp"))
+    return o.join(n, id_col, "full_outer").select(
+        F.col(id_col),
+        F.when(F.col("__old_fp").isNull(), F.lit("added"))
+        .when(F.col("__new_fp").isNull(), F.lit("removed"))
+        .when(F.col("__old_fp") != F.col("__new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    val_permille: int = 50,
+    test_permille: int = 50,
+    salt: str = "",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Train/val/test split assignment with NO duplicate leakage: the split
+    hash is taken over the content digest (or an explicit ``group_col``,
+    e.g. the cluster id from dedup_clusters for NEAR-dup safety), so every
+    copy of the same content lands in the same split — the failure mode
+    this prevents is a train document's exact duplicate appearing in the
+    held-out set and inflating eval.  Buckets are per-mille: [0, test) →
+    test, [test, test+val) → val, rest train.
+
+    Deterministic md5 bucketing (same rule as sample_hash), so the split is
+    reproducible across engines, reruns, and re-shards; a narrow map, no
+    shuffle."""
+    key = F.col(group_col) if group_col else F.md5(F.col(content_col))
+    bucket = portable_hash32(F.concat(F.lit(salt), key.cast("string"))) % 1000
+    return df.withColumn(
+        "split",
+        F.when(bucket < test_permille, F.lit("test"))
+        .when(bucket < test_permille + val_permille, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     text_col: str,

@@ -380,3 +380,32 @@ def compact_files(
     df = spark.read.format(fmt).load(src_path)
     df.repartition(n_out).write.format(fmt).mode("overwrite").save(dst_path)
     return n_out
+
+
+def write_clustered(
+    df: DataFrame,
+    dst_path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Cluster-on-write for scan pruning: range-partition by
+    ``cluster_cols`` and sort within each output file on the same keys, so
+    every parquet row group carries tight min/max statistics on those
+    columns.  At 100 TB this is what turns `WHERE lang = 'en' AND source =
+    'x'` from a full scan into a handful of row groups — the same effect a
+    lakehouse's OPTIMIZE ZORDER targets, achieved with one range shuffle.
+    Linear-order clustering (not Z-order interleaving): perfect pruning on
+    the leading column(s), prefix-only on the rest — choose the column
+    order by filter selectivity.  ``n_files`` defaults to the session
+    parallelism; size it so files land near the row-group target."""
+    if n_files is None:
+        n_files = df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(dst_path)
+    )

@@ -57,6 +57,12 @@ QUERIES = [
     "q108_repeated_spans",     # exact substring dedup (span digests)
     "q110_dsir_weights",       # hashed-ngram histograms + broadcast score join
     "q111_bigram_backoff",     # bigram LM joins (vocabulary-bounded)
+    "q112_char_entropy",       # zero-shuffle HOF histogram (narrow map)
+    "q113_classifier_score",   # zero-shuffle hashed-feature scoring
+    "q114_warc_roundtrip",     # narrow-map codec synth + parse
+    "q115_perplexity_buckets", # LM scoring + per-group ntile
+    "q116_bm25_topk",          # term-filtered explode + broadcast stats
+    "q117_corpus_report",      # single-pass grouped dashboard
 ]
 
 

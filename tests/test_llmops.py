@@ -629,3 +629,81 @@ def test_corpus_report_planted(spark):
     assert abs(s1.mean_tokens - 8 / 3) < 1e-12
     s2 = got[("s2", "de")]
     assert (s2.n_docs, s2.n_dup, s2.total_tokens) == (1, 0, 1)
+
+
+def test_sample_to_token_budget_rates(spark):
+    """Token-mass thresholds: domain A has 4x the tokens of B; with equal
+    token shares A must keep ~1/4 the RATE of B; domains without a share
+    drop; a budget above the corpus keeps everything (rate clamps to 1)."""
+    long_doc = "w " * 40
+    short_doc = "w " * 10
+    rows = [(i, "A", long_doc) for i in range(40)] + \
+           [(100 + i, "B", short_doc) for i in range(40)] + \
+           [(200, "C", short_doc)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    kept = llmops.sample_to_token_budget(
+        df, "doc_id", "text", "domain", {"A": 0.5, "B": 0.5}, 800).collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r.domain, []).append(r.doc_id)
+    assert "C" not in by_dom
+    # A: 400-token share over 1600 tokens -> rate 0.25; B: 400 over 400 -> rate 1.0
+    assert len(by_dom["B"]) == 40
+    assert 0 < len(by_dom["A"]) < 40
+    # rerun is identical (deterministic keep rule)
+    again = llmops.sample_to_token_budget(
+        df, "doc_id", "text", "domain", {"A": 0.5, "B": 0.5}, 800).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in kept}
+    everything = llmops.sample_to_token_budget(
+        df, "doc_id", "text", "domain", {"A": 0.5, "B": 0.5}, 10_000).collect()
+    assert len([r for r in everything if r.domain in ("A", "B")]) == 80
+
+
+def test_exact_dedup_incremental_planted(spark):
+    """Both drop paths: content already in the history store goes, and an
+    in-batch duplicate keeps only the min id; survivors' digests appended
+    to the store make a second batch of the same content drop entirely."""
+    seen_src = spark.createDataFrame([(1, "old news")], "doc_id long, text string")
+    seen = seen_src.select(F.md5("text").alias("fp"))
+    batch = spark.createDataFrame(
+        [(10, "old news"), (11, "fresh content"), (12, "fresh content"), (13, "unique")],
+        "doc_id long, text string")
+    out = llmops.exact_dedup_incremental(batch, seen, "doc_id", "text")
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [11, 13]
+    seen2 = seen.unionByName(out.select("fp"))
+    batch2 = spark.createDataFrame([(20, "fresh content")], "doc_id long, text string")
+    assert llmops.exact_dedup_incremental(batch2, seen2, "doc_id", "text").count() == 0
+
+
+def test_corpus_diff_all_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C!"), (4, "d")], "doc_id long, text string")
+    got = {r.doc_id: r.status for r in llmops.corpus_diff(
+        old, new, "doc_id", "text").collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_leakage_free_split_dups_colocated(spark):
+    """Exact duplicates must land in the same split regardless of id; the
+    group_col mode extends the guarantee to near-dup clusters; permille
+    bounds are honored over many distinct contents."""
+    rows = [(i, f"content number {i}") for i in range(300)] + \
+           [(1000 + i, f"content number {i}") for i in range(300)]   # exact dups, new ids
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = llmops.leakage_free_split(df, "doc_id", "text", val_permille=100,
+                                    test_permille=100).collect()
+    split_of = {r.doc_id: r.split for r in out}
+    for i in range(300):
+        assert split_of[i] == split_of[1000 + i]
+    counts = {s: sum(1 for r in out if r.split == s) for s in ("train", "val", "test")}
+    assert counts["train"] > counts["val"] > 0 and counts["test"] > 0
+
+    clustered = spark.createDataFrame(
+        [(1, "x", "c1"), (2, "y", "c1"), (3, "z", "c2")],
+        "doc_id long, text string, cluster string")
+    got = {r.doc_id: r.split for r in llmops.leakage_free_split(
+        clustered, "doc_id", "text", group_col="cluster").collect()}
+    assert got[1] == got[2]          # same near-dup cluster -> same split

@@ -121,3 +121,34 @@ def test_avro_wire_path_no_shuffle(spark):
     scan = next(l for l in plan.splitlines() if "FileScan" in l)
     schema = scan.split("ReadSchema:")[1]
     assert "user_id" not in schema
+
+
+def test_write_clustered_rowgroup_stats(spark, tmp_path):
+    """Cluster-on-write must produce files whose parquet column statistics
+    are tight on the leading cluster column: with enough output files per
+    distinct value, each file holds exactly one lang (min == max), which is
+    what lets a lang-filtered scan prune whole files at 100 TB."""
+    import pyarrow.parquet as pq
+    from pyspark_engine.runtime import write_clustered
+
+    df = spark.range(2000).selectExpr(
+        "id", "CASE WHEN id % 4 = 0 THEN 'de' WHEN id % 4 = 1 THEN 'en' "
+        "WHEN id % 4 = 2 THEN 'fr' ELSE 'zh' END AS lang")
+    dst = str(tmp_path / "clustered")
+    write_clustered(df, dst, ["lang", "id"], n_files=8)
+    import glob
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) >= 4
+    tight = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        mins, maxs = set(), set()
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(1)
+            mins.add(col.statistics.min)
+            maxs.add(col.statistics.max)
+        assert len(mins) == 1 and mins == maxs  # one lang per file
+        tight += 1
+    assert tight >= 4
