@@ -743,3 +743,54 @@ def test_versioned_asof_join_streaming_parity(spark, tmp_path):
     want = KStream(clicks, ("user_id",), "ts").join_table_asof(vt, how="left").df
     cols = ["c_id", "user_id", "p_val"]
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+
+
+def test_incremental_dedup_streaming_parity(spark, tmp_path):
+    """Continuous-ingestion dedup over micro-batches: a foreachBatch loop
+    anti-joins each batch against the digest store and appends survivors
+    (llmops.exact_dedup_incremental).  Final store invariants vs batch
+    exact_dedup over the whole corpus: identical digest set, exactly one
+    kept row per digest, and every kept id belongs to that digest's id
+    group ('first batch seen wins' replaces 'global min id' — the
+    streaming-correct contract)."""
+    from pyspark_engine import llmops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    planted = docs.filter("doc_id < 100").select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    src = str(tmp_path / "src")
+    corpus.repartition(4).write.parquet(src)
+    seen_path = str(tmp_path / "seen")
+    spark.createDataFrame([], "fp string, doc_id long").write.parquet(seen_path)
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def upsert(batch_df, batch_id):
+        s = batch_df.sparkSession
+        seen = s.read.parquet(seen_path)
+        out = llmops.exact_dedup_incremental(batch_df, seen, "doc_id", "text")
+        out.write.mode("append").parquet(seen_path)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    final = spark.read.parquet(seen_path)
+    want = llmops.exact_dedup(corpus, "doc_id", "text")
+    assert final.count() == final.select("fp").distinct().count()   # one row per digest
+    got_fps = {r.fp for r in final.select("fp").collect()}
+    want_fps = {r.fp for r in want.select("fp").collect()}
+    assert got_fps == want_fps
+    groups = corpus.select(F.md5("text").alias("fp"), "doc_id")
+    stray = final.join(groups, ["fp", "doc_id"], "left_anti")
+    assert stray.count() == 0                                       # kept ids are real members
