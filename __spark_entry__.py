@@ -1812,6 +1812,22 @@ def q121_leakage_free_split(spark, sf_dir):
     return out.select("doc_id", "split")
 
 
+def q122_sentence_chunks(spark, sf_dir):
+    """Sentence-boundary chunking (llmops.sentence_chunks): the corpus has
+    no punctuation, so the query synthesizes a period after every 8th token
+    (regexp_replace, like q87 plants paragraph breaks), then chunks whole
+    sentences into ≈64-token windows via the integer running-sum rule.  The
+    oracle reproduces the sentence split (ordinality via list_transform over
+    range), the ROWS-frame cumulative sum, and the ordered string_agg
+    reassembly."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    sentenced = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"((\S+ ){7}\S+) ", r"$1. ").alias("text"),
+    )
+    return llmops.sentence_chunks(sentenced, "doc_id", "text", max_tokens=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1935,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_incremental_dedup": q119_incremental_dedup,
         "q120_corpus_diff": q120_corpus_diff,
         "q121_leakage_free_split": q121_leakage_free_split,
+        "q122_sentence_chunks": q122_sentence_chunks,
     }
 
 
@@ -3236,6 +3253,33 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 100 THEN 'val'
                         ELSE 'train' END AS split
             FROM b
+        """,
+        "q122_sentence_chunks": r"""
+            WITH t AS (SELECT doc_id,
+                              regexp_replace(text, '((\S+ ){7}\S+) ', '\1. ', 'g') AS tx
+                       FROM documents),
+                 lst AS (SELECT doc_id, string_split_regex(tx, '\. ') AS l FROM t),
+                 s0 AS (SELECT doc_id,
+                               unnest(list_transform(range(1, len(l) + 1),
+                                      i -> struct_pack(idx := i - 1, sent := l[i]))) AS u
+                        FROM lst),
+                 s AS (SELECT doc_id, u.idx AS idx, u.sent AS sent,
+                              len(list_filter(string_split_regex(lower(trim(u.sent)), '\s+'),
+                                              x -> x <> '')) AS ntok
+                       FROM s0),
+                 c AS (SELECT doc_id, idx, sent, ntok,
+                              coalesce(sum(ntok) OVER (PARTITION BY doc_id ORDER BY idx
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                       0) AS cum
+                       FROM s WHERE ntok > 0),
+                 g AS (SELECT doc_id, CAST(floor(cum / 64) AS BIGINT) AS chunk_id,
+                              idx, sent, ntok
+                       FROM c)
+            SELECT doc_id, chunk_id,
+                   CAST(count(*) AS BIGINT) AS n_sentences,
+                   CAST(sum(ntok) AS BIGINT) AS n_tokens,
+                   string_agg(sent, '. ' ORDER BY idx) AS chunk_text
+            FROM g GROUP BY doc_id, chunk_id
         """,
         "q104_protobuf_wire": """
             WITH m AS (SELECT doc_id, lang, text, n_chars,

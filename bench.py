@@ -93,6 +93,7 @@ HEADLINE = [
     "q119_incremental_dedup",
     "q120_corpus_diff",
     "q121_leakage_free_split",
+    "q122_sentence_chunks",
 ]
 
 

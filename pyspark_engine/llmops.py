@@ -1543,6 +1543,68 @@ def exact_dedup_incremental(
     return fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
 
 
+def sentence_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 64,
+    sep_regex: str = r"\. ",
+    joiner: str = ". ",
+) -> DataFrame:
+    """Sentence-boundary-respecting chunking: split each document into
+    sentences (``sep_regex``), then group CONSECUTIVE sentences into chunks
+    of ≈``max_tokens`` — chunk id = floor(tokens-before-this-sentence /
+    max_tokens), so sentences are never split mid-way (the property plain
+    token-window chunking (chunk_text) gives up) and every chunk except
+    possibly the last crosses the budget by at most one sentence.  The
+    standard preprocessing for embedding/RAG corpora where chunks must stay
+    syntactically whole.
+
+    Determinism: integer token counts, integer running sum (ROWS frame,
+    ordered by the sentence index — a total order), integer division.
+
+    Scale: one explode to sentence rows, one window + groupBy both keyed on
+    ``id_col`` — the window's hash partitioning is reused by the
+    aggregation (one shuffle total), and per-doc state is bounded by
+    document length.  Chunk text reassembles via an order-struct sort, not
+    collect order."""
+    sents = (
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep_regex)).alias("__i", "__s"),
+        )
+        .withColumn(
+            "__ntok", F.size(F.filter(tokens(F.col("__s")), lambda t: t != F.lit("")))
+        )
+        .filter(F.col("__ntok") > 0)
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("__i"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = sents.withColumn(
+        "chunk_id",
+        (F.coalesce(F.sum("__ntok").over(w), F.lit(0)) / F.lit(int(max_tokens)))
+        .cast("long"),
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum("__ntok").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("__i"), F.col("__s")))),
+                    lambda s: s["__s"],
+                ),
+                joiner,
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def corpus_diff(
     old: DataFrame, new: DataFrame, id_col: str, content_col: str
 ) -> DataFrame:

@@ -707,3 +707,21 @@ def test_leakage_free_split_dups_colocated(spark):
     got = {r.doc_id: r.split for r in llmops.leakage_free_split(
         clustered, "doc_id", "text", group_col="cluster").collect()}
     assert got[1] == got[2]          # same near-dup cluster -> same split
+
+
+def test_sentence_chunks_boundaries(spark):
+    """Sentences never split across chunks; chunk ids advance when the
+    running token count crosses the budget; ordered reassembly; an
+    over-budget single sentence still forms its own whole chunk."""
+    text = "a b c. d e f. g h i. j k l m n o p q r s t u v w x y z aa bb cc"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        llmops.sentence_chunks(df, "doc_id", "text", max_tokens=6).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # sentences: [a b c](3), [d e f](3), [g h i](3), [long 20-token tail](20)
+    # cum-before: 0, 3, 6, 9 -> chunks 0, 0, 1, 1
+    assert [r.chunk_id for r in out] == [0, 1]
+    assert out[0].chunk_text == "a b c. d e f" and out[0].n_tokens == 6
+    assert out[1].n_sentences == 2 and out[1].n_tokens == 23
+    assert out[1].chunk_text.startswith("g h i. j k l")
