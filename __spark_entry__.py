@@ -1828,6 +1828,26 @@ def q122_sentence_chunks(spark, sf_dir):
     return llmops.sentence_chunks(sentenced, "doc_id", "text", max_tokens=64)
 
 
+def q123_ngram_novelty(spark, sf_dir):
+    """Per-doc bigram novelty (llmops.ngram_novelty): fraction of a doc's
+    distinct bigrams with corpus document-frequency 1, floor-quantized from
+    integer counts.  The oracle recomputes distinct (doc, gram) pairs, df,
+    and the quantized ratio."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.ngram_novelty(docs, "doc_id", "text", n=2)
+
+
+def q124_profile_columns(spark, sf_dir):
+    """One-pass column profiler (llmops.profile_columns) over lineitem:
+    non-null/null/distinct counts and string-cast min/max for five mixed-
+    type columns, unpivoted to one row per column.  The oracle is a UNION
+    ALL of per-column aggregates with the same VARCHAR casts."""
+    li = read_table(configure(spark), sf_dir, "lineitem")
+    return llmops.profile_columns(
+        li, ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1952,6 +1972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_corpus_diff": q120_corpus_diff,
         "q121_leakage_free_split": q121_leakage_free_split,
         "q122_sentence_chunks": q122_sentence_chunks,
+        "q123_ngram_novelty": q123_ngram_novelty,
+        "q124_profile_columns": q124_profile_columns,
     }
 
 
@@ -3280,6 +3302,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(ntok) AS BIGINT) AS n_tokens,
                    string_agg(sent, '. ' ORDER BY idx) AS chunk_text
             FROM g GROUP BY doc_id, chunk_id
+        """,
+        "q123_ngram_novelty": r"""
+            WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                          FROM documents),
+                 raw AS (SELECT DISTINCT doc_id,
+                                unnest(CASE WHEN len(t) >= 2
+                                            THEN list_transform(range(1, len(t)),
+                                                                i -> t[i] || ' ' || t[i + 1])
+                                            ELSE [] END) AS g
+                         FROM toks),
+                 p AS (SELECT doc_id, g FROM raw WHERE g <> ''),
+                 dfq AS (SELECT g, count(*) AS df FROM p GROUP BY g),
+                 per AS (SELECT p.doc_id,
+                                CAST(count(*) AS BIGINT) AS n_grams_distinct,
+                                CAST(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                    AS n_novel
+                         FROM p JOIN dfq USING (g) GROUP BY p.doc_id)
+            SELECT d.doc_id,
+                   coalesce(per.n_grams_distinct, 0) AS n_grams_distinct,
+                   coalesce(per.n_novel, 0) AS n_novel,
+                   CASE WHEN coalesce(per.n_grams_distinct, 0) > 0
+                        THEN CAST(floor(1000000.0 * CAST(per.n_novel AS DOUBLE)
+                                        / CAST(per.n_grams_distinct AS DOUBLE)) AS BIGINT)
+                        ELSE 0 END AS novelty_q
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "q124_profile_columns": """
+            SELECT 'l_orderkey' AS "column",
+                   CAST(count(l_orderkey) AS BIGINT) AS n_nonnull,
+                   CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+                   CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+                   CAST(max(l_orderkey) AS VARCHAR) AS max_str
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', CAST(count(l_quantity) AS BIGINT),
+                   CAST(count(*) - count(l_quantity) AS BIGINT),
+                   CAST(count(DISTINCT l_quantity) AS BIGINT),
+                   CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', CAST(count(l_extendedprice) AS BIGINT),
+                   CAST(count(*) - count(l_extendedprice) AS BIGINT),
+                   CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+                   CAST(min(l_extendedprice) AS VARCHAR), CAST(max(l_extendedprice) AS VARCHAR)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', CAST(count(l_returnflag) AS BIGINT),
+                   CAST(count(*) - count(l_returnflag) AS BIGINT),
+                   CAST(count(DISTINCT l_returnflag) AS BIGINT),
+                   CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_shipdate', CAST(count(l_shipdate) AS BIGINT),
+                   CAST(count(*) - count(l_shipdate) AS BIGINT),
+                   CAST(count(DISTINCT l_shipdate) AS BIGINT),
+                   CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+            FROM lineitem
         """,
         "q104_protobuf_wire": """
             WITH m AS (SELECT doc_id, lang, text, n_chars,

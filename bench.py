@@ -94,6 +94,8 @@ HEADLINE = [
     "q120_corpus_diff",
     "q121_leakage_free_split",
     "q122_sentence_chunks",
+    "q123_ngram_novelty",
+    "q124_profile_columns",
 ]
 
 

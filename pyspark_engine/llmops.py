@@ -1605,6 +1605,91 @@ def sentence_chunks(
     )
 
 
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, quant: int = 1_000_000
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of the doc's DISTINCT
+    n-grams that appear in no other document (document frequency 1).  The
+    diversity/memorization signal dual to repetition_stats — template spam
+    and boilerplate mirror text score near 0, genuinely novel text near 1;
+    used to down-weight redundant shards when composing a mix.
+
+    Determinism: novelty is integers (novel count, distinct count) with the
+    ratio floor-quantized in one expression.
+
+    Scale: distinct (doc, gram) pairs → gram-keyed df count (map-side
+    combinable) → join back on gram → per-doc integer sums.  Bounded by
+    gram-type cardinality, no pairwise document stage — the same shape as
+    tfidf/inverted-index."""
+    pairs = (
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("__g"),
+        )
+        .filter(F.col("__g") != "")
+    )
+    dfreq = pairs.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        pairs.join(dfreq, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams_distinct"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).cast("long").alias("n_novel"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams_distinct"), F.lit(0)).cast("long").alias("n_grams_distinct"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.col("n_grams_distinct") > 0,
+                F.floor(
+                    F.lit(float(quant))
+                    * F.col("n_novel").cast("double")
+                    / F.col("n_grams_distinct").cast("double")
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("novelty_q"),
+        )
+    )
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Data-profiling summary, one output row per column: non-null count,
+    null count, distinct count, min/max (as strings, engine-portable).  The
+    first look at any new 100 TB drop — schema sanity, null blowups,
+    key-cardinality checks — produced in ONE pass over the data.
+
+    Scale: a single aggregation computes every column's stats side by side
+    (no per-column scans); the per-column rows are assembled driver-side
+    from the 1-row aggregate via a stack (unpivot) of literal-width
+    expressions.  count_distinct is exact here; swap approx_count_distinct
+    at corpus scale where 2% error is acceptable."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).cast("long").alias(f"__cnt_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"__ndv_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__cnt_{c}`, `__null_{c}`, `__ndv_{c}`, `__min_{c}`, `__max_{c}`"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_nonnull, n_null, n_distinct, min_str, max_str)"
+    )
+
+
 def corpus_diff(
     old: DataFrame, new: DataFrame, id_col: str, content_col: str
 ) -> DataFrame:

@@ -725,3 +725,31 @@ def test_sentence_chunks_boundaries(spark):
     assert out[0].chunk_text == "a b c. d e f" and out[0].n_tokens == 6
     assert out[1].n_sentences == 2 and out[1].n_tokens == 23
     assert out[1].chunk_text.startswith("g h i. j k l")
+
+
+def test_ngram_novelty_planted(spark):
+    """Shared bigrams score 0 novelty, unique ones 1; a doc mixing both
+    lands in between; short docs have zero grams."""
+    shared = "alpha beta gamma delta"
+    rows = [(1, shared), (2, shared),                 # all bigrams shared -> 0
+            (3, "unique phrase entirely here"),       # all df=1 -> 1.0
+            (4, shared + " epsilon zeta"),            # 3 shared + 2 novel of 5
+            (5, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in llmops.ngram_novelty(df, "doc_id", "text").collect()}
+    assert got[1].novelty_q == 0 and got[2].novelty_q == 0
+    assert got[3].novelty_q == 1_000_000
+    assert got[4].n_grams_distinct == 5 and got[4].n_novel == 2
+    assert got[4].novelty_q == 400_000
+    assert got[5].n_grams_distinct == 0 and got[5].novelty_q == 0
+
+
+def test_profile_columns_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (2, None, 7.5)],
+        "k long, s string, v double")
+    got = {r.column: r for r in llmops.profile_columns(df, ["k", "s", "v"]).collect()}
+    assert (got["k"].n_nonnull, got["k"].n_null, got["k"].n_distinct) == (3, 0, 2)
+    assert (got["k"].min_str, got["k"].max_str) == ("1", "2")
+    assert (got["s"].n_nonnull, got["s"].n_null, got["s"].n_distinct) == (2, 1, 2)
+    assert (got["v"].n_nonnull, got["v"].n_null, got["v"].n_distinct) == (2, 1, 2)
