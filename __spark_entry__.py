@@ -1848,6 +1848,30 @@ def q124_profile_columns(spark, sf_dir):
     )
 
 
+def q125_normalize_text(spark, sf_dir):
+    """Text normalization (llmops.normalize_text) over documents with
+    synthetic damage injected in-query (control chars, tab runs, padded
+    newlines, triple blank lines) so every cleaning rule fires; returns the
+    cleaned text plus before/after byte lengths and a digest.  The oracle
+    applies the identical RE2 replacement chain in DuckDB."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    damaged = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("\x01  \t "),
+            F.regexp_replace(F.col("text"), r" (\S+ \S+ \S+) ", " $1 \t\n\n\n "),
+            F.lit(" \x02\t"),
+        ).alias("text"),
+    )
+    out = llmops.normalize_text(damaged, "text", out_col="clean")
+    return out.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("dirty_bytes"),
+        F.octet_length("clean").cast("long").alias("clean_bytes"),
+        F.md5("clean").alias("clean_fp"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1974,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_sentence_chunks": q122_sentence_chunks,
         "q123_ngram_novelty": q123_ngram_novelty,
         "q124_profile_columns": q124_profile_columns,
+        "q125_normalize_text": q125_normalize_text,
     }
 
 
@@ -3360,6 +3385,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT l_shipdate) AS BIGINT),
                    CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
             FROM lineitem
+        """,
+        "q125_normalize_text": r"""
+            WITH dmg AS (SELECT doc_id,
+                                chr(1) || '  ' || chr(9) || ' '
+                                || regexp_replace(text, ' (\S+ \S+ \S+) ',
+                                                  ' \1 ' || chr(9) || chr(10) || chr(10)
+                                                  || chr(10) || ' ', 'g')
+                                || ' ' || chr(2) || chr(9) AS t
+                         FROM documents),
+                 cl AS (SELECT doc_id, t,
+                               trim(
+                                 regexp_replace(
+                                   regexp_replace(
+                                     regexp_replace(
+                                       regexp_replace(t,
+                                           '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                                       '[ \t]+', ' ', 'g'),
+                                     ' ?\n ?', chr(10), 'g'),
+                                   '\n{3,}', chr(10) || chr(10), 'g')) AS clean
+                        FROM dmg)
+            SELECT doc_id,
+                   CAST(octet_length(encode(t)) AS BIGINT) AS dirty_bytes,
+                   CAST(octet_length(encode(clean)) AS BIGINT) AS clean_bytes,
+                   md5(clean) AS clean_fp
+            FROM cl
         """,
         "q104_protobuf_wire": """
             WITH m AS (SELECT doc_id, lang, text, n_chars,

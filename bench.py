@@ -96,6 +96,7 @@ HEADLINE = [
     "q122_sentence_chunks",
     "q123_ngram_novelty",
     "q124_profile_columns",
+    "q125_normalize_text",
 ]
 
 

@@ -1605,6 +1605,33 @@ def sentence_chunks(
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str,
+    lowercase: bool = False,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Standard text cleaning pass applied before any hashing/dedup stage
+    (so that cosmetic whitespace/control differences don't defeat digest
+    equality): strip C0/C1 control characters (except \\t \\n \\r), collapse
+    runs of spaces/tabs to one space, collapse 3+ newlines to two
+    (paragraph preserving), trim line edges, trim the document, optionally
+    lowercase.  Everything is RE2-safe regexp_replace chains — a narrow
+    zero-shuffle map that composes in front of exact_dedup/minhash so the
+    digest sees canonical bytes.  Unicode NFC normalization is deliberately
+    out of scope (needs ICU; document-level hashing is byte-exact either
+    way)."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(out_col or text_col, c)
+
+
 def ngram_novelty(
     df: DataFrame, id_col: str, text_col: str, n: int = 2, quant: int = 1_000_000
 ) -> DataFrame:

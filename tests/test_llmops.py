@@ -753,3 +753,23 @@ def test_profile_columns_planted(spark):
     assert (got["k"].min_str, got["k"].max_str) == ("1", "2")
     assert (got["s"].n_nonnull, got["s"].n_null, got["s"].n_distinct) == (2, 1, 2)
     assert (got["v"].n_nonnull, got["v"].n_null, got["v"].n_distinct) == (2, 1, 2)
+
+
+def test_normalize_text_rules(spark):
+    """Each cleaning rule individually: control chars stripped, space/tab
+    runs collapsed, line edges trimmed, 3+ newlines to two, doc trimmed,
+    optional lowercase; and normalization canonicalizes cosmetic variants
+    to the same digest."""
+    dirty = "\x01 Hello\t\tWorld \n\n\n\n  Next\x7f paragraph  "
+    df = spark.createDataFrame([(1, dirty)], "doc_id long, text string")
+    row = llmops.normalize_text(df, "text", out_col="clean").collect()[0]
+    assert row.clean == "Hello World\n\nNext paragraph"
+    low = llmops.normalize_text(df, "text", lowercase=True, out_col="c2").collect()[0]
+    assert low.c2 == "hello world\n\nnext paragraph"
+
+    variants = spark.createDataFrame(
+        [(1, "same   text"), (2, "same \t text "), (3, "\x02same text")],
+        "doc_id long, text string")
+    fps = {r.fp for r in llmops.normalize_text(variants, "text")
+           .select(F.md5("text").alias("fp")).collect()}
+    assert len(fps) == 1
