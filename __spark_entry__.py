@@ -1872,6 +1872,16 @@ def q125_normalize_text(spark, sf_dir):
     )
 
 
+def q126_matryoshka(spark, sf_dir):
+    """Matryoshka truncate + renormalize (llmops.matryoshka_embeddings) to
+    the leading 16 dims, components floor-quantized ×10000 and joined into
+    a signature string.  Exactness hinges on the LEFT-FOLD sum of squares
+    (0.0-init aggregate ≡ DuckDB list_reduce) making sqrt/divide/floor see
+    identical doubles — the oracle mirrors that fold exactly."""
+    emb = read_table(configure(spark), sf_dir, "embeddings")
+    return llmops.matryoshka_embeddings(emb, "vec_id", "embedding", dims=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1999,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_ngram_novelty": q123_ngram_novelty,
         "q124_profile_columns": q124_profile_columns,
         "q125_normalize_text": q125_normalize_text,
+        "q126_matryoshka": q126_matryoshka,
     }
 
 
@@ -3410,6 +3421,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(clean)) AS BIGINT) AS clean_bytes,
                    md5(clean) AS clean_fp
             FROM cl
+        """,
+        "q126_matryoshka": """
+            WITH m AS (SELECT vec_id, embedding[1:16] AS v FROM embeddings),
+                 s AS (SELECT vec_id, v,
+                              list_reduce(list_transform(v, y -> CAST(y AS DOUBLE) * y),
+                                          (a, b) -> a + b) AS ss
+                       FROM m)
+            SELECT vec_id,
+                   CAST(len(v) AS BIGINT) AS n_dims,
+                   CASE WHEN ss > 0
+                        THEN array_to_string(list_transform(v,
+                                 x -> CAST(CAST(floor(10000.0 * CAST(x AS DOUBLE) / sqrt(ss))
+                                           AS BIGINT) AS VARCHAR)), ',')
+                        ELSE '' END AS sig
+            FROM s
         """,
         "q104_protobuf_wire": """
             WITH m AS (SELECT doc_id, lang, text, n_chars,

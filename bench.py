@@ -97,6 +97,7 @@ HEADLINE = [
     "q123_ngram_novelty",
     "q124_profile_columns",
     "q125_normalize_text",
+    "q126_matryoshka",
 ]
 
 

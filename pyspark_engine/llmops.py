@@ -1605,6 +1605,41 @@ def sentence_chunks(
     )
 
 
+def matryoshka_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, dims: int, quant: int = 10_000
+) -> DataFrame:
+    """Matryoshka truncation (Kusupati et al., "Matryoshka Representation
+    Learning"): keep the leading ``dims`` components and re-L2-normalize —
+    the standard storage/latency lever for MRL-trained embeddings (a 64-dim
+    prefix of a 768-dim vector at a fraction of the ANN cost).  Components
+    come back floor-quantized (× ``quant``) plus a comma-joined signature
+    for digest-style comparison.
+
+    Determinism: the sum of squares is an explicit LEFT FOLD (aggregate HOF
+    with 0.0 init — IEEE-identical to any engine's sequential reduce since
+    0.0 + x == x), so sqrt/divide/floor see bit-identical doubles.
+
+    Scale: zero shuffle — pure per-row expressions; composes in front of
+    ann_* / embedding_neardup so their buckets operate on the truncated
+    space."""
+    v = F.slice(F.col(vec_col), 1, dims)
+    ss = F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x)
+    q = F.transform(
+        v,
+        lambda x: F.floor(F.lit(float(quant)) * x.cast("double") / F.sqrt(ss)).cast("long"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(v).cast("long").alias("n_dims"),
+        F.when(
+            ss > 0,
+            F.array_join(F.transform(q, lambda x: x.cast("string")), ","),
+        )
+        .otherwise(F.lit(""))
+        .alias("sig"),
+    )
+
+
 def normalize_text(
     df: DataFrame,
     text_col: str,

@@ -773,3 +773,22 @@ def test_normalize_text_rules(spark):
     fps = {r.fp for r in llmops.normalize_text(variants, "text")
            .select(F.md5("text").alias("fp")).collect()}
     assert len(fps) == 1
+
+
+def test_matryoshka_matches_numpy(spark):
+    """Truncated-renormalized components match numpy within the floor
+    quantum; truncation changes the normalization (prefix norm, not full
+    norm); zero vectors give an empty signature."""
+    rows = [(1, [3.0, 4.0, 100.0, 100.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in llmops.matryoshka_embeddings(
+        df, "vec_id", "embedding", dims=2).collect()}
+    # prefix [3,4] renormalizes by 5, NOT by the full-vector norm
+    assert got[1].n_dims == 2 and got[1].sig == "6000,8000"
+    assert got[2].sig == ""
+    vec = np.array([0.3, -1.7, 2.4, 0.9], dtype=np.float32)
+    df2 = spark.createDataFrame([(7, vec.tolist())], "vec_id long, embedding array<float>")
+    out = llmops.matryoshka_embeddings(df2, "vec_id", "embedding", dims=3).collect()[0]
+    want = vec[:3].astype(np.float64)
+    want = np.floor(10000 * want / np.sqrt((want * want).sum()))
+    assert [int(x) for x in out.sig.split(",")] == [int(w) for w in want]
