@@ -1882,6 +1882,22 @@ def q126_matryoshka(spark, sf_dir):
     return llmops.matryoshka_embeddings(emb, "vec_id", "embedding", dims=16)
 
 
+def q127_fuzzy_editdist(spark, sf_dir):
+    """Edit-distance near-dup pairs (llmops.fuzzy_pairs_editdist) over the
+    corpus plus planted small-edit copies (docs 0–39 with one marker word
+    appended, ids +20000) — shared-prefix bucketing finds each planted
+    pair, levenshtein over 256-char probes verifies it.  The oracle
+    replays bucket capping (row_number), the capped self-join, and
+    DuckDB's identical levenshtein."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return llmops.fuzzy_pairs_editdist(corpus, "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2010,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_profile_columns": q124_profile_columns,
         "q125_normalize_text": q125_normalize_text,
         "q126_matryoshka": q126_matryoshka,
+        "q127_fuzzy_editdist": q127_fuzzy_editdist,
     }
 
 
@@ -3436,6 +3453,26 @@ def oracle_sql() -> dict[str, str]:
                                            AS BIGINT) AS VARCHAR)), ',')
                         ELSE '' END AS sig
             FROM s
+        """,
+        "q127_fuzzy_editdist": """
+            WITH corpus AS (SELECT doc_id, text FROM documents
+                            UNION ALL
+                            SELECT doc_id + 20000, text || ' zq' FROM documents
+                            WHERE doc_id < 40),
+                 base AS (SELECT doc_id,
+                                 substr(lower(trim(text)), 1, 24) AS b,
+                                 substr(lower(trim(text)), 1, 256) AS p
+                          FROM corpus),
+                 capped AS (SELECT * FROM (
+                                SELECT doc_id, b, p,
+                                       row_number() OVER (PARTITION BY b ORDER BY doc_id)
+                                           AS rn
+                                FROM base)
+                            WHERE rn <= 50)
+            SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                   CAST(levenshtein(a.p, c.p) AS BIGINT) AS dist
+            FROM capped a JOIN capped c USING (b)
+            WHERE a.doc_id < c.doc_id AND levenshtein(a.p, c.p) <= 8
         """,
         "q104_protobuf_wire": """
             WITH m AS (SELECT doc_id, lang, text, n_chars,

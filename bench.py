@@ -98,6 +98,7 @@ HEADLINE = [
     "q124_profile_columns",
     "q125_normalize_text",
     "q126_matryoshka",
+    "q127_fuzzy_editdist",
 ]
 
 

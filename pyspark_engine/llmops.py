@@ -1605,6 +1605,56 @@ def sentence_chunks(
     )
 
 
+def fuzzy_pairs_editdist(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_len: int = 24,
+    max_dist: int = 8,
+    verify_chars: int = 256,
+    bucket_cap: int = 50,
+) -> DataFrame:
+    """Edit-distance-verified near-dup pairs: candidates share a normalized
+    ``prefix_len``-char prefix bucket; each candidate pair is verified with
+    levenshtein ≤ ``max_dist`` over the first ``verify_chars`` chars.  The
+    cheap-bucket + expensive-verify shape shared with MinHash/SimHash, but
+    with a character-level metric — the right tool for template spam and
+    boilerplate-with-small-edits where token shingles are too coarse.
+    Prefix bucketing finds only shared-prefix dups by construction (mutated
+    openings need the shingle-based paths); it costs no hashing pass at all.
+
+    Scale: buckets are capped at ``bucket_cap`` rows (row_number per
+    bucket, deterministic id order — the same skew guard as minhash's
+    banded buckets), so a degenerate common prefix cannot go quadratic;
+    levenshtein runs on length-bounded probes only, O(verify_chars²) per
+    candidate pair."""
+    base = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.substring(F.lower(F.trim(F.col(text_col))), 1, prefix_len).alias("__b"),
+        F.substring(F.lower(F.trim(F.col(text_col))), 1, verify_chars).alias("__p"),
+    )
+    wb = Window.partitionBy("__b").orderBy(F.col(id_col))
+    capped = base.withColumn("__rn", F.row_number().over(wb)).filter(
+        F.col("__rn") <= bucket_cap
+    )
+    a = capped.select(
+        F.col("__b"), F.col(id_col).alias("id_a"), F.col("__p").alias("__pa")
+    )
+    b = capped.select(
+        F.col("__b"), F.col(id_col).alias("id_b"), F.col("__p").alias("__pb")
+    )
+    return (
+        a.join(b, "__b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("__pa"), F.col("__pb")).cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
 def matryoshka_embeddings(
     df: DataFrame, id_col: str, vec_col: str, dims: int, quant: int = 10_000
 ) -> DataFrame:

@@ -792,3 +792,20 @@ def test_matryoshka_matches_numpy(spark):
     want = vec[:3].astype(np.float64)
     want = np.floor(10000 * want / np.sqrt((want * want).sum()))
     assert [int(x) for x in out.sig.split(",")] == [int(w) for w in want]
+
+
+def test_fuzzy_editdist_planted(spark):
+    """Small-edit pairs sharing a prefix are found with the right distance;
+    different-prefix docs never pair (bucketing is prefix-keyed by
+    design); distances above the threshold drop."""
+    base = "the quick brown fox jumps over the lazy dog and keeps running ahead"
+    rows = [(1, base),
+            (2, base.replace("lazy", "hazy")),          # dist 1, same prefix
+            (3, "completely different opening text here"),
+            (4, base + " tail tail tail tail tail")]    # big tail edit
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.dist for r in llmops.fuzzy_pairs_editdist(
+        df, "doc_id", "text", max_dist=5).collect()}
+    assert got[(1, 2)] == 1
+    assert all(3 not in p for p in got)
+    assert (1, 4) not in got                            # 25-char tail > max_dist
