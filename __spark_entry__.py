@@ -1898,6 +1898,22 @@ def q127_fuzzy_editdist(spark, sf_dir):
     return llmops.fuzzy_pairs_editdist(corpus, "doc_id", "text")
 
 
+def q128_length_outliers(spark, sf_dir):
+    """Robust per-language length outliers (llmops.length_outliers):
+    median ± 3·MAD over token counts, with planted megadocs (docs 0–4's
+    text repeated 30×, ids +30000) that a mean/stddev rule would let mask
+    themselves.  The oracle recomputes both interpolated medians and the
+    k·MAD comparison."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    mega = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 30_000).alias("doc_id"),
+        "lang",
+        F.concat_ws(" ", F.array_repeat(F.col("text"), 30)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "lang", "text").unionByName(mega)
+    return llmops.length_outliers(corpus, "doc_id", "text", "lang", k=3.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2027,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_normalize_text": q125_normalize_text,
         "q126_matryoshka": q126_matryoshka,
         "q127_fuzzy_editdist": q127_fuzzy_editdist,
+        "q128_length_outliers": q128_length_outliers,
     }
 
 
@@ -3473,6 +3490,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.p, c.p) AS BIGINT) AS dist
             FROM capped a JOIN capped c USING (b)
             WHERE a.doc_id < c.doc_id AND levenshtein(a.p, c.p) <= 8
+        """,
+        "q128_length_outliers": r"""
+            WITH corpus AS (SELECT doc_id, lang, text FROM documents
+                            UNION ALL
+                            SELECT doc_id + 30000, lang,
+                                   array_to_string(list_transform(range(30), i -> text), ' ')
+                            FROM documents WHERE doc_id < 5),
+                 n AS (SELECT doc_id, lang,
+                              CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                                   t -> t <> '')) AS BIGINT) AS ntok
+                       FROM corpus),
+                 m AS (SELECT lang, CAST(median(ntok) AS DOUBLE) AS med FROM n GROUP BY lang),
+                 d AS (SELECT n.doc_id, n.lang, n.ntok, m.med,
+                              abs(n.ntok - m.med) AS absdev
+                       FROM n JOIN m USING (lang)),
+                 md AS (SELECT lang, CAST(median(absdev) AS DOUBLE) AS mad
+                        FROM d GROUP BY lang)
+            SELECT d.doc_id, d.lang, d.ntok AS n_tokens, d.med, md.mad,
+                   d.absdev > 3.0 * md.mad AS is_outlier
+            FROM d JOIN md USING (lang)
         """,
         "q104_protobuf_wire": """
             WITH m AS (SELECT doc_id, lang, text, n_chars,

@@ -99,6 +99,7 @@ HEADLINE = [
     "q125_normalize_text",
     "q126_matryoshka",
     "q127_fuzzy_editdist",
+    "q128_length_outliers",
 ]
 
 

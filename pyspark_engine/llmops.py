@@ -1605,6 +1605,48 @@ def sentence_chunks(
     )
 
 
+def length_outliers(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group document-length outlier flagging: |tokens −
+    median| > k · MAD (median absolute deviation), computed per
+    ``group_col`` slice (per language: a 3-token zh doc and a 40k-token en
+    doc are judged against their own populations).  Median/MAD instead of
+    mean/stddev because corpus length distributions are heavy-tailed — a
+    handful of concatenation-bug megadocs would inflate a stddev threshold
+    and mask themselves; they cannot move a median.
+
+    Determinism: token counts are integers; both medians interpolate at
+    most one half-step ((a+b)/2 — a single exact double op), and the k·MAD
+    comparison is one multiply.
+
+    Scale: two grouped EXACT percentiles + two broadcast joins of
+    |groups|-row frames; the corpus scans twice but never shuffles beyond
+    the group aggregates.  At extreme group cardinality swap
+    percentile_approx in — same plan shape."""
+    ntok = F.size(F.filter(tokens(F.col(text_col)), lambda t: t != F.lit("")))
+    base = _spread(df.select(F.col(id_col), F.col(group_col), F.col(text_col))).select(
+        F.col(id_col), F.col(group_col), ntok.cast("long").alias("__ntok")
+    )
+    med = base.groupBy(group_col).agg(F.percentile(F.col("__ntok"), F.lit(0.5)).alias("med"))
+    dev = base.join(F.broadcast(med), group_col).withColumn(
+        "__absdev", F.abs(F.col("__ntok") - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(F.percentile(F.col("__absdev"), F.lit(0.5)).alias("mad"))
+    return dev.join(F.broadcast(mad), group_col).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("__ntok").alias("n_tokens"),
+        F.col("med"),
+        F.col("mad"),
+        (F.col("__absdev") > F.lit(float(k)) * F.col("mad")).alias("is_outlier"),
+    )
+
+
 def fuzzy_pairs_editdist(
     df: DataFrame,
     id_col: str,

@@ -809,3 +809,20 @@ def test_fuzzy_editdist_planted(spark):
     assert got[(1, 2)] == 1
     assert all(3 not in p for p in got)
     assert (1, 4) not in got                            # 25-char tail > max_dist
+
+
+def test_length_outliers_robustness(spark):
+    """The megadoc is flagged; normal-length docs are not; the MEDIAN
+    threshold is unmoved by the outlier itself (robustness — a mean/stddev
+    rule would shift); per-group isolation holds."""
+    normal = "w " * 20
+    rows = [(i, "en", normal) for i in range(20)] + \
+           [(100, "en", "w " * 2000),               # megadoc
+            (200, "de", "w " * 5)]                  # sole doc in its group
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r for r in llmops.length_outliers(
+        df, "doc_id", "text", "lang", k=3.0).collect()}
+    assert got[100].is_outlier
+    assert not any(got[i].is_outlier for i in range(20))
+    assert got[0].med == 20.0                       # median ignores the megadoc
+    assert not got[200].is_outlier                  # MAD 0, dev 0 in its group
