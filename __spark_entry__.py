@@ -1914,6 +1914,30 @@ def q128_length_outliers(spark, sf_dir):
     return llmops.length_outliers(corpus, "doc_id", "text", "lang", k=3.0)
 
 
+def q129_curation_v2(spark, sf_dir):
+    """End-to-end curation pipeline v2 — ONE composed plan chaining this
+    round's operators: normalize_text (planted double-space copies of docs
+    0–29, ids +40000, canonicalize back to their originals) → hashed
+    classifier keep-filter → exact dedup (the normalized copies collapse
+    onto their originals and drop) → token-window chunking → leakage-free
+    split over chunk digests.  The oracle composes the q125/q113/q42/q80/
+    q121 SQL stages over the same planted corpus."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 40_000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), " ", "  ").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    clean = llmops.normalize_text(corpus, "text")
+    scored = llmops.classifier_score(clean, "doc_id", "text")
+    kept = clean.join(scored.filter(F.col("keep")).select("doc_id"), "doc_id")
+    uniq = llmops.exact_dedup(kept, "doc_id", "text")
+    surv = kept.join(uniq.select("doc_id"), "doc_id")
+    chunks = llmops.chunk_text(surv, "doc_id", "text", max_tokens=32, overlap=8)
+    out = llmops.leakage_free_split(chunks, "chunk_idx", "chunk_text", salt="cv2:")
+    return out.select("doc_id", "chunk_idx", "n_tokens_chunk", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2044,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_matryoshka": q126_matryoshka,
         "q127_fuzzy_editdist": q127_fuzzy_editdist,
         "q128_length_outliers": q128_length_outliers,
+        "q129_curation_v2": q129_curation_v2,
     }
 
 
@@ -3510,6 +3535,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.ntok AS n_tokens, d.med, md.mad,
                    d.absdev > 3.0 * md.mad AS is_outlier
             FROM d JOIN md USING (lang)
+        """,
+        "q129_curation_v2": r"""
+            WITH corpus AS (SELECT doc_id, text FROM documents
+                            UNION ALL
+                            SELECT doc_id + 40000, regexp_replace(text, ' ', '  ', 'g')
+                            FROM documents WHERE doc_id < 30),
+                 clean AS (SELECT doc_id,
+                                  trim(regexp_replace(regexp_replace(regexp_replace(
+                                      regexp_replace(text,
+                                          '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                                      '[ \t]+', ' ', 'g'),
+                                      ' ?\n ?', chr(10), 'g'),
+                                      '\n{3,}', chr(10) || chr(10), 'g')) AS text
+                           FROM corpus),
+                 tk AS (SELECT doc_id, text,
+                               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                           t -> t <> '') AS tkl
+                        FROM clean),
+                 gr AS (SELECT doc_id, text,
+                               list_concat(tkl,
+                                   CASE WHEN len(tkl) >= 2
+                                        THEN list_transform(range(1, len(tkl)),
+                                                            i -> tkl[i] || ' ' || tkl[i + 1])
+                                        ELSE [] END) AS gs
+                        FROM tk),
+                 sc AS (SELECT doc_id, text,
+                               coalesce(list_sum(list_transform(gs,
+                                   w -> ('0x' || substr(md5('w:' || CAST(
+                                             ('0x' || substr(md5('f:' || w), 1, 8))::BIGINT % 4096
+                                         AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000)), 0) AS score
+                        FROM gr),
+                 kept AS (SELECT doc_id, text FROM sc WHERE score >= 0),
+                 uniq AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+                 surv AS (SELECT kept.doc_id, kept.text FROM kept JOIN uniq USING (doc_id)),
+                 t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+                       FROM surv),
+                 s AS (SELECT doc_id, toks,
+                              unnest(generate_series(1, greatest(len(toks) - 8, 1), 24)) AS st
+                       FROM t),
+                 ch AS (SELECT doc_id,
+                               CAST((st - 1) // 24 AS BIGINT) AS chunk_idx,
+                               CAST(len(list_slice(toks, st, st + 31)) AS BIGINT)
+                                   AS n_tokens_chunk,
+                               array_to_string(list_slice(toks, st, st + 31), ' ') AS chunk_text
+                        FROM s)
+            SELECT doc_id, chunk_idx, n_tokens_chunk,
+                   CASE WHEN ('0x' || substr(md5('cv2:' || md5(chunk_text)), 1, 8))::BIGINT
+                                 % 1000 < 50 THEN 'test'
+                        WHEN ('0x' || substr(md5('cv2:' || md5(chunk_text)), 1, 8))::BIGINT
+                                 % 1000 < 100 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM ch
         """,
         "q104_protobuf_wire": """
             WITH m AS (SELECT doc_id, lang, text, n_chars,

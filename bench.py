@@ -100,6 +100,7 @@ HEADLINE = [
     "q126_matryoshka",
     "q127_fuzzy_editdist",
     "q128_length_outliers",
+    "q129_curation_v2",
 ]
 
 

@@ -826,3 +826,32 @@ def test_length_outliers_robustness(spark):
     assert not any(got[i].is_outlier for i in range(20))
     assert got[0].med == 20.0                       # median ignores the megadoc
     assert not got[200].is_outlier                  # MAD 0, dev 0 in its group
+
+
+def test_curation_v2_composition(spark):
+    """Normalize→classify→dedup→chunk→split as one plan: a double-space
+    variant canonicalizes onto its original and drops in dedup, every
+    surviving chunk gets a deterministic split, and re-running reproduces
+    identical output."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, base.replace(" ", "  ")), (3, "rare zxqv tokens only")],
+        "doc_id long, text string")
+    clean = llmops.normalize_text(df, "text")
+    scored = llmops.classifier_score(clean, "doc_id", "text")
+    kept = clean.join(scored.filter(F.col("keep")).select("doc_id"), "doc_id")
+    uniq = llmops.exact_dedup(kept, "doc_id", "text")
+    surv = kept.join(uniq.select("doc_id"), "doc_id")
+    surv_ids = {r.doc_id for r in surv.select("doc_id").collect()}
+    assert 2 not in surv_ids                      # normalized copy deduped away
+    assert 1 in surv_ids
+    chunks = llmops.chunk_text(surv, "doc_id", "text", max_tokens=32, overlap=8)
+    out1 = sorted(
+        (r.doc_id, r.chunk_idx, r.split)
+        for r in llmops.leakage_free_split(
+            chunks, "chunk_idx", "chunk_text", salt="cv2:").collect())
+    out2 = sorted(
+        (r.doc_id, r.chunk_idx, r.split)
+        for r in llmops.leakage_free_split(
+            chunks, "chunk_idx", "chunk_text", salt="cv2:").collect())
+    assert out1 == out2 and len(out1) > 0
