@@ -1938,6 +1938,67 @@ def q129_curation_v2(spark, sf_dir):
     return out.select("doc_id", "chunk_idx", "n_tokens_chunk", "split")
 
 
+def q130_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle into training shards
+    (llmops.shuffle_shards): pseudo-random shard in [0,64) plus dense
+    in-shard position, both pure functions of (seed, doc_id) via the
+    portable md5 key.  The oracle recomputes the identical hash, modulus,
+    and per-shard row_number in DuckDB — order itself is checked, not just
+    membership."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.shuffle_shards(docs, "doc_id", n_shards=64, seed=42)
+
+
+def q131_strip_boilerplate(spark, sf_dir):
+    """Boilerplate-paragraph removal (llmops.strip_boilerplate): a cookie-
+    banner paragraph appended to every third document (df ≈ n/3 ≫ 5) is
+    deleted from all of them, while content paragraphs below the df
+    threshold survive in order.  The oracle recomputes paragraph document
+    frequency and the keep/strip reassembly in DuckDB."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    damaged = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" spark BOILER cookie notice accept all")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return llmops.strip_boilerplate(damaged, "doc_id", "text", min_docs=5, sep=" spark ")
+
+
+def q132_event_sequences(spark, sf_dir):
+    """Behavioral sequence packing (llmops.event_sequences): each user's
+    time-ordered event history cut into non-overlapping 16-event training
+    sequences; the event-id order inside every sequence is serialized to a
+    string so the oracle checks the exact ordering, not just membership."""
+    ev = read_table(configure(spark), sf_dir, "events")
+    seqs = llmops.event_sequences(ev, "user_id", "ts", "event_id", seq_len=16)
+    return seqs.select(
+        "user_id",
+        "seq_idx",
+        "n_events",
+        F.array_join(F.transform(F.col("vals"), lambda v: v.cast("string")), ",").alias("val_seq"),
+        "t_start_ms",
+        "t_end_ms",
+    )
+
+
+def q133_semantic_decontam(spark, sf_dir):
+    """Embedding-level decontamination (llmops.semantic_decontaminate):
+    every 7th corpus vector doubles as a 'benchmark' row (ids +50000);
+    train rows identical to a benchmark vector (cosine 1.0 ≥ 0.95) must be
+    flagged with that benchmark as best hit.  Natural cross-pairs top out
+    near cosine 0.5, so the brute-force DuckDB oracle is exact while the
+    Spark side exercises the bucketed-LSH + broadcast-probe path."""
+    emb = read_table(configure(spark), sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 50_000).alias("vec_id"), "embedding"
+    )
+    return llmops.semantic_decontaminate(emb, bench, dim=64, threshold=0.95)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2069,6 +2130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_fuzzy_editdist": q127_fuzzy_editdist,
         "q128_length_outliers": q128_length_outliers,
         "q129_curation_v2": q129_curation_v2,
+        "q130_shuffle_shards": q130_shuffle_shards,
+        "q131_strip_boilerplate": q131_strip_boilerplate,
+        "q132_event_sequences": q132_event_sequences,
+        "q133_semantic_decontam": q133_semantic_decontam,
     }
 
 
@@ -3587,6 +3652,67 @@ def oracle_sql() -> dict[str, str]:
                                  % 1000 < 100 THEN 'val'
                         ELSE 'train' END AS split
             FROM ch
+        """,
+        "q130_shuffle_shards": r"""
+            WITH h AS (SELECT *, md5('shuffle:42:' || CAST(doc_id AS VARCHAR)) AS hk
+                       FROM documents),
+                 s AS (SELECT *, CAST(('0x' || substr(hk, 1, 8))::BIGINT % 64 AS INT) AS shard
+                       FROM h)
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id) AS BIGINT)
+                       AS pos
+            FROM s
+        """,
+        "q131_strip_boilerplate": r"""
+            WITH docs AS (SELECT doc_id,
+                                 CASE WHEN doc_id % 3 = 0
+                                      THEN text || ' spark BOILER cookie notice accept all'
+                                      ELSE text END AS text
+                          FROM documents),
+                 parts AS (SELECT doc_id,
+                                  unnest(string_split(text, ' spark ')) AS para,
+                                  unnest(range(0, len(string_split(text, ' spark ')))) AS pos
+                           FROM docs),
+                 df AS (SELECT md5(para) AS pfp, count(DISTINCT doc_id) AS pdf
+                        FROM parts GROUP BY 1),
+                 fl AS (SELECT p.doc_id, p.pos, p.para, (d.pdf < 5) AS keep
+                        FROM parts p JOIN df d ON md5(p.para) = d.pfp)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN para END, ' spark ' ORDER BY pos),
+                            '') AS clean_text,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+            FROM fl GROUP BY doc_id
+        """,
+        "q132_event_sequences": r"""
+            WITH r AS (SELECT user_id, ts, event_id,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS rn
+                       FROM events),
+                 s AS (SELECT user_id, CAST(floor((rn - 1) / 16) AS BIGINT) AS seq_idx,
+                              ts, event_id, rn
+                       FROM r)
+            SELECT user_id, seq_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS val_seq,
+                   epoch_ms(min(ts)) AS t_start_ms,
+                   epoch_ms(max(ts)) AS t_end_ms
+            FROM s GROUP BY user_id, seq_idx
+        """,
+        "q133_semantic_decontam": r"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                 bench AS (SELECT vec_id + 50000 AS b_id, v FROM e WHERE vec_id % 7 = 0),
+                 hits AS (SELECT t.vec_id, b.b_id,
+                                 list_cosine_similarity(t.v, b.v) AS sim
+                          FROM e t JOIN bench b ON list_cosine_similarity(t.v, b.v) >= 0.95),
+                 rk AS (SELECT vec_id, b_id,
+                               row_number() OVER (PARTITION BY vec_id
+                                                  ORDER BY sim DESC, b_id) AS r
+                        FROM hits)
+            SELECT vec_id,
+                   CAST(count(DISTINCT b_id) AS BIGINT) AS n_bench_hits,
+                   min(CASE WHEN r = 1 THEN b_id END) AS best_bench_id
+            FROM rk GROUP BY vec_id
         """,
         "q104_protobuf_wire": """
             WITH m AS (SELECT doc_id, lang, text, n_chars,

@@ -2525,3 +2525,189 @@ def corpus_report(df: DataFrame, id_col: str, text_col: str, *group_cols: str) -
             (F.sum("__ntok").cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
         )
     )
+
+
+# ------------------------------------------------- deterministic shuffle/shard
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 1024,
+    seed: int = 42,
+    payload_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every row gets a
+    pseudo-random ``shard`` in [0, n_shards) and a dense 1-based ``pos``
+    inside its shard, both pure functions of (seed, id).  This is the
+    "globally shuffle the corpus before training" step done the distributed
+    way — no global sort, no RNG state, bit-identical on re-run (resumable
+    ingestion, reproducible data orders for training-dynamics work).
+
+    The reference has no ordering operator at all (SURVEY §2.6); this is the
+    corpus-scale substitute for `ORDER BY random()`.
+
+    Scale: ONE shuffle, keyed by ``shard`` (uniform by construction — md5
+    bits), then a per-shard sort on the 128-bit hash for the in-shard
+    order.  ``n_shards`` is the sizing lever: pick it so a shard fits an
+    executor's sort buffer (100 TB / 1024 shards ≈ 100 GB → use ~10⁵ shards
+    there).  No skew possible; no driver involvement."""
+    hkey = F.md5(F.concat(F.lit(f"shuffle:{seed}:"), F.col(id_col).cast("string")))
+    out = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in payload_cols],
+        F.pmod(F.conv(F.substring(hkey, 1, 8), 16, 10).cast("long"), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        hkey.alias("__hk"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__hk"), F.col(id_col))
+    return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("__hk")
+
+
+# ------------------------------------------------- boilerplate stripping
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 5,
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove boilerplate paragraphs: any paragraph whose exact content
+    appears in ≥ ``min_docs`` DISTINCT documents (site chrome, headers,
+    cookie banners) is deleted from EVERY document.  The dual of
+    paragraph_dedup (which keeps the first occurrence): boilerplate is
+    defined by document frequency, and no occurrence survives.  Returns one
+    row per input document: cleaned text (original paragraph order),
+    n_kept, n_removed — documents that were pure boilerplate stay present
+    with empty text, so downstream joins never lose rows.
+
+    Scale: paragraph doc-frequency is a groupBy on the 128-bit digest
+    (map-side partial distinct on (digest, doc) pairs), joined back on the
+    digest — two digest-keyed shuffles plus the reassembly shuffle on doc
+    id.  The df table is (digest, count) only; no pairwise comparisons.
+    Hot paragraphs are exactly what gets REMOVED, so the skew is self-
+    limiting."""
+    parts = _spread(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "para"),
+    ).withColumn("pfp", F.md5(F.col("para")))
+    docfreq = parts.groupBy("pfp").agg(F.count_distinct(F.col(id_col)).alias("__pdf"))
+    flagged = parts.join(docfreq, "pfp").withColumn("keep", F.col("__pdf") < F.lit(min_docs))
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("para"), F.col("keep")))),
+                    lambda s: s["keep"],
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+    )
+
+
+# ------------------------------------------------- behavioral sequences
+
+def event_sequences(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    seq_len: int = 16,
+) -> DataFrame:
+    """Pack each key's time-ordered event history into fixed-length
+    non-overlapping sequences — the behavioral-data analog of
+    ``pack_tokens`` (user action streams → training sequences for
+    recommendation / agent models).  Order within a key is (ts, val) so
+    ties are deterministic; output rows are (key, seq_idx, n_events,
+    vals array in order, t_start_ms, t_end_ms).
+
+    Scale: ONE shuffle keyed by ``key_col``; the window sort is per-key
+    (user histories are bounded; a pathological hot key is capped upstream
+    by sampling).  The final groupBy reuses the same hash partitioning —
+    Catalyst collapses it onto the window exchange, so no second shuffle.
+    """
+    from .runtime import epoch_ms
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(val_col))
+    seq = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(val_col),
+        F.row_number().over(w).alias("__rn"),
+    ).withColumn("seq_idx", F.floor((F.col("__rn") - 1) / seq_len).cast("long"))
+    return (
+        seq.groupBy(key_col, "seq_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__rn"), F.col(val_col).alias("v")))),
+                lambda s: s["v"],
+            ).alias("vals"),
+            epoch_ms(F.min(ts_col)).alias("t_start_ms"),
+            epoch_ms(F.max(ts_col)).alias("t_end_ms"),
+        )
+    )
+
+
+# ------------------------------------------------- semantic decontamination
+
+def semantic_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag every TRAIN row whose
+    embedding is cosine-≥ ``threshold`` to ANY benchmark row — the semantic
+    sibling of the n-gram ``decontaminate`` (paraphrased leaks that n-gram
+    overlap misses).  Returns (train id, n_bench_hits, best_bench_id) where
+    best = highest cosine (ties → lowest bench id).
+
+    Candidate generation mirrors embedding_neardup: the corpus buckets ONCE
+    by hyperplane LSH; the (small) benchmark side probes its own bucket
+    plus all hamming-1 neighbors and is broadcast — the 100 TB train side
+    never reshuffles and is scanned exactly once.  Exact cosine verifies
+    candidates only."""
+    tb = _spread(train).select(
+        F.col(id_col).alias("t_id"),
+        F.col(vec_col).alias("__tv"),
+        _norm(F.col(vec_col)).alias("__tn"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+    )
+    qb = bench.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("__bv"),
+        _norm(F.col(vec_col)).alias("__bn"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__b0"),
+    )
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("__b0"), *[F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        )
+    else:
+        probes = F.array(F.col("__b0"))
+    qb = qb.select("b_id", "__bv", "__bn", F.explode(probes).alias("__bucket"))
+    scored = (
+        F.broadcast(qb)
+        .join(tb, "__bucket")
+        .withColumn("__sim", _dot(F.col("__tv"), F.col("__bv")) / (F.col("__tn") * F.col("__bn")))
+        .filter(F.col("__sim") >= threshold)
+    )
+    w = Window.partitionBy("t_id").orderBy(F.col("__sim").desc(), F.col("b_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .groupBy(F.col("t_id").alias(id_col))
+        .agg(
+            F.count_distinct(F.col("b_id")).alias("n_bench_hits"),
+            F.min(F.when(F.col("__rk") == 1, F.col("b_id"))).alias("best_bench_id"),
+        )
+    )

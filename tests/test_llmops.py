@@ -855,3 +855,74 @@ def test_curation_v2_composition(spark):
         for r in llmops.leakage_free_split(
             chunks, "chunk_idx", "chunk_text", salt="cv2:").collect())
     assert out1 == out2 and len(out1) > 0
+
+
+def test_shuffle_shards_deterministic_and_dense(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = llmops.shuffle_shards(df, "doc_id", n_shards=8, seed=7)
+    b = llmops.shuffle_shards(df, "doc_id", n_shards=8, seed=7)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb  # bit-identical re-run
+    assert len(ra) == 200
+    shards = {}
+    for doc_id, shard, pos in ra:
+        assert 0 <= shard < 8
+        shards.setdefault(shard, []).append(pos)
+    # dense 1..n positions within every shard
+    for poss in shards.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different seed produces a different order
+    c = sorted(map(tuple, llmops.shuffle_shards(df, "doc_id", n_shards=8, seed=8).collect()))
+    assert c != ra
+
+
+def test_strip_boilerplate_removes_high_df_paragraphs(spark):
+    rows = [
+        (1, "unique alpha\nCOOKIE BANNER\nbody one"),
+        (2, "COOKIE BANNER\nbody two"),
+        (3, "body three\nCOOKIE BANNER"),
+        (4, "COOKIE BANNER"),
+        (5, "no banner here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in llmops.strip_boilerplate(df, "doc_id", "text", min_docs=3).collect()}
+    assert len(out) == 5  # every doc survives as a row
+    assert out[1].clean_text == "unique alpha\nbody one"
+    assert out[2].clean_text == "body two"
+    assert out[3].clean_text == "body three"
+    assert out[4].clean_text == ""  # pure-boilerplate doc stays, empty
+    assert out[4].n_kept == 0 and out[4].n_removed == 1
+    assert out[5].clean_text == "no banner here"
+    assert out[1].n_kept == 2 and out[1].n_removed == 1
+
+
+def test_event_sequences_order_and_split(spark):
+    rows = [(1, i * 1000, 100 + i) for i in range(10)] + [(2, 0, 7)]
+    df = spark.createDataFrame(rows, "uid long, tsm long, eid long").select(
+        "uid", F.timestamp_millis(F.col("tsm")).alias("ts"), "eid"
+    )
+    out = {(r.uid, r.seq_idx): r for r in llmops.event_sequences(df, "uid", "ts", "eid", seq_len=4).collect()}
+    assert out[(1, 0)].vals == [100, 101, 102, 103]
+    assert out[(1, 1)].vals == [104, 105, 106, 107]
+    assert out[(1, 2)].vals == [108, 109]  # tail sequence shorter
+    assert out[(1, 2)].n_events == 2
+    assert out[(1, 0)].t_start_ms == 0 and out[(1, 0)].t_end_ms == 3000
+    assert out[(2, 0)].vals == [7]
+
+
+def test_semantic_decontaminate_flags_planted_copies(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    train = [(i, rng.normal(size=16).astype("float32").tolist()) for i in range(30)]
+    # benchmark = exact copies of train rows 0..4, plus one unrelated vector
+    bench = [(1000 + i, train[i][1]) for i in range(5)]
+    bench.append((1999, rng.normal(size=16).astype("float32").tolist()))
+    t = spark.createDataFrame(train, "vec_id long, embedding array<float>")
+    b = spark.createDataFrame(bench, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in llmops.semantic_decontaminate(t, b, dim=16, threshold=0.95).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    for i in range(5):
+        assert out[i].best_bench_id == 1000 + i
+        assert out[i].n_bench_hits == 1
