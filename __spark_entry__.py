@@ -1999,6 +1999,26 @@ def q133_semantic_decontam(spark, sf_dir):
     return llmops.semantic_decontaminate(emb, bench, dim=64, threshold=0.95)
 
 
+def q134_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup vs a historical signature store
+    (llmops.minhash_signatures + minhash_lsh_incremental): history =
+    docs 0–249 reduced to (id, sig) rows; the new batch (docs 250+ plus
+    planted +60000 copies of history docs 0–19) compares against the store
+    and itself via band collisions, verified with the signature-estimated
+    Jaccard.  History text is never re-read — the day-2 continuous-
+    ingestion shape.  The oracle recomputes the portable signatures,
+    the banded candidate rule, and the exact k/64 estimator."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 60_000).alias("doc_id"), "text"
+    )
+    new = docs.filter(F.col("doc_id") >= 250).select("doc_id", "text").unionByName(planted)
+    hs = llmops.minhash_signatures(history, "doc_id", "text", portable=True)
+    ns = llmops.minhash_signatures(new, "doc_id", "text", portable=True)
+    return llmops.minhash_lsh_incremental(hs, ns, "doc_id", threshold=0.9)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2134,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_strip_boilerplate": q131_strip_boilerplate,
         "q132_event_sequences": q132_event_sequences,
         "q133_semantic_decontam": q133_semantic_decontam,
+        "q134_minhash_incremental": q134_minhash_incremental,
     }
 
 
@@ -2200,6 +2221,61 @@ def _minhash_oracle_sql(threshold: float, num_hashes: int = 64, bands: int = 8) 
         JOIN d db ON db.doc_id = cand.id_b
         WHERE CAST(len(list_intersect(da.g, db.g)) AS DOUBLE)
               / len(list_distinct(da.g || db.g)) >= {threshold}
+    """
+
+
+def _minhash_incremental_oracle_sql(threshold: float, num_hashes: int = 64, bands: int = 8) -> str:
+    """DuckDB simulation of minhash_signatures(portable=True) +
+    minhash_lsh_incremental over the q134 history/new split: identical
+    portable signatures for the whole corpus (history = doc_id < 250, new =
+    doc_id ≥ 250 incl. planted +60000 copies of history docs 0–19), band
+    membership as minhash-tuple equality restricted to new-involved pairs,
+    and the exact k/num_hashes signature-estimated Jaccard."""
+    from pyspark_engine.llmops import _affine_coeffs
+
+    p = 2147483647
+    rows = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"min((h * {a}::BIGINT + {b}) % {p}) AS mh{j}"
+        for j, (a, b) in enumerate(_affine_coeffs(num_hashes))
+    )
+    band_eq = "\n                 OR ".join(
+        "(" + " AND ".join(f"a.mh{j} = b.mh{j}" for j in range(bd * rows, (bd + 1) * rows)) + ")"
+        for bd in range(bands)
+    )
+    ksum = "\n                 + ".join(
+        f"CAST(a.mh{j} = b.mh{j} AS INT)" for j in range(num_hashes)
+    )
+    return f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 60000, text FROM documents WHERE doc_id < 20
+        ),
+        d AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                                                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+            FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+                  FROM corpus)
+            WHERE len(toks) >= 3
+        ),
+        gr AS (
+            SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % {p} AS h
+            FROM (SELECT doc_id, unnest(g) AS s FROM d)
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM gr GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ({ksum}) / {num_hashes}.0 AS sim_est
+        FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id
+         AND (a.doc_id >= 250 OR b.doc_id >= 250)
+         AND ({band_eq})
+        WHERE ({ksum}) / {num_hashes}.0 >= {threshold}
     """
 
 
@@ -2544,6 +2620,7 @@ def oracle_sql() -> dict[str, str]:
         # candidate generation included — not just the verify step.
         "q43_dedup_minhash": _minhash_oracle_sql(threshold=0.4),
         "q44_dedup_simhash": _simhash_oracle_sql(max_hamming=8),
+        "q134_minhash_incremental": _minhash_incremental_oracle_sql(0.9),
         "q47_ann_lsh": _ann_lsh_oracle_sql(),
         "q45_ngram_jaccard": r"""
             WITH d AS (

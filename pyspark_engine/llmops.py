@@ -2711,3 +2711,113 @@ def semantic_decontaminate(
             F.min(F.when(F.col("__rk") == 1, F.col("b_id"))).alias("best_bench_id"),
         )
     )
+
+
+# ------------------------------------------------- incremental near-dup
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """MinHash signature store rows: (id, sig array<long>) — the persisted
+    day-2 state for :func:`minhash_lsh_incremental`.  A signature is
+    ~``num_hashes``×8 B regardless of document size, so the historical
+    store for a 100 TB corpus is a few hundred GB of (id, sig) parquet —
+    re-shingling history is never needed again.  Documents shorter than
+    ``shingle`` tokens produce no signature (no shingles to hash).
+
+    Same permutation family as minhash_lsh_pairs (``_affine_coeffs``);
+    ``portable=True`` swaps the base hash to the md5-prefix form a DuckDB
+    oracle can recompute."""
+    p = 2147483647
+    coeffs = _affine_coeffs(num_hashes)
+    grams = word_ngrams_multiset(tokens(F.col(text_col)), shingle)
+    base = (
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col).alias("__id"), grams.alias("__grams"))
+        .filter(F.size("__grams") > 0)
+    )
+    base_hash = portable_hash32(F.col("__g")) if portable else F.xxhash64("__g")
+    gram_rows = base.select("__id", F.explode("__grams").alias("__g")).withColumn(
+        "__h", F.pmod(base_hash, F.lit(p))
+    )
+    sig = gram_rows.groupBy("__id").agg(
+        *[
+            F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"mh{j}")
+            for j, (a, b) in enumerate(coeffs)
+        ]
+    )
+    return sig.select(
+        F.col("__id").alias(id_col),
+        F.array(*[F.col(f"mh{j}") for j in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_incremental(
+    history_sigs: DataFrame,
+    new_sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 8,
+    threshold: float = 0.9,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-duplicate detection for continuous ingestion: the
+    new batch's signatures against the historical signature STORE (plus
+    within-batch pairs) — the near-dup sibling of exact_dedup_incremental.
+    Returns (id_a, id_b, sim_est) with id_a < id_b, at least one side in
+    the new batch, and signature-estimated Jaccard (fraction of equal
+    minhash components — the standard estimator; text is NOT available for
+    history, so verification is signature-based by design) ≥ ``threshold``.
+
+    Scale: history is touched only as (id, 512 B sig) rows — no re-
+    shingling, no text shuffle.  Candidate generation explodes both sides
+    to O(rows × bands) band buckets; the per-bucket cap is the same skew
+    lever as minhash_lsh_pairs.  sim_est = k/num_hashes is an exact
+    rational, so cross-engine comparison is bit-exact."""
+    rows = num_hashes // bands
+    allr = history_sigs.select(
+        F.col(id_col).alias("__id"), F.col("sig"), F.lit(False).alias("__new")
+    ).unionByName(
+        new_sigs.select(F.col(id_col).alias("__id"), F.col("sig"), F.lit(True).alias("__new"))
+    )
+    allr = _persist(allr)
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.element_at(F.col("sig"), j + 1) for j in range(b * rows, (b + 1) * rows)]
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = allr.select("__id", "__new", F.posexplode(band_arr).alias("__band", "__bh"))
+    banded = _cap_buckets(banded, ("__band", "__bh"), max_bucket_size)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bh") == F.col("b.__bh"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (F.col("a.__new") | F.col("b.__new")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sa = allr.select(F.col("__id").alias("id_a"), F.col("sig").alias("__sa"))
+    sb = allr.select(F.col("__id").alias("id_b"), F.col("sig").alias("__sb"))
+    sim = (
+        F.size(F.filter(F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y), lambda v: v))
+        / F.lit(num_hashes)
+    ).alias("sim_est")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", sim)
+        .filter(F.col("sim_est") >= threshold)
+    )

@@ -926,3 +926,22 @@ def test_semantic_decontaminate_flags_planted_copies(spark):
     for i in range(5):
         assert out[i].best_bench_id == 1000 + i
         assert out[i].n_bench_hits == 1
+
+
+def test_minhash_incremental_store_vs_new_batch(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 8
+    near = base.replace("lazy", "sleepy")
+    hist_rows = [(1, base), (2, "completely different history content about engines " * 8)]
+    new_rows = [(10, near), (11, "fresh unrelated new-batch text nothing like the rest " * 8), (12, near)]
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    hs = llmops.minhash_signatures(hist, "doc_id", "text")
+    ns = llmops.minhash_signatures(new, "doc_id", "text")
+    out = {(r.id_a, r.id_b): r.sim_est for r in
+           llmops.minhash_lsh_incremental(hs, ns, "doc_id", threshold=0.5).collect()}
+    assert (1, 10) in out          # new near-dup of a history doc, via the store only
+    assert (10, 12) in out         # within-batch pair
+    assert out[(10, 12)] == 1.0    # identical text -> identical signature
+    assert all(11 not in p and 2 not in p for p in out)
+    # history-history pairs are never emitted
+    assert all(not (a < 10 and b < 10) for a, b in out)
