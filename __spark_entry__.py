@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pyspark_engine import llmops, serdes
 from pyspark_engine.dsl import KStream, StreamBuilder
@@ -1927,12 +1928,22 @@ def q129_curation_v2(spark, sf_dir):
         (F.col("doc_id") + 40_000).alias("doc_id"),
         F.regexp_replace(F.col("text"), " ", "  ").alias("text"),
     )
-    corpus = docs.select("doc_id", "text").unionByName(planted)
+    # spread AND persist the single-row-group scan before the expression-
+    # heavy stages: without the spread the normalize+classifier chain
+    # serializes on one task, and without the persist boundary Catalyst
+    # pushes the classifier filter back below the repartition onto that
+    # same single task (at corpus scale the scan has thousands of splits
+    # and pushdown into it is exactly what you want — this compensates the
+    # one-row-group test file only)
+    corpus = llmops._persist(llmops._spread(docs.select("doc_id", "text").unionByName(planted)))
     clean = llmops.normalize_text(corpus, "text")
-    scored = llmops.classifier_score(clean, "doc_id", "text")
-    kept = clean.join(scored.filter(F.col("keep")).select("doc_id"), "doc_id")
-    uniq = llmops.exact_dedup(kept, "doc_id", "text")
-    surv = kept.join(uniq.select("doc_id"), "doc_id")
+    # inline score expression + min-id-per-digest window: every stage is a
+    # narrow map or a single window shuffle, so the whole pipeline is ONE
+    # linear plan with no self-joins (the r4 bench showed the join form
+    # recomputing the normalize+classifier chain 4x)
+    kept = clean.filter(llmops.classifier_score_expr(F.col("text")) >= 0)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id"))
+    surv = kept.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
     chunks = llmops.chunk_text(surv, "doc_id", "text", max_tokens=32, overlap=8)
     out = llmops.leakage_free_split(chunks, "chunk_idx", "chunk_text", salt="cv2:")
     return out.select("doc_id", "chunk_idx", "n_tokens_chunk", "split")
