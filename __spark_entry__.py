@@ -2030,6 +2030,78 @@ def q134_minhash_incremental(spark, sf_dir):
     return llmops.minhash_lsh_incremental(hs, ns, "doc_id", threshold=0.9)
 
 
+def q135_warc_html_extract(spark, sf_dir):
+    """Web-ingestion front half as ONE plan: synthesize an HTML page per
+    document (head style/script blocks, <h1>, paragraph tags from the
+    ' spark ' splits, an entity-laden footer), ship it through the WARC
+    codec (serdes.encode_warc → decode_warc, octet-exact), and extract
+    plain text with llmops.strip_html.  The oracle rebuilds the identical
+    HTML and applies the same RE2 chain; the WARC leg's exactness is
+    q114's proven codec, so the oracle reads the page directly."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><style>p{margin:0}</style>"
+              "<script>tracker(1 < 2)</script></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.replace(F.col("text"), F.lit(" spark "), F.lit("</p><p>")),
+        F.lit("</p><p>Tom &amp; Jerry &lt;3 &quot;quoted&quot;</p></body></html>"),
+    )
+    rec = serdes.encode_warc(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/doc/"), F.col("doc_id")),
+        html,
+        F.col("doc_id"),
+    )
+    parsed = docs.select("doc_id", serdes.decode_warc(rec).alias("__p"))
+    plain = llmops.strip_html(
+        parsed.select(
+            "doc_id", F.col("__p.ok").alias("ok"), F.col("__p.payload").alias("payload")
+        ),
+        "payload",
+        out_col="text_plain",
+    )
+    return plain.select(
+        "doc_id",
+        "ok",
+        F.octet_length("payload").cast("long").alias("html_octets"),
+        F.octet_length("text_plain").cast("long").alias("plain_octets"),
+        F.md5("text_plain").alias("plain_fp"),
+    )
+
+
+def q136_cluster_balanced(spark, sf_dir):
+    """Cluster-balanced corpus selection (llmops.cluster_balanced_sample):
+    Voronoi-assign every embedding to one of 8 hash-sample cells (the
+    oracle-portable IVF index build of q71), then keep exactly 20 rows per
+    cell by the deterministic md5 rank.  The oracle rebuilds the identical
+    centroids, argmin assignment, and ranked quota."""
+    emb = read_table(configure(spark), sf_dir, "embeddings").select("vec_id", "embedding")
+    out = llmops.cluster_balanced_sample(
+        emb, per_cluster=20, n_lists=8, init="hash_sample", salt="cb:"
+    )
+    return out.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
+def q137_vocab_drift(spark, sf_dir):
+    """Snapshot vocabulary drift (llmops.vocab_drift): old = docs 0–249,
+    new = docs 250+ with a planted ' driftterm driftterm' suffix on every
+    even doc — the report's top rows must show driftterm surging (cnt_old
+    0, large positive dlog_q).  The oracle recomputes both token counts,
+    the smoothed log-ratio, and the volume-ordered top-50."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" driftterm driftterm")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return llmops.vocab_drift(old, new, "text", k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2166,6 +2238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_event_sequences": q132_event_sequences,
         "q133_semantic_decontam": q133_semantic_decontam,
         "q134_minhash_incremental": q134_minhash_incremental,
+        "q135_warc_html_extract": q135_warc_html_extract,
+        "q136_cluster_balanced": q136_cluster_balanced,
+        "q137_vocab_drift": q137_vocab_drift,
     }
 
 
@@ -2632,6 +2707,100 @@ def oracle_sql() -> dict[str, str]:
         "q43_dedup_minhash": _minhash_oracle_sql(threshold=0.4),
         "q44_dedup_simhash": _simhash_oracle_sql(max_hamming=8),
         "q134_minhash_incremental": _minhash_incremental_oracle_sql(0.9),
+        "q137_vocab_drift": r"""
+            WITH oldd AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+                 newd AS (SELECT doc_id,
+                                 CASE WHEN doc_id % 2 = 0 THEN text || ' driftterm driftterm'
+                                      ELSE text END AS text
+                          FROM documents WHERE doc_id >= 250),
+                 co AS (SELECT tok AS token, count(*) AS cnt_old
+                        FROM (SELECT unnest(list_filter(
+                                  string_split_regex(lower(trim(text)), '\s+'),
+                                  t -> t <> '')) AS tok FROM oldd)
+                        GROUP BY 1),
+                 cn AS (SELECT tok AS token, count(*) AS cnt_new
+                        FROM (SELECT unnest(list_filter(
+                                  string_split_regex(lower(trim(text)), '\s+'),
+                                  t -> t <> '')) AS tok FROM newd)
+                        GROUP BY 1),
+                 j AS (SELECT coalesce(co.token, cn.token) AS token,
+                              CAST(coalesce(cnt_old, 0) AS BIGINT) AS cnt_old,
+                              CAST(coalesce(cnt_new, 0) AS BIGINT) AS cnt_new
+                       FROM co FULL OUTER JOIN cn ON co.token = cn.token),
+                 t AS (SELECT sum(cnt_old) AS t_old, sum(cnt_new) AS t_new,
+                              count(*) AS vsz FROM j)
+            SELECT token, cnt_old, cnt_new,
+                   CAST(floor(1000.0 * (
+                       ln(CAST(cnt_new + 1 AS DOUBLE) / CAST(t.t_new + t.vsz AS DOUBLE))
+                     - ln(CAST(cnt_old + 1 AS DOUBLE) / CAST(t.t_old + t.vsz AS DOUBLE))
+                   )) AS BIGINT) AS dlog_q
+            FROM j CROSS JOIN t
+            ORDER BY cnt_old + cnt_new DESC, token
+            LIMIT 50
+        """,
+        "q136_cluster_balanced": r"""
+            WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                 cent AS (
+                   SELECT i - 1 AS i, cv FROM (
+                     SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS i,
+                            v AS cv
+                     FROM c0
+                   ) WHERE i <= 8
+                 ),
+                 asg AS (
+                   SELECT c0.vec_id, cent.i,
+                          list_dot_product(cent.cv, cent.cv)
+                              - 2.0 * list_dot_product(c0.v, cent.cv) AS d
+                   FROM c0 CROSS JOIN cent
+                 ),
+                 cells AS (
+                   SELECT vec_id, i AS cluster
+                   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
+                         FROM asg)
+                   WHERE rn = 1
+                 ),
+                 r AS (
+                   SELECT vec_id, cluster,
+                          row_number() OVER (
+                            PARTITION BY cluster
+                            ORDER BY ('0x' || substr(md5('cb:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                                         % 1000000,
+                                     vec_id) AS rn
+                   FROM cells)
+            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM r WHERE rn <= 20
+        """,
+        "q135_warc_html_extract": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<html><head><style>p{margin:0}</style>' ||
+                     '<script>tracker(1 < 2)</script></head><body><h1>Doc ' ||
+                     CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+                     replace(text, ' spark ', '</p><p>') ||
+                     '</p><p>Tom &amp; Jerry &lt;3 &quot;quoted&quot;</p></body></html>'
+                         AS html
+              FROM documents),
+            p AS (
+              SELECT doc_id, html,
+                     trim(regexp_replace(regexp_replace(regexp_replace(
+                          replace(replace(replace(replace(replace(replace(
+                          regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+                              '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                              '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                              '(?i)</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote)>|<br[ /]*>',
+                              chr(10), 'g'),
+                              '<[^>]*>', '', 'g'),
+                          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                          '&#39;', chr(39)), '&amp;', '&'),
+                          '[ \t]+', ' ', 'g'),
+                          ' ?\n ?', chr(10), 'g'),
+                          '\n{3,}', chr(10) || chr(10), 'g')) AS plain
+              FROM h)
+            SELECT doc_id, TRUE AS ok,
+                   CAST(octet_length(encode(html)) AS BIGINT) AS html_octets,
+                   CAST(octet_length(encode(plain)) AS BIGINT) AS plain_octets,
+                   md5(plain) AS plain_fp
+            FROM p
+        """,
         "q47_ann_lsh": _ann_lsh_oracle_sql(),
         "q45_ngram_jaccard": r"""
             WITH d AS (

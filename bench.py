@@ -101,6 +101,14 @@ HEADLINE = [
     "q127_fuzzy_editdist",
     "q128_length_outliers",
     "q129_curation_v2",
+    "q130_shuffle_shards",
+    "q131_strip_boilerplate",
+    "q132_event_sequences",
+    "q133_semantic_decontam",
+    "q134_minhash_incremental",
+    "q135_warc_html_extract",
+    "q136_cluster_balanced",
+    "q137_vocab_drift",
 ]
 
 

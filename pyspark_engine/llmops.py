@@ -559,6 +559,57 @@ def embedding_neardup(
     )
 
 
+def _ivf_centroids(
+    emb: DataFrame,
+    spread: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    seed: int,
+    init: str,
+) -> list[list[float]]:
+    """Centroid build shared by ann_ivf_topk / assign_clusters: ``kmeans``
+    (distributed Spark-ML fit, the quality path) or ``hash_sample`` (the
+    ``n_lists`` corpus vectors with smallest md5(id) — deterministic AND
+    portable, so a SQL oracle rebuilds the identical index).  Either way
+    only the n_lists × dim centroid matrix reaches the driver."""
+    if init == "hash_sample":
+        rows = (
+            emb.select(
+                F.col(vec_col).cast("array<double>").alias("v"),
+                F.md5(F.col(id_col).cast("string")).alias("__h"),
+            )
+            .orderBy("__h")
+            .limit(n_lists)
+            .collect()
+        )
+        return [[float(x) for x in r.v] for r in rows]
+    if init == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = spread.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+        model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+    raise ValueError("init must be kmeans|hash_sample")
+
+
+def _cells_sorted(vec: Column, centroids: list[list[float]]) -> Column:
+    """Centroid ids sorted by distance to ``vec``, as a sorted (d, i)
+    struct array.  Distance is the argmin-equivalent |c|^2 - 2 v·c (|v|^2
+    is constant per row), kept in this exact form on BOTH engines so an
+    oracle's argmin rounds identically."""
+
+    def _dist2(cen: list[float]) -> Column:
+        lit_c = F.array(*[F.lit(v) for v in cen])
+        return _dot(lit_c, lit_c) - F.lit(2.0) * _dot(vec, lit_c)
+
+    pairs = F.array(
+        *[F.struct(_dist2(c).alias("d"), F.lit(i).alias("i")) for i, c in enumerate(centroids)]
+    )
+    return F.array_sort(pairs)
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -590,40 +641,10 @@ def ann_ivf_topk(
     size.  The recall/latency trade is n_probe — the standard IVF lever
     (vs. multiprobe for the hyperplane-LSH variant)."""
     spread = _spread(emb)
-    if init == "hash_sample":
-        rows = (
-            emb.select(
-                F.col(vec_col).cast("array<double>").alias("v"),
-                F.md5(F.col(id_col).cast("string")).alias("__h"),
-            )
-            .orderBy("__h")
-            .limit(n_lists)
-            .collect()
-        )
-        centroids = [[float(x) for x in r.v] for r in rows]
-    elif init == "kmeans":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        train = spread.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-        model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
-        centroids = [[float(x) for x in c] for c in model.clusterCenters()]
-    else:
-        raise ValueError("init must be kmeans|hash_sample")
-
-    def _dist2(vec: Column, cen: list[float]) -> Column:
-        # argmin-equivalent distance |c|^2 - 2 v·c (|v|^2 is constant per row);
-        # kept in the |c|^2 - 2v·c form on BOTH engines so the oracle's argmin
-        # rounds identically
-        lit_c = F.array(*[F.lit(v) for v in cen])
-        return _dot(lit_c, lit_c) - F.lit(2.0) * _dot(vec, lit_c)
+    centroids = _ivf_centroids(emb, spread, id_col, vec_col, n_lists, seed, init)
 
     def _cell(vec: Column) -> Column:
-        """argmin over centroid distances, as one sorted struct array."""
-        pairs = F.array(
-            *[F.struct(_dist2(vec, c).alias("d"), F.lit(i).alias("i")) for i, c in enumerate(centroids)]
-        )
-        return F.array_sort(pairs)
+        return _cells_sorted(vec, centroids)
 
     cb = spread.select(
         F.col(id_col).alias("n_id"),
@@ -2842,4 +2863,154 @@ def minhash_lsh_incremental(
         .join(sb, "id_b")
         .select("id_a", "id_b", sim)
         .filter(F.col("sim_est") >= threshold)
+    )
+
+
+# ------------------------------------------------- HTML extraction
+
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # must be LAST so double-escaped text decodes one level
+)
+
+
+def strip_html(df: DataFrame, text_col: str, out_col: str = "text_plain") -> DataFrame:
+    """HTML → plain-text extraction (the Common-Crawl ingestion step between
+    the WARC parse and text curation): drop script/style blocks, turn block-
+    element closers and <br> into newlines, strip remaining tags, decode the
+    frequent entities, and canonicalize whitespace.  The whole chain is
+    RE2-safe regex + literal replaces (same discipline as normalize_text /
+    pii_scrub) so it runs identically in Spark's Java regex and an RE2-based
+    SQL oracle, and stays a zero-shuffle narrow map at 100 TB.
+
+    Deliberately heuristic (like trafilatura's fallback path, not a DOM
+    parser): stray ``<`` … ``>`` spans in non-HTML text are treated as tags
+    by both engines, so cross-engine results still agree byte-for-byte."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", "")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", "")
+    c = F.regexp_replace(c, r"(?i)</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote)>|<br[ /]*>", "\n")
+    c = F.regexp_replace(c, r"<[^>]*>", "")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return df.withColumn(out_col, F.trim(c))
+
+
+# ------------------------------------------------- cluster-balanced selection
+
+def assign_clusters(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+    init: str = "kmeans",
+) -> DataFrame:
+    """Voronoi cluster assignment over an embedding column — the IVF index's
+    cell step exposed as a corpus operator: (id, cluster) with cluster =
+    argmin centroid distance.  Topic/diversity structure for data-selection
+    recipes (cluster-balanced sampling, per-cluster dedup budgets, SemDeDup
+    preprocessing).
+
+    Scale: centroids are literals in the plan (driver holds n_lists × dim
+    floats only); assignment is a zero-shuffle narrow map over the corpus."""
+    spread = _spread(emb)
+    centroids = _ivf_centroids(emb, spread, id_col, vec_col, n_lists, seed, init)
+    return spread.select(
+        F.col(id_col),
+        F.element_at(_cells_sorted(F.col(vec_col), centroids), 1)["i"].alias("cluster"),
+    )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_cluster: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+    init: str = "kmeans",
+    salt: str = "",
+) -> DataFrame:
+    """Cluster-balanced corpus selection: assign every row to a Voronoi
+    cluster, then keep EXACTLY min(|cluster|, per_cluster) rows per cluster
+    by the deterministic md5 rank (sample_per_group_quota's draw) — the
+    diversity-preserving subsample (big topics capped, small topics kept
+    whole) used to de-bias web-scale mixtures.  Returns (id, cluster).
+
+    Scale: narrow-map assignment + ONE shuffle on the cluster id for the
+    ranked window; per-cluster fan-in is the only skew (cap upstream with
+    sample_hash for degenerate single-cluster corpora)."""
+    asg = assign_clusters(emb, id_col, vec_col, n_lists, seed, init)
+    return sample_per_group_quota(asg, id_col, "cluster", per_cluster, salt=salt)
+
+
+# ------------------------------------------------- snapshot vocabulary drift
+
+def vocab_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str,
+    k: int = 100,
+    quant: int = 1000,
+) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots (data-drift
+    monitoring for continuous ingestion): for the ``k`` highest-volume
+    tokens across both snapshots, the per-token counts plus the add-1-
+    smoothed log-frequency-ratio  dlog = ln p_new(t) − ln p_old(t),
+    floor-quantized ×``quant`` for cross-engine exactness (the summands of
+    a KL estimate; large |dlog_q| rows ARE the drift report).
+
+    Scale: two map-side-combinable token counts (vocabulary-bounded, not
+    corpus-bounded), one full-outer join on the token, totals via a 1-row
+    broadcast scalar join (the q97/q100 pattern), top-k via
+    TakeOrderedAndProject — no corpus-sized shuffle."""
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            _spread(df)
+            .select(
+                F.explode(F.filter(tokens(F.col(text_col)), lambda t: t != F.lit(""))).alias(
+                    "token"
+                )
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    j = (
+        counts(old, "cnt_old")
+        .join(counts(new, "cnt_new"), "token", "full")
+        .select(
+            "token",
+            F.coalesce("cnt_old", F.lit(0)).cast("long").alias("cnt_old"),
+            F.coalesce("cnt_new", F.lit(0)).cast("long").alias("cnt_new"),
+        )
+    )
+    tot = j.agg(
+        F.sum("cnt_old").alias("__t_old"),
+        F.sum("cnt_new").alias("__t_new"),
+        F.count(F.lit(1)).alias("__vsz"),
+    )
+    jj = j.crossJoin(F.broadcast(tot))
+    dlog = F.log(
+        (F.col("cnt_new") + 1).cast("double") / (F.col("__t_new") + F.col("__vsz")).cast("double")
+    ) - F.log(
+        (F.col("cnt_old") + 1).cast("double") / (F.col("__t_old") + F.col("__vsz")).cast("double")
+    )
+    return (
+        jj.select(
+            "token",
+            "cnt_old",
+            "cnt_new",
+            F.floor(F.lit(float(quant)) * dlog).cast("long").alias("dlog_q"),
+        )
+        .orderBy((F.col("cnt_old") + F.col("cnt_new")).desc(), F.col("token"))
+        .limit(k)
     )

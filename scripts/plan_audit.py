@@ -38,6 +38,7 @@ ALLOWED_BNLJ = {
     "q110_dsir_weights": "crossJoin(broadcast(1-row totals)) scalar joins for the smoothed denominators",
     "q111_bigram_backoff": "crossJoin(broadcast(1-row T)) scalar join for the unigram denominator",
     "q115_perplexity_buckets": "unigram_logprob's crossJoin(broadcast(1-row total)) scalar join (same as q97)",
+    "q137_vocab_drift": "crossJoin(broadcast(1-row totals)) scalar join for the smoothed denominators",
     "q116_bm25_topk": "crossJoin(broadcast(1-row N/avgdl)) scalar join for the BM25 constants",
 }
 ALLOWED_SINGLE_PARTITION_WINDOW = {

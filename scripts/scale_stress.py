@@ -63,6 +63,11 @@ QUERIES = [
     "q115_perplexity_buckets", # LM scoring + per-group ntile
     "q116_bm25_topk",          # term-filtered explode + broadcast stats
     "q117_corpus_report",      # single-pass grouped dashboard
+    "q129_curation_v2",        # composed linear curation pipeline
+    "q130_shuffle_shards",     # deterministic shuffle: one uniform exchange
+    "q131_strip_boilerplate",  # paragraph df + digest joins, k-fold dups
+    "q132_event_sequences",    # per-key window packing, fan-in grows
+    "q134_minhash_incremental",# signature-store banding under k-fold dups
 ]
 
 

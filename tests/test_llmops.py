@@ -945,3 +945,53 @@ def test_minhash_incremental_store_vs_new_batch(spark):
     assert all(11 not in p and 2 not in p for p in out)
     # history-history pairs are never emitted
     assert all(not (a < 10 and b < 10) for a, b in out)
+
+
+def test_strip_html_rules(spark):
+    rows = [
+        (1, "<html><head><style>a{}</style><script>var x = '<p>';</script></head>"
+            "<body><h1>Title</h1><p>first para</p><p>second   para</p>"
+            "line<br/>break &amp; entities &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end"
+            "</body></html>"),
+        (2, "no markup at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text_plain for r in llmops.strip_html(df, "text").collect()}
+    assert out[1] == 'Title\nfirst para\nsecond para\nline\nbreak & entities <tag> "q" \'s\' end'
+    assert out[2] == "no markup at all"
+
+
+def test_cluster_balanced_sample_quota_and_membership(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # two well-separated blobs of 40 + one tiny blob of 3
+    rows = []
+    for i in range(40):
+        rows.append((i, (rng.normal(0, 0.1, 8) + 10).astype("float32").tolist()))
+    for i in range(40, 80):
+        rows.append((i, (rng.normal(0, 0.1, 8) - 10).astype("float32").tolist()))
+    for i in range(80, 83):
+        rows.append((i, (rng.normal(0, 0.1, 8) + np.array([10,-10]*4)).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = llmops.cluster_balanced_sample(emb, per_cluster=5, n_lists=3, init="kmeans").collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r.vec_id)
+    # every cluster capped at 5; tiny cluster kept whole if its blob got its own cell
+    assert all(len(v) <= 5 for v in by_cluster.values())
+    assert len(out) <= 15
+    # deterministic re-run
+    out2 = llmops.cluster_balanced_sample(emb, per_cluster=5, n_lists=3, init="kmeans").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_vocab_drift_planted_surge(spark):
+    old = spark.createDataFrame([(1, "alpha beta gamma alpha")], "doc_id long, text string")
+    new = spark.createDataFrame([(2, "alpha beta surge surge surge")], "doc_id long, text string")
+    out = {r.token: r for r in llmops.vocab_drift(old, new, "text", k=10).collect()}
+    assert out["surge"].cnt_old == 0 and out["surge"].cnt_new == 3
+    assert out["gamma"].cnt_old == 1 and out["gamma"].cnt_new == 0
+    assert out["surge"].dlog_q > 0 > out["gamma"].dlog_q
+    # alpha shrank in relative frequency (2/4 -> 1/5)
+    assert out["alpha"].dlog_q < 0
