@@ -794,3 +794,59 @@ def test_incremental_dedup_streaming_parity(spark, tmp_path):
     groups = corpus.select(F.md5("text").alias("fp"), "doc_id")
     stray = final.join(groups, ["fp", "doc_id"], "left_anti")
     assert stray.count() == 0                                       # kept ids are real members
+
+
+def test_incremental_minhash_streaming_parity(spark, tmp_path):
+    """Continuous-ingestion NEAR-dup over micro-batches: each batch's
+    signatures run against the accumulated signature store
+    (llmops.minhash_lsh_incremental), then append to it — history text is
+    never re-read.  Every near-dup pair the batch path finds must be found
+    by some micro-batch (the batch where its later member arrived), since
+    band collisions only need the earlier member present in the store."""
+    from pyspark_engine import llmops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").limit(200)
+    planted = docs.filter("doc_id < 30").select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    corpus = docs.unionByName(planted)
+    src = str(tmp_path / "src")
+    # deterministic batch split: ids ordered so originals land before copies
+    corpus.repartition(4, F.col("doc_id")).write.parquet(src)
+    store_path = str(tmp_path / "sigs")
+    spark.createDataFrame([], "doc_id long, sig array<bigint>").write.parquet(store_path)
+    pairs_path = str(tmp_path / "pairs")
+    spark.createDataFrame([], "id_a long, id_b long, sim_est double").write.parquet(pairs_path)
+
+    stream = (
+        spark.readStream.schema(corpus.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+    def upsert(batch_df, batch_id):
+        s = batch_df.sparkSession
+        store = s.read.parquet(store_path)
+        ns = llmops.minhash_signatures(batch_df, "doc_id", "text")
+        llmops.minhash_lsh_incremental(store, ns, "doc_id", threshold=0.9).write.mode(
+            "append"
+        ).parquet(pairs_path)
+        ns.write.mode("append").parquet(store_path)
+        llmops.release_cache()
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    # batch reference over the whole corpus: all near-dup pairs at 0.9
+    sigs = llmops.minhash_signatures(corpus, "doc_id", "text")
+    want = {
+        (r.id_a, r.id_b)
+        for r in llmops.minhash_lsh_incremental(
+            sigs.filter("doc_id < 0"), sigs, "doc_id", threshold=0.9
+        ).collect()
+    }
+    got = {(r.id_a, r.id_b) for r in spark.read.parquet(pairs_path).collect()}
+    llmops.release_cache()
+    assert want, "planted near-dups must produce pairs"
+    assert got == want
