@@ -2102,6 +2102,30 @@ def q137_vocab_drift(spark, sf_dir):
     return llmops.vocab_drift(old, new, "text", k=50)
 
 
+def q138_dedup_priority(spark, sf_dir):
+    """Priority-aware exact dedup (llmops.exact_dedup_priority): planted
+    copies of docs 0–39 arrive from a higher-priority source (src99), so
+    the copy must win its digest group while unique docs keep themselves —
+    'keep the best copy', not 'keep the first'.  The oracle replays the
+    (priority DESC, id ASC) winner rule per digest."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 70_000).alias("doc_id"), "text", F.lit("src99").alias("source")
+    )
+    corpus = docs.select("doc_id", "text", "source").unionByName(planted)
+    pr = corpus.withColumn("priority", F.substring("source", 4, 8).cast("int"))
+    return llmops.exact_dedup_priority(pr, "doc_id", "text", "priority")
+
+
+def q139_histogram(spark, sf_dir):
+    """Fixed-width histogram (llmops.histogram) of l_extendedprice over
+    [0, 100000) in 20 bins — the top of the price range lands in the
+    overflow bin, checking the edge rules; counts and exact double bin
+    edges replay in SQL."""
+    li = read_table(configure(spark), sf_dir, "lineitem")
+    return llmops.histogram(li, "l_extendedprice", lo=0.0, hi=100_000.0, n_bins=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2241,6 +2265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_warc_html_extract": q135_warc_html_extract,
         "q136_cluster_balanced": q136_cluster_balanced,
         "q137_vocab_drift": q137_vocab_drift,
+        "q138_dedup_priority": q138_dedup_priority,
+        "q139_histogram": q139_histogram,
     }
 
 
@@ -2707,6 +2733,32 @@ def oracle_sql() -> dict[str, str]:
         "q43_dedup_minhash": _minhash_oracle_sql(threshold=0.4),
         "q44_dedup_simhash": _simhash_oracle_sql(max_hamming=8),
         "q134_minhash_incremental": _minhash_incremental_oracle_sql(0.9),
+        "q138_dedup_priority": r"""
+            WITH corpus AS (
+                SELECT doc_id, text, source FROM documents
+                UNION ALL
+                SELECT doc_id + 70000, text, 'src99' FROM documents WHERE doc_id < 40),
+                 pr AS (SELECT doc_id, md5(text) AS fp,
+                               CAST(substr(source, 4) AS INT) AS priority
+                        FROM corpus),
+                 r AS (SELECT fp, doc_id, priority,
+                              row_number() OVER (PARTITION BY fp
+                                                 ORDER BY priority DESC, doc_id ASC) AS rn
+                       FROM pr)
+            SELECT fp, doc_id, priority FROM r WHERE rn = 1
+        """,
+        "q139_histogram": r"""
+            WITH b AS (
+              SELECT CASE WHEN x < 0.0 THEN -1
+                          WHEN x >= 100000.0 THEN 20
+                          ELSE CAST(floor((x - 0.0) / 5000.0) AS INT) END AS bin
+              FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem)
+              WHERE x IS NOT NULL)
+            SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   0.0 + bin * 5000.0 AS lo_edge,
+                   0.0 + (bin + 1) * 5000.0 AS hi_edge
+            FROM b GROUP BY bin
+        """,
         "q137_vocab_drift": r"""
             WITH oldd AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
                  newd AS (SELECT doc_id,

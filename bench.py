@@ -109,6 +109,8 @@ HEADLINE = [
     "q135_warc_html_extract",
     "q136_cluster_balanced",
     "q137_vocab_drift",
+    "q138_dedup_priority",
+    "q139_histogram",
 ]
 
 

@@ -3014,3 +3014,71 @@ def vocab_drift(
         .orderBy((F.col("cnt_old") + F.col("cnt_new")).desc(), F.col("token"))
         .limit(k)
     )
+
+
+# ------------------------------------------------- priority dedup / histogram
+
+def exact_dedup_priority(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    priority_col: str,
+) -> DataFrame:
+    """Exact dedup that keeps the BEST copy, not the first: per distinct
+    content, the row with the highest ``priority_col`` (ties → lowest id).
+    The real-world dedup recipe when the same text exists in multiple
+    sources of different quality (curated dump vs web crawl): plain
+    exact_dedup's min-id rule would keep whichever source enumerated
+    first.  Returns (fp, id, priority) of each winner.
+
+    Scale: identical to exact_dedup — one digest-keyed shuffle with a
+    map-side-combinable max_by; payloads never compared pairwise."""
+    return (
+        df.select(
+            F.md5(F.col(content_col)).alias("fp"),
+            F.col(id_col),
+            F.col(priority_col),
+        )
+        .groupBy("fp")
+        .agg(
+            F.max_by(
+                F.struct(F.col(id_col), F.col(priority_col)),
+                F.struct(F.col(priority_col), (-F.col(id_col)).alias("__negid")),
+            ).alias("__w")
+        )
+        .select("fp", F.col(f"__w.{id_col}").alias(id_col), F.col(f"__w.{priority_col}").alias(priority_col))
+    )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Fixed-width histogram over a numeric column with underflow (-1) and
+    overflow (``n_bins``) bins: (bin, n, lo_edge, hi_edge).  The
+    distribution half of profile_columns — length/quality/score
+    distributions for curation thresholds, one map-side-combinable
+    aggregation keyed by the (≤ n_bins+2)-value bin id.  Bin edges are
+    exact doubles of the same (x−lo)/w floor on any engine."""
+    w = (float(hi) - float(lo)) / n_bins
+    x = F.col(col).cast("double")
+    b = (
+        F.when(x < F.lit(float(lo)), F.lit(-1))
+        .when(x >= F.lit(float(hi)), F.lit(n_bins))
+        .otherwise(F.floor((x - F.lit(float(lo))) / F.lit(w)).cast("int"))
+    )
+    return (
+        _spread(df)
+        .filter(x.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "bin",
+            "n",
+            (F.lit(float(lo)) + F.col("bin") * F.lit(w)).alias("lo_edge"),
+            (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(w)).alias("hi_edge"),
+        )
+    )

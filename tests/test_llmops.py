@@ -995,3 +995,28 @@ def test_vocab_drift_planted_surge(spark):
     assert out["surge"].dlog_q > 0 > out["gamma"].dlog_q
     # alpha shrank in relative frequency (2/4 -> 1/5)
     assert out["alpha"].dlog_q < 0
+
+
+def test_exact_dedup_priority_best_copy_wins(spark):
+    rows = [
+        (1, "same text", 5),
+        (2, "same text", 9),   # highest priority wins
+        (3, "same text", 9),   # tie -> lowest id among the 9s
+        (4, "unique", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, priority int")
+    out = {r.doc_id: r for r in llmops.exact_dedup_priority(df, "doc_id", "text", "priority").collect()}
+    assert set(out) == {2, 4}
+    assert out[2].priority == 9
+
+
+def test_histogram_bins_and_overflow(spark):
+    df = spark.createDataFrame([(float(v),) for v in [-5, 0, 4.9, 5, 14.9, 99, 200, 200]], "x double")
+    out = {r.bin: r for r in llmops.histogram(df, "x", lo=0.0, hi=100.0, n_bins=20).collect()}
+    assert out[-1].n == 1           # underflow
+    assert out[0].n == 2            # [0,5): 0 and 4.9
+    assert out[1].n == 1            # [5,10)
+    assert out[2].n == 1            # [10,15)
+    assert out[19].n == 1           # [95,100)
+    assert out[20].n == 2           # overflow
+    assert out[1].lo_edge == 5.0 and out[1].hi_edge == 10.0
