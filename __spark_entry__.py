@@ -2126,6 +2126,26 @@ def q139_histogram(spark, sf_dir):
     return llmops.histogram(li, "l_extendedprice", lo=0.0, hi=100_000.0, n_bins=20)
 
 
+def q140_fuzzy_keep_best(spark, sf_dir):
+    """Keep-best fuzzy dedup as one composition (llmops.dedup_keep_best):
+    edit-distance pairs (q127's planted ' zq' copies, now arriving from
+    the higher-priority source src99) → connected components → per-cluster
+    winner by (priority DESC, id) — so each planted copy REPLACES its
+    original, and untouched docs survive.  The oracle composes the q127
+    pair SQL with a recursive-CTE closure and the same winner rule."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+        F.lit("src99").alias("source"),
+    )
+    corpus = docs.select("doc_id", "text", "source").unionByName(planted)
+    pr = corpus.withColumn("priority", F.substring("source", 4, 8).cast("int"))
+    pairs = llmops.fuzzy_pairs_editdist(pr, "doc_id", "text")
+    out = llmops.dedup_keep_best(pr, pairs, "doc_id", "priority")
+    return out.select("doc_id", "priority")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2267,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_vocab_drift": q137_vocab_drift,
         "q138_dedup_priority": q138_dedup_priority,
         "q139_histogram": q139_histogram,
+        "q140_fuzzy_keep_best": q140_fuzzy_keep_best,
     }
 
 
@@ -2733,6 +2754,44 @@ def oracle_sql() -> dict[str, str]:
         "q43_dedup_minhash": _minhash_oracle_sql(threshold=0.4),
         "q44_dedup_simhash": _simhash_oracle_sql(max_hamming=8),
         "q134_minhash_incremental": _minhash_incremental_oracle_sql(0.9),
+        "q140_fuzzy_keep_best": r"""
+            WITH RECURSIVE corpus AS (
+                SELECT doc_id, text, source FROM documents
+                UNION ALL
+                SELECT doc_id + 20000, text || ' zq', 'src99' FROM documents
+                WHERE doc_id < 40),
+            base AS (SELECT doc_id,
+                            substr(lower(trim(text)), 1, 24) AS b,
+                            substr(lower(trim(text)), 1, 256) AS p
+                     FROM corpus),
+            capped AS (SELECT * FROM (
+                           SELECT doc_id, b, p,
+                                  row_number() OVER (PARTITION BY b ORDER BY doc_id) AS rn
+                           FROM base)
+                       WHERE rn <= 50),
+            pairs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+                      FROM capped a JOIN capped c USING (b)
+                      WHERE a.doc_id < c.doc_id AND levenshtein(a.p, c.p) <= 8),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION
+                      SELECT id_b AS src, id_a AS dst FROM pairs),
+            reach(node, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+            comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+            pr AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS priority FROM corpus),
+            members AS (SELECT c.node AS doc_id, c.cluster_id, p.priority
+                        FROM comp c JOIN pr p ON p.doc_id = c.node),
+            losers AS (SELECT doc_id FROM (
+                           SELECT doc_id,
+                                  row_number() OVER (PARTITION BY cluster_id
+                                                     ORDER BY priority DESC, doc_id) AS rn
+                           FROM members)
+                       WHERE rn > 1)
+            SELECT doc_id, priority FROM pr
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
         "q138_dedup_priority": r"""
             WITH corpus AS (
                 SELECT doc_id, text, source FROM documents

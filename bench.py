@@ -111,6 +111,7 @@ HEADLINE = [
     "q137_vocab_drift",
     "q138_dedup_priority",
     "q139_histogram",
+    "q140_fuzzy_keep_best",
 ]
 
 

@@ -3082,3 +3082,35 @@ def histogram(
             (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(w)).alias("hi_edge"),
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    priority_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup dedup that keeps the BEST member of every duplicate
+    cluster: connected components over ``pairs`` (any pair generator —
+    minhash_lsh_pairs, simhash_pairs, embedding_neardup,
+    fuzzy_pairs_editdist), then per component keep the row with the
+    highest ``priority_col`` (ties → lowest id) and drop the rest; rows in
+    no pair pass through.  The fuzzy sibling of exact_dedup_priority and
+    the priority-aware generalization of semantic_dedup's min-id rule.
+
+    Scale: components via the alternating large-star/small-star rounds
+    (dedup_clusters, O(log²)); winner selection is one window over cluster
+    members only (the dup subset, not the corpus); the final anti-join is
+    digest-narrow."""
+    labels = dedup_clusters(pairs.select(id_a, id_b), id_a=id_a, id_b=id_b, max_iter=max_iter)
+    members = df.join(labels.withColumnRenamed("node", id_col), id_col, "inner")
+    w = Window.partitionBy("cluster_id").orderBy(F.col(priority_col).desc(), F.col(id_col))
+    losers = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -1020,3 +1020,15 @@ def test_histogram_bins_and_overflow(spark):
     assert out[19].n == 1           # [95,100)
     assert out[20].n == 2           # overflow
     assert out[1].lo_edge == 5.0 and out[1].hi_edge == 10.0
+
+
+def test_dedup_keep_best_cluster_winner(spark):
+    rows = [
+        (1, 3), (2, 9), (3, 5),   # cluster {1,2,3} -> 2 wins (priority 9)
+        (4, 1), (5, 1),           # cluster {4,5} -> tie, lowest id (4) wins
+        (6, 0),                   # unpaired -> survives
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, priority int")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    out = sorted(r.doc_id for r in llmops.dedup_keep_best(df, pairs, "doc_id", "priority").collect())
+    assert out == [2, 4, 6]
