@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pyspark_engine import llmops, serdes
+from pyspark_engine import analytics, llmops, serdes
 from pyspark_engine.dsl import KStream, StreamBuilder
 from pyspark_engine.runtime import configure, read_table
 from pyspark_engine.windows import (
@@ -2146,6 +2146,43 @@ def q140_fuzzy_keep_best(spark, sf_dir):
     return out.select("doc_id", "priority")
 
 
+def q141_rate_anomaly(spark, sf_dir):
+    """Per-type rate-spike detection (analytics.rate_anomaly): hourly event
+    counts vs the trailing 6-window mean, with a planted 3x click burst in
+    the 2024-01-05T00 hour.  The anomaly rule is division- and sqrt-free
+    (dev² > k²·var_n over pure integers), so the oracle replays it
+    bit-for-bit — no float threshold anywhere."""
+    ev = read_table(configure(spark), sf_dir, "events").select("event_id", "ts", "event_type")
+    lo = F.lit("2024-01-05 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-05 01:00:00").cast("timestamp")
+    in_burst = (F.col("ts") >= lo) & (F.col("ts") < hi) & (F.col("event_type") == "click")
+    b1 = ev.filter(in_burst).select((F.col("event_id") + 1_000_000).alias("event_id"), "ts", "event_type")
+    b2 = ev.filter(in_burst).select((F.col("event_id") + 2_000_000).alias("event_id"), "ts", "event_type")
+    corpus = ev.unionByName(b1).unionByName(b2)
+    return analytics.rate_anomaly(corpus, "ts", "event_type", 3_600_000, trail=6, k=3)
+
+
+def q142_windowed_topk(spark, sf_dir):
+    """Windowed heavy hitters (analytics.windowed_topk): top-3 event types
+    per tumbling day, rank and counts integer-exact; ties break on the key
+    so both engines rank identically."""
+    ev = read_table(configure(spark), sf_dir, "events")
+    return analytics.windowed_topk(ev, "ts", "event_type", 86_400_000, k=3)
+
+
+def q143_funnel(spark, sf_dir):
+    """Strictly-ordered funnel (analytics.funnel): view → click → purchase
+    per user with a 7-day conversion window; sᵢ semantics (earliest step-i
+    event at/after sᵢ₋₁) replayed in the oracle via conditional left joins.
+    Users whose clicks all precede their first view must stop at step 1 —
+    the join-condition (not post-filter) shape under test."""
+    ev = read_table(configure(spark), sf_dir, "events")
+    return analytics.funnel(
+        ev, "ts", "user_id", "event_type",
+        ("view", "click", "purchase"), within_ms=7 * 86_400_000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2288,6 +2325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_dedup_priority": q138_dedup_priority,
         "q139_histogram": q139_histogram,
         "q140_fuzzy_keep_best": q140_fuzzy_keep_best,
+        "q141_rate_anomaly": q141_rate_anomaly,
+        "q142_windowed_topk": q142_windowed_topk,
+        "q143_funnel": q143_funnel,
     }
 
 
@@ -2754,6 +2794,72 @@ def oracle_sql() -> dict[str, str]:
         "q43_dedup_minhash": _minhash_oracle_sql(threshold=0.4),
         "q44_dedup_simhash": _simhash_oracle_sql(max_hamming=8),
         "q134_minhash_incremental": _minhash_incremental_oracle_sql(0.9),
+        "q141_rate_anomaly": r"""
+            WITH sel AS (SELECT event_id, ts, event_type FROM events),
+                 burst AS (SELECT * FROM sel
+                           WHERE event_type = 'click'
+                             AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+                             AND ts <  TIMESTAMP '2024-01-05 01:00:00'),
+                 corpus AS (SELECT * FROM sel
+                            UNION ALL SELECT event_id + 1000000, ts, event_type FROM burst
+                            UNION ALL SELECT event_id + 2000000, ts, event_type FROM burst),
+                 c AS (SELECT event_type,
+                              epoch_ms(ts) - (epoch_ms(ts) % 3600000) AS w_start_ms,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM corpus WHERE ts IS NOT NULL
+                       GROUP BY 1, 2),
+                 t AS (SELECT event_type, w_start_ms, cnt,
+                              CAST(count(*) OVER tw AS BIGINT) AS n_trail,
+                              CAST(coalesce(sum(cnt) OVER tw, 0) AS BIGINT) AS s,
+                              CAST(coalesce(sum(cnt * cnt) OVER tw, 0) AS BIGINT) AS q
+                       FROM c
+                       WINDOW tw AS (PARTITION BY event_type ORDER BY w_start_ms
+                                     ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+            SELECT event_type, w_start_ms, cnt, n_trail,
+                   CAST(n_trail * cnt - s AS BIGINT) AS dev,
+                   CAST(n_trail * q - s * s AS BIGINT) AS var_n,
+                   (n_trail = 6 AND (n_trail * cnt - s) > 0
+                    AND (n_trail * cnt - s) * (n_trail * cnt - s) > 9 * (n_trail * q - s * s))
+                       AS is_anomaly
+            FROM t
+        """,
+        "q142_windowed_topk": r"""
+            WITH c AS (SELECT event_type,
+                              epoch_ms(ts) - (epoch_ms(ts) % 86400000) AS w_start_ms,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM events WHERE ts IS NOT NULL
+                       GROUP BY 1, 2),
+                 r AS (SELECT event_type, w_start_ms, cnt,
+                              CAST(row_number() OVER (PARTITION BY w_start_ms
+                                                      ORDER BY cnt DESC, event_type) AS BIGINT)
+                                  AS rank
+                       FROM c)
+            SELECT event_type, w_start_ms, cnt, rank FROM r WHERE rank <= 3
+        """,
+        "q143_funnel": r"""
+            WITH base AS (SELECT user_id, ts, event_type FROM events
+                          WHERE user_id IS NOT NULL),
+                 s1 AS (SELECT user_id, min(ts) AS s1 FROM base
+                        WHERE event_type = 'view' GROUP BY 1),
+                 s2 AS (SELECT s1.user_id, s1.s1, min(b.ts) AS s2
+                        FROM s1 LEFT JOIN base b
+                          ON b.user_id = s1.user_id AND b.event_type = 'click'
+                             AND b.ts >= s1.s1
+                        GROUP BY 1, 2),
+                 s3 AS (SELECT s2.user_id, s2.s1, s2.s2, min(b.ts) AS s3
+                        FROM s2 LEFT JOIN base b
+                          ON b.user_id = s2.user_id AND b.event_type = 'purchase'
+                             AND b.ts >= s2.s2
+                        GROUP BY 1, 2, 3)
+            SELECT user_id,
+                   CAST(1 + CAST(s2 IS NOT NULL AS INT) + CAST(s3 IS NOT NULL AS INT)
+                        AS BIGINT) AS steps_reached,
+                   epoch_ms(s1) AS t_first_ms,
+                   epoch_ms(coalesce(s3, s2, s1)) AS t_last_ms,
+                   (s3 IS NOT NULL AND epoch_ms(s3) - epoch_ms(s1) <= 604800000)
+                       AS converted
+            FROM s3
+        """,
         "q140_fuzzy_keep_best": r"""
             WITH RECURSIVE corpus AS (
                 SELECT doc_id, text, source FROM documents

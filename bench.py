@@ -112,6 +112,9 @@ HEADLINE = [
     "q138_dedup_priority",
     "q139_histogram",
     "q140_fuzzy_keep_best",
+    "q141_rate_anomaly",
+    "q142_windowed_topk",
+    "q143_funnel",
 ]
 
 

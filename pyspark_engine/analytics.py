@@ -1,0 +1,168 @@
+"""Event-stream analytics operators: windowed counts, trailing-window rate
+anomalies, windowed heavy hitters, ordered funnels.
+
+The reference's users build these by hand from windowed aggregates (its DSL
+stops at Count/Aggregate/Reduce per window — SURVEY §2.4); here they are
+first-class, expression-only, and exactly SQL-checkable.  Design rules match
+llmops: integer-exact comparisons wherever a threshold decision is made (the
+anomaly rule is rearranged to avoid division and sqrt entirely), epoch-ms
+projections via the NTZ-safe runtime helpers, one shuffle per stateful step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .runtime import ensure_min_parallelism, epoch_ms
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    size_ms: int,
+) -> DataFrame:
+    """Tumbling-window counts per key: (key, w_start_ms, cnt).  Window start
+    is the epoch-ms floor — integer arithmetic, engine-portable.
+
+    Scale: one map-side-combinable aggregation keyed by (key, window)."""
+    # integer window floor: e − (e mod size).  Never a double division —
+    # DuckDB's CAST(double AS BIGINT) rounds while Spark's truncates, so the
+    # arithmetic must stay integral end to end.
+    e = epoch_ms(F.col(ts_col))
+    start = e - F.pmod(e, F.lit(size_ms))
+    return (
+        ensure_min_parallelism(events)
+        .filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(key_col), start.alias("w_start_ms"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def rate_anomaly(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    size_ms: int,
+    trail: int = 6,
+    k: int = 3,
+) -> DataFrame:
+    """Per-key rate-spike detection: a window is anomalous when its count
+    exceeds the trailing ``trail``-window mean by more than ``k`` trailing
+    standard deviations.  The decision is INTEGER-exact: with n = trailing
+    window count, S = Σcnt, Q = Σcnt², the rule
+
+        cnt − S/n > k·σ,  σ² = (nQ − S²)/n²
+
+    rearranges to  dev = n·cnt − S > 0  AND  dev² > k²·(nQ − S²)  — no
+    division, no sqrt, no float threshold, so Spark and any SQL oracle agree
+    bit-for-bit.  Windows with fewer than ``trail`` predecessors are never
+    flagged (cold start).  Returns (key, w_start_ms, cnt, n_trail, dev,
+    var_n, is_anomaly).
+
+    Scale: windowed counts (one shuffle) + a per-key ordered window over the
+    COUNTS table (rows = windows × keys, not events) — the trailing scan
+    costs nothing at corpus scale."""
+    counts = windowed_counts(events, ts_col, key_col, size_ms)
+    w = Window.partitionBy(key_col).orderBy("w_start_ms").rowsBetween(-trail, -1)
+    n = F.count(F.lit(1)).over(w)
+    s = F.coalesce(F.sum("cnt").over(w), F.lit(0))          # empty frame -> 0, not null
+    q = F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(w), F.lit(0))
+    dev = n * F.col("cnt") - s
+    var_n = n * q - s * s
+    return counts.select(
+        F.col(key_col),
+        "w_start_ms",
+        "cnt",
+        n.cast("long").alias("n_trail"),
+        dev.cast("long").alias("dev"),
+        var_n.cast("long").alias("var_n"),
+        (
+            (n == F.lit(trail)) & (dev > 0) & (dev * dev > F.lit(k * k) * var_n)
+        ).alias("is_anomaly"),
+    )
+
+
+def windowed_topk(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    size_ms: int,
+    k: int = 3,
+) -> DataFrame:
+    """Windowed heavy hitters: the top ``k`` keys by count inside every
+    tumbling window, rank 1-based, ties → key order.  (key, w_start_ms,
+    cnt, rank).
+
+    Scale: counts shuffle once on (key, window); the rank window re-shuffles
+    only the counts table on the window start."""
+    counts = windowed_counts(events, ts_col, key_col, size_ms)
+    w = Window.partitionBy("w_start_ms").orderBy(F.col("cnt").desc(), F.col(key_col))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def funnel(
+    events: DataFrame,
+    ts_col: str,
+    user_col: str,
+    step_col: str,
+    steps: tuple[str, ...],
+    within_ms: int | None = None,
+) -> DataFrame:
+    """Ordered funnel: per user, the earliest time each step could complete
+    given the previous step had happened (s₁ = min ts of step 1; sᵢ = min ts
+    of step i with ts ≥ sᵢ₋₁ — the standard strictly-ordered funnel).
+    Returns one row per user that reached step 1: steps_reached (1..len),
+    t_first_ms, t_last_ms (completion time of the deepest step), converted
+    (all steps, and within ``within_ms`` of s₁ when given).
+
+    Scale: len(steps) keyed equi-joins on the user id — each input scan is
+    filtered to ONE step's events before the shuffle, and every join key is
+    the same user id, so AQE coalesces the stages; no window over raw
+    events."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    base = ensure_min_parallelism(events).filter(F.col(user_col).isNotNull())
+    cur = (
+        base.filter(F.col(step_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__s1"))
+    )
+    prev_col = "__s1"
+    for i, st in enumerate(steps[1:], start=2):
+        nxt = base.filter(F.col(step_col) == st).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__t")
+        )
+        # the ts >= prev condition must be IN the join: a left join keyed on
+        # the user alone, filtered afterwards, would drop users whose step-i
+        # events all precede step i-1 instead of null-extending them
+        cond = (F.col(user_col) == F.col("__u")) & (F.col("__t") >= F.col(prev_col))
+        keep = list(cur.columns)
+        cur = (
+            cur.join(nxt, cond, "left")
+            .groupBy(*keep)
+            .agg(F.min("__t").alias(f"__s{i}"))
+        )
+        prev_col = f"__s{i}"
+    n = len(steps)
+    reached = F.lit(1)
+    for i in range(2, n + 1):
+        reached = reached + F.col(f"__s{i}").isNotNull().cast("int")
+    last = F.coalesce(*[F.col(f"__s{i}") for i in range(n, 0, -1)])
+    conv = F.col(f"__s{n}").isNotNull()
+    if within_ms is not None:
+        conv = conv & (
+            epoch_ms(F.col(f"__s{n}")) - epoch_ms(F.col("__s1")) <= F.lit(int(within_ms))
+        )
+    return cur.select(
+        F.col(user_col),
+        reached.cast("long").alias("steps_reached"),
+        epoch_ms(F.col("__s1")).alias("t_first_ms"),
+        epoch_ms(last).alias("t_last_ms"),
+        conv.alias("converted"),
+    )

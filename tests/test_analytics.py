@@ -1,0 +1,73 @@
+"""Event-analytics operator tests: integer-exact anomaly rule, windowed
+heavy hitters, ordered funnel edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_engine import analytics
+
+HOUR = 3_600_000
+
+
+def _ts(df):
+    return df.select(
+        "k", F.timestamp_millis(F.col("tsm")).alias("ts"), *(c for c in df.columns if c not in ("k", "tsm"))
+    )
+
+
+def test_rate_anomaly_integer_rule(spark):
+    # key "a": 6 calm windows of 2 events, then a 50-event burst window
+    rows = []
+    eid = 0
+    for wi in range(6):
+        for j in range(2):
+            rows.append(("a", wi * HOUR + j * 1000))
+    for j in range(50):
+        rows.append(("a", 6 * HOUR + j * 1000))
+    df = _ts(spark.createDataFrame(rows, "k string, tsm long"))
+    out = {r.w_start_ms: r for r in analytics.rate_anomaly(df, "ts", "k", HOUR, trail=6, k=3).collect()}
+    burst = out[6 * HOUR]
+    assert burst.cnt == 50 and burst.n_trail == 6
+    assert burst.is_anomaly
+    # calm windows never flagged; cold-start windows (n_trail < 6) never flagged
+    for w, r in out.items():
+        if w != 6 * HOUR:
+            assert not r.is_anomaly
+    # trailing stats are exact integers: dev = n*cnt - S = 6*50 - 12
+    assert burst.dev == 6 * 50 - 12
+    assert burst.var_n == 6 * 24 - 12 * 12  # n*Q - S^2, Q = 6 windows * 2^2
+
+
+def test_windowed_topk_rank_and_ties(spark):
+    rows = [("a", 10)] * 3 + [("b", 20)] * 3 + [("c", 30)] * 2 + [("d", 40)] * 2
+    df = _ts(spark.createDataFrame([(k, v) for k, v in rows], "k string, tsm long"))
+    out = analytics.windowed_topk(df, "ts", "k", HOUR, k=3).collect()
+    got = sorted((r.rank, r.k) for r in out)
+    # counts: a=3 b=3 c=2 d=2 -> ranks: a(1), b(2), c(3); d cut at k=3
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_funnel_order_and_window(spark):
+    rows = [
+        # u1: full ordered funnel within window
+        (1, 0, "view"), (1, 1000, "click"), (1, 2000, "buy"),
+        # u2: clicked BEFORE viewing -> click doesn't count, stops at view
+        (2, 5000, "view"), (2, 1000, "click"),
+        # u3: full funnel but buy outside the within window
+        (3, 0, "view"), (3, 1000, "click"), (3, 500_000, "buy"),
+        # u4: never viewed -> absent from output
+        (4, 0, "click"), (4, 1000, "buy"),
+    ]
+    df = spark.createDataFrame(rows, "u long, tsm long, step string").select(
+        "u", F.timestamp_millis(F.col("tsm")).alias("ts"), "step"
+    )
+    out = {r.u: r for r in analytics.funnel(
+        df, "ts", "u", "step", ("view", "click", "buy"), within_ms=100_000
+    ).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].steps_reached == 3 and out[1].converted
+    assert out[1].t_first_ms == 0 and out[1].t_last_ms == 2000
+    assert out[2].steps_reached == 1 and not out[2].converted
+    assert out[2].t_last_ms == 5000
+    assert out[3].steps_reached == 3 and not out[3].converted  # outside window
