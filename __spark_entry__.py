@@ -2183,6 +2183,29 @@ def q143_funnel(spark, sf_dir):
     )
 
 
+def q144_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle (analytics.cohort_retention): users
+    bucketed by the week of their first event, counted per weeks-since-
+    cohort — all integer window floors and counts, replayed exactly in
+    SQL."""
+    ev = read_table(configure(spark), sf_dir, "events")
+    return analytics.cohort_retention(ev, "ts", "user_id", 604_800_000)
+
+
+def q145_hybrid_search(spark, sf_dir):
+    """Hybrid lexical→semantic retrieval (llmops.hybrid_topk): BM25 top-50
+    candidates for {join, window, shuffle}, reranked by quantized cosine to
+    the vec_id=7 embedding (doc ids double as vector ids).  The oracle
+    composes the q116 BM25 SQL with the identical cosine rerank and total
+    order."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    emb = read_table(configure(spark), sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = emb.filter(F.col("vec_id") == 7)
+    return llmops.hybrid_topk(
+        docs, emb, ["join", "window", "shuffle"], qv, k_lexical=50, k=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2328,6 +2351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_rate_anomaly": q141_rate_anomaly,
         "q142_windowed_topk": q142_windowed_topk,
         "q143_funnel": q143_funnel,
+        "q144_cohort_retention": q144_cohort_retention,
+        "q145_hybrid_search": q145_hybrid_search,
     }
 
 
@@ -2794,6 +2819,64 @@ def oracle_sql() -> dict[str, str]:
         "q43_dedup_minhash": _minhash_oracle_sql(threshold=0.4),
         "q44_dedup_simhash": _simhash_oracle_sql(max_hamming=8),
         "q134_minhash_incremental": _minhash_incremental_oracle_sql(0.9),
+        "q144_cohort_retention": r"""
+            WITH base AS (SELECT user_id, ts FROM events
+                          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+                 b AS (SELECT user_id,
+                              epoch_ms(ts) - (epoch_ms(ts) % 604800000) AS bk
+                       FROM base),
+                 fs AS (SELECT user_id, min(bk) AS cohort FROM b GROUP BY 1),
+                 act AS (SELECT DISTINCT user_id, bk FROM b)
+            SELECT cohort AS cohort_ms,
+                   CAST((bk - cohort) / 604800000 AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM act JOIN fs USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "q145_hybrid_search": r"""
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                             t -> t <> '') AS t
+                          FROM documents),
+                 lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+                 tot AS (SELECT CAST(count(*) AS DOUBLE) AS N,
+                                avg(CAST(dl AS DOUBLE)) AS avgdl
+                         FROM lens),
+                 occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+                 tf AS (SELECT doc_id, term, count(*) AS tf
+                        FROM occ WHERE term IN ('join', 'window', 'shuffle')
+                        GROUP BY doc_id, term),
+                 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+                 c AS (SELECT tf.doc_id,
+                              CAST(floor(1000.0
+                                   * ln(1.0 + (tot.N - CAST(dfreq.df AS DOUBLE) + 0.5)
+                                              / (CAST(dfreq.df AS DOUBLE) + 0.5))
+                                   * (CAST(tf.tf AS DOUBLE) * 2.2)
+                                   / (CAST(tf.tf AS DOUBLE)
+                                      + 1.2 * (0.25 + 0.75 * CAST(lens.dl AS DOUBLE)
+                                                      / tot.avgdl)))
+                                   AS BIGINT) AS c_q
+                       FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id), tot),
+                 sc AS (SELECT doc_id,
+                               CAST(count(*) AS BIGINT) AS n_terms_hit,
+                               CAST(sum(c_q) AS BIGINT) AS score_q
+                        FROM c GROUP BY doc_id),
+                 cand AS (SELECT doc_id, score_q FROM sc
+                          ORDER BY score_q DESC, doc_id LIMIT 50),
+                 ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                 qv AS (SELECT v AS q, sqrt(list_dot_product(v, v)) AS qn
+                        FROM ev WHERE vec_id = 7),
+                 rr AS (SELECT cand.doc_id, cand.score_q,
+                               CAST(floor(10000.0 * list_dot_product(qv.q, ev.v)
+                                          / (qv.qn * sqrt(list_dot_product(ev.v, ev.v))))
+                                    AS BIGINT) AS cos_q
+                        FROM cand JOIN ev ON ev.vec_id = cand.doc_id, qv),
+                 rk AS (SELECT doc_id, score_q, cos_q,
+                               CAST(row_number() OVER (ORDER BY cos_q DESC, score_q DESC,
+                                                       doc_id) AS BIGINT) AS rank
+                        FROM rr)
+            SELECT doc_id, score_q, cos_q, rank FROM rk WHERE rank <= 10
+        """,
         "q141_rate_anomaly": r"""
             WITH sel AS (SELECT event_id, ts, event_type FROM events),
                  burst AS (SELECT * FROM sel

@@ -115,6 +115,8 @@ HEADLINE = [
     "q141_rate_anomaly",
     "q142_windowed_topk",
     "q143_funnel",
+    "q144_cohort_retention",
+    "q145_hybrid_search",
 ]
 
 

@@ -166,3 +166,37 @@ def funnel(
         epoch_ms(last).alias("t_last_ms"),
         conv.alias("converted"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    ts_col: str,
+    user_col: str,
+    bucket_ms: int,
+) -> DataFrame:
+    """Cohort retention: users grouped by the time bucket of their FIRST
+    event (the cohort), counted in every later bucket they were active —
+    (cohort_ms, k, n_users) where k is buckets-since-cohort (k = 0 is the
+    cohort size itself).  The standard activation/retention triangle,
+    entirely integer arithmetic.
+
+    Scale: one groupBy(user) for first-seen, one distinct over
+    (user, bucket) pairs, one user-keyed join (both sides already hash-
+    partitioned on the user), one final small aggregation keyed by
+    (cohort, k)."""
+    base = ensure_min_parallelism(events).filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    e = epoch_ms(F.col(ts_col))
+    bucket = (e - F.pmod(e, F.lit(bucket_ms))).alias("__b")
+    first = base.groupBy(user_col).agg(F.min(e - F.pmod(e, F.lit(bucket_ms))).alias("__cohort"))
+    active = base.select(F.col(user_col), bucket).distinct()
+    return (
+        active.join(first, user_col)
+        .select(
+            F.col("__cohort").alias("cohort_ms"),
+            ((F.col("__b") - F.col("__cohort")) / F.lit(bucket_ms)).cast("long").alias("k"),
+        )
+        .groupBy("cohort_ms", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -3114,3 +3114,58 @@ def dedup_keep_best(
         .select(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------- hybrid retrieval
+
+def hybrid_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: Sequence[str],
+    query_vec: DataFrame,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    k_lexical: int = 50,
+    k: int = 10,
+    quant: int = 10_000,
+) -> DataFrame:
+    """Hybrid lexical→semantic retrieval (the RAG-corpus shape): BM25 pulls
+    ``k_lexical`` candidates for the term query, then the (1-row broadcast)
+    query embedding reranks them by cosine; final order (cos_q desc,
+    bm25 score_q desc, id).  Cosine is floor-quantized ×``quant`` BEFORE
+    ranking so the rerank order itself is engine-exact.  Returns (id,
+    score_q, cos_q, rank).
+
+    Scale: stage 1 is bm25_topk's scan-filtered explode (shuffle is
+    O(matching occurrences)); stage 2 touches only k_lexical rows joined
+    to their embeddings — corpus embeddings are probed by an id equi-join,
+    never scanned."""
+    cand = bm25_topk(docs, doc_id_col, text_col, query_terms, k=k_lexical)
+    vecs = emb.select(
+        F.col(vec_id_col).alias(doc_id_col),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
+    qv = F.broadcast(
+        query_vec.select(F.col(vec_col).alias("__qv"), _norm(F.col(vec_col)).alias("__qn"))
+    )
+    scored = (
+        cand.join(vecs, doc_id_col)
+        .crossJoin(qv)
+        .withColumn(
+            "cos_q",
+            F.floor(
+                F.lit(float(quant))
+                * _dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).cast("long"),
+        )
+    )
+    w = Window.orderBy(F.col("cos_q").desc(), F.col("score_q").desc(), F.col(doc_id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(doc_id_col, "score_q", "cos_q", "rank")
+    )

@@ -71,3 +71,20 @@ def test_funnel_order_and_window(spark):
     assert out[2].steps_reached == 1 and not out[2].converted
     assert out[2].t_last_ms == 5000
     assert out[3].steps_reached == 3 and not out[3].converted  # outside window
+
+
+def test_cohort_retention_triangle(spark):
+    WEEK = 604_800_000
+    rows = [
+        (1, 0), (1, WEEK + 5), (1, 2 * WEEK),       # cohort w0, active w0 w1 w2
+        (2, 0), (2, 2 * WEEK),                      # cohort w0, active w0 w2
+        (3, WEEK), (3, WEEK + 1),                   # cohort w1, active w1 only (dedup)
+    ]
+    df = spark.createDataFrame(rows, "u long, tsm long").select(
+        "u", F.timestamp_millis(F.col("tsm")).alias("ts")
+    )
+    out = {(r.cohort_ms, r.k): r.n_users for r in
+           analytics.cohort_retention(df, "ts", "u", WEEK).collect()}
+    assert out[(0, 0)] == 2 and out[(0, 1)] == 1 and out[(0, 2)] == 2
+    assert out[(WEEK, 0)] == 1
+    assert (WEEK, 1) not in out
