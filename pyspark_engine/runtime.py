@@ -409,3 +409,36 @@ def write_clustered(
         .mode("overwrite")
         .save(dst_path)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    dst_path: str,
+    id_col: str,
+    n_shards: int = 1024,
+    seed: int = 42,
+    payload_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Materialize a deterministically shuffled training corpus as one
+    ordered file per shard: llmops.shuffle_shards assigns (shard, pos),
+    then each shard's rows are written in pos order under
+    ``dst_path/shard=N/``.  A training job reads shards in any order and
+    rows within a shard in file order — the standard sharded-dataset
+    layout (WebDataset/TFRecord-style) produced with ONE shuffle.
+
+    Hive-style ``partitionBy(shard)`` keeps shard pruning free for
+    readers; ``repartition(n_shards, shard)`` + in-partition sort makes
+    each output file internally ordered by pos."""
+    from .llmops import shuffle_shards
+
+    out = shuffle_shards(df, id_col, n_shards=n_shards, seed=seed,
+                         payload_cols=tuple(payload_cols or ()))
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.format(fmt)
+        .mode("overwrite")
+        .partitionBy("shard")
+        .save(dst_path)
+    )

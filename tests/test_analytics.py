@@ -88,3 +88,60 @@ def test_cohort_retention_triangle(spark):
     assert out[(0, 0)] == 2 and out[(0, 1)] == 1 and out[(0, 2)] == 2
     assert out[(WEEK, 0)] == 1
     assert (WEEK, 1) not in out
+
+
+def test_rate_anomaly_streaming_parity(spark, tmp_path):
+    """Streaming realization: micro-batches upsert a (key, window) count
+    store via foreachBatch (map-side partials summed into the store); the
+    anomaly rule then runs over the tiny counts table.  Final result ==
+    batch rate_anomaly over the whole stream."""
+    HOUR = 3_600_000
+    rows = []
+    for wi in range(6):
+        for j in range(2):
+            rows.append(("a", wi * HOUR + j * 1000))
+    for j in range(50):
+        rows.append(("a", 6 * HOUR + j * 1000))
+    df = spark.createDataFrame(rows, "k string, tsm long").select(
+        "k", F.timestamp_millis(F.col("tsm")).alias("ts")
+    )
+    src = str(tmp_path / "src")
+    df.repartition(5).write.parquet(src)
+    store = str(tmp_path / "counts")
+    spark.createDataFrame([], "k string, w_start_ms long, cnt long").write.parquet(store)
+
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+
+    def upsert(batch_df, batch_id):
+        s = batch_df.sparkSession
+        part = analytics.windowed_counts(batch_df, "ts", "k", HOUR)
+        merged = (
+            s.read.parquet(store).unionByName(part)
+            .groupBy("k", "w_start_ms")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        merged.localCheckpoint().write.mode("overwrite").parquet(store)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    counts = spark.read.parquet(store)
+    # run the anomaly rule over the restored counts table (same code path as
+    # rate_anomaly after its windowed_counts stage)
+    from pyspark.sql.window import Window as W
+    w = W.partitionBy("k").orderBy("w_start_ms").rowsBetween(-6, -1)
+    n = F.count(F.lit(1)).over(w)
+    s_ = F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    qq = F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(w), F.lit(0))
+    dev = n * F.col("cnt") - s_
+    got = counts.select(
+        "k", "w_start_ms", "cnt",
+        ((n == 6) & (dev > 0) & (dev * dev > F.lit(9) * (n * qq - s_ * s_))).alias("is_anomaly"),
+    )
+    want = analytics.rate_anomaly(df, "ts", "k", HOUR).select("k", "w_start_ms", "cnt", "is_anomaly")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -1032,3 +1032,26 @@ def test_dedup_keep_best_cluster_winner(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
     out = sorted(r.doc_id for r in llmops.dedup_keep_best(df, pairs, "doc_id", "priority").collect())
     assert out == [2, 4, 6]
+
+
+def test_write_training_shards_ordered_files(spark, tmp_path):
+    from pyspark_engine.runtime import write_training_shards
+
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(300)], "doc_id long, text string")
+    dst = str(tmp_path / "shards")
+    write_training_shards(df, dst, "doc_id", n_shards=8, payload_cols=["text"])
+    back = spark.read.parquet(dst)
+    assert back.count() == 300
+    assert set(back.select("shard").distinct().toPandas()["shard"]) <= set(range(8))
+    # every shard's single file is internally ordered by pos
+    import glob
+    import pyarrow.parquet as pq
+    for d in glob.glob(f"{dst}/shard=*"):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1
+        poss = pq.read_table(files[0], columns=["pos"]).column("pos").to_pylist()
+        assert poss == sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic across reruns: same assignment as shuffle_shards
+    ref = {(r.doc_id, r.shard, r.pos) for r in llmops.shuffle_shards(df, "doc_id", n_shards=8, payload_cols=("text",)).collect()}
+    got = {(r.doc_id, r.shard, r.pos) for r in back.select("doc_id", "shard", "pos").collect()}
+    assert got == ref
