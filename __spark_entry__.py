@@ -2206,6 +2206,15 @@ def q145_hybrid_search(spark, sf_dir):
     )
 
 
+def q146_sessionize(spark, sf_dir):
+    """Event-level sessionization (analytics.sessionize): every event gets
+    its user's 1-based session ordinal (30-min gap rule) and its position
+    inside the session — the event-granular dual of the q61 session-window
+    aggregate, integer epoch-ms arithmetic throughout."""
+    ev = read_table(configure(spark), sf_dir, "events")
+    return analytics.sessionize(ev, "ts", "user_id", "event_id", 30 * 60_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2353,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_funnel": q143_funnel,
         "q144_cohort_retention": q144_cohort_retention,
         "q145_hybrid_search": q145_hybrid_search,
+        "q146_sessionize": q146_sessionize,
     }
 
 
@@ -2819,6 +2829,25 @@ def oracle_sql() -> dict[str, str]:
         "q43_dedup_minhash": _minhash_oracle_sql(threshold=0.4),
         "q44_dedup_simhash": _simhash_oracle_sql(max_hamming=8),
         "q134_minhash_incremental": _minhash_incremental_oracle_sql(0.9),
+        "q146_sessionize": r"""
+            WITH base AS (SELECT user_id, event_id, epoch_ms(ts) AS t_ms FROM events
+                          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+                 fl AS (SELECT user_id, event_id, t_ms,
+                               CASE WHEN lag(t_ms) OVER uw IS NULL
+                                         OR t_ms - lag(t_ms) OVER uw > 1800000
+                                    THEN 1 ELSE 0 END AS brk
+                        FROM base
+                        WINDOW uw AS (PARTITION BY user_id ORDER BY t_ms, event_id)),
+                 s AS (SELECT user_id, event_id, t_ms,
+                              CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t_ms, event_id
+                                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                                   AS BIGINT) AS session_idx
+                       FROM fl)
+            SELECT user_id, event_id, t_ms, session_idx,
+                   CAST(row_number() OVER (PARTITION BY user_id, session_idx
+                                           ORDER BY t_ms, event_id) AS BIGINT) AS pos
+            FROM s
+        """,
         "q144_cohort_retention": r"""
             WITH base AS (SELECT user_id, ts FROM events
                           WHERE user_id IS NOT NULL AND ts IS NOT NULL),

@@ -117,6 +117,7 @@ HEADLINE = [
     "q143_funnel",
     "q144_cohort_retention",
     "q145_hybrid_search",
+    "q146_sessionize",
 ]
 
 

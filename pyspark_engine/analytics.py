@@ -200,3 +200,45 @@ def cohort_retention(
         .groupBy("cohort_ms", "k")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str,
+    user_col: str,
+    order_col: str,
+    gap_ms: int,
+) -> DataFrame:
+    """Assign a session id to EVERY event (the event-level dual of session-
+    window aggregation): a gap > ``gap_ms`` since the previous event starts
+    a new session; output (user, order, t_ms, session_idx 1-based, pos
+    1-based within the session).  Ordering inside a user is (ts, order) so
+    ties are deterministic.  All integer arithmetic (epoch-ms diffs).
+
+    Scale: ONE shuffle keyed on the user; the break-flag cumsum, the
+    session ordinal, and the in-session position are window passes over
+    the same hash partitioning (Catalyst reuses the exchange — partition
+    (user, session) is a refinement of (user))."""
+    base = ensure_min_parallelism(events).filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    e = epoch_ms(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy("t_ms", order_col)
+    # two selects: window functions can't nest, so the break flag (lag) is
+    # materialized as a column before the running sum over it
+    flagged = base.select(F.col(user_col), F.col(order_col), e.alias("t_ms")).withColumn(
+        "__lag", F.lag("t_ms").over(w)
+    ).withColumn(
+        "__brk",
+        F.when(F.col("__lag").isNull() | (F.col("t_ms") - F.col("__lag") > F.lit(gap_ms)), 1)
+        .otherwise(0),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.select(
+        F.col(user_col),
+        F.col(order_col),
+        F.col("t_ms"),
+        F.sum("__brk").over(wc).cast("long").alias("session_idx"),
+    )
+    wp = Window.partitionBy(user_col, "session_idx").orderBy(F.col("t_ms"), F.col(order_col))
+    return sess.withColumn("pos", F.row_number().over(wp).cast("long"))

@@ -39,6 +39,7 @@ ALLOWED_BNLJ = {
     "q111_bigram_backoff": "crossJoin(broadcast(1-row T)) scalar join for the unigram denominator",
     "q115_perplexity_buckets": "unigram_logprob's crossJoin(broadcast(1-row total)) scalar join (same as q97)",
     "q137_vocab_drift": "crossJoin(broadcast(1-row totals)) scalar join for the smoothed denominators",
+    "q145_hybrid_search": "bm25's 1-row N/avgdl scalar join + the 1-row broadcast query-vector join",
     "q116_bm25_topk": "crossJoin(broadcast(1-row N/avgdl)) scalar join for the BM25 constants",
 }
 ALLOWED_SINGLE_PARTITION_WINDOW = {

@@ -145,3 +145,19 @@ def test_rate_anomaly_streaming_parity(spark, tmp_path):
     )
     want = analytics.rate_anomaly(df, "ts", "k", HOUR).select("k", "w_start_ms", "cnt", "is_anomaly")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sessionize_gaps_and_positions(spark):
+    MIN30 = 30 * 60_000
+    rows = [
+        (1, 100, 0), (1, 101, 1000), (1, 102, MIN30 + 2000),  # gap>30m between 101,102
+        (2, 200, 0),
+    ]
+    df = spark.createDataFrame(rows, "u long, eid long, tsm long").select(
+        "u", "eid", F.timestamp_millis(F.col("tsm")).alias("ts")
+    )
+    out = {r.eid: r for r in analytics.sessionize(df, "ts", "u", "eid", MIN30).collect()}
+    assert out[100].session_idx == 1 and out[100].pos == 1
+    assert out[101].session_idx == 1 and out[101].pos == 2
+    assert out[102].session_idx == 2 and out[102].pos == 1
+    assert out[200].session_idx == 1 and out[200].pos == 1
