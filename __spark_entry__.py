@@ -2215,6 +2215,28 @@ def q146_sessionize(spark, sf_dir):
     return analytics.sessionize(ev, "ts", "user_id", "event_id", 30 * 60_000)
 
 
+def q147_url_dedup(spark, sf_dir):
+    """URL canonicalization dedup (llmops.url_dedup): five messy variants
+    of the same logical URL per document (uppercase host, :443 port,
+    fragment, trailing slash, shuffled query order) must collapse to ONE
+    canonical row with the lowest id.  The oracle replays the identical
+    normalization chain."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    base = docs.select("doc_id", "source")
+    v = [
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/a/b?x=1&y=2")),
+        F.concat(F.lit("HTTPS://"), F.upper(F.col("source")), F.lit(".EXAMPLE.com/a/b?y=2&x=1")),
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com:443/a/b/?x=1&y=2")),
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/a/b?x=1&y=2#frag")),
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/other")),
+    ]
+    rows = None
+    for i, url in enumerate(v):
+        part = base.select((F.col("doc_id") * 10 + i).alias("row_id"), url.alias("url"))
+        rows = part if rows is None else rows.unionByName(part)
+    return llmops.url_dedup(rows, "row_id", "url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2363,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_cohort_retention": q144_cohort_retention,
         "q145_hybrid_search": q145_hybrid_search,
         "q146_sessionize": q146_sessionize,
+        "q147_url_dedup": q147_url_dedup,
     }
 
 
@@ -2829,6 +2852,54 @@ def oracle_sql() -> dict[str, str]:
         "q43_dedup_minhash": _minhash_oracle_sql(threshold=0.4),
         "q44_dedup_simhash": _simhash_oracle_sql(max_hamming=8),
         "q134_minhash_incremental": _minhash_incremental_oracle_sql(0.9),
+        "q147_url_dedup": r"""
+            WITH base AS (SELECT doc_id, source FROM documents),
+                 rows_ AS (
+                   SELECT doc_id * 10 + 0 AS row_id,
+                          'https://' || source || '.example.com/a/b?x=1&y=2' AS url FROM base
+                   UNION ALL
+                   SELECT doc_id * 10 + 1,
+                          'HTTPS://' || upper(source) || '.EXAMPLE.com/a/b?y=2&x=1' FROM base
+                   UNION ALL
+                   SELECT doc_id * 10 + 2,
+                          'https://' || source || '.example.com:443/a/b/?x=1&y=2' FROM base
+                   UNION ALL
+                   SELECT doc_id * 10 + 3,
+                          'https://' || source || '.example.com/a/b?x=1&y=2#frag' FROM base
+                   UNION ALL
+                   SELECT doc_id * 10 + 4,
+                          'https://' || source || '.example.com/other' FROM base),
+                 n AS (
+                   SELECT row_id,
+                          regexp_replace(trim(url), '#.*$', '') AS u
+                   FROM rows_),
+                 parts AS (
+                   SELECT row_id,
+                          lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                          regexp_replace(
+                              lower(regexp_extract(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                                                   '^([^/?]+)', 1)),
+                              ':(80|443)$', '') AS host,
+                          regexp_replace(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                                         '^[^/?]+', '') AS pathq
+                   FROM n),
+                 pq AS (
+                   SELECT row_id, scheme, host,
+                          CASE WHEN regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') = ''
+                               THEN '/'
+                               ELSE regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '')
+                          END AS path,
+                          array_to_string(
+                              list_sort(list_filter(string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+                                                    p -> p <> '')), '&') AS qsorted
+                   FROM parts),
+                 canon AS (
+                   SELECT row_id,
+                          scheme || '://' || host || path ||
+                          CASE WHEN qsorted <> '' THEN '?' || qsorted ELSE '' END AS canon_url
+                   FROM pq)
+            SELECT canon_url, min(row_id) AS row_id FROM canon GROUP BY canon_url
+        """,
         "q146_sessionize": r"""
             WITH base AS (SELECT user_id, event_id, epoch_ms(ts) AS t_ms FROM events
                           WHERE user_id IS NOT NULL AND ts IS NOT NULL),

@@ -118,6 +118,7 @@ HEADLINE = [
     "q144_cohort_retention",
     "q145_hybrid_search",
     "q146_sessionize",
+    "q147_url_dedup",
 ]
 
 

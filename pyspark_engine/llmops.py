@@ -3169,3 +3169,50 @@ def hybrid_topk(
         .filter(F.col("rank") <= k)
         .select(doc_id_col, "score_q", "cos_q", "rank")
     )
+
+
+# ------------------------------------------------- URL canonicalization
+
+def url_normalize(col: Column) -> Column:
+    """Canonicalize a URL for dedup (the C4/CCNet URL-level recipe):
+    lowercase scheme+host, strip the fragment, drop default :80/:443
+    ports, collapse trailing path slashes (bare host → '/'), and sort
+    query parameters so equivalent URLs normalize identically.  RE2-safe
+    regex + array ops — a zero-shuffle narrow map, recomputable by a SQL
+    oracle byte-for-byte."""
+    u = F.trim(col)
+    u = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    pathq = F.regexp_replace(rest, r"^[^/?]+", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    qsorted = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&", -1), lambda p: p != F.lit(""))), "&"
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qsorted != "", F.concat(F.lit("?"), qsorted)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """URL-level exact dedup on the canonical form: (canon_url, id) keeping
+    the lowest id per normalized URL — the pre-content dedup pass a crawl
+    pipeline runs before fetching/processing bodies.
+
+    Scale: same shape as exact_dedup — one shuffle keyed by the (already
+    canonicalized, bounded-length) URL with a map-side min."""
+    return (
+        _spread(df)
+        .select(url_normalize(F.col(url_col)).alias("canon_url"), F.col(id_col))
+        .groupBy("canon_url")
+        .agg(F.min(id_col).alias(id_col))
+    )

@@ -1055,3 +1055,19 @@ def test_write_training_shards_ordered_files(spark, tmp_path):
     ref = {(r.doc_id, r.shard, r.pos) for r in llmops.shuffle_shards(df, "doc_id", n_shards=8, payload_cols=("text",)).collect()}
     got = {(r.doc_id, r.shard, r.pos) for r in back.select("doc_id", "shard", "pos").collect()}
     assert got == ref
+
+
+def test_url_normalize_rules(spark):
+    rows = [
+        (1, "https://Example.COM:443/a/b/?b=2&a=1#frag"),
+        (2, "https://example.com/a/b?a=1&b=2"),
+        (3, "http://example.com:80"),
+        (4, "https://example.com/other"),
+    ]
+    df = spark.createDataFrame(rows, "row_id long, url string")
+    canon = {r.row_id: r.c for r in df.select("row_id", llmops.url_normalize(F.col("url")).alias("c")).collect()}
+    assert canon[1] == canon[2] == "https://example.com/a/b?a=1&b=2"
+    assert canon[3] == "http://example.com/"
+    out = {r.canon_url: r.row_id for r in llmops.url_dedup(df, "row_id", "url").collect()}
+    assert out["https://example.com/a/b?a=1&b=2"] == 1
+    assert len(out) == 3
