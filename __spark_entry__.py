@@ -2237,6 +2237,24 @@ def q147_url_dedup(spark, sf_dir):
     return llmops.url_dedup(rows, "row_id", "url")
 
 
+def q148_temporal_split(spark, sf_dir):
+    """Temporal train/val/test split (llmops.temporal_split) over the
+    events log: train < Jan 20, val < Jan 25, test after — the strictly-
+    later evaluation rule, summarized per (event_type, split) so the
+    oracle checks the boundary assignment exactly."""
+    ev = read_table(configure(spark), sf_dir, "events")
+    out = llmops.temporal_split(
+        ev,
+        "ts",
+        val_start_ms=1_705_708_800_000,   # 2024-01-20T00:00:00Z
+        test_start_ms=1_706_140_800_000,  # 2024-01-25T00:00:00Z
+    )
+    return out.groupBy("event_type", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(F.col("event_id")).alias("min_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2386,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_hybrid_search": q145_hybrid_search,
         "q146_sessionize": q146_sessionize,
         "q147_url_dedup": q147_url_dedup,
+        "q148_temporal_split": q148_temporal_split,
     }
 
 
@@ -2852,6 +2871,17 @@ def oracle_sql() -> dict[str, str]:
         "q43_dedup_minhash": _minhash_oracle_sql(threshold=0.4),
         "q44_dedup_simhash": _simhash_oracle_sql(max_hamming=8),
         "q134_minhash_incremental": _minhash_incremental_oracle_sql(0.9),
+        "q148_temporal_split": r"""
+            WITH s AS (SELECT event_id, event_type,
+                              CASE WHEN epoch_ms(ts) < 1705708800000 THEN 'train'
+                                   WHEN epoch_ms(ts) < 1706140800000 THEN 'val'
+                                   ELSE 'test' END AS split
+                       FROM events)
+            SELECT event_type, split,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(event_id) AS min_id
+            FROM s GROUP BY 1, 2
+        """,
         "q147_url_dedup": r"""
             WITH base AS (SELECT doc_id, source FROM documents),
                  rows_ AS (

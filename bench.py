@@ -119,6 +119,7 @@ HEADLINE = [
     "q145_hybrid_search",
     "q146_sessionize",
     "q147_url_dedup",
+    "q148_temporal_split",
 ]
 
 

@@ -3216,3 +3216,32 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
         .groupBy("canon_url")
         .agg(F.min(id_col).alias(id_col))
     )
+
+
+# ------------------------------------------------- temporal split
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    val_start_ms: int,
+    test_start_ms: int,
+) -> DataFrame:
+    """Time-based train/val/test split (the leakage rule for temporal data:
+    everything the model evaluates on is STRICTLY LATER than anything it
+    trained on): rows before ``val_start_ms`` → train, before
+    ``test_start_ms`` → val, rest → test.  The temporal complement of
+    leakage_free_split's content-hash buckets — use hash splits for i.i.d.
+    corpora, temporal splits for forecasting/recommendation logs.
+
+    Scale: one narrow-map comparison per row; at rest, pair with
+    write_clustered on the timestamp so each split prunes to contiguous
+    files."""
+    from .runtime import epoch_ms
+
+    e = epoch_ms(F.col(ts_col))
+    return df.withColumn(
+        "split",
+        F.when(e < F.lit(int(val_start_ms)), F.lit("train"))
+        .when(e < F.lit(int(test_start_ms)), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

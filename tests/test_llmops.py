@@ -1071,3 +1071,12 @@ def test_url_normalize_rules(spark):
     out = {r.canon_url: r.row_id for r in llmops.url_dedup(df, "row_id", "url").collect()}
     assert out["https://example.com/a/b?a=1&b=2"] == 1
     assert len(out) == 3
+
+
+def test_temporal_split_boundaries(spark):
+    rows = [(1, 999), (2, 1000), (3, 1999), (4, 2000), (5, 5000)]
+    df = spark.createDataFrame(rows, "i long, tsm long").select(
+        "i", F.timestamp_millis(F.col("tsm")).alias("ts")
+    )
+    out = {r.i: r.split for r in llmops.temporal_split(df, "ts", 1000, 2000).collect()}
+    assert out == {1: "train", 2: "val", 3: "val", 4: "test", 5: "test"}
