@@ -68,6 +68,9 @@ QUERIES = [
     "q131_strip_boilerplate",  # paragraph df + digest joins, k-fold dups
     "q132_event_sequences",    # per-key window packing, fan-in grows
     "q134_minhash_incremental",# signature-store banding under k-fold dups
+    "q141_rate_anomaly",       # windowed counts + trailing scan over counts
+    "q146_sessionize",         # per-user ordered windows, fan-in grows
+    "q147_url_dedup",          # canonical-URL digest groupBy under dups
 ]
 
 

@@ -1080,3 +1080,33 @@ def test_temporal_split_boundaries(spark):
     )
     out = {r.i: r.split for r in llmops.temporal_split(df, "ts", 1000, 2000).collect()}
     assert out == {1: "train", 2: "val", 3: "val", 4: "test", 5: "test"}
+
+
+def test_url_normalize_idempotent_hypothesis(spark):
+    """normalize(normalize(u)) == normalize(u): canonical forms are fixed
+    points, so re-ingesting already-canonical URLs never re-splits groups."""
+    from hypothesis import given, settings, strategies as st
+
+    seg = st.text(alphabet="abcXYZ019-._~", min_size=0, max_size=8)
+    urls = st.builds(
+        lambda sch, host, port, path, q, frag: (
+            f"{sch}://{host}{port}/{path}" + (f"?{q}" if q else "") + (f"#{frag}" if frag else "")
+        ),
+        st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+        st.builds(lambda a, b: f"{a}.{b}.com", seg.filter(bool), seg.filter(bool)),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        seg,
+        st.lists(st.builds(lambda k, v: f"{k}={v}", seg.filter(bool), seg), max_size=3).map("&".join),
+        seg,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(urls, min_size=1, max_size=20, unique=True))
+    def check(batch):
+        df = spark.createDataFrame([(i, u) for i, u in enumerate(batch)], "i long, url string")
+        once = df.select("i", llmops.url_normalize(F.col("url")).alias("c1"))
+        twice = once.select("i", "c1", llmops.url_normalize(F.col("c1")).alias("c2"))
+        rows = twice.collect()
+        assert all(r.c1 == r.c2 for r in rows)
+
+    check()
