@@ -2903,16 +2903,21 @@ def oracle_sql() -> dict[str, str]:
                    SELECT row_id,
                           regexp_replace(trim(url), '#.*$', '') AS u
                    FROM rows_),
-                 parts AS (
+                 parts0 AS (
                    SELECT row_id,
                           lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                          regexp_replace(
-                              lower(regexp_extract(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-                                                   '^([^/?]+)', 1)),
-                              ':(80|443)$', '') AS host,
+                          lower(regexp_extract(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                                               '^([^/?]+)', 1)) AS rawhost,
                           regexp_replace(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
                                          '^[^/?]+', '') AS pathq
                    FROM n),
+                 parts AS (
+                   SELECT row_id, scheme,
+                          CASE WHEN scheme = 'http'  THEN regexp_replace(rawhost, ':80$', '')
+                               WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '')
+                               ELSE rawhost END AS host,
+                          pathq
+                   FROM parts0),
                  pq AS (
                    SELECT row_id, scheme, host,
                           CASE WHEN regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') = ''
@@ -4374,8 +4379,9 @@ def oracle_sql() -> dict[str, str]:
         "q132_event_sequences": r"""
             WITH r AS (SELECT user_id, ts, event_id,
                               row_number() OVER (PARTITION BY user_id
-                                                 ORDER BY ts, event_id) AS rn
-                       FROM events),
+                                                 ORDER BY ts, event_id NULLS LAST) AS rn
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
                  s AS (SELECT user_id, CAST(floor((rn - 1) / 16) AS BIGINT) AS seq_idx,
                               ts, event_id, rn
                        FROM r)

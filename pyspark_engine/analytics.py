@@ -62,6 +62,17 @@ def rate_anomaly(
     flagged (cold start).  Returns (key, w_start_ms, cnt, n_trail, dev,
     var_n, is_anomaly).
 
+    Baseline definition (deliberate): the trailing frame is the last
+    ``trail`` NON-EMPTY windows of the key — windows with zero events are
+    not materialized and do not dilute the mean, and for a sparse key the
+    frame may span arbitrary wall-clock gaps.  That is the right behavior
+    for "is this burst big relative to this key's typical ACTIVE rate";
+    for a strictly time-based baseline (zero windows count as zeros),
+    densify per key first — e.g. ``sequence(min_w, max_w, size_ms)`` +
+    explode + left join the counts — and apply the same frame, or use a
+    RANGE frame on ``w_start_ms``.  The q141 oracle pins the non-empty-
+    window definition.
+
     Scale: windowed counts (one shuffle) + a per-key ordered window over the
     COUNTS table (rows = windows × keys, not events) — the trailing scan
     costs nothing at corpus scale."""

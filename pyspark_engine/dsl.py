@@ -469,6 +469,17 @@ class KStream:
         nulls (eager-emission timing differences in the reference don't affect
         final state; SURVEY §7.3.4).
 
+        Semantics delta (deliberate): the reference additionally drops
+        records whose VALUE is null (KStreamKStreamJoinProcessor.cs:42-46 —
+        a Kafka record's value is one opaque object, so a null value is a
+        tombstone with nothing to join).  Here "the value" is the multi-column
+        projection of everything except the key, and a row with SOME null
+        columns is still a meaningful record — so only null KEYS are dropped;
+        rows whose non-key columns are all null still join (pinned by
+        tests/test_dsl_semantics.py::test_join_null_value_rows_kept).  To get
+        reference behavior, pre-filter:
+        ``stream.filter(F.col(payload_col).isNotNull())``.
+
         Sides must have disjoint column names (pre-project with map_values).
         Key arity must match pairwise.
 
@@ -511,6 +522,13 @@ class KStream:
         (:31-35); output keeps the stream record's timestamp.  Batch semantics
         = join against the table's final latest-per-key snapshot (SURVEY
         §7.3.1).
+
+        Semantics delta (deliberate, same as ``join``): the reference also
+        drops null-VALUE stream records (KStreamKTableJoinProcessor.cs:31-35
+        guards key AND value); here only null keys are dropped, because the
+        "value" is a multi-column projection where partial nulls are ordinary
+        data.  Pre-filter the payload column(s) to reproduce the reference's
+        rule exactly.
 
         Scale: shuffled equi-join on the key (both sides co-partition); use
         join_global for broadcast-size dims."""

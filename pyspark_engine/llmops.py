@@ -2667,7 +2667,11 @@ def event_sequences(
     ``pack_tokens`` (user action streams → training sequences for
     recommendation / agent models).  Order within a key is (ts, val) so
     ties are deterministic; output rows are (key, seq_idx, n_events,
-    vals array in order, t_start_ms, t_end_ms).
+    vals array in order, t_start_ms, t_end_ms).  Rows with a null key or
+    null timestamp are dropped (matching sessionize / cohort_retention —
+    they belong to no orderable history), and null ``val`` ties sort LAST
+    explicitly so the ordering is engine-portable (Spark's ascending
+    default is NULLS FIRST, ANSI/DuckDB's is NULLS LAST).
 
     Scale: ONE shuffle keyed by ``key_col``; the window sort is per-key
     (user histories are bounded; a pathological hot key is capped upstream
@@ -2676,8 +2680,10 @@ def event_sequences(
     """
     from .runtime import epoch_ms
 
-    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(val_col))
-    seq = df.select(
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), F.col(val_col).asc_nulls_last()
+    )
+    seq = df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()).select(
         F.col(key_col),
         F.col(ts_col),
         F.col(val_col),
@@ -2707,19 +2713,30 @@ def semantic_decontaminate(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 8,
-    multiprobe: int = 1,
+    multiprobe: int = 2,
 ) -> DataFrame:
-    """Embedding-level benchmark decontamination: flag every TRAIN row whose
-    embedding is cosine-≥ ``threshold`` to ANY benchmark row — the semantic
+    """Embedding-level benchmark decontamination: flag TRAIN rows whose
+    embedding is cosine-≥ ``threshold`` to a benchmark row — the semantic
     sibling of the n-gram ``decontaminate`` (paraphrased leaks that n-gram
     overlap misses).  Returns (train id, n_bench_hits, best_bench_id) where
     best = highest cosine (ties → lowest bench id).
 
+    Recall is PROBABILISTIC, like embedding_neardup's: hyperplane LSH only
+    guarantees that a qualifying pair shares a probed bucket with
+    probability (1 − θ/π per plane); a pair whose codes differ in more than
+    ``multiprobe`` bits is missed.  Because a missed leak costs more than
+    extra candidate verification here, the default probe radius is 2
+    (own bucket + all hamming-1 and hamming-2 neighbors — 1 + n_planes +
+    C(n_planes,2) probes per benchmark row; benchmark sides are small, so
+    the fan-out is cheap).  Raise ``multiprobe`` further or lower
+    ``n_planes`` when the benchmark is tiny and recall trumps cost; for
+    EXACT decontamination run the brute-force cosine join that the q133
+    oracle uses.
+
     Candidate generation mirrors embedding_neardup: the corpus buckets ONCE
-    by hyperplane LSH; the (small) benchmark side probes its own bucket
-    plus all hamming-1 neighbors and is broadcast — the 100 TB train side
-    never reshuffles and is scanned exactly once.  Exact cosine verifies
-    candidates only."""
+    by hyperplane LSH; the (small) benchmark side explodes to its probe set
+    and is broadcast — the 100 TB train side never reshuffles and is
+    scanned exactly once.  Exact cosine verifies candidates only."""
     tb = _spread(train).select(
         F.col(id_col).alias("t_id"),
         F.col(vec_col).alias("__tv"),
@@ -2732,13 +2749,16 @@ def semantic_decontaminate(
         _norm(F.col(vec_col)).alias("__bn"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("__b0"),
     )
+    probe_cols = [F.col("__b0")]
     if multiprobe >= 1:
-        probes = F.array(
-            F.col("__b0"), *[F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-        )
-    else:
-        probes = F.array(F.col("__b0"))
-    qb = qb.select("b_id", "__bv", "__bn", F.explode(probes).alias("__bucket"))
+        probe_cols += [F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    if multiprobe >= 2:
+        probe_cols += [
+            F.col("__b0").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    qb = qb.select("b_id", "__bv", "__bn", F.explode(F.array(*probe_cols)).alias("__bucket"))
     scored = (
         F.broadcast(qb)
         .join(tb, "__bucket")
@@ -3031,19 +3051,25 @@ def exact_dedup_priority(
     exact_dedup's min-id rule would keep whichever source enumerated
     first.  Returns (fp, id, priority) of each winner.
 
-    Scale: identical to exact_dedup — one digest-keyed shuffle with a
-    map-side-combinable max_by; payloads never compared pairwise."""
+    Scale: same shape as exact_dedup — digest-keyed, map-side-combinable
+    aggregation; payloads never compared pairwise.  Two stages so the
+    (priority DESC, id ASC) tie-break works for ANY orderable id type
+    (string ids included — no arithmetic negation): stage 1 reduces to the
+    lowest id per (fp, priority) — after which priorities are unique within
+    a fingerprint — and stage 2 is a plain max_by on priority.  Both stages
+    partial-aggregate before their shuffle."""
     return (
         df.select(
             F.md5(F.col(content_col)).alias("fp"),
             F.col(id_col),
             F.col(priority_col),
         )
+        .groupBy("fp", priority_col)
+        .agg(F.min(id_col).alias(id_col))
         .groupBy("fp")
         .agg(
             F.max_by(
-                F.struct(F.col(id_col), F.col(priority_col)),
-                F.struct(F.col(priority_col), (-F.col(id_col)).alias("__negid")),
+                F.struct(F.col(id_col), F.col(priority_col)), F.col(priority_col)
             ).alias("__w")
         )
         .select("fp", F.col(f"__w.{id_col}").alias(id_col), F.col(f"__w.{priority_col}").alias(priority_col))
@@ -3175,17 +3201,22 @@ def hybrid_topk(
 
 def url_normalize(col: Column) -> Column:
     """Canonicalize a URL for dedup (the C4/CCNet URL-level recipe):
-    lowercase scheme+host, strip the fragment, drop default :80/:443
-    ports, collapse trailing path slashes (bare host → '/'), and sort
-    query parameters so equivalent URLs normalize identically.  RE2-safe
-    regex + array ops — a zero-shuffle narrow map, recomputable by a SQL
-    oracle byte-for-byte."""
+    lowercase scheme+host, strip the fragment, drop the scheme's DEFAULT
+    port only (:80 for http, :443 for https — ``http://host:443/x`` is a
+    real distinct resource and keeps its port), collapse trailing path
+    slashes (bare host → '/'), and sort query parameters so equivalent
+    URLs normalize identically.  RE2-safe regex + array ops — a
+    zero-shuffle narrow map, recomputable by a SQL oracle byte-for-byte."""
     u = F.trim(col)
     u = F.regexp_replace(u, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     host = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
-    host = F.regexp_replace(host, r":(80|443)$", "")
+    host = (
+        F.when(scheme == F.lit("http"), F.regexp_replace(host, r":80$", ""))
+        .when(scheme == F.lit("https"), F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
     pathq = F.regexp_replace(rest, r"^[^/?]+", "")
     path = F.regexp_extract(pathq, r"^([^?]*)", 1)
     path = F.regexp_replace(path, r"/+$", "")

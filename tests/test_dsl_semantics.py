@@ -570,3 +570,41 @@ def test_stream_builder_csv_json_sources(spark, tmp_path):
     assert run(p_csv) == want
     assert run(p_json) == want
     assert run(p_parq) == want
+
+
+def test_join_null_value_rows_kept(spark):
+    """Pins the documented semantics delta vs the reference: the reference
+    drops null-VALUE records too (KStreamKStreamJoinProcessor.cs:42-46,
+    KStreamKTableJoinProcessor.cs:31-35 — a Kafka value is one opaque
+    object); here the value is a multi-column projection, so rows whose
+    non-key columns are null still participate — only null KEYS drop."""
+    left = KStream(
+        spark.createDataFrame(
+            [(1, None, sec(1)), (2, "L2", sec(1))], "k long, v string, ts timestamp"
+        ),
+        key=("k",),
+        ts="ts",
+    )
+    right = KStream(
+        spark.createDataFrame(
+            [(1, "R1", sec(1)), (2, None, sec(1))], "rk long, rv string, rts timestamp"
+        ),
+        key=("rk",),
+        ts="rts",
+    )
+    j = left.join(right, JoinWindowOptions.of(60_000), how="inner")
+    got = sorted(((r.k, r.v, r.rv) for r in j.df.collect()), key=str)
+    # both null-payload rows joined: (1, null value) x (1, "R1"), (2,"L2") x (2, null)
+    assert got == sorted([(1, None, "R1"), (2, "L2", None)], key=str)
+
+    table = KStream(
+        spark.createDataFrame([(1, None, sec(9))], "tk long, tv string, tts timestamp"),
+        key=("tk",),
+        ts="tts",
+    ).to_table(order=("tts",))
+    st = KStream(
+        spark.createDataFrame([(1, None, sec(2))], "k long, v string, ts timestamp"),
+        key=("k",),
+        ts="ts",
+    ).join_table(table, how="inner")
+    assert [(r.k, r.v, r.tv) for r in st.df.collect()] == [(1, None, None)]

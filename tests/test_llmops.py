@@ -1110,3 +1110,88 @@ def test_url_normalize_idempotent_hypothesis(spark):
         assert all(r.c1 == r.c2 for r in rows)
 
     check()
+
+
+def test_exact_dedup_priority_string_ids(spark):
+    """The (priority DESC, id ASC) tie-break must work for non-numeric id
+    types (no arithmetic negation): string doc ids, tie on priority ->
+    lexicographically lowest id wins."""
+    rows = [
+        ("doc-a", "same text", 5),
+        ("doc-c", "same text", 9),
+        ("doc-b", "same text", 9),   # tie at 9 -> "doc-b" < "doc-c"
+        ("doc-z", "unique", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, priority int")
+    out = {r.doc_id: r for r in llmops.exact_dedup_priority(df, "doc_id", "text", "priority").collect()}
+    assert set(out) == {"doc-b", "doc-z"}
+    assert out["doc-b"].priority == 9
+
+
+def test_event_sequences_drops_null_key_and_ts(spark):
+    """Null user / null timestamp rows belong to no orderable history —
+    dropped, matching sessionize/cohort_retention; null vals order LAST
+    (engine-portable NULLS LAST, not Spark's default NULLS FIRST)."""
+    rows = [
+        (1, 0, 100),
+        (1, 1000, None),   # null val sorts AFTER 101 at a later ts anyway
+        (1, 500, 101),
+        (None, 2000, 7),   # null key dropped
+        (2, None, 8),      # null ts dropped
+    ]
+    df = spark.createDataFrame(rows, "uid long, tsm long, eid long").select(
+        "uid", F.timestamp_millis(F.col("tsm")).alias("ts"), "eid"
+    )
+    out = {(r.uid, r.seq_idx): r for r in llmops.event_sequences(df, "uid", "ts", "eid", seq_len=4).collect()}
+    assert set(out) == {(1, 0)}
+    assert out[(1, 0)].vals == [100, 101, None]
+    # same-ts null ordering: null val ties at one ts go last
+    rows2 = [(1, 0, None), (1, 0, 50)]
+    df2 = spark.createDataFrame(rows2, "uid long, tsm long, eid long").select(
+        "uid", F.timestamp_millis(F.col("tsm")).alias("ts"), "eid"
+    )
+    seq2 = llmops.event_sequences(df2, "uid", "ts", "eid", seq_len=4).collect()
+    assert seq2[0].vals == [50, None]
+
+
+def test_url_normalize_port_strip_is_scheme_aware(spark):
+    """:443 on an http URL (and :80 on https) is a REAL distinct resource —
+    only the scheme's own default port strips."""
+    rows = [
+        (1, "http://example.com:443/x"),
+        (2, "https://example.com:443/x"),
+        (3, "https://example.com:80/x"),
+        (4, "http://example.com:80/x"),
+    ]
+    df = spark.createDataFrame(rows, "row_id long, url string")
+    canon = {r.row_id: r.c for r in df.select("row_id", llmops.url_normalize(F.col("url")).alias("c")).collect()}
+    assert canon[1] == "http://example.com:443/x"    # kept: not http's default
+    assert canon[2] == "https://example.com/x"       # stripped: https default
+    assert canon[3] == "https://example.com:80/x"    # kept: not https's default
+    assert canon[4] == "http://example.com/x"        # stripped: http default
+
+
+def test_semantic_decontaminate_radius2_exhaustive_recall(spark):
+    """With n_planes=2 and multiprobe=2 the probe set covers the ENTIRE
+    2-bit code space, so every qualifying pair MUST be found — exact recall
+    by construction, verified against brute-force cosine."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    train = [(i, rng.normal(size=8).astype("float32").tolist()) for i in range(40)]
+    bench = [(1000 + i, train[3 * i][1]) for i in range(8)]  # exact copies
+    t = spark.createDataFrame(train, "vec_id long, embedding array<float>")
+    b = spark.createDataFrame(bench, "vec_id long, embedding array<float>")
+    out = llmops.semantic_decontaminate(
+        t, b, dim=8, threshold=0.95, n_planes=2, multiprobe=2
+    )
+    got = {r.vec_id for r in out.collect()}
+    # brute force on the driver (40x8 tiny)
+    tv = {i: np.array(v) for i, v in train}
+    want = set()
+    for bid, bv in bench:
+        bvn = np.array(bv)
+        for i, v in tv.items():
+            if float(v @ bvn / (np.linalg.norm(v) * np.linalg.norm(bvn))) >= 0.95:
+                want.add(i)
+    assert got == want and len(want) >= 8
