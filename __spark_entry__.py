@@ -1526,9 +1526,17 @@ def q105_sketch_stats(spark, sf_dir):
     HyperLogLog++ and GK-quantile sketches through the ordinary grouped
     ``aggregate`` surface).  Exact count(DISTINCT) shuffles every distinct
     value; the HLL sketch shuffles a fixed-size register set per group, and
-    percentile_approx a bounded GK summary — both map-side combinable.  No
-    SQL oracle: sketch internals are engine-specific (driver records the
-    rows-only check); the error-bound contract vs exact is pinned by
+    percentile_approx a bounded GK summary — both map-side combinable.
+
+    Sketch INTERNALS are engine-specific, but the sketch CONTRACT is not —
+    so the emitted columns are the exact per-group counts (both engines
+    agree on those) plus deterministic bound-check booleans computed Spark-
+    side against Spark's own exact values: |hll − exact| ≤ 3·rsd·exact, and
+    each approx percentile's exact rank bracket [#lt+1, #le] must intersect
+    the target rank ± n/accuracy (the GK guarantee).  The oracle recomputes
+    the exact columns and emits literal TRUE for the booleans — hash equal
+    iff every sketch honors its documented error bound on this data.  The
+    tighter numeric assertion stays in
     tests/test_dsl_semantics.py::test_sketch_aggregates_error_bounds."""
     b = _b(spark, sf_dir)
     t = (
@@ -1540,7 +1548,37 @@ def q105_sketch_stats(spark, sf_dir):
             p99_value=F.percentile_approx(F.col("value"), F.lit(0.99), F.lit(10000)),
         )
     )
-    return t.df.select("event_type", "users_hll", "p50_value", "p99_value")
+    ev = read_table(configure(spark), sf_dir, "events")
+    j = ev.join(F.broadcast(t.df), "event_type")
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("users_exact"),
+        F.first("users_hll").alias("__hll"),
+        F.first("p50_value").alias("__p50"),
+        F.first("p99_value").alias("__p99"),
+        F.count("value").cast("long").alias("__nv"),
+        F.sum(F.when(F.col("value") < F.col("p50_value"), 1).otherwise(0)).alias("__lt50"),
+        F.sum(F.when(F.col("value") <= F.col("p50_value"), 1).otherwise(0)).alias("__le50"),
+        F.sum(F.when(F.col("value") < F.col("p99_value"), 1).otherwise(0)).alias("__lt99"),
+        F.sum(F.when(F.col("value") <= F.col("p99_value"), 1).otherwise(0)).alias("__le99"),
+    )
+    tol = F.col("__nv") / F.lit(10000.0) + F.lit(1.0)  # GK rank error + discretization
+
+    def rank_ok(q, lt, le):
+        target = F.lit(q) * F.col("__nv")
+        return (F.col(le) >= target - tol) & (F.col(lt) <= target + tol)
+
+    return agg.select(
+        "event_type",
+        "n_events",
+        "users_exact",
+        (
+            F.abs(F.col("__hll") - F.col("users_exact"))
+            <= F.greatest(F.lit(3) * F.lit(0.02) * F.col("users_exact"), F.lit(1.0))
+        ).alias("users_ok"),
+        rank_ok(0.5, "__lt50", "__le50").alias("p50_ok"),
+        rank_ok(0.99, "__lt99", "__le99").alias("p99_ok"),
+    )
 
 
 _AVRO_EMB_SCHEMA = (
@@ -2255,6 +2293,36 @@ def q148_temporal_split(spark, sf_dir):
     )
 
 
+def q149_profile_approx(spark, sf_dir):
+    """Sketch-mode column profiler (llmops.profile_columns approx=True) —
+    the 100 TB path: HyperLogLog++ ndv registers instead of the exact
+    multi-distinct Expand-×N plan (the absence of the Expand node is pinned
+    by tests/test_plans.py::test_profile_columns_approx_has_no_expand).
+    Oracle discipline mirrors q105: exact columns are recomputed by both
+    engines; ndv_ok = |hll − exact| ≤ 3·rsd·exact is computed Spark-side
+    against Spark's own exact profile, TRUE literal in the oracle."""
+    li = read_table(configure(spark), sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"]
+    ap = llmops.profile_columns(li, cols, approx=True, rsd=0.02).select(
+        "column", "n_nonnull", "n_null",
+        F.col("n_distinct").alias("__ndv_hll"), "min_str", "max_str",
+    )
+    ex = llmops.profile_columns(li, cols).select(
+        "column", F.col("n_distinct").alias("__ndv_exact")
+    )
+    return ap.join(ex, "column").select(
+        "column",
+        "n_nonnull",
+        "n_null",
+        (
+            F.abs(F.col("__ndv_hll") - F.col("__ndv_exact"))
+            <= F.greatest(F.lit(3 * 0.02) * F.col("__ndv_exact"), F.lit(1.0))
+        ).alias("ndv_ok"),
+        "min_str",
+        "max_str",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2405,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_sessionize": q146_sessionize,
         "q147_url_dedup": q147_url_dedup,
         "q148_temporal_split": q148_temporal_split,
+        "q149_profile_approx": q149_profile_approx,
     }
 
 
@@ -3782,6 +3851,19 @@ def oracle_sql() -> dict[str, str]:
                     + lp) AS wire_len
             FROM m
         """,
+        "q105_sketch_stats": """
+            -- exact columns recomputed; booleans are the sketch CONTRACT:
+            -- Spark computes them against its own exact values, so they are
+            -- TRUE literals here iff HLL(rsd=2%) lands within 3 sigma and each
+            -- approx percentile within the GK rank-error guarantee.
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS users_exact,
+                   TRUE AS users_ok,
+                   TRUE AS p50_ok,
+                   TRUE AS p99_ok
+            FROM events GROUP BY event_type
+        """,
         "q106_avro_embeddings": """
             SELECT vec_id,
                    CAST(len(embedding) AS BIGINT) AS n_dims,
@@ -4179,6 +4261,39 @@ def oracle_sql() -> dict[str, str]:
                                         / CAST(per.n_grams_distinct AS DOUBLE)) AS BIGINT)
                         ELSE 0 END AS novelty_q
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "q149_profile_approx": """
+            -- q105-style contract oracle: exact stats recomputed; ndv_ok is
+            -- TRUE iff Spark's HLL(rsd=2%) ndv landed within 3 sigma of exact.
+            WITH p AS (
+              SELECT 'l_orderkey' AS "column",
+                     CAST(count(l_orderkey) AS BIGINT) AS n_nonnull,
+                     CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null,
+                     CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+                     CAST(max(l_orderkey) AS VARCHAR) AS max_str
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity', CAST(count(l_quantity) AS BIGINT),
+                     CAST(count(*) - count(l_quantity) AS BIGINT),
+                     CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', CAST(count(l_extendedprice) AS BIGINT),
+                     CAST(count(*) - count(l_extendedprice) AS BIGINT),
+                     CAST(min(l_extendedprice) AS VARCHAR), CAST(max(l_extendedprice) AS VARCHAR)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_returnflag', CAST(count(l_returnflag) AS BIGINT),
+                     CAST(count(*) - count(l_returnflag) AS BIGINT),
+                     CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_shipdate', CAST(count(l_shipdate) AS BIGINT),
+                     CAST(count(*) - count(l_shipdate) AS BIGINT),
+                     CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+              FROM lineitem)
+            SELECT "column", n_nonnull, n_null, TRUE AS ndv_ok, min_str, max_str
+            FROM p
         """,
         "q124_profile_columns": """
             SELECT 'l_orderkey' AS "column",

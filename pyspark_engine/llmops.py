@@ -1834,7 +1834,9 @@ def ngram_novelty(
     )
 
 
-def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, cols: Sequence[str], approx: bool = False, rsd: float = 0.02
+) -> DataFrame:
     """Data-profiling summary, one output row per column: non-null count,
     null count, distinct count, min/max (as strings, engine-portable).  The
     first look at any new 100 TB drop — schema sanity, null blowups,
@@ -1843,14 +1845,25 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     Scale: a single aggregation computes every column's stats side by side
     (no per-column scans); the per-column rows are assembled driver-side
     from the 1-row aggregate via a stack (unpivot) of literal-width
-    expressions.  count_distinct is exact here; swap approx_count_distinct
-    at corpus scale where 2% error is acceptable."""
+    expressions.  ``approx=False`` (the oracle path) uses exact
+    count_distinct, whose multi-column plan EXPANDS rows ×len(cols) and
+    shuffles every distinct value — fine at test scale, the dominant cost
+    at 100 TB.  ``approx=True`` is the corpus-scale mode: HyperLogLog++
+    ``approx_count_distinct(rsd)`` sketches are fixed-size registers,
+    map-side combinable, no Expand node in the plan (pinned by
+    tests/test_plans.py::test_profile_columns_approx_has_no_expand);
+    ndv carries ±``rsd`` relative error (default 2%)."""
+    ndv = (
+        (lambda c: F.approx_count_distinct(F.col(c), rsd=rsd))
+        if approx
+        else (lambda c: F.count_distinct(F.col(c)))
+    )
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.col(c)).cast("long").alias(f"__cnt_{c}"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__null_{c}"),
-            F.count_distinct(F.col(c)).cast("long").alias(f"__ndv_{c}"),
+            ndv(c).cast("long").alias(f"__ndv_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
         ]

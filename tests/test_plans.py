@@ -152,3 +152,22 @@ def test_write_clustered_rowgroup_stats(spark, tmp_path):
         assert len(mins) == 1 and mins == maxs  # one lang per file
         tight += 1
     assert tight >= 4
+
+
+def test_profile_columns_approx_has_no_expand(spark):
+    """profile_columns(approx=True) must plan HLL sketches (fixed-size,
+    map-side-combinable registers), NOT the exact multi-distinct path whose
+    Expand node replicates every row xN columns before the partial
+    aggregate — the difference between a bounded and an O(rows x cols)
+    shuffle at 100 TB."""
+    from pyspark_engine import llmops
+    from pyspark_engine.runtime import read_table
+
+    li = read_table(spark, SF, "lineitem")
+    cols = ["l_orderkey", "l_quantity", "l_returnflag"]
+    exact = _plan(llmops.profile_columns(li, cols))
+    approx = _plan(llmops.profile_columns(li, cols, approx=True))
+    assert "Expand" in exact            # the exact path really is expand-based
+    assert "Expand" not in approx
+    assert "approx_count_distinct" in approx
+    assert "partial_approx_count_distinct" in approx  # map-side combine
