@@ -1074,6 +1074,49 @@ class KGroupedStream:
         return CogroupedKStream().cogroup(self, **agg_exprs)
 
 
+def stitch_cogrouped(
+    tables: list[tuple[DataFrame, Sequence[str]]],
+    key: Sequence[str],
+    fill: dict[str, object] | None = None,
+) -> DataFrame:
+    """Stitch per-stream aggregate tables into ONE cogrouped table: align
+    each table's key columns to ``key``, full-outer join with null-safe key
+    coalescing (a key present in only some streams still appears), then
+    apply ``fill`` initializer defaults.  Shared by the batch
+    CogroupedKStream.aggregate and streaming.cogroup_streaming so both
+    realizations have identical stitch semantics.  Every join keys on the
+    columns the aggregates just hash-partitioned by, so Catalyst reuses the
+    exchange; inputs are aggregate-sized (one row per key per stream)."""
+    aligned = []
+    for t, part_key in tables:
+        for old, new in zip(part_key, key):
+            if old != new:
+                t = t.withColumnRenamed(old, new)
+        aligned.append(t)
+    out = aligned[0]
+    for t in aligned[1:]:
+        cond = None
+        for k in key:
+            c = out[k].eqNullSafe(t[k])
+            cond = c if cond is None else cond & c
+        joined = out.join(t, cond, "full_outer")
+        coalesced = [F.coalesce(out[k], t[k]).alias(k) for k in key]
+        others = [out[c] for c in out.columns if c not in key] + [
+            t[c] for c in t.columns if c not in key
+        ]
+        out = joined.select(*coalesced, *others)
+    if fill:
+        out = out.select(
+            *key,
+            *[
+                F.coalesce(F.col(c), F.lit(fill[c])).alias(c) if c in fill else F.col(c)
+                for c in out.columns
+                if c not in key
+            ],
+        )
+    return out
+
+
 class CogroupedKStream:
     """Builder for KGroupedStream.cogroup (KIP-150 semantics).
 
@@ -1115,36 +1158,10 @@ class CogroupedKStream:
             if dup:
                 raise ValueError(f"duplicate aggregate column name(s): {sorted(dup)}")
             seen.update(aggs)
-        tables = []
-        for grouped, aggs in self._parts:
-            t = grouped.aggregate(**aggs).df
-            # align key column names to the first stream's
-            for old, new in zip(grouped.key, key):
-                if old != new:
-                    t = t.withColumnRenamed(old, new)
-            tables.append(t)
-        out = tables[0]
-        for t in tables[1:]:
-            cond = None
-            for k in key:
-                c = out[k].eqNullSafe(t[k])
-                cond = c if cond is None else cond & c
-            joined = out.join(t, cond, "full_outer")
-            coalesced = [F.coalesce(out[k], t[k]).alias(k) for k in key]
-            others = [out[c] for c in out.columns if c not in key] + [
-                t[c] for c in t.columns if c not in key
-            ]
-            out = joined.select(*coalesced, *others)
-        if fill:
-            out = out.select(
-                *key,
-                *[
-                    F.coalesce(F.col(c), F.lit(fill[c])).alias(c) if c in fill else F.col(c)
-                    for c in out.columns
-                    if c not in key
-                ],
-            )
-        return KTable(out, key)
+        tables = [
+            (grouped.aggregate(**aggs).df, grouped.key) for grouped, aggs in self._parts
+        ]
+        return KTable(stitch_cogrouped(tables, key, fill), key)
 
 
 class KGroupedTable:

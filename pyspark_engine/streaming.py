@@ -50,6 +50,7 @@ __all__ = [
     "stateful_map",
     "join_tables_streaming",
     "join_table_asof_streaming",
+    "cogroup_streaming",
     "observed_metrics",
 ]
 
@@ -546,3 +547,79 @@ def join_table_asof_streaming(
             table, how=how, tolerance_ms=tolerance_ms, matched_ts=matched_ts
         ).df
     return spark.read.parquet(root)
+
+
+def cogroup_streaming(
+    cogrouped,
+    fill: dict[str, object] | None = None,
+    state_dir: str | None = None,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Streaming realization of KIP-150 cogroup (the successor API of the
+    reference's KGroupedStream surface; batch twin = CogroupedKStream
+    .aggregate, dsl.py).  Each participating grouped stream runs as its OWN
+    native Structured Streaming aggregation in update mode — Spark maintains
+    the running aggregate state, so ANY aggregate expression that streaming
+    supports works unchanged (count/sum/avg/collect/max_by...), no hand-
+    written merge functions.  Each microbatch emits the changed keys' new
+    aggregate rows; a foreachBatch upsert (the join_tables_streaming
+    ping-pong-generation pattern) materializes each side's latest-per-key
+    table, and after the sides drain the per-stream tables are stitched by
+    the SAME dsl.stitch_cogrouped full-outer/coalesce/fill code the batch
+    path uses — so streaming replay == batch cogroup by construction
+    (pinned by tests/test_streaming.py::test_cogroup_streaming_parity).
+
+    Scale: per side, state = one row per key (Spark's streaming agg store);
+    the upsert rewrite is bounded by key cardinality, never stream length;
+    stitch joins reuse the aggregation partitioning.  Drains each side with
+    an availableNow trigger and returns the stitched snapshot."""
+    parts = getattr(cogrouped, "_parts", None)
+    if parts is None:
+        parts = list(cogrouped)
+    if not parts:
+        raise ValueError("cogroup requires at least one grouped stream")
+    key = tuple(parts[0][0].key)
+    root = state_dir or tempfile.mkdtemp(prefix="pse-cogroup-")
+    tables = []
+    for i, (grouped, aggs) in enumerate(parts):
+        df = grouped.stream.df
+        if not df.isStreaming:
+            raise ValueError(
+                "cogroup_streaming requires streaming inputs; use CogroupedKStream.aggregate in batch"
+            )
+        agg_df = df.groupBy(*grouped.key).agg(*[v.alias(k) for k, v in aggs.items()])
+        side_root = os.path.join(root, f"side-{i}")
+        gen = {"n": 0}
+
+        def _apply(batch: DataFrame, batch_id: int, side_root=side_root, gen=gen, kcols=tuple(grouped.key)):
+            spark = batch.sparkSession
+            cur, nxt = gen["n"] % 2, (gen["n"] + 1) % 2
+            rows = batch.withColumn("__gen", F.lit(gen["n"] + 1).cast("long"))
+            prev = os.path.join(side_root, f"g-{cur}")
+            if os.path.exists(prev):
+                rows = spark.read.parquet(prev).unionByName(rows)
+            latest = KStream(rows, kcols, None).to_table(order=("__gen",)).df
+            latest.write.mode("overwrite").parquet(os.path.join(side_root, f"g-{nxt}"))
+            gen["n"] += 1
+
+        q = (
+            agg_df.writeStream.outputMode("update")
+            .foreachBatch(_apply)
+            .option(
+                "checkpointLocation",
+                _checkpoint(None if checkpoint is None else os.path.join(checkpoint, f"side-{i}")),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark = df.sparkSession
+        final = os.path.join(side_root, f"g-{gen['n'] % 2}")
+        if gen["n"] > 0 and os.path.exists(final):
+            t = spark.read.parquet(final).drop("__gen")
+        else:  # side never fired: schema-correct empty aggregate table
+            t = spark.createDataFrame([], agg_df.schema)
+        tables.append((t, tuple(grouped.key)))
+    from .dsl import stitch_cogrouped
+
+    return stitch_cogrouped(tables, key, fill)
