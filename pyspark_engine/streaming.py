@@ -215,10 +215,13 @@ def start_to_kafka(
     topic_expr=None,
     checkpoint: str | None = None,
     output_mode: str = "append",
+    available_now: bool = False,
 ):
     """Kafka sink (core/Processors/SinkProcessor.cs:34-53).  ``topic_expr``
     (a Column) is the dynamic topic-name-extractor analog
-    (IKStream.cs:90-137): Spark's Kafka sink routes on a ``topic`` column."""
+    (IKStream.cs:90-137): Spark's Kafka sink routes on a ``topic`` column.
+    ``available_now=True`` drains what's currently on the source and stops —
+    the bounded mode scripts/kafka_smoke.py uses for its roundtrip check."""
     df = obj.df if hasattr(obj, "df") else obj
     wire = encode_kafka(df, key_col, list(value_cols) if value_cols else None, topic=topic_expr)
     w = (
@@ -229,6 +232,8 @@ def start_to_kafka(
     )
     if topic is not None:
         w = w.option("topic", topic)
+    if available_now:
+        w = w.trigger(availableNow=True)
     try:
         return w.start()
     except Exception as e:  # pragma: no cover - connector not bundled locally

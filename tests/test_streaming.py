@@ -899,3 +899,33 @@ def test_cogroup_streaming_parity(spark, tmp_path):
     # keys on only one side appear with the fill defaults, so parity above
     # covers KIP-150's initializer semantics too; sanity: the fill path fired
     assert got.filter(F.col("n_events") == 0).count() > 0
+
+
+def test_kafka_smoke_helpers_offline(spark):
+    """scripts/kafka_smoke.py up to the connector gate: the topology and
+    verify helpers are pure, so the smoke test's logic is provable without
+    a broker — the DSL count over an offline stream must equal the script's
+    expected_counts ground truth, and the wire-side verifier must pick the
+    LATEST (highest-offset) record per key like a compacted changelog."""
+    import importlib.util
+    import os as _os
+
+    p = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "scripts", "kafka_smoke.py")
+    spec = importlib.util.spec_from_file_location("kafka_smoke", p)
+    ksm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ksm)
+
+    records = ksm.sample_records(spark, n_rows=200, n_keys=7)
+    want = ksm.expected_counts(records)
+    assert sum(want.values()) == 200 and len(want) == 7
+
+    # the same topology the live path runs, driven offline
+    counted = ksm.topology(KStream(records, key=("user_id",)))
+    got = {int(r.user_id): int(r.cnt) for r in counted.df.collect()}
+    assert got == want
+
+    # verifier: offset 2 row supersedes offset 1 for key 5
+    decoded = spark.createDataFrame(
+        [(5, 1, 1), (5, 3, 2), (6, 9, 1)], "key long, cnt long, offset long"
+    )
+    assert ksm.latest_counts_from_wire(decoded) == {5: 3, 6: 9}
