@@ -2323,6 +2323,22 @@ def q149_profile_approx(spark, sf_dir):
     )
 
 
+def q150_rate_anomaly_time(spark, sf_dir):
+    """Time-based rate-spike detection (analytics.rate_anomaly_time): the
+    trailing baseline is 6 WALL-CLOCK hours (empty slots count as zeros via
+    the fixed-denominator algebra — no densify explode), vs q141's last-6-
+    non-empty-windows rule.  A synthetic sparse key (every 97th event) has
+    real calendar gaps, so the two definitions genuinely diverge on this
+    data; the RANGE-frame arithmetic is integer-exact and replayed
+    bit-for-bit by the oracle."""
+    ev = read_table(configure(spark), sf_dir, "events").select("event_id", "ts", "event_type")
+    sparse = ev.filter(F.col("event_id") % 97 == 0).select(
+        "event_id", "ts", F.lit("sparse_probe").alias("event_type")
+    )
+    corpus = ev.unionByName(sparse)
+    return analytics.rate_anomaly_time(corpus, "ts", "event_type", 3_600_000, trail=6, k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2474,6 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_url_dedup": q147_url_dedup,
         "q148_temporal_split": q148_temporal_split,
         "q149_profile_approx": q149_profile_approx,
+        "q150_rate_anomaly_time": q150_rate_anomaly_time,
     }
 
 
@@ -3080,6 +3097,33 @@ def oracle_sql() -> dict[str, str]:
                                                        doc_id) AS BIGINT) AS rank
                         FROM rr)
             SELECT doc_id, score_q, cos_q, rank FROM rk WHERE rank <= 10
+        """,
+        "q150_rate_anomaly_time": r"""
+            WITH sel AS (SELECT event_id, ts, event_type FROM events),
+                 corpus AS (SELECT * FROM sel
+                            UNION ALL
+                            SELECT event_id, ts, 'sparse_probe' FROM sel
+                            WHERE event_id % 97 = 0),
+                 c AS (SELECT event_type,
+                              epoch_ms(ts) - (epoch_ms(ts) % 3600000) AS w_start_ms,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM corpus WHERE ts IS NOT NULL
+                       GROUP BY 1, 2),
+                 t AS (SELECT event_type, w_start_ms, cnt,
+                              CAST(coalesce(sum(cnt) OVER tw, 0) AS BIGINT) AS s,
+                              CAST(coalesce(sum(cnt * cnt) OVER tw, 0) AS BIGINT) AS q,
+                              min(w_start_ms) OVER (PARTITION BY event_type) AS first_w
+                       FROM c
+                       WINDOW tw AS (PARTITION BY event_type ORDER BY w_start_ms
+                                     RANGE BETWEEN 21600000 PRECEDING
+                                           AND 3600000 PRECEDING))
+            SELECT event_type, w_start_ms, cnt,
+                   CAST(6 * cnt - s AS BIGINT) AS dev,
+                   CAST(6 * q - s * s AS BIGINT) AS var_n,
+                   (w_start_ms - first_w >= 21600000
+                    AND (6 * cnt - s) > 0
+                    AND (6 * cnt - s) * (6 * cnt - s) > 9 * (6 * q - s * s)) AS is_anomaly
+            FROM t
         """,
         "q141_rate_anomaly": r"""
             WITH sel AS (SELECT event_id, ts, event_type FROM events),

@@ -81,6 +81,7 @@ HEADLINE = [
     "q101_sample_quota",
     "q102_versioned_join",
     "q103_avro_wire",
+    "q105_sketch_stats",
     "q108_repeated_spans",
     "q110_dsir_weights",
     "q112_char_entropy",
@@ -120,6 +121,8 @@ HEADLINE = [
     "q146_sessionize",
     "q147_url_dedup",
     "q148_temporal_split",
+    "q149_profile_approx",
+    "q150_rate_anomaly_time",
 ]
 
 

@@ -68,10 +68,9 @@ def rate_anomaly(
     frame may span arbitrary wall-clock gaps.  That is the right behavior
     for "is this burst big relative to this key's typical ACTIVE rate";
     for a strictly time-based baseline (zero windows count as zeros),
-    densify per key first — e.g. ``sequence(min_w, max_w, size_ms)`` +
-    explode + left join the counts — and apply the same frame, or use a
-    RANGE frame on ``w_start_ms``.  The q141 oracle pins the non-empty-
-    window definition.
+    use :func:`rate_anomaly_time` (RANGE frame on ``w_start_ms``, empty
+    windows count as zeros).  The q141 oracle pins the non-empty-window
+    definition; q150 pins the time-based one.
 
     Scale: windowed counts (one shuffle) + a per-key ordered window over the
     COUNTS table (rows = windows × keys, not events) — the trailing scan
@@ -92,6 +91,64 @@ def rate_anomaly(
         var_n.cast("long").alias("var_n"),
         (
             (n == F.lit(trail)) & (dev > 0) & (dev * dev > F.lit(k * k) * var_n)
+        ).alias("is_anomaly"),
+    )
+
+
+def rate_anomaly_time(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    size_ms: int,
+    trail: int = 6,
+    k: int = 3,
+) -> DataFrame:
+    """Time-based sibling of :func:`rate_anomaly`: the baseline is the
+    trailing ``trail`` WALL-CLOCK window slots — a slot with zero events
+    contributes cnt = 0, so long gaps dilute a sparse key's baseline
+    instead of being skipped.  Right for "is this rate high vs this key's
+    recent calendar", where rate_anomaly answers "vs its typical burst".
+
+    Mechanics: a RANGE frame on ``w_start_ms`` spanning
+    [cur − trail·size_ms, cur − size_ms] sums only the materialized
+    (non-empty) slots — the missing slots' zeros change no sum — while the
+    denominator is FIXED at ``trail``:
+
+        mean = S/trail,  var = (trail·Q − S²)/trail²
+        anomaly ⇔ dev = trail·cnt − S > 0  ∧  dev² > k²·(trail·Q − S²)
+
+    — same integer-exact no-division rearrangement as rate_anomaly, so any
+    SQL engine agrees bit-for-bit.  Cold start: windows that open less than
+    ``trail`` slots after the key's FIRST window are never flagged (the
+    calendar baseline isn't fully defined yet).  Returns (key, w_start_ms,
+    cnt, dev, var_n, is_anomaly).
+
+    Scale: same shape as rate_anomaly — windowed counts (one shuffle) plus
+    per-key ordered windows over the COUNTS table; no densify explode is
+    ever materialized (the fixed-``trail`` algebra absorbs the zeros), so
+    sparse keys with year-long gaps cost nothing extra."""
+    counts = windowed_counts(events, ts_col, key_col, size_ms)
+    wr = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("w_start_ms").cast("long"))
+        .rangeBetween(-trail * size_ms, -size_ms)
+    )
+    wk = Window.partitionBy(key_col)
+    s = F.coalesce(F.sum("cnt").over(wr), F.lit(0))
+    q = F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(wr), F.lit(0))
+    first_w = F.min("w_start_ms").over(wk)
+    dev = F.lit(trail) * F.col("cnt") - s
+    var_n = F.lit(trail) * q - s * s
+    return counts.select(
+        F.col(key_col),
+        "w_start_ms",
+        "cnt",
+        dev.cast("long").alias("dev"),
+        var_n.cast("long").alias("var_n"),
+        (
+            (F.col("w_start_ms") - first_w >= F.lit(trail * size_ms))
+            & (dev > 0)
+            & (dev * dev > F.lit(k * k) * var_n)
         ).alias("is_anomaly"),
     )
 

@@ -170,17 +170,22 @@ def _dedup_pipeline_demo(spark, sf_dir: str) -> dict:
 
 def main() -> None:
     factors = [int(x) for x in os.environ.get("SCALE_FACTORS", "1,10,30").split(",")]
+    queries = QUERIES
+    only = os.environ.get("SCALE_QUERIES")
+    if only:  # e.g. SCALE_QUERIES=q43,q113 for the x100 worst-exponent recheck
+        prefixes = [p.strip() for p in only.split(",") if p.strip()]
+        queries = [q for q in QUERIES if any(q.startswith(p) for p in prefixes)]
     spark = build_session("scale_stress", ui=False)
     qs = entrymod.queries()
-    results: dict[str, dict] = {q: {} for q in QUERIES}
+    results: dict[str, dict] = {q: {} for q in queries}
     for k in factors:
         d = _build_dir(spark, k)
-        for q in QUERIES:
+        for q in queries:
             llmops.release_cache()
             results[q][f"x{k}"] = _steady(qs[q](spark, d))
     base, top = factors[0], factors[-1]
     exponents = {}
-    for q in QUERIES:
+    for q in queries:
         t1, tk = results[q][f"x{base}"], results[q][f"x{top}"]
         if t1 > 0 and tk > 0 and top > base:
             exponents[q] = round(math.log(tk / t1) / math.log(top / base), 2)
@@ -199,8 +204,14 @@ def main() -> None:
             "not win here; join_table_salted is the manual lever for paths where "
             "AQE cannot act (Structured Streaming joins, fixed partitioning)"
         ),
-        "skew_demo_x10": _skew_demo(spark, _build_dir(spark, 10)),
-        "dedup_pipeline_x30": _dedup_pipeline_demo(spark, _build_dir(spark, 30)),
+        **(
+            {}
+            if os.environ.get("SCALE_EXTRAS", "1") == "0"
+            else {
+                "skew_demo_x10": _skew_demo(spark, _build_dir(spark, 10)),
+                "dedup_pipeline_x30": _dedup_pipeline_demo(spark, _build_dir(spark, 30)),
+            }
+        ),
         "dedup_note": (
             "q43 alone on the replicated corpus is output-bound (every replica "
             "pair IS a near-dup: Ω(k²) result rows per dup group); exact-dedup "

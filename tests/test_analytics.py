@@ -161,3 +161,30 @@ def test_sessionize_gaps_and_positions(spark):
     assert out[101].session_idx == 1 and out[101].pos == 2
     assert out[102].session_idx == 2 and out[102].pos == 1
     assert out[200].session_idx == 1 and out[200].pos == 1
+
+
+def test_rate_anomaly_time_gap_semantics(spark):
+    """The two baseline definitions must diverge exactly where the advice
+    says they do: a sparse key with a long calendar gap.  Six busy hours,
+    a 13-hour silence, then one window of the SAME busy rate — row-based
+    (last 6 non-empty windows) sees an unchanged rate and stays quiet;
+    time-based (last 6 wall-clock slots, zeros included) correctly flags
+    the resumption as a spike vs the silent recent calendar."""
+    rows = []
+    for wi in range(6):                      # hours 0-5: 10 events each
+        for j in range(10):
+            rows.append(("a", wi * HOUR + j * 1000))
+    for j in range(10):                      # hour 19 after a 13-hour gap
+        rows.append(("a", 19 * HOUR + j * 1000))
+    df = _ts(spark.createDataFrame(rows, "k string, tsm long"))
+
+    row_based = {r.w_start_ms: r for r in analytics.rate_anomaly(df, "ts", "k", HOUR, trail=6, k=3).collect()}
+    assert not row_based[19 * HOUR].is_anomaly          # same rate as history
+    time_based = {r.w_start_ms: r for r in analytics.rate_anomaly_time(df, "ts", "k", HOUR, trail=6, k=3).collect()}
+    late = time_based[19 * HOUR]
+    assert late.is_anomaly                              # 10 vs 6 silent slots
+    assert late.dev == 6 * 10 - 0 and late.var_n == 0
+    # cold start: hours 0-5 open less than 6 slots after the key's first
+    # window -> never flagged even where dev > 0
+    for w in range(0, 6 * HOUR, HOUR):
+        assert not time_based[w].is_anomaly
