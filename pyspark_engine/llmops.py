@@ -249,9 +249,14 @@ def minhash_lsh_pairs(
     )
     ga = base.select(F.col("__id").alias("id_a"), F.col("__grams").alias("__ga"))
     gb = base.select(F.col("__id").alias("id_b"), F.col("__grams").alias("__gb"))
+    # merge-hint the payload sides: Catalyst's planning-time estimate of the
+    # persisted shingle table can elect a BroadcastHashJoin of the GRAM
+    # ARRAYS — corpus-sized payloads that must never transit the driver
+    # (measured: broadcast-build OOM at 2 GiB driver on the x30 corpus,
+    # SCALE_STRESS.json low_memory; sort-merge spills gracefully instead)
     verified = (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
+        cand.join(ga.hint("merge"), "id_a")
+        .join(gb.hint("merge"), "id_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("__ga", "__gb")) / F.size(F.array_union("__ga", "__gb")),
@@ -550,9 +555,11 @@ def embedding_neardup(
     vecs = _persist(vecs)
     va = vecs.select(F.col("__vid").alias("id_a"), F.col("__vec").alias("__va"), F.col("__vn").alias("__na"))
     vb = vecs.select(F.col("__vid").alias("id_b"), F.col("__vec").alias("__vb"), F.col("__vn").alias("__nb"))
+    # merge hints: never let the planner broadcast the vector payloads
+    # (same broadcast-OOM hazard as minhash_lsh_pairs' gram arrays)
     return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
+        pairs.join(va.hint("merge"), "id_a")
+        .join(vb.hint("merge"), "id_b")
         .withColumn("__sim", _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
         .filter(F.col("__sim") >= threshold)
         .select("id_a", "id_b")
@@ -2892,8 +2899,8 @@ def minhash_lsh_incremental(
         / F.lit(num_hashes)
     ).alias("sim_est")
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(sa.hint("merge"), "id_a")
+        .join(sb.hint("merge"), "id_b")
         .select("id_a", "id_b", sim)
         .filter(F.col("sim_est") >= threshold)
     )

@@ -64,12 +64,17 @@ QUERIES = [
 
 
 def main() -> None:
+    only = os.environ.get("SPILL_QUERIES")
+    queries = QUERIES
+    if only:
+        prefixes = [p.strip() for p in only.split(",") if p.strip()]
+        queries = [q for q in QUERIES if any(q.startswith(p) for p in prefixes)]
     spark = build_session("spill_stress", cpus=CPUS, shuffle_partitions=PARTS, ui=True)
     d = scale_stress._build_dir(spark, FACTOR)
     qs = entrymod.queries()
     out: dict[str, dict] = {}
     failures: dict[str, str] = {}
-    for name in QUERIES:
+    for name in queries:
         llmops.release_cache()
         try:
             df = qs[name](spark, d)

@@ -522,15 +522,25 @@ def test_versioned_join_matches_record_replay(spark, sf_dir):
 
 
 def test_sketch_aggregates_error_bounds(spark, sf_dir):
-    """q105's contract: HLL++ distinct counts within the configured rsd of
-    exact, and high-accuracy GK percentiles equal to an actual element no
-    further than a rank tolerance from the exact order statistic."""
+    """The raw-sketch contract BEHIND q105's bound-check oracle: HLL++
+    distinct counts within the configured rsd of exact, and high-accuracy
+    GK percentiles equal to an actual element no further than a rank
+    tolerance from the exact order statistic — tighter numeric assertions
+    than the boolean contract columns the driver hashes."""
     import __spark_entry__ as entry
-
-    got = {r.event_type: r for r in entry.queries()["q105_sketch_stats"](spark, sf_dir).collect()}
     from pyspark_engine.runtime import read_table
 
     ev = read_table(spark, sf_dir, "events")
+    sk = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("users_hll"),
+            F.percentile_approx(F.col("value"), F.lit(0.5), F.lit(10000)).alias("p50_value"),
+            F.percentile_approx(F.col("value"), F.lit(0.99), F.lit(10000)).alias("p99_value"),
+        )
+        .collect()
+    }
     exact = {
         r.event_type: r
         for r in ev.groupBy("event_type")
@@ -541,14 +551,17 @@ def test_sketch_aggregates_error_bounds(spark, sf_dir):
         )
         .collect()
     }
-    assert set(got) == set(exact)
-    for et, row in got.items():
+    assert set(sk) == set(exact)
+    for et, row in sk.items():
         ex = exact[et]
         assert abs(row.users_hll - ex.users) <= max(3, 0.06 * ex.users)  # 3×rsd
         # GK with accuracy 10000 >> n is exact-rank on this data; allow the
         # discrete-vs-interpolated convention gap around the true quantile
         assert abs(row.p50_value - ex.p50) <= 0.05 * (abs(ex.p50) + 1)
         assert row.p99_value <= ev.filter(F.col("event_type") == et).agg(F.max("value")).collect()[0][0]
+    # and the driver-gated contract query itself must report all-green
+    q = {r.event_type: r for r in entry.queries()["q105_sketch_stats"](spark, sf_dir).collect()}
+    assert all(r.users_ok and r.p50_ok and r.p99_ok for r in q.values())
 
 
 def test_stream_builder_csv_json_sources(spark, tmp_path):
