@@ -2339,6 +2339,18 @@ def q150_rate_anomaly_time(spark, sf_dir):
     return analytics.rate_anomaly_time(corpus, "ts", "event_type", 3_600_000, trail=6, k=3)
 
 
+def q151_jaccard_exact(spark, sf_dir):
+    """EXACT set-similarity self-join (llmops.jaccard_pairs_exact): every
+    document pair with 3-gram Jaccard ≥ 0.4, found via rarity-ordered
+    prefix filtering (AllPairs/PPJoin family) — complete by construction,
+    the deterministic complement of q43's probabilistic LSH at the same
+    threshold.  Integer (inter_n, union_n) outputs; the oracle brute-forces
+    all pairs with the identical shingle definition, so any recall loss in
+    the prefix filter is a hash mismatch."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.jaccard_pairs_exact(docs, "doc_id", "text", threshold=0.4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2491,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_temporal_split": q148_temporal_split,
         "q149_profile_approx": q149_profile_approx,
         "q150_rate_anomaly_time": q150_rate_anomaly_time,
+        "q151_jaccard_exact": q151_jaccard_exact,
     }
 
 
@@ -3097,6 +3110,26 @@ def oracle_sql() -> dict[str, str]:
                                                        doc_id) AS BIGINT) AS rank
                         FROM rr)
             SELECT doc_id, score_q, cos_q, rank FROM rk WHERE rank <= 10
+        """,
+        "q151_jaccard_exact": r"""
+            -- brute force over all pairs: the exact ground truth the
+            -- prefix-filter join must reproduce completely
+            WITH d AS (SELECT doc_id,
+                              regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                       FROM documents),
+                 g AS (SELECT doc_id,
+                              list_distinct(list_transform(range(1, len(toks) - 1),
+                                            i -> array_to_string(toks[i:i+2], ' '))) AS grams
+                       FROM d WHERE len(toks) >= 3),
+                 p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                              len(list_intersect(a.grams, b.grams)) AS i_n,
+                              len(a.grams) AS na, len(b.grams) AS nb
+                       FROM g a JOIN g b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(i_n AS BIGINT) AS inter_n,
+                   CAST(na + nb - i_n AS BIGINT) AS union_n
+            FROM p
+            WHERE CAST(i_n AS DOUBLE) / (na + nb - i_n) >= 0.4
         """,
         "q150_rate_anomaly_time": r"""
             WITH sel AS (SELECT event_id, ts, event_type FROM events),

@@ -123,6 +123,7 @@ HEADLINE = [
     "q148_temporal_split",
     "q149_profile_approx",
     "q150_rate_anomaly_time",
+    "q151_jaccard_exact",
 ]
 
 

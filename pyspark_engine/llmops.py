@@ -267,6 +267,104 @@ def minhash_lsh_pairs(
     return verified
 
 
+def jaccard_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity join: every pair with shingle-Jaccard ≥
+    ``threshold``, guaranteed complete — the deterministic complement of
+    the probabilistic minhash_lsh_pairs (use this when a missed duplicate
+    is unacceptable: legal dedup, eval-set decontamination audits) and the
+    at-scale version of the brute-force baseline (q45).  Prefix filtering
+    (the AllPairs/PPJoin family): order every document's distinct shingles
+    by GLOBAL rarity (document frequency asc, shingle asc — one total
+    order both engines can reproduce); two sets with J ≥ t MUST share at
+    least one shingle among each one's first n − ⌈t·n⌉ + 1 shingles in
+    that order, so only prefix shingles generate candidates, and the
+    rarest shingles — the ones with the fewest partners — do the
+    generating.  A size filter (t·max(n_a,n_b) ≤ min(n_a,n_b)) prunes
+    further before the verify.  Returns (id_a, id_b, inter_n, union_n)
+    with id_a < id_b — integer outputs, so an oracle matches bit-for-bit.
+
+    Scale: shuffles are (1) the df-count aggregation over exploded
+    shingles, (2) the per-doc re-sort (same explode, grouped back), (3)
+    the prefix-token self-join — fan-out per token is its document
+    frequency, and prefix tokens are by construction the RAREST in each
+    doc, so the quadratic risk concentrates exactly where partner counts
+    are smallest (the classic AllPairs argument; no recall-losing cap
+    needed), and (4) the merge-hinted verify join (gram payloads never
+    broadcast).  Run exact_dedup first — identical copies all share every
+    prefix token and are pure candidate fan-out (RECIPES.md ordering)."""
+    grams = word_ngrams(tokens(F.col(text_col)), shingle)
+    base = (
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col).alias("__id"), grams.alias("__grams"))
+        .filter(F.size("__grams") > 0)
+    )
+    gram_rows = base.select("__id", F.explode("__grams").alias("__g"))
+    dfreq = gram_rows.groupBy("__g").agg(F.count(F.lit(1)).alias("__dfc"))
+    ordered = (
+        gram_rows.join(dfreq, "__g")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__dfc"), F.col("__g")))),
+                lambda s: s["__g"],
+            ).alias("__ord")
+        )
+        .select(
+            "__id",
+            "__ord",
+            F.size("__ord").alias("__n"),
+            # prefix length n - ceil(t*n) + 1; the 1e-9 nudge keeps float
+            # noise (0.4*10 = 4.0000000000000004) from ceil-ing one past the
+            # true integer and silently SHORTENING the prefix (recall loss)
+            (
+                F.size("__ord")
+                - F.ceil(F.lit(float(threshold)) * F.size("__ord") - F.lit(1e-9))
+                + 1
+            )
+            .cast("int")
+            .alias("__p"),
+        )
+    )
+    ordered = _persist(ordered)
+    pref = ordered.select(
+        "__id", "__n", F.explode(F.slice("__ord", 1, F.col("__p"))).alias("__g")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    t = float(threshold)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__g") == F.col("b.__g"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            # size filter: J >= t requires t*max <= min
+            & (F.col("a.__n") * F.lit(t) <= F.col("b.__n") + F.lit(1e-9))
+            & (F.col("b.__n") * F.lit(t) <= F.col("a.__n") + F.lit(1e-9)),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    ga = ordered.select(F.col("__id").alias("id_a"), F.col("__ord").alias("__ga"))
+    gb = ordered.select(F.col("__id").alias("id_b"), F.col("__ord").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    return (
+        cand.join(ga.hint("merge"), "id_a")
+        .join(gb.hint("merge"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("inter_n"),
+            (F.size("__ga") + F.size("__gb") - inter).cast("long").alias("union_n"),
+        )
+        .filter(F.col("inter_n").cast("double") / F.col("union_n") >= F.lit(t))
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
 def _bit_masks() -> list[int]:

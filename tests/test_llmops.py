@@ -1195,3 +1195,47 @@ def test_semantic_decontaminate_radius2_exhaustive_recall(spark):
             if float(v @ bvn / (np.linalg.norm(v) * np.linalg.norm(bvn))) >= 0.95:
                 want.add(i)
     assert got == want and len(want) >= 8
+
+
+def test_jaccard_pairs_exact_matches_brute_force(spark):
+    """The prefix-filter join is EXACT by construction — every pair with
+    shingle-Jaccard >= t must appear, none below.  Verified against a
+    driver-side brute force over all pairs, including boundary cases the
+    float prefix math could get wrong (J exactly at threshold, t*n hitting
+    an integer)."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    docs = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),                 # near-dup of 1
+        (3, base),                                           # exact dup of 1
+        (4, "completely different text about spark engines and shuffle planning at scale"),
+        (5, "the quick brown fox jumps over the lazy dog near the old river bank tonight"),
+        (6, "short doc"),                                     # < shingle tokens -> dropped
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.4, 0.5, 0.8):
+        got = {
+            (r.id_a, r.id_b): (r.inter_n, r.union_n)
+            for r in llmops.jaccard_pairs_exact(df, "doc_id", "text", threshold=t).collect()
+        }
+        # brute force with the same shingle definition
+        import itertools
+
+        def shingles(s):
+            toks = s.lower().split()
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+        want = {}
+        gs = {i: shingles(s) for i, s in docs if len(s.split()) >= 3}
+        for a, b in itertools.combinations(sorted(gs), 2):
+            inter = len(gs[a] & gs[b])
+            union = len(gs[a] | gs[b])
+            if union and inter / union >= t:
+                want[(a, b)] = (inter, union)
+        assert got == want, f"threshold {t}"
+    # sanity: the exact-dup pair is present with inter == union
+    got05 = {
+        (r.id_a, r.id_b): (r.inter_n, r.union_n)
+        for r in llmops.jaccard_pairs_exact(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert got05[(1, 3)][0] == got05[(1, 3)][1]
