@@ -2351,6 +2351,56 @@ def q151_jaccard_exact(spark, sf_dir):
     return llmops.jaccard_pairs_exact(docs, "doc_id", "text", threshold=0.4)
 
 
+def q152_windowed_distinct(spark, sf_dir):
+    """Per-(event_type, hour) distinct users via HLL++ sketches
+    (analytics.windowed_distinct) — the canonical streaming cardinality
+    metric, sketched because exact per-window count(DISTINCT) shuffles
+    every (key, window, user) triple at 100 TB.  q105-style contract
+    oracle: exact row/user counts recomputed by both engines, users_ok =
+    |sketch − exact| ≤ 3·rsd·exact computed Spark-side, TRUE in SQL."""
+    ev = read_table(configure(spark), sf_dir, "events")
+    sk = analytics.windowed_distinct(ev, "ts", "event_type", "user_id", 3_600_000, rsd=0.02)
+    from pyspark_engine.runtime import epoch_ms
+
+    e = epoch_ms(F.col("ts"))
+    exact = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.col("event_type"), (e - F.pmod(e, F.lit(3_600_000))).alias("w_start_ms"))
+        .agg(F.count_distinct("user_id").cast("long").alias("users_exact"))
+    )
+    return sk.join(exact, ["event_type", "w_start_ms"]).select(
+        "event_type",
+        "w_start_ms",
+        "n_events",
+        "users_exact",
+        (
+            F.abs(F.col("ids_approx") - F.col("users_exact"))
+            <= F.greatest(F.lit(3 * 0.02) * F.col("users_exact"), F.lit(1.0))
+        ).alias("users_ok"),
+    )
+
+
+def q153_domain_blocklist(spark, sf_dir):
+    """Curation feedback loop (llmops.domain_blocklist over
+    classifier_score_expr): per-source mean quality decides a crawl-level
+    block decision — sources whose mean hashed-classifier score is negative
+    over ≥ 20 docs.  A planted 'spamfarm.example' source (every 5th doc,
+    score shifted hard negative) must come back blocked=TRUE; the natural
+    sources stay unblocked.  Exact-decimal score sums (no float-order
+    wiggle); the oracle recomputes the full classifier model per doc
+    (q113's SQL) and the decimal aggregate decision."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    score = llmops.classifier_score_expr(F.col("text"), n_features=4096)
+    scored = docs.select("source", score.alias("score_q"))
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.lit("spamfarm.example").alias("source"),
+        (score - F.lit(100_000)).alias("score_q"),
+    )
+    return llmops.domain_blocklist(
+        scored.unionByName(planted), "source", "score_q", min_docs=20, max_mean_score=0.0
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2504,6 +2554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_profile_approx": q149_profile_approx,
         "q150_rate_anomaly_time": q150_rate_anomaly_time,
         "q151_jaccard_exact": q151_jaccard_exact,
+        "q152_windowed_distinct": q152_windowed_distinct,
+        "q153_domain_blocklist": q153_domain_blocklist,
     }
 
 
@@ -3110,6 +3162,45 @@ def oracle_sql() -> dict[str, str]:
                                                        doc_id) AS BIGINT) AS rank
                         FROM rr)
             SELECT doc_id, score_q, cos_q, rank FROM rk WHERE rank <= 10
+        """,
+        "q152_windowed_distinct": r"""
+            SELECT event_type,
+                   epoch_ms(ts) - (epoch_ms(ts) % 3600000) AS w_start_ms,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS users_exact,
+                   TRUE AS users_ok
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "q153_domain_blocklist": r"""
+            WITH g AS (SELECT source, doc_id,
+                              list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                          t -> t <> '') AS tk
+                       FROM documents),
+                 gr AS (SELECT source, doc_id,
+                               list_concat(tk,
+                                   CASE WHEN len(tk) >= 2
+                                        THEN list_transform(range(1, len(tk)),
+                                                            i -> tk[i] || ' ' || tk[i + 1])
+                                        ELSE [] END) AS gs
+                        FROM g),
+                 sc0 AS (SELECT source, doc_id,
+                               CAST(coalesce(list_sum(list_transform(gs,
+                                   w -> ('0x' || substr(md5('w:' || CAST(
+                                             ('0x' || substr(md5('f:' || w), 1, 8))::BIGINT % 4096
+                                         AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000)), 0)
+                                    AS BIGINT) AS score_q
+                        FROM gr),
+                 sc AS (SELECT source, score_q FROM sc0
+                        UNION ALL
+                        SELECT 'spamfarm.example', score_q - 100000
+                        FROM sc0 WHERE doc_id % 5 = 0)
+            SELECT source AS domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(score_q AS DECIMAL(18,6))) AS DOUBLE) AS sum_score,
+                   sum(CAST(score_q AS DECIMAL(18,6)))
+                       < CAST(0.0 AS DECIMAL(18,6)) * count(*) AS blocked
+            FROM sc GROUP BY source HAVING count(*) >= 20
         """,
         "q151_jaccard_exact": r"""
             -- brute force over all pairs: the exact ground truth the

@@ -124,6 +124,8 @@ HEADLINE = [
     "q149_profile_approx",
     "q150_rate_anomaly_time",
     "q151_jaccard_exact",
+    "q152_windowed_distinct",
+    "q153_domain_blocklist",
 ]
 
 

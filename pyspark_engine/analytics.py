@@ -95,6 +95,40 @@ def rate_anomaly(
     )
 
 
+def windowed_distinct(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    id_col: str,
+    size_ms: int,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Distinct-id counts per (key, tumbling window) — "unique users per
+    hour per event type", the canonical streaming cardinality metric —
+    using the HyperLogLog++ sketch, because the exact version is the
+    classic 100 TB trap: exact count(DISTINCT user) per window shuffles
+    every (key, window, user) triple, while the sketch shuffles one
+    fixed-size register set per (key, window), map-side combinable, and at
+    the default rsd=2% is indistinguishable for dashboarding.  Returns
+    (key, w_start_ms, n_events, ids_approx).
+
+    Exactness contract: q152 pins |approx − exact| ≤ 3·rsd·exact per group
+    against a DuckDB exact oracle (same bound-check pattern as q105);
+    swap ``F.count_distinct`` back in where a billing-grade count is
+    required and the shuffle is affordable."""
+    e = epoch_ms(F.col(ts_col))
+    start = e - F.pmod(e, F.lit(size_ms))
+    return (
+        ensure_min_parallelism(events)
+        .filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(key_col), start.alias("w_start_ms"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.approx_count_distinct(F.col(id_col), rsd=rsd).alias("ids_approx"),
+        )
+    )
+
+
 def rate_anomaly_time(
     events: DataFrame,
     ts_col: str,

@@ -1303,6 +1303,47 @@ def top_domains(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
     )
 
 
+def domain_blocklist(
+    df: DataFrame,
+    domain_col: str,
+    score_col: str,
+    min_docs: int = 20,
+    max_mean_score: float = 0.3,
+) -> DataFrame:
+    """Data-driven domain blocklist: flag domains whose MEAN quality score
+    over at least ``min_docs`` documents falls below ``max_mean_score`` —
+    the curation feedback loop that turns per-doc quality signals
+    (quality_score / classifier_score / gopher rules) into a crawl-level
+    exclusion list, per the C4/RefinedWeb practice of blocking spam hosts
+    wholesale rather than re-filtering their pages forever.  Returns every
+    domain with ≥ min_docs docs as (domain, n_docs, sum_score, blocked).
+
+    Exactness: the score sum runs in DECIMAL(18,6) — exact and associative,
+    so partition order can't wiggle the mean across engines — and the
+    block decision compares sum < mean·n in decimal (no division).  Scale:
+    one map-side-combinable aggregation keyed by domain; output is
+    |domains|, broadcastable back as an anti-join filter."""
+    dec = F.col(score_col).cast("decimal(18,6)")
+    n = F.count(F.lit(1)).cast("long")
+    s = F.sum(dec)
+    return (
+        _spread(df)
+        .filter(F.col(domain_col).isNotNull())
+        .groupBy(F.col(domain_col).alias("domain"))
+        .agg(n.alias("n_docs"), s.cast("double").alias("sum_score"), s.alias("__s"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "domain",
+            "n_docs",
+            "sum_score",
+            (
+                F.col("__s")
+                < F.lit(max_mean_score).cast("decimal(18,6)") * F.col("n_docs")
+            ).alias("blocked"),
+        )
+    )
+
+
 # ------------------------------------------------- sequence packing
 
 def pack_tokens(

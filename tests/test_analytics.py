@@ -188,3 +188,21 @@ def test_rate_anomaly_time_gap_semantics(spark):
     # window -> never flagged even where dev > 0
     for w in range(0, 6 * HOUR, HOUR):
         assert not time_based[w].is_anomaly
+
+
+def test_windowed_distinct_sketch_contract(spark):
+    """HLL per (key, window): on small exact cardinalities the sketch is
+    exact (sparse mode); the structural contract (window flooring, null-ts
+    drop, per-window grouping) is pinned precisely."""
+    rows = [("a", 10_000 + i, i % 7) for i in range(50)]          # window 0: 7 users
+    rows += [("a", HOUR + 5_000 + i, 100 + (i % 3)) for i in range(9)]  # window 1: 3
+    rows += [("b", 30_000, 1), ("b", None, 2)]                   # null ts dropped
+    df = spark.createDataFrame(rows, "k string, tsm long, uid long").select(
+        "k",
+        F.when(F.col("tsm").isNotNull(), F.timestamp_millis(F.col("tsm"))).alias("ts"),
+        "uid",
+    )
+    out = {(r.k, r.w_start_ms): r for r in analytics.windowed_distinct(df, "ts", "k", "uid", HOUR).collect()}
+    assert out[("a", 0)].n_events == 50 and out[("a", 0)].ids_approx == 7
+    assert out[("a", HOUR)].ids_approx == 3
+    assert out[("b", 0)].n_events == 1   # the null-ts row is gone

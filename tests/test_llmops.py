@@ -1239,3 +1239,22 @@ def test_jaccard_pairs_exact_matches_brute_force(spark):
         for r in llmops.jaccard_pairs_exact(df, "doc_id", "text", threshold=0.5).collect()
     }
     assert got05[(1, 3)][0] == got05[(1, 3)][1]
+
+
+def test_domain_blocklist_decimal_decision(spark):
+    """Mean-quality block decision in exact decimal: a domain exactly AT
+    the threshold is NOT blocked (strict <), below is, and domains under
+    min_docs never appear."""
+    rows = (
+        [("good.com", 1.0)] * 5
+        + [("edge.com", 0.3)] * 5          # mean exactly 0.3 -> kept
+        + [("bad.com", 0.1)] * 5           # mean 0.1 -> blocked
+        + [("tiny.com", -9.0)] * 2         # < min_docs -> absent
+    )
+    df = spark.createDataFrame(rows, "domain string, score double")
+    out = {r.domain: r for r in llmops.domain_blocklist(df, "domain", "score", min_docs=5, max_mean_score=0.3).collect()}
+    assert set(out) == {"good.com", "edge.com", "bad.com"}
+    assert not out["good.com"].blocked
+    assert not out["edge.com"].blocked     # strict inequality at the boundary
+    assert out["bad.com"].blocked
+    assert out["bad.com"].n_docs == 5 and abs(out["bad.com"].sum_score - 0.5) < 1e-9
