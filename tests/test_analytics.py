@@ -206,3 +206,34 @@ def test_windowed_distinct_sketch_contract(spark):
     assert out[("a", 0)].n_events == 50 and out[("a", 0)].ids_approx == 7
     assert out[("a", HOUR)].ids_approx == 3
     assert out[("b", 0)].n_events == 1   # the null-ts row is gone
+
+
+def test_windowed_distinct_streaming_parity(spark, tmp_path):
+    """windowed_distinct is a plain windowed aggregation, so the SAME call
+    runs under Structured Streaming (HLL registers are the native streaming
+    agg state); multi-microbatch replay must equal the batch sketch exactly
+    — HLL merge is deterministic, so even the approx values match."""
+    from pyspark_engine.runtime import normalize_event_time
+    from pyspark_engine.streaming import StreamingBuilder, run_available_now
+
+    sf = "/root/testdata/sf0.001"
+    batch_df = normalize_event_time(
+        spark.read.parquet(f"{sf}/events.parquet"), "ts"
+    ).select("event_type", "ts", "user_id")
+    src = str(tmp_path / "ev")
+    batch_df.repartition(3).write.parquet(src)  # 3 files -> 3 microbatches
+    batch_df = spark.read.parquet(src)
+
+    ks = StreamingBuilder(spark).file_stream(src, max_files_per_trigger=1)
+    got = run_available_now(
+        analytics.windowed_distinct(ks.df, "ts", "event_type", "user_id", HOUR),
+        output_mode="complete",
+    )
+    want = analytics.windowed_distinct(batch_df, "ts", "event_type", "user_id", HOUR)
+    cols = ["event_type", "w_start_ms", "n_events", "ids_approx"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.select(cols).toPandas().sort_values(cols[:2]).reset_index(drop=True),
+        want.select(cols).toPandas().sort_values(cols[:2]).reset_index(drop=True),
+    )
