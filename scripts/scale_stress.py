@@ -46,6 +46,7 @@ QUERIES = [
     "q73_percentiles",         # exact percentiles
     "q42_dedup_exact",         # digest groupBy under k-fold duplication
     "q43_dedup_minhash",       # LSH: dup groups inflate bucket sizes k-fold
+    "q151_jaccard_exact",      # exact prefix-filter join: output-bound on dups
     "q87_paragraph_dedup",     # cross-corpus paragraph dedup, k-fold dups
     "q88_top_ngrams",          # corpus n-gram agg + top-k
     "q92_pack_tokens",         # sequence packing (window cumsum)
