@@ -289,6 +289,15 @@ def jaccard_pairs_exact(
     further before the verify.  Returns (id_a, id_b, inter_n, union_n)
     with id_a < id_b — integer outputs, so an oracle matches bit-for-bit.
 
+    Cost model, honestly: exactness makes the DUPLICATE-heavy regime
+    quadratic by definition (every one of C(k,2) pairs in a k-copy group
+    must be emitted — measured exponent 2.03 on the k-fold-replicated
+    corpus, SCALE_STRESS.json exact_join_scaling).  That is the floor of
+    the problem, not of the plan; ALWAYS run exact_dedup first so the
+    join sees one representative per identical group (the composed
+    pipeline runs the same x30 corpus in ~1.5s vs minutes raw), and use
+    minhash_lsh_pairs where probabilistic recall is acceptable.
+
     Scale: shuffles are (1) the df-count aggregation over exploded
     shingles, (2) the per-doc re-sort (same explode, grouped back), (3)
     the prefix-token self-join — fan-out per token is its document
