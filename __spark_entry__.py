@@ -2391,10 +2391,15 @@ def q153_domain_blocklist(spark, sf_dir):
     (q113's SQL) and the decimal aggregate decision."""
     docs = read_table(configure(spark), sf_dir, "documents")
     score = llmops.classifier_score_expr(F.col("text"), n_features=4096)
-    scored = docs.select("source", score.alias("score_q"))
-    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+    # score ONCE (the expensive text pass), then both union branches read
+    # the tiny (id, source, score) projection — not a second corpus scan
+    scored_all = llmops._persist(
+        docs.select("doc_id", "source", score.alias("score_q"))
+    )
+    scored = scored_all.select("source", "score_q")
+    planted = scored_all.filter(F.col("doc_id") % 5 == 0).select(
         F.lit("spamfarm.example").alias("source"),
-        (score - F.lit(100_000)).alias("score_q"),
+        (F.col("score_q") - F.lit(100_000)).alias("score_q"),
     )
     return llmops.domain_blocklist(
         scored.unionByName(planted), "source", "score_q", min_docs=20, max_mean_score=0.0
