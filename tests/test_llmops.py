@@ -1258,3 +1258,38 @@ def test_domain_blocklist_decimal_decision(spark):
     assert not out["edge.com"].blocked     # strict inequality at the boundary
     assert out["bad.com"].blocked
     assert out["bad.com"].n_docs == 5 and abs(out["bad.com"].sum_score - 0.5) < 1e-9
+
+
+def test_jaccard_pairs_exact_hypothesis_vs_brute_force(spark):
+    """Property: for random small corpora and thresholds, the prefix-filter
+    join returns EXACTLY the brute-force pair set — the completeness
+    guarantee is the operator's whole contract, so fuzz it."""
+    from hypothesis import given, settings, strategies as st
+
+    words = st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split())
+    doc = st.lists(words, min_size=3, max_size=12).map(" ".join)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=8), st.sampled_from([0.3, 0.5, 0.7]))
+    def check(texts, t):
+        rows = [(i, s) for i, s in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b): (r.inter_n, r.union_n)
+            for r in llmops.jaccard_pairs_exact(df, "doc_id", "text", threshold=t).collect()
+        }
+        import itertools
+
+        def sh(s):
+            tk = s.lower().split()
+            return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+
+        gs = {i: sh(s) for i, s in rows if len(s.split()) >= 3}
+        want = {}
+        for a, b in itertools.combinations(sorted(gs), 2):
+            inter, union = len(gs[a] & gs[b]), len(gs[a] | gs[b])
+            if union and inter / union >= t:
+                want[(a, b)] = (inter, union)
+        assert got == want
+
+    check()
