@@ -2406,6 +2406,16 @@ def q153_domain_blocklist(spark, sf_dir):
     )
 
 
+def q154_lsh_recall_audit(spark, sf_dir):
+    """Recall audit of banded MinHash-LSH vs the exact prefix-filter join
+    (llmops.lsh_recall_audit) at threshold 0.4 with the portable base hash:
+    the oracle recomputes BOTH sides in SQL — brute-force ground truth and
+    the full 64-permutation banded LSH simulation — and the same one-row
+    summary, so the measured recall number itself is hash-checked."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.lsh_recall_audit(docs, "doc_id", "text", threshold=0.4, portable=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2561,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_jaccard_exact": q151_jaccard_exact,
         "q152_windowed_distinct": q152_windowed_distinct,
         "q153_domain_blocklist": q153_domain_blocklist,
+        "q154_lsh_recall_audit": q154_lsh_recall_audit,
     }
 
 
@@ -2627,6 +2638,72 @@ def _minhash_oracle_sql(threshold: float, num_hashes: int = 64, bands: int = 8) 
         JOIN d db ON db.doc_id = cand.id_b
         WHERE CAST(len(list_intersect(da.g, db.g)) AS DOUBLE)
               / len(list_distinct(da.g || db.g)) >= {threshold}
+    """
+
+
+def _recall_audit_oracle_sql(threshold: float, num_hashes: int = 64, bands: int = 8) -> str:
+    """Combined DuckDB simulation for q154: brute-force ground-truth pairs
+    (the q151 oracle's shape) LEFT JOIN the full portable banded-LSH
+    simulation (the q43 oracle's shape), reduced to the one-row audit
+    summary.  Generated, not handwritten, so the permutation constants and
+    the threshold can't drift from the engine."""
+    from pyspark_engine.llmops import _affine_coeffs
+
+    p = 2147483647
+    rows = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"min((h * {a}::BIGINT + {b}) % {p}) AS mh{j}"
+        for j, (a, b) in enumerate(_affine_coeffs(num_hashes))
+    )
+    band_eq = "\n                 OR ".join(
+        "(" + " AND ".join(f"a.mh{j} = b.mh{j}" for j in range(bd * rows, (bd + 1) * rows)) + ")"
+        for bd in range(bands)
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                                                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+            FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+                  FROM documents)
+            WHERE len(toks) >= 3
+        ),
+        truth AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                  / len(list_distinct(a.g || b.g)) >= {threshold}
+        ),
+        gr AS (
+            SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % {p} AS h
+            FROM (SELECT doc_id, unnest(g) AS s FROM d)
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM gr GROUP BY doc_id
+        ),
+        cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE {band_eq}
+        ),
+        lsh AS (
+            SELECT id_a, id_b, 1 AS hit
+            FROM cand
+            JOIN d da ON da.doc_id = cand.id_a
+            JOIN d db ON db.doc_id = cand.id_b
+            WHERE CAST(len(list_intersect(da.g, db.g)) AS DOUBLE)
+                  / len(list_distinct(da.g || db.g)) >= {threshold}
+        ),
+        j AS (SELECT t.id_a, coalesce(l.hit, 0) AS hit
+              FROM truth t LEFT JOIN lsh l USING (id_a, id_b))
+        SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+               CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_lsh_pairs,
+               CAST(count(*) - coalesce(sum(hit), 0) AS BIGINT) AS n_missed,
+               CAST(coalesce(floor(1000.0 * sum(hit) / count(*)), 1000) AS BIGINT)
+                   AS recall_permille
+        FROM j
     """
 
 
@@ -3025,6 +3102,7 @@ def oracle_sql() -> dict[str, str]:
         # below simulates the full LSH pipelines — banding / pigeonhole
         # candidate generation included — not just the verify step.
         "q43_dedup_minhash": _minhash_oracle_sql(threshold=0.4),
+        "q154_lsh_recall_audit": _recall_audit_oracle_sql(threshold=0.4),
         "q44_dedup_simhash": _simhash_oracle_sql(max_hamming=8),
         "q134_minhash_incremental": _minhash_incremental_oracle_sql(0.9),
         "q148_temporal_split": r"""

@@ -126,6 +126,7 @@ HEADLINE = [
     "q151_jaccard_exact",
     "q152_windowed_distinct",
     "q153_domain_blocklist",
+    "q154_lsh_recall_audit",
 ]
 
 
