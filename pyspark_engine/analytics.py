@@ -75,7 +75,20 @@ def rate_anomaly(
     Scale: windowed counts (one shuffle) + a per-key ordered window over the
     COUNTS table (rows = windows × keys, not events) — the trailing scan
     costs nothing at corpus scale."""
-    counts = windowed_counts(events, ts_col, key_col, size_ms)
+    return rate_anomaly_over_counts(
+        windowed_counts(events, ts_col, key_col, size_ms), key_col, trail=trail, k=k
+    )
+
+
+def rate_anomaly_over_counts(
+    counts: DataFrame, key_col: str, trail: int = 6, k: int = 3
+) -> DataFrame:
+    """The rate_anomaly decision rule applied to an EXISTING (key,
+    w_start_ms, cnt) counts table — the continuous-operation entry point:
+    a streaming job upserts the counts store per microbatch (map-side
+    partials summed in, bounded by keys × windows, never event volume)
+    and this rule runs over the store; batch rate_anomaly is exactly
+    windowed_counts ∘ this (pinned by test_rate_anomaly_streaming_parity)."""
     w = Window.partitionBy(key_col).orderBy("w_start_ms").rowsBetween(-trail, -1)
     n = F.count(F.lit(1)).over(w)
     s = F.coalesce(F.sum("cnt").over(w), F.lit(0))          # empty frame -> 0, not null
@@ -161,7 +174,20 @@ def rate_anomaly_time(
     per-key ordered windows over the COUNTS table; no densify explode is
     ever materialized (the fixed-``trail`` algebra absorbs the zeros), so
     sparse keys with year-long gaps cost nothing extra."""
-    counts = windowed_counts(events, ts_col, key_col, size_ms)
+    return rate_anomaly_time_over_counts(
+        windowed_counts(events, ts_col, key_col, size_ms),
+        key_col,
+        size_ms,
+        trail=trail,
+        k=k,
+    )
+
+
+def rate_anomaly_time_over_counts(
+    counts: DataFrame, key_col: str, size_ms: int, trail: int = 6, k: int = 3
+) -> DataFrame:
+    """rate_anomaly_time's decision rule over an existing counts table —
+    see rate_anomaly_over_counts for the continuous-operation shape."""
     wr = (
         Window.partitionBy(key_col)
         .orderBy(F.col("w_start_ms").cast("long"))

@@ -131,20 +131,15 @@ def test_rate_anomaly_streaming_parity(spark, tmp_path):
     q.awaitTermination(180)
 
     counts = spark.read.parquet(store)
-    # run the anomaly rule over the restored counts table (same code path as
-    # rate_anomaly after its windowed_counts stage)
-    from pyspark.sql.window import Window as W
-    w = W.partitionBy("k").orderBy("w_start_ms").rowsBetween(-6, -1)
-    n = F.count(F.lit(1)).over(w)
-    s_ = F.coalesce(F.sum("cnt").over(w), F.lit(0))
-    qq = F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(w), F.lit(0))
-    dev = n * F.col("cnt") - s_
-    got = counts.select(
-        "k", "w_start_ms", "cnt",
-        ((n == 6) & (dev > 0) & (dev * dev > F.lit(9) * (n * qq - s_ * s_))).alias("is_anomaly"),
-    )
-    want = analytics.rate_anomaly(df, "ts", "k", HOUR).select("k", "w_start_ms", "cnt", "is_anomaly")
+    # the SAME public rule the batch operator applies after windowed_counts
+    cols = ["k", "w_start_ms", "cnt", "is_anomaly"]
+    got = analytics.rate_anomaly_over_counts(counts, "k").select(cols)
+    want = analytics.rate_anomaly(df, "ts", "k", HOUR).select(cols)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # and the time-based sibling over the same incrementally-built store
+    got_t = analytics.rate_anomaly_time_over_counts(counts, "k", HOUR).select(cols)
+    want_t = analytics.rate_anomaly_time(df, "ts", "k", HOUR).select(cols)
+    assert sorted(map(tuple, got_t.collect())) == sorted(map(tuple, want_t.collect()))
 
 
 def test_sessionize_gaps_and_positions(spark):

@@ -929,3 +929,36 @@ def test_kafka_smoke_helpers_offline(spark):
         [(5, 1, 1), (5, 3, 2), (6, 9, 1)], "key long, cnt long, offset long"
     )
     assert ksm.latest_counts_from_wire(decoded) == {5: 3, 6: 9}
+
+
+def test_kafka_smoke_wire_pairing_offline(spark):
+    """The smoke script's encode/decode pairing, emulated offline: batch
+    records through the SAME serdes.encode_kafka call the script's PRODUCE
+    step uses, synthesized broker metadata appended, decoded with the SAME
+    decode_kafka(key_type='long', include_meta=True) call its VERIFY step
+    uses — the long-key cast roundtrip and the offset-based latest rule
+    must reproduce expected counts exactly."""
+    import importlib.util
+    import os as _os
+
+    from pyspark_engine import serdes
+
+    p = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "scripts", "kafka_smoke.py")
+    spec = importlib.util.spec_from_file_location("kafka_smoke2", p)
+    ksm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ksm)
+
+    # the counted topology output (key, cnt), written to the topic per
+    # microbatch: key 5 updated twice (offsets 0,2), key 6 once (offset 1)
+    updates = spark.createDataFrame([(5, 1), (6, 9), (5, 3)], "key long, cnt long")
+    wire = serdes.encode_kafka(updates, key_col="key", value_cols=["cnt"])
+    withmeta = wire.select(
+        "key",
+        "value",
+        F.lit("t").alias("topic"),
+        F.lit(0).alias("partition"),
+        (F.monotonically_increasing_id()).alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    decoded = serdes.decode_kafka(withmeta, ksm.COUNT_SCHEMA, key_type="long", include_meta=True)
+    assert ksm.latest_counts_from_wire(decoded) == {5: 3, 6: 9}
