@@ -34,7 +34,10 @@ from pyspark_engine.runtime import build_session, configure
 BASE = "/root/testdata/sf0.1"
 ROOT = "/tmp/pse-scale"
 SCALED = ("events", "lineitem", "orders", "documents")
-COPIED = ("customer",)
+# dimensions and query-side tables stay at base size (the realistic shape:
+# facts grow, dims don't), but EVERY table must exist so any headline query
+# can run against a scale dir (the 2g full-suite OOM sweep needs them all)
+COPIED = ("customer", "supplier", "part", "nation", "region", "embeddings")
 QUERIES = [
     "q01_pricing_summary",     # lineitem scan + decimal agg
     "q05_stream_map_values",   # projection
@@ -82,6 +85,9 @@ QUERIES = [
 def _build_dir(spark, k: int) -> str:
     out = f"{ROOT}/x{k}"
     if os.path.isdir(out) and os.path.exists(f"{out}/_DONE"):
+        for t in COPIED:  # idempotently top up copies added after a build
+            if not os.path.exists(f"{out}/{t}.parquet"):
+                shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -98,7 +104,7 @@ def _build_dir(spark, k: int) -> str:
                 df = normalize_event_time(df, "ts")
                 df = df.select(
                     (F.col("event_id") * k + F.col("__rep")).alias("event_id"),
-                    "user_id", "event_type", "value",
+                    "user_id", "event_type", "value", "props",
                     # µs-scale shift keeps replica rows distinct in time
                     F.timestamp_micros(epoch_us(F.col("ts")) + F.col("__rep")).alias("ts"),
                 )

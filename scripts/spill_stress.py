@@ -63,10 +63,20 @@ QUERIES = [
 ]
 
 
+# exactness makes the raw exact join Ω(k²) on the k-fold-identical corpus
+# (see SCALE_STRESS.json exact_join_scaling) — excluded from the sweep the
+# same way it is from the scale auto-list; the bounded composition is
+# measured in dedup_pipeline_x30.  q154 embeds the same raw exact join (its
+# ground-truth side), so it is excluded for the same reason.
+SWEEP_EXCLUDE = {"q151_jaccard_exact", "q154_lsh_recall_audit"}
+
+
 def main() -> None:
     only = os.environ.get("SPILL_QUERIES")
     queries = QUERIES
-    if only:
+    if only == "ALL":  # full-suite OOM hunt: every headline query, capped heap
+        queries = [q for q in bench.HEADLINE if q not in SWEEP_EXCLUDE]
+    elif only:
         prefixes = [p.strip() for p in only.split(",") if p.strip()]
         queries = [q for q in QUERIES if any(q.startswith(p) for p in prefixes)]
     spark = build_session("spill_stress", cpus=CPUS, shuffle_partitions=PARTS, ui=True)
@@ -112,7 +122,7 @@ def main() -> None:
             doc = json.load(f)
     except Exception:
         doc = {}
-    doc["low_memory"] = rec
+    doc["low_memory_full_sweep" if only == "ALL" else "low_memory"] = rec
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps({"low_memory": rec}))
