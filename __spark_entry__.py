@@ -2643,9 +2643,9 @@ def _minhash_oracle_sql(threshold: float, num_hashes: int = 64, bands: int = 8) 
 
 def _recall_audit_oracle_sql(threshold: float, num_hashes: int = 64, bands: int = 8) -> str:
     """Combined DuckDB simulation for q154: brute-force ground-truth pairs
-    (the q151 oracle's shape) LEFT JOIN the full portable banded-LSH
+    (the q151 oracle's shape) FULL JOIN the full portable banded-LSH
     simulation (the q43 oracle's shape), reduced to the one-row audit
-    summary.  Generated, not handwritten, so the permutation constants and
+    summary (n_lsh_only surfaces truth-side completeness bugs).  Generated, not handwritten, so the permutation constants and
     the threshold can't drift from the engine."""
     from pyspark_engine.llmops import _affine_coeffs
 
@@ -2696,12 +2696,14 @@ def _recall_audit_oracle_sql(threshold: float, num_hashes: int = 64, bands: int 
             WHERE CAST(len(list_intersect(da.g, db.g)) AS DOUBLE)
                   / len(list_distinct(da.g || db.g)) >= {threshold}
         ),
-        j AS (SELECT t.id_a, coalesce(l.hit, 0) AS hit
-              FROM truth t LEFT JOIN lsh l USING (id_a, id_b))
-        SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+        j AS (SELECT coalesce(t.tr, 0) AS tr, coalesce(l.hit, 0) AS hit
+              FROM (SELECT id_a, id_b, 1 AS tr FROM truth) t
+              FULL JOIN lsh l USING (id_a, id_b))
+        SELECT CAST(coalesce(sum(tr), 0) AS BIGINT) AS n_true_pairs,
                CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_lsh_pairs,
-               CAST(count(*) - coalesce(sum(hit), 0) AS BIGINT) AS n_missed,
-               CAST(coalesce(floor(1000.0 * sum(hit) / count(*)), 1000) AS BIGINT)
+               CAST(coalesce(sum(tr * (1 - hit)), 0) AS BIGINT) AS n_missed,
+               CAST(coalesce(sum((1 - tr) * hit), 0) AS BIGINT) AS n_lsh_only,
+               CAST(coalesce(floor(1000.0 * sum(tr * hit) / sum(tr)), 1000) AS BIGINT)
                    AS recall_permille
         FROM j
     """

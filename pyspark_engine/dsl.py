@@ -1087,12 +1087,28 @@ def stitch_cogrouped(
     realizations have identical stitch semantics.  Every join keys on the
     columns the aggregates just hash-partitioned by, so Catalyst reuses the
     exchange; inputs are aggregate-sized (one row per key per stream)."""
+    key = tuple(key)
     aligned = []
     for t, part_key in tables:
-        for old, new in zip(part_key, key):
-            if old != new:
-                t = t.withColumnRenamed(old, new)
-        aligned.append(t)
+        if len(part_key) != len(key):
+            raise ValueError(
+                f"cogrouped key arity mismatch: {tuple(part_key)} vs {key}"
+            )
+        # one positional select, NOT iterative withColumnRenamed: when a
+        # side's key names permute the target key (or a non-key column
+        # collides with it), sequential renames create transient duplicate
+        # names and corrupt columns
+        clash = [c for c in t.columns if c not in part_key and c in key]
+        if clash:
+            raise ValueError(
+                f"non-key column(s) {clash} collide with the target key {key}; alias them first"
+            )
+        aligned.append(
+            t.select(
+                *[t[old].alias(new) for old, new in zip(part_key, key)],
+                *[t[c] for c in t.columns if c not in part_key],
+            )
+        )
     out = aligned[0]
     for t in aligned[1:]:
         cond = None

@@ -389,7 +389,11 @@ def lsh_recall_audit(
     guess" answer to "is 8 bands enough at this threshold?".  Both paths
     verify the identical distinct-shingle Jaccard, so LSH pairs ⊆ true
     pairs (precision is 1 by construction) and the audit reduces to one
-    row: (n_true_pairs, n_lsh_pairs, n_missed, recall_permille).
+    row: (n_true_pairs, n_lsh_pairs, n_missed, n_lsh_only,
+    recall_permille).  The join is FULL OUTER so a completeness bug on
+    the exact ground-truth side SURFACES as n_lsh_only > 0 (pairs the
+    banded path found that "truth" lacks) instead of being silently
+    absorbed into an overstated recall.
 
     Run it on a SAMPLE at 100 TB (deterministic hash_sample upstream): the
     exact side is the expensive one, and recall estimated on an unbiased
@@ -398,7 +402,7 @@ def lsh_recall_audit(
     candidate volume → fewer bands."""
     truth = jaccard_pairs_exact(df, id_col, text_col, threshold, shingle).select(
         "id_a", "id_b"
-    )
+    ).withColumn("__truth", F.lit(1))
     lsh = minhash_lsh_pairs(
         df,
         id_col,
@@ -408,16 +412,19 @@ def lsh_recall_audit(
         shingle=shingle,
         threshold=threshold,
         portable=portable,
-    ).withColumn("__hit", F.lit(1))
-    j = truth.join(lsh, ["id_a", "id_b"], "left")
-    hits = F.coalesce(F.sum(F.coalesce(F.col("__hit"), F.lit(0))), F.lit(0))
-    n = F.count(F.lit(1))
+    ).select("id_a", "id_b").withColumn("__hit", F.lit(1))
+    j = truth.join(lsh, ["id_a", "id_b"], "full_outer")
+    t = F.coalesce(F.col("__truth"), F.lit(0))
+    h = F.coalesce(F.col("__hit"), F.lit(0))
+    n_true = F.coalesce(F.sum(t), F.lit(0))
+    hits = F.coalesce(F.sum(t * h), F.lit(0))
     return j.agg(
-        n.cast("long").alias("n_true_pairs"),
-        hits.cast("long").alias("n_lsh_pairs"),
-        (n - hits).cast("long").alias("n_missed"),
+        n_true.cast("long").alias("n_true_pairs"),
+        F.coalesce(F.sum(h), F.lit(0)).cast("long").alias("n_lsh_pairs"),
+        (n_true - hits).cast("long").alias("n_missed"),
+        F.coalesce(F.sum((F.lit(1) - t) * h), F.lit(0)).cast("long").alias("n_lsh_only"),
         F.coalesce(
-            F.floor(F.lit(1000.0) * hits / n), F.lit(1000)
+            F.floor(F.try_divide(F.lit(1000.0) * hits, n_true)), F.lit(1000)
         ).cast("long").alias("recall_permille"),
     )
 

@@ -72,6 +72,30 @@ def _checkpoint(path: str | None) -> str:
     return path or os.path.join(tempfile.gettempdir(), f"pse-ckpt-{uuid.uuid4().hex}")
 
 
+def _read_gen(root: str) -> int:
+    """Recover the ping-pong generation counter persisted by _write_gen.
+
+    The foreachBatch upsert loops keep state in parquet generation dirs; the
+    Structured Streaming checkpoint is durable, so on a restart with the same
+    checkpoint already-committed microbatches are SKIPPED — the generation
+    counter must therefore survive alongside the state dirs, or the loop
+    would overwrite the newest generation / read a stale one."""
+    try:
+        with open(os.path.join(root, "_GEN")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
+def _write_gen(root: str, n: int) -> None:
+    """Atomically persist the generation counter next to the state dirs
+    (write-then-rename, so a crash mid-write leaves the previous value)."""
+    tmp = os.path.join(root, "_GEN.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(int(n)))
+    os.replace(tmp, os.path.join(root, "_GEN"))
+
+
 class StreamingBuilder:
     """Streaming twin of ``StreamBuilder`` (core/StreamBuilder.cs:49-134):
     sources produce *streaming* DataFrames wrapped in the same KStream, so
@@ -414,6 +438,7 @@ def join_tables_streaming(
     if not lord or not rord:
         raise ValueError("changelog order required per side (ts or explicit l_order/r_order)")
     root = state_dir or tempfile.mkdtemp(prefix="pse-ttjoin-")
+    os.makedirs(root, exist_ok=True)
     tagged = left.df.select(
         F.lit(1).alias("__side"),
         *l_cols,
@@ -425,7 +450,7 @@ def join_tables_streaming(
             *r_cols,
         )
     )
-    gen = {"n": 0}
+    gen = {"n": _read_gen(root)}  # survives a restart on the same checkpoint
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -446,6 +471,7 @@ def join_tables_streaming(
         out = l_t.join(r_t, how=how, ts_alias=ts_alias)
         out.df.write.mode("overwrite").parquet(os.path.join(root, "out"))
         gen["n"] += 1
+        _write_gen(root, gen["n"])
 
     q = (
         tagged.writeStream.foreachBatch(_apply)
@@ -584,6 +610,21 @@ def cogroup_streaming(
     if not parts:
         raise ValueError("cogroup requires at least one grouped stream")
     key = tuple(parts[0][0].key)
+    # same contract the batch CogroupedKStream builder enforces: without it,
+    # duplicate aggregate names or a key-arity mismatch would silently
+    # misalign the stitch joins instead of failing fast
+    seen: set[str] = set()
+    for grouped, aggs in parts:
+        if not aggs:
+            raise ValueError("cogroup requires at least one named aggregate expression")
+        if len(grouped.key) != len(key):
+            raise ValueError(
+                "all cogrouped streams must share the key arity; re-key with group_by first"
+            )
+        dup = seen.intersection(aggs)
+        if dup:
+            raise ValueError(f"duplicate aggregate column name(s): {sorted(dup)}")
+        seen.update(aggs)
     root = state_dir or tempfile.mkdtemp(prefix="pse-cogroup-")
     tables = []
     for i, (grouped, aggs) in enumerate(parts):
@@ -594,7 +635,8 @@ def cogroup_streaming(
             )
         agg_df = df.groupBy(*grouped.key).agg(*[v.alias(k) for k, v in aggs.items()])
         side_root = os.path.join(root, f"side-{i}")
-        gen = {"n": 0}
+        os.makedirs(side_root, exist_ok=True)
+        gen = {"n": _read_gen(side_root)}  # survives a restart on the same checkpoint
 
         def _apply(batch: DataFrame, batch_id: int, side_root=side_root, gen=gen, kcols=tuple(grouped.key)):
             spark = batch.sparkSession
@@ -606,6 +648,7 @@ def cogroup_streaming(
             latest = KStream(rows, kcols, None).to_table(order=("__gen",)).df
             latest.write.mode("overwrite").parquet(os.path.join(side_root, f"g-{nxt}"))
             gen["n"] += 1
+            _write_gen(side_root, gen["n"])
 
         q = (
             agg_df.writeStream.outputMode("update")

@@ -439,6 +439,33 @@ def test_cogroup_rejects_duplicate_names_and_key_arity(spark):
         )
 
 
+def test_stitch_cogrouped_permuted_and_overlapping_keys(spark):
+    """stitch_cogrouped aligns a side's key POSITIONALLY even when its key
+    names permute the target key — the sequential-rename implementation
+    corrupted this case (renaming b→a duplicates an existing column, then
+    a→b hits both); the single aliased select must map (b,a)→(a,b) without
+    touching the other side's values."""
+    import pytest as _pytest
+
+    from pyspark_engine.dsl import stitch_cogrouped
+
+    t1 = spark.createDataFrame([(1, 2, 10)], "a long, b long, x long")
+    # t2's key is named (b, a) but POSITIONALLY means (a, b): row (1, 2, 99)
+    t2 = spark.createDataFrame([(1, 2, 99)], "b long, a long, y long")
+    out = stitch_cogrouped([(t1, ("a", "b")), (t2, ("b", "a"))], ("a", "b"))
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a, r.b, r.x, r.y) == (1, 2, 10, 99)
+    # arity mismatch fails fast instead of zip-truncating the key
+    with _pytest.raises(ValueError, match="arity"):
+        stitch_cogrouped([(t1, ("a", "b")), (t2, ("b",))], ("a", "b"))
+    # a NON-key column colliding with the target key is rejected, not shadowed
+    t3 = spark.createDataFrame([(3, 4, 7)], "c long, b long, z long")
+    with _pytest.raises(ValueError, match="collide"):
+        stitch_cogrouped([(t1, ("a", "b")), (t3, ("c", "z"))], ("a", "b"))
+
+
 def test_describe_topology(spark, sf_dir):
     """Topology.Describe analog (ITopologyDescription): the plan description
     exposes source nodes (scans), processors, and the exchange boundaries

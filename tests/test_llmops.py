@@ -1241,6 +1241,32 @@ def test_jaccard_pairs_exact_matches_brute_force(spark):
     assert got05[(1, 3)][0] == got05[(1, 3)][1]
 
 
+def test_lsh_recall_audit_full_outer_surface(spark):
+    """The audit's FULL-OUTER accounting: n_lsh_only must be 0 on a healthy
+    corpus (LSH pairs verify the same exact Jaccard, so they are a subset of
+    truth), n_missed = truth − hits, and recall_permille is derived from the
+    hit count — a truth-side completeness bug would now surface as
+    n_lsh_only > 0 instead of inflating recall."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    docs = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),
+        (3, base),
+        (4, "completely different text about spark engines and shuffle planning at scale"),
+        (5, "the quick brown fox jumps over the lazy dog near the old river bank tonight"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = llmops.lsh_recall_audit(df, "doc_id", "text", threshold=0.4).collect()[0]
+    assert r.n_lsh_only == 0
+    assert r.n_missed == r.n_true_pairs - (r.n_lsh_pairs - r.n_lsh_only)
+    assert r.n_true_pairs >= 3  # (1,2),(1,3),(1,5) at least
+    assert 0 <= r.recall_permille <= 1000
+    # empty corpus: no division blow-up, recall defined as 1000
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r0 = llmops.lsh_recall_audit(empty, "doc_id", "text", threshold=0.4).collect()[0]
+    assert (r0.n_true_pairs, r0.n_lsh_pairs, r0.n_lsh_only, r0.recall_permille) == (0, 0, 0, 1000)
+
+
 def test_domain_blocklist_decimal_decision(spark):
     """Mean-quality block decision in exact decimal: a domain exactly AT
     the threshold is NOT blocked (strict <), below is, and domains under

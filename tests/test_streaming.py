@@ -901,6 +901,69 @@ def test_cogroup_streaming_parity(spark, tmp_path):
     assert got.filter(F.col("n_events") == 0).count() > 0
 
 
+def test_cogroup_streaming_restart_recovers_generation(spark, tmp_path):
+    """Restart semantics: the ping-pong generation counter persists next to
+    the state dirs (_GEN marker), so re-invoking cogroup_streaming with the
+    SAME durable checkpoint + state_dir continues from the committed state.
+    Without recovery, a restart resets gen to 0 and the continuation merges
+    into (or final-reads) a STALE generation — here run 1 executes an odd
+    number of microbatches exactly so the stale read would be visible."""
+    import os
+
+    from pyspark_engine.streaming import StreamingBuilder, cogroup_streaming
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    for i in range(3):  # 3 files -> 3 microbatches in run 1 (gen ends odd)
+        pd.DataFrame({"k": [1, 2], "v": [10 * (i + 1), 1]}).to_parquet(src / f"f{i}.parquet")
+
+    def run():
+        ks = StreamingBuilder(spark).file_stream(str(src), key="k", max_files_per_trigger=1)
+        cg = ks.group_by_key().cogroup(cnt=F.count(F.lit(1)), total=F.sum("v"))
+        return cogroup_streaming(
+            cg, state_dir=str(tmp_path / "state"), checkpoint=str(tmp_path / "ck")
+        )
+
+    first = {r.k: (r.cnt, r.total) for r in run().collect()}
+    assert first == {1: (3, 60), 2: (3, 3)}
+    assert int(open(tmp_path / "state" / "side-0" / "_GEN").read()) == 3
+
+    # new data lands; the restarted query replays ONLY the new file
+    pd.DataFrame({"k": [1, 3], "v": [5, 7]}).to_parquet(src / "f3.parquet")
+    got = {r.k: (r.cnt, r.total) for r in run().collect()}
+    assert got == {1: (4, 65), 2: (3, 3), 3: (1, 7)}
+
+    # no-op restart (nothing new): still reads the CURRENT generation
+    again = {r.k: (r.cnt, r.total) for r in run().collect()}
+    assert again == got
+
+
+def test_cogroup_streaming_rejects_invalid_parts(spark, tmp_path):
+    """cogroup_streaming enforces the SAME contract as the batch builder:
+    duplicate aggregate column names and key-arity mismatches fail fast
+    instead of silently misaligning the stitch joins."""
+    from pyspark_engine.streaming import StreamingBuilder, cogroup_streaming
+
+    src = tmp_path / "s"
+    src.mkdir()
+    pd.DataFrame({"k": [1], "k2": [2], "v": [3]}).to_parquet(src / "f.parquet")
+    sb = StreamingBuilder(spark)
+    a = sb.file_stream(str(src), key="k").group_by_key()
+    b = sb.file_stream(str(src), key="k").group_by_key()
+    wide = sb.file_stream(str(src), key=("k", "k2")).group_by_key()
+
+    class RawParts:
+        def __init__(self, parts):
+            self._parts = parts
+
+    with pytest.raises(ValueError, match="duplicate aggregate column"):
+        cogroup_streaming(RawParts([(a, {"n": F.count(F.lit(1))}), (b, {"n": F.sum("v")})]))
+    with pytest.raises(ValueError, match="key arity"):
+        cogroup_streaming(RawParts([(a, {"n": F.count(F.lit(1))}), (wide, {"m": F.sum("v")})]))
+    with pytest.raises(ValueError, match="at least one named aggregate"):
+        cogroup_streaming(RawParts([(a, {})]))
+
+
 def test_kafka_smoke_helpers_offline(spark):
     """scripts/kafka_smoke.py up to the connector gate: the topology and
     verify helpers are pure, so the smoke test's logic is provable without
