@@ -918,12 +918,18 @@ class KTable:
 
     def suppress(self) -> "KTable":
         """Emit-final (the reference's roadmap `Suppress`, README.md:106;
-        Kafka Streams KIP-328).  Batch: the latest-per-key view IS final
-        state — identity.  Streaming: emit-on-window-close is Spark's append
-        output mode with a watermark (see streaming.run_available_now
-        output_mode='append'), so suppression is an output-mode choice, not
-        a plan node."""
-        return self
+        Kafka Streams KIP-328 Suppress.untilWindowCloses).  Batch: the
+        latest-per-key view IS final state — identity.  Streaming: the
+        returned table is MARKED emit-final; append output mode on a
+        watermarked windowed aggregation is exactly emit-on-window-close,
+        so the streaming sinks (streaming.run_available_now /
+        start_to_files) enforce append mode for a suppressed table — only
+        windows the watermark has closed are ever emitted, and intermediate
+        (update/complete-mode) emissions are rejected as a contract
+        violation rather than silently un-suppressed."""
+        out = KTable(self.df, self.key, self.ts)
+        out.emit_final = True
+        return out
 
     def materialize(self, store_name: str) -> "KTable":
         """Interactive-query surface (SURVEY §2.7): register the table state
@@ -1295,6 +1301,35 @@ class TimeWindowedKStream:
     def _agg(self, agg_exprs: dict[str, Column], start_alias: str, end_alias: str) -> KTable:
         if isinstance(self.window, SessionWindowOptions):
             return self._agg_session(agg_exprs, start_alias, end_alias)
+        w = self.window
+        df = self.stream.df
+        if df.isStreaming and not isinstance(w, CustomWindowOptions):
+            # streaming tumbling/hopping: group on the F.window STRUCT itself
+            # and extract start/end AFTER the aggregation — append output
+            # mode (emit-final, KTable.suppress) only recognizes the
+            # aggregation as a closable event-time window when the
+            # watermarked column's window expression is a grouping key, not
+            # when start/end are pre-extracted as plain timestamp columns.
+            # Complete/update modes are unaffected (same result either way).
+            if getattr(w, "grace_ms", 0):
+                df = df.withWatermark(self.stream.ts, f"{int(w.grace_ms)} milliseconds")
+            ts = F.col(self.stream.ts)
+            if w.advance_ms == w.size_ms:
+                win = F.window(ts, f"{w.size_ms} milliseconds")
+            else:
+                win = F.window(ts, f"{w.size_ms} milliseconds", f"{w.advance_ms} milliseconds")
+            key = list(self.stream.key)
+            out = (
+                df.groupBy(*key, win.alias("__w"))
+                .agg(*[v.alias(k) for k, v in agg_exprs.items()])
+                .select(
+                    *key,
+                    F.col("__w.start").alias(start_alias),
+                    F.col("__w.end").alias(end_alias),
+                    *agg_exprs.keys(),
+                )
+            )
+            return KTable(out, tuple(key) + (start_alias, end_alias))
         df = self._assign()
         key = list(self.stream.key)
         grouped = df.groupBy(

@@ -192,8 +192,15 @@ def run_available_now(obj, name: str | None = None, output_mode: str = "append")
 
     ``output_mode``: append for stateless/watermark-expired output, complete
     for full aggregate state (how the parity tests read final KTable state).
+    A table marked emit-final by ``KTable.suppress`` must drain in append
+    mode (that IS the suppression); other modes are rejected.
     """
     df = obj.df if hasattr(obj, "df") else obj
+    if getattr(obj, "emit_final", False) and output_mode != "append":
+        raise ValueError(
+            "suppress() marks the table emit-final; drain with output_mode='append' "
+            "(append on a watermarked windowed aggregation IS emit-on-window-close)"
+        )
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         df.writeStream.format("memory")
@@ -219,6 +226,10 @@ def start_to_files(
     StreamingQuery handle (the KafkaStream.Start analog — caller owns
     lifecycle, q.stop() ≈ Dispose)."""
     df = obj.df if hasattr(obj, "df") else obj
+    if getattr(obj, "emit_final", False) and output_mode != "append":
+        raise ValueError(
+            "suppress() marks the table emit-final; sink with output_mode='append'"
+        )
     w = (
         df.writeStream.format(fmt)
         .outputMode(output_mode)

@@ -111,6 +111,99 @@ def test_session_window_parity(spark):
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
 
 
+def test_session_window_streaming_parity(spark, tmp_path):
+    """Session windows maintained across MULTIPLE microbatches (merging
+    session state store) == batch session aggregation.  The source is split
+    into time-ordered thirds so the watermark only moves forward between
+    batches and no row is late-dropped; sessions spanning a batch boundary
+    exercise the state-merge path.  Append mode emits a session once the
+    watermark passes its end; sessions still open at the final watermark
+    (= global max ts with the 0s delay) stay in state — the batch twin is
+    filtered to the same closed set."""
+    import time
+
+    from pyspark.sql.window import Window as W
+
+    from pyspark_engine import SessionWindowOptions
+    from pyspark_engine.streaming import StreamingBuilder
+
+    w = SessionWindowOptions.of(30 * 60 * 1000)
+    df = _events_batch(spark).df.select("user_id", "ts", "event_id")
+    split = df.withColumn("__t", F.ntile(3).over(W.orderBy("ts")))
+    src = str(tmp_path / "src")
+    for i in (1, 2, 3):  # oldest third first; mod-time order = replay order
+        split.filter(F.col("__t") == i).drop("__t").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.05)
+
+    ks = StreamingBuilder(spark).file_stream(
+        src, key="user_id", ts="ts", max_files_per_trigger=1
+    ).with_watermark("0 seconds")
+    got = run_available_now(
+        ks.group_by_key().windowed_by(w).count(), output_mode="append"
+    )
+
+    batch = KStream(spark.read.parquet(src), ("user_id",), "ts")
+    want = batch.group_by_key().windowed_by(w).count().df
+    cutoff = batch.df.agg(F.max("ts")).collect()[0][0]
+    want = want.filter(F.col("w_end") <= F.lit(cutoff))
+    cols = ["user_id", "w_start", "w_end", "cnt"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+    assert got.count() > 0
+
+
+def test_suppress_streaming_emit_final(spark, tmp_path):
+    """KTable.suppress under streaming (KIP-328 untilWindowCloses; the
+    reference's roadmap Suppress): append mode on the watermarked windowed
+    aggregation emits ONLY windows the watermark has closed — the window
+    still open at the final watermark is withheld, and the emitted set
+    equals the batch result restricted to closed windows.  Draining a
+    suppressed table in a non-append mode is rejected."""
+    import datetime as dt
+    import os
+    import time
+
+    from pyspark_engine import TumblingWindowOptions
+    from pyspark_engine.streaming import StreamingBuilder
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0, tzinfo=dt.timezone.utc)
+    src = tmp_path / "src"
+    os.makedirs(src)
+    pd.DataFrame(
+        {
+            "k": ["a", "a", "b"],
+            "ts": [
+                t0 + dt.timedelta(minutes=5),
+                t0 + dt.timedelta(minutes=65),
+                t0 + dt.timedelta(minutes=10),
+            ],
+        }
+    ).to_parquet(src / "f1.parquet", coerce_timestamps="us")
+    time.sleep(1.05)
+    # second microbatch advances the watermark to 2:55 (grace 10 min)
+    pd.DataFrame({"k": ["a"], "ts": [t0 + dt.timedelta(hours=3, minutes=5)]}).to_parquet(
+        src / "f2.parquet", coerce_timestamps="us"
+    )
+
+    w = TumblingWindowOptions.of(3_600_000, grace_ms=600_000)
+    ks = StreamingBuilder(spark).file_stream(str(src), key="k", ts="ts", max_files_per_trigger=1)
+    sup = ks.group_by_key().windowed_by(w).count().suppress()
+    with pytest.raises(ValueError, match="emit-final"):
+        run_available_now(sup, output_mode="complete")
+    got = run_available_now(sup)  # append — emit-on-window-close
+
+    batch = KStream(spark.read.parquet(str(src)), ("k",), "ts")
+    all_windows = batch.group_by_key().windowed_by(TumblingWindowOptions.of(3_600_000)).count().df
+    closed = all_windows.filter(
+        F.col("w_end") <= F.lit(t0 + dt.timedelta(hours=2, minutes=55))
+    )
+    cols = ["k", "w_start", "w_end", "cnt"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(closed, cols))
+    # the open hour-3 window exists in batch state but was suppressed
+    assert all_windows.count() == closed.count() + 1
+
+
 def test_stateful_map_running_count(spark):
     """applyInPandasWithState escape hatch: running per-key count; final
     emitted state == batch grouped count."""
