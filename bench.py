@@ -1,7 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+full JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} followed by a compact (<300 byte)
+summary line {"wall_sec", "n_queries", "slowest", "spilled_mb"} so a
+tail-truncated capture still preserves the headline numbers.
 
 Headliners cover every subsystem: scan+agg (q01), projection (q05), keyed agg
 (q16), windowed agg (q25/q26/q28), session windows (q61), sliding agg (q69),
@@ -240,6 +242,16 @@ def main() -> None:
     except Exception as e:  # never let the extra metric break the contract
         out["streaming_replay"] = {"err": str(e)[:200]}
     print(json.dumps(out))
+    # truncation-proof tail: harnesses that keep only the last ~2 KB of
+    # output still get the headline numbers — a compact (<300 byte) second
+    # line AFTER the full JSON, so whatever tail survives contains it
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    print(json.dumps({
+        "wall_sec": total,
+        "n_queries": len(timings),
+        "slowest": {k: v for k, v in slowest},
+        "spilled_mb": out.get("spilled_mb_total", 0.0),
+    }))
 
 
 if __name__ == "__main__":
