@@ -226,11 +226,46 @@ def windowed_topk(
 
     Scale: counts shuffle once on (key, window); the rank window re-shuffles
     only the counts table on the window start."""
-    counts = windowed_counts(events, ts_col, key_col, size_ms)
+    return windowed_topk_over_counts(
+        windowed_counts(events, ts_col, key_col, size_ms), key_col, k=k
+    )
+
+
+def windowed_topk_over_counts(counts: DataFrame, key_col: str, k: int = 3) -> DataFrame:
+    """The heavy-hitter rank rule over an EXISTING (key, w_start_ms, cnt)
+    counts table — the continuous-operation entry point, sharing the SAME
+    incrementally-maintained store the anomaly rules read (see
+    rate_anomaly_over_counts); batch windowed_topk ≡ windowed_counts ∘ this
+    (pinned by test_analytics_over_streaming_stores_parity)."""
     w = Window.partitionBy("w_start_ms").orderBy(F.col("cnt").desc(), F.col(key_col))
     return (
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def funnel_step_times(
+    events: DataFrame,
+    ts_col: str,
+    user_col: str,
+    step_col: str,
+    steps: tuple[str, ...],
+) -> DataFrame:
+    """Distinct (user, step, ts) triples restricted to the funnel's steps —
+    the SUFFICIENT STATISTIC for :func:`funnel`, and the bounded store a
+    continuous deployment maintains (per microbatch: union + re-distinct;
+    the funnel only ever takes conditional minimums, so min over the
+    distinct triples == min over raw events and ``funnel(store, ...)``
+    equals the batch funnel over all events — pinned by
+    test_analytics_over_streaming_stores_parity).  State is bounded by each
+    user's distinct step-event times; a production deployment additionally
+    evicts triples older than the conversion window (``within_ms``) the way
+    a watermark bounds any event-time state."""
+    base = ensure_min_parallelism(events).filter(F.col(user_col).isNotNull())
+    return (
+        base.filter(F.col(step_col).isin(list(steps)))
+        .select(F.col(user_col), F.col(step_col), F.col(ts_col))
+        .distinct()
     )
 
 
@@ -247,7 +282,9 @@ def funnel(
     of step i with ts ≥ sᵢ₋₁ — the standard strictly-ordered funnel).
     Returns one row per user that reached step 1: steps_reached (1..len),
     t_first_ms, t_last_ms (completion time of the deepest step), converted
-    (all steps, and within ``within_ms`` of s₁ when given).
+    (all steps, and within ``within_ms`` of s₁ when given).  For continuous
+    operation, apply this SAME function to an incrementally-maintained
+    :func:`funnel_step_times` store instead of raw events.
 
     Scale: len(steps) keyed equi-joins on the user id — each input scan is
     filtered to ONE step's events before the shuffle, and every join key is
@@ -312,18 +349,40 @@ def cohort_retention(
     (user, bucket) pairs, one user-keyed join (both sides already hash-
     partitioned on the user), one final small aggregation keyed by
     (cohort, k)."""
+    return cohort_retention_over_activity(
+        cohort_activity(events, ts_col, user_col, bucket_ms), user_col, bucket_ms
+    )
+
+
+def cohort_activity(
+    events: DataFrame, ts_col: str, user_col: str, bucket_ms: int
+) -> DataFrame:
+    """Distinct (user, b_ms) activity pairs — the SUFFICIENT STATISTIC for
+    cohort retention, and the table a continuous deployment maintains
+    incrementally (per microbatch: union the batch's pairs, re-distinct;
+    state bounded by users × active buckets, never event volume)."""
     base = ensure_min_parallelism(events).filter(
         F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
     )
     e = epoch_ms(F.col(ts_col))
-    bucket = (e - F.pmod(e, F.lit(bucket_ms))).alias("__b")
-    first = base.groupBy(user_col).agg(F.min(e - F.pmod(e, F.lit(bucket_ms))).alias("__cohort"))
-    active = base.select(F.col(user_col), bucket).distinct()
+    return base.select(
+        F.col(user_col), (e - F.pmod(e, F.lit(bucket_ms))).alias("b_ms")
+    ).distinct()
+
+
+def cohort_retention_over_activity(
+    active: DataFrame, user_col: str, bucket_ms: int
+) -> DataFrame:
+    """The retention-triangle rule over an EXISTING distinct (user, b_ms)
+    activity table — the continuous-operation entry point; batch
+    cohort_retention ≡ cohort_activity ∘ this (first-seen is re-derived as
+    min(b_ms), so the store needs no separate cohort table)."""
+    first = active.groupBy(user_col).agg(F.min("b_ms").alias("__cohort"))
     return (
         active.join(first, user_col)
         .select(
             F.col("__cohort").alias("cohort_ms"),
-            ((F.col("__b") - F.col("__cohort")) / F.lit(bucket_ms)).cast("long").alias("k"),
+            ((F.col("b_ms") - F.col("__cohort")) / F.lit(bucket_ms)).cast("long").alias("k"),
         )
         .groupBy("cohort_ms", "k")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))

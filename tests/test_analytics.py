@@ -142,6 +142,98 @@ def test_rate_anomaly_streaming_parity(spark, tmp_path):
     assert sorted(map(tuple, got_t.collect())) == sorted(map(tuple, want_t.collect()))
 
 
+def test_analytics_over_streaming_stores_parity(spark, tmp_path):
+    """funnel, cohort_retention, and windowed_topk as CONTINUOUS operations:
+    one streaming query's foreachBatch incrementally maintains each
+    operator's bounded sufficient-statistic store (windowed counts /
+    distinct activity buckets / distinct step-time triples — state bounded
+    by keys × windows, users × buckets, users × step-times, never event
+    volume), and the SAME public rule applied to the store equals the batch
+    operator over all raw events, across a 3-microbatch replay."""
+    from pyspark_engine.runtime import normalize_event_time
+
+    sf = "/root/testdata/sf0.001"
+    ev = normalize_event_time(spark.read.parquet(f"{sf}/events.parquet"), "ts").select(
+        "user_id", "event_type", "ts"
+    )
+    src = str(tmp_path / "ev")
+    ev.repartition(3).write.parquet(src)  # 3 files -> 3 microbatches
+    ev = spark.read.parquet(src)
+
+    DAY, WEEK = 86_400_000, 604_800_000
+    steps = ("view", "click", "purchase")
+    counts_store = str(tmp_path / "counts")
+    act_store = str(tmp_path / "act")
+    steps_store = str(tmp_path / "steps")
+    spark.createDataFrame([], "event_type string, w_start_ms long, cnt long").write.parquet(counts_store)
+    spark.createDataFrame(
+        [], analytics.cohort_activity(ev, "ts", "user_id", WEEK).schema
+    ).write.parquet(act_store)
+    spark.createDataFrame(
+        [], analytics.funnel_step_times(ev, "ts", "user_id", "event_type", steps).schema
+    ).write.parquet(steps_store)
+
+    def upsert(batch_df, batch_id):
+        s = batch_df.sparkSession
+        part = analytics.windowed_counts(batch_df, "ts", "event_type", DAY)
+        (
+            s.read.parquet(counts_store).unionByName(part)
+            .groupBy("event_type", "w_start_ms")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .localCheckpoint()
+            .write.mode("overwrite").parquet(counts_store)
+        )
+        act = analytics.cohort_activity(batch_df, "ts", "user_id", WEEK)
+        (
+            s.read.parquet(act_store).unionByName(act).distinct()
+            .localCheckpoint().write.mode("overwrite").parquet(act_store)
+        )
+        stp = analytics.funnel_step_times(batch_df, "ts", "user_id", "event_type", steps)
+        (
+            s.read.parquet(steps_store).unionByName(stp).distinct()
+            .localCheckpoint().write.mode("overwrite").parquet(steps_store)
+        )
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got_tk = analytics.windowed_topk_over_counts(
+        spark.read.parquet(counts_store), "event_type", k=3
+    )
+    want_tk = analytics.windowed_topk(ev, "ts", "event_type", DAY, k=3)
+    cols = ["event_type", "w_start_ms", "cnt", "rank"]
+    assert sorted(map(tuple, got_tk.select(cols).collect())) == sorted(
+        map(tuple, want_tk.select(cols).collect())
+    )
+
+    got_co = analytics.cohort_retention_over_activity(
+        spark.read.parquet(act_store), "user_id", WEEK
+    )
+    want_co = analytics.cohort_retention(ev, "ts", "user_id", WEEK)
+    cols = ["cohort_ms", "k", "n_users"]
+    assert sorted(map(tuple, got_co.select(cols).collect())) == sorted(
+        map(tuple, want_co.select(cols).collect())
+    )
+
+    # funnel: the SAME public operator over the store (conditional minimums
+    # are insensitive to the distinct projection)
+    got_fu = analytics.funnel(
+        spark.read.parquet(steps_store), "ts", "user_id", "event_type", steps,
+        within_ms=7 * DAY,
+    )
+    want_fu = analytics.funnel(ev, "ts", "user_id", "event_type", steps, within_ms=7 * DAY)
+    cols = ["user_id", "steps_reached", "t_first_ms", "t_last_ms", "converted"]
+    assert sorted(map(tuple, got_fu.select(cols).collect())) == sorted(
+        map(tuple, want_fu.select(cols).collect())
+    )
+
+
 def test_sessionize_gaps_and_positions(spark):
     MIN30 = 30 * 60_000
     rows = [
