@@ -1267,6 +1267,60 @@ def test_lsh_recall_audit_full_outer_surface(spark):
     assert (r0.n_true_pairs, r0.n_lsh_pairs, r0.n_lsh_only, r0.recall_permille) == (0, 0, 0, 1000)
 
 
+def test_recall_audit_tuning_loop_end_to_end(spark):
+    """RECIPES.md §1 measured-recall loop, end to end: deterministic hash
+    SAMPLE → lsh_recall_audit on the sample → increase bands until the
+    measured recall clears the target → run the full-corpus near-dup pass at
+    the audited band count and confirm the measurement transferred.  The
+    corpus plants near-dup pairs around J≈0.5–0.7, where a low band count
+    (long bands, r = 64/b rows each) measurably misses pairs and a high one
+    recovers them — so the loop must actually tune, not rubber-stamp."""
+    import random
+
+    rng = random.Random(77)
+    words = [f"w{i}" for i in range(400)]
+    docs = []
+    for i in range(40):  # planted near-dup pairs
+        base = [rng.choice(words) for _ in range(20)]
+        docs.append((i, " ".join(base)))
+        var = list(base)
+        for pos in ([5] if i % 2 else [5, 12]):  # k=1 → J≈0.71, k=2 → J≈0.5
+            var[pos] = rng.choice(words)
+        docs.append((i + 1000, " ".join(var)))
+    for i in range(40):  # unrelated filler
+        docs.append((i + 5000, " ".join(rng.choice(words) for _ in range(20))))
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # 1. sample (deterministic md5 keep-rule — reruns audit the same subset)
+    sample = llmops.sample_hash(corpus, "doc_id", 0.7, salt="audit")
+
+    # 2+3. audit, tuning bands upward until measured recall >= 900 permille
+    target, chosen, audits = 900, None, {}
+    for bands in (2, 8, 32):
+        r = llmops.lsh_recall_audit(
+            sample, "doc_id", "text", threshold=0.4, num_hashes=64, bands=bands,
+            portable=True,
+        ).collect()[0]
+        assert r.n_lsh_only == 0  # ground-truth completeness, not tuning
+        audits[bands] = r
+        if r.recall_permille >= target:
+            chosen = bands
+            break
+    assert audits[2].n_true_pairs >= 5  # the sample kept enough planted pairs
+    assert audits[2].recall_permille < target  # low bands measurably miss
+    assert chosen is not None and chosen > 2  # the loop actually tuned
+
+    # 4. full-corpus run at the audited band count: measurement transfers
+    truth = llmops.jaccard_pairs_exact(corpus, "doc_id", "text", threshold=0.4)
+    found = llmops.minhash_lsh_pairs(
+        corpus, "doc_id", "text", num_hashes=64, bands=chosen, threshold=0.4,
+        portable=True,
+    )
+    n_truth, n_found = truth.count(), found.count()
+    assert n_truth >= 30  # most planted pairs are above threshold
+    assert n_found / n_truth >= target / 1000
+
+
 def test_domain_blocklist_decimal_decision(spark):
     """Mean-quality block decision in exact decimal: a domain exactly AT
     the threshold is NOT blocked (strict <), below is, and domains under
@@ -1311,6 +1365,70 @@ def test_jaccard_pairs_exact_hypothesis_vs_brute_force(spark):
             return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
 
         gs = {i: sh(s) for i, s in rows if len(s.split()) >= 3}
+        want = {}
+        for a, b in itertools.combinations(sorted(gs), 2):
+            inter, union = len(gs[a] & gs[b]), len(gs[a] | gs[b])
+            if union and inter / union >= t:
+                want[(a, b)] = (inter, union)
+        assert got == want
+
+    check()
+
+
+def test_jaccard_pairs_exact_adversarial_near_threshold_fuzz(spark):
+    """Harder exactness fuzz: CONTINUOUS thresholds in [0.3, 0.9], shingle
+    sizes 2–4, and adversarial corpora engineered so pair Jaccards sweep
+    densely through the threshold (shared-prefix construction: prefix p of m
+    tokens with unique suffixes gives J = (p−s+1)/(2n−(p−s+1)); p ranges over
+    every value, so some pair always lands at J = t ± ε).  This pounds the
+    ceil(t·n) prefix-length boundary (the float-nudge code path) exactly
+    where it could silently shorten the prefix and lose a pair."""
+    import itertools
+    import random
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.floats(min_value=0.3, max_value=0.9, allow_nan=False),
+        st.integers(min_value=2, max_value=4),
+        st.integers(min_value=0, max_value=10**6),
+    )
+    def check(t, s, seed):
+        rng = random.Random(seed)
+        m = 12
+        uid = [0]
+
+        def tok():
+            uid[0] += 1
+            return f"t{uid[0]}"
+
+        docs = []
+        idc = 0
+        for p in range(s - 1, m + 1):  # J sweeps 0 → 1 through the threshold
+            common = [tok() for _ in range(p)]
+            a = common + [tok() for _ in range(m - p)]
+            b = common + [tok() for _ in range(m - p)]
+            docs.append((idc, " ".join(a)))
+            docs.append((idc + 1, " ".join(b)))
+            idc += 2
+        pool = [f"p{i}" for i in range(8)]  # collision-rich random docs
+        for _ in range(6):
+            docs.append((idc, " ".join(rng.choice(pool) for _ in range(rng.randint(s, 10)))))
+            idc += 1
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b): (r.inter_n, r.union_n)
+            for r in llmops.jaccard_pairs_exact(
+                df, "doc_id", "text", threshold=t, shingle=s
+            ).collect()
+        }
+
+        def sh(txt):
+            tk = txt.lower().split()
+            return {" ".join(tk[i : i + s]) for i in range(len(tk) - s + 1)}
+
+        gs = {i: sh(x) for i, x in docs if len(x.split()) >= s}
         want = {}
         for a, b in itertools.combinations(sorted(gs), 2):
             inter, union = len(gs[a] & gs[b]), len(gs[a] | gs[b])
