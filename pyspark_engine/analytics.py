@@ -389,6 +389,24 @@ def cohort_retention_over_activity(
     )
 
 
+def sessionize_events(
+    events: DataFrame, ts_col: str, user_col: str, order_col: str
+) -> DataFrame:
+    """Distinct (user, order, ts) triples — the SUFFICIENT STATISTIC for
+    :func:`sessionize`, which re-derives t_ms and all three window passes
+    from them, and the bounded store a continuous deployment maintains (per
+    microbatch: union + re-distinct).  ``order_col`` must be a unique event
+    id so the distinct projection is lossless — then
+    ``sessionize(store, ...)`` equals the batch sessionize over all events
+    (pinned by test_analytics_over_streaming_stores_parity).  Production
+    deployments evict triples older than the session-gap horizon the way a
+    watermark bounds any event-time state."""
+    base = ensure_min_parallelism(events).filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    return base.select(F.col(user_col), F.col(order_col), F.col(ts_col)).distinct()
+
+
 def sessionize(
     events: DataFrame,
     ts_col: str,

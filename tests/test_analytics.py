@@ -154,7 +154,7 @@ def test_analytics_over_streaming_stores_parity(spark, tmp_path):
 
     sf = "/root/testdata/sf0.001"
     ev = normalize_event_time(spark.read.parquet(f"{sf}/events.parquet"), "ts").select(
-        "user_id", "event_type", "ts"
+        "user_id", "event_type", "ts", "event_id"
     )
     src = str(tmp_path / "ev")
     ev.repartition(3).write.parquet(src)  # 3 files -> 3 microbatches
@@ -172,6 +172,10 @@ def test_analytics_over_streaming_stores_parity(spark, tmp_path):
     spark.createDataFrame(
         [], analytics.funnel_step_times(ev, "ts", "user_id", "event_type", steps).schema
     ).write.parquet(steps_store)
+    sess_store = str(tmp_path / "sess")
+    spark.createDataFrame(
+        [], analytics.sessionize_events(ev, "ts", "user_id", "event_id").schema
+    ).write.parquet(sess_store)
 
     def upsert(batch_df, batch_id):
         s = batch_df.sparkSession
@@ -192,6 +196,11 @@ def test_analytics_over_streaming_stores_parity(spark, tmp_path):
         (
             s.read.parquet(steps_store).unionByName(stp).distinct()
             .localCheckpoint().write.mode("overwrite").parquet(steps_store)
+        )
+        sev = analytics.sessionize_events(batch_df, "ts", "user_id", "event_id")
+        (
+            s.read.parquet(sess_store).unionByName(sev).distinct()
+            .localCheckpoint().write.mode("overwrite").parquet(sess_store)
         )
 
     stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
@@ -231,6 +240,17 @@ def test_analytics_over_streaming_stores_parity(spark, tmp_path):
     cols = ["user_id", "steps_reached", "t_first_ms", "t_last_ms", "converted"]
     assert sorted(map(tuple, got_fu.select(cols).collect())) == sorted(
         map(tuple, want_fu.select(cols).collect())
+    )
+
+    # sessionize: the SAME public operator over the distinct-triple store
+    # (event_id is unique, so the projection is lossless)
+    got_se = analytics.sessionize(
+        spark.read.parquet(sess_store), "ts", "user_id", "event_id", 30 * 60_000
+    )
+    want_se = analytics.sessionize(ev, "ts", "user_id", "event_id", 30 * 60_000)
+    cols = ["user_id", "event_id", "t_ms", "session_idx", "pos"]
+    assert sorted(map(tuple, got_se.select(cols).collect())) == sorted(
+        map(tuple, want_se.select(cols).collect())
     )
 
 
