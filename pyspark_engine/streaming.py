@@ -48,6 +48,7 @@ __all__ = [
     "start_to_kafka",
     "start_foreach_batch",
     "stateful_map",
+    "sessionize_streaming",
     "join_tables_streaming",
     "join_table_asof_streaming",
     "cogroup_streaming",
@@ -534,6 +535,112 @@ def stateful_map(
         fn, output_schema, state_schema, output_mode, timeout
     )
     return KStream(out, grouped.key, None)
+
+
+def sessionize_streaming(
+    stream: KStream,
+    order_col: str,
+    gap_ms: int,
+    key_type: str = "bigint",
+    order_type: str = "bigint",
+) -> KStream:
+    """TRUE streaming event-level sessionization — the stateful-processor
+    realization of analytics.sessionize (which Spark cannot express natively:
+    session WINDOW aggregation exists, per-event session ids do not).  Built
+    on ``applyInPandasWithState`` with EventTimeTimeout, the same
+    escape-hatch surface as stateful_map (the reference's low-level
+    Processor API + state store analog).
+
+    Per-user state = the OPEN sessions' (t_ms, order) pairs plus a count of
+    sessions already closed (so session_idx numbering continues across
+    emissions).  Each invocation merges new events, splits the buffer on the
+    gap rule (inclusive merge at exactly ``gap_ms``, identical to
+    analytics.sessionize), and emits — exactly once, append mode — every
+    leading session whose end (last event + gap) the watermark has passed:
+    closure is monotone in session order, so the closed prefix is always
+    emission-safe.  A timer at the earliest open session's end guarantees
+    eviction even for users who go silent.
+
+    Scale: state is bounded by each user's events within one gap horizon
+    (closed sessions leave state immediately) — never by stream length; the
+    emitted rows carry (user, order, t_ms, session_idx 1-based, pos 1-based)
+    exactly like the batch operator, pinned by
+    test_sessionize_streaming_parity (emitted == batch sessionize restricted
+    to watermark-closed sessions)."""
+    from .runtime import epoch_ms
+
+    if not stream.df.isStreaming:
+        raise ValueError("sessionize_streaming requires a streaming KStream; use analytics.sessionize in batch")
+    if len(stream.key) != 1 or stream.ts is None:
+        raise ValueError("sessionize_streaming requires a single key column and a ts column")
+    user = stream.key[0]
+    df = stream.df.select(
+        F.col(user),
+        F.col(stream.ts),
+        F.col(order_col).alias("__o"),
+        epoch_ms(F.col(stream.ts)).alias("__t_ms"),
+    )
+    gap = int(gap_ms)
+    out_schema = (
+        f"{user} {key_type}, {order_col} {order_type}, t_ms bigint, "
+        "session_idx bigint, pos bigint"
+    )
+    state_schema = "tss array<bigint>, orders array<bigint>, closed bigint"
+
+    def fn(key, pdfs, state):
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        if state.exists:
+            tss, orders, closed = state.get
+            buf = list(zip((int(t) for t in tss), (int(o) for o in orders)))
+        else:
+            buf, closed = [], 0
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf.extend(
+                    zip((int(t) for t in pdf["__t_ms"]), (int(o) for o in pdf["__o"]))
+                )
+        buf.sort()
+        sessions: list[list[tuple[int, int]]] = []
+        cur: list[tuple[int, int]] = []
+        for t, o in buf:
+            if cur and t - cur[-1][0] > gap:  # strict > : equal-gap merges
+                sessions.append(cur)
+                cur = []
+            cur.append((t, o))
+        if cur:
+            sessions.append(cur)
+        wm = state.getCurrentWatermarkMs()
+        # a session is closed when NO admissible event (ts >= watermark) can
+        # extend it: last + gap < wm strictly, because an event exactly gap
+        # after the last would still merge
+        n_emit = 0
+        while n_emit < len(sessions) and sessions[n_emit][-1][0] + gap < wm:
+            n_emit += 1
+        rows = []
+        for i in range(n_emit):
+            for pos, (t, o) in enumerate(sessions[i], 1):
+                rows.append((key[0], o, t, closed + i + 1, pos))
+        closed += n_emit
+        rest = sessions[n_emit:]
+        state.update(
+            (
+                [t for s in rest for t, _ in s],
+                [o for s in rest for _, o in s],
+                closed,
+            )
+        )
+        if rest:  # timer at the earliest open session's end (post-watermark)
+            state.setTimeoutTimestamp(max(rest[0][-1][0] + gap + 1, wm + 1))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[user, order_col, "t_ms", "session_idx", "pos"]
+            )
+
+    out = df.groupBy(user).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "EventTimeTimeout"
+    )
+    return KStream(out, (user,), None)
 
 
 def join_table_asof_streaming(

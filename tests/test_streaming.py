@@ -153,6 +153,56 @@ def test_session_window_streaming_parity(spark, tmp_path):
     assert got.count() > 0
 
 
+def test_sessionize_streaming_parity(spark, tmp_path):
+    """True streaming event-level sessionize (applyInPandasWithState,
+    bounded open-session state, event-time timers): across a 3-microbatch
+    time-ordered replay the emitted rows equal the batch
+    analytics.sessionize restricted to sessions the final watermark closed
+    (last event + gap strictly before it); each emitted event appears
+    exactly once; still-open sessions stay in state."""
+    import time
+
+    from pyspark.sql.window import Window as W
+
+    from pyspark_engine import analytics
+    from pyspark_engine.streaming import StreamingBuilder, sessionize_streaming
+
+    GAP = 30 * 60_000
+    df = _events_batch(spark).df.select("user_id", "ts", "event_id")
+    split = df.withColumn("__t", F.ntile(3).over(W.orderBy("ts")))
+    src = str(tmp_path / "src")
+    for i in (1, 2, 3):  # oldest third first; watermark only moves forward
+        split.filter(F.col("__t") == i).drop("__t").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.05)
+
+    ks = StreamingBuilder(spark).file_stream(
+        src, key="user_id", ts="ts", max_files_per_trigger=1
+    ).with_watermark("0 seconds")
+    got = run_available_now(sessionize_streaming(ks, "event_id", GAP), output_mode="append")
+
+    batch_df = spark.read.parquet(src)
+    want_all = analytics.sessionize(batch_df, "ts", "user_id", "event_id", GAP)
+    from pyspark_engine.runtime import epoch_ms
+
+    wm = batch_df.agg(F.max(epoch_ms(F.col("ts")))).collect()[0][0]
+    sess_last = want_all.groupBy("user_id", "session_idx").agg(F.max("t_ms").alias("__last"))
+    want = (
+        want_all.join(
+            sess_last.filter(F.col("__last") + GAP < F.lit(wm)),
+            ["user_id", "session_idx"],
+        ).drop("__last")
+    )
+    cols = ["user_id", "event_id", "t_ms", "session_idx", "pos"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+    # a meaningful split: sessions actually closed AND sessions stayed open
+    assert got.count() > 0
+    assert got.count() < want_all.count()
+    # exactly-once emission per event
+    assert got.select("user_id", "event_id").distinct().count() == got.count()
+
+
 def test_suppress_streaming_emit_final(spark, tmp_path):
     """KTable.suppress under streaming (KIP-328 untilWindowCloses; the
     reference's roadmap Suppress): append mode on the watermarked windowed
