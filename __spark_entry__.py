@@ -2416,6 +2416,32 @@ def q154_lsh_recall_audit(spark, sf_dir):
     return llmops.lsh_recall_audit(docs, "doc_id", "text", threshold=0.4, portable=True)
 
 
+def q155_wav_decode(spark, sf_dir):
+    """REAL multimodal decode path (uncompressed audio): synthesize genuine
+    RIFF/WAVE containers (struct-packed per the WAV spec — 16-bit mono
+    integer-PCM ramps parameterized by doc_id, llmops.synth_wav), decode
+    them with CPython's INDEPENDENT stdlib `wave` parser inside
+    Arrow-batched mapInPandas (llmops.decode_wav_features), and emit
+    integer-exact audio features.  The oracle recomputes every feature from
+    the synthesis PARAMETERS alone — generate_series ramp algebra for
+    peak/Σsample², the 44-byte-header formula for the wire length — so a
+    byte-level bug in either the encoder's header math or the decoder's
+    parse breaks the hash.  Closes the multimodal-decode gap for audio;
+    compressed image/video codecs still gate on absent external libraries
+    (llmops.decode_image_batches stub).  Reference has no multimodal surface
+    at all (SURVEY: extension)."""
+    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(100) + F.col("doc_id") % 50).alias("n"),
+        F.when(F.col("doc_id") % 2 == 0, 8000).otherwise(16000).alias("rate"),
+        (F.lit(1) + F.col("doc_id") % 7).alias("a"),
+        (F.col("doc_id") % 997).alias("b"),
+    )
+    wav = llmops.synth_wav(params, "doc_id", "n", "rate", "a", "b")
+    return llmops.decode_wav_features(wav, "doc_id", "payload")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2572,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_windowed_distinct": q152_windowed_distinct,
         "q153_domain_blocklist": q153_domain_blocklist,
         "q154_lsh_recall_audit": q154_lsh_recall_audit,
+        "q155_wav_decode": q155_wav_decode,
     }
 
 
@@ -3105,6 +3132,35 @@ def oracle_sql() -> dict[str, str]:
         # candidate generation included — not just the verify step.
         "q43_dedup_minhash": _minhash_oracle_sql(threshold=0.4),
         "q154_lsh_recall_audit": _recall_audit_oracle_sql(threshold=0.4),
+        "q155_wav_decode": """
+            WITH p AS (
+                SELECT doc_id,
+                       100 + doc_id % 50 AS n,
+                       CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+                       1 + doc_id % 7 AS a,
+                       doc_id % 997 AS b
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, n, rate,
+                       unnest(generate_series(0, n - 1)) AS i, a, b
+                FROM p
+            ),
+            v AS (
+                SELECT doc_id, n, rate, ((a * i + b) % 65536) - 32768 AS val
+                FROM s
+            )
+            SELECT doc_id,
+                   CAST(any_value(rate) AS BIGINT) AS sample_rate,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST(16 AS BIGINT) AS bits,
+                   CAST(any_value(n) AS BIGINT) AS n_samples,
+                   CAST(44 + 2 * any_value(n) AS BIGINT) AS wire_len,
+                   CAST(max(abs(val)) AS BIGINT) AS peak_abs,
+                   CAST(sum(val * val) AS BIGINT) AS sumsq
+            FROM v
+            GROUP BY doc_id
+        """,
         "q44_dedup_simhash": _simhash_oracle_sql(max_hamming=8),
         "q134_minhash_incremental": _minhash_incremental_oracle_sql(0.9),
         "q148_temporal_split": r"""

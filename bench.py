@@ -129,6 +129,7 @@ HEADLINE = [
     "q152_windowed_distinct",
     "q153_domain_blocklist",
     "q154_lsh_recall_audit",
+    "q155_wav_decode",
 ]
 
 

@@ -1159,6 +1159,113 @@ def multimodal_features(df: DataFrame, id_col: str, payload_col: str, bins: int 
     return proj.mapInPandas(_fake_decode_worker(bins), MULTIMODAL_FEATURES_SCHEMA)
 
 
+WAV_FEATURES_SCHEMA = (
+    "doc_id long, sample_rate long, n_channels long, bits long, "
+    "n_samples long, wire_len long, peak_abs long, sumsq long"
+)
+
+
+def synth_wav_batches(batches: Iterator) -> Iterator:
+    """Arrow-batched worker synthesizing REAL RIFF/WAVE containers: 16-bit
+    mono integer-PCM ramps (sample_i = ((a·i + b) mod 65536) − 32768) packed
+    per the WAV spec with ``struct`` — deliberately NOT the stdlib ``wave``
+    writer, so the encode and decode sides are two independent
+    implementations of the container format (the Avro/protobuf codec-pair
+    pattern, serdes.py): a header-math bug here makes CPython's parser
+    misread and the oracle hash break."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, n, rate, a, b in zip(pdf["doc_id"], pdf["n"], pdf["rate"], pdf["a"], pdf["b"]):
+            n, rate, a, b = int(n), int(rate), int(a), int(b)
+            i = np.arange(n, dtype=np.int64)
+            pcm = ((a * i + b) % 65536 - 32768).astype("<i2")
+            data = pcm.tobytes()
+            hdr = (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                + b"data" + struct.pack("<I", len(data))
+            )
+            rows.append((doc_id, hdr + data))
+        yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+
+def synth_wav(
+    df: DataFrame, id_col: str, n_col: str, rate_col: str, a_col: str, b_col: str
+) -> DataFrame:
+    """Deterministic WAV payload synthesis (see synth_wav_batches) — the
+    test-data half of the real-audio decode path; returns (doc_id, payload
+    binary).  One Arrow pass, no shuffle."""
+    proj = _spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(n_col).alias("n"),
+            F.col(rate_col).alias("rate"),
+            F.col(a_col).alias("a"),
+            F.col(b_col).alias("b"),
+        )
+    )
+    return proj.mapInPandas(synth_wav_batches, "doc_id long, payload binary")
+
+
+def decode_wav_batches(batches: Iterator) -> Iterator:
+    """Arrow-batched worker decoding REAL WAV containers with CPython's
+    stdlib ``wave`` parser (+ numpy sample unpack) — unlike the image stub
+    (decode_image_batches), this decode path needs no external library, so
+    the multimodal story runs END TO END for uncompressed audio: container
+    parse (rate/channels/width from the fmt chunk, frame count from data),
+    PCM sample extraction, and integer-exact feature reduction
+    (peak |sample|, Σ sample²)."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    cols = [
+        "doc_id", "sample_rate", "n_channels", "bits",
+        "n_samples", "wire_len", "peak_abs", "sumsq",
+    ]
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            with wave.open(io.BytesIO(raw)) as w:
+                rate, nch, width, n = (
+                    w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes(),
+                )
+                frames = w.readframes(n)
+            if width == 2:
+                samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+            else:  # 8-bit PCM is unsigned per spec
+                samples = np.frombuffer(frames, dtype=np.uint8).astype(np.int64)
+            rows.append(
+                (
+                    doc_id, rate, nch, width * 8, n, len(raw),
+                    int(np.abs(samples).max()) if samples.size else 0,
+                    int((samples * samples).sum()),
+                )
+            )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def decode_wav_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL audio decode + feature extraction over a binary WAV column —
+    mapInPandas, one Arrow pass, no shuffle; all outputs are exact integers
+    so a SQL oracle can recompute them from the synthesis parameters
+    (q155).  Scale: identical shape to multimodal_features — payloads
+    stream through workers in Arrow batches, worker memory bounded by
+    maxPartitionBytes."""
+    proj = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+    return proj.mapInPandas(decode_wav_batches, WAV_FEATURES_SCHEMA)
+
+
 # ---------------------------------------------------------------- PII scrub
 
 # Pattern set kept RE2-compatible (no backrefs/lookaround) so the DuckDB

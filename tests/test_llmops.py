@@ -1321,6 +1321,37 @@ def test_recall_audit_tuning_loop_end_to_end(spark):
     assert n_found / n_truth >= target / 1000
 
 
+def test_wav_codec_spec_vector_and_features(spark):
+    """The WAV pair is two independent implementations: synth packs the
+    RIFF container by hand (struct), decode parses it with CPython's stdlib
+    wave module.  Pin (a) the exact golden header bytes per the WAV spec for
+    a known tiny ramp, and (b) hand-computed integer features through the
+    full Spark mapInPandas path."""
+    import struct
+
+    params = spark.createDataFrame(
+        [(7, 3, 8000, 1, 2)], "doc_id long, n long, rate long, a long, b long"
+    )
+    wav = llmops.synth_wav(params, "doc_id", "n", "rate", "a", "b")
+    payload = bytes(wav.collect()[0].payload)
+    # golden header: RIFF size 36+6, PCM fmt chunk (tag 1, mono, 8 kHz,
+    # byte-rate 16000, block align 2, 16 bits), data chunk of 6 bytes
+    want_hdr = (
+        b"RIFF" + struct.pack("<I", 42) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 6)
+    )
+    assert payload[:44] == want_hdr and len(payload) == 50
+    # samples: ((1*i + 2) % 65536) - 32768 for i=0,1,2 → -32766, -32765, -32764
+    assert struct.unpack("<3h", payload[44:]) == (-32766, -32765, -32764)
+
+    feats = llmops.decode_wav_features(wav, "doc_id", "payload").collect()[0]
+    assert (feats.sample_rate, feats.n_channels, feats.bits) == (8000, 1, 16)
+    assert (feats.n_samples, feats.wire_len) == (3, 50)
+    assert feats.peak_abs == 32766
+    assert feats.sumsq == 32766**2 + 32765**2 + 32764**2
+
+
 def test_domain_blocklist_decimal_decision(spark):
     """Mean-quality block decision in exact decimal: a domain exactly AT
     the threshold is NOT blocked (strict <), below is, and domains under
