@@ -2442,6 +2442,24 @@ def q155_wav_decode(spark, sf_dir):
     return llmops.decode_wav_features(wav, "doc_id", "payload")
 
 
+def q156_wav_frames(spark, sf_dir):
+    """Frame-level audio energy (llmops.wav_frame_energy) over the same
+    synthesized-but-real WAV corpus as q155: 64-sample frames, tail frame
+    partial, integer-exact peak/Σsample² per frame.  Oracle: the ramp
+    algebra grouped by i // 64 — the 1→N fan-out (frame count per doc) and
+    every frame's stats are all recomputed from parameters."""
+    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(100) + F.col("doc_id") % 50).alias("n"),
+        F.when(F.col("doc_id") % 2 == 0, 8000).otherwise(16000).alias("rate"),
+        (F.lit(1) + F.col("doc_id") % 7).alias("a"),
+        (F.col("doc_id") % 997).alias("b"),
+    )
+    wav = llmops.synth_wav(params, "doc_id", "n", "rate", "a", "b")
+    return llmops.wav_frame_energy(wav, "doc_id", "payload", frame_len=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2599,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_domain_blocklist": q153_domain_blocklist,
         "q154_lsh_recall_audit": q154_lsh_recall_audit,
         "q155_wav_decode": q155_wav_decode,
+        "q156_wav_frames": q156_wav_frames,
     }
 
 
@@ -3160,6 +3179,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(val * val) AS BIGINT) AS sumsq
             FROM v
             GROUP BY doc_id
+        """,
+        "q156_wav_frames": """
+            WITH p AS (
+                SELECT doc_id,
+                       100 + doc_id % 50 AS n,
+                       1 + doc_id % 7 AS a,
+                       doc_id % 997 AS b
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(generate_series(0, n - 1)) AS i, a, b
+                FROM p
+            ),
+            v AS (
+                SELECT doc_id, i // 64 AS frame_idx,
+                       ((a * i + b) % 65536) - 32768 AS val
+                FROM s
+            )
+            SELECT doc_id,
+                   CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(max(abs(val)) AS BIGINT) AS peak_abs,
+                   CAST(sum(val * val) AS BIGINT) AS sumsq
+            FROM v
+            GROUP BY doc_id, frame_idx
         """,
         "q44_dedup_simhash": _simhash_oracle_sql(max_hamming=8),
         "q134_minhash_incremental": _minhash_incremental_oracle_sql(0.9),

@@ -1266,6 +1266,59 @@ def decode_wav_features(df: DataFrame, id_col: str, payload_col: str) -> DataFra
     return proj.mapInPandas(decode_wav_batches, WAV_FEATURES_SCHEMA)
 
 
+WAV_FRAMES_SCHEMA = "doc_id long, frame_idx long, n_samples long, peak_abs long, sumsq long"
+
+
+def _wav_frame_worker(frame_len: int):
+    """Arrow 1→N fan-out worker: decode the WAV (stdlib ``wave``), split the
+    PCM samples into fixed ``frame_len`` windows (tail partial frame kept),
+    one output row per frame with integer-exact energy stats."""
+
+    def worker(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        cols = ["doc_id", "frame_idx", "n_samples", "peak_abs", "sumsq"]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    n = w.getnframes()
+                    width = w.getsampwidth()
+                    frames = w.readframes(n)
+                dtype = "<i2" if width == 2 else np.uint8
+                samples = np.frombuffer(frames, dtype=dtype).astype(np.int64)
+                for f0 in range(0, samples.size, frame_len):
+                    sl = samples[f0 : f0 + frame_len]
+                    rows.append(
+                        (doc_id, f0 // frame_len, int(sl.size),
+                         int(np.abs(sl).max()), int((sl * sl).sum()))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return worker
+
+
+def wav_frame_energy(
+    df: DataFrame, id_col: str, payload_col: str, frame_len: int
+) -> DataFrame:
+    """Frame-level energy over REAL decoded PCM — the audio curation
+    primitive (silence trimming, energy-threshold segment sampling, cheap
+    VAD gating before an ML VAD): each WAV fans out to one row per
+    ``frame_len``-sample window with exact integer peak/Σsample².
+
+    Scale: Arrow-batched 1→N mapInPandas like frame_sample — payload bytes
+    never shuffle; downstream energy filters and per-doc aggregations key on
+    doc_id, the partitioning the scan already has."""
+    proj = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+    return proj.mapInPandas(_wav_frame_worker(int(frame_len)), WAV_FRAMES_SCHEMA)
+
+
 # ---------------------------------------------------------------- PII scrub
 
 # Pattern set kept RE2-compatible (no backrefs/lookaround) so the DuckDB

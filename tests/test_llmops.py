@@ -1352,6 +1352,24 @@ def test_wav_codec_spec_vector_and_features(spark):
     assert feats.sumsq == 32766**2 + 32765**2 + 32764**2
 
 
+def test_wav_frame_energy_fanout_and_tail(spark):
+    """1→N frame fan-out with a partial tail frame: 5 samples at frame_len 2
+    → frames of 2, 2, 1 with hand-computed integer energies."""
+    params = spark.createDataFrame(
+        [(1, 5, 8000, 0, 32770)], "doc_id long, n long, rate long, a long, b long"
+    )
+    # a=0, b=32770 → every sample = (32770 % 65536) - 32768 = 2
+    wav = llmops.synth_wav(params, "doc_id", "n", "rate", "a", "b")
+    got = {
+        r.frame_idx: r
+        for r in llmops.wav_frame_energy(wav, "doc_id", "payload", frame_len=2).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    assert (got[0].n_samples, got[0].peak_abs, got[0].sumsq) == (2, 2, 8)
+    assert (got[1].n_samples, got[1].sumsq) == (2, 8)
+    assert (got[2].n_samples, got[2].peak_abs, got[2].sumsq) == (1, 2, 4)  # tail
+
+
 def test_domain_blocklist_decimal_decision(spark):
     """Mean-quality block decision in exact decimal: a domain exactly AT
     the threshold is NOT blocked (strict <), below is, and domains under
