@@ -1081,6 +1081,46 @@ def test_cogroup_streaming_restart_recovers_generation(spark, tmp_path):
     assert again == got
 
 
+def test_tt_join_streaming_restart_recovers_generation(spark, tmp_path):
+    """join_tables_streaming restart: re-invoking with the same durable
+    checkpoint + state_dir after new changelog data continues from the
+    committed state snapshot (the _GEN marker), replaying only the new
+    microbatch; result == batch join over the full changelogs.  Run 1 uses
+    an odd microbatch count so a gen-reset would read the stale side."""
+    import os
+    import time
+
+    from pyspark_engine.streaming import join_tables_streaming
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    os.makedirs(ldir)
+    os.makedirs(rdir)
+    for i in range(3):  # 3 left files -> 3 microbatches in run 1
+        pd.DataFrame({"k": [1, 2], "lv": [10 * (i + 1), 1], "lo": [i, i]}).to_parquet(
+            ldir / f"f{i}.parquet"
+        )
+        time.sleep(0.02)
+    pd.DataFrame({"rk": [1], "rv": [100], "ro": [0]}).to_parquet(rdir / "f0.parquet")
+
+    def run():
+        sb = StreamingBuilder(spark)
+        lks = sb.file_stream(str(ldir), key="k", max_files_per_trigger=1)
+        rks = sb.file_stream(str(rdir), key="rk")
+        return join_tables_streaming(
+            lks, rks, how="left", l_order=("lo",), r_order=("ro",),
+            state_dir=str(tmp_path / "state"), checkpoint=str(tmp_path / "ck"),
+        )
+
+    first = {r.k: (r.lv, r.rv) for r in run().collect()}
+    assert first == {1: (30, 100), 2: (1, None)}
+
+    # new data on BOTH changelogs; restart replays only the new microbatch
+    pd.DataFrame({"k": [2], "lv": [7], "lo": [9]}).to_parquet(ldir / "f3.parquet")
+    pd.DataFrame({"rk": [2], "rv": [200], "ro": [1]}).to_parquet(rdir / "f1.parquet")
+    got = {r.k: (r.lv, r.rv) for r in run().collect()}
+    assert got == {1: (30, 100), 2: (7, 200)}
+
+
 def test_cogroup_streaming_rejects_invalid_parts(spark, tmp_path):
     """cogroup_streaming enforces the SAME contract as the batch builder:
     duplicate aggregate column names and key-arity mismatches fail fast
