@@ -926,7 +926,11 @@ class KTable:
         start_to_files) enforce append mode for a suppressed table — only
         windows the watermark has closed are ever emitted, and intermediate
         (update/complete-mode) emissions are rejected as a contract
-        violation rather than silently un-suppressed."""
+        violation rather than silently un-suppressed.  Call it LAST, just
+        before the sink: the marker lives on this KTable object, so further
+        operator calls return new (unmarked) tables — matching Kafka
+        Streams, where suppress() is likewise a terminal buffering stage on
+        the table it is called on."""
         out = KTable(self.df, self.key, self.ts)
         out.emit_final = True
         return out
