@@ -2460,6 +2460,31 @@ def q156_wav_frames(spark, sf_dir):
     return llmops.wav_frame_energy(wav, "doc_id", "payload", frame_len=64)
 
 
+def q157_wav_trim(spark, sf_dir):
+    """Full audio decode → transform → re-encode roundtrip: synthesize WAVs
+    with planted leading/trailing silence (zero samples, llmops.synth_wav
+    pre/post), endpoint-trim them frame-aligned (llmops.wav_trim_silence,
+    16-sample frames, peak threshold 0), then DECODE THE RE-ENCODED payloads
+    (llmops.decode_wav_features) — so a bug anywhere in the loop (trim
+    bounds, re-pack header math, container parse) breaks the hash.  Oracle:
+    the padded ramp, per-frame peaks, active-frame bounds, kept-sample
+    count/stats, and the 44-byte-header wire length are all recomputed in
+    SQL from the parameters alone."""
+    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(80) + F.col("doc_id") % 40).alias("n"),
+        F.when(F.col("doc_id") % 2 == 0, 8000).otherwise(16000).alias("rate"),
+        (F.lit(1) + F.col("doc_id") % 7).alias("a"),
+        (F.col("doc_id") % 997).alias("b"),
+        (F.col("doc_id") % 37).alias("pre"),
+        (F.col("doc_id") % 23).alias("post"),
+    )
+    wav = llmops.synth_wav(params, "doc_id", "n", "rate", "a", "b", pre_col="pre", post_col="post")
+    trimmed = llmops.wav_trim_silence(wav, "doc_id", "payload", frame_len=16, max_peak=0)
+    return llmops.decode_wav_features(trimmed, "doc_id", "payload")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2618,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_lsh_recall_audit": q154_lsh_recall_audit,
         "q155_wav_decode": q155_wav_decode,
         "q156_wav_frames": q156_wav_frames,
+        "q157_wav_trim": q157_wav_trim,
     }
 
 
@@ -3204,6 +3230,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(val * val) AS BIGINT) AS sumsq
             FROM v
             GROUP BY doc_id, frame_idx
+        """,
+        "q157_wav_trim": """
+            WITH p AS (
+                SELECT doc_id,
+                       80 + doc_id % 40 AS n,
+                       CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+                       1 + doc_id % 7 AS a,
+                       doc_id % 997 AS b,
+                       doc_id % 37 AS pre,
+                       doc_id % 23 AS post
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, rate, pre, n, pre + n + post AS total,
+                       unnest(generate_series(0, pre + n + post - 1)) AS i, a, b
+                FROM p
+            ),
+            v AS (
+                SELECT doc_id, rate, total, i, i // 16 AS f,
+                       CASE WHEN i < pre OR i >= pre + n THEN 0
+                            ELSE ((a * (i - pre) + b) % 65536) - 32768 END AS val
+                FROM s
+            ),
+            fr AS (
+                SELECT doc_id, f, max(abs(val)) AS fpeak FROM v GROUP BY doc_id, f
+            ),
+            bounds AS (
+                SELECT doc_id, min(f) AS fa, max(f) AS fb
+                FROM fr WHERE fpeak > 0 GROUP BY doc_id
+            ),
+            kept AS (
+                SELECT v.doc_id, v.rate, v.val
+                FROM v JOIN bounds b ON v.doc_id = b.doc_id
+                WHERE v.i >= b.fa * 16 AND v.i < least((b.fb + 1) * 16, v.total)
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_out, max(abs(val)) AS peak,
+                       sum(val * val) AS sq
+                FROM kept GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   CAST(p.rate AS BIGINT) AS sample_rate,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST(16 AS BIGINT) AS bits,
+                   CAST(coalesce(agg.n_out, 0) AS BIGINT) AS n_samples,
+                   CAST(44 + 2 * coalesce(agg.n_out, 0) AS BIGINT) AS wire_len,
+                   CAST(coalesce(agg.peak, 0) AS BIGINT) AS peak_abs,
+                   CAST(coalesce(agg.sq, 0) AS BIGINT) AS sumsq
+            FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
         """,
         "q44_dedup_simhash": _simhash_oracle_sql(max_hamming=8),
         "q134_minhash_incremental": _minhash_incremental_oracle_sql(0.9),

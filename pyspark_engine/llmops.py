@@ -1180,35 +1180,63 @@ def synth_wav_batches(batches: Iterator) -> Iterator:
 
     for pdf in batches:
         rows = []
-        for doc_id, n, rate, a, b in zip(pdf["doc_id"], pdf["n"], pdf["rate"], pdf["a"], pdf["b"]):
+        pres = pdf["pre"] if "pre" in pdf.columns else [0] * len(pdf)
+        posts = pdf["post"] if "post" in pdf.columns else [0] * len(pdf)
+        for doc_id, n, rate, a, b, pre, post in zip(
+            pdf["doc_id"], pdf["n"], pdf["rate"], pdf["a"], pdf["b"], pres, posts
+        ):
             n, rate, a, b = int(n), int(rate), int(a), int(b)
+            pre, post = int(pre), int(post)
             i = np.arange(n, dtype=np.int64)
-            pcm = ((a * i + b) % 65536 - 32768).astype("<i2")
+            ramp = (a * i + b) % 65536 - 32768
+            pcm = np.concatenate(
+                [np.zeros(pre, dtype=np.int64), ramp, np.zeros(post, dtype=np.int64)]
+            ).astype("<i2")
             data = pcm.tobytes()
-            hdr = (
-                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
-                + b"data" + struct.pack("<I", len(data))
-            )
-            rows.append((doc_id, hdr + data))
+            rows.append((doc_id, _pack_wav(rate, data)))
         yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
 
+def _pack_wav(rate: int, data: bytes) -> bytes:
+    """Hand-packed 16-bit mono PCM RIFF/WAVE container (spec layout: RIFF
+    size, fmt chunk tag 1 / block-align 2 / bits 16, data chunk length)."""
+    import struct
+
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def synth_wav(
-    df: DataFrame, id_col: str, n_col: str, rate_col: str, a_col: str, b_col: str
+    df: DataFrame,
+    id_col: str,
+    n_col: str,
+    rate_col: str,
+    a_col: str,
+    b_col: str,
+    pre_col: str | None = None,
+    post_col: str | None = None,
 ) -> DataFrame:
     """Deterministic WAV payload synthesis (see synth_wav_batches) — the
     test-data half of the real-audio decode path; returns (doc_id, payload
-    binary).  One Arrow pass, no shuffle."""
-    proj = _spread(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(n_col).alias("n"),
-            F.col(rate_col).alias("rate"),
-            F.col(a_col).alias("a"),
-            F.col(b_col).alias("b"),
-        )
-    )
+    binary).  ``pre_col``/``post_col`` prepend/append that many zero
+    (silence) samples around the ramp — the planted input for the
+    silence-trim roundtrip (q157).  One Arrow pass, no shuffle."""
+    cols = [
+        F.col(id_col).alias("doc_id"),
+        F.col(n_col).alias("n"),
+        F.col(rate_col).alias("rate"),
+        F.col(a_col).alias("a"),
+        F.col(b_col).alias("b"),
+    ]
+    if pre_col is not None:
+        cols.append(F.col(pre_col).alias("pre"))
+    if post_col is not None:
+        cols.append(F.col(post_col).alias("post"))
+    proj = _spread(df.select(*cols))
     return proj.mapInPandas(synth_wav_batches, "doc_id long, payload binary")
 
 
@@ -1300,6 +1328,65 @@ def _wav_frame_worker(frame_len: int):
             yield pd.DataFrame(rows, columns=cols)
 
     return worker
+
+
+def _wav_trim_worker(frame_len: int, max_peak: int):
+    """Decode → frame-aligned silence trim → RE-ENCODE worker: drop leading
+    and trailing frames whose peak |sample| is ≤ ``max_peak``, keep
+    everything between the first and last active frame (interior quiet
+    passages survive — this is endpoint trimming, not gating), and pack the
+    kept samples back into a spec WAV container at the original rate."""
+
+    def worker(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    rate, n = w.getframerate(), w.getnframes()
+                    frames = w.readframes(n)
+                samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                active = [
+                    f0 // frame_len
+                    for f0 in range(0, samples.size, frame_len)
+                    if np.abs(samples[f0 : f0 + frame_len]).max(initial=0) > max_peak
+                ]
+                if active:
+                    lo = active[0] * frame_len
+                    hi = min((active[-1] + 1) * frame_len, samples.size)
+                    kept = samples[lo:hi]
+                else:
+                    kept = samples[:0]
+                rows.append((doc_id, _pack_wav(rate, kept.astype("<i2").tobytes())))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return worker
+
+
+def wav_trim_silence(
+    df: DataFrame, id_col: str, payload_col: str, frame_len: int, max_peak: int = 0
+) -> DataFrame:
+    """Endpoint silence trimming over REAL WAV payloads — the speech-corpus
+    curation transform (lead-in/lead-out silence is dead weight in training
+    audio): decode, drop leading/trailing frames at or below ``max_peak``,
+    re-encode a valid WAV at the same rate.  Returns (doc_id, payload).
+
+    The full decode → transform → re-encode loop is oracle-checked end to
+    end by q157 (decode_wav_features over the trimmed payloads, every
+    feature recomputed in SQL from the synthesis + trim parameters).
+    Scale: Arrow-batched 1→1 mapInPandas, no shuffle, payload-bounded
+    worker memory — same shape as resize_payloads."""
+    proj = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+    return proj.mapInPandas(
+        _wav_trim_worker(int(frame_len), int(max_peak)), "doc_id long, payload binary"
+    )
 
 
 def wav_frame_energy(

@@ -1370,6 +1370,50 @@ def test_wav_frame_energy_fanout_and_tail(spark):
     assert (got[2].n_samples, got[2].peak_abs, got[2].sumsq) == (1, 2, 4)  # tail
 
 
+def test_wav_trim_silence_endpoints_only(spark):
+    """Endpoint trimming semantics: leading/trailing silent frames drop
+    (frame-aligned — a boundary frame mixing pad and signal is kept whole),
+    interior quiet passages SURVIVE, and the re-encoded payload is a valid
+    spec WAV the decoder parses back."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    # 4 frames of 4 samples: [silence][signal][silence][signal] — trim drops
+    # nothing interior; then a pure-lead/tail case
+    sig = np.array([0, 0, 0, 0, 5, -6, 7, 8, 0, 0, 0, 0, 1, 2, 3, 4], dtype="<i2")
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + sig.nbytes) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", sig.nbytes) + sig.tobytes()
+    )
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    out = bytes(
+        llmops.wav_trim_silence(df, "doc_id", "payload", frame_len=4).collect()[0].payload
+    )
+    with wave.open(io.BytesIO(out)) as w:
+        kept = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    # leading silent frame dropped; interior silent frame (idx 2) kept
+    assert kept.tolist() == sig[4:].tolist()
+
+    # all-silence input -> empty but VALID container
+    silent = np.zeros(8, dtype="<i2")
+    p2 = (
+        b"RIFF" + struct.pack("<I", 36 + silent.nbytes) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", silent.nbytes) + silent.tobytes()
+    )
+    df2 = spark.createDataFrame([(2, bytearray(p2))], "doc_id long, payload binary")
+    out2 = bytes(
+        llmops.wav_trim_silence(df2, "doc_id", "payload", frame_len=4).collect()[0].payload
+    )
+    assert len(out2) == 44
+    with wave.open(io.BytesIO(out2)) as w:
+        assert w.getnframes() == 0 and w.getframerate() == 8000
+
+
 def test_domain_blocklist_decimal_decision(spark):
     """Mean-quality block decision in exact decimal: a domain exactly AT
     the threshold is NOT blocked (strict <), below is, and domains under
