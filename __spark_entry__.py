@@ -2485,6 +2485,43 @@ def q157_wav_trim(spark, sf_dir):
     return llmops.decode_wav_features(trimmed, "doc_id", "payload")
 
 
+def _ppm_params(spark, sf_dir):
+    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    return docs.select(
+        "doc_id",
+        (F.lit(16) + F.col("doc_id") % 9).alias("w"),
+        (F.lit(12) + F.col("doc_id") % 7).alias("h"),
+        (F.lit(1) + F.col("doc_id") % 5).alias("a"),
+        (F.col("doc_id") % 251).alias("b"),
+    )
+
+
+def q158_ppm_decode(spark, sf_dir):
+    """REAL image decode for the uncompressed Netpbm container: synthesize
+    genuine binary-PPM (P6) images (hand-written header + channel-offset
+    pixel ramps, llmops.synth_ppm), parse them back with the independent
+    spec parser (llmops.decode_ppm_features — magic, whitespace/comment
+    header tokenization, maxval, raw pixel block), and emit integer-exact
+    per-channel sums.  The oracle recomputes dimensions, the header-length
+    arithmetic (digit counts of w and h!), and every channel sum from the
+    synthesis parameters alone.  Image twin of q155; compressed formats
+    stay library-gated (llmops.decode_image_batches stub)."""
+    wav = llmops.synth_ppm(_ppm_params(spark, sf_dir), "doc_id", "w", "h", "a", "b")
+    return llmops.decode_ppm_features(wav, "doc_id", "payload")
+
+
+def q159_ppm_resize(spark, sf_dir):
+    """Image decode → block-mean resize → RE-ENCODE roundtrip
+    (llmops.resize_ppm_blockmean, 4×4 integer floor-mean tiles,
+    crop-to-multiple): the resized payloads are decoded AGAIN and every
+    feature of the small image — dimensions, header length, per-channel
+    sums of the floor-means — is recomputed by the oracle from parameters.
+    Image twin of the q157 audio trim roundtrip."""
+    ppm = llmops.synth_ppm(_ppm_params(spark, sf_dir), "doc_id", "w", "h", "a", "b")
+    small = llmops.resize_ppm_blockmean(ppm, "doc_id", "payload", block=4)
+    return llmops.decode_ppm_features(small, "doc_id", "payload")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2644,6 +2681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_wav_decode": q155_wav_decode,
         "q156_wav_frames": q156_wav_frames,
         "q157_wav_trim": q157_wav_trim,
+        "q158_ppm_decode": q158_ppm_decode,
+        "q159_ppm_resize": q159_ppm_resize,
     }
 
 
@@ -3279,6 +3318,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(agg.peak, 0) AS BIGINT) AS peak_abs,
                    CAST(coalesce(agg.sq, 0) AS BIGINT) AS sumsq
             FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
+        """,
+        "q158_ppm_decode": """
+            WITH p AS (
+                SELECT doc_id, 16 + doc_id % 9 AS w, 12 + doc_id % 7 AS h,
+                       1 + doc_id % 5 AS a, doc_id % 251 AS b
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, w, h, a, b,
+                       unnest(generate_series(0, w * h - 1)) AS i
+                FROM p
+            ),
+            agg AS (
+                SELECT doc_id,
+                       sum((a * i + b) % 256) AS sr,
+                       sum((a * i + b + 85) % 256) AS sg,
+                       sum((a * i + b + 170) % 256) AS sb
+                FROM s GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   CAST(p.w AS BIGINT) AS width,
+                   CAST(p.h AS BIGINT) AS height,
+                   CAST(255 AS BIGINT) AS maxval,
+                   CAST(9 + length(CAST(p.w AS VARCHAR)) + length(CAST(p.h AS VARCHAR))
+                        + 3 * p.w * p.h AS BIGINT) AS wire_len,
+                   CAST(agg.sr AS BIGINT) AS sum_r,
+                   CAST(agg.sg AS BIGINT) AS sum_g,
+                   CAST(agg.sb AS BIGINT) AS sum_b
+            FROM p JOIN agg ON p.doc_id = agg.doc_id
+        """,
+        "q159_ppm_resize": """
+            WITH p AS (
+                SELECT doc_id, 16 + doc_id % 9 AS w, 12 + doc_id % 7 AS h,
+                       1 + doc_id % 5 AS a, doc_id % 251 AS b
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, w, h, a, b,
+                       unnest(generate_series(0, w * h - 1)) AS i
+                FROM p
+            ),
+            v AS (
+                SELECT doc_id, w, h, i % w AS x, i // w AS y,
+                       (a * i + b) % 256 AS r,
+                       (a * i + b + 85) % 256 AS g,
+                       (a * i + b + 170) % 256 AS bl
+                FROM s
+            ),
+            m AS (
+                SELECT doc_id, y // 4 AS by, x // 4 AS bx,
+                       sum(r) // 16 AS mr, sum(g) // 16 AS mg, sum(bl) // 16 AS mb
+                FROM v
+                WHERE x < (w // 4) * 4 AND y < (h // 4) * 4
+                GROUP BY doc_id, y // 4, x // 4
+            ),
+            agg AS (
+                SELECT doc_id, sum(mr) AS sr, sum(mg) AS sg, sum(mb) AS sb
+                FROM m GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   CAST(p.w // 4 AS BIGINT) AS width,
+                   CAST(p.h // 4 AS BIGINT) AS height,
+                   CAST(255 AS BIGINT) AS maxval,
+                   CAST(9 + length(CAST(p.w // 4 AS VARCHAR)) + length(CAST(p.h // 4 AS VARCHAR))
+                        + 3 * (p.w // 4) * (p.h // 4) AS BIGINT) AS wire_len,
+                   CAST(agg.sr AS BIGINT) AS sum_r,
+                   CAST(agg.sg AS BIGINT) AS sum_g,
+                   CAST(agg.sb AS BIGINT) AS sum_b
+            FROM p JOIN agg ON p.doc_id = agg.doc_id
         """,
         "q44_dedup_simhash": _simhash_oracle_sql(max_hamming=8),
         "q134_minhash_incremental": _minhash_incremental_oracle_sql(0.9),

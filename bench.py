@@ -130,6 +130,7 @@ HEADLINE = [
     "q153_domain_blocklist",
     "q154_lsh_recall_audit",
     "q155_wav_decode",
+    "q158_ppm_decode",
 ]
 
 

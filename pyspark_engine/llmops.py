@@ -1406,6 +1406,139 @@ def wav_frame_energy(
     return proj.mapInPandas(_wav_frame_worker(int(frame_len)), WAV_FRAMES_SCHEMA)
 
 
+PPM_FEATURES_SCHEMA = (
+    "doc_id long, width long, height long, maxval long, wire_len long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def _parse_ppm(raw: bytes):
+    """REAL binary-PPM (P6) parser per the Netpbm spec: magic, then three
+    whitespace-delimited decimal tokens (width, height, maxval) with
+    ``#``-comment support, ONE whitespace byte, then width×height×3 raw
+    bytes.  Returns (width, height, maxval, ndarray[h, w, 3])."""
+    import numpy as np
+
+    if raw[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(raw) and raw[pos] not in (10, 13):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and raw[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header token")
+        vals.append(int(raw[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval, per spec
+    w, h, maxval = vals
+    data = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, maxval, data.reshape(h, w, 3)
+
+
+def synth_ppm_batches(batches: Iterator) -> Iterator:
+    """Arrow-batched worker synthesizing REAL binary-PPM (P6) images:
+    pixel i (row-major), channel c gets value (a·i + b + 85·c) mod 256 —
+    header written by hand per the Netpbm spec, so the encoder and the
+    parser above are independent header implementations."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, w, h, a, b in zip(pdf["doc_id"], pdf["w"], pdf["h"], pdf["a"], pdf["b"]):
+            w, h, a, b = int(w), int(h), int(a), int(b)
+            i = np.arange(w * h, dtype=np.int64)[:, None]
+            c = np.arange(3, dtype=np.int64)[None, :]
+            img = ((a * i + b + 85 * c) % 256).astype(np.uint8)
+            payload = f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+            rows.append((doc_id, payload))
+        yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+
+def synth_ppm(df: DataFrame, id_col: str, w_col: str, h_col: str, a_col: str, b_col: str) -> DataFrame:
+    """Deterministic P6 image synthesis (see synth_ppm_batches); returns
+    (doc_id, payload binary).  One Arrow pass, no shuffle."""
+    proj = _spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(w_col).alias("w"),
+            F.col(h_col).alias("h"),
+            F.col(a_col).alias("a"),
+            F.col(b_col).alias("b"),
+        )
+    )
+    return proj.mapInPandas(synth_ppm_batches, "doc_id long, payload binary")
+
+
+def decode_ppm_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL image decode over a binary column — for the uncompressed Netpbm
+    container no external library is needed, so unlike the JPEG/PNG stub
+    (decode_image_batches) this path runs END TO END: spec header parse
+    (dimensions, maxval, comment handling), pixel extraction, integer-exact
+    per-channel sums a SQL oracle can recompute from synthesis parameters
+    (q158).  Scale: Arrow-batched mapInPandas, no shuffle, worker memory
+    bounded by payload size."""
+
+    def worker(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ["doc_id", "width", "height", "maxval", "wire_len", "sum_r", "sum_g", "sum_b"]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                w, h, maxval, img = _parse_ppm(raw)
+                s = img.astype("int64").sum(axis=(0, 1))
+                rows.append((doc_id, w, h, maxval, len(raw), int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(rows, columns=cols)
+
+    proj = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+    return proj.mapInPandas(worker, PPM_FEATURES_SCHEMA)
+
+
+def resize_ppm_blockmean(
+    df: DataFrame, id_col: str, payload_col: str, block: int
+) -> DataFrame:
+    """REAL image resize: decode the P6 payload, crop to a multiple of
+    ``block``, floor-mean every block×block tile per channel, RE-ENCODE a
+    valid P6 at (w//block) × (h//block) — the decode → transform →
+    re-encode loop for images (the audio twin is wav_trim_silence).
+    Integer floor-mean keeps every byte SQL-recomputable (q159).  Scale:
+    Arrow-batched 1→1 mapInPandas, no shuffle."""
+    blk = int(block)
+
+    def worker(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _maxval, img = _parse_ppm(bytes(payload))
+                w2, h2 = w // blk, h // blk
+                crop = img[: h2 * blk, : w2 * blk].astype(np.int64)
+                small = (
+                    crop.reshape(h2, blk, w2, blk, 3).sum(axis=(1, 3)) // (blk * blk)
+                ).astype(np.uint8)
+                out = f"P6\n{w2} {h2}\n255\n".encode() + small.tobytes()
+                rows.append((doc_id, out))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    proj = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+    return proj.mapInPandas(worker, "doc_id long, payload binary")
+
+
 # ---------------------------------------------------------------- PII scrub
 
 # Pattern set kept RE2-compatible (no backrefs/lookaround) so the DuckDB

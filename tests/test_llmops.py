@@ -1414,6 +1414,31 @@ def test_wav_trim_silence_endpoints_only(spark):
         assert w.getnframes() == 0 and w.getframerate() == 8000
 
 
+def test_ppm_codec_spec_vector_and_resize(spark):
+    """P6 codec pair: golden header bytes for a known tiny image, the spec
+    parser handling #-comments in the header (which our encoder never
+    writes — parser generality beyond the synth path), and the 2×2
+    floor-mean resize with crop-to-multiple on hand-computed pixels."""
+    params = spark.createDataFrame([(3, 4, 2, 0, 0)], "doc_id long, w long, h long, a long, b long")
+    payload = bytes(llmops.synth_ppm(params, "doc_id", "w", "h", "a", "b").collect()[0].payload)
+    assert payload[:11] == b"P6\n4 2\n255\n" and len(payload) == 11 + 24
+    # pixel i channel c = (0*i + 0 + 85*c) % 256 -> every pixel (0, 85, 170)
+    assert payload[11:14] == bytes([0, 85, 170])
+
+    # parser handles whitespace variants + comments (not producible by synth)
+    hand = b"P6 # comment\n# another\n 4\t2 255\n" + bytes([7] * 24)
+    w, h, maxval, img = llmops._parse_ppm(hand)
+    assert (w, h, maxval) == (4, 2, 255) and img.shape == (2, 4, 3) and int(img[0, 0, 0]) == 7
+
+    # resize: 4x2, block 2 -> 2x1; floor-mean of constant channels is exact
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    small = llmops.resize_ppm_blockmean(df, "doc_id", "payload", block=2)
+    feats = llmops.decode_ppm_features(small, "doc_id", "payload").collect()[0]
+    assert (feats.width, feats.height) == (2, 1)
+    assert (feats.sum_r, feats.sum_g, feats.sum_b) == (0, 170, 340)  # 2 px of (0,85,170)
+    assert feats.wire_len == len(b"P6\n2 1\n255\n") + 6
+
+
 def test_domain_blocklist_decimal_decision(spark):
     """Mean-quality block decision in exact decimal: a domain exactly AT
     the threshold is NOT blocked (strict <), below is, and domains under
