@@ -2890,6 +2890,47 @@ def bigram_backoff_logprob(
 
 # -------------------------------------------------- character entropy
 
+COMPRESSION_SCHEMA = "doc_id long, n_bytes long, n_compressed long, ratio_permille long"
+
+
+def compression_ratio(df: DataFrame, id_col: str, text_col: str, level: int = 6) -> DataFrame:
+    """ACTUAL deflate compressibility per document (stdlib ``zlib``) — the
+    direct form of the quality signal char_entropy approximates analytically:
+    templated/repetitive text compresses far below natural prose, and
+    encoding damage compresses barely at all, so curation pipelines
+    threshold on the ratio (Gopher-family rule).  Returns (doc_id, n_bytes,
+    n_compressed, ratio_permille = ⌊1000·compressed/raw⌋).
+
+    NOT oracle-backed: SQL has no deflate, so this is the one operator class
+    where the cross-engine oracle is impossible rather than omitted —
+    evidence is the deterministic pytest (repetitive ≪ prose ≪
+    incompressible orderings, empty-doc handling) plus char_entropy's
+    oracle-exact sibling signal.  Scale: Arrow-batched mapInPandas
+    projection, zero shuffle."""
+    lvl = int(level)
+
+    def worker(batches: Iterator) -> Iterator:
+        import zlib
+
+        import pandas as pd
+
+        cols = ["doc_id", "n_bytes", "n_compressed", "ratio_permille"]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                comp = len(zlib.compress(raw, lvl))
+                rows.append(
+                    (doc_id, len(raw), comp, (1000 * comp) // len(raw) if raw else 0)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    proj = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
+    return proj.mapInPandas(worker, COMPRESSION_SCHEMA)
+
+
 def char_entropy(df: DataFrame, id_col: str, text_col: str, quant: int = 1000) -> DataFrame:
     """Shannon character entropy per document (nats, floor-quantized ×
     ``quant``): H = ln N − (Σ n_c·ln n_c)/N over the per-doc character

@@ -1439,6 +1439,30 @@ def test_ppm_codec_spec_vector_and_resize(spark):
     assert feats.wire_len == len(b"P6\n2 1\n255\n") + 6
 
 
+def test_compression_ratio_orderings(spark):
+    """Deflate quality signal: repetitive boilerplate compresses far below
+    natural prose, (pseudo)random junk barely compresses, empty docs are
+    handled; ratios are deterministic across invocations."""
+    import random
+
+    rng = random.Random(3)
+    junk = "".join(chr(rng.randrange(0x21, 0x7E)) for _ in range(2000))
+    prose = (
+        "the quick brown fox jumps over the lazy dog while seventeen sailors "
+        "watch from a distant harbor under heavy clouds of an october evening "
+    ) * 12
+    boiler = "click here to subscribe " * 80
+    docs = [(1, boiler), (2, prose), (3, junk), (4, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in llmops.compression_ratio(df, "doc_id", "text").collect()}
+    assert out[1].ratio_permille < out[2].ratio_permille < out[3].ratio_permille
+    assert out[1].ratio_permille < 100      # boilerplate collapses
+    assert out[3].ratio_permille > 700      # junk resists
+    assert (out[4].n_bytes, out[4].n_compressed > 0, out[4].ratio_permille) == (0, True, 0)
+    again = {r.doc_id: r.ratio_permille for r in llmops.compression_ratio(df, "doc_id", "text").collect()}
+    assert again == {k: v.ratio_permille for k, v in out.items()}
+
+
 def test_domain_blocklist_decimal_decision(spark):
     """Mean-quality block decision in exact decimal: a domain exactly AT
     the threshold is NOT blocked (strict <), below is, and domains under
