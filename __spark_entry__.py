@@ -2485,6 +2485,26 @@ def q157_wav_trim(spark, sf_dir):
     return llmops.decode_wav_features(trimmed, "doc_id", "payload")
 
 
+def q160_wav_downsample(spark, sf_dir):
+    """Audio decimation resample roundtrip (llmops.wav_downsample, factor 3
+    box filter): the downsampled payloads are decoded again and the oracle
+    recomputes the output rate (rate // 3), sample count (n // 3), wire
+    length, and every floor-mean output sample's peak/Σ² from the synthesis
+    parameters — floor() written explicitly in SQL because numpy's //
+    floors while SQL integer division truncates on negative sums."""
+    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(100) + F.col("doc_id") % 50).alias("n"),
+        F.when(F.col("doc_id") % 2 == 0, 8000).otherwise(16000).alias("rate"),
+        (F.lit(1) + F.col("doc_id") % 7).alias("a"),
+        (F.col("doc_id") % 997).alias("b"),
+    )
+    wav = llmops.synth_wav(params, "doc_id", "n", "rate", "a", "b")
+    small = llmops.wav_downsample(wav, "doc_id", "payload", factor=3)
+    return llmops.decode_wav_features(small, "doc_id", "payload")
+
+
 def _ppm_params(spark, sf_dir):
     docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
     return docs.select(
@@ -2683,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_wav_trim": q157_wav_trim,
         "q158_ppm_decode": q158_ppm_decode,
         "q159_ppm_resize": q159_ppm_resize,
+        "q160_wav_downsample": q160_wav_downsample,
     }
 
 
@@ -3346,6 +3367,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(agg.sr AS BIGINT) AS sum_r,
                    CAST(agg.sg AS BIGINT) AS sum_g,
                    CAST(agg.sb AS BIGINT) AS sum_b
+            FROM p JOIN agg ON p.doc_id = agg.doc_id
+        """,
+        "q160_wav_downsample": """
+            WITH p AS (
+                SELECT doc_id,
+                       100 + doc_id % 50 AS n,
+                       CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+                       1 + doc_id % 7 AS a,
+                       doc_id % 997 AS b
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, n, rate,
+                       unnest(generate_series(0, n - 1)) AS i, a, b
+                FROM p
+            ),
+            v AS (
+                SELECT doc_id, i // 3 AS blk,
+                       ((a * i + b) % 65536) - 32768 AS val
+                FROM s WHERE i < (n // 3) * 3
+            ),
+            o AS (
+                SELECT doc_id, blk,
+                       CAST(floor(sum(val) / 3.0) AS BIGINT) AS oval
+                FROM v GROUP BY doc_id, blk
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_out, max(abs(oval)) AS peak,
+                       sum(oval * oval) AS sq
+                FROM o GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   CAST(p.rate // 3 AS BIGINT) AS sample_rate,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST(16 AS BIGINT) AS bits,
+                   CAST(agg.n_out AS BIGINT) AS n_samples,
+                   CAST(44 + 2 * agg.n_out AS BIGINT) AS wire_len,
+                   CAST(agg.peak AS BIGINT) AS peak_abs,
+                   CAST(agg.sq AS BIGINT) AS sumsq
             FROM p JOIN agg ON p.doc_id = agg.doc_id
         """,
         "q159_ppm_resize": """

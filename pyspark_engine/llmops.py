@@ -1389,6 +1389,51 @@ def wav_trim_silence(
     )
 
 
+def wav_downsample(
+    df: DataFrame, id_col: str, payload_col: str, factor: int
+) -> DataFrame:
+    """Integer decimation resample over REAL WAV payloads: crop to a
+    multiple of ``factor``, replace each block of ``factor`` samples with
+    its floor-mean (the box filter — the honest no-DSP-library resampler;
+    a polyphase/windowed-sinc kernel slots into the same signature), and
+    re-encode at ``rate // factor``.  Sample-rate reduction is the standard
+    audio-corpus normalization (speech models train at one rate); this is
+    its exact-integer form, so q160's oracle recomputes every output sample
+    statistic from the synthesis parameters (floor() on float division —
+    numpy's // floors while SQL integer division truncates on negatives,
+    so the spec pins FLOOR explicitly).  Scale: Arrow-batched 1→1
+    mapInPandas, no shuffle."""
+    k = int(factor)
+    if k < 1:
+        raise ValueError("factor must be >= 1")
+
+    def worker(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    rate, n = w.getframerate(), w.getnframes()
+                    frames = w.readframes(n)
+                samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                m = samples.size // k
+                out = samples[: m * k].reshape(m, k).sum(axis=1) // k  # numpy // floors
+                rows.append(
+                    (doc_id, _pack_wav(rate // k, out.astype("<i2").tobytes()))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    proj = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+    return proj.mapInPandas(worker, "doc_id long, payload binary")
+
+
 def wav_frame_energy(
     df: DataFrame, id_col: str, payload_col: str, frame_len: int
 ) -> DataFrame:

@@ -1439,6 +1439,63 @@ def test_ppm_codec_spec_vector_and_resize(spark):
     assert feats.wire_len == len(b"P6\n2 1\n255\n") + 6
 
 
+def test_wav_downsample_floor_and_tail_crop(spark):
+    """Decimation semantics: blocks of ``factor`` collapse to FLOOR-mean
+    (pinned on a negative sum, where floor and truncate differ), the tail
+    remainder is cropped, and the output rate is rate // factor."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    sig = np.array([-5, -4, 10, 11, 7], dtype="<i2")  # blocks: (-5,-4), (10,11); tail 7 cropped
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + sig.nbytes) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 9000, 18000, 2, 16)
+        + b"data" + struct.pack("<I", sig.nbytes) + sig.tobytes()
+    )
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    out = bytes(llmops.wav_downsample(df, "doc_id", "payload", factor=2).collect()[0].payload)
+    with wave.open(io.BytesIO(out)) as w:
+        assert w.getframerate() == 4500
+        kept = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    # floor((-5 + -4)/2) = -5 (truncation would give -4); floor(21/2) = 10
+    assert kept.tolist() == [-5, 10]
+
+
+def test_decode_wav_features_stereo_and_8bit(spark):
+    """decode_wav_features on containers our synth never writes: 2-channel
+    16-bit (frame count is per frame, samples span both channels) and
+    8-bit unsigned PCM (spec: 8-bit WAV is unsigned) — the parser handles
+    the full fmt-chunk generality, not just the synth subset."""
+    import struct
+
+    def wav(nch, width, rate, data):
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack(
+                "<IHHIIHH", 16, 1, nch, rate, rate * nch * width, nch * width, width * 8
+            )
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    import numpy as np
+
+    stereo = np.array([1, -2, 3, -4], dtype="<i2")  # 2 frames x 2 channels
+    eight = bytes([0, 128, 255, 7])                  # 4 unsigned 8-bit samples
+    df = spark.createDataFrame(
+        [(1, bytearray(wav(2, 2, 16000, stereo.tobytes()))),
+         (2, bytearray(wav(1, 1, 8000, eight)))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in llmops.decode_wav_features(df, "doc_id", "payload").collect()}
+    assert (out[1].n_channels, out[1].bits, out[1].n_samples) == (2, 16, 2)
+    assert out[1].peak_abs == 4 and out[1].sumsq == 1 + 4 + 9 + 16
+    assert (out[2].n_channels, out[2].bits, out[2].n_samples) == (1, 8, 4)
+    assert out[2].peak_abs == 255 and out[2].sumsq == 0 + 128**2 + 255**2 + 49
+
+
 def test_compression_ratio_orderings(spark):
     """Deflate quality signal: repetitive boilerplate compresses far below
     natural prose, (pseudo)random junk barely compresses, empty docs are
