@@ -1173,8 +1173,6 @@ def synth_wav_batches(batches: Iterator) -> Iterator:
     implementations of the container format (the Avro/protobuf codec-pair
     pattern, serdes.py): a header-math bug here makes CPython's parser
     misread and the oracle hash break."""
-    import struct
-
     import numpy as np
     import pandas as pd
 
@@ -1240,6 +1238,43 @@ def synth_wav(
     return proj.mapInPandas(synth_wav_batches, "doc_id long, payload binary")
 
 
+def _decode_pcm(raw: bytes):
+    """Shared WAV decode preamble (CPython's stdlib ``wave`` parser + numpy
+    sample unpack): returns (rate, n_channels, width_bytes, n_frames,
+    samples int64 flat array — interleaved when multi-channel).  16-bit PCM
+    is signed little-endian, 8-bit is unsigned, per the spec."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(raw)) as w:
+        rate, nch, width, n = (
+            w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes(),
+        )
+        frames = w.readframes(n)
+    if width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+    elif width == 1:  # 8-bit PCM is unsigned per spec
+        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.int64)
+    else:
+        raise ValueError(f"unsupported PCM sample width: {width * 8} bits")
+    return rate, nch, width, n, samples
+
+
+def _require_mono16(raw: bytes, op: str):
+    """Transforms that re-encode through _pack_wav are defined for 16-bit
+    mono only — fail fast on other formats instead of silently flattening
+    interleaved channels or misreading 8-bit bytes as int16."""
+    rate, nch, width, n, samples = _decode_pcm(raw)
+    if nch != 1 or width != 2:
+        raise ValueError(
+            f"{op} supports 16-bit mono PCM only (got {width * 8}-bit, "
+            f"{nch} channel(s)); convert first"
+        )
+    return rate, samples
+
+
 def decode_wav_batches(batches: Iterator) -> Iterator:
     """Arrow-batched worker decoding REAL WAV containers with CPython's
     stdlib ``wave`` parser (+ numpy sample unpack) — unlike the image stub
@@ -1248,9 +1283,6 @@ def decode_wav_batches(batches: Iterator) -> Iterator:
     parse (rate/channels/width from the fmt chunk, frame count from data),
     PCM sample extraction, and integer-exact feature reduction
     (peak |sample|, Σ sample²)."""
-    import io
-    import wave
-
     import numpy as np
     import pandas as pd
 
@@ -1262,15 +1294,7 @@ def decode_wav_batches(batches: Iterator) -> Iterator:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             raw = bytes(payload)
-            with wave.open(io.BytesIO(raw)) as w:
-                rate, nch, width, n = (
-                    w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes(),
-                )
-                frames = w.readframes(n)
-            if width == 2:
-                samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
-            else:  # 8-bit PCM is unsigned per spec
-                samples = np.frombuffer(frames, dtype=np.uint8).astype(np.int64)
+            rate, nch, width, n, samples = _decode_pcm(raw)
             rows.append(
                 (
                     doc_id, rate, nch, width * 8, n, len(raw),
@@ -1303,9 +1327,6 @@ def _wav_frame_worker(frame_len: int):
     one output row per frame with integer-exact energy stats."""
 
     def worker(batches: Iterator) -> Iterator:
-        import io
-        import wave
-
         import numpy as np
         import pandas as pd
 
@@ -1313,12 +1334,7 @@ def _wav_frame_worker(frame_len: int):
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                with wave.open(io.BytesIO(bytes(payload))) as w:
-                    n = w.getnframes()
-                    width = w.getsampwidth()
-                    frames = w.readframes(n)
-                dtype = "<i2" if width == 2 else np.uint8
-                samples = np.frombuffer(frames, dtype=dtype).astype(np.int64)
+                _rate, _nch, _width, _n, samples = _decode_pcm(bytes(payload))
                 for f0 in range(0, samples.size, frame_len):
                     sl = samples[f0 : f0 + frame_len]
                     rows.append(
@@ -1338,19 +1354,13 @@ def _wav_trim_worker(frame_len: int, max_peak: int):
     kept samples back into a spec WAV container at the original rate."""
 
     def worker(batches: Iterator) -> Iterator:
-        import io
-        import wave
-
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                with wave.open(io.BytesIO(bytes(payload))) as w:
-                    rate, n = w.getframerate(), w.getnframes()
-                    frames = w.readframes(n)
-                samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                rate, samples = _require_mono16(bytes(payload), "wav_trim_silence")
                 active = [
                     f0 // frame_len
                     for f0 in range(0, samples.size, frame_len)
@@ -1408,19 +1418,12 @@ def wav_downsample(
         raise ValueError("factor must be >= 1")
 
     def worker(batches: Iterator) -> Iterator:
-        import io
-        import wave
-
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                with wave.open(io.BytesIO(bytes(payload))) as w:
-                    rate, n = w.getframerate(), w.getnframes()
-                    frames = w.readframes(n)
-                samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                rate, samples = _require_mono16(bytes(payload), "wav_downsample")
                 m = samples.size // k
                 out = samples[: m * k].reshape(m, k).sum(axis=1) // k  # numpy // floors
                 rows.append(
@@ -1483,6 +1486,10 @@ def _parse_ppm(raw: bytes):
         vals.append(int(raw[start:pos]))
     pos += 1  # exactly one whitespace byte after maxval, per spec
     w, h, maxval = vals
+    if not 0 < maxval <= 255:
+        # spec-valid P6 allows maxval up to 65535 with TWO bytes per sample;
+        # refuse rather than silently misread the wide pixel block as bytes
+        raise ValueError(f"unsupported PPM maxval {maxval} (only 1-byte samples, 1..255)")
     data = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3, offset=pos)
     return w, h, maxval, data.reshape(h, w, 3)
 

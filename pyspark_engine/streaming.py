@@ -73,6 +73,17 @@ def _checkpoint(path: str | None) -> str:
     return path or os.path.join(tempfile.gettempdir(), f"pse-ckpt-{uuid.uuid4().hex}")
 
 
+def _has_watermark(df: DataFrame) -> bool:
+    """Whether the streaming plan carries an event-time watermark — used
+    only to raise a DESCRIPTIVE error before Spark's opaque analysis
+    exception; on any introspection failure err toward True (never block a
+    legal plan)."""
+    try:
+        return "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True
+
+
 def _read_gen(root: str) -> int:
     """Recover the ping-pong generation counter persisted by _write_gen.
 
@@ -80,11 +91,25 @@ def _read_gen(root: str) -> int:
     Structured Streaming checkpoint is durable, so on a restart with the same
     checkpoint already-committed microbatches are SKIPPED — the generation
     counter must therefore survive alongside the state dirs, or the loop
-    would overwrite the newest generation / read a stale one."""
+    would overwrite the newest generation / read a stale one.  A state dir
+    that already holds generation data WITHOUT a readable marker is refused
+    outright: guessing generation 0 would merge the continuation into a
+    stale ping-pong slot and produce silently wrong aggregates."""
     try:
         with open(os.path.join(root, "_GEN")) as f:
             return int(f.read().strip())
     except (OSError, ValueError):
+        existing = (
+            [e for e in os.listdir(root) if e not in ("_GEN", "_GEN.tmp")]
+            if os.path.isdir(root)
+            else []
+        )
+        if existing:
+            raise ValueError(
+                f"state dir {root!r} holds existing state {sorted(existing)[:4]} but no "
+                "readable _GEN marker; refusing to guess the generation — pass a fresh "
+                "state_dir or restore the marker"
+            ) from None
         return 0
 
 
@@ -95,6 +120,28 @@ def _write_gen(root: str, n: int) -> None:
     with open(tmp, "w") as f:
         f.write(str(int(n)))
     os.replace(tmp, os.path.join(root, "_GEN"))
+
+
+def _check_emit_final(obj, df: DataFrame, output_mode: str) -> None:
+    """Enforce the suppress() contract at EVERY sink: an emit-final table
+    must drain in append mode (that IS the suppression), and append on a
+    windowed aggregation needs a watermark — so a suppressed aggregation
+    built without grace gets a descriptive error here instead of Spark's
+    opaque 'append not supported without watermark' analysis exception."""
+    if not getattr(obj, "emit_final", False):
+        return
+    if output_mode != "append":
+        raise ValueError(
+            "suppress() marks the table emit-final; drain with output_mode='append' "
+            "(append on a watermarked windowed aggregation IS emit-on-window-close)"
+        )
+    if df.isStreaming and not _has_watermark(df):
+        raise ValueError(
+            "suppress() on a streaming aggregation requires an event-time watermark "
+            "to define window closure — give the window a grace period "
+            "(e.g. TumblingWindowOptions.of(size, grace_ms=...)) or call "
+            "with_watermark() upstream"
+        )
 
 
 class StreamingBuilder:
@@ -197,11 +244,7 @@ def run_available_now(obj, name: str | None = None, output_mode: str = "append")
     mode (that IS the suppression); other modes are rejected.
     """
     df = obj.df if hasattr(obj, "df") else obj
-    if getattr(obj, "emit_final", False) and output_mode != "append":
-        raise ValueError(
-            "suppress() marks the table emit-final; drain with output_mode='append' "
-            "(append on a watermarked windowed aggregation IS emit-on-window-close)"
-        )
+    _check_emit_final(obj, df, output_mode)
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         df.writeStream.format("memory")
@@ -227,10 +270,7 @@ def start_to_files(
     StreamingQuery handle (the KafkaStream.Start analog — caller owns
     lifecycle, q.stop() ≈ Dispose)."""
     df = obj.df if hasattr(obj, "df") else obj
-    if getattr(obj, "emit_final", False) and output_mode != "append":
-        raise ValueError(
-            "suppress() marks the table emit-final; sink with output_mode='append'"
-        )
+    _check_emit_final(obj, df, output_mode)
     w = (
         df.writeStream.format(fmt)
         .outputMode(output_mode)
@@ -259,6 +299,7 @@ def start_to_kafka(
     ``available_now=True`` drains what's currently on the source and stops —
     the bounded mode scripts/kafka_smoke.py uses for its roundtrip check."""
     df = obj.df if hasattr(obj, "df") else obj
+    _check_emit_final(obj, df, output_mode)
     wire = encode_kafka(df, key_col, list(value_cols) if value_cols else None, topic=topic_expr)
     w = (
         wire.writeStream.format("kafka")
@@ -543,6 +584,7 @@ def sessionize_streaming(
     gap_ms: int,
     key_type: str = "bigint",
     order_type: str = "bigint",
+    evict_closed: bool = False,
 ) -> KStream:
     """TRUE streaming event-level sessionization — the stateful-processor
     realization of analytics.sessionize (which Spark cannot express natively:
@@ -561,8 +603,14 @@ def sessionize_streaming(
     emission-safe.  A timer at the earliest open session's end guarantees
     eviction even for users who go silent.
 
-    Scale: state is bounded by each user's events within one gap horizon
-    (closed sessions leave state immediately) — never by stream length; the
+    Scale: OPEN-session events leave state the moment their session closes,
+    so per-user state is bounded by one gap horizon of events plus — for
+    users with no open session — a constant-size counter row that preserves
+    session_idx continuity (exact batch parity).  For unbounded-user-churn
+    deployments pass ``evict_closed=True``: the counter row is removed too
+    (state fully bounded by ACTIVE users), at the documented cost that a
+    user returning after eviction restarts numbering at 1 — the same
+    trade-off as a windowed store's retention expiring old windows.  The
     emitted rows carry (user, order, t_ms, session_idx 1-based, pos 1-based)
     exactly like the batch operator, pinned by
     test_sessionize_streaming_parity (emitted == batch sessionize restricted
@@ -573,6 +621,12 @@ def sessionize_streaming(
         raise ValueError("sessionize_streaming requires a streaming KStream; use analytics.sessionize in batch")
     if len(stream.key) != 1 or stream.ts is None:
         raise ValueError("sessionize_streaming requires a single key column and a ts column")
+    if not _has_watermark(stream.df):
+        raise ValueError(
+            "sessionize_streaming requires an event-time watermark (session closure "
+            "and the eviction timers are watermark-driven) — call "
+            "with_watermark(...) on the stream first"
+        )
     user = stream.key[0]
     df = stream.df.select(
         F.col(user),
@@ -623,15 +677,24 @@ def sessionize_streaming(
                 rows.append((key[0], o, t, closed + i + 1, pos))
         closed += n_emit
         rest = sessions[n_emit:]
-        state.update(
-            (
-                [t for s in rest for t, _ in s],
-                [o for s in rest for _, o in s],
-                closed,
+        if rest:
+            state.update(
+                (
+                    [t for s in rest for t, _ in s],
+                    [o for s in rest for _, o in s],
+                    closed,
+                )
             )
-        )
-        if rest:  # timer at the earliest open session's end (post-watermark)
+            # timer at the earliest open session's end (post-watermark)
             state.setTimeoutTimestamp(max(rest[0][-1][0] + gap + 1, wm + 1))
+        elif evict_closed:
+            # fully evict idle users (numbering restarts if they return)
+            if state.exists:
+                state.remove()
+        else:
+            # keep only the constant-size counter row: session_idx stays
+            # continuous for returning users (exact batch parity)
+            state.update(([], [], closed))
         if rows:
             yield pd.DataFrame(
                 rows, columns=[user, order_col, "t_ms", "session_idx", "pos"]

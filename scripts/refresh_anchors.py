@@ -68,6 +68,7 @@ def resolve(file_rel: str, dotted: str) -> int:
 
 def process(check: bool) -> int:
     drift = 0
+    unresolved = 0
     total = 0
     for doc in DOCS:
         p = os.path.join(REPO, doc)
@@ -77,13 +78,13 @@ def process(check: bool) -> int:
             text = f.read()
 
         def sub(m: re.Match) -> str:
-            nonlocal drift, total
+            nonlocal drift, unresolved, total
             total += 1
             file_rel, old, sym = m.group(1), int(m.group(2)), m.group(3)
             try:
                 line = resolve(file_rel, sym)
             except LookupError as e:
-                drift += 1
+                unresolved += 1
                 print(f"UNRESOLVED  {doc}: {m.group(0)} — {e}")
                 return m.group(0)
             if line != old:
@@ -95,8 +96,13 @@ def process(check: bool) -> int:
         if not check and new != text:
             with open(p, "w") as f:
                 f.write(new)
-    print(f"{total} anchors scanned, {drift} {'stale' if check else 'refreshed'}")
-    return 1 if (check and drift) else 0
+    print(
+        f"{total} anchors scanned, {drift} {'stale' if check else 'refreshed'}, "
+        f"{unresolved} unresolved"
+    )
+    # unresolved anchors (renamed/deleted symbols) are a failure in BOTH
+    # modes — a rewrite run must not report success while leaving them broken
+    return 1 if (unresolved or (check and drift)) else 0
 
 
 if __name__ == "__main__":

@@ -1496,6 +1496,37 @@ def test_decode_wav_features_stereo_and_8bit(spark):
     assert out[2].peak_abs == 255 and out[2].sumsq == 0 + 128**2 + 255**2 + 49
 
 
+def test_wav_transforms_reject_non_mono16(spark):
+    """The re-encoding transforms (trim, downsample) are defined for 16-bit
+    mono only and must FAIL FAST on stereo or 8-bit input instead of
+    flattening interleaved channels / misreading bytes as int16."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    stereo = np.array([1, -2, 3, -4], dtype="<i2")
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + stereo.nbytes) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 16000, 64000, 4, 16)
+        + b"data" + struct.pack("<I", stereo.nbytes) + stereo.tobytes()
+    )
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="16-bit mono"):
+        llmops.wav_trim_silence(df, "doc_id", "payload", frame_len=2).collect()
+    with pytest.raises(Exception, match="16-bit mono"):
+        llmops.wav_downsample(df, "doc_id", "payload", factor=2).collect()
+
+
+def test_parse_ppm_rejects_wide_maxval():
+    """Spec-valid P6 with maxval > 255 uses TWO bytes per sample — refuse
+    instead of silently misreading the pixel block."""
+    import pytest
+
+    with pytest.raises(ValueError, match="maxval"):
+        llmops._parse_ppm(b"P6\n2 1\n65535\n" + bytes(12))
+
+
 def test_compression_ratio_orderings(spark):
     """Deflate quality signal: repetitive boilerplate compresses far below
     natural prose, (pseudo)random junk barely compresses, empty docs are

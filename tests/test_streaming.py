@@ -254,6 +254,99 @@ def test_suppress_streaming_emit_final(spark, tmp_path):
     assert all_windows.count() == closed.count() + 1
 
 
+def test_suppress_contract_guards(spark, tmp_path):
+    """The emit-final contract is enforced at EVERY sink with descriptive
+    errors: a suppressed aggregation without a watermark is rejected before
+    Spark's opaque analysis exception, and the Kafka sink rejects non-append
+    modes exactly like the file/memory sinks."""
+    from pyspark_engine import TumblingWindowOptions
+    from pyspark_engine.streaming import StreamingBuilder, start_to_kafka
+
+    ks = _events_stream(spark)
+    # no grace -> no watermark -> suppress cannot define window closure
+    bare = ks.group_by_key().windowed_by(TumblingWindowOptions.of(3_600_000)).count().suppress()
+    with pytest.raises(ValueError, match="watermark"):
+        run_available_now(bare)
+    # Kafka sink: non-append drain of a suppressed table is the same violation
+    graced = (
+        ks.group_by_key()
+        .windowed_by(TumblingWindowOptions.of(3_600_000, grace_ms=60_000))
+        .count()
+        .suppress()
+    )
+    with pytest.raises(ValueError, match="emit-final"):
+        start_to_kafka(graced, "localhost:9092", topic="t", key_col="user_id",
+                       output_mode="update")
+
+
+def test_read_gen_refuses_stale_state_without_marker(tmp_path):
+    """A state dir holding generation data WITHOUT a readable _GEN marker is
+    refused (guessing 0 would merge into a stale ping-pong slot)."""
+    import os
+
+    from pyspark_engine.streaming import _read_gen, _write_gen
+
+    root = tmp_path / "state"
+    os.makedirs(root / "g-0")
+    with pytest.raises(ValueError, match="_GEN"):
+        _read_gen(str(root))
+    _write_gen(str(root), 3)
+    assert _read_gen(str(root)) == 3
+    # empty dir (fresh start) is fine
+    fresh = tmp_path / "fresh"
+    os.makedirs(fresh)
+    assert _read_gen(str(fresh)) == 0
+
+
+def test_sessionize_streaming_requires_watermark_and_evicts(spark, tmp_path):
+    """sessionize_streaming rejects un-watermarked input at call time with a
+    descriptive error; with evict_closed=True an idle user's state row is
+    fully removed, so a much-later return restarts session numbering at 1
+    (the documented retention trade-off), while the default keeps the
+    counter and numbers the new session 2."""
+    import datetime as dt
+    import os
+    import time
+
+    from pyspark_engine.streaming import StreamingBuilder, sessionize_streaming
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    # k=1 at t0; two k=2 batches advance the watermark so k=1's first
+    # session closes via TIMER while k=1 is idle (eviction point); k=1
+    # returns at 5h; final k=2 batch closes the second session
+    batches = [
+        {"k": [1], "eid": [10], "ts": [t0]},
+        {"k": [2], "eid": [90], "ts": [t0 + dt.timedelta(hours=2)]},
+        {"k": [2], "eid": [91], "ts": [t0 + dt.timedelta(hours=3)]},
+        {"k": [1], "eid": [11], "ts": [t0 + dt.timedelta(hours=5)]},
+        {"k": [2], "eid": [92], "ts": [t0 + dt.timedelta(hours=10)]},
+    ]
+    for i, b in enumerate(batches):
+        pd.DataFrame(b).to_parquet(src / f"f{i}.parquet", coerce_timestamps="us")
+        time.sleep(1.05)
+
+    def run(evict):
+        ks = StreamingBuilder(spark).file_stream(
+            str(src), key="k", ts="ts", max_files_per_trigger=1
+        ).with_watermark("0 seconds")
+        out = run_available_now(
+            sessionize_streaming(ks, "eid", 30 * 60_000, evict_closed=evict),
+            output_mode="append",
+        )
+        return {r.eid: r.session_idx for r in out.filter(F.col("k") == 1).collect()}
+
+    no_wm = StreamingBuilder(spark).file_stream(str(src), key="k", ts="ts")
+    with pytest.raises(ValueError, match="watermark"):
+        sessionize_streaming(no_wm, "eid", 30 * 60_000)
+
+    assert run(evict=False) == {10: 1, 11: 2}   # counter survives idle gap
+    # fresh checkpoint via a new state: wipe nothing — evict run needs its
+    # own checkpoint; run() creates a fresh one implicitly each call
+    assert run(evict=True) == {10: 1, 11: 1}    # numbering restarts after eviction
+
+
 def test_stateful_map_running_count(spark):
     """applyInPandasWithState escape hatch: running per-key count; final
     emitted state == batch grouped count."""
