@@ -578,6 +578,52 @@ def stateful_map(
     return KStream(out, grouped.key, None)
 
 
+def _sessionize_step(
+    buf: list,
+    closed: int,
+    new_events: list,
+    wm: int,
+    gap: int,
+):
+    """PURE per-key transition of the streaming sessionizer (no Spark, no
+    state handle — unit/property-testable in isolation): merge the open
+    buffer with the batch's new (t_ms, order) events, split on the gap rule
+    (strict > : events exactly ``gap`` apart merge, identical to
+    analytics.sessionize), emit every LEADING session whose end the
+    watermark has passed (closure is monotone in session order), and return
+
+        (emitted_rows [(t, order, session_idx, pos)...],
+         remaining_buffer [(t, order)...],
+         closed_count',
+         next_timeout_ms or None)
+
+    A session is closed when NO admissible event (ts >= watermark) can
+    extend it: last + gap < wm STRICTLY, because an event exactly gap after
+    the last would still merge."""
+    buf = sorted(buf + list(new_events))
+    sessions: list[list[tuple[int, int]]] = []
+    cur: list[tuple[int, int]] = []
+    for t, o in buf:
+        if cur and t - cur[-1][0] > gap:
+            sessions.append(cur)
+            cur = []
+        cur.append((t, o))
+    if cur:
+        sessions.append(cur)
+    n_emit = 0
+    while n_emit < len(sessions) and sessions[n_emit][-1][0] + gap < wm:
+        n_emit += 1
+    rows = [
+        (t, o, closed + i + 1, pos)
+        for i in range(n_emit)
+        for pos, (t, o) in enumerate(sessions[i], 1)
+    ]
+    rest = sessions[n_emit:]
+    rest_buf = [(t, o) for s in rest for t, o in s]
+    timeout = max(rest[0][-1][0] + gap + 1, wm + 1) if rest else None
+    return rows, rest_buf, closed + n_emit, timeout
+
+
 def sessionize_streaming(
     stream: KStream,
     order_col: str,
@@ -649,44 +695,18 @@ def sessionize_streaming(
             buf = list(zip((int(t) for t in tss), (int(o) for o in orders)))
         else:
             buf, closed = [], 0
+        new = []
         if not state.hasTimedOut:
             for pdf in pdfs:
-                buf.extend(
+                new.extend(
                     zip((int(t) for t in pdf["__t_ms"]), (int(o) for o in pdf["__o"]))
                 )
-        buf.sort()
-        sessions: list[list[tuple[int, int]]] = []
-        cur: list[tuple[int, int]] = []
-        for t, o in buf:
-            if cur and t - cur[-1][0] > gap:  # strict > : equal-gap merges
-                sessions.append(cur)
-                cur = []
-            cur.append((t, o))
-        if cur:
-            sessions.append(cur)
-        wm = state.getCurrentWatermarkMs()
-        # a session is closed when NO admissible event (ts >= watermark) can
-        # extend it: last + gap < wm strictly, because an event exactly gap
-        # after the last would still merge
-        n_emit = 0
-        while n_emit < len(sessions) and sessions[n_emit][-1][0] + gap < wm:
-            n_emit += 1
-        rows = []
-        for i in range(n_emit):
-            for pos, (t, o) in enumerate(sessions[i], 1):
-                rows.append((key[0], o, t, closed + i + 1, pos))
-        closed += n_emit
-        rest = sessions[n_emit:]
-        if rest:
-            state.update(
-                (
-                    [t for s in rest for t, _ in s],
-                    [o for s in rest for _, o in s],
-                    closed,
-                )
-            )
-            # timer at the earliest open session's end (post-watermark)
-            state.setTimeoutTimestamp(max(rest[0][-1][0] + gap + 1, wm + 1))
+        rows, rest_buf, closed, timeout = _sessionize_step(
+            buf, closed, new, state.getCurrentWatermarkMs(), gap
+        )
+        if rest_buf:
+            state.update(([t for t, _ in rest_buf], [o for _, o in rest_buf], closed))
+            state.setTimeoutTimestamp(timeout)
         elif evict_closed:
             # fully evict idle users (numbering restarts if they return)
             if state.exists:
@@ -697,7 +717,8 @@ def sessionize_streaming(
             state.update(([], [], closed))
         if rows:
             yield pd.DataFrame(
-                rows, columns=[user, order_col, "t_ms", "session_idx", "pos"]
+                [(key[0], o, t, idx, pos) for (t, o, idx, pos) in rows],
+                columns=[user, order_col, "t_ms", "session_idx", "pos"],
             )
 
     out = df.groupBy(user).applyInPandasWithState(

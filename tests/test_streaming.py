@@ -347,6 +347,76 @@ def test_sessionize_streaming_requires_watermark_and_evicts(spark, tmp_path):
     assert run(evict=True) == {10: 1, 11: 1}    # numbering restarts after eviction
 
 
+def test_sessionize_step_property_fuzz():
+    """Spark-free property test of the streaming sessionizer's PURE
+    transition (_sessionize_step): for random per-key event sets, random
+    time-ordered batch splits, and a monotone watermark schedule (wm =
+    max event time seen so far, i.e. delay 0 — so late-drop never
+    triggers), chaining the step function must (a) emit every session
+    whose end the final watermark passed exactly once with batch-identical
+    numbering/positions, (b) keep exactly the still-open sessions' events
+    in the buffer, and (c) never emit an event twice or out of session
+    order.  This pounds boundary cases the integration test can't
+    enumerate: events exactly gap apart (must merge), sessions ending
+    exactly at the watermark (must stay open), timer-only steps."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark_engine.streaming import _sessionize_step
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=25, unique=True),
+        st.integers(min_value=1, max_value=60),
+        st.integers(min_value=1, max_value=6),
+        st.integers(min_value=0, max_value=10**6),
+    )
+    def check(times, gap, n_batches, seed):
+        import random
+
+        rng = random.Random(seed)
+        events = sorted((t, 1000 + j) for j, t in enumerate(sorted(times)))
+        # time-ordered batch split (watermark only moves forward)
+        cuts = sorted(rng.sample(range(len(events)), min(n_batches - 1, len(events) - 1))) if len(events) > 1 else []
+        batches, prev = [], 0
+        for c in cuts + [len(events)]:
+            batches.append(events[prev:c])
+            prev = c
+        batches = [b for b in batches if b]
+
+        buf, closed, emitted = [], 0, []
+        wm = 0
+        for b in batches:
+            wm = max([wm] + [t for t, _ in b])  # delay-0 watermark, post-batch
+            rows, buf, closed, _timeout = _sessionize_step(buf, closed, b, wm, gap)
+            emitted.extend(rows)
+        # final timer-only flush at the terminal watermark
+        rows, buf, closed, _ = _sessionize_step(buf, closed, [], wm, gap)
+        emitted.extend(rows)
+
+        # reference batch sessionization
+        sessions, cur = [], []
+        for t, o in events:
+            if cur and t - cur[-1][0] > gap:
+                sessions.append(cur)
+                cur = []
+            cur.append((t, o))
+        if cur:
+            sessions.append(cur)
+        want = [
+            (t, o, i + 1, pos)
+            for i, s in enumerate(sessions)
+            if s[-1][0] + gap < wm
+            for pos, (t, o) in enumerate(s, 1)
+        ]
+        open_events = [ev for s in sessions if not s[-1][0] + gap < wm for ev in s]
+
+        assert emitted == want  # exact rows, numbering, positions, order
+        assert sorted(buf) == sorted(open_events)  # state holds exactly the open tail
+        assert len({(t, o) for t, o, *_ in emitted}) == len(emitted)  # no double emission
+
+    check()
+
+
 def test_stateful_map_running_count(spark):
     """applyInPandasWithState escape hatch: running per-key count; final
     emitted state == batch grouped count."""
