@@ -2505,6 +2505,33 @@ def q160_wav_downsample(spark, sf_dir):
     return llmops.decode_wav_features(small, "doc_id", "payload")
 
 
+def q161_credit_card_luhn(spark, sf_dir):
+    """Payment-card detection with Luhn validation
+    (llmops.credit_card_stats): every document gets a planted 16-digit
+    number derived from its doc_id — even doc_ids get the CORRECT Luhn
+    check digit, odd doc_ids get check+5 (provably invalid) — so
+    n_candidates counts the digit-run extraction and n_valid counts only
+    checksum-passing numbers.  The oracle re-derives the planted numbers
+    AND re-implements the whole Luhn algorithm independently in SQL
+    (list_transform over reversed digits with the doubling rule), so a
+    checksum bug on either side breaks the hash.  Candidates are maximal
+    digit runs filtered to 13–19 digits AFTER normalization, keeping RE2
+    and Java regex semantics aligned."""
+    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id", "text")
+    base = F.lpad(
+        ((F.col("doc_id") * 7919 + 123456789) % F.lit(10**15)).cast("string"), 15, "0"
+    )
+    chk = llmops.luhn_check_digit(base)
+    cc = F.concat(
+        base,
+        F.when(F.col("doc_id") % 2 == 0, chk).otherwise((chk + 5) % 10).cast("string"),
+    )
+    corpus = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" "), cc).alias("text")
+    )
+    return llmops.credit_card_stats(corpus, "doc_id", "text")
+
+
 def _ppm_params(spark, sf_dir):
     docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
     return docs.select(
@@ -2704,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_ppm_decode": q158_ppm_decode,
         "q159_ppm_resize": q159_ppm_resize,
         "q160_wav_downsample": q160_wav_downsample,
+        "q161_credit_card_luhn": q161_credit_card_luhn,
     }
 
 
@@ -3339,6 +3367,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(agg.peak, 0) AS BIGINT) AS peak_abs,
                    CAST(coalesce(agg.sq, 0) AS BIGINT) AS sumsq
             FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
+        """,
+        "q161_credit_card_luhn": """
+            WITH b AS (
+                SELECT doc_id, text,
+                       lpad(CAST((doc_id * 7919 + 123456789) % 1000000000000000
+                                 AS VARCHAR), 15, '0') AS base
+                FROM documents
+            ),
+            k AS (
+                SELECT doc_id, text, base,
+                       (10 - list_sum(list_transform(generate_series(1, 15), j ->
+                           CASE WHEN j % 2 = 0
+                                THEN CAST(substr(reverse(base), j, 1) AS INT)
+                                ELSE CASE WHEN CAST(substr(reverse(base), j, 1) AS INT) * 2 > 9
+                                          THEN CAST(substr(reverse(base), j, 1) AS INT) * 2 - 9
+                                          ELSE CAST(substr(reverse(base), j, 1) AS INT) * 2 END
+                           END)) % 10) % 10 AS chk
+                FROM b
+            ),
+            c AS (
+                SELECT doc_id,
+                       text || ' ' || base ||
+                       CAST(CASE WHEN doc_id % 2 = 0 THEN chk
+                                 ELSE (chk + 5) % 10 END AS VARCHAR) AS text
+                FROM k
+            ),
+            cand AS (
+                SELECT doc_id, regexp_replace(m, '[ -]', '', 'g') AS d
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '\\d(?:[ -]?\\d)+')) AS m
+                      FROM c)
+            ),
+            n AS (SELECT doc_id, d FROM cand WHERE length(d) BETWEEN 13 AND 19),
+            v AS (
+                SELECT doc_id,
+                       CASE WHEN list_sum(list_transform(generate_series(1, length(d)), i ->
+                           CASE WHEN i % 2 = 1
+                                THEN CAST(substr(reverse(d), i, 1) AS INT)
+                                ELSE CASE WHEN CAST(substr(reverse(d), i, 1) AS INT) * 2 > 9
+                                          THEN CAST(substr(reverse(d), i, 1) AS INT) * 2 - 9
+                                          ELSE CAST(substr(reverse(d), i, 1) AS INT) * 2 END
+                           END)) % 10 = 0 THEN 1 ELSE 0 END AS ok
+                FROM n
+            ),
+            agg AS (SELECT doc_id, count(*) AS nc, sum(ok) AS nv FROM v GROUP BY doc_id)
+            SELECT c.doc_id,
+                   CAST(coalesce(agg.nc, 0) AS BIGINT) AS n_candidates,
+                   CAST(coalesce(agg.nv, 0) AS BIGINT) AS n_valid
+            FROM c LEFT JOIN agg ON c.doc_id = agg.doc_id
         """,
         "q158_ppm_decode": """
             WITH p AS (

@@ -1604,6 +1604,83 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def luhn_valid(num: Column) -> Column:
+    """Luhn checksum over a digit string, pure Catalyst expressions: from
+    the RIGHT, double every second digit (subtracting 9 when > 9) and
+    require the total ≡ 0 (mod 10).  The validation that separates real
+    payment-card numbers from arbitrary digit runs — the reason a naive
+    16-digit regex over-fires by orders of magnitude on web text."""
+    d = F.filter(F.split(num, ""), lambda c: c != F.lit(""))
+    rev = F.reverse(d)
+    terms = F.zip_with(
+        rev,
+        F.sequence(F.lit(1), F.size(rev)),
+        lambda c, i: F.when(i % 2 == 1, c.cast("int")).otherwise(
+            F.when(c.cast("int") * 2 > 9, c.cast("int") * 2 - 9).otherwise(c.cast("int") * 2)
+        ),
+    )
+    return F.when(
+        F.size(d) > 0,
+        F.aggregate(terms, F.lit(0), lambda a, x: a + x) % 10 == 0,
+    ).otherwise(F.lit(False))
+
+
+def luhn_check_digit(num: Column) -> Column:
+    """The digit d that makes ``num || d`` Luhn-valid (used to PLANT valid
+    card numbers in tests/oracles): appending d shifts every base digit one
+    position left, so doubling applies to the base's odd-from-right
+    positions."""
+    d = F.filter(F.split(num, ""), lambda c: c != F.lit(""))
+    rev = F.reverse(d)
+    terms = F.zip_with(
+        rev,
+        F.sequence(F.lit(1), F.size(rev)),
+        lambda c, i: F.when(i % 2 == 0, c.cast("int")).otherwise(
+            F.when(c.cast("int") * 2 > 9, c.cast("int") * 2 - 9).otherwise(c.cast("int") * 2)
+        ),
+    )
+    s = F.aggregate(terms, F.lit(0), lambda a, x: a + x)
+    return (F.lit(10) - s % 10) % 10
+
+
+# maximal digit runs with optional single space/dash separators — maximal
+# (unbounded) extraction is unambiguous across regex engines; the 13–19
+# length bound is applied AFTER normalization, not in the pattern, so RE2
+# (DuckDB oracle) and Java regex (Spark) cannot disagree on long runs
+CC_CANDIDATE_RE = r"\d(?:[ -]?\d)+"
+
+
+def credit_card_stats(df: DataFrame, id_col: str, text_col: str, redact: bool = False) -> DataFrame:
+    """Payment-card detection with Luhn validation — the PII signal the
+    regex-only scrub (pii_scrub) deliberately omits because digit runs need
+    checksum validation to avoid mass false positives: candidates are
+    maximal digit(+space/dash) runs whose digit count lands in 13–19, and
+    ``n_valid`` counts those passing :func:`luhn_valid`.  Returns (id,
+    n_candidates, n_valid[, clean_text]); ``redact=True`` additionally
+    replaces EVERY candidate with ``<CC>`` (redaction is conservative —
+    over-redact rather than leak a number the checksum happens to miss).
+
+    Scale: one regexp/HOF projection, whole-stage codegen, no shuffle, no
+    Python — same shape as pii_scrub."""
+    cands = F.regexp_extract_all(F.col(text_col), F.lit(CC_CANDIDATE_RE), 0)
+    norm = F.filter(
+        F.transform(cands, lambda s: F.regexp_replace(s, r"[ -]", "")),
+        lambda s: (F.length(s) >= 13) & (F.length(s) <= 19),
+    )
+    cols = [
+        F.col(id_col),
+        F.size(norm).cast("long").alias("n_candidates"),
+        F.size(F.filter(norm, luhn_valid)).cast("long").alias("n_valid"),
+    ]
+    if redact:
+        cols.append(
+            F.regexp_replace(
+                F.col(text_col), r"\d(?:[ -]?\d){12,18}", "<CC>"
+            ).alias("clean_text")
+        )
+    return df.select(*cols)
+
+
 def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Redact common PII shapes (emails, SSNs, phone numbers, IPv4s) with
     typed placeholder tokens and count what was found — the standard scrub

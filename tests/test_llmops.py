@@ -1527,6 +1527,44 @@ def test_parse_ppm_rejects_wide_maxval():
         llmops._parse_ppm(b"P6\n2 1\n65535\n" + bytes(12))
 
 
+def test_luhn_and_credit_card_stats(spark):
+    """Classic Luhn vectors (the ISO/IEC 7812 worked example 79927398713,
+    a standard Visa test number) drive luhn_valid/luhn_check_digit, and
+    credit_card_stats must count only checksum-valid candidates, ignore
+    short/long digit runs, accept space/dash separators, and over-redact
+    conservatively when asked."""
+    rows = [
+        (1, "card 4111111111111111 now"),             # valid (test Visa)
+        (2, "pay with 4539 1488 0343 6467 today"),    # valid, spaced
+        (3, "fake 4539-1488-0343-6466 number"),       # one digit off -> invalid
+        (4, "order 12345 on 2023-01-15"),             # runs too short
+        (5, "id 123456789012345678901234"),           # run too long (24)
+        (6, "no digits at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in llmops.credit_card_stats(df, "doc_id", "text").collect()}
+    # the 11-digit ISO worked example is Luhn-valid but below card length:
+    # luhn_valid accepts it standalone, the stats op never extracts it
+    assert spark.range(1).select(
+        llmops.luhn_valid(F.lit("79927398713")).alias("v")
+    ).collect()[0].v
+    assert (out[1].n_candidates, out[1].n_valid) == (1, 1)
+    assert (out[2].n_candidates, out[2].n_valid) == (1, 1)
+    assert (out[3].n_candidates, out[3].n_valid) == (1, 0)
+    assert (out[4].n_candidates, out[4].n_valid) == (0, 0)
+    assert (out[5].n_candidates, out[5].n_valid) == (0, 0)
+    assert (out[6].n_candidates, out[6].n_valid) == (0, 0)
+    # check-digit derivation: 7992739871 -> 3 (the worked example)
+    got = spark.range(1).select(
+        llmops.luhn_check_digit(F.lit("7992739871")).alias("d")
+    ).collect()[0].d
+    assert got == 3
+    # conservative redaction replaces candidates regardless of validity
+    red = {r.doc_id: r.clean_text for r in llmops.credit_card_stats(
+        df, "doc_id", "text", redact=True).collect()}
+    assert "<CC>" in red[2] and "<CC>" in red[3] and "4539" not in red[2]
+
+
 def test_compression_ratio_orderings(spark):
     """Deflate quality signal: repetitive boilerplate compresses far below
     natural prose, (pseudo)random junk barely compresses, empty docs are
