@@ -2532,6 +2532,33 @@ def q161_credit_card_luhn(spark, sf_dir):
     return llmops.credit_card_stats(corpus, "doc_id", "text")
 
 
+def q162_iban_mod97(spark, sf_dir):
+    """IBAN detection with mod-97 validation (llmops.iban_stats): each
+    document carries a planted German-format IBAN built from its doc_id —
+    an 18-digit BBAN plus check digits computed by the ISO rule for even
+    doc_ids and shifted by 50 (mod 97, provably invalid) for odd ones.
+    The Spark side validates via the per-character fold; the oracle maps
+    D→13/E→14 and computes the FULL rearranged 24-digit number modulo 97
+    with DuckDB's native HUGEINT — two independent implementations of the
+    checksum arithmetic."""
+    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    bban = F.lpad(
+        ((F.col("doc_id") * 104729 + 987654321) % F.lit(10**18)).cast("string"), 18, "0"
+    )
+    # correct check: 98 − (bban·10⁶ + 131400) mod 97, via the same fold trick
+    chars = F.filter(F.split(F.concat(bban, F.lit("131400")), ""), lambda c: c != F.lit(""))
+    m = F.aggregate(chars, F.lit(0).cast("long"), lambda a, c: (a * 10 + (F.ascii(c) - 48)) % 97)
+    chk = F.lit(98) - m
+    cc = F.when(F.col("doc_id") % 2 == 0, chk).otherwise((chk + 50) % 97)
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("invoice IBAN DE"), F.lpad(cc.cast("string"), 2, "0"), bban, F.lit(" due")
+        ).alias("text"),
+    )
+    return llmops.iban_stats(corpus, "doc_id", "text")
+
+
 def _ppm_params(spark, sf_dir):
     docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
     return docs.select(
@@ -2732,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_ppm_resize": q159_ppm_resize,
         "q160_wav_downsample": q160_wav_downsample,
         "q161_credit_card_luhn": q161_credit_card_luhn,
+        "q162_iban_mod97": q162_iban_mod97,
     }
 
 
@@ -3410,6 +3438,47 @@ def oracle_sql() -> dict[str, str]:
                                           ELSE CAST(substr(reverse(d), i, 1) AS INT) * 2 END
                            END)) % 10 = 0 THEN 1 ELSE 0 END AS ok
                 FROM n
+            ),
+            agg AS (SELECT doc_id, count(*) AS nc, sum(ok) AS nv FROM v GROUP BY doc_id)
+            SELECT c.doc_id,
+                   CAST(coalesce(agg.nc, 0) AS BIGINT) AS n_candidates,
+                   CAST(coalesce(agg.nv, 0) AS BIGINT) AS n_valid
+            FROM c LEFT JOIN agg ON c.doc_id = agg.doc_id
+        """,
+        "q162_iban_mod97": """
+            WITH p AS (
+                SELECT doc_id,
+                       lpad(CAST((doc_id * 104729 + 987654321) % 1000000000000000000
+                                 AS VARCHAR), 18, '0') AS bban
+                FROM documents
+            ),
+            k AS (
+                SELECT doc_id, bban,
+                       98 - CAST(CAST(bban || '131400' AS HUGEINT) % 97 AS INT) AS chk
+                FROM p
+            ),
+            c AS (
+                SELECT doc_id,
+                       'invoice IBAN DE' ||
+                       lpad(CAST(CASE WHEN doc_id % 2 = 0 THEN chk
+                                      ELSE (chk + 50) % 97 END AS VARCHAR), 2, '0') ||
+                       bban || ' due' AS text
+                FROM k
+            ),
+            cand AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text,
+                           '\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b')) AS m
+                FROM c
+            ),
+            v AS (
+                -- this corpus only plants DE IBANs, so the letter map is
+                -- D->13 E->14; the rearranged 24-digit number fits HUGEINT
+                SELECT doc_id,
+                       CASE WHEN CAST(substr(m, 5) || '1314' || substr(m, 3, 2)
+                                      AS HUGEINT) % 97 = 1
+                            THEN 1 ELSE 0 END AS ok
+                FROM cand
             ),
             agg AS (SELECT doc_id, count(*) AS nc, sum(ok) AS nv FROM v GROUP BY doc_id)
             SELECT c.doc_id,

@@ -1681,6 +1681,44 @@ def credit_card_stats(df: DataFrame, id_col: str, text_col: str, redact: bool = 
     return df.select(*cols)
 
 
+def iban_valid(iban: Column) -> Column:
+    """ISO 13616 IBAN checksum, pure Catalyst expressions: strip spaces,
+    move the first four chars to the end, map letters A..Z → 10..35, and
+    require the resulting number ≡ 1 (mod 97).  The number is up to ~64
+    digits, so the modulus runs as a per-character FOLD (acc·10+digit or
+    acc·100+letter-value, mod 97 each step) — no big-int type needed.
+    Shape is pre-checked (2 letters, 2 digits, 11–30 alphanumerics)."""
+    s = F.upper(F.regexp_replace(iban, r"[ ]", ""))
+    shape_ok = s.rlike(r"^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$")
+    rearranged = F.concat(F.substring(s, 5, 40), F.substring(s, 1, 4))
+    chars = F.filter(F.split(rearranged, ""), lambda c: c != F.lit(""))
+    acc = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda a, c: F.when(
+            c.between("0", "9"), (a * 10 + (F.ascii(c) - 48)) % 97
+        ).otherwise((a * 100 + (F.ascii(c) - 55)) % 97),
+    )
+    return F.when(shape_ok, acc == 1).otherwise(F.lit(False))
+
+
+IBAN_CANDIDATE_RE = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+
+
+def iban_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Bank-account (IBAN) detection with mod-97 validation — the
+    bank-account sibling of credit_card_stats: candidates match the IBAN
+    shape at word boundaries and ``n_valid`` counts those passing
+    :func:`iban_valid`.  Returns (id, n_candidates, n_valid).  One
+    regexp/HOF projection, no shuffle, no Python."""
+    cands = F.regexp_extract_all(F.col(text_col), F.lit(IBAN_CANDIDATE_RE), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(F.filter(cands, iban_valid)).cast("long").alias("n_valid"),
+    )
+
+
 def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Redact common PII shapes (emails, SSNs, phone numbers, IPv4s) with
     typed placeholder tokens and count what was found — the standard scrub

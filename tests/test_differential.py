@@ -186,3 +186,63 @@ def test_paragraph_dedup_matches_reference_fold(spark, docs):
         if kept:
             want[i] = ("\n".join(kept), len(kept))
     assert got == want
+
+
+window_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 100_000)),  # (key, ts_ms)
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=window_rows, size_s=st.integers(2, 20), adv_s=st.integers(1, 20))
+@SETTINGS
+def test_hopping_membership_matches_reference_windows_for(spark, rows, size_s, adv_s):
+    """Spark's hopping assignment == the reference's WindowsFor rule
+    (core/Stream/TimeWindowOptions.cs:59): a record at ts belongs to every
+    window whose start lies in (ts - size, ts], starts aligned to the
+    advance from epoch 0.  Verified per (key, window_start) count against a
+    direct Python implementation of that rule, including advance == size
+    (tumbling degenerate) and non-divisor advances.
+
+    One deliberate divergence at the 1970 epoch boundary: Kafka Streams
+    clamps window starts at 0 (no pre-epoch windows), while Spark's
+    F.window applies the membership rule unclamped, so a record in the
+    first ``size`` ms after epoch also lands in windows with negative
+    starts.  The unclamped rule is what windows.py documents; real
+    event-time data never sits at 1970, so the clamp is unobservable in
+    practice — the reference implementation here is unclamped to pin the
+    actual engine semantics."""
+    from pyspark_engine import HoppingWindowOptions
+    from pyspark_engine.runtime import epoch_ms
+
+    size_ms, adv_ms = size_s * 1000, min(adv_s, size_s) * 1000
+    df = spark.createDataFrame(rows, "k long, tsm long").select(
+        "k", F.timestamp_millis(F.col("tsm")).alias("ts")
+    )
+    w = HoppingWindowOptions.of(size_ms, adv_ms)
+    got = {
+        (r.k, r.ws): r.cnt
+        for r in (
+            KStream(df, key=("k",), ts="ts")
+            .group_by_key()
+            .windowed_by(w)
+            .count()
+            .df.select("k", epoch_ms(F.col("w_start")).alias("ws"), "cnt")
+            .collect()
+        )
+    }
+
+    def windows_for(ts):  # the reference rule, aligned to the advance
+        start = (ts // adv_ms) * adv_ms
+        out = []
+        while start > ts - size_ms:
+            out.append(start)  # unclamped: see docstring on the 1970 boundary
+            start -= adv_ms
+        return out
+
+    want: dict = {}
+    for k, ts in rows:
+        for s in windows_for(ts):
+            want[(k, s)] = want.get((k, s), 0) + 1
+    assert got == want

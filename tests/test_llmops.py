@@ -1565,6 +1565,33 @@ def test_luhn_and_credit_card_stats(spark):
     assert "<CC>" in red[2] and "<CC>" in red[3] and "4539" not in red[2]
 
 
+def test_iban_mod97_vectors(spark):
+    """Real-world IBAN vectors through the per-character mod-97 fold: the
+    ISO example GB82 WEST 1234 5698 7654 32 (letters INSIDE the BBAN — the
+    general letter mapping, beyond q162's digit-only German corpus), a
+    valid DE IBAN, an off-by-one corruption, and shape rejects; iban_stats
+    counts only checksum-valid candidates in running text."""
+    vec = [
+        ("GB82 WEST 1234 5698 7654 32", True),
+        ("DE89 3704 0044 0532 0130 00", True),
+        ("DE89 3704 0044 0532 0130 01", False),  # corrupted tail
+        ("GB82WEST12345698765432", True),        # spacing-insensitive
+        ("XX00", False),                          # shape too short
+        ("1234567890123456", False),              # digits only, no country
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(vec)], "i long, s string")
+    got = {r.i: r.v for r in df.select("i", llmops.iban_valid(F.col("s")).alias("v")).collect()}
+    for i, (s, want) in enumerate(vec):
+        assert got[i] == want, s
+
+    txt = spark.createDataFrame(
+        [(1, "pay GB82WEST12345698765432 or the fake GB82WEST12345698765433 today")],
+        "doc_id long, text string",
+    )
+    r = llmops.iban_stats(txt, "doc_id", "text").collect()[0]
+    assert (r.n_candidates, r.n_valid) == (2, 1)
+
+
 def test_compression_ratio_orderings(spark):
     """Deflate quality signal: repetitive boilerplate compresses far below
     natural prose, (pseudo)random junk barely compresses, empty docs are
