@@ -913,6 +913,30 @@ def test_hopping_window_streaming_parity(spark):
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
 
 
+def test_custom_window_streaming_parity(spark):
+    """CustomWindowOptions (user Column-expression window assignment — the
+    reference's subclassed WindowOptions, e.g. the DailyTimeWindows test
+    helper) under Structured Streaming: the per-row assignment is stateless,
+    so the same daily-window count runs as a streaming aggregation and the
+    complete-mode drain equals the batch result — the last window family
+    without a streaming twin."""
+    from pyspark_engine import CustomWindowOptions
+
+    win = CustomWindowOptions(
+        assign=lambda ts: (
+            F.date_trunc("day", ts),
+            F.date_trunc("day", ts) + F.expr("INTERVAL 1 DAY"),
+        )
+    )
+    got = run_available_now(
+        _events_stream(spark).group_by_key().windowed_by(win).count(),
+        output_mode="complete",
+    )
+    want = _events_batch(spark).group_by_key().windowed_by(win).count().df
+    cols = ["user_id", "w_start", "w_end", "cnt"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+
+
 def test_stream_stream_left_join_streaming_parity(spark, tmp_path):
     """Stream-stream LEFT interval join in streaming mode: the unmatched
     left row is held in state and emitted with nulls only after the
