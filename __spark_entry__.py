@@ -2559,6 +2559,32 @@ def q162_iban_mod97(spark, sf_dir):
     return llmops.iban_stats(corpus, "doc_id", "text")
 
 
+def q163_audio_pipeline(spark, sf_dir):
+    """Composed audio curation pipeline as ONE plan — the multimodal
+    analog of q89/q129: synthesize WAVs with planted endpoint silence,
+    trim it (16-sample frames, peak 0), decimate by 2 (floor-mean), and
+    decode the final payloads.  Three chained Arrow mapInPandas stages,
+    no shuffle anywhere; the oracle recomputes the WHOLE composition —
+    padded ramp → frame peaks → trim bounds → kept-sequence positions →
+    per-block floor-means → final stats and wire length — from the
+    synthesis parameters alone, so any stage breaking the chain breaks
+    the hash."""
+    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(80) + F.col("doc_id") % 40).alias("n"),
+        F.when(F.col("doc_id") % 2 == 0, 8000).otherwise(16000).alias("rate"),
+        (F.lit(1) + F.col("doc_id") % 7).alias("a"),
+        (F.col("doc_id") % 997).alias("b"),
+        (F.col("doc_id") % 37).alias("pre"),
+        (F.col("doc_id") % 23).alias("post"),
+    )
+    wav = llmops.synth_wav(params, "doc_id", "n", "rate", "a", "b", pre_col="pre", post_col="post")
+    trimmed = llmops.wav_trim_silence(wav, "doc_id", "payload", frame_len=16, max_peak=0)
+    small = llmops.wav_downsample(trimmed, "doc_id", "payload", factor=2)
+    return llmops.decode_wav_features(small, "doc_id", "payload")
+
+
 def _ppm_params(spark, sf_dir):
     docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
     return docs.select(
@@ -2760,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_wav_downsample": q160_wav_downsample,
         "q161_credit_card_luhn": q161_credit_card_luhn,
         "q162_iban_mod97": q162_iban_mod97,
+        "q163_audio_pipeline": q163_audio_pipeline,
     }
 
 
@@ -3485,6 +3512,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(agg.nc, 0) AS BIGINT) AS n_candidates,
                    CAST(coalesce(agg.nv, 0) AS BIGINT) AS n_valid
             FROM c LEFT JOIN agg ON c.doc_id = agg.doc_id
+        """,
+        "q163_audio_pipeline": """
+            WITH p AS (
+                SELECT doc_id,
+                       80 + doc_id % 40 AS n,
+                       CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+                       1 + doc_id % 7 AS a,
+                       doc_id % 997 AS b,
+                       doc_id % 37 AS pre,
+                       doc_id % 23 AS post
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, pre, n, pre + n + post AS total,
+                       unnest(generate_series(0, pre + n + post - 1)) AS i, a, b
+                FROM p
+            ),
+            v AS (
+                SELECT doc_id, total, i, i // 16 AS f,
+                       CASE WHEN i < pre OR i >= pre + n THEN 0
+                            ELSE ((a * (i - pre) + b) % 65536) - 32768 END AS val
+                FROM s
+            ),
+            fr AS (SELECT doc_id, f, max(abs(val)) AS fpeak FROM v GROUP BY doc_id, f),
+            bounds AS (
+                SELECT doc_id, min(f) AS fa, max(f) AS fb
+                FROM fr WHERE fpeak > 0 GROUP BY doc_id
+            ),
+            kept AS (
+                SELECT v.doc_id, v.val, v.i - b.fa * 16 AS pos,
+                       least((b.fb + 1) * 16, v.total) - b.fa * 16 AS klen
+                FROM v JOIN bounds b ON v.doc_id = b.doc_id
+                WHERE v.i >= b.fa * 16 AND v.i < least((b.fb + 1) * 16, v.total)
+            ),
+            ds AS (
+                SELECT doc_id, pos // 2 AS blk, val
+                FROM kept WHERE pos < (klen // 2) * 2
+            ),
+            o AS (
+                SELECT doc_id, blk, CAST(floor(sum(val) / 2.0) AS BIGINT) AS oval
+                FROM ds GROUP BY doc_id, blk
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_out, max(abs(oval)) AS peak,
+                       sum(oval * oval) AS sq
+                FROM o GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   CAST(p.rate // 2 AS BIGINT) AS sample_rate,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST(16 AS BIGINT) AS bits,
+                   CAST(coalesce(agg.n_out, 0) AS BIGINT) AS n_samples,
+                   CAST(44 + 2 * coalesce(agg.n_out, 0) AS BIGINT) AS wire_len,
+                   CAST(coalesce(agg.peak, 0) AS BIGINT) AS peak_abs,
+                   CAST(coalesce(agg.sq, 0) AS BIGINT) AS sumsq
+            FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
         """,
         "q158_ppm_decode": """
             WITH p AS (
