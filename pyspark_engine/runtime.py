@@ -442,3 +442,91 @@ def write_training_shards(
         .partitionBy("shard")
         .save(dst_path)
     )
+
+
+def _shard_stats(df: DataFrame) -> DataFrame:
+    """Per-shard (n_rows, content_sum64): order-insensitive content digest
+    = Σ per-row xxhash64 over all non-shard columns, summed in decimal(38)
+    space (an int64 sum overflows under ANSI) and reduced mod 2⁶¹−1."""
+    return df.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.pmod(
+            F.sum(
+                F.xxhash64(*[c for c in df.columns if c != "shard"]).cast("decimal(38,0)")
+            ),
+            F.lit(2305843009213693951).cast("decimal(38,0)"),
+        ).cast("long").alias("content_sum64"),
+    )
+
+
+def write_shard_manifest(spark, shards_path: str, fmt: str = "parquet") -> "DataFrame":
+    """Write ``_MANIFEST.json`` next to a sharded dataset: one record per
+    shard with row count, byte size, and an order-insensitive content
+    digest (xor-free: sum of per-row xxhash64 over all columns, stable
+    against file-internal ordering differences across engines/readers).
+
+    This is the artifact a 100 TB training job validates BEFORE consuming a
+    corpus copy: counts/bytes catch truncated transfers, the digest catches
+    silent row corruption or a stale partial overwrite — the same role as
+    a WebDataset length file or a Delta transaction log's stats, for plain
+    sharded parquet.  All statistics are computed DISTRIBUTED (one scan,
+    one small aggregate keyed by shard); only the n_shards summary rows
+    reach the driver for the JSON write.  Returns the manifest DataFrame.
+    """
+    import json as _json
+    import os as _os
+
+    df = spark.read.format(fmt).load(shards_path)
+    stats = _shard_stats(df).orderBy("shard")
+    rows = [r.asDict() for r in stats.collect()]  # n_shards rows — bounded
+    # per-shard on-disk bytes from the filesystem (catches truncated copies)
+    sizes: dict[int, int] = {}
+    for entry in _os.listdir(shards_path):
+        if entry.startswith("shard="):
+            sid = int(entry.split("=", 1)[1])
+            d = _os.path.join(shards_path, entry)
+            sizes[sid] = sum(
+                _os.path.getsize(_os.path.join(d, f))
+                for f in _os.listdir(d)
+                if not f.startswith(("_", "."))
+            )
+    for r in rows:
+        r["n_bytes"] = sizes.get(r["shard"], 0)
+    manifest = {
+        "n_shards": len(rows),
+        "total_rows": sum(r["n_rows"] for r in rows),
+        "total_bytes": sum(r["n_bytes"] for r in rows),
+        "shards": rows,
+    }
+    with open(_os.path.join(shards_path, "_MANIFEST.json"), "w") as f:
+        _json.dump(manifest, f)
+    return stats
+
+
+def verify_shard_manifest(spark, shards_path: str, fmt: str = "parquet") -> list[str]:
+    """Re-derive the manifest statistics from the CURRENT data and return a
+    list of human-readable discrepancies (empty = corpus verified).  The
+    consumer-side half of write_shard_manifest — run after any copy/move."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(shards_path, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    want = {int(r["shard"]): r for r in manifest["shards"]}
+    # recompute the distributed statistics without rewriting the manifest
+    df = spark.read.format(fmt).load(shards_path)
+    got = {int(r.shard): r for r in _shard_stats(df).collect()}
+    problems: list[str] = []
+    for sid, w in want.items():
+        g = got.get(sid)
+        if g is None:
+            problems.append(f"shard {sid}: missing entirely")
+            continue
+        if g.n_rows != w["n_rows"]:
+            problems.append(f"shard {sid}: rows {g.n_rows} != manifest {w['n_rows']}")
+        if g.content_sum64 != w["content_sum64"]:
+            problems.append(f"shard {sid}: content digest mismatch")
+    for sid in got:
+        if sid not in want:
+            problems.append(f"shard {sid}: not in manifest")
+    return problems
