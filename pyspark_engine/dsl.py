@@ -832,7 +832,15 @@ class KTable:
         self.ts = ts
 
     def _with_df(self, df: DataFrame) -> "KTable":
-        return type(self)(df, self.key, self.ts)
+        out = type(self)(df, self.key, self.ts)
+        # suppress() is a property of the changelog, not of one object:
+        # downstream of an emit-final table everything is still emit-final
+        # (Kafka Streams: operators after suppress() see only final values),
+        # so the marker survives filter/map_values/materialize instead of
+        # silently draining un-suppressed.
+        if getattr(self, "emit_final", False):
+            out.emit_final = True
+        return out
 
     def filter(self, predicate: Column) -> "KTable":
         """Table filter (KTableFilterProcessor.cs:9-55): values failing the
@@ -848,7 +856,7 @@ class KTable:
         if self.ts is not None and self.ts not in values:
             cols.append(F.col(self.ts))
         cols += [v.alias(k) for k, v in values.items()]
-        return KTable(self.df.select(*cols), self.key, self.ts)
+        return self._with_df(self.df.select(*cols))
 
     def to_stream(self) -> "KStream":
         """Changelog → stream of current values (IKTable.cs:126-161)."""
@@ -926,12 +934,12 @@ class KTable:
         start_to_files) enforce append mode for a suppressed table — only
         windows the watermark has closed are ever emitted, and intermediate
         (update/complete-mode) emissions are rejected as a contract
-        violation rather than silently un-suppressed.  Call it LAST, just
-        before the sink: the marker lives on this KTable object, so further
-        operator calls return new (unmarked) tables — matching Kafka
-        Streams, where suppress() is likewise a terminal buffering stage on
-        the table it is called on."""
-        out = KTable(self.df, self.key, self.ts)
+        violation rather than silently un-suppressed.  The marker is
+        STICKY: _with_df propagates it, so filter/map_values/materialize
+        applied after suppress() still drain emit-final (Kafka Streams
+        operators downstream of suppress() likewise see only final
+        values)."""
+        out = self._with_df(self.df)
         out.emit_final = True
         return out
 

@@ -1656,12 +1656,18 @@ def credit_card_stats(df: DataFrame, id_col: str, text_col: str, redact: bool = 
     checksum validation to avoid mass false positives: candidates are
     maximal digit(+space/dash) runs whose digit count lands in 13–19, and
     ``n_valid`` counts those passing :func:`luhn_valid`.  Returns (id,
-    n_candidates, n_valid[, clean_text]); ``redact=True`` additionally
-    replaces EVERY candidate with ``<CC>`` (redaction is conservative —
-    over-redact rather than leak a number the checksum happens to miss).
+    n_candidates, n_valid[, clean_text]); ``redact=True`` replaces, per
+    MAXIMAL digit run, the whole run with ``<CC>`` when its normalized
+    digit count is ≥ 13 (redaction is conservative — a run longer than 19
+    digits is redacted in full rather than leaving a tail behind a
+    partially-matched prefix, and runs the counting path rejects as too
+    short are left intact).
 
-    Scale: one regexp/HOF projection, whole-stage codegen, no shuffle, no
-    Python — same shape as pii_scrub."""
+    The per-run decision can't be a single ``regexp_replace`` (no callback
+    in Catalyst, and a bounded-repetition pattern bites 19-digit prefixes
+    out of longer runs): instead split the text on maximal runs, decide
+    each extracted run, and re-interleave — still pure expressions, still
+    whole-stage codegen, no shuffle, no Python — same shape as pii_scrub."""
     cands = F.regexp_extract_all(F.col(text_col), F.lit(CC_CANDIDATE_RE), 0)
     norm = F.filter(
         F.transform(cands, lambda s: F.regexp_replace(s, r"[ -]", "")),
@@ -1673,9 +1679,21 @@ def credit_card_stats(df: DataFrame, id_col: str, text_col: str, redact: bool = 
         F.size(F.filter(norm, luhn_valid)).cast("long").alias("n_valid"),
     ]
     if redact:
+        # segs has exactly size(cands)+1 elements (limit=-1 keeps trailing
+        # empties); clean = seg0 ⧺ decided0 ⧺ seg1 ⧺ decided1 ⧺ … ⧺ segN
+        segs = F.split(F.col(text_col), CC_CANDIDATE_RE, -1)
+        decided = F.transform(
+            cands,
+            lambda m: F.when(
+                F.length(F.regexp_replace(m, r"[ -]", "")) >= 13, F.lit("<CC>")
+            ).otherwise(m),
+        )
+        interleaved = F.zip_with(
+            F.slice(segs, 1, F.size(cands)), decided, lambda s, m: F.concat(s, m)
+        )
         cols.append(
-            F.regexp_replace(
-                F.col(text_col), r"\d(?:[ -]?\d){12,18}", "<CC>"
+            F.concat(
+                F.array_join(interleaved, ""), F.element_at(segs, -1)
             ).alias("clean_text")
         )
     return df.select(*cols)

@@ -459,6 +459,25 @@ def _shard_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def _shard_bytes(shards_path: str) -> dict[int, int]:
+    """Per-shard on-disk bytes (data files only), keyed by shard id.
+    Filesystem-walk based, so local/NFS paths only — on an object store the
+    equivalent is a listing API call; the manifest schema is unchanged."""
+    import os as _os
+
+    sizes: dict[int, int] = {}
+    for entry in _os.listdir(shards_path):
+        if entry.startswith("shard="):
+            sid = int(entry.split("=", 1)[1])
+            d = _os.path.join(shards_path, entry)
+            sizes[sid] = sum(
+                _os.path.getsize(_os.path.join(d, f))
+                for f in _os.listdir(d)
+                if not f.startswith(("_", "."))
+            )
+    return sizes
+
+
 def write_shard_manifest(spark, shards_path: str, fmt: str = "parquet") -> "DataFrame":
     """Write ``_MANIFEST.json`` next to a sharded dataset: one record per
     shard with row count, byte size, and an order-insensitive content
@@ -480,16 +499,7 @@ def write_shard_manifest(spark, shards_path: str, fmt: str = "parquet") -> "Data
     stats = _shard_stats(df).orderBy("shard")
     rows = [r.asDict() for r in stats.collect()]  # n_shards rows — bounded
     # per-shard on-disk bytes from the filesystem (catches truncated copies)
-    sizes: dict[int, int] = {}
-    for entry in _os.listdir(shards_path):
-        if entry.startswith("shard="):
-            sid = int(entry.split("=", 1)[1])
-            d = _os.path.join(shards_path, entry)
-            sizes[sid] = sum(
-                _os.path.getsize(_os.path.join(d, f))
-                for f in _os.listdir(d)
-                if not f.startswith(("_", "."))
-            )
+    sizes = _shard_bytes(shards_path)
     for r in rows:
         r["n_bytes"] = sizes.get(r["shard"], 0)
     manifest = {
@@ -516,6 +526,7 @@ def verify_shard_manifest(spark, shards_path: str, fmt: str = "parquet") -> list
     # recompute the distributed statistics without rewriting the manifest
     df = spark.read.format(fmt).load(shards_path)
     got = {int(r.shard): r for r in _shard_stats(df).collect()}
+    sizes = _shard_bytes(shards_path)
     problems: list[str] = []
     for sid, w in want.items():
         g = got.get(sid)
@@ -524,6 +535,10 @@ def verify_shard_manifest(spark, shards_path: str, fmt: str = "parquet") -> list
             continue
         if g.n_rows != w["n_rows"]:
             problems.append(f"shard {sid}: rows {g.n_rows} != manifest {w['n_rows']}")
+        if sizes.get(sid, 0) != w.get("n_bytes", sizes.get(sid, 0)):
+            problems.append(
+                f"shard {sid}: bytes {sizes.get(sid, 0)} != manifest {w['n_bytes']}"
+            )
         if g.content_sum64 != w["content_sum64"]:
             problems.append(f"shard {sid}: content digest mismatch")
     for sid in got:

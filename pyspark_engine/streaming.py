@@ -620,7 +620,15 @@ def _sessionize_step(
     ]
     rest = sessions[n_emit:]
     rest_buf = [(t, o) for s in rest for t, o in s]
-    timeout = max(rest[0][-1][0] + gap + 1, wm + 1) if rest else None
+    # Timer at the earliest open session's close boundary (last + gap):
+    # Spark fires EventTimeTimeout when the watermark STRICTLY exceeds the
+    # timestamp, i.e. at the first wm with wm > last + gap — exactly the
+    # closure rule above.  last+gap+1 here would leave a 1ms boundary where
+    # a terminating run's final watermark equals last+gap+1: closed by the
+    # rule, never flushed by timer.  wm+1 floor only because Spark rejects
+    # timeouts at or below the current watermark (then rest[0] closes at
+    # the very next watermark advance — still exact).
+    timeout = max(rest[0][-1][0] + gap, wm + 1) if rest else None
     return rows, rest_buf, closed + n_emit, timeout
 
 

@@ -1086,6 +1086,19 @@ def test_shard_manifest_write_and_verify(spark, tmp_path):
     assert m["total_bytes"] > 0 and all(r["n_bytes"] > 0 for r in m["shards"])
     assert verify_shard_manifest(spark, dst) == []
 
+    # regression (round-7 ADVICE): verify compares ON-DISK BYTES against the
+    # manifest's n_bytes — a stale/partial manifest byte count is flagged
+    mpath = os.path.join(dst, "_MANIFEST.json")
+    m2 = json.load(open(mpath))
+    m2["shards"][0]["n_bytes"] += 1
+    json.dump(m2, open(mpath, "w"))
+    sidb = m2["shards"][0]["shard"]
+    problems = verify_shard_manifest(spark, dst)
+    assert any(f"shard {sidb}" in p and "bytes" in p for p in problems)
+    m2["shards"][0]["n_bytes"] -= 1
+    json.dump(m2, open(mpath, "w"))
+    assert verify_shard_manifest(spark, dst) == []
+
     # truncated transfer: a whole shard vanishes -> named discrepancy
     victim = sorted(glob.glob(f"{dst}/shard=*"))[0]
     sid = int(victim.rsplit("=", 1)[1])
@@ -1616,6 +1629,14 @@ def test_luhn_and_credit_card_stats(spark):
     red = {r.doc_id: r.clean_text for r in llmops.credit_card_stats(
         df, "doc_id", "text", redact=True).collect()}
     assert "<CC>" in red[2] and "<CC>" in red[3] and "4539" not in red[2]
+    # regression (round-7 ADVICE): decisions are PER MAXIMAL RUN — the
+    # 24-digit run is redacted in full (no 19-digit prefix bite leaving the
+    # tail "01234" in clean_text), short runs stay intact verbatim
+    assert red[1] == "card <CC> now"
+    assert red[2] == "pay with <CC> today"
+    assert red[5] == "id <CC>"
+    assert red[4] == "order 12345 on 2023-01-15"
+    assert red[6] == "no digits at all"
 
 
 def test_iban_mod97_vectors(spark):

@@ -279,6 +279,70 @@ def test_suppress_contract_guards(spark, tmp_path):
                        output_mode="update")
 
 
+def test_suppress_marker_survives_downstream_operators(spark, tmp_path):
+    """Regression (round-7 ADVICE dsl.py:919): emit_final is sticky through
+    _with_df — filter/map_values AFTER suppress() still drain emit-final,
+    so a non-append drain of the derived table is rejected instead of
+    silently un-suppressing; and suppress()/map_values preserve subclass
+    identity (GlobalKTable stays a GlobalKTable)."""
+    from pyspark_engine import TumblingWindowOptions
+    from pyspark_engine.dsl import GlobalKTable
+
+    ks = _events_stream(spark)
+    graced = (
+        ks.group_by_key()
+        .windowed_by(TumblingWindowOptions.of(3_600_000, grace_ms=60_000))
+        .count()
+        .suppress()
+    )
+    derived = graced.filter(F.col("cnt") > 0).map_values(cnt2=F.col("cnt") * 2)
+    assert getattr(derived, "emit_final", False)
+    with pytest.raises(ValueError, match="emit-final"):
+        run_available_now(derived, output_mode="update")
+    # subclass identity through _with_df / map_values / suppress
+    g = GlobalKTable(
+        spark.createDataFrame([(1, "x")], "k long, v string"), ("k",)
+    )
+    assert type(g.map_values(v2=F.upper(F.col("v")))) is GlobalKTable
+    assert type(g.suppress()) is GlobalKTable
+
+
+def test_sessionize_timer_fires_at_exact_close_boundary(spark, tmp_path):
+    """Regression (round-7 ADVICE streaming.py:623): the per-session timer
+    sits AT the close boundary last+gap — Spark fires EventTimeTimeout when
+    the watermark STRICTLY exceeds the timer, so a terminating run whose
+    final watermark lands exactly at last+gap+1 must still flush the
+    session.  With the old last+gap+1 timer, user A's session (closed per
+    the step rule) was silently lost when only user B's later event
+    advanced the watermark to precisely that boundary."""
+    from pyspark_engine.streaming import (
+        StreamingBuilder,
+        _sessionize_step,
+        sessionize_streaming,
+    )
+
+    GAP = 500
+    # unit pin: timer == last+gap whenever that exceeds the current watermark
+    _, _, _, timeout = _sessionize_step([], 0, [(1000, 7)], 0, GAP)
+    assert timeout == 1000 + GAP
+
+    t_a = 1_000_000  # A's only event; close boundary = t_a + GAP
+    rows = [(1, t_a, 10), (2, t_a + GAP + 1, 20)]  # B's event IS the final wm
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "user_id long, t long, event_id long").select(
+        "user_id", F.timestamp_millis(F.col("t")).alias("ts"), "event_id"
+    ).coalesce(1).write.parquet(src)
+
+    ks = StreamingBuilder(spark).file_stream(src, key="user_id", ts="ts").with_watermark(
+        "0 seconds"
+    )
+    got = run_available_now(sessionize_streaming(ks, "event_id", GAP), output_mode="append")
+    out = [(r.user_id, r.event_id, r.t_ms, r.session_idx, r.pos) for r in got.collect()]
+    # A closed (final wm t_a+GAP+1 > t_a+GAP boundary) and flushed by TIMER
+    # (A got no data in the final microbatch); B's session is still open.
+    assert out == [(1, 10, t_a, 1, 1)]
+
+
 def test_read_gen_refuses_stale_state_without_marker(tmp_path):
     """A state dir holding generation data WITHOUT a readable _GEN marker is
     refused (guessing 0 would merge into a stale ping-pong slot)."""
