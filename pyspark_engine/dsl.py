@@ -119,14 +119,18 @@ class StreamBuilder:
             ts = ts_alias
         return KStream(df, _as_tuple(key), ts)
 
-    def table(self, source, key, ts: str | None = None, order=None) -> "KTable":
+    def table(self, source, key, ts: str | None = None, order=None, tombstones: bool = False) -> "KTable":
         """KTable source: latest value per key, null keys dropped
         (core/StreamBuilder.cs:249-372; KTableSourceProcessor.cs:7-62).
 
         ``order`` lists columns that totally order the changelog per key (the
         Kafka-offset analog); highest wins.  Defaults to ``(ts,)``.
+        ``tombstones=True`` applies the reference's null-value delete rule —
+        see KStream.to_table.
         """
-        return KStream(self._load(source), _as_tuple(key), ts).to_table(order=order)
+        return KStream(self._load(source), _as_tuple(key), ts).to_table(
+            order=order, tombstones=tombstones
+        )
 
     def global_table(self, source, key, ts: str | None = None, order=None) -> "GlobalKTable":
         """GlobalKTable source (core/StreamBuilder.cs:524-636): replicated to
@@ -411,13 +415,23 @@ class KStream:
 
     # ---------------- table conversion (SURVEY §2.2 ToTable) ----------------
 
-    def to_table(self, order: Sequence[str] | None = None) -> "KTable":
+    def to_table(self, order: Sequence[str] | None = None, tombstones: bool = False) -> "KTable":
         """KStream → KTable upsert-by-key (IKStream.cs:1451-1462).
 
         Latest record per key wins, "latest" = max over ``order`` columns
         (default: the ts column — pass explicit tie-breakers for determinism,
         the Kafka-offset analog).  Null keys dropped
         (KTableSourceProcessor.cs:37-41).
+
+        ``tombstones=True`` adds the reference's delete rule: a changelog
+        record whose VALUE is null removes the key from the table
+        (KTableSourceProcessor.cs:43-62 stores the null, and downstream
+        reads treat it as absence — here the batch view drops the row).  In
+        this engine the "value" is the multi-column projection of everything
+        except key and order columns, so the rule is: latest row with ALL
+        value columns null ⇒ key absent.  Opt-in because partial-null rows
+        are ordinary data in a columnar engine and the default keeps every
+        latest row.
 
         Implementation (batch AND streaming): ``groupBy(key).agg(max_by(
         struct(values), struct(order)))`` — a declarative aggregate, so Spark
@@ -436,6 +450,13 @@ class KStream:
         ord_struct = F.struct(*[F.col(c) for c in order_cols])
         latest = F.max_by(F.struct(*[F.col(c) for c in value_cols]), ord_struct)
         df = df.groupBy(*self.key).agg(latest.alias("__v")).select(*self.key, "__v.*")
+        if tombstones:
+            payload = [c for c in value_cols if c not in order_cols]
+            if payload:
+                alive = F.lit(False)
+                for c in payload:
+                    alive = alive | F.col(c).isNotNull()
+                df = df.filter(alive)
         return KTable(df, self.key, self.ts)
 
     # ---------------- grouping (SURVEY §2.3) ----------------

@@ -171,11 +171,22 @@ class TestOutputTopic:
         return sum(self._pending()[1].values())
 
     def read_key_value_list(self) -> list[Row]:
-        """Drain all pending records (TestOutputTopic.cs:121-148)."""
+        """Drain all pending records (TestOutputTopic.cs:121-148), sorted by
+        the terminal's EVENT TIME first (then the remaining columns as tie
+        breakers) — with the driver's auto-advancing clock that is exactly
+        the reference's single-task processing order, which its
+        order-sensitive vectors assert."""
         cols, pending = self._pending()
+        order = list(range(len(cols)))
+        ts = getattr(self._driver._terminal(self._name), "ts", None)
+        if ts in cols:
+            t = cols.index(ts)
+            order = [t] + [i for i in order if i != t]
         self._consumed += pending
         rows = []
-        for values, n in sorted(pending.items(), key=lambda kv: tuple(map(_sort_key, kv[0]))):
+        for values, n in sorted(
+            pending.items(), key=lambda kv: tuple(_sort_key(kv[0][i]) for i in order)
+        ):
             rows.extend([Row(**dict(zip(cols, values)))] * n)
         return rows
 
