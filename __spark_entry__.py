@@ -2622,6 +2622,34 @@ def q159_ppm_resize(spark, sf_dir):
     return llmops.decode_ppm_features(small, "doc_id", "payload")
 
 
+def q164_png_decode(spark, sf_dir):
+    """REAL compressed-image decode with ONLY the stdlib: synthesize genuine
+    PNGs (the q158 pixel ramp pushed through per-row scanline filters 0-4,
+    zlib DEFLATE, CRC32-stamped chunks — llmops.synth_png) and decode them
+    back (llmops.decode_png_features: signature, chunk walk with CRC
+    verification, multi-IDAT inflate, sequential un-filtering).  Filters
+    and DEFLATE are lossless, so the oracle recomputes width/height/depth/
+    color-type, the distinct-filter count least(h, 5), and every channel
+    sum from the synthesis parameters alone; the zlib stream itself is
+    validated by stdlib inflate — an independent implementation of the
+    wire format.  Retires the compressed-image gate for PNG; JPEG-class
+    codecs stay honestly gated (llmops.decode_image_batches)."""
+    png = llmops.synth_png(_ppm_params(spark, sf_dir), "doc_id", "w", "h", "a", "b")
+    return llmops.decode_png_features(png, "doc_id", "payload")
+
+
+def q165_png_resize(spark, sf_dir):
+    """PNG decode → block-mean resize → RE-ENCODE → decode-again roundtrip
+    (llmops.resize_png_blockmean, 4×4 integer floor-mean tiles): the small
+    image passes through a SECOND full filter+DEFLATE+CRC encode/decode
+    loop, and the oracle recomputes its dimensions, filter count
+    least(h//4, 5), and floor-mean channel sums from parameters — the q159
+    roundtrip through a real compressed container."""
+    png = llmops.synth_png(_ppm_params(spark, sf_dir), "doc_id", "w", "h", "a", "b")
+    small = llmops.resize_png_blockmean(png, "doc_id", "payload", block=4)
+    return llmops.decode_png_features(small, "doc_id", "payload")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2787,6 +2815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_credit_card_luhn": q161_credit_card_luhn,
         "q162_iban_mod97": q162_iban_mod97,
         "q163_audio_pipeline": q163_audio_pipeline,
+        "q164_png_decode": q164_png_decode,
+        "q165_png_resize": q165_png_resize,
     }
 
 
@@ -3512,6 +3542,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(agg.nc, 0) AS BIGINT) AS n_candidates,
                    CAST(coalesce(agg.nv, 0) AS BIGINT) AS n_valid
             FROM c LEFT JOIN agg ON c.doc_id = agg.doc_id
+        """,
+        "q164_png_decode": """
+            WITH p AS (
+                SELECT doc_id, 16 + doc_id % 9 AS w, 12 + doc_id % 7 AS h,
+                       1 + doc_id % 5 AS a, doc_id % 251 AS b
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, w, h, a, b,
+                       unnest(generate_series(0, w * h - 1)) AS i
+                FROM p
+            ),
+            agg AS (
+                SELECT doc_id,
+                       sum((a * i + b) % 256) AS sr,
+                       sum((a * i + b + 85) % 256) AS sg,
+                       sum((a * i + b + 170) % 256) AS sb
+                FROM s GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   CAST(p.w AS BIGINT) AS width,
+                   CAST(p.h AS BIGINT) AS height,
+                   CAST(8 AS BIGINT) AS bit_depth,
+                   CAST(2 AS BIGINT) AS color_type,
+                   CAST(least(p.h, 5) AS BIGINT) AS n_filter_types,
+                   CAST(agg.sr AS BIGINT) AS sum_r,
+                   CAST(agg.sg AS BIGINT) AS sum_g,
+                   CAST(agg.sb AS BIGINT) AS sum_b,
+                   TRUE AS crc_ok
+            FROM p JOIN agg ON p.doc_id = agg.doc_id
+        """,
+        "q165_png_resize": """
+            WITH p AS (
+                SELECT doc_id, 16 + doc_id % 9 AS w, 12 + doc_id % 7 AS h,
+                       1 + doc_id % 5 AS a, doc_id % 251 AS b
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, w, h, a, b,
+                       unnest(generate_series(0, w * h - 1)) AS i
+                FROM p
+            ),
+            v AS (
+                SELECT doc_id, w, h, i % w AS x, i // w AS y,
+                       (a * i + b) % 256 AS r,
+                       (a * i + b + 85) % 256 AS g,
+                       (a * i + b + 170) % 256 AS bl
+                FROM s
+            ),
+            m AS (
+                SELECT doc_id, y // 4 AS by, x // 4 AS bx,
+                       sum(r) // 16 AS mr, sum(g) // 16 AS mg, sum(bl) // 16 AS mb
+                FROM v
+                WHERE x < (w // 4) * 4 AND y < (h // 4) * 4
+                GROUP BY doc_id, y // 4, x // 4
+            ),
+            agg AS (
+                SELECT doc_id, sum(mr) AS sr, sum(mg) AS sg, sum(mb) AS sb
+                FROM m GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   CAST(p.w // 4 AS BIGINT) AS width,
+                   CAST(p.h // 4 AS BIGINT) AS height,
+                   CAST(8 AS BIGINT) AS bit_depth,
+                   CAST(2 AS BIGINT) AS color_type,
+                   CAST(least(p.h // 4, 5) AS BIGINT) AS n_filter_types,
+                   CAST(agg.sr AS BIGINT) AS sum_r,
+                   CAST(agg.sg AS BIGINT) AS sum_g,
+                   CAST(agg.sb AS BIGINT) AS sum_b,
+                   TRUE AS crc_ok
+            FROM p JOIN agg ON p.doc_id = agg.doc_id
         """,
         "q163_audio_pipeline": """
             WITH p AS (

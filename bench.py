@@ -131,6 +131,7 @@ HEADLINE = [
     "q154_lsh_recall_audit",
     "q155_wav_decode",
     "q158_ppm_decode",
+    "q164_png_decode",
 ]
 
 

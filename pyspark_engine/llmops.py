@@ -1105,14 +1105,18 @@ def multimodal_meta(df: DataFrame, id_col: str, payload_col: str, media_type: st
 def decode_image_batches(it: Iterator, shape=(64, 64)) -> Iterator:
     """mapInPandas worker for image decode / resize / feature-extract.
 
-    STUB: the decode step needs an image library not present in this
-    container.  The Arrow batch plumbing (signature, schema, batch iteration)
-    is real — see multimodal_features for the same pipeline running end-to-end
-    with a deterministic fake decoder; swap the body for PIL/torchvision in a
-    real deployment."""
+    STUB for JPEG-class codecs ONLY: DCT/entropy decoders need an image
+    library not present in this container.  Uncompressed Netpbm P6 decodes
+    for real via decode_ppm_features, and zlib-compressed PNG decodes for
+    real via decode_png_features (stdlib-zlib inflate + scanline
+    unfiltering) — swap this body for PIL/torchvision to cover JPEG/WebP
+    in a real deployment.  The Arrow batch plumbing (signature, schema,
+    batch iteration) is identical to those live paths."""
     raise NotImplementedError(
-        "image decode requires an image library (PIL/cv2) not present in this container; "
-        "wire this function into df.mapInPandas(decode_image_batches, schema=...)"
+        "JPEG-class image decode requires an image library (PIL/cv2) not present in "
+        "this container; PPM (decode_ppm_features) and PNG (decode_png_features) "
+        "decode for real without it — wire this function into "
+        "df.mapInPandas(decode_image_batches, schema=...) for other formats"
     )
 
 
@@ -1583,6 +1587,268 @@ def resize_ppm_blockmean(
                 ).astype(np.uint8)
                 out = f"P6\n{w2} {h2}\n255\n".encode() + small.tobytes()
                 rows.append((doc_id, out))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    proj = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+    return proj.mapInPandas(worker, "doc_id long, payload binary")
+
+
+# ------------------------------------------------------------------- PNG
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+PNG_FEATURES_SCHEMA = (
+    "doc_id long, width long, height long, bit_depth long, color_type long, "
+    "n_filter_types long, sum_r long, sum_g long, sum_b long, crc_ok boolean"
+)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/above/upper-left to
+    the linear estimate a + b - c, ties resolved left → above → upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_encode(img, filters=None) -> bytes:
+    """REAL PNG encoder for 8-bit RGB (color type 2) using ONLY the stdlib:
+    per-row scanline filters (types 0-4, default ``row % 5`` so every filter
+    type is exercised), zlib-compressed IDAT, CRC32-stamped chunks.  The
+    filter pass uses RAW neighbor bytes per the spec (encoding filters never
+    see reconstructed data), so it vectorizes row-at-a-time."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = img.shape
+    bpp = 3
+    raw = img.astype(np.int64)
+    stream = bytearray()
+    for y in range(h):
+        row = raw[y].reshape(-1)  # w*3 bytes
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+        if y > 0:
+            up = raw[y - 1].reshape(-1)
+            ul = np.concatenate([np.zeros(bpp, dtype=np.int64), up[:-bpp]])
+        else:
+            up = np.zeros_like(row)
+            ul = np.zeros_like(row)
+        f = (y % 5) if filters is None else int(filters[y])
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - up
+        elif f == 3:
+            filt = row - (left + up) // 2
+        else:  # 4 paeth
+            pred = np.where(
+                np.abs(left + up - ul - left) <= np.minimum(
+                    np.abs(left + up - ul - up), np.abs(left + up - ul - ul)
+                ),
+                left,
+                np.where(np.abs(left + up - ul - up) <= np.abs(left + up - ul - ul), up, ul),
+            )
+            filt = row - pred
+        stream.append(f)
+        stream.extend((filt % 256).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes(stream))
+    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _png_decode(raw: bytes):
+    """REAL PNG decoder for 8-bit RGB using ONLY the stdlib: signature and
+    chunk walk with CRC32 verification, IHDR parse, multi-IDAT zlib inflate,
+    and per-row scanline UN-filtering (types 0-4).  Unfiltering is
+    sequential by spec (each byte's predictor uses RECONSTRUCTED
+    neighbors), so the inner loop is per-byte Python — the honest floor for
+    the format, bounded by the Arrow batch's payload size.  Returns
+    (width, height, bit_depth, color_type, n_filter_types, ndarray[h,w,3]).
+    Raises on bad signature, CRC mismatch, or unsupported IHDR (only 8-bit
+    RGB, no interlace — wider support is decode-library territory,
+    decode_image_batches)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(raw):
+        (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", raw[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bit_depth, color_type, comp, filt_method, interlace = ihdr
+    if (bit_depth, color_type, comp, filt_method, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG (bit_depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace}): only 8-bit non-interlaced RGB decodes here"
+        )
+    stream = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = w * bpp
+    if len(stream) != h * (stride + 1):
+        raise ValueError("PNG scanline stream length mismatch")
+    img = np.zeros((h, stride), dtype=np.int64)
+    filter_types = set()
+    for y in range(h):
+        f = stream[y * (stride + 1)]
+        filter_types.add(f)
+        row = list(stream[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        prev = img[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        cur = img[y]
+        if f == 0:
+            cur[:] = row
+        elif f == 2:
+            cur[:] = (np.asarray(row) + prev) % 256
+        else:
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    pred = _paeth(a, b, c)
+                else:
+                    raise ValueError(f"bad PNG filter type {f}")
+                cur[i] = (row[i] + pred) % 256
+    return w, h, bit_depth, color_type, len(filter_types), img.reshape(h, w, bpp).astype(np.uint8)
+
+
+def synth_png(df: DataFrame, id_col: str, w_col: str, h_col: str, a_col: str, b_col: str) -> DataFrame:
+    """Deterministic REAL-PNG synthesis: the SAME channel-offset pixel ramp
+    as synth_ppm — pixel i, channel c gets (a·i + b + 85·c) mod 256 — but
+    encoded through genuine scanline filters + zlib + CRC chunks
+    (_png_encode).  Filters are lossless, so a SQL oracle recomputes the
+    decoded channel sums from parameters alone, exactly like q158; the
+    zlib stream and CRCs are independently validated by stdlib inflate on
+    decode.  One Arrow pass, no shuffle."""
+
+    def worker(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, w, h, a, b in zip(pdf["doc_id"], pdf["w"], pdf["h"], pdf["a"], pdf["b"]):
+                w, h, a, b = int(w), int(h), int(a), int(b)
+                i = np.arange(w * h, dtype=np.int64)[:, None]
+                c = np.arange(3, dtype=np.int64)[None, :]
+                img = ((a * i + b + 85 * c) % 256).astype(np.uint8).reshape(h, w, 3)
+                rows.append((doc_id, _png_encode(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    proj = _spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(w_col).alias("w"),
+            F.col(h_col).alias("h"),
+            F.col(a_col).alias("a"),
+            F.col(b_col).alias("b"),
+        )
+    )
+    return proj.mapInPandas(worker, "doc_id long, payload binary")
+
+
+def decode_png_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL compressed-image decode over a binary column, stdlib only: PNG
+    chunk walk with CRC32 verification, zlib IDAT inflate, scanline
+    un-filtering (all five filter types), integer-exact per-channel sums a
+    SQL oracle recomputes from synthesis parameters (q164).  This retires
+    the 'compressed formats stay gated' caveat for PNG; JPEG-class codecs
+    remain honestly gated (decode_image_batches).
+
+    ``n_filter_types`` counts DISTINCT filter bytes seen — the encoder
+    cycles row % 5, so the oracle pins least(h, 5), proving the decoder
+    actually walked every scanline; ``crc_ok`` is the contract-oracle
+    boolean (decode raises on any CRC mismatch, so surviving rows are TRUE
+    by construction — the oracle states the literal).
+
+    Scale: Arrow-batched mapInPandas, no shuffle, worker memory bounded by
+    payload size; the per-byte unfilter loop is the format's sequential
+    floor (see _png_decode)."""
+
+    def worker(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = [
+            "doc_id", "width", "height", "bit_depth", "color_type",
+            "n_filter_types", "sum_r", "sum_g", "sum_b", "crc_ok",
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, depth, ctype, nft, img = _png_decode(bytes(payload))
+                s = img.astype("int64").sum(axis=(0, 1))
+                rows.append((doc_id, w, h, depth, ctype, nft, int(s[0]), int(s[1]), int(s[2]), True))
+            yield pd.DataFrame(rows, columns=cols)
+
+    proj = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+    return proj.mapInPandas(worker, PNG_FEATURES_SCHEMA)
+
+
+def resize_png_blockmean(df: DataFrame, id_col: str, payload_col: str, block: int) -> DataFrame:
+    """REAL compressed-image resize roundtrip: PNG decode (CRC + inflate +
+    unfilter), crop to a multiple of ``block``, floor-mean every
+    block×block tile per channel, RE-ENCODE a valid filtered+compressed
+    PNG — the q159 loop through a real compressed container.  Integer
+    floor-mean keeps every decoded byte SQL-recomputable (q165).  Scale:
+    Arrow-batched 1→1 mapInPandas, no shuffle."""
+    blk = int(block)
+
+    def worker(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _d, _c, _n, img = _png_decode(bytes(payload))
+                w2, h2 = w // blk, h // blk
+                crop = img[: h2 * blk, : w2 * blk].astype(np.int64)
+                small = (
+                    crop.reshape(h2, blk, w2, blk, 3).sum(axis=(1, 3)) // (blk * blk)
+                ).astype(np.uint8)
+                rows.append((doc_id, _png_encode(small)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     proj = _spread(
