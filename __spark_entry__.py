@@ -2650,6 +2650,49 @@ def q165_png_resize(spark, sf_dir):
     return llmops.decode_png_features(small, "doc_id", "payload")
 
 
+def q166_pii_scrub_v2(spark, sf_dir):
+    """Composed release-gate PII scrub (llmops.pii_scrub_v2): regex PII +
+    checksum-validated payment cards (Luhn, q161's planting scheme) +
+    checksum-validated IBANs (mod-97, q162's scheme) in ONE projection.
+    Every span in the corpus is parameter-planted: a 16-digit card (valid
+    check digit on even doc_ids, +5 on odd), a German IBAN (valid check on
+    even, +50 mod 97 on odd), and an email.  The oracle re-derives both
+    checksums with INDEPENDENT arithmetic (Luhn via list_transform over
+    reversed digits, mod-97 via native HUGEINT) and builds the expected
+    clean_text from that recomputed validity — so redaction order
+    (valid-IBAN → ≥13-digit runs → regex placeholders), the per-maximal-run
+    rule, and both checksum implementations all gate the hash.  The
+    overlap contract is visible in the expectations: the invalid IBAN's
+    digit tail over-redacts to DE<CC>, and both planted numbers also count
+    as n_phone (counts are per-signal on the original text)."""
+    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    base = F.lpad(
+        ((F.col("doc_id") * 7919 + 123456789) % F.lit(10**15)).cast("string"), 15, "0"
+    )
+    chk = llmops.luhn_check_digit(base)
+    card = F.concat(
+        base,
+        F.when(F.col("doc_id") % 2 == 0, chk).otherwise((chk + 5) % 10).cast("string"),
+    )
+    bban = F.lpad(
+        ((F.col("doc_id") * 104729 + 987654321) % F.lit(10**18)).cast("string"), 18, "0"
+    )
+    ichars = F.filter(F.split(F.concat(bban, F.lit("131400")), ""), lambda c: c != F.lit(""))
+    im = F.aggregate(ichars, F.lit(0).cast("long"), lambda a, c: (a * 10 + (F.ascii(c) - 48)) % 97)
+    ichk = F.lit(98) - im
+    ic = F.when(F.col("doc_id") % 2 == 0, ichk).otherwise((ichk + 50) % 97)
+    iban = F.concat(F.lit("DE"), F.lpad(ic.cast("string"), 2, "0"), bban)
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("pay "), card, F.lit(" to "), iban,
+            F.lit(" or mail user"), F.col("doc_id").cast("string"),
+            F.lit("@ex.com now"),
+        ).alias("text"),
+    )
+    return llmops.pii_scrub_v2(corpus, "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2817,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_audio_pipeline": q163_audio_pipeline,
         "q164_png_decode": q164_png_decode,
         "q165_png_resize": q165_png_resize,
+        "q166_pii_scrub_v2": q166_pii_scrub_v2,
     }
 
 
@@ -3501,6 +3545,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(agg.nc, 0) AS BIGINT) AS n_candidates,
                    CAST(coalesce(agg.nv, 0) AS BIGINT) AS n_valid
             FROM c LEFT JOIN agg ON c.doc_id = agg.doc_id
+        """,
+        "q166_pii_scrub_v2": """
+            WITH b AS (
+                SELECT doc_id,
+                       lpad(CAST((doc_id * 7919 + 123456789) % 1000000000000000
+                                 AS VARCHAR), 15, '0') AS base,
+                       lpad(CAST((doc_id * 104729 + 987654321) % 1000000000000000000
+                                 AS VARCHAR), 18, '0') AS bban
+                FROM documents
+            ),
+            k AS (
+                SELECT doc_id, base, bban,
+                       (10 - list_sum(list_transform(generate_series(1, 15), j ->
+                           CASE WHEN j % 2 = 0
+                                THEN CAST(substr(reverse(base), j, 1) AS INT)
+                                ELSE CASE WHEN CAST(substr(reverse(base), j, 1) AS INT) * 2 > 9
+                                          THEN CAST(substr(reverse(base), j, 1) AS INT) * 2 - 9
+                                          ELSE CAST(substr(reverse(base), j, 1) AS INT) * 2 END
+                           END)) % 10) % 10 AS cchk,
+                       98 - CAST(CAST(bban || '131400' AS HUGEINT) % 97 AS INT) AS ichk
+                FROM b
+            ),
+            c AS (
+                SELECT doc_id,
+                       base || CAST(CASE WHEN doc_id % 2 = 0 THEN cchk
+                                         ELSE (cchk + 5) % 10 END AS VARCHAR) AS card,
+                       'DE' || lpad(CAST(CASE WHEN doc_id % 2 = 0 THEN ichk
+                                              ELSE (ichk + 50) % 97 END AS VARCHAR), 2, '0')
+                            || bban AS iban
+                FROM k
+            ),
+            v AS (
+                -- INDEPENDENT re-validation of the planted numbers (not the
+                -- parity that planted them): Luhn over the full 16-digit
+                -- card, native HUGEINT mod-97 over the rearranged IBAN
+                SELECT doc_id,
+                       CASE WHEN list_sum(list_transform(generate_series(1, 16), i ->
+                           CASE WHEN i % 2 = 1
+                                THEN CAST(substr(reverse(card), i, 1) AS INT)
+                                ELSE CASE WHEN CAST(substr(reverse(card), i, 1) AS INT) * 2 > 9
+                                          THEN CAST(substr(reverse(card), i, 1) AS INT) * 2 - 9
+                                          ELSE CAST(substr(reverse(card), i, 1) AS INT) * 2 END
+                           END)) % 10 = 0 THEN 1 ELSE 0 END AS card_ok,
+                       CASE WHEN CAST(substr(iban, 5) || '1314' || substr(iban, 3, 2)
+                                      AS HUGEINT) % 97 = 1
+                            THEN 1 ELSE 0 END AS iban_ok
+                FROM c
+            )
+            SELECT doc_id,
+                   'pay <CC> to ' ||
+                   CASE WHEN iban_ok = 1 THEN '<IBAN>' ELSE 'DE<CC>' END ||
+                   ' or mail <EMAIL> now' AS clean_text,
+                   CAST(1 AS BIGINT) AS n_email,
+                   CAST(0 AS BIGINT) AS n_ssn,
+                   CAST(2 AS BIGINT) AS n_phone,
+                   CAST(0 AS BIGINT) AS n_ipv4,
+                   CAST(1 AS BIGINT) AS n_card_candidates,
+                   CAST(card_ok AS BIGINT) AS n_card_valid,
+                   CAST(1 AS BIGINT) AS n_iban_candidates,
+                   CAST(iban_ok AS BIGINT) AS n_iban_valid
+            FROM v
         """,
         "q162_iban_mod97": """
             WITH p AS (

@@ -132,6 +132,7 @@ HEADLINE = [
     "q155_wav_decode",
     "q158_ppm_decode",
     "q164_png_decode",
+    "q166_pii_scrub_v2",
 ]
 
 

@@ -1945,24 +1945,31 @@ def credit_card_stats(df: DataFrame, id_col: str, text_col: str, redact: bool = 
         F.size(F.filter(norm, luhn_valid)).cast("long").alias("n_valid"),
     ]
     if redact:
-        # segs has exactly size(cands)+1 elements (limit=-1 keeps trailing
-        # empties); clean = seg0 ⧺ decided0 ⧺ seg1 ⧺ decided1 ⧺ … ⧺ segN
-        segs = F.split(F.col(text_col), CC_CANDIDATE_RE, -1)
-        decided = F.transform(
-            cands,
-            lambda m: F.when(
-                F.length(F.regexp_replace(m, r"[ -]", "")) >= 13, F.lit("<CC>")
-            ).otherwise(m),
-        )
-        interleaved = F.zip_with(
-            F.slice(segs, 1, F.size(cands)), decided, lambda s, m: F.concat(s, m)
-        )
-        cols.append(
-            F.concat(
-                F.array_join(interleaved, ""), F.element_at(segs, -1)
-            ).alias("clean_text")
-        )
+        cols.append(_redact_per_match(F.col(text_col), CC_CANDIDATE_RE, _cc_decide).alias("clean_text"))
     return df.select(*cols)
+
+
+def _cc_decide(m: Column) -> Column:
+    """Per-maximal-run card redaction rule: any run of ≥13 normalized digits
+    becomes <CC> — over-redact long runs in full rather than leak a tail."""
+    return F.when(
+        F.length(F.regexp_replace(m, r"[ -]", "")) >= 13, F.lit("<CC>")
+    ).otherwise(m)
+
+
+def _redact_per_match(text: Column, pattern: str, decide) -> Column:
+    """Per-MAXIMAL-match replacement as pure expressions (Catalyst has no
+    regexp-replace callback): split the text on the pattern, decide each
+    extracted match with ``decide(match) -> Column``, and re-interleave —
+    segs has exactly size(matches)+1 elements (limit=-1 keeps trailing
+    empties), so clean = seg0 ⧺ dec0 ⧺ seg1 ⧺ dec1 ⧺ … ⧺ segN."""
+    segs = F.split(text, pattern, -1)
+    matches = F.regexp_extract_all(text, F.lit(pattern), 0)
+    decided = F.transform(matches, decide)
+    interleaved = F.zip_with(
+        F.slice(segs, 1, F.size(matches)), decided, lambda s, m: F.concat(s, m)
+    )
+    return F.concat(F.array_join(interleaved, ""), F.element_at(segs, -1))
 
 
 def iban_valid(iban: Column) -> Column:
@@ -2000,6 +2007,56 @@ def iban_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.size(cands).cast("long").alias("n_candidates"),
         F.size(F.filter(cands, iban_valid)).cast("long").alias("n_valid"),
+    )
+
+
+def pii_scrub_v2(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composed PII scrub: the regex pass (pii_scrub — emails/SSNs/phones/
+    IPv4s) PLUS the checksum-validated detectors (credit_card_stats Luhn
+    cards, iban_stats mod-97 IBANs) as ONE projection — the full
+    release-gate scrub a training-data pipeline runs (RECIPES).
+
+    Counts are all taken on the ORIGINAL text, per signal, independently
+    (the pii_scrub contract: a later redaction can't hide an earlier hit —
+    so a payment-card digit run also counts as n_phone; signals overlap by
+    design).  Redaction composes most-specific-first:
+
+      1. checksum-VALID IBANs → <IBAN> (shape+letters pattern; an
+         invalid-checksum IBAN shape is not PII and stays),
+      2. maximal digit runs of ≥13 normalized digits → <CC> (the
+         credit_card_stats over-redact rule — note this catches the digit
+         tail of an invalid-checksum IBAN left by step 1),
+      3. the regex placeholders in PII_PATTERNS order.
+
+    Scale: still one whole-stage-codegen projection — regexp/HOF expression
+    folds, no shuffle, no Python — identical shape to pii_scrub."""
+    text = F.col(text_col)
+    norm_runs = F.transform(
+        F.regexp_extract_all(text, F.lit(CC_CANDIDATE_RE), 0),
+        lambda s: F.regexp_replace(s, r"[ -]", ""),
+    )
+    card_cands = F.filter(norm_runs, lambda s: (F.length(s) >= 13) & (F.length(s) <= 19))
+    ibans = F.regexp_extract_all(text, F.lit(IBAN_CANDIDATE_RE), 0)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = _redact_per_match(
+        text,
+        IBAN_CANDIDATE_RE,
+        lambda m: F.when(iban_valid(m), F.lit("<IBAN>")).otherwise(m),
+    )
+    clean = _redact_per_match(clean, CC_CANDIDATE_RE, _cc_decide)
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        *counts,
+        F.size(card_cands).cast("long").alias("n_card_candidates"),
+        F.size(F.filter(card_cands, luhn_valid)).cast("long").alias("n_card_valid"),
+        F.size(ibans).cast("long").alias("n_iban_candidates"),
+        F.size(F.filter(ibans, iban_valid)).cast("long").alias("n_iban_valid"),
     )
 
 

@@ -1701,6 +1701,40 @@ def test_png_resize_blockmean_roundtrip(spark):
     assert (sf.sum_r, sf.sum_g, sf.sum_b) == (0, 170, 340)
 
 
+def test_pii_scrub_v2_composition(spark):
+    """pii_scrub_v2 edge semantics on hand-built text: (1) a VALID IBAN
+    redacts to <IBAN> before the card pass can bite its digits, (2) an
+    INVALID-checksum IBAN survives the IBAN pass but its ≥13-digit tail
+    over-redacts to DE<CC>, (3) a valid spaced card redacts whole, (4)
+    counts are per-signal on the ORIGINAL text (the card run also counts as
+    a phone), (5) short digit runs and non-PII text pass through verbatim."""
+    valid_iban = "GB82WEST12345698765432"
+    bad_iban = "GB82WEST12345698765433"
+    rows = [
+        (1, f"send to {valid_iban} today"),
+        (2, f"send to {bad_iban} today"),
+        (3, "pay 4539 1488 0343 6467 or ring me"),
+        (4, "order 12345 on 2023-01-15 from a@b.io"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in llmops.pii_scrub_v2(df, "doc_id", "text").collect()}
+
+    assert out[1].clean_text == "send to <IBAN> today"
+    assert (out[1].n_iban_candidates, out[1].n_iban_valid) == (1, 1)
+    # invalid checksum: not PII as an IBAN, but WEST12345698765433's digit
+    # run is only 18 digits AFTER the letters — the run "12345698765433" is
+    # 14 digits >= 13 -> the card pass over-redacts it
+    assert out[2].clean_text == "send to GB82WEST<CC> today"
+    assert (out[2].n_iban_candidates, out[2].n_iban_valid) == (1, 0)
+    assert out[3].clean_text == "pay <CC> or ring me"
+    assert (out[3].n_card_candidates, out[3].n_card_valid) == (1, 1)
+    assert out[3].n_phone == 1  # the spaced card run also matches the phone shape
+    # the dashed date matches the (documented, deliberately greedy) phone
+    # shape from pii_scrub v1 — same trade-off, unchanged by composition
+    assert out[4].clean_text == "order 12345 on <PHONE> from <EMAIL>"
+    assert (out[4].n_card_candidates, out[4].n_email, out[4].n_phone) == (0, 1, 1)
+
+
 def test_parse_ppm_rejects_wide_maxval():
     """Spec-valid P6 with maxval > 255 uses TWO bytes per sample — refuse
     instead of silently misreading the pixel block."""
