@@ -79,6 +79,10 @@ QUERIES = [
     "q141_rate_anomaly",       # windowed counts + trailing scan over counts
     "q146_sessionize",         # per-user ordered windows, fan-in grows
     "q147_url_dedup",          # canonical-URL digest groupBy under dups
+    "q158_ppm_decode",         # image codec: Arrow 1->1, zero shuffle
+    "q163_audio_pipeline",     # 3 chained Arrow codec stages, zero shuffle
+    "q164_png_decode",         # zlib+filter codec: Arrow 1->1, zero shuffle
+    "q166_pii_scrub_v2",       # checksum+regex scrub: one codegen projection
 ]
 
 
