@@ -31,6 +31,7 @@ from collections import Counter
 from collections.abc import Callable, Iterable, Mapping
 
 from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
 
 from .dsl import KStream, KTable, StreamBuilder
 from .runtime import StoreRegistry
@@ -261,6 +262,31 @@ class ReadOnlyKeyValueStore:
     def all(self) -> list[Row]:
         """Full scan (IReadOnlyKeyValueStore.All)."""
         return self._registry.store(self._name).collect()
+
+    def range(self, from_key, to_key) -> list[Row]:
+        """Inclusive key-range scan, ascending (IReadOnlyKeyValueStore.Range,
+        core/State/ReadOnlyKeyValueStore.cs; KTableSourceTests.cs:349-381) —
+        single-column keys, like the reference's ordered byte-key stores."""
+        k = self._key[0]
+        df = self._registry.store(self._name)
+        return df.filter(F.col(k).between(from_key, to_key)).orderBy(k).collect()
+
+    def reverse_range(self, from_key, to_key) -> list[Row]:
+        """Inclusive key-range scan, descending (ReverseRange,
+        KTableSourceTests.cs:383-415)."""
+        k = self._key[0]
+        df = self._registry.store(self._name)
+        return (
+            df.filter(F.col(k).between(from_key, to_key))
+            .orderBy(F.col(k).desc())
+            .collect()
+        )
+
+    def reverse_all(self) -> list[Row]:
+        """Full scan, descending by key (ReverseAll,
+        KTableSourceTests.cs:417-448)."""
+        k = self._key[0]
+        return self._registry.store(self._name).orderBy(F.col(k).desc()).collect()
 
     def approximate_num_entries(self) -> int:
         return self._registry.store(self._name).count()
