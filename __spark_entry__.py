@@ -2693,6 +2693,67 @@ def q166_pii_scrub_v2(spark, sf_dir):
     return llmops.pii_scrub_v2(corpus, "doc_id", "text")
 
 
+def q167_warc_gz_roundtrip(spark, sf_dir):
+    """The REAL Common-Crawl container, end to end with the stdlib: per-doc
+    WARC records (serdes.encode_warc) are each compressed into their OWN
+    gzip member (serdes.gzip_members, the .warc.gz convention), members
+    concatenate into one blob per 10-doc 'crawl file' (a pure binary fold),
+    and the reader splits the blob back at member boundaries
+    (serdes.split_gzip_members — zlib decompressobj walk, CRC32/ISIZE
+    verified per member by an independent implementation) before
+    decode_warc parses each record.  The oracle recomputes every surviving
+    field — ids, file assignment, in-file position, URI, octet lengths —
+    from the documents table alone; a corrupt byte anywhere in the
+    compress→concat→split chain breaks parsing and the hash.
+
+    Scale: encode+gzip is a narrow Arrow map; the only shuffle groups ~10
+    members per file (the write side of a crawl-file compactor); the read
+    side is again a narrow map — per-file blobs never exceed member-count ×
+    record size, the same bound a real warc.gz reader has."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    rec = serdes.encode_warc(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/doc/"), F.col("doc_id")),
+        F.col("text"),
+        F.col("doc_id"),
+    )
+    members = docs.select(
+        F.col("doc_id"),
+        F.floor(F.col("doc_id") / 10).cast("long").alias("file_id"),
+        serdes.gzip_members(rec).alias("member"),
+    )
+    files = (
+        members.groupBy("file_id")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "member"))).alias("ms"))
+        .select(
+            "file_id",
+            F.size("ms").cast("long").alias("n_members"),
+            F.aggregate(
+                F.transform("ms", lambda s: s["member"]),
+                F.lit(b""),
+                lambda acc, m: F.concat(acc, m),
+            ).alias("blob"),
+        )
+    )
+    recs = files.select(
+        "file_id",
+        "n_members",
+        F.posexplode(serdes.split_gzip_members(F.col("blob"))).alias("pos", "rec"),
+    )
+    parsed = recs.select(
+        "file_id", "n_members", "pos", serdes.decode_warc(F.col("rec")).alias("p")
+    )
+    return parsed.select(
+        F.col("p.record_id").cast("long").alias("doc_id"),
+        F.col("file_id"),
+        F.col("n_members"),
+        F.col("pos").cast("long").alias("pos_in_file"),
+        F.col("p.uri").alias("uri"),
+        F.col("p.content_length").alias("content_length"),
+        F.octet_length("p.payload").cast("long").alias("payload_octets"),
+        F.col("p.ok").alias("ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2861,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_png_decode": q164_png_decode,
         "q165_png_resize": q165_png_resize,
         "q166_pii_scrub_v2": q166_pii_scrub_v2,
+        "q167_warc_gz_roundtrip": q167_warc_gz_roundtrip,
     }
 
 
@@ -3545,6 +3607,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(agg.nc, 0) AS BIGINT) AS n_candidates,
                    CAST(coalesce(agg.nv, 0) AS BIGINT) AS n_valid
             FROM c LEFT JOIN agg ON c.doc_id = agg.doc_id
+        """,
+        "q167_warc_gz_roundtrip": """
+            WITH r AS (
+                SELECT doc_id, doc_id // 10 AS file_id,
+                       'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+                       octet_length(encode(text)) AS plen
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(file_id AS BIGINT) AS file_id,
+                   CAST(count(*) OVER (PARTITION BY file_id) AS BIGINT) AS n_members,
+                   CAST(row_number() OVER (PARTITION BY file_id ORDER BY doc_id) - 1
+                        AS BIGINT) AS pos_in_file,
+                   uri,
+                   CAST(plen AS BIGINT) AS content_length,
+                   CAST(plen AS BIGINT) AS payload_octets,
+                   TRUE AS ok
+            FROM r
         """,
         "q166_pii_scrub_v2": """
             WITH b AS (

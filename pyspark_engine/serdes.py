@@ -817,3 +817,60 @@ def decode_warc(rec: Column) -> Column:
         payload.alias("payload"),
         (F.octet_length(payload) == length).alias("ok"),
     )
+
+
+def gzip_members(col: Column) -> Column:
+    """string → one complete gzip MEMBER per record, stdlib only.  This is
+    the ``.warc.gz`` convention (the format Common Crawl actually ships):
+    every WARC record is compressed as its OWN gzip member and the members
+    are simply concatenated, so a reader can split a crawl file at member
+    boundaries without decompressing the whole thing.  ``mtime=0`` keeps
+    the member bytes deterministic (the gzip header embeds a timestamp).
+    Arrow-batched pandas UDF; per-record DEFLATE has no Catalyst
+    expression, same honest floor as the PNG IDAT."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def gz(s: pd.Series) -> pd.Series:
+        import gzip
+
+        return pd.Series(
+            [
+                gzip.compress(v.encode() if isinstance(v, str) else bytes(v), mtime=0)
+                for v in s
+            ],
+            dtype=object,
+        )
+
+    return gz(col)
+
+
+def split_gzip_members(col: Column) -> Column:
+    """Multi-member gzip blob → array<string> of decompressed members — the
+    reader half of the ``.warc.gz`` convention: walk the blob with
+    ``zlib.decompressobj(wbits=31)``, one member per iteration via
+    ``unused_data``.  Each member's CRC32 and ISIZE trailer are verified by
+    zlib itself (an independent implementation of the wire format), and a
+    truncated trailing member raises rather than yielding a silent partial
+    record."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def split(s: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for blob in s:
+            rest = bytes(blob)
+            members = []
+            while rest:
+                d = zlib.decompressobj(wbits=31)
+                data = d.decompress(rest)
+                if not d.eof:
+                    raise ValueError("truncated gzip member in .warc.gz blob")
+                members.append(data.decode())
+                rest = d.unused_data
+            out.append(members)
+        return pd.Series(out, dtype=object)
+
+    return split(col)

@@ -421,3 +421,35 @@ def test_warc_roundtrip_and_truncation(spark):
     cut = df.select(F.substring(rec, 1, 40).alias("rec"))
     bad = cut.select(serdes.decode_warc(F.col("rec")).alias("p")).select("p.*").collect()[0]
     assert not bad.ok
+
+
+def test_warc_gz_members_split_and_truncation(spark):
+    """The .warc.gz member layer: per-record gzip members concatenate into
+    one blob and split back intact (multi-byte payloads, member order
+    preserved); gzip bytes are deterministic (mtime=0); a truncated
+    trailing member RAISES (zlib CRC/stream verification) instead of
+    yielding a silent partial record."""
+    import gzip
+
+    import pytest as _pytest
+    from pyspark.sql.utils import PythonException
+
+    rows = [(i, f"record-{i} héllo") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    members = df.select(
+        "doc_id", serdes.gzip_members(F.col("text")).alias("m")
+    ).orderBy("doc_id")
+    got = members.collect()
+    # independent stdlib decode of each member + determinism pin
+    for r in got:
+        assert gzip.decompress(bytes(r.m)).decode() == f"record-{r.doc_id} héllo"
+        assert bytes(r.m) == gzip.compress(f"record-{r.doc_id} héllo".encode(), mtime=0)
+
+    blob = b"".join(bytes(r.m) for r in got)
+    bdf = spark.createDataFrame([(bytearray(blob),)], "blob binary")
+    back = bdf.select(serdes.split_gzip_members(F.col("blob")).alias("ms")).collect()[0].ms
+    assert back == [f"record-{i} héllo" for i in range(3)]
+
+    cut = spark.createDataFrame([(bytearray(blob[:-5]),)], "blob binary")
+    with _pytest.raises(PythonException, match="truncated gzip member"):
+        cut.select(serdes.split_gzip_members(F.col("blob")).alias("ms")).collect()
