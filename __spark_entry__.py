@@ -2754,6 +2754,40 @@ def q167_warc_gz_roundtrip(spark, sf_dir):
     )
 
 
+def q168_jpeg_roundtrip(spark, sf_dir):
+    """REAL baseline JPEG with numpy + the stdlib (pyspark_engine.jpeg):
+    forward DCT + Annex-K quantization + Huffman entropy coding + byte
+    stuffing on the encode side; marker walk, Huffman decode, dequantize,
+    IDCT, YCbCr→RGB on the decode side — one Arrow stage end to end
+    (llmops.jpeg_fidelity).  JPEG is LOSSY, so this is the contract-oracle
+    pattern (q105/q149 style): dimensions, component count, and block
+    count are recomputed exactly by the oracle; the reconstruction error
+    of the smooth synthesis ramp is bounded (max ≤ 8 per pixel, mean ≤ 2 —
+    measured worst case 5 / 1.4 over the parameter space) and the bound
+    booleans are TRUE literals in SQL.  The codec pair itself is pinned by
+    independent spec-text tests (tests/test_llmops.py jpeg section), not
+    only by this roundtrip."""
+    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(16) + F.col("doc_id") % 9).alias("w"),
+        (F.lit(12) + F.col("doc_id") % 7).alias("h"),
+        (F.col("doc_id") % 3).alias("ay"),
+        ((F.col("doc_id") / 3).cast("long") % 3).alias("ax"),
+        # b + 60 (channel offset) + 2·(h−1) + 2·(w−1) ≤ 255 for every combo:
+        # the ramp must NEVER wrap uint8 — a wrap is a cliff, and cliffs ring
+        (F.lit(40) + F.col("doc_id") % 76).alias("b"),
+    )
+    fid = llmops.jpeg_fidelity(params, "doc_id", "w", "h", "ay", "ax", "b")
+    return fid.select(
+        "doc_id", "width", "height", "n_components", "n_blocks",
+        (F.col("max_err") <= 8).alias("max_err_le_8"),
+        (F.col("sum_abs_err") <= 2 * 3 * F.col("width") * F.col("height")).alias(
+            "mean_err_le_2"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2923,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_png_resize": q165_png_resize,
         "q166_pii_scrub_v2": q166_pii_scrub_v2,
         "q167_warc_gz_roundtrip": q167_warc_gz_roundtrip,
+        "q168_jpeg_roundtrip": q168_jpeg_roundtrip,
     }
 
 
@@ -3607,6 +3642,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(agg.nc, 0) AS BIGINT) AS n_candidates,
                    CAST(coalesce(agg.nv, 0) AS BIGINT) AS n_valid
             FROM c LEFT JOIN agg ON c.doc_id = agg.doc_id
+        """,
+        "q168_jpeg_roundtrip": """
+            SELECT doc_id,
+                   CAST(16 + doc_id % 9 AS BIGINT) AS width,
+                   CAST(12 + doc_id % 7 AS BIGINT) AS height,
+                   CAST(3 AS BIGINT) AS n_components,
+                   CAST(((16 + doc_id % 9 + 7) // 8) * ((12 + doc_id % 7 + 7) // 8)
+                        AS BIGINT) AS n_blocks,
+                   TRUE AS max_err_le_8,
+                   TRUE AS mean_err_le_2
+            FROM documents
         """,
         "q167_warc_gz_roundtrip": """
             WITH r AS (

@@ -133,6 +133,7 @@ HEADLINE = [
     "q158_ppm_decode",
     "q164_png_decode",
     "q166_pii_scrub_v2",
+    "q168_jpeg_roundtrip",
 ]
 
 

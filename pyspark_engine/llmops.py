@@ -1105,18 +1105,20 @@ def multimodal_meta(df: DataFrame, id_col: str, payload_col: str, media_type: st
 def decode_image_batches(it: Iterator, shape=(64, 64)) -> Iterator:
     """mapInPandas worker for image decode / resize / feature-extract.
 
-    STUB for JPEG-class codecs ONLY: DCT/entropy decoders need an image
-    library not present in this container.  Uncompressed Netpbm P6 decodes
-    for real via decode_ppm_features, and zlib-compressed PNG decodes for
-    real via decode_png_features (stdlib-zlib inflate + scanline
-    unfiltering) — swap this body for PIL/torchvision to cover JPEG/WebP
-    in a real deployment.  The Arrow batch plumbing (signature, schema,
-    batch iteration) is identical to those live paths."""
+    STUB for the residual library formats ONLY: progressive/subsampled
+    JPEG, WebP/AVIF, and video codecs.  Everything else decodes for REAL
+    with no external library: Netpbm P6 (decode_ppm_features), PNG
+    (decode_png_features — stdlib-zlib inflate + scanline unfiltering),
+    and baseline 4:4:4 JPEG (decode_jpeg_features — Huffman entropy decode
+    + IDCT, pyspark_engine.jpeg).  Swap this body for PIL/torchvision to
+    cover the rest in a real deployment; the Arrow batch plumbing
+    (signature, schema, batch iteration) is identical to the live paths."""
     raise NotImplementedError(
-        "JPEG-class image decode requires an image library (PIL/cv2) not present in "
-        "this container; PPM (decode_ppm_features) and PNG (decode_png_features) "
-        "decode for real without it — wire this function into "
-        "df.mapInPandas(decode_image_batches, schema=...) for other formats"
+        "progressive/subsampled JPEG, WebP and video decode require an image "
+        "library (PIL/cv2) not present in this container; PPM "
+        "(decode_ppm_features), PNG (decode_png_features) and baseline JPEG "
+        "(decode_jpeg_features) decode for real without it — wire this function "
+        "into df.mapInPandas(decode_image_batches, schema=...) for the rest"
     )
 
 
@@ -1855,6 +1857,131 @@ def resize_png_blockmean(df: DataFrame, id_col: str, payload_col: str, block: in
         df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
     )
     return proj.mapInPandas(worker, "doc_id long, payload binary")
+
+
+# ------------------------------------------------------------------ JPEG
+
+JPEG_FEATURES_SCHEMA = (
+    "doc_id long, width long, height long, n_components long, n_blocks long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def _jpeg_ramp(w: int, h: int, ay: int, ax: int, b: int):
+    """The q168 synthesis image: smooth linear ramp per channel (offsets
+    +0/+30/+60), parameters chosen never to clip — smoothness keeps the
+    lossy reconstruction error small and BOUNDABLE (a wrapping ramp would
+    ring at the discontinuities, see jpeg.py header)."""
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(b + 30 * c + ay * y + ax * x) for c in range(3)], axis=-1
+    ).astype(np.uint8)
+
+
+def synth_jpeg(df: DataFrame, id_col: str, w_col: str, h_col: str, ay_col: str, ax_col: str, b_col: str) -> DataFrame:
+    """Deterministic REAL-JPEG synthesis (jpeg.jpeg_encode: forward DCT,
+    Annex-K quantization + Huffman coding, byte stuffing, full marker
+    syntax).  Returns (doc_id, payload binary).  One Arrow pass, no
+    shuffle."""
+    from . import jpeg as _jpeg
+
+    def worker(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, w, h, ay, ax, b in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["ay"], pdf["ax"], pdf["b"]
+            ):
+                img = _jpeg_ramp(int(w), int(h), int(ay), int(ax), int(b))
+                rows.append((doc_id, _jpeg.jpeg_encode(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    proj = _spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(w_col).alias("w"),
+            F.col(h_col).alias("h"),
+            F.col(ay_col).alias("ay"),
+            F.col(ax_col).alias("ax"),
+            F.col(b_col).alias("b"),
+        )
+    )
+    return proj.mapInPandas(worker, "doc_id long, payload binary")
+
+
+def decode_jpeg_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL JPEG decode over a binary column, numpy + stdlib only
+    (jpeg.jpeg_decode: marker walk, Huffman entropy decode, dequantize,
+    IDCT, YCbCr→RGB): dimensions, component/block counts, and per-channel
+    sums of the DECODED pixels.  JPEG is lossy, so the sums are not
+    parameter-recomputable (contrast q158/q164) — q168 bounds them against
+    the synthesis ramp instead (contract-oracle).  Scale: Arrow-batched
+    mapInPandas, no shuffle."""
+    from . import jpeg as _jpeg
+
+    def worker(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ["doc_id", "width", "height", "n_components", "n_blocks",
+                "sum_r", "sum_g", "sum_b"]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, nc, img = _jpeg.jpeg_decode(bytes(payload))
+                s = img.astype("int64").sum(axis=(0, 1))
+                n_blocks = -(-w // 8) * -(-h // 8)
+                rows.append((doc_id, w, h, nc, n_blocks, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(rows, columns=cols)
+
+    proj = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+    return proj.mapInPandas(worker, JPEG_FEATURES_SCHEMA)
+
+
+def jpeg_fidelity(df: DataFrame, id_col: str, w_col: str, h_col: str, ay_col: str, ax_col: str, b_col: str) -> DataFrame:
+    """Synth → encode → decode → per-pixel compare in ONE Arrow stage (the
+    payload never needs to shuffle, so it never does): exact integer
+    max-abs-error and sum-abs-error of the lossy roundtrip against the
+    parametric original.  q168 turns these into bound booleans."""
+    from . import jpeg as _jpeg
+
+    def worker(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = ["doc_id", "width", "height", "n_components", "n_blocks",
+                "max_err", "sum_abs_err"]
+        for pdf in batches:
+            rows = []
+            for doc_id, w, h, ay, ax, b in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["ay"], pdf["ax"], pdf["b"]
+            ):
+                img = _jpeg_ramp(int(w), int(h), int(ay), int(ax), int(b))
+                w2, h2, nc, back = _jpeg.jpeg_decode(_jpeg.jpeg_encode(img))
+                e = np.abs(back.astype(np.int64) - img.astype(np.int64))
+                n_blocks = -(-w2 // 8) * -(-h2 // 8)
+                rows.append((doc_id, w2, h2, nc, n_blocks, int(e.max()), int(e.sum())))
+            yield pd.DataFrame(rows, columns=cols)
+
+    proj = _spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(w_col).alias("w"),
+            F.col(h_col).alias("h"),
+            F.col(ay_col).alias("ay"),
+            F.col(ax_col).alias("ax"),
+            F.col(b_col).alias("b"),
+        )
+    )
+    return proj.mapInPandas(
+        worker,
+        "doc_id long, width long, height long, n_components long, n_blocks long, "
+        "max_err long, sum_abs_err long",
+    )
 
 
 # ---------------------------------------------------------------- PII scrub

@@ -1735,6 +1735,115 @@ def test_pii_scrub_v2_composition(spark):
     assert (out[4].n_card_candidates, out[4].n_email, out[4].n_phone) == (0, 1, 1)
 
 
+def test_jpeg_dct_and_tables_against_spec_text():
+    """The JPEG transform and entropy tables against INDEPENDENT spec-text
+    reimplementations (same rationale as the PNG scanline test — a matched
+    encoder/decoder bug survives any roundtrip):
+
+    * forward DCT of a block == the T.81 A.3.3 double-sum formula computed
+      with plain loops;
+    * the canonical Huffman code assignment (Annex C) for the Annex K DC
+      luminance table == codes derived here by the textbook
+      ascending-length rule;
+    * EXTEND (F.2.2.1) inverts the magnitude encoding for every category.
+    """
+    import math
+
+    import numpy as np
+
+    from pyspark_engine import jpeg as J
+
+    rng = np.random.default_rng(3)
+    blk = rng.integers(-128, 128, size=(8, 8)).astype(float)
+    m = J._dct_matrix()
+    got = m @ blk @ m.T
+
+    def c(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    for u in range(8):
+        for v in range(8):
+            s = sum(
+                blk[y][x]
+                * math.cos((2 * x + 1) * v * math.pi / 16)
+                * math.cos((2 * y + 1) * u * math.pi / 16)
+                for x in range(8)
+                for y in range(8)
+            )
+            want = 0.25 * c(u) * c(v) * s
+            assert abs(got[u, v] - want) < 1e-9
+
+    # canonical code construction, independently
+    bits, vals = J.DC_L
+    codes = J._huff_codes(bits, vals)
+    lengths = [ln for ln in range(1, 17) for _ in range(bits[ln - 1])]
+    code, want = 0, {}
+    prev_len = lengths[0]
+    for v, ln in zip(vals, lengths):
+        code <<= ln - prev_len
+        want[v] = (code, ln)
+        code += 1
+        prev_len = ln
+    assert codes == want
+
+    # EXTEND inverts magnitude coding for every signed value in range
+    for v in range(-255, 256):
+        cat, bits_ = J._magnitude(v)
+        assert J._extend(bits_, cat) == v
+
+
+def test_jpeg_roundtrip_and_guards(spark):
+    """Codec pair end-to-end: smooth images reconstruct within tight
+    bounds, byte stuffing survives (blocks engineered to emit 0xFF bytes),
+    and the decoder refuses what it cannot honestly decode (bad SOI,
+    progressive SOF2, subsampled streams, truncated entropy data)."""
+    import numpy as np
+
+    from pyspark_engine import jpeg as J
+
+    img = llmops._jpeg_ramp(24, 18, 2, 2, 40)
+    raw = J.jpeg_encode(img)
+    w, h, nc, back = J.jpeg_decode(raw)
+    assert (w, h, nc) == (24, 18, 3)
+    e = np.abs(back.astype(int) - img.astype(int))
+    assert e.max() <= 8 and e.mean() <= 2.0
+    # byte stuffing actually exercised: a seeded NOISE image emits stuffed
+    # 0xFF 0x00 pairs in its entropy stream (smooth ramps rarely do), and
+    # the decoder must swallow them transparently — only the decode result,
+    # not the stream bytes, proves the stuffing logic on both sides
+    noisy = np.random.default_rng(0).integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    nraw = J.jpeg_encode(noisy)
+    assert b"\xff\x00" in nraw[nraw.find(b"\xff\xda"):]
+    nw, nh, _, nback = J.jpeg_decode(nraw)
+    assert (nw, nh) == (16, 16)
+    assert nback.shape == noisy.shape  # lossy content, exact geometry
+
+    with pytest.raises(ValueError, match="SOI"):
+        J.jpeg_decode(b"\x00\x00" + raw[2:])
+    sof2 = raw.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="progressive"):
+        J.jpeg_decode(sof2)
+    # 2x1 subsampling in the SOF component spec
+    i = raw.find(b"\xff\xc0")
+    sub = bytearray(raw)
+    sub[i + 11] = 0x21  # component 1 sampling factors
+    with pytest.raises(ValueError, match="subsampled"):
+        J.jpeg_decode(bytes(sub))
+    with pytest.raises(ValueError):
+        J.jpeg_decode(raw[: len(raw) // 2])
+
+    # Spark wrappers: synth -> decode features match the one-stage fidelity
+    params = spark.createDataFrame(
+        [(1, 17, 13, 1, 2, 50)], "doc_id long, w long, h long, ay long, ax long, b long"
+    )
+    payloads = llmops.synth_jpeg(params, "doc_id", "w", "h", "ay", "ax", "b")
+    feats = llmops.decode_jpeg_features(payloads, "doc_id", "payload").collect()[0]
+    assert (feats.width, feats.height, feats.n_components, feats.n_blocks) == (17, 13, 3, 6)
+    fid = llmops.jpeg_fidelity(params, "doc_id", "w", "h", "ay", "ax", "b").collect()[0]
+    assert (fid.width, fid.height, fid.n_blocks) == (17, 13, 6)
+    assert fid.max_err <= 8 and fid.sum_abs_err <= 2 * 3 * 17 * 13
+
+
 def test_parse_ppm_rejects_wide_maxval():
     """Spec-valid P6 with maxval > 255 uses TWO bytes per sample — refuse
     instead of silently misreading the pixel block."""
