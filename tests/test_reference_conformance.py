@@ -1446,6 +1446,133 @@ def test_foreach_action_collects_all(spark):
     assert seen == [("key1", "123456")]
 
 
+# ------------------------------- stream-table timestamp synchronization --
+#
+# StreamTableJoinTimestampSynchronizationIntegrationTests.cs (Public/):
+# "when doing a KStreams/KTable join the framework will look up for the
+# value of a given key in the KTable at a timestamp <= to the timestamp of
+# the event on the stream side" (:55-62).  That per-record versioned lookup
+# is exactly VersionedKTable + join_table_asof here (KIP-914 analog); the
+# reference's ingestion-time cases map to explicit arrival-order
+# timestamps, its MyTimestampExtractor cases to the event-time prefix of
+# the value.  Tombstones (null values) are versions whose lookup yields no
+# value — realized as the documented filter(rv IS NOT NULL) translation.
+
+
+def _ts_sync_topo(b):
+    regions = b.versioned_table("user-regions", key="key", ts="ts")
+    clicks = b.stream("user-clicks", key="key", ts="ts")
+    joined = clicks.join_table_asof(regions, how="inner").filter(F.col("rv").isNotNull())
+    return {
+        "out": joined.map_values(
+            value=F.concat(F.col("cv"), F.lit(" --- "), F.col("rv"))
+        )
+    }
+
+
+def _ts_sync_topics(d):
+    clicks = d.create_input_topic("user-clicks", schema="key string, cv string, ts timestamp",
+                                  value_col="cv")
+    regions = d.create_input_topic("user-regions", schema="key string, rv string, ts timestamp",
+                                   value_col="rv")
+    return clicks, regions
+
+
+def test_ts_sync_match_in_right_order(spark):
+    """:149-171 ShouldMatchIfEventArriveInRightOrder: region v1@100, click
+    @200, region v2@300 → ONE result joining v1 (the version at ts ≤ 200),
+    NOT the later europe/asia version."""
+    with TopologyTestDriver(spark, _ts_sync_topo) as d:
+        clicks, regions = _ts_sync_topics(d)
+        out = d.create_output_topic("out")
+        regions.pipe_input("alice", "100|france", timestamp_ms=100)
+        clicks.pipe_input("alice", "200|user 1 click", timestamp_ms=200)
+        regions.pipe_input("alice", "300|asia", timestamp_ms=300)
+        assert _kvs(out) == [("alice", "200|user 1 click --- 100|france")]
+
+
+def test_ts_sync_no_match_in_wrong_order(spark):
+    """:174-192 ShouldNotMatchIfEventDoesNotArriveInRightOrder: with
+    ingestion time the click precedes the table version → the lookup at
+    click-time finds nothing → no output."""
+    with TopologyTestDriver(spark, _ts_sync_topo) as d:
+        clicks, regions = _ts_sync_topics(d)
+        out = d.create_output_topic("out")
+        clicks.pipe_input("alice", "200|user 1 click", timestamp_ms=200)
+        regions.pipe_input("alice", "100|france", timestamp_ms=300)  # ingested later
+        assert _kvs(out) == []
+
+
+def test_ts_sync_extractor_beats_arrival_order(spark):
+    """:196-214 ShouldMatchIfEventArriveDoesNotInRightOrderWithTimestampExtractor:
+    the click is PIPED first, but EVENT time (the payload prefix) puts the
+    region version at 100 ≤ 200 → it matches anyway — arrival order is
+    irrelevant under event time."""
+    with TopologyTestDriver(spark, _ts_sync_topo) as d:
+        clicks, regions = _ts_sync_topics(d)
+        out = d.create_output_topic("out")
+        clicks.pipe_input("alice", "200|user 1 click", timestamp_ms=200)
+        regions.pipe_input("alice", "100|asia", timestamp_ms=100)
+        assert _kvs(out) == [("alice", "200|user 1 click --- 100|asia")]
+
+
+def test_ts_sync_multi_event(spark):
+    """:217-244 MultiEvent: alice and bob have region versions at-or-before
+    their clicks; joe's region version (300) is AFTER his click (202) → two
+    results, in stream-time order."""
+    with TopologyTestDriver(spark, _ts_sync_topo) as d:
+        clicks, regions = _ts_sync_topics(d)
+        out = d.create_output_topic("out")
+        clicks.pipe_input("alice", "200|user 1 click", timestamp_ms=200)
+        clicks.pipe_input("bob", "201|click1", timestamp_ms=201)
+        clicks.pipe_input("joe", "202|user 1 click", timestamp_ms=202)
+        regions.pipe_input("alice", "100|asia", timestamp_ms=100)
+        regions.pipe_input("bob", "101|france", timestamp_ms=101)
+        regions.pipe_input("joe", "300|usa", timestamp_ms=300)
+        assert _kvs(out) == [
+            ("alice", "200|user 1 click --- 100|asia"),
+            ("bob", "201|click1 --- 101|france"),
+        ]
+
+
+def test_ts_sync_same_timestamp_matches(spark):
+    """:247-270 SameTimestampWhenKTableEventIsReceivedAfterKStreamEvent:
+    the as-of bound is INCLUSIVE — a version at exactly the click's
+    timestamp matches."""
+    with TopologyTestDriver(spark, _ts_sync_topo) as d:
+        clicks, regions = _ts_sync_topics(d)
+        out = d.create_output_topic("out")
+        regions.pipe_input("alice", "100|asia", timestamp_ms=100)
+        clicks.pipe_input("alice", "100|user 1 click", timestamp_ms=100)
+        assert _kvs(out) == [("alice", "100|user 1 click --- 100|asia")]
+
+
+def test_ts_sync_tombstone_blocks_match(spark):
+    """:272-293 ShouldNotMatchIfEventIsATombstone: the region is deleted
+    (null value) before the click — the as-of lookup lands on the
+    tombstone version, which carries no value → no output."""
+    with TopologyTestDriver(spark, _ts_sync_topo) as d:
+        clicks, regions = _ts_sync_topics(d)
+        out = d.create_output_topic("out")
+        regions.pipe_input("alice", "100|asia", timestamp_ms=100)
+        regions.pipe_input("alice", None, timestamp_ms=150)
+        clicks.pipe_input("alice", "200|click", timestamp_ms=200)
+        assert _kvs(out) == []
+
+
+def test_ts_sync_tombstone_after_click_still_matches(spark):
+    """:296-320 ShouldMatchIfTombstoneIsAfterKStreamEvent: a deletion AFTER
+    the click's timestamp does not affect the click's lookup — it still
+    sees the @100 version."""
+    with TopologyTestDriver(spark, _ts_sync_topo) as d:
+        clicks, regions = _ts_sync_topics(d)
+        out = d.create_output_topic("out")
+        regions.pipe_input("alice", "100|asia", timestamp_ms=100)
+        clicks.pipe_input("alice", "200|click", timestamp_ms=200)
+        regions.pipe_input("alice", None, timestamp_ms=300)
+        assert _kvs(out) == [("alice", "200|click --- 100|asia")]
+
+
 # ------------------------------------------------------------- group-by --
 
 
