@@ -1573,6 +1573,119 @@ def test_ts_sync_tombstone_after_click_still_matches(spark):
         assert _kvs(out) == [("alice", "200|click --- 100|asia")]
 
 
+# ------------------------------------------------------- custom windows --
+#
+# CustomWindowTests.cs (Public/; the @jeanlouisboudart DailyTimeWindows
+# example): daily windows anchored at 18:00, all records re-keyed to the
+# constant 1, int values summed.  The reference reads update sequences;
+# final-state projections are asserted here (cadence note in the module
+# docstring).  Timestamps are the test's literal UTC datetimes as epoch ms.
+
+
+def _daily_18h_topo(grace_ms=0, with_seq=False):
+    from pyspark_engine import CustomWindowOptions
+
+    def assign(ts):
+        anchor = F.date_trunc("day", ts) + F.expr("INTERVAL 18 HOURS")
+        start = F.when(ts >= anchor, anchor).otherwise(anchor - F.expr("INTERVAL 1 DAY"))
+        return start, start + F.expr("INTERVAL 1 DAY")
+
+    win = CustomWindowOptions(assign=assign, grace_ms=grace_ms)
+
+    def topo(b):
+        grouped = (
+            b.stream("inputTopic", key="k", ts="ts")
+            .select_key(F.lit(1), "one")
+            .group_by_key()
+        )
+        # the reference driver runs ONE task, so stream time is global —
+        # arrival_partition=lit(0) is that single task (fine at unit-test
+        # size; production replays shard stream-time per input partition)
+        wt = grouped.windowed_by(
+            win,
+            arrival_order=(F.col("seq"),) if with_seq else None,
+            arrival_partition=F.lit(0) if with_seq else None,
+        )
+        return {"out": wt.aggregate(total=F.sum("value"))}
+
+    return topo
+
+
+def _win_sums(out):
+    return {
+        str(r["w_start"]): r["total"] for r in out.read_key_value_list()
+    }
+
+
+def _ms(y, mo, d, h, mi):
+    import datetime as dt
+
+    return int(dt.datetime(y, mo, d, h, mi, tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+
+def test_custom_window_sums_same_day(spark):
+    """CustomWindowTests.cs:41-58 ShouldSumNumbersOnSameDay: 1+2+7 at
+    16:29/16:30/16:31 all land in [Dec31 18:00, Jan1 18:00) → final 10
+    (the reference's update sequence 1, 3, 10)."""
+    topo = _daily_18h_topo()
+    with TopologyTestDriver(spark, topo) as d:
+        inp = d.create_input_topic("inputTopic", schema="k int, value int, ts timestamp")
+        out = d.create_output_topic("out")
+        inp.pipe_input(0, 1, timestamp_ms=_ms(2019, 1, 1, 16, 29))
+        inp.pipe_input(0, 2, timestamp_ms=_ms(2019, 1, 1, 16, 30))
+        inp.pipe_input(0, 7, timestamp_ms=_ms(2019, 1, 1, 16, 31))
+        assert _win_sums(out) == {"2018-12-31 18:00:00": 10}
+
+
+def test_custom_window_sums_two_windows(spark):
+    """CustomWindowTests.cs:60-80 ShouldSumNumbersWithTwoWindows: the 19:31
+    record crosses the 18:00 boundary into the next daily window → final
+    {Dec31-window: 3, Jan1-window: 7}."""
+    topo = _daily_18h_topo()
+    with TopologyTestDriver(spark, topo) as d:
+        inp = d.create_input_topic("inputTopic", schema="k int, value int, ts timestamp")
+        out = d.create_output_topic("out")
+        inp.pipe_input(0, 1, timestamp_ms=_ms(2019, 1, 1, 16, 29))
+        inp.pipe_input(0, 2, timestamp_ms=_ms(2019, 1, 1, 16, 30))
+        inp.pipe_input(0, 7, timestamp_ms=_ms(2019, 1, 1, 19, 31))
+        assert _win_sums(out) == {
+            "2018-12-31 18:00:00": 3,
+            "2019-01-01 18:00:00": 7,
+        }
+
+
+def test_custom_window_grace_drops_late_arrival(spark):
+    """CustomWindowTests.cs:82-110 ShouldSumNumbersWithTwoWindowsAndLateArrival:
+    the topology's grace is 30 MINUTES (GetTopo:184 —
+    ``TimeSpan.FromMinutes(30)``; the inline "90min" comment at :91 is
+    stale).  Rule (KStreamWindowAggregateProcessor.cs:51-58: admit iff
+    windowEnd > observedStreamTime − grace): the out-of-order 16:31 record
+    is admitted (stream time 18:01, closeTime 17:31 < windowEnd 18:00),
+    then the 18:31 record advances closeTime to 18:01 > windowEnd — so the
+    16:35/value-42 record is DROPPED and window A finals at 10 while
+    window B sums 2+40=42."""
+    topo = _daily_18h_topo(grace_ms=30 * 60 * 1000, with_seq=True)
+    with TopologyTestDriver(spark, topo) as d:
+        inp = d.create_input_topic(
+            "inputTopic", schema="k int, value int, ts timestamp, seq int"
+        )
+        out = d.create_output_topic("out")
+        rows = [
+            (1, _ms(2019, 1, 1, 16, 29)),
+            (2, _ms(2019, 1, 1, 16, 30)),
+            (2, _ms(2019, 1, 1, 18, 1)),
+            (7, _ms(2019, 1, 1, 16, 31)),   # out-of-order but admissible
+            (40, _ms(2019, 1, 1, 18, 31)),
+            (42, _ms(2019, 1, 1, 16, 35)),  # late beyond close -> dropped
+        ]
+        for seq, (v, t) in enumerate(rows):
+            inp.pipe_input({"k": 0, "value": v, "ts": t, "seq": seq})
+        assert _win_sums(out) == {
+            "2018-12-31 18:00:00": 10,
+            "2019-01-01 18:00:00": 42,
+        }
+
+
 # ------------------------------------------------------------- group-by --
 
 
