@@ -3414,7 +3414,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, w_start_ms, w_start_ms + 900000 AS w_end_ms, count(*) AS cnt
             FROM arr
-            WHERE make_timestamp((w_start_ms + 900000) * 1000) >= stream_time - INTERVAL 10 MINUTE
+            WHERE make_timestamp((w_start_ms + 900000) * 1000) > stream_time - INTERVAL 10 MINUTE
             GROUP BY 1, 2, 3
         """,
         "q29_ss_join_inner": """
@@ -4595,7 +4595,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, w_start_ms, w_start_ms + 1800000 AS w_end_ms, count(*) AS cnt
             FROM hopped
-            WHERE make_timestamp((w_start_ms + 1800000) * 1000) >= stream_time - INTERVAL 10 MINUTE
+            WHERE make_timestamp((w_start_ms + 1800000) * 1000) > stream_time - INTERVAL 10 MINUTE
             GROUP BY 1, 2, 3
         """,
         "q69_sliding_agg": """

@@ -1326,8 +1326,13 @@ class TimeWindowedKStream:
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
             df = df.withColumn("__stream_time", F.max(ts).over(ow))
-            # keep while window_end >= stream_time - grace  (:77-82)
-            df = df.filter(F.col("__w_end") >= F.col("__stream_time") - _interval_ms(w.grace_ms))
+            # keep while window_end > stream_time - grace — the STRICT
+            # inequality of KStreamWindowAggregateProcessor.cs:51-58
+            # (`windowEnd > closeTime`), which is also Apache Kafka's rule
+            # and Spark's own watermark admission (windowEnd > watermark);
+            # a >= here would admit one extra boundary millisecond
+            # (caught by the round-7 grace differential fuzz)
+            df = df.filter(F.col("__w_end") > F.col("__stream_time") - _interval_ms(w.grace_ms))
             df = df.drop("__stream_time")
         return df
 

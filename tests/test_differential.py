@@ -246,3 +246,69 @@ def test_hopping_membership_matches_reference_windows_for(spark, rows, size_s, a
         for s in windows_for(ts):
             want[(k, s)] = want.get((k, s), 0) + 1
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),      # key
+            st.integers(0, 100),    # ts seconds (windows of 10s -> boundary-rich)
+            st.integers(0, 1),      # arrival partition (the per-task axis)
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    grace_s=st.integers(0, 25),
+)
+@SETTINGS
+def test_windowed_grace_matches_reference_processor(spark, rows, grace_s):
+    """Differential: our BATCH grace emulation (arrival-ordered stream-time
+    replay) against a pure-Python reimplementation of the reference's
+    KStreamWindowAggregateProcessor.cs:51-58 — observedStreamTime is a
+    per-task running max, closeTime = streamTime − grace, and a record's
+    window is admitted iff windowEnd > closeTime STRICTLY.  Random
+    boundary-rich inputs (10s windows, second-granularity timestamps, two
+    arrival partitions) pin the inequality direction and the per-partition
+    stream-time scoping; grace_s=0 degenerates to drop-all-but-window-max
+    behavior on out-of-order input, the harshest case."""
+    from pyspark_engine import TumblingWindowOptions
+
+    size_ms = 10_000
+    grace_ms = grace_s * 1000
+    # arrival order = list position within each partition (the offset analog)
+    data = [
+        (k, _ts(s), part, seq) for seq, (k, s, part) in enumerate(rows)
+    ]
+    ks = KStream(
+        spark.createDataFrame(data, "k long, ts timestamp, part long, seq long"),
+        key=("k",),
+        ts="ts",
+    )
+    got = {
+        (r.k, r.w_start, r.cnt)
+        for r in ks.group_by_key()
+        .windowed_by(
+            TumblingWindowOptions.of(size_ms, grace_ms=grace_ms),
+            arrival_order=(F.col("seq"),),
+            arrival_partition=F.col("part"),
+        )
+        .count()
+        .df.collect()
+    }
+
+    # reference-processor simulation: per-partition replay in offset order
+    stream_time: dict[int, int] = {}
+    counts: dict[tuple, int] = {}
+    for k, ts, part, _seq in data:
+        t_ms = int(ts.timestamp() * 1000)
+        stream_time[part] = max(stream_time.get(part, -10**18), t_ms)
+        close = stream_time[part] - grace_ms
+        w_start = (t_ms // size_ms) * size_ms
+        w_end = w_start + size_ms
+        if w_end > close:  # KStreamWindowAggregateProcessor.cs:58 STRICT
+            counts[(k, w_start)] = counts.get((k, w_start), 0) + 1
+    want = {
+        (k, dt.datetime.fromtimestamp(ws / 1000), c)
+        for (k, ws), c in counts.items()
+    }
+    assert got == want
