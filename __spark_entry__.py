@@ -2788,6 +2788,34 @@ def q168_jpeg_roundtrip(spark, sf_dir):
     )
 
 
+def q169_jpeg420_roundtrip(spark, sf_dir):
+    """The 4:2:0 chroma-subsampled JPEG layout — what cameras and the web
+    actually emit: each MCU covers 16x16 pixels as four Y blocks plus
+    2x2-mean-downsampled Cb/Cr, interleaved per T.81 A.2.3
+    (jpeg.jpeg_encode(subsample=True) / the 4:2:0 decode path with
+    nearest-neighbor chroma upsampling).  Same contract oracle as q168:
+    exact dimensions/components/blocks, measured reconstruction bounds
+    (combo-space worst case 5 / 1.52 — linear chroma subsamples losslessly
+    up to quantization) as TRUE literals."""
+    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(16) + F.col("doc_id") % 9).alias("w"),
+        (F.lit(12) + F.col("doc_id") % 7).alias("h"),
+        (F.col("doc_id") % 3).alias("ay"),
+        ((F.col("doc_id") / 3).cast("long") % 3).alias("ax"),
+        (F.lit(40) + F.col("doc_id") % 76).alias("b"),
+    )
+    fid = llmops.jpeg_fidelity(params, "doc_id", "w", "h", "ay", "ax", "b", subsample=True)
+    return fid.select(
+        "doc_id", "width", "height", "n_components", "n_blocks",
+        (F.col("max_err") <= 8).alias("max_err_le_8"),
+        (F.col("sum_abs_err") <= 2 * 3 * F.col("width") * F.col("height")).alias(
+            "mean_err_le_2"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2958,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_pii_scrub_v2": q166_pii_scrub_v2,
         "q167_warc_gz_roundtrip": q167_warc_gz_roundtrip,
         "q168_jpeg_roundtrip": q168_jpeg_roundtrip,
+        "q169_jpeg420_roundtrip": q169_jpeg420_roundtrip,
     }
 
 
@@ -3642,6 +3671,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(agg.nc, 0) AS BIGINT) AS n_candidates,
                    CAST(coalesce(agg.nv, 0) AS BIGINT) AS n_valid
             FROM c LEFT JOIN agg ON c.doc_id = agg.doc_id
+        """,
+        "q169_jpeg420_roundtrip": """
+            SELECT doc_id,
+                   CAST(16 + doc_id % 9 AS BIGINT) AS width,
+                   CAST(12 + doc_id % 7 AS BIGINT) AS height,
+                   CAST(3 AS BIGINT) AS n_components,
+                   CAST(((16 + doc_id % 9 + 7) // 8) * ((12 + doc_id % 7 + 7) // 8)
+                        AS BIGINT) AS n_blocks,
+                   TRUE AS max_err_le_8,
+                   TRUE AS mean_err_le_2
+            FROM documents
         """,
         "q168_jpeg_roundtrip": """
             SELECT doc_id,

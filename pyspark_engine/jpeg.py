@@ -1,11 +1,11 @@
 """REAL baseline JPEG (ITU-T T.81) codec with numpy + the stdlib only —
 the last reachable image container: unlike PPM (raw) and PNG (zlib), JPEG
 needs an entropy coder and a transform, both implemented here from the
-spec.  Scope: baseline sequential DCT, 8-bit, 3-component YCbCr, 4:4:4
-(no chroma subsampling), the Annex K quantization/Huffman tables — the
-subset every decoder must support.  Progressive/arithmetic/subsampled
-streams raise a descriptive error (library territory:
-llmops.decode_image_batches).
+spec.  Scope: baseline sequential DCT, 8-bit, 3-component YCbCr, in BOTH
+4:4:4 and 4:2:0 chroma layouts (the 4:2:0 interleaved-MCU form is what
+cameras and the web actually emit), with the Annex K quantization/Huffman
+tables.  Progressive/arithmetic streams and other sampling ratios raise a
+descriptive error (library territory: llmops.decode_image_batches).
 
 JPEG is LOSSY (DCT-coefficient quantization + YCbCr rounding), so unlike
 q158/q164 an oracle cannot recompute decoded bytes from synthesis
@@ -195,21 +195,68 @@ def _magnitude(v: int) -> tuple[int, int]:
     return cat, bits
 
 
-def jpeg_encode(img) -> bytes:
-    """8-bit RGB ndarray[h, w, 3] → baseline JFIF bytes (4:4:4, Annex K
-    tables).  Dimensions need not be multiples of 8 — edge blocks replicate
-    the last row/column (the standard encoder convention)."""
+def _pad_edge(plane, ph: int, pw: int):
+    """Pad a 2-D plane to (ph, pw) by replicating the last row/column (the
+    standard encoder convention for partial edge blocks/MCUs)."""
+    import numpy as np
+
+    h, w = plane.shape
+    out = np.zeros((ph, pw))
+    out[:h, :w] = plane
+    if h < ph:
+        out[h:, :w] = plane[h - 1 : h, :]
+    if w < pw:
+        out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def _encode_block(bw_, blk, tq, comp, prev_dc, m, q, enc_dc, enc_ac) -> None:
+    """FDCT + quantize + zigzag + DC-differential/AC-run-length Huffman emit
+    for one 8×8 spatial block of component ``comp``."""
+    import numpy as np
+
+    coef = m @ blk @ m.T
+    quant = np.round(coef / q[tq]).astype(np.int64)
+    zz = quant.reshape(-1)[ZIGZAG]
+    diff = int(zz[0]) - prev_dc[comp]
+    prev_dc[comp] = int(zz[0])
+    cat, bits = _magnitude(diff)
+    code, ln = enc_dc[tq][cat]
+    bw_.put(code, ln)
+    if cat:
+        bw_.put(bits, cat)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            if run == 16:
+                code, ln = enc_ac[tq][0xF0]  # ZRL
+                bw_.put(code, ln)
+                run = 0
+            continue
+        cat, bits = _magnitude(v)
+        code, ln = enc_ac[tq][(run << 4) | cat]
+        bw_.put(code, ln)
+        bw_.put(bits, cat)
+        run = 0
+    if last_nz < 63:
+        code, ln = enc_ac[tq][0x00]  # EOB
+        bw_.put(code, ln)
+
+
+def jpeg_encode(img, subsample: bool = False) -> bytes:
+    """8-bit RGB ndarray[h, w, 3] → baseline JFIF bytes (Annex K tables).
+    ``subsample=False`` writes 4:4:4 (one block per component per MCU);
+    ``subsample=True`` writes 4:2:0 — the dominant real-world layout: each
+    MCU covers 16×16 pixels as four Y blocks plus one 2×2-mean-downsampled
+    Cb and Cr block, interleaved Y00 Y01 Y10 Y11 Cb Cr per T.81 A.2.3.
+    Dimensions need not be multiples of the MCU size — edges replicate."""
     import numpy as np
 
     h, w, _ = img.shape
     ycc = _rgb_to_ycbcr(img) - 128.0
-    bh, bw = -(-h // 8), -(-w // 8)
-    padded = np.zeros((bh * 8, bw * 8, 3))
-    padded[:h, :w] = ycc
-    if h < bh * 8:
-        padded[h:, :w] = ycc[h - 1 : h, :]
-    if w < bw * 8:
-        padded[:, w:] = padded[:, w - 1 : w]
     m = _dct_matrix()
     q = {0: np.array(QL, dtype=np.float64).reshape(8, 8),
          1: np.array(QC, dtype=np.float64).reshape(8, 8)}
@@ -218,42 +265,35 @@ def jpeg_encode(img) -> bytes:
 
     bw_ = _BitWriter()
     prev_dc = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw):
-            for comp in range(3):  # 4:4:4 — one block per component per MCU
-                tq = 0 if comp == 0 else 1
-                blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp]
-                coef = m @ blk @ m.T
-                quant = np.round(coef / q[tq]).astype(np.int64)
-                zz = quant.reshape(-1)[ZIGZAG]
-                # DC differential
-                diff = int(zz[0]) - prev_dc[comp]
-                prev_dc[comp] = int(zz[0])
-                cat, bits = _magnitude(diff)
-                code, ln = enc_dc[tq][cat]
-                bw_.put(code, ln)
-                if cat:
-                    bw_.put(bits, cat)
-                # AC run-length
-                run = 0
-                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-                for i in range(1, last_nz + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        if run == 16:
-                            code, ln = enc_ac[tq][0xF0]  # ZRL
-                            bw_.put(code, ln)
-                            run = 0
-                        continue
-                    cat, bits = _magnitude(v)
-                    code, ln = enc_ac[tq][(run << 4) | cat]
-                    bw_.put(code, ln)
-                    bw_.put(bits, cat)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = enc_ac[tq][0x00]  # EOB
-                    bw_.put(code, ln)
+    if not subsample:
+        bh, bw2 = -(-h // 8), -(-w // 8)
+        planes = [_pad_edge(ycc[..., c], bh * 8, bw2 * 8) for c in range(3)]
+        for by in range(bh):
+            for bx in range(bw2):
+                for comp in range(3):
+                    blk = planes[comp][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    _encode_block(bw_, blk, 0 if comp == 0 else 1, comp,
+                                  prev_dc, m, q, enc_dc, enc_ac)
+        samp = [0x11, 0x11, 0x11]
+    else:
+        mh, mw = -(-h // 16), -(-w // 16)
+        y_p = _pad_edge(ycc[..., 0], mh * 16, mw * 16)
+        # chroma: 2×2 mean over the padded plane, one sample per 2×2 tile
+        cbcr = []
+        for c in (1, 2):
+            p = _pad_edge(ycc[..., c], mh * 16, mw * 16)
+            cbcr.append(p.reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3)))
+        for my in range(mh):
+            for mx in range(mw):
+                for dy in range(2):
+                    for dx in range(2):
+                        blk = y_p[my * 16 + dy * 8 : my * 16 + dy * 8 + 8,
+                                  mx * 16 + dx * 8 : mx * 16 + dx * 8 + 8]
+                        _encode_block(bw_, blk, 0, 0, prev_dc, m, q, enc_dc, enc_ac)
+                for ci, plane in enumerate(cbcr):
+                    blk = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                    _encode_block(bw_, blk, 1, ci + 1, prev_dc, m, q, enc_dc, enc_ac)
+        samp = [0x22, 0x11, 0x11]
     bw_.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -267,7 +307,7 @@ def jpeg_encode(img) -> bytes:
         return seg(0xFFC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
 
     sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
-              + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+              + bytes([1, samp[0], 0, 2, samp[1], 1, 3, samp[2], 1]))
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     return (
         b"\xff\xd8"  # SOI
@@ -347,6 +387,7 @@ def jpeg_decode(raw: bytes):
     ac_tables: dict[int, dict] = {}
     dims = None
     comp_spec = None  # [(cid, tq)] in SOF order
+    sampling = None  # [samp_byte] in SOF order
     scan_spec = None  # [(cid, td, ta)]
     data = None
     while pos < len(raw):
@@ -380,14 +421,17 @@ def jpeg_decode(raw: bytes):
             if prec != 8 or nc != 3:
                 raise ValueError("only 8-bit 3-component baseline JPEG decodes here")
             comp_spec = []
+            samps = []
             for i in range(nc):
                 cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise ValueError(
-                        "chroma-subsampled JPEG unsupported (4:4:4 only; see "
-                        "llmops.decode_image_batches for library formats)"
-                    )
+                samps.append(samp)
                 comp_spec.append((cid, tq))
+            if samps not in ([0x11, 0x11, 0x11], [0x22, 0x11, 0x11]):
+                raise ValueError(
+                    "unsupported chroma subsampling (4:4:4 and 4:2:0 only; see "
+                    "llmops.decode_image_batches for library formats)"
+                )
+            sampling = samps
             dims = (w, h)
         elif marker in (0xC2,):
             raise ValueError("progressive JPEG (SOF2) unsupported (baseline only)")
@@ -423,35 +467,67 @@ def jpeg_decode(raw: bytes):
         data = data[:end]
     r = _BitReader(data)
     m = _dct_matrix()
-    bh, bw = -(-h // 8), -(-w // 8)
-    out = np.zeros((bh * 8, bw * 8, 3))
     prev_dc = [0, 0, 0]
     tq_of = {cid: tq for cid, tq in comp_spec}
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (cid, td, ta) in enumerate(scan_spec):
-                zz = np.zeros(64, dtype=np.int64)
-                cat = _read_huff(r, dc_tables[td])
-                diff = _extend(r.bits(cat), cat) if cat else 0
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    rs = _read_huff(r, ac_tables[ta])
-                    run, cat = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    zz[k] = _extend(r.bits(cat), cat)
-                    k += 1
-                blk = np.zeros(64)
-                blk[ZIGZAG] = zz
-                coef = blk.reshape(8, 8) * qt[tq_of[cid]]
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] = m.T @ coef @ m
-    img = _ycbcr_to_rgb(out[:h, :w] + 128.0)
+
+    def decode_block(ci: int, cid: int, td: int, ta: int):
+        zz = np.zeros(64, dtype=np.int64)
+        cat = _read_huff(r, dc_tables[td])
+        diff = _extend(r.bits(cat), cat) if cat else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            rs = _read_huff(r, ac_tables[ta])
+            run, cat = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC coefficient index overflow")
+            zz[k] = _extend(r.bits(cat), cat)
+            k += 1
+        blk = np.zeros(64)
+        blk[ZIGZAG] = zz
+        coef = blk.reshape(8, 8) * qt[tq_of[cid]]
+        return m.T @ coef @ m
+
+    if sampling == [0x11, 0x11, 0x11]:
+        bh, bw = -(-h // 8), -(-w // 8)
+        out = np.zeros((bh * 8, bw * 8, 3))
+        for by in range(bh):
+            for bx in range(bw):
+                for ci, (cid, td, ta) in enumerate(scan_spec):
+                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] = decode_block(
+                        ci, cid, td, ta
+                    )
+        ycc = out[:h, :w]
+    else:  # 4:2:0 — MCU = Y00 Y01 Y10 Y11 Cb Cr over 16×16 pixels (A.2.3)
+        mh, mw = -(-h // 16), -(-w // 16)
+        y_p = np.zeros((mh * 16, mw * 16))
+        cb = np.zeros((mh * 8, mw * 8))
+        cr = np.zeros((mh * 8, mw * 8))
+        (ycid, ytd, yta), (bcid, btd, bta), (rcid, rtd, rta) = scan_spec
+        for my in range(mh):
+            for mx in range(mw):
+                for dy in range(2):
+                    for dx in range(2):
+                        y_p[my * 16 + dy * 8 : my * 16 + dy * 8 + 8,
+                            mx * 16 + dx * 8 : mx * 16 + dx * 8 + 8] = decode_block(
+                            0, ycid, ytd, yta
+                        )
+                cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = decode_block(
+                    1, bcid, btd, bta
+                )
+                cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = decode_block(
+                    2, rcid, rtd, rta
+                )
+        # nearest-neighbor chroma upsample back to luma resolution
+        cb_up = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+        cr_up = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+        ycc = np.stack([y_p, cb_up, cr_up], axis=-1)[:h, :w]
+    img = _ycbcr_to_rgb(ycc + 128.0)
     return w, h, 3, img

@@ -1105,16 +1105,17 @@ def multimodal_meta(df: DataFrame, id_col: str, payload_col: str, media_type: st
 def decode_image_batches(it: Iterator, shape=(64, 64)) -> Iterator:
     """mapInPandas worker for image decode / resize / feature-extract.
 
-    STUB for the residual library formats ONLY: progressive/subsampled
-    JPEG, WebP/AVIF, and video codecs.  Everything else decodes for REAL
-    with no external library: Netpbm P6 (decode_ppm_features), PNG
-    (decode_png_features — stdlib-zlib inflate + scanline unfiltering),
-    and baseline 4:4:4 JPEG (decode_jpeg_features — Huffman entropy decode
-    + IDCT, pyspark_engine.jpeg).  Swap this body for PIL/torchvision to
+    STUB for the residual library formats ONLY: progressive JPEG, exotic
+    samplings (4:2:2/4:1:1), WebP/AVIF, and video codecs.  Everything else
+    decodes for REAL with no external library: Netpbm P6
+    (decode_ppm_features), PNG (decode_png_features — stdlib-zlib inflate
+    + scanline unfiltering), and baseline JPEG in both 4:4:4 and 4:2:0
+    layouts (decode_jpeg_features — Huffman entropy decode + IDCT,
+    pyspark_engine.jpeg).  Swap this body for PIL/torchvision to
     cover the rest in a real deployment; the Arrow batch plumbing
     (signature, schema, batch iteration) is identical to the live paths."""
     raise NotImplementedError(
-        "progressive/subsampled JPEG, WebP and video decode require an image "
+        "progressive JPEG, 4:2:2/4:1:1 samplings, WebP and video decode require an image "
         "library (PIL/cv2) not present in this container; PPM "
         "(decode_ppm_features), PNG (decode_png_features) and baseline JPEG "
         "(decode_jpeg_features) decode for real without it — wire this function "
@@ -1942,11 +1943,12 @@ def decode_jpeg_features(df: DataFrame, id_col: str, payload_col: str) -> DataFr
     return proj.mapInPandas(worker, JPEG_FEATURES_SCHEMA)
 
 
-def jpeg_fidelity(df: DataFrame, id_col: str, w_col: str, h_col: str, ay_col: str, ax_col: str, b_col: str) -> DataFrame:
+def jpeg_fidelity(df: DataFrame, id_col: str, w_col: str, h_col: str, ay_col: str, ax_col: str, b_col: str, subsample: bool = False) -> DataFrame:
     """Synth → encode → decode → per-pixel compare in ONE Arrow stage (the
     payload never needs to shuffle, so it never does): exact integer
     max-abs-error and sum-abs-error of the lossy roundtrip against the
-    parametric original.  q168 turns these into bound booleans."""
+    parametric original.  q168 (4:4:4) and q169 (4:2:0) turn these into
+    bound booleans."""
     from . import jpeg as _jpeg
 
     def worker(batches: Iterator) -> Iterator:
@@ -1961,7 +1963,9 @@ def jpeg_fidelity(df: DataFrame, id_col: str, w_col: str, h_col: str, ay_col: st
                 pdf["doc_id"], pdf["w"], pdf["h"], pdf["ay"], pdf["ax"], pdf["b"]
             ):
                 img = _jpeg_ramp(int(w), int(h), int(ay), int(ax), int(b))
-                w2, h2, nc, back = _jpeg.jpeg_decode(_jpeg.jpeg_encode(img))
+                w2, h2, nc, back = _jpeg.jpeg_decode(
+                    _jpeg.jpeg_encode(img, subsample=subsample)
+                )
                 e = np.abs(back.astype(np.int64) - img.astype(np.int64))
                 n_blocks = -(-w2 // 8) * -(-h2 // 8)
                 rows.append((doc_id, w2, h2, nc, n_blocks, int(e.max()), int(e.sum())))

@@ -1823,11 +1823,11 @@ def test_jpeg_roundtrip_and_guards(spark):
     sof2 = raw.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="progressive"):
         J.jpeg_decode(sof2)
-    # 2x1 subsampling in the SOF component spec
+    # 2x1 subsampling in the SOF component spec: neither 4:4:4 nor 4:2:0
     i = raw.find(b"\xff\xc0")
     sub = bytearray(raw)
     sub[i + 11] = 0x21  # component 1 sampling factors
-    with pytest.raises(ValueError, match="subsampled"):
+    with pytest.raises(ValueError, match="subsampling"):
         J.jpeg_decode(bytes(sub))
     with pytest.raises(ValueError):
         J.jpeg_decode(raw[: len(raw) // 2])
@@ -1840,6 +1840,45 @@ def test_jpeg_roundtrip_and_guards(spark):
     feats = llmops.decode_jpeg_features(payloads, "doc_id", "payload").collect()[0]
     assert (feats.width, feats.height, feats.n_components, feats.n_blocks) == (17, 13, 3, 6)
     fid = llmops.jpeg_fidelity(params, "doc_id", "w", "h", "ay", "ax", "b").collect()[0]
+    assert (fid.width, fid.height, fid.n_blocks) == (17, 13, 6)
+    assert fid.max_err <= 8 and fid.sum_abs_err <= 2 * 3 * 17 * 13
+
+
+def test_jpeg_420_subsampled_roundtrip(spark):
+    """The 4:2:0 interleaved-MCU layout end to end: SOF advertises
+    (0x22, 0x11, 0x11), the entropy stream interleaves Y00 Y01 Y10 Y11 Cb
+    Cr per 16x16 MCU, chroma is 2x2-mean downsampled and nearest-neighbor
+    upsampled — smooth ramps reconstruct within the same bounds as 4:4:4
+    (linear chroma loses nothing beyond quantization), and a 4:2:0 stream
+    is meaningfully SMALLER than the 4:4:4 encoding of the same image
+    (half the chroma blocks)."""
+    import struct
+
+    import numpy as np
+
+    from pyspark_engine import jpeg as J
+
+    img = llmops._jpeg_ramp(33, 20, 2, 1, 40)  # spans partial edge MCUs
+    raw420 = J.jpeg_encode(img, subsample=True)
+    i = raw420.find(b"\xff\xc0")
+    assert raw420[i + 11] == 0x22 and raw420[i + 14] == 0x11
+    # the chroma saving shows on chroma-RICH content (a smooth ramp's
+    # chroma blocks are near-empty either way, and 4:2:0's 16x16 MCU
+    # padding can even cost a few bytes there)
+    noisy = np.random.default_rng(5).integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    assert len(J.jpeg_encode(noisy, subsample=True)) < len(J.jpeg_encode(noisy))
+    w, h, nc, back = J.jpeg_decode(raw420)
+    assert (w, h, nc) == (33, 20, 3)
+    e = np.abs(back.astype(int) - img.astype(int))
+    assert e.max() <= 8 and e.mean() <= 2.0
+
+    # Spark one-stage fidelity with the subsample flag
+    params = spark.createDataFrame(
+        [(1, 17, 13, 1, 2, 50)], "doc_id long, w long, h long, ay long, ax long, b long"
+    )
+    fid = llmops.jpeg_fidelity(
+        params, "doc_id", "w", "h", "ay", "ax", "b", subsample=True
+    ).collect()[0]
     assert (fid.width, fid.height, fid.n_blocks) == (17, 13, 6)
     assert fid.max_err <= 8 and fid.sum_abs_err <= 2 * 3 * 17 * 13
 

@@ -1686,6 +1686,52 @@ def test_custom_window_grace_drops_late_arrival(spark):
         }
 
 
+def test_custom_window_daily_dst_aware(spark):
+    """CustomWindowTests.cs:130-160 ShouldSumNumbersWithTwoWindowsAndDSTTimezone
+    — the reference's own test DOCUMENTS its limitation ("Kafka streams
+    currently support only fixed period": a Europe/Paris daily window
+    crossing spring-forward ends at 19:00 local in its expected output).
+    CustomWindowOptions takes arbitrary Column expressions, so a LOCAL-time
+    18:00 anchor is expressible here and the DST day yields a true 23-hour
+    window: [Mar30 18:00 CET, Mar31 18:00 CEST) = [Mar30 17:00 UTC,
+    Mar31 16:00 UTC).  Capability beyond the reference, exercised through
+    the same harness."""
+    from pyspark_engine import CustomWindowOptions
+
+    TZ = "Europe/Paris"
+
+    def assign(ts):
+        local = F.from_utc_timestamp(ts, TZ)
+        anchor = F.date_trunc("day", local) + F.expr("INTERVAL 18 HOURS")
+        start_l = F.when(local >= anchor, anchor).otherwise(anchor - F.expr("INTERVAL 1 DAY"))
+        return (
+            F.to_utc_timestamp(start_l, TZ),
+            F.to_utc_timestamp(start_l + F.expr("INTERVAL 1 DAY"), TZ),
+        )
+
+    topo = lambda b: {  # noqa: E731
+        "out": b.stream("inputTopic", key="k", ts="ts")
+        .select_key(F.lit(1), "one")
+        .group_by_key()
+        .windowed_by(CustomWindowOptions(assign=assign))
+        .aggregate(total=F.sum("value"))
+    }
+    with TopologyTestDriver(spark, topo) as d:
+        inp = d.create_input_topic("inputTopic", schema="k int, value int, ts timestamp")
+        out = d.create_output_topic("out")
+        inp.pipe_input(0, 1, timestamp_ms=_ms(2019, 3, 30, 16, 50))   # 17:50 CET -> window A
+        inp.pipe_input(0, 2, timestamp_ms=_ms(2019, 3, 30, 17, 10))   # 18:10 CET -> window B
+        inp.pipe_input(0, 7, timestamp_ms=_ms(2019, 3, 31, 15, 30))   # 17:30 CEST -> window B
+        inp.pipe_input(0, 40, timestamp_ms=_ms(2019, 3, 31, 16, 30))  # 18:30 CEST -> window C
+        rows = {str(r["w_start"]): (str(r["w_end"]), r["total"])
+                for r in out.read_key_value_list()}
+        assert rows == {
+            "2019-03-29 17:00:00": ("2019-03-30 17:00:00", 1),   # 24h CET window
+            "2019-03-30 17:00:00": ("2019-03-31 16:00:00", 9),   # 23h DST-crossing window
+            "2019-03-31 16:00:00": ("2019-04-01 16:00:00", 40),  # 24h CEST window
+        }
+
+
 # ------------------------------------------------------------- group-by --
 
 
