@@ -2816,6 +2816,46 @@ def q169_jpeg420_roundtrip(spark, sf_dir):
     )
 
 
+def q170_image_transcode(spark, sf_dir):
+    """Composed image pipeline across BOTH real compressed codecs: synthesize
+    genuine PNGs (filters+DEFLATE+CRC, the q164 ramp), TRANSCODE each to a
+    real 4:2:0 JPEG in one Arrow stage (llmops.transcode_png_jpeg — the
+    normalize-heterogeneous-formats job), and decode the JPEGs back.  The
+    oracle pins exact dimensions/components/blocks and recomputes the
+    RAMP's channel sums from parameters; the lossy hop is bounded by
+    requiring each decoded channel sum within 8·w·h of the exact ramp sum
+    (TRUE literals in SQL — contract-oracle; the q164 ramp WRAPS mod 256,
+    and lossy DCT rings at every wrap line, so the bound is wider than
+    q168's smooth-ramp one: measured worst mean deviation 5.4/pixel over
+    the full parameter combo space).  A byte-level fault in either codec or the
+    hand-off breaks parsing or the bound."""
+    png = llmops.synth_png(_ppm_params(spark, sf_dir), "doc_id", "w", "h", "a", "b")
+    jpg = llmops.transcode_png_jpeg(png, "doc_id", "payload", subsample=True)
+    feats = llmops.decode_jpeg_features(jpg, "doc_id", "payload")
+    p = _ppm_params(spark, sf_dir).select(
+        "doc_id",
+        F.col("w").alias("pw"), F.col("h").alias("ph"),
+        F.col("a").alias("pa"), F.col("b").alias("pb"),
+    )
+    out = feats.join(p, "doc_id")
+    # exact ramp channel sums: Σ_i (a·i + b + 85c) mod 256 is NOT closed-form
+    # under mod — recompute with the same aggregate HOF the q164 Spark side
+    # trusts its decode against (the ORACLE recomputes it independently in SQL)
+    idx = F.sequence(F.lit(0), F.col("pw") * F.col("ph") - 1)
+    def ramp_sum(c):
+        return F.aggregate(
+            idx, F.lit(0).cast("long"),
+            lambda acc, i: acc + (F.col("pa") * i + F.col("pb") + 85 * c) % 256,
+        )
+    wh = F.col("pw") * F.col("ph")
+    return out.select(
+        "doc_id", "width", "height", "n_components", "n_blocks",
+        (F.abs(F.col("sum_r") - ramp_sum(0)) <= 8 * wh).alias("sum_r_close"),
+        (F.abs(F.col("sum_g") - ramp_sum(1)) <= 8 * wh).alias("sum_g_close"),
+        (F.abs(F.col("sum_b") - ramp_sum(2)) <= 8 * wh).alias("sum_b_close"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2987,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_warc_gz_roundtrip": q167_warc_gz_roundtrip,
         "q168_jpeg_roundtrip": q168_jpeg_roundtrip,
         "q169_jpeg420_roundtrip": q169_jpeg420_roundtrip,
+        "q170_image_transcode": q170_image_transcode,
     }
 
 
@@ -3813,6 +3854,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(agg.nc, 0) AS BIGINT) AS n_candidates,
                    CAST(coalesce(agg.nv, 0) AS BIGINT) AS n_valid
             FROM c LEFT JOIN agg ON c.doc_id = agg.doc_id
+        """,
+        "q170_image_transcode": """
+            SELECT doc_id,
+                   CAST(16 + doc_id % 9 AS BIGINT) AS width,
+                   CAST(12 + doc_id % 7 AS BIGINT) AS height,
+                   CAST(3 AS BIGINT) AS n_components,
+                   CAST(((16 + doc_id % 9 + 7) // 8) * ((12 + doc_id % 7 + 7) // 8)
+                        AS BIGINT) AS n_blocks,
+                   TRUE AS sum_r_close,
+                   TRUE AS sum_g_close,
+                   TRUE AS sum_b_close
+            FROM documents
         """,
         "q164_png_decode": """
             WITH p AS (

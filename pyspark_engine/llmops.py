@@ -1988,6 +1988,30 @@ def jpeg_fidelity(df: DataFrame, id_col: str, w_col: str, h_col: str, ay_col: st
     )
 
 
+def transcode_png_jpeg(df: DataFrame, id_col: str, payload_col: str, subsample: bool = True) -> DataFrame:
+    """REAL cross-format transcode — the normalize-heterogeneous-inputs job
+    every image-pretraining pipeline runs: PNG decode (CRC-verified chunk
+    walk + zlib inflate + scanline unfilter) → baseline JPEG encode (DCT +
+    Annex-K Huffman, 4:2:0 by default) in ONE Arrow stage; payloads never
+    shuffle.  Returns (doc_id, payload binary) carrying the JPEG."""
+    from . import jpeg as _jpeg
+
+    def worker(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _w, _h, _d, _c, _n, img = _png_decode(bytes(payload))
+                rows.append((doc_id, _jpeg.jpeg_encode(img, subsample=subsample)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    proj = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+    return proj.mapInPandas(worker, "doc_id long, payload binary")
+
+
 # ---------------------------------------------------------------- PII scrub
 
 # Pattern set kept RE2-compatible (no backrefs/lookaround) so the DuckDB

@@ -1883,6 +1883,26 @@ def test_jpeg_420_subsampled_roundtrip(spark):
     assert fid.max_err <= 8 and fid.sum_abs_err <= 2 * 3 * 17 * 13
 
 
+def test_transcode_png_to_jpeg(spark):
+    """Cross-codec transcode on hand-checkable pixels: a constant-channel
+    PNG transcodes to a valid 4:2:0 JPEG whose decode reproduces the
+    constants within quantization error (constant blocks are DC-only)."""
+    params = spark.createDataFrame(
+        [(3, 16, 16, 0, 90)], "doc_id long, w long, h long, a long, b long"
+    )
+    png = llmops.synth_png(params, "doc_id", "w", "h", "a", "b")
+    jpg = llmops.transcode_png_jpeg(png, "doc_id", "payload")
+    raw = bytes(jpg.collect()[0].payload)
+    assert raw[:2] == b"\xff\xd8" and raw[-2:] == b"\xff\xd9"
+    feats = llmops.decode_jpeg_features(jpg, "doc_id", "payload").collect()[0]
+    assert (feats.width, feats.height, feats.n_components) == (16, 16, 3)
+    # channels are constant 90 / 175 / (90+170)%256=4; DC-only blocks land
+    # within a couple of quantization steps per pixel
+    n = 16 * 16
+    for got, want in ((feats.sum_r, 90 * n), (feats.sum_g, 175 * n), (feats.sum_b, 4 * n)):
+        assert abs(got - want) <= 4 * n, (got, want)
+
+
 def test_parse_ppm_rejects_wide_maxval():
     """Spec-valid P6 with maxval > 255 uses TWO bytes per sample — refuse
     instead of silently misreading the pixel block."""
