@@ -134,6 +134,8 @@ HEADLINE = [
     "q164_png_decode",
     "q166_pii_scrub_v2",
     "q168_jpeg_roundtrip",
+    "q169_jpeg420_roundtrip",
+    "q170_image_transcode",
 ]
 
 

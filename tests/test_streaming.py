@@ -491,6 +491,39 @@ def test_audio_pipeline_streaming_parity(spark, tmp_path):
     assert got.count() == 40
 
 
+def test_image_transcode_streaming_parity(spark, tmp_path):
+    """Stream/batch parity for the cross-codec image chain: synth PNG ->
+    transcode to 4:2:0 JPEG -> decode features, replayed through
+    file_stream availableNow, equals the batch plan byte-for-byte (PNG and
+    JPEG are deterministic here: fixed filters-by-row, mtime-free, Annex-K
+    tables)."""
+    from pyspark_engine import llmops
+
+    params = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(16) + F.col("id") % 9).alias("w"),
+        (F.lit(12) + F.col("id") % 7).alias("h"),
+        (F.lit(1) + F.col("id") % 5).alias("a"),
+        (F.col("id") % 251).alias("b"),
+    )
+    src = str(tmp_path / "params")
+    params.coalesce(1).write.parquet(src)
+
+    def chain(df):
+        png = llmops.synth_png(df, "doc_id", "w", "h", "a", "b")
+        jpg = llmops.transcode_png_jpeg(png, "doc_id", "payload")
+        return llmops.decode_jpeg_features(jpg, "doc_id", "payload")
+
+    stream_in = StreamingBuilder(spark).file_stream(src, key="doc_id")
+    got = run_available_now(
+        KStream(chain(stream_in.df), ("doc_id",), None), output_mode="append"
+    )
+    want = chain(spark.read.parquet(src))
+    cols = want.columns
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+    assert got.count() == 30
+
+
 def test_read_gen_refuses_stale_state_without_marker(tmp_path):
     """A state dir holding generation data WITHOUT a readable _GEN marker is
     refused (guessing 0 would merge into a stale ping-pong slot)."""
