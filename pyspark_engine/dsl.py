@@ -91,7 +91,13 @@ class StreamBuilder:
         the "External Source Connector" roadmap item the reference never
         shipped (feature.md:6; Kafka is its only connector), free on Spark.
         CSV/JSON callers pass ``schema=`` via read options in ``spark.read``
-        style by pre-building the DataFrame when inference won't do."""
+        style by pre-building the DataFrame when inference won't do.
+
+        A null or empty source is a topology-construction error, matching
+        the reference's guards (StreamBuilder.cs Stream/Table throw
+        ArgumentException on null/empty topic names)."""
+        if source is None or (isinstance(source, str) and not source.strip()):
+            raise ValueError("source topic/path must be a non-empty string or a DataFrame")
         if isinstance(source, DataFrame):
             return source
         path = str(source)
@@ -786,17 +792,38 @@ class KStream:
 
     def to(self, path: str, fmt: str = "parquet", mode: str = "overwrite", **options) -> None:
         """Sink to storage (reference ``To`` → Kafka topic,
-        core/Processors/SinkProcessor.cs:34-53; batch analog = file sink)."""
+        core/Processors/SinkProcessor.cs:34-53; batch analog = file sink).
+
+        A null/empty destination raises at topology-construction time
+        (IKStream.To guards: ArgumentNullException / ArgumentException)."""
+        if path is None or not str(path).strip():
+            raise ValueError("sink destination must be a non-empty path")
         self.df.write.format(fmt).mode(mode).options(**options).save(path)
 
     def to_dynamic(self, topic_expr: Column, path: str, fmt: str = "parquet") -> None:
         """Dynamic-destination sink (topic name extractor,
         IKStream.cs:90-137): partition the output by a computed destination
         column — the batch analog of Kafka's per-record topic routing."""
+        if path is None or not str(path).strip():
+            raise ValueError("sink destination must be a non-empty path")
         self.df.withColumn("__dest", topic_expr).write.format(fmt).mode("overwrite").partitionBy("__dest").save(path)
 
-    def print_(self, n: int = 20) -> None:
-        """Debug print sink (KStreamPrintProcessor.cs:5-26)."""
+    def print_(self, n: int = 20, writer=None, label: str | None = None,
+               key: str = "key", value: str = "value") -> None:
+        """Debug print sink (KStreamPrintProcessor.cs:5-26).
+
+        With ``writer`` this is the ``Printed.ToWriter(...).WithLabel(...)``
+        form (Printed.cs:44,55): one line per record, default mapper
+        ``"{k} {v}"`` (Printed.cs:24) prefixed ``[label]: `` — records in
+        event-time order (the driver's arrival order).  Driver-side by
+        design, exactly like the reference's console sink — a debug tool,
+        not a data path (``n`` bounds the default ``show``)."""
+        if writer is not None:
+            df = self.df.orderBy(self.ts) if self.ts else self.df
+            prefix = f"[{label}]: " if label is not None else ""
+            for r in df.collect():
+                writer.write(f"{prefix}{r[key]} {r[value]}\n")
+            return
         self.df.show(n, truncate=False)
 
     def for_each_batch(self, fn: Callable[[DataFrame], None]) -> None:
@@ -890,7 +917,11 @@ class KTable:
         (KTableMapProcessor.cs:8-40); over the batch latest-per-key view the
         retractions net out, so a plain re-aggregation over the current state
         is semantically equivalent (result-equivalence is what the oracle
-        checks — SURVEY §7.1 step 3)."""
+        checks — SURVEY §7.1 step 3).  A missing selector is a construction
+        error (IKTable.GroupBy ArgumentNullException,
+        KTableGroupByTests.cs:12-22)."""
+        if not key_exprs:
+            raise ValueError("table group_by requires at least one key expression")
         df = self.df.withColumns(dict(key_exprs))
         return KGroupedTable(KTable(df, tuple(key_exprs), self.ts))
 
@@ -1066,7 +1097,11 @@ class KGroupedStream:
     def aggregate(self, **agg_exprs: Column) -> KTable:
         """Fold per key (IKGroupedStream.cs:82-223,
         KStreamAggregateProcessor.cs:8-50) — expression path: any Spark
-        aggregate expression(s).  Result is a KTable keyed by the group key."""
+        aggregate expression(s).  Result is a KTable keyed by the group key.
+        A missing aggregator is a construction error (ArgumentNullException
+        guards in IKGroupedStream Aggregate/Reduce)."""
+        if not agg_exprs:
+            raise ValueError("aggregate requires at least one named aggregate expression")
         aggs = [v.alias(k) for k, v in agg_exprs.items()]
         return KTable(self.stream.df.groupBy(*self.key).agg(*aggs), self.key)
 
@@ -1238,7 +1273,11 @@ class KGroupedTable:
         return self.aggregate(**{alias: F.count(F.lit(1))})
 
     def aggregate(self, **agg_exprs: Column) -> KTable:
-        """IKGroupedTable.Aggregate (core/Table/IKGroupedTable.cs:220-438)."""
+        """IKGroupedTable.Aggregate (core/Table/IKGroupedTable.cs:220-438).
+        A missing aggregator is a construction error (ArgumentNullException,
+        KGroupedTableAggTests.cs:121-142)."""
+        if not agg_exprs:
+            raise ValueError("aggregate requires at least one named aggregate expression")
         aggs = [v.alias(k) for k, v in agg_exprs.items()]
         return KTable(self.table.df.groupBy(*self.key).agg(*aggs), self.key)
 

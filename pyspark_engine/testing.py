@@ -236,6 +236,9 @@ class _TestBuilder(StreamBuilder):
         self._driver = driver
 
     def _load(self, source) -> DataFrame:
+        if source is None or (isinstance(source, str) and not source.strip()):
+            # same guard as StreamBuilder._load (StreamBuilder.cs ArgumentException)
+            raise ValueError("source topic/path must be a non-empty string or a DataFrame")
         if isinstance(source, DataFrame):
             return source
         return self._driver._topic_df(str(source))

@@ -39,7 +39,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from pyspark_engine import JoinWindowOptions, TumblingWindowOptions
+from pyspark_engine import JoinWindowOptions, StreamBuilder, TumblingWindowOptions
 from pyspark_engine.testing import TopologyTestDriver
 
 
@@ -1748,3 +1748,497 @@ def test_stream_group_by_rekeys(spark):
         out = d.create_output_topic("t")
         inp.pipe_inputs([("key1", "test1234"), ("key2", "test"), ("key3", "paper")])
         assert _vmap(out, value="cnt") == {"KEY1": 1, "KEY2": 1, "KEY3": 1}
+
+
+# ----------------------------------------------- table-table LEFT joins --
+# KTableKTableLeftJoinTests.cs — the left-join half of the tt-join corpus.
+# TableTableLeftJoinValueJoiner (:53-83) and TableTableLeftJoinWithtoutStateStore
+# (:125-158) pipe the same records through a delegate-vs-class joiner and a
+# non-materialized topology; both reduce to the same vectors ported below.
+
+
+def test_table_table_left_join(spark):
+    """KTableKTableLeftJoinTests.cs:18-51 TableTableLeftJoin: test matches
+    both sides ("test-coucou"); test2 has no right row → C# null renders
+    empty ("test2-")."""
+    with TopologyTestDriver(spark, _tt_topo("left")) as d:
+        t1, t2 = _tt_topics(d)
+        out = d.create_output_topic("out")
+        t1.pipe_input("test", "test")
+        t2.pipe_input("test", "coucou")
+        t1.pipe_input("test2", "test2")
+        records = out.read_key_values_to_map()
+        assert len(records) == 2
+        assert records["test"]["value"] == "test-coucou"
+        assert records["test2"]["value"] == "test2-"
+
+
+def test_table_table_left_join_single_left_row(spark):
+    """KTableKTableLeftJoinTests.cs:53-83 TableTableLeftJoinValueJoiner: one
+    left row, empty right table → {"test": "test-"}."""
+    with TopologyTestDriver(spark, _tt_topo("left")) as d:
+        t1, t2 = _tt_topics(d)
+        out = d.create_output_topic("out")
+        t1.pipe_input("test", "test")
+        records = out.read_key_values_to_map()
+        assert len(records) == 1
+        assert records["test"]["value"] == "test-"
+
+
+def test_table_table_left_join_state_store(spark):
+    """KTableKTableLeftJoinTests.cs:85-123 TableTableLeftJoinStateStore: the
+    two source stores and the materialized merge store — store1 holds the
+    piped row, store2 is empty (its topic never received a record), and the
+    merge store holds the left-join result "test-"."""
+
+    def topo(b):
+        t1 = b.table("table1", key="key", ts="t1ts").materialize("ltj_store1")
+        t2 = b.table("table2", key="key", ts="t2ts").materialize("ltj_store2")
+        j = t1.join(t2, how="left").map_values(
+            value=_joiner(F.col("v1"), F.col("v2"))
+        )
+        return {"out": j.materialize("ltj_merge_store")}
+
+    with TopologyTestDriver(spark, topo) as d:
+        t1, t2 = _tt_topics(d)
+        t1.pipe_input("test", "test")
+        st1 = d.get_key_value_store("ltj_store1", key="key")
+        st2 = d.get_key_value_store("ltj_store2", key="key")
+        merge = d.get_key_value_store("ltj_merge_store", key="key")
+        assert st1.approximate_num_entries() == 1
+        assert st2.approximate_num_entries() == 0
+        assert merge.approximate_num_entries() == 1
+        assert _sval(st1, "test", value="v1") == "test"
+        assert st2.get("test") is None
+        assert _sval(merge, "test") == "test-"
+
+
+def test_table_table_left_join_null_key(spark):
+    """KTableKTableLeftJoinTests.cs:160-192 TableTableLeftJoinNullKey: the
+    null-key record is dropped on ingest (KTableSourceProcessor.cs:37-41);
+    one joined row remains."""
+    with TopologyTestDriver(spark, _tt_topo("left")) as d:
+        t1, t2 = _tt_topics(d)
+        out = d.create_output_topic("out")
+        t1.pipe_input("test", "test")
+        t1.pipe_input(None, "test")
+        t2.pipe_input("test", "coucou")
+        records = out.read_key_values_to_map()
+        assert len(records) == 1
+        assert records["test"]["value"] == "test-coucou"
+
+
+def test_table_table_left_join_getter_supplier(spark):
+    """KTableKTableLeftJoinTests.cs:194-236 TableTableLeftJoinGetterSupplier:
+    a stream joins the RESULT of a table-table LEFT join whose joiner
+    renders a missing region as "?" — sylvain has a region, lise does not."""
+
+    def topo(b):
+        users = b.table("users", key="key", ts="uts")
+        regions = b.table("regions", key="key", ts="rts")
+        ur = users.join(regions, how="left").map_values(
+            ur=F.concat(
+                F.coalesce(F.col("uv"), F.lit("")),
+                F.lit("-"),
+                F.coalesce(F.col("rv"), F.lit("?")),
+            )
+        )
+        s = b.stream("orders", key="key", ts="ts").join_table(ur, how="inner")
+        return {
+            "out": s.map_values(
+                value=F.concat(
+                    F.lit("Order:"), F.col("ov"), F.lit("|UserRegion:"), F.col("ur")
+                )
+            )
+        }
+
+    with TopologyTestDriver(spark, topo) as d:
+        u = d.create_input_topic("users", schema="key string, uv string, uts timestamp",
+                                 value_col="uv", ts_col="uts")
+        rg = d.create_input_topic("regions", schema="key string, rv string, rts timestamp",
+                                  value_col="rv", ts_col="rts")
+        o = d.create_input_topic("orders", schema="key string, ov string, ts timestamp",
+                                 value_col="ov")
+        out = d.create_output_topic("out")
+        u.pipe_input("sylvain", "sylvain")
+        u.pipe_input("lise", "lise")
+        rg.pipe_input("sylvain", "France")
+        o.pipe_input("sylvain", "iPhone12Pro")
+        o.pipe_input("lise", "PixelA4")
+        records = out.read_key_values_to_map()
+        assert len(records) == 2
+        assert records["sylvain"]["value"] == "Order:iPhone12Pro|UserRegion:sylvain-France"
+        assert records["lise"]["value"] == "Order:PixelA4|UserRegion:lise-?"
+
+
+# --------------------------------------------- global-table LEFT joins --
+# KStreamGlobalTableLeftJoinTests.cs — KStreamGlobalLeftJoinOK2 (:56-87) is
+# OK (:23-54) with class-based mappers in place of delegates; one port.
+
+
+def test_global_table_left_join_ok(spark):
+    """KStreamGlobalTableLeftJoinTests.cs:23-54 KStreamGlobalLeftJoinOK:
+    key-mapper lookup into the replicated table, left flavor →
+    "coucou-test"."""
+
+    def topo(b):
+        g = b.global_table("global", key="gkey", ts="gts")
+        s = b.stream("stream", key="key", ts="ts").join_global(
+            g, F.col("key"), how="left"
+        )
+        return {"out": s.map_values(value=_joiner(F.col("sv"), F.col("gv")))}
+
+    with TopologyTestDriver(spark, topo) as d:
+        gt = d.create_input_topic("global", schema="gkey string, gv string, gts timestamp",
+                                  key_col="gkey", value_col="gv", ts_col="gts")
+        st = d.create_input_topic("stream", schema="key string, sv string, ts timestamp",
+                                  value_col="sv")
+        out = d.create_output_topic("out")
+        gt.pipe_input("test", "test")
+        st.pipe_input("test", "coucou")
+        r = out.read_key_value()
+        assert (r["key"], r["value"]) == ("test", "coucou-test")
+
+
+def test_global_table_left_join_processing_order(spark):
+    """KStreamGlobalTableLeftJoinTests.cs:90-121 KStreamGlobalLeftJoinNull:
+    the stream record is processed before the global table's record, so the
+    reference's left join emits "coucou-".  DIVERGENCE (documented, same as
+    test_global_table_join_ko_processing_order): a GlobalKTable here is the
+    table's final broadcast snapshot, so the lookup DOES hit → "coucou-test";
+    the reference's miss is a mock-cluster bootstrap artifact
+    (GlobalStreamThread bootstraps before the stream starts in real
+    deployments).  The event-time-faithful replay of the miss is join_asof
+    (test_stream_table_join_impossible)."""
+
+    def topo(b):
+        g = b.global_table("global", key="gkey", ts="gts")
+        s = b.stream("stream", key="key", ts="ts").join_global(
+            g, F.col("key"), how="left"
+        )
+        return {"out": s.map_values(value=_joiner(F.col("sv"), F.col("gv")))}
+
+    with TopologyTestDriver(spark, topo) as d:
+        gt = d.create_input_topic("global", schema="gkey string, gv string, gts timestamp",
+                                  key_col="gkey", value_col="gv", ts_col="gts")
+        st = d.create_input_topic("stream", schema="key string, sv string, ts timestamp",
+                                  value_col="sv")
+        out = d.create_output_topic("out")
+        st.pipe_input("test", "coucou", timestamp_ms=1_700_000_000_000)
+        gt.pipe_input("test", "test", timestamp_ms=1_700_000_000_001)
+        r = out.read_key_value()
+        assert (r["key"], r["value"]) == ("test", "coucou-test")  # reference: "coucou-"
+
+
+# ------------------------------------------------ grouped-table aggregate --
+# KGroupedTableAggTests.cs.  The serdes-error vectors (WithNullMaterialize
+# :62-88, WithNullSerDes :90-119, KeySerdesUnknow :332-354) assert runtime
+# StreamsExceptions for missing/unknown SerDes — N/A here by construction:
+# values are typed DataFrame columns, there is no serde registry to
+# misconfigure (SURVEY §3 serde mapping).  Agg3 (:257-294) is Agg2 with
+# class-based aggregators in place of delegates; one port.
+
+
+def _char_hist(col="value"):
+    """The reference's char-count Dictionary<char,int> aggregate
+    (KGroupedTableAggTests.cs:24-38), as a pure expression: histogram of the
+    characters of the group's LIVE values, as a sorted (char, n) array."""
+    chars = F.flatten(F.collect_list(F.split(col, "")))
+    return F.array_sort(
+        F.transform(
+            F.array_distinct(chars),
+            lambda c: F.struct(
+                c.alias("c"),
+                F.size(F.filter(chars, lambda x: x == c)).alias("n"),
+            ),
+        )
+    )
+
+
+def _hist_pairs(store, k):
+    v = _sval(store, k, value="hist")
+    return None if v is None else [(e["c"], e["n"]) for e in v]
+
+
+def test_grouped_table_agg_and_query_in_state_store(spark):
+    """KGroupedTableAggTests.cs:144-205 AggAndQueryInStateStore: table
+    grouped by upper(key), char-histogram aggregate + count, both queried
+    from their stores.  Count: TEST→1, 2 entries — matches exactly.
+    Histogram — DIVERGENCE (documented): the reference's subtractor returns
+    the aggregate unchanged (MySubAggregator, :40-46), so ITS store
+    accumulates chars across all upserts of "test" ({'1':2,'2':1,'3':1,
+    '0':1}); re-aggregating the netted latest-per-key state yields the
+    chars of the LIVE values ("30", so {'0':1,'3':1}) — the
+    changelog-correct answer, same precedent as
+    test_grouped_table_reduce_over_netted_state."""
+
+    def topo(b):
+        grouped = b.table("topic", key="key", ts="ts").group_by(k=F.upper("key"))
+        return {
+            "c": grouped.count().materialize("gta_count_store"),
+            "a": grouped.aggregate(hist=_char_hist()).materialize("gta_agg_store"),
+        }
+
+    with TopologyTestDriver(spark, topo) as d:
+        inp = d.create_input_topic("topic")
+        inp.pipe_input("test", "1")
+        inp.pipe_input("test", "12")
+        inp.pipe_input("test", "30")
+        inp.pipe_input("coucou", "120")
+        agg = d.get_key_value_store("gta_agg_store", key="k")
+        assert agg.approximate_num_entries() == 2
+        # reference: [('0',1),('1',2),('2',1),('3',1)] (see docstring)
+        assert _hist_pairs(agg, "TEST") == [("0", 1), ("3", 1)]
+        cnt = d.get_key_value_store("gta_count_store", key="k")
+        assert cnt.approximate_num_entries() == 2
+        assert _sval(cnt, "TEST", value="cnt") == 1
+
+
+def test_grouped_table_agg2(spark):
+    """KGroupedTableAggTests.cs:207-255 Agg2 (and :257-294 Agg3, identical
+    vectors): after "1" then "12" the live value is "12" → {'1':1,'2':1}.
+    Reference accumulates {'1':2,'2':1} (non-invertible subtractor, see
+    test_grouped_table_agg_and_query_in_state_store)."""
+    topo = lambda b: {  # noqa: E731
+        "a": b.table("topic", key="key", ts="ts")
+        .group_by(k=F.upper("key"))
+        .aggregate(hist=_char_hist())
+        .materialize("gta2_store")
+    }
+    with TopologyTestDriver(spark, topo) as d:
+        inp = d.create_input_topic("topic")
+        inp.pipe_input("test", "1")
+        inp.pipe_input("test", "12")
+        store = d.get_key_value_store("gta2_store", key="k")
+        assert store.approximate_num_entries() == 1
+        # reference: [('1',2),('2',1)]
+        assert _hist_pairs(store, "TEST") == [("1", 1), ("2", 1)]
+
+
+def test_grouped_table_agg_null_value(spark):
+    """KGroupedTableAggTests.cs:296-329 Agg4: "1", null, "12" with the
+    add-one-per-record aggregate.  The reference counts ADDS (null skipped,
+    subtractor no-op) → 2.  DIVERGENCE (documented): re-aggregation counts
+    LIVE rows → 1 — the update-cadence final-state projection (header
+    conventions); the store's entry count (1) matches."""
+    topo = lambda b: {  # noqa: E731
+        "a": b.table("topic", key="key", ts="ts")
+        .group_by(k=F.upper("key"))
+        .count(alias="cnt")
+        .materialize("gta4_store")
+    }
+    with TopologyTestDriver(spark, topo) as d:
+        inp = d.create_input_topic("topic")
+        inp.pipe_input("test", "1")
+        inp.pipe_input("test", None)
+        inp.pipe_input("test", "12")
+        store = d.get_key_value_store("gta4_store", key="k")
+        assert store.approximate_num_entries() == 1
+        assert _sval(store, "TEST", value="cnt") == 1  # reference: 2 (adds)
+
+
+def test_grouped_table_agg_requires_aggregator(spark):
+    """KGroupedTableAggTests.cs:121-142 WithNullAggregator: a missing
+    aggregator is a topology-construction error (ArgumentNullException →
+    ValueError here)."""
+    df = spark.createDataFrame([("test", "1", 0)], "key string, value string, ts long")
+    grouped = (
+        StreamBuilder(spark)
+        .table(df, key="key", order="ts")
+        .group_by(k=F.upper("key"))
+    )
+    with pytest.raises(ValueError):
+        grouped.aggregate()
+
+
+# ------------------------------------------------ table filter-not (store) --
+
+
+def _ktable_filter_not_topo(store):
+    def topo(b):
+        return {
+            "t": b.table("table-topic", key="key", ts="ts")
+            .filter_not(F.lower(F.col("value")).contains("test"))
+            .materialize(store)
+        }
+
+    return topo
+
+
+def test_ktable_filter_not_one_element(spark):
+    """KTableFilterNotTests.cs:23-53 FilterNotOneElement: only "paper"
+    survives the complement; filtered keys read as null (tombstone =
+    row-absence)."""
+    with TopologyTestDriver(spark, _ktable_filter_not_topo("kfn1_store")) as d:
+        inp = d.create_input_topic("table-topic")
+        inp.pipe_inputs([("key1", "test1234"), ("key2", "test"), ("key3", "paper")])
+        store = d.get_key_value_store("kfn1_store", key="key")
+        assert store.approximate_num_entries() == 1
+        assert store.get("key1") is None
+        assert _sval(store, "key3") == "paper"
+
+
+def test_ktable_filter_not_with_elements(spark):
+    """KTableFilterNotTests.cs:56-85 FilterNotWithElements: both records
+    survive."""
+    with TopologyTestDriver(spark, _ktable_filter_not_topo("kfn2_store")) as d:
+        inp = d.create_input_topic("table-topic")
+        inp.pipe_inputs([("key2", "car"), ("key3", "paper")])
+        store = d.get_key_value_store("kfn2_store", key="key")
+        assert store.approximate_num_entries() == 2
+        assert _sval(store, "key2") == "car"
+        assert _sval(store, "key3") == "paper"
+
+
+def test_ktable_filter_not_no_element(spark):
+    """KTableFilterNotTests.cs:87-118 FilterNotNoElement: every value
+    contains "test"; the store is empty."""
+    with TopologyTestDriver(spark, _ktable_filter_not_topo("kfn3_store")) as d:
+        inp = d.create_input_topic("table-topic")
+        inp.pipe_inputs([("key1", "test1234"), ("key2", "test"), ("key3", "testkfkjdf")])
+        store = d.get_key_value_store("kfn3_store", key="key")
+        assert store.approximate_num_entries() == 0
+        assert store.get("key1") is None
+        assert store.get("key2") is None
+
+
+def test_ktable_filter_not_requires_predicate(spark):
+    """KTableFilterNotTests.cs:15-20 ShouldNotAllowNullFilterNotAction: a
+    null predicate fails at construction (ArgumentNullException → the
+    Column negation rejects None here)."""
+    df = spark.createDataFrame([("k", "v", 0)], "key string, value string, ts long")
+    table = StreamBuilder(spark).table(df, key="key", order="ts")
+    with pytest.raises((TypeError, ValueError)):
+        table.filter_not(None)
+
+
+# ----------------------------------------------------- table group-by --
+
+
+def test_table_group_by_requires_selector(spark):
+    """KTableGroupByTests.cs:12-22 SouldNotAllowSelectorNull: a missing
+    selector is a construction error (ArgumentNullException → ValueError)."""
+    df = spark.createDataFrame([("k", "v", 0)], "key string, value string, ts long")
+    table = StreamBuilder(spark).table(df, key="key", order="ts")
+    with pytest.raises(ValueError):
+        table.group_by()
+
+
+def test_table_group_by_rekeys_both_halves(spark):
+    """KTableGroupByTests.cs:25-45 TestGroupOK: the selector re-keys AND
+    re-values ((upper(k), upper(v))); the reference test only asserts the
+    topology runs — asserting the grouped aggregate proves both halves of
+    the re-key."""
+    topo = lambda b: {  # noqa: E731
+        "t": b.table("topic", key="key", ts="ts")
+        .group_by(k=F.upper("key"))
+        .aggregate(v=F.max(F.upper(F.col("value"))))
+    }
+    with TopologyTestDriver(spark, topo) as d:
+        inp = d.create_input_topic("topic")
+        out = d.create_output_topic("t")
+        inp.pipe_inputs([("key1", "test1234"), ("key2", "test"), ("key3", "paper")])
+        assert _vmap(out, value="v") == {
+            "KEY1": "TEST1234",
+            "KEY2": "TEST",
+            "KEY3": "PAPER",
+        }
+
+
+# -------------------------------------------------------------- print --
+
+
+def test_print_element_with_writer(spark):
+    """KStreamPrintTests.cs:21-50 PrintElementWithWriter: five records to a
+    StringWriter with label "string" — default format "[label]: key value",
+    one line per record, arrival order (Printed.cs:24 mapper,
+    PrintForeachAction prefix).  The null-Printed guard (:13-19) has no
+    analog: print options are kwargs with defaults, a null Printed cannot
+    be expressed."""
+    import io
+
+    df = spark.createDataFrame(
+        [(str(i), f"V{i}", i) for i in range(5)], "key string, value string, ts long"
+    )
+    s = StreamBuilder(spark).stream(df, key="key", ts="ts")
+    w = io.StringIO()
+    s.print_(writer=w, label="string")
+    assert w.getvalue() == "".join(f"[string]: {i} V{i}\n" for i in range(5))
+
+
+# ------------------------------------------------------- pass-through --
+# KStreamPassThoughTests.cs.  PassThoughElements3/4 (:140-204) re-run the
+# same vector through explicit SerDes generic overloads — N/A (typed
+# columns, no serde registry); PassThoughElements6 (:239-270) adds a named
+# source node, a naming concern with no behavioral surface here.
+
+
+def test_pass_through_elements(spark):
+    """KStreamPassThoughTests.cs:76-105 PassThoughElements: 42 records flow
+    source→sink unchanged, in order."""
+    topo = lambda b: {"out": b.stream("topic", key="key", ts="ts")}  # noqa: E731
+    with TopologyTestDriver(spark, topo) as d:
+        inp = d.create_input_topic("topic")
+        out = d.create_output_topic("out")
+        expected = []
+        for i in range(42):
+            inp.pipe_input(str(i), f"V{i}")
+            expected.append((str(i), f"V{i}"))
+        assert _kvs(out) == expected
+
+
+def test_pass_through_dynamic_destination(spark, tmp_path):
+    """KStreamPassThoughTests.cs:107-138 PassThoughElements2: the
+    destination is computed per record (To((k,v,c)=>"topic2")) — the
+    dynamic-topic extractor maps to the partitioned ``to_dynamic`` sink;
+    reading the "topic2" partition back yields all 42 records."""
+    df = spark.createDataFrame(
+        [(str(i), f"V{i}", i) for i in range(42)], "key string, value string, ts long"
+    )
+    s = StreamBuilder(spark).stream(df, key="key", ts="ts")
+    dest = str(tmp_path / "dyn")
+    s.to_dynamic(F.lit("topic2"), dest)
+    back = spark.read.parquet(dest).filter(F.col("__dest") == "topic2")
+    got = {(r["key"], r["value"]) for r in back.collect()}
+    assert got == {(str(i), f"V{i}") for i in range(42)}
+
+
+def test_pass_through_timestamp_extractor(spark):
+    """KStreamPassThoughTests.cs:206-237 PassThoughElements5: a custom
+    ITimestampExtractor on the source — here the ``ts`` Column-expression
+    form (dsl.py StreamBuilder.stream); records pass through unchanged with
+    the extracted timestamp attached."""
+    df = spark.createDataFrame(
+        [(str(i), f"V{i}", 1_000 + i) for i in range(42)],
+        "key string, value string, embedded long",
+    )
+    s = StreamBuilder(spark).stream(
+        df, key="key", ts=F.timestamp_millis(F.col("embedded")), ts_alias="ts"
+    )
+    rows = s.df.orderBy("ts").collect()
+    assert [(r["key"], r["value"]) for r in rows] == [
+        (str(i), f"V{i}") for i in range(42)
+    ]
+
+
+def test_stream_requires_topic(spark):
+    """KStreamPassThoughTests.cs:50-56 ShouldNotAllowNullOrEmptyTopic:
+    null/empty source topic raises at construction (ArgumentException →
+    ValueError)."""
+    b = StreamBuilder(spark)
+    with pytest.raises(ValueError):
+        b.stream(None)
+    with pytest.raises(ValueError):
+        b.stream("")
+
+
+def test_to_requires_destination(spark):
+    """KStreamPassThoughTests.cs:58-74 ShouldNotAllowNullTopicDest /
+    ShouldNotAllowEmptyTopicDest: null/empty sink destination raises at
+    construction (ArgumentNullException/ArgumentException → ValueError)."""
+    df = spark.createDataFrame([("k", "v", 0)], "key string, value string, ts long")
+    s = StreamBuilder(spark).stream(df, key="key", ts="ts")
+    with pytest.raises(ValueError):
+        s.to(None)
+    with pytest.raises(ValueError):
+        s.to("")
