@@ -2856,6 +2856,59 @@ def q170_image_transcode(spark, sf_dir):
     )
 
 
+def q171_jpeg422_roundtrip(spark, sf_dir):
+    """The 4:2:2 horizontally-subsampled JPEG layout (broadcast / video
+    stills): each MCU covers 8x16 pixels as two Y blocks plus
+    1x2-mean-downsampled Cb/Cr (jpeg.SAMP_FACTORS["422"], generic MCU walk
+    in jpeg_encode/jpeg_decode).  Same contract oracle as q168/q169: exact
+    dimensions/components/blocks, measured reconstruction bounds
+    (combo-space worst case 5 / 1.52, identical to 4:2:0 — linear chroma
+    subsamples losslessly up to quantization) as TRUE literals."""
+    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(16) + F.col("doc_id") % 9).alias("w"),
+        (F.lit(12) + F.col("doc_id") % 7).alias("h"),
+        (F.col("doc_id") % 3).alias("ay"),
+        ((F.col("doc_id") / 3).cast("long") % 3).alias("ax"),
+        (F.lit(40) + F.col("doc_id") % 76).alias("b"),
+    )
+    fid = llmops.jpeg_fidelity(params, "doc_id", "w", "h", "ay", "ax", "b", subsample="422")
+    return fid.select(
+        "doc_id", "width", "height", "n_components", "n_blocks",
+        (F.col("max_err") <= 8).alias("max_err_le_8"),
+        (F.col("sum_abs_err") <= 2 * 3 * F.col("width") * F.col("height")).alias(
+            "mean_err_le_2"
+        ),
+    )
+
+
+def q172_jpeg411_roundtrip(spark, sf_dir):
+    """The 4:1:1 layout (DV-era: 4x horizontal chroma pooling, MCU = 8x32
+    pixels as four Y blocks plus 1x4-mean Cb/Cr,
+    jpeg.SAMP_FACTORS["411"]).  Same contract oracle as q168/q169/q171;
+    the measured combo-space worst case is again 5 / 1.52 — the ramp's
+    linear chroma means the pooled value sits at the tile center, so even
+    4x pooling loses nothing beyond quantization."""
+    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(16) + F.col("doc_id") % 9).alias("w"),
+        (F.lit(12) + F.col("doc_id") % 7).alias("h"),
+        (F.col("doc_id") % 3).alias("ay"),
+        ((F.col("doc_id") / 3).cast("long") % 3).alias("ax"),
+        (F.lit(40) + F.col("doc_id") % 76).alias("b"),
+    )
+    fid = llmops.jpeg_fidelity(params, "doc_id", "w", "h", "ay", "ax", "b", subsample="411")
+    return fid.select(
+        "doc_id", "width", "height", "n_components", "n_blocks",
+        (F.col("max_err") <= 8).alias("max_err_le_8"),
+        (F.col("sum_abs_err") <= 2 * 3 * F.col("width") * F.col("height")).alias(
+            "mean_err_le_2"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3028,6 +3081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_jpeg_roundtrip": q168_jpeg_roundtrip,
         "q169_jpeg420_roundtrip": q169_jpeg420_roundtrip,
         "q170_image_transcode": q170_image_transcode,
+        "q171_jpeg422_roundtrip": q171_jpeg422_roundtrip,
+        "q172_jpeg411_roundtrip": q172_jpeg411_roundtrip,
     }
 
 
@@ -3712,6 +3767,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(agg.nc, 0) AS BIGINT) AS n_candidates,
                    CAST(coalesce(agg.nv, 0) AS BIGINT) AS n_valid
             FROM c LEFT JOIN agg ON c.doc_id = agg.doc_id
+        """,
+        "q171_jpeg422_roundtrip": """
+            SELECT doc_id,
+                   CAST(16 + doc_id % 9 AS BIGINT) AS width,
+                   CAST(12 + doc_id % 7 AS BIGINT) AS height,
+                   CAST(3 AS BIGINT) AS n_components,
+                   CAST(((16 + doc_id % 9 + 7) // 8) * ((12 + doc_id % 7 + 7) // 8)
+                        AS BIGINT) AS n_blocks,
+                   TRUE AS max_err_le_8,
+                   TRUE AS mean_err_le_2
+            FROM documents
+        """,
+        "q172_jpeg411_roundtrip": """
+            SELECT doc_id,
+                   CAST(16 + doc_id % 9 AS BIGINT) AS width,
+                   CAST(12 + doc_id % 7 AS BIGINT) AS height,
+                   CAST(3 AS BIGINT) AS n_components,
+                   CAST(((16 + doc_id % 9 + 7) // 8) * ((12 + doc_id % 7 + 7) // 8)
+                        AS BIGINT) AS n_blocks,
+                   TRUE AS max_err_le_8,
+                   TRUE AS mean_err_le_2
+            FROM documents
         """,
         "q169_jpeg420_roundtrip": """
             SELECT doc_id,

@@ -136,6 +136,7 @@ HEADLINE = [
     "q168_jpeg_roundtrip",
     "q169_jpeg420_roundtrip",
     "q170_image_transcode",
+    "q171_jpeg422_roundtrip",
 ]
 
 

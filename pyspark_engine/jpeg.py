@@ -1,11 +1,12 @@
 """REAL baseline JPEG (ITU-T T.81) codec with numpy + the stdlib only —
 the last reachable image container: unlike PPM (raw) and PNG (zlib), JPEG
 needs an entropy coder and a transform, both implemented here from the
-spec.  Scope: baseline sequential DCT, 8-bit, 3-component YCbCr, in BOTH
-4:4:4 and 4:2:0 chroma layouts (the 4:2:0 interleaved-MCU form is what
-cameras and the web actually emit), with the Annex K quantization/Huffman
-tables.  Progressive/arithmetic streams and other sampling ratios raise a
-descriptive error (library territory: llmops.decode_image_batches).
+spec.  Scope: baseline sequential DCT, 8-bit, 3-component YCbCr, in the
+4:4:4, 4:2:0, 4:2:2 and 4:1:1 chroma layouts (SAMP_FACTORS; the 4:2:0
+interleaved-MCU form is what cameras and the web actually emit), with the
+Annex K quantization/Huffman tables.  Progressive/arithmetic streams and
+other sampling ratios raise a descriptive error (library territory:
+llmops.decode_image_batches).
 
 JPEG is LOSSY (DCT-coefficient quantization + YCbCr rounding), so unlike
 q158/q164 an oracle cannot recompute decoded bytes from synthesis
@@ -246,15 +247,29 @@ def _encode_block(bw_, blk, tq, comp, prev_dc, m, q, enc_dc, enc_ac) -> None:
         bw_.put(code, ln)
 
 
-def jpeg_encode(img, subsample: bool = False) -> bytes:
+# sampling modes: name → luma (horizontal, vertical) factors relative to the
+# single chroma block per MCU (T.81 A.1.1).  False/True kept as aliases for
+# the original two-mode API (4:4:4 / 4:2:0).
+SAMP_FACTORS = {
+    False: (1, 1), "444": (1, 1),
+    True: (2, 2), "420": (2, 2),
+    "422": (2, 1),   # horizontal-only chroma halving (broadcast/video stills)
+    "411": (4, 1),   # 4× horizontal chroma (DV-era layout)
+}
+
+
+def jpeg_encode(img, subsample=False) -> bytes:
     """8-bit RGB ndarray[h, w, 3] → baseline JFIF bytes (Annex K tables).
-    ``subsample=False`` writes 4:4:4 (one block per component per MCU);
-    ``subsample=True`` writes 4:2:0 — the dominant real-world layout: each
-    MCU covers 16×16 pixels as four Y blocks plus one 2×2-mean-downsampled
-    Cb and Cr block, interleaved Y00 Y01 Y10 Y11 Cb Cr per T.81 A.2.3.
+    ``subsample`` picks the chroma layout — False/"444", True/"420", "422",
+    "411" (SAMP_FACTORS).  One MCU covers 8·sh × 8·sv pixels as sh·sv Y
+    blocks (row-major) plus one (sv×sh)-mean-downsampled Cb and Cr block,
+    interleaved per T.81 A.2.3; 4:4:4 degenerates to Y Cb Cr per 8×8 block.
     Dimensions need not be multiples of the MCU size — edges replicate."""
     import numpy as np
 
+    if subsample not in SAMP_FACTORS:
+        raise ValueError(f"unsupported sampling mode {subsample!r} (one of {sorted(str(k) for k in SAMP_FACTORS)})")
+    sh, sv = SAMP_FACTORS[subsample]
     h, w, _ = img.shape
     ycc = _rgb_to_ycbcr(img) - 128.0
     m = _dct_matrix()
@@ -265,35 +280,24 @@ def jpeg_encode(img, subsample: bool = False) -> bytes:
 
     bw_ = _BitWriter()
     prev_dc = [0, 0, 0]
-    if not subsample:
-        bh, bw2 = -(-h // 8), -(-w // 8)
-        planes = [_pad_edge(ycc[..., c], bh * 8, bw2 * 8) for c in range(3)]
-        for by in range(bh):
-            for bx in range(bw2):
-                for comp in range(3):
-                    blk = planes[comp][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                    _encode_block(bw_, blk, 0 if comp == 0 else 1, comp,
-                                  prev_dc, m, q, enc_dc, enc_ac)
-        samp = [0x11, 0x11, 0x11]
-    else:
-        mh, mw = -(-h // 16), -(-w // 16)
-        y_p = _pad_edge(ycc[..., 0], mh * 16, mw * 16)
-        # chroma: 2×2 mean over the padded plane, one sample per 2×2 tile
-        cbcr = []
-        for c in (1, 2):
-            p = _pad_edge(ycc[..., c], mh * 16, mw * 16)
-            cbcr.append(p.reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3)))
-        for my in range(mh):
-            for mx in range(mw):
-                for dy in range(2):
-                    for dx in range(2):
-                        blk = y_p[my * 16 + dy * 8 : my * 16 + dy * 8 + 8,
-                                  mx * 16 + dx * 8 : mx * 16 + dx * 8 + 8]
-                        _encode_block(bw_, blk, 0, 0, prev_dc, m, q, enc_dc, enc_ac)
-                for ci, plane in enumerate(cbcr):
-                    blk = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-                    _encode_block(bw_, blk, 1, ci + 1, prev_dc, m, q, enc_dc, enc_ac)
-        samp = [0x22, 0x11, 0x11]
+    mh, mw = -(-h // (8 * sv)), -(-w // (8 * sh))
+    y_p = _pad_edge(ycc[..., 0], mh * 8 * sv, mw * 8 * sh)
+    # chroma: sv×sh mean over the padded plane, one sample per tile
+    cbcr = []
+    for c in (1, 2):
+        p = _pad_edge(ycc[..., c], mh * 8 * sv, mw * 8 * sh)
+        cbcr.append(p.reshape(mh * 8, sv, mw * 8, sh).mean(axis=(1, 3)))
+    for my in range(mh):
+        for mx in range(mw):
+            for dy in range(sv):
+                for dx in range(sh):
+                    blk = y_p[(my * sv + dy) * 8 : (my * sv + dy) * 8 + 8,
+                              (mx * sh + dx) * 8 : (mx * sh + dx) * 8 + 8]
+                    _encode_block(bw_, blk, 0, 0, prev_dc, m, q, enc_dc, enc_ac)
+            for ci, plane in enumerate(cbcr):
+                blk = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                _encode_block(bw_, blk, 1, ci + 1, prev_dc, m, q, enc_dc, enc_ac)
+    samp = [(sh << 4) | sv, 0x11, 0x11]
     bw_.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -374,9 +378,9 @@ def jpeg_decode(raw: bytes):
     """Baseline JFIF bytes → (width, height, n_components, ndarray[h,w,3]).
     Real marker walk (segment lengths, table ids, byte stuffing), Huffman
     entropy decode, dequantize, IDCT, color transform.  Raises on
-    progressive (SOF2), arithmetic (SOF9+), subsampled, or non-3-component
-    streams — the supported subset is exactly what jpeg_encode writes, and
-    anything else is decode-library territory."""
+    progressive (SOF2), arithmetic (SOF9+), non-3-component, or
+    unsupported-sampling streams — the supported subset is exactly what
+    jpeg_encode writes, and anything else is decode-library territory."""
     import numpy as np
 
     if raw[:2] != b"\xff\xd8":
@@ -426,10 +430,12 @@ def jpeg_decode(raw: bytes):
                 cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
                 samps.append(samp)
                 comp_spec.append((cid, tq))
-            if samps not in ([0x11, 0x11, 0x11], [0x22, 0x11, 0x11]):
+            if samps[1:] != [0x11, 0x11] or (samps[0] >> 4, samps[0] & 0xF) not in (
+                (1, 1), (2, 2), (2, 1), (4, 1)
+            ):
                 raise ValueError(
-                    "unsupported chroma subsampling (4:4:4 and 4:2:0 only; see "
-                    "llmops.decode_image_batches for library formats)"
+                    "unsupported chroma subsampling (4:4:4, 4:2:0, 4:2:2, 4:1:1 "
+                    "only; see llmops.decode_image_batches for library formats)"
                 )
             sampling = samps
             dims = (w, h)
@@ -495,39 +501,31 @@ def jpeg_decode(raw: bytes):
         coef = blk.reshape(8, 8) * qt[tq_of[cid]]
         return m.T @ coef @ m
 
-    if sampling == [0x11, 0x11, 0x11]:
-        bh, bw = -(-h // 8), -(-w // 8)
-        out = np.zeros((bh * 8, bw * 8, 3))
-        for by in range(bh):
-            for bx in range(bw):
-                for ci, (cid, td, ta) in enumerate(scan_spec):
-                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] = decode_block(
-                        ci, cid, td, ta
+    # generic MCU walk over luma factors (sh, sv); (1,1) degenerates to the
+    # per-8×8-block Y Cb Cr interleave of 4:4:4 (A.2.3)
+    sh, sv = sampling[0] >> 4, sampling[0] & 0xF
+    mh, mw = -(-h // (8 * sv)), -(-w // (8 * sh))
+    y_p = np.zeros((mh * 8 * sv, mw * 8 * sh))
+    cb = np.zeros((mh * 8, mw * 8))
+    cr = np.zeros((mh * 8, mw * 8))
+    (ycid, ytd, yta), (bcid, btd, bta), (rcid, rtd, rta) = scan_spec
+    for my in range(mh):
+        for mx in range(mw):
+            for dy in range(sv):
+                for dx in range(sh):
+                    y_p[(my * sv + dy) * 8 : (my * sv + dy) * 8 + 8,
+                        (mx * sh + dx) * 8 : (mx * sh + dx) * 8 + 8] = decode_block(
+                        0, ycid, ytd, yta
                     )
-        ycc = out[:h, :w]
-    else:  # 4:2:0 — MCU = Y00 Y01 Y10 Y11 Cb Cr over 16×16 pixels (A.2.3)
-        mh, mw = -(-h // 16), -(-w // 16)
-        y_p = np.zeros((mh * 16, mw * 16))
-        cb = np.zeros((mh * 8, mw * 8))
-        cr = np.zeros((mh * 8, mw * 8))
-        (ycid, ytd, yta), (bcid, btd, bta), (rcid, rtd, rta) = scan_spec
-        for my in range(mh):
-            for mx in range(mw):
-                for dy in range(2):
-                    for dx in range(2):
-                        y_p[my * 16 + dy * 8 : my * 16 + dy * 8 + 8,
-                            mx * 16 + dx * 8 : mx * 16 + dx * 8 + 8] = decode_block(
-                            0, ycid, ytd, yta
-                        )
-                cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = decode_block(
-                    1, bcid, btd, bta
-                )
-                cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = decode_block(
-                    2, rcid, rtd, rta
-                )
-        # nearest-neighbor chroma upsample back to luma resolution
-        cb_up = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
-        cr_up = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
-        ycc = np.stack([y_p, cb_up, cr_up], axis=-1)[:h, :w]
+            cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = decode_block(
+                1, bcid, btd, bta
+            )
+            cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = decode_block(
+                2, rcid, rtd, rta
+            )
+    # nearest-neighbor chroma upsample back to luma resolution
+    cb_up = np.repeat(np.repeat(cb, sv, axis=0), sh, axis=1)
+    cr_up = np.repeat(np.repeat(cr, sv, axis=0), sh, axis=1)
+    ycc = np.stack([y_p, cb_up, cr_up], axis=-1)[:h, :w]
     img = _ycbcr_to_rgb(ycc + 128.0)
     return w, h, 3, img

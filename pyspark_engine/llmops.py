@@ -1105,21 +1105,22 @@ def multimodal_meta(df: DataFrame, id_col: str, payload_col: str, media_type: st
 def decode_image_batches(it: Iterator, shape=(64, 64)) -> Iterator:
     """mapInPandas worker for image decode / resize / feature-extract.
 
-    STUB for the residual library formats ONLY: progressive JPEG, exotic
-    samplings (4:2:2/4:1:1), WebP/AVIF, and video codecs.  Everything else
-    decodes for REAL with no external library: Netpbm P6
-    (decode_ppm_features), PNG (decode_png_features — stdlib-zlib inflate
-    + scanline unfiltering), and baseline JPEG in both 4:4:4 and 4:2:0
-    layouts (decode_jpeg_features — Huffman entropy decode + IDCT,
+    STUB for the residual library formats ONLY: progressive/arithmetic
+    JPEG, WebP/AVIF, and video codecs.  Everything else decodes for REAL
+    with no external library: Netpbm P6 (decode_ppm_features), PNG
+    (decode_png_features — stdlib-zlib inflate + scanline unfiltering),
+    and baseline JPEG in the 4:4:4, 4:2:0, 4:2:2 and 4:1:1 chroma layouts
+    (decode_jpeg_features — Huffman entropy decode + IDCT,
     pyspark_engine.jpeg).  Swap this body for PIL/torchvision to
     cover the rest in a real deployment; the Arrow batch plumbing
     (signature, schema, batch iteration) is identical to the live paths."""
     raise NotImplementedError(
-        "progressive JPEG, 4:2:2/4:1:1 samplings, WebP and video decode require an image "
+        "progressive/arithmetic JPEG, WebP and video decode require an image "
         "library (PIL/cv2) not present in this container; PPM "
-        "(decode_ppm_features), PNG (decode_png_features) and baseline JPEG "
-        "(decode_jpeg_features) decode for real without it — wire this function "
-        "into df.mapInPandas(decode_image_batches, schema=...) for the rest"
+        "(decode_ppm_features), PNG (decode_png_features) and baseline JPEG in "
+        "all four common chroma layouts (decode_jpeg_features) decode for real "
+        "without it — wire this function into "
+        "df.mapInPandas(decode_image_batches, schema=...) for the rest"
     )
 
 
@@ -1943,12 +1944,13 @@ def decode_jpeg_features(df: DataFrame, id_col: str, payload_col: str) -> DataFr
     return proj.mapInPandas(worker, JPEG_FEATURES_SCHEMA)
 
 
-def jpeg_fidelity(df: DataFrame, id_col: str, w_col: str, h_col: str, ay_col: str, ax_col: str, b_col: str, subsample: bool = False) -> DataFrame:
+def jpeg_fidelity(df: DataFrame, id_col: str, w_col: str, h_col: str, ay_col: str, ax_col: str, b_col: str, subsample=False) -> DataFrame:
     """Synth → encode → decode → per-pixel compare in ONE Arrow stage (the
     payload never needs to shuffle, so it never does): exact integer
     max-abs-error and sum-abs-error of the lossy roundtrip against the
-    parametric original.  q168 (4:4:4) and q169 (4:2:0) turn these into
-    bound booleans."""
+    parametric original.  ``subsample`` takes any jpeg.SAMP_FACTORS mode;
+    q168 (4:4:4), q169 (4:2:0), q171 (4:2:2) and q172 (4:1:1) turn these
+    into bound booleans."""
     from . import jpeg as _jpeg
 
     def worker(batches: Iterator) -> Iterator:
@@ -1988,7 +1990,7 @@ def jpeg_fidelity(df: DataFrame, id_col: str, w_col: str, h_col: str, ay_col: st
     )
 
 
-def transcode_png_jpeg(df: DataFrame, id_col: str, payload_col: str, subsample: bool = True) -> DataFrame:
+def transcode_png_jpeg(df: DataFrame, id_col: str, payload_col: str, subsample=True) -> DataFrame:
     """REAL cross-format transcode — the normalize-heterogeneous-inputs job
     every image-pretraining pipeline runs: PNG decode (CRC-verified chunk
     walk + zlib inflate + scanline unfilter) → baseline JPEG encode (DCT +

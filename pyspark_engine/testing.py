@@ -377,16 +377,31 @@ class TopologyTestDriver:
 
     # ---------------- stores ----------------
 
-    def get_key_value_store(self, name: str, key: str | tuple[str, ...]) -> ReadOnlyKeyValueStore:
-        """GetKeyValueStore (TopologyTestDriver.cs:340-360): the topology must
-        have called ``KTable.materialize(name)``."""
+    def _store_df(self, name: str) -> DataFrame | None:
+        """Materialized-store view, or None when the topology never
+        materialized ``name`` — the reference driver returns null for store
+        lookup misses (TopologyTestDriverTests.cs:14-37)."""
         self._run()
+        try:
+            return self._registry.store(name)
+        except Exception:
+            return None
+
+    def get_key_value_store(self, name: str, key: str | tuple[str, ...]) -> ReadOnlyKeyValueStore | None:
+        """GetKeyValueStore (TopologyTestDriver.cs:340-360): the topology must
+        have called ``KTable.materialize(name)``; unknown names → None."""
+        if self._store_df(name) is None:
+            return None
         k = (key,) if isinstance(key, str) else tuple(key)
         return ReadOnlyKeyValueStore(self._registry, name, k)
 
-    def get_window_store(self, name: str, key: str | tuple[str, ...], start_col: str = "w_start") -> ReadOnlyWindowStore:
-        """GetWindowStore (TopologyTestDriver.cs:363-377)."""
-        self._run()
+    def get_window_store(self, name: str, key: str | tuple[str, ...], start_col: str = "w_start") -> ReadOnlyWindowStore | None:
+        """GetWindowStore (TopologyTestDriver.cs:363-377).  Unknown names and
+        stores of the wrong shape (no window-start column — the reference's
+        wrong-type lookup, TopologyTestDriverTests.cs:39-86) → None."""
+        df = self._store_df(name)
+        if df is None or start_col not in df.columns:
+            return None
         k = (key,) if isinstance(key, str) else tuple(key)
         return ReadOnlyWindowStore(self._registry, name, k, start_col)
 

@@ -83,6 +83,11 @@ QUERIES = [
     "q163_audio_pipeline",     # 3 chained Arrow codec stages, zero shuffle
     "q164_png_decode",         # zlib+filter codec: Arrow 1->1, zero shuffle
     "q166_pii_scrub_v2",       # checksum+regex scrub: one codegen projection
+    "q167_warc_gz_roundtrip",  # per-record gzip members: Arrow 1->1, zero shuffle
+    "q168_jpeg_roundtrip",     # DCT+Huffman codec: numpy Arrow batches, zero shuffle
+    "q169_jpeg420_roundtrip",  # 4:2:0 subsampled JPEG: numpy Arrow batches
+    "q170_image_transcode",    # cross-codec PNG->JPEG transcode: one Arrow stage
+    "q171_jpeg422_roundtrip",  # 4:2:2 layout through the generic MCU walk
 ]
 
 

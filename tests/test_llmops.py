@@ -1823,10 +1823,11 @@ def test_jpeg_roundtrip_and_guards(spark):
     sof2 = raw.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="progressive"):
         J.jpeg_decode(sof2)
-    # 2x1 subsampling in the SOF component spec: neither 4:4:4 nor 4:2:0
+    # 1x2 (vertical-only) subsampling in the SOF component spec: outside
+    # the supported set {4:4:4, 4:2:0, 4:2:2, 4:1:1}
     i = raw.find(b"\xff\xc0")
     sub = bytearray(raw)
-    sub[i + 11] = 0x21  # component 1 sampling factors
+    sub[i + 11] = 0x12  # component 1 sampling factors
     with pytest.raises(ValueError, match="subsampling"):
         J.jpeg_decode(bytes(sub))
     with pytest.raises(ValueError):
@@ -1881,6 +1882,45 @@ def test_jpeg_420_subsampled_roundtrip(spark):
     ).collect()[0]
     assert (fid.width, fid.height, fid.n_blocks) == (17, 13, 6)
     assert fid.max_err <= 8 and fid.sum_abs_err <= 2 * 3 * 17 * 13
+
+
+def test_jpeg_422_and_411_subsampled_roundtrip(spark):
+    """The horizontal-only chroma layouts through the generic MCU walk:
+    4:2:2 (MCU 8x16, Y0 Y1 Cb Cr) and 4:1:1 (MCU 8x32, four Y blocks) —
+    SOF advertises (0x21|0x41, 0x11, 0x11), partial edge MCUs replicate,
+    and smooth ramps reconstruct within the 4:4:4 bounds (linear chroma
+    pools to the tile center, losing nothing beyond quantization)."""
+    import numpy as np
+
+    from pyspark_engine import jpeg as J
+
+    img = llmops._jpeg_ramp(33, 20, 2, 1, 40)  # spans partial edge MCUs
+    for mode, samp in (("422", 0x21), ("411", 0x41)):
+        raw = J.jpeg_encode(img, subsample=mode)
+        i = raw.find(b"\xff\xc0")
+        assert raw[i + 11] == samp and raw[i + 14] == 0x11
+        w, h, nc, back = J.jpeg_decode(raw)
+        assert (w, h, nc) == (33, 20, 3)
+        e = np.abs(back.astype(int) - img.astype(int))
+        assert e.max() <= 8 and e.mean() <= 2.0
+    # chroma-rich content: fewer chroma blocks than 4:4:4
+    noisy = np.random.default_rng(7).integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    full = len(J.jpeg_encode(noisy))
+    assert len(J.jpeg_encode(noisy, subsample="422")) < full
+    assert len(J.jpeg_encode(noisy, subsample="411")) < full
+    with pytest.raises(ValueError, match="sampling mode"):
+        J.jpeg_encode(img, subsample="410")
+
+    # Spark one-stage fidelity with the string modes
+    params = spark.createDataFrame(
+        [(1, 17, 13, 1, 2, 50)], "doc_id long, w long, h long, ay long, ax long, b long"
+    )
+    for mode in ("422", "411"):
+        fid = llmops.jpeg_fidelity(
+            params, "doc_id", "w", "h", "ay", "ax", "b", subsample=mode
+        ).collect()[0]
+        assert (fid.width, fid.height, fid.n_blocks) == (17, 13, 6)
+        assert fid.max_err <= 8 and fid.sum_abs_err <= 2 * 3 * 17 * 13
 
 
 def test_transcode_png_to_jpeg(spark):

