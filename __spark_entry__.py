@@ -2909,6 +2909,41 @@ def q172_jpeg411_roundtrip(spark, sf_dir):
     )
 
 
+def q173_wire_serde(spark, sf_dir):
+    """BitConverter wire serdes end-to-end (serdes.encode_wire/decode_wire +
+    encode_value_and_timestamp; the reference's Int32SerDes/Int64SerDes
+    little-endian layouts, core/SerDes/Int32SerDes.cs:17 (Deserialize) /
+    core/SerDes/Int64SerDes.cs:17 (Int64SerDes), and the changelog envelope
+    core/SerDes/ValueAndTimestampSerDes.cs:48-62 (Serialize)).  The oracle
+    recomputes every wire byte with independent HUGEINT arithmetic —
+    two's-complement little-endian hex per byte — so the layout itself is
+    checked, not just encode∘decode = id.  Pure Catalyst: hex/unhex/conv
+    expression folds, no Python in the plan."""
+    o = read_table(configure(spark), sf_dir, "orders")
+    signed = (F.col("o_custkey") - F.lit(700)).cast("int")
+    ts = (F.col("o_orderkey") * 1000 + 123).cast("bigint")
+    vat = serdes.encode_value_and_timestamp(
+        serdes.encode_wire(F.col("o_orderpriority"), "string"), ts
+    )
+    vt = serdes.decode_value_and_timestamp(vat)
+    return o.select(
+        "o_orderkey",
+        F.hex(serdes.encode_wire(F.col("o_orderkey"), "bigint")).alias(
+            "okey_wire_hex"
+        ),
+        serdes.decode_wire(
+            serdes.encode_wire(F.col("o_orderkey"), "bigint"), "bigint"
+        ).alias("okey_rt"),
+        F.hex(serdes.encode_wire(signed, "int")).alias("signed_wire_hex"),
+        serdes.decode_wire(serdes.encode_wire(signed, "int"), "int").alias(
+            "signed_rt"
+        ),
+        F.hex(vat).alias("vat_hex"),
+        vt.getField("timestamp").alias("vat_ts"),
+        serdes.decode_wire(vt.getField("value"), "string").alias("vat_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3083,6 +3118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_image_transcode": q170_image_transcode,
         "q171_jpeg422_roundtrip": q171_jpeg422_roundtrip,
         "q172_jpeg411_roundtrip": q172_jpeg411_roundtrip,
+        "q173_wire_serde": q173_wire_serde,
     }
 
 
@@ -3789,6 +3825,57 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS max_err_le_8,
                    TRUE AS mean_err_le_2
             FROM documents
+        """,
+        # independent recomputation of the BitConverter little-endian wire
+        # layouts: per-byte two's-complement arithmetic (no hex/byte
+        # builtins shared with the Spark side); all 64-bit inputs are
+        # positive by construction, the 32-bit path exercises negatives
+        # via the +2^32 unsigned view
+        "q173_wire_serde": """
+            WITH u AS (
+                SELECT o_orderkey,
+                       (o_custkey - 700)::INT AS sv,
+                       o_orderkey * 1000 + 123 AS ts,
+                       o_orderpriority,
+                       CASE WHEN o_custkey - 700 < 0
+                            THEN o_custkey - 700 + 4294967296
+                            ELSE o_custkey - 700 END AS u32,
+                       octet_length(encode(o_orderpriority)) AS vlen
+                FROM orders
+            )
+            SELECT o_orderkey,
+                   printf('%02X%02X%02X%02X%02X%02X%02X%02X',
+                          (o_orderkey % 256)::INT,
+                          ((o_orderkey // 256) % 256)::INT,
+                          ((o_orderkey // 65536) % 256)::INT,
+                          ((o_orderkey // 16777216) % 256)::INT,
+                          ((o_orderkey // 4294967296) % 256)::INT,
+                          ((o_orderkey // 1099511627776) % 256)::INT,
+                          ((o_orderkey // 281474976710656) % 256)::INT,
+                          ((o_orderkey // 72057594037927936) % 256)::INT
+                   ) AS okey_wire_hex,
+                   o_orderkey AS okey_rt,
+                   printf('%02X%02X%02X%02X',
+                          (u32 % 256)::INT, ((u32 // 256) % 256)::INT,
+                          ((u32 // 65536) % 256)::INT,
+                          ((u32 // 16777216) % 256)::INT) AS signed_wire_hex,
+                   sv AS signed_rt,
+                   printf('%02X%02X%02X%02X%02X%02X%02X%02X',
+                          (ts % 256)::INT, ((ts // 256) % 256)::INT,
+                          ((ts // 65536) % 256)::INT,
+                          ((ts // 16777216) % 256)::INT,
+                          ((ts // 4294967296) % 256)::INT,
+                          ((ts // 1099511627776) % 256)::INT,
+                          ((ts // 281474976710656) % 256)::INT,
+                          ((ts // 72057594037927936) % 256)::INT)
+                   || printf('%02X%02X%02X%02X',
+                          (vlen % 256)::INT, ((vlen // 256) % 256)::INT,
+                          ((vlen // 65536) % 256)::INT,
+                          ((vlen // 16777216) % 256)::INT)
+                   || hex(encode(o_orderpriority)) AS vat_hex,
+                   ts AS vat_ts,
+                   o_orderpriority AS vat_value
+            FROM u
         """,
         "q169_jpeg420_roundtrip": """
             SELECT doc_id,

@@ -137,6 +137,7 @@ HEADLINE = [
     "q169_jpeg420_roundtrip",
     "q170_image_transcode",
     "q171_jpeg422_roundtrip",
+    "q173_wire_serde",
 ]
 
 

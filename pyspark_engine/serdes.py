@@ -46,6 +46,10 @@ __all__ = [
     "encode_protobuf_py",
     "decode_primitive",
     "encode_primitive",
+    "encode_wire",
+    "decode_wire",
+    "encode_value_and_timestamp",
+    "decode_value_and_timestamp",
     "decode_kafka",
     "encode_kafka",
     "frame_confluent",
@@ -150,6 +154,118 @@ def decode_primitive(col: Column, dtype: str, on_error: str = "fail") -> Column:
 
 def encode_primitive(col: Column) -> Column:
     return col.cast("string").cast("binary")
+
+
+# --- BitConverter wire serdes ---------------------------------------------
+# The reference's numeric serdes are NOT textual: Int32SerDes / Int64SerDes /
+# FloatSerDes / DoubleSerDes / CharSerDes serialize via BitConverter
+# (core/SerDes/Int32SerDes.cs:17 (Deserialize), core/SerDes/Int64SerDes.cs:17
+# (Int64SerDes), core/SerDes/CharSerDes.cs:9 (CharSerDes)), i.e.
+# little-endian fixed width (char = one UTF-16LE code unit, 2 bytes).  The
+# reference's own vectors pin the layout: 100 -> {100,0,0,0}
+# (test/Streamiz.Kafka.Net.Tests/Private/SerDes/Int32SerDesTests.cs:12-18),
+# 'b' -> {98,0} (CharSerDesTests.cs:12-18).  int/bigint/char/string/binary
+# are pure Catalyst (per-byte hex of shifted values -> unhex; UTF-16LE via
+# encode/decode); float/double have no Catalyst bit-cast, so they ride an
+# Arrow-batched pandas UDF (one numpy view per batch) — edge-of-plan only.
+# Nulls propagate to null bytes / null values in every direction, matching
+# AbstractSerDes null contracts (StringSerDesTests.cs SerializeNullData).
+
+_WIRE_INT_WIDTH = {"int": 4, "bigint": 8}
+
+
+def _wire_le_hex(v: Column, width: int) -> Column:
+    """Hex string of the little-endian two's-complement layout of ``v``."""
+    return F.concat(*[
+        F.lpad(F.hex(F.shiftright(v, 8 * i).bitwiseAND(F.lit(255))), 2, "0")
+        for i in range(width)
+    ])
+
+
+def encode_wire(col: Column, dtype: str) -> Column:
+    """Typed column → the reference's BitConverter byte layout."""
+    dtype = {"long": "bigint", "integer": "int"}.get(dtype, dtype)
+    if dtype == "string":
+        return col.cast("binary")
+    if dtype == "binary":  # ByteArraySerDes: identity
+        return col.cast("binary")
+    if dtype == "char":  # BMP code unit, UTF-16LE == BitConverter.GetBytes(char)
+        return F.encode(col, "UTF-16LE")
+    if dtype in _WIRE_INT_WIDTH:
+        return F.unhex(_wire_le_hex(col.cast("bigint"), _WIRE_INT_WIDTH[dtype]))
+    if dtype in ("float", "double"):
+        import numpy as np
+
+        np_t = np.float32 if dtype == "float" else np.float64
+
+        @F.pandas_udf("binary")
+        def _enc(s: pd.Series) -> pd.Series:
+            arr = s.to_numpy(dtype=np_t)
+            raw, w = arr.tobytes(), arr.itemsize
+            mask = s.isna()
+            return pd.Series([
+                None if m else raw[i * w:(i + 1) * w]
+                for i, m in enumerate(mask)
+            ])
+
+        return _enc(col.cast(dtype))
+    raise ValueError(f"unsupported wire serde: {dtype}")
+
+
+def decode_wire(col: Column, dtype: str) -> Column:
+    """BitConverter bytes → typed column (inverse of :func:`encode_wire`)."""
+    dtype = {"long": "bigint", "integer": "int"}.get(dtype, dtype)
+    if dtype == "string":
+        return col.cast("string")
+    if dtype == "binary":
+        return col
+    if dtype == "char":
+        return F.decode(col, "UTF-16LE")
+    if dtype in _WIRE_INT_WIDTH:
+        w = _WIRE_INT_WIDTH[dtype]
+        h = F.hex(col)
+        be = F.concat(*[F.substring(h, 2 * i + 1, 2) for i in reversed(range(w))])
+        if dtype == "bigint":
+            # negative toBase = signed 64-bit two's-complement interpretation
+            return F.conv(be, 16, -10).cast("bigint")
+        u = F.conv(be, 16, 10).cast("bigint")
+        return F.when(u >= F.lit(1 << 31), u - F.lit(1 << 32)).otherwise(u).cast("int")
+    if dtype in ("float", "double"):
+        import numpy as np
+
+        np_t = np.float32 if dtype == "float" else np.float64
+
+        @F.pandas_udf(dtype)
+        def _dec(s: pd.Series) -> pd.Series:
+            return pd.Series([
+                None if b is None else float(np.frombuffer(b, dtype=np_t)[0])
+                for b in s
+            ])
+
+        return _dec(col)
+    raise ValueError(f"unsupported wire serde: {dtype}")
+
+
+def encode_value_and_timestamp(value: Column, ts: Column) -> Column:
+    """Changelog envelope: LE int64 timestamp + LE int32 length + value bytes
+    (core/SerDes/ValueAndTimestampSerDes.cs:48-62 (Serialize) — BinaryWriter
+    is little-endian).  Null value → null record
+    (ValueAndTimestampSerdesTests.cs SerializeNullData)."""
+    return F.when(value.isNull(), F.lit(None).cast("binary")).otherwise(F.concat(
+        encode_wire(ts, "bigint"),
+        encode_wire(F.length(value), "int"),
+        value,
+    ))
+
+
+def decode_value_and_timestamp(col: Column) -> Column:
+    """Inverse of :func:`encode_value_and_timestamp`: struct(timestamp, value)
+    (core/SerDes/ValueAndTimestampSerDes.cs:12-21 (Extract))."""
+    ts = decode_wire(col.substr(F.lit(1), F.lit(8)), "bigint")
+    ln = decode_wire(col.substr(F.lit(9), F.lit(4)), "int")
+    val = col.substr(F.lit(13), ln)
+    return F.when(col.isNull(), F.lit(None).cast("struct<timestamp:bigint,value:binary>")).otherwise(
+        F.struct(ts.alias("timestamp"), val.alias("value")))
 
 
 def decode_kafka(

@@ -2294,3 +2294,127 @@ def test_driver_get_window_store_on_kv_store(spark):
         assert d.get_window_store("ttd_kv_store", key="key") is None
         # the KV accessor still resolves it
         assert d.get_key_value_store("ttd_kv_store", key="key") is not None
+
+
+# ------------------------------------------------- serde wire layouts --
+# The reference's primitive serdes write BitConverter little-endian bytes;
+# these vectors are its Private/SerDes NUnit files replayed byte-for-byte
+# through encode_wire/decode_wire Catalyst expressions (serdes.py).
+
+
+def _one(spark, cols):
+    return spark.range(1).select(*cols).collect()[0]
+
+
+def test_int32_serde_serialize_vector(spark):
+    """Int32SerDesTests.cs:12-18 SerializeData: 100 -> {100, 0, 0, 0}."""
+    from pyspark_engine import serdes as S
+
+    r = _one(spark, [S.encode_wire(F.lit(100), "int").alias("b")])
+    assert list(r["b"]) == [100, 0, 0, 0]
+
+
+def test_int32_serde_roundtrip(spark):
+    """Int32SerDesTests.cs:21-29 DeserializeData: roundtrip 300."""
+    from pyspark_engine import serdes as S
+
+    r = _one(spark, [
+        S.decode_wire(S.encode_wire(F.lit(300), "int"), "int").alias("v"),
+        S.decode_wire(S.encode_wire(F.lit(-300), "int"), "int").alias("n"),
+    ])
+    assert (r["v"], r["n"]) == (300, -300)
+
+
+def test_int64_serde_roundtrip(spark):
+    """Int64SerDesTests.cs:17-26: BitConverter 8-byte LE roundtrip, incl.
+    a negative and a >32-bit magnitude."""
+    from pyspark_engine import serdes as S
+
+    vals = [3, -3, (1 << 40) + 7, -(1 << 40) - 7]
+    cols = [
+        S.decode_wire(S.encode_wire(F.lit(v), "bigint"), "bigint").alias(f"v{i}")
+        for i, v in enumerate(vals)
+    ]
+    cols.append(F.hex(S.encode_wire(F.lit(1), "bigint")).alias("h1"))
+    r = _one(spark, cols)
+    assert [r[f"v{i}"] for i in range(len(vals))] == vals
+    assert r["h1"] == "0100000000000000"  # LSB first
+
+
+def test_char_serde_serialize_vector(spark):
+    """CharSerDesTests.cs:12-18 SerializeData: 'b' -> {98, 0} (UTF-16LE
+    code unit == BitConverter.GetBytes(char))."""
+    from pyspark_engine import serdes as S
+
+    r = _one(spark, [
+        S.encode_wire(F.lit("b"), "char").alias("b"),
+        S.decode_wire(S.encode_wire(F.lit("p"), "char"), "char").alias("p"),
+    ])
+    assert list(r["b"]) == [98, 0]
+    assert r["p"] == "p"  # CharSerDesTests.cs:21-29 DeserializeData
+
+
+def test_string_serde_vectors(spark):
+    """StringSerDesTests.cs: "coucou" -> {99,111,117,99,111,117} (UTF-8);
+    null serializes to null."""
+    from pyspark_engine import serdes as S
+
+    r = _one(spark, [
+        S.encode_wire(F.lit("coucou"), "string").alias("b"),
+        S.encode_wire(F.lit(None).cast("string"), "string").alias("nb"),
+        S.decode_wire(S.encode_wire(F.lit("coucou"), "string"), "string").alias("s"),
+    ])
+    assert list(r["b"]) == [99, 111, 117, 99, 111, 117]
+    assert r["nb"] is None
+    assert r["s"] == "coucou"
+
+
+def test_bytearray_serde_identity(spark):
+    """ByteArraySerDesTests.cs: serialize/deserialize are the identity."""
+    from pyspark_engine import serdes as S
+
+    payload = bytes([1, 2, 250, 0, 7])
+    r = _one(spark, [
+        S.decode_wire(S.encode_wire(F.lit(payload), "binary"), "binary").alias("b")
+    ])
+    assert bytes(r["b"]) == payload
+
+
+def test_float_double_serde_roundtrip(spark):
+    """FloatSerDes/DoubleSerDes (core/SerDes/FloatSerDes.cs,
+    DoubleSerDes.cs): IEEE-754 LE via BitConverter; exact roundtrip for
+    representable values, null -> null."""
+    import struct
+
+    from pyspark_engine import serdes as S
+
+    r = _one(spark, [
+        S.decode_wire(S.encode_wire(F.lit(3.5), "float"), "float").alias("f"),
+        S.decode_wire(S.encode_wire(F.lit(-0.1), "double"), "double").alias("d"),
+        F.hex(S.encode_wire(F.lit(1.0), "double")).alias("hd"),
+        S.encode_wire(F.lit(None).cast("double"), "double").alias("nd"),
+    ])
+    assert r["f"] == 3.5 and r["d"] == -0.1
+    assert r["hd"] == struct.pack("<d", 1.0).hex().upper()
+    assert r["nd"] is None
+
+
+def test_value_and_timestamp_serde_roundtrip(spark):
+    """ValueAndTimestampSerdesTests.cs:57-75 SerializeData/DeserializeData:
+    LE int64 ts + LE int32 len + inner bytes; null -> null both ways."""
+    import struct
+
+    from pyspark_engine import serdes as S
+
+    inner = S.encode_wire(F.lit("coucou"), "string")
+    rec = S.encode_value_and_timestamp(inner, F.lit(815))
+    r = _one(spark, [
+        rec.alias("b"),
+        S.decode_value_and_timestamp(rec).alias("vt"),
+        S.encode_value_and_timestamp(
+            F.lit(None).cast("binary"), F.lit(815)).alias("nb"),
+        S.decode_value_and_timestamp(F.lit(None).cast("binary")).alias("nv"),
+    ])
+    assert bytes(r["b"]) == struct.pack("<q", 815) + struct.pack("<i", 6) + b"coucou"
+    assert r["vt"]["timestamp"] == 815 and bytes(r["vt"]["value"]) == b"coucou"
+    assert r["nb"] is None and r["nv"] is None
