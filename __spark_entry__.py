@@ -2944,6 +2944,31 @@ def q173_wire_serde(spark, sf_dir):
     )
 
 
+def q174_gif_roundtrip(spark, sf_dir):
+    """REAL palette-image codec with ONLY the stdlib: synthesize genuine
+    GIF89a files (palette ramp + LZW with variable code widths, CLEAR/EOI,
+    sub-block framing — llmops.synth_gif) and decode them back
+    (llmops.decode_gif_features: header/color-table walk, LZW
+    decompression, palette mapping; interop-pinned against wild GIFs from
+    real encoders in tests).  LZW is lossless, so the oracle recomputes
+    width/height, the power-of-two padded palette size, the minimum code
+    size, and every palette-mapped channel sum from the synthesis
+    parameters alone.  With PNG (q164) and baseline JPEG (q168/q169/q171/
+    q172) this narrows the decode_image_batches gate to
+    progressive/arithmetic JPEG, WebP/AVIF and video."""
+    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(16) + F.col("doc_id") % 9).alias("w"),
+        (F.lit(12) + F.col("doc_id") % 7).alias("h"),
+        (F.lit(1) + F.col("doc_id") % 5).alias("a"),
+        (F.col("doc_id") % 251).alias("b"),
+        (F.lit(4) + F.col("doc_id") % 13).alias("p"),
+    )
+    gif = llmops.synth_gif(params, "doc_id", "w", "h", "a", "b", "p")
+    return llmops.decode_gif_features(gif, "doc_id", "payload")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3119,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_jpeg422_roundtrip": q171_jpeg422_roundtrip,
         "q172_jpeg411_roundtrip": q172_jpeg411_roundtrip,
         "q173_wire_serde": q173_wire_serde,
+        "q174_gif_roundtrip": q174_gif_roundtrip,
     }
 
 
@@ -3825,6 +3851,43 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS max_err_le_8,
                    TRUE AS mean_err_le_2
             FROM documents
+        """,
+        "q174_gif_roundtrip": """
+            WITH p AS (
+                SELECT doc_id, 16 + doc_id % 9 AS w, 12 + doc_id % 7 AS h,
+                       1 + doc_id % 5 AS a, doc_id % 251 AS b,
+                       4 + doc_id % 13 AS pp
+                FROM documents
+            ),
+            bits AS (
+                SELECT *, CASE WHEN pp <= 4 THEN 2 WHEN pp <= 8 THEN 3
+                               ELSE 4 END AS nb
+                FROM p
+            ),
+            s AS (
+                SELECT doc_id, w, h, a, b, pp,
+                       unnest(generate_series(0, w * h - 1)) AS i
+                FROM bits
+            ),
+            agg AS (
+                SELECT doc_id,
+                       sum((a * ((a * i + b) % pp) + b) % 256) AS sr,
+                       sum((a * ((a * i + b) % pp) + b + 85) % 256) AS sg,
+                       sum((a * ((a * i + b) % pp) + b + 170) % 256) AS sb
+                FROM s GROUP BY doc_id
+            )
+            SELECT bits.doc_id,
+                   CAST(bits.w AS BIGINT) AS width,
+                   CAST(bits.h AS BIGINT) AS height,
+                   CAST(CASE WHEN bits.nb = 2 THEN 4 WHEN bits.nb = 3 THEN 8
+                             ELSE 16 END AS BIGINT) AS palette_size,
+                   CAST(bits.nb AS BIGINT) AS lzw_min_code_size,
+                   FALSE AS interlaced,
+                   CAST(agg.sr AS BIGINT) AS sum_r,
+                   CAST(agg.sg AS BIGINT) AS sum_g,
+                   CAST(agg.sb AS BIGINT) AS sum_b,
+                   TRUE AS lzw_ok
+            FROM bits JOIN agg ON bits.doc_id = agg.doc_id
         """,
         # independent recomputation of the BitConverter little-endian wire
         # layouts: per-byte two's-complement arithmetic (no hex/byte

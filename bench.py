@@ -138,6 +138,7 @@ HEADLINE = [
     "q170_image_transcode",
     "q171_jpeg422_roundtrip",
     "q173_wire_serde",
+    "q174_gif_roundtrip",
 ]
 
 

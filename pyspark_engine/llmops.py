@@ -1109,7 +1109,8 @@ def decode_image_batches(it: Iterator, shape=(64, 64)) -> Iterator:
     JPEG, WebP/AVIF, and video codecs.  Everything else decodes for REAL
     with no external library: Netpbm P6 (decode_ppm_features), PNG
     (decode_png_features — stdlib-zlib inflate + scanline unfiltering),
-    and baseline JPEG in the 4:4:4, 4:2:0, 4:2:2 and 4:1:1 chroma layouts
+    GIF (decode_gif_features — spec-implemented LZW, interop-pinned on
+    wild files), and baseline JPEG in the 4:4:4/4:2:0/4:2:2/4:1:1 layouts
     (decode_jpeg_features — Huffman entropy decode + IDCT,
     pyspark_engine.jpeg).  Swap this body for PIL/torchvision to
     cover the rest in a real deployment; the Arrow batch plumbing
@@ -1117,8 +1118,9 @@ def decode_image_batches(it: Iterator, shape=(64, 64)) -> Iterator:
     raise NotImplementedError(
         "progressive/arithmetic JPEG, WebP and video decode require an image "
         "library (PIL/cv2) not present in this container; PPM "
-        "(decode_ppm_features), PNG (decode_png_features) and baseline JPEG in "
-        "all four common chroma layouts (decode_jpeg_features) decode for real "
+        "(decode_ppm_features), PNG (decode_png_features), GIF "
+        "(decode_gif_features) and baseline JPEG in all four common chroma "
+        "layouts (decode_jpeg_features) decode for real "
         "without it — wire this function into "
         "df.mapInPandas(decode_image_batches, schema=...) for the rest"
     )
@@ -1867,6 +1869,296 @@ JPEG_FEATURES_SCHEMA = (
     "doc_id long, width long, height long, n_components long, n_blocks long, "
     "sum_r long, sum_g long, sum_b long"
 )
+
+
+GIF_FEATURES_SCHEMA = (
+    "doc_id long, width long, height long, palette_size long, "
+    "lzw_min_code_size long, interlaced boolean, sum_r long, sum_g long, "
+    "sum_b long, lzw_ok boolean"
+)
+
+
+def _gif_lzw_encode(indices, mcs: int) -> bytes:
+    """REAL GIF-variant LZW compression (GIF89a spec Appendix F): variable
+    code width starting at mcs+1 bits, LSB-first bit packing, CLEAR/EOI
+    codes, width growth when the next free code would overflow the current
+    width, CLEAR-and-reset at the 4096-entry dictionary cap."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    cur = nbits = 0
+
+    def emit(code: int, size: int):
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(cur & 255)
+            cur >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = mcs + 1
+    emit(clear, code_size)
+    buf: tuple = ()
+    for k in indices:
+        k = int(k)
+        nk = buf + (k,)
+        if nk in table:
+            buf = nk
+            continue
+        emit(table[buf], code_size)
+        if next_code < 4096:
+            table[nk] = next_code
+            next_code += 1
+            # the just-added code needs one more bit: widen for the NEXT emit
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:  # dictionary full: flush a CLEAR and start over
+            emit(clear, code_size)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = mcs + 1
+        buf = (k,)
+    if buf:
+        emit(table[buf], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(cur & 255)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> list:
+    """Inverse of :func:`_gif_lzw_encode`; the width-growth rule here
+    (widen after adding the entry that fills the current width) is the one
+    every real-world encoder pairs with — pinned against wild GIFs in
+    tests/test_llmops.py.  Raises on codes beyond the dictionary."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = {i: (i,) for i in range(clear)}
+    table = dict(base)
+    next_code = eoi + 1
+    code_size = mcs + 1
+    out: list = []
+    prev = None
+    cur = nbits = pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated (no EOI)")
+            cur |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = cur & ((1 << code_size) - 1)
+        cur >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = dict(base)
+            next_code = eoi + 1
+            code_size = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code not in table:
+                raise ValueError(f"GIF LZW first code {code} not in table")
+            out.extend(table[code])
+            prev = code
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code:  # the KwKwK case
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond dictionary {next_code}")
+        out.extend(entry)
+        if next_code < 4096:
+            table[next_code] = table[prev] + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = code
+        if len(out) >= n_pixels:
+            break
+    return out[:n_pixels]
+
+
+def _gif_encode(indices, palette, w: int, h: int) -> bytes:
+    """REAL single-frame GIF89a encoder using ONLY the stdlib: logical
+    screen descriptor, global color table padded to a power of two, image
+    descriptor, LZW-compressed index stream in ≤255-byte sub-blocks,
+    trailer.  Lossless, so a SQL oracle recomputes decoded channel sums
+    from synthesis parameters alone (q174)."""
+    import struct
+
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())  # GCT size is 2^bits entries
+    mcs = max(2, bits)  # spec: minimum LZW code size is 2
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | ((bits - 1) & 7))  # GCT present, size field
+    out += b"\x00\x00"  # background index, aspect
+    for j in range(1 << bits):
+        r, g, b = palette[j] if j < n else (0, 0, 0)
+        out += bytes((r, g, b))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"  # no LCT/interlace
+    out.append(mcs)
+    stream = _gif_lzw_encode(indices, mcs)
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator, trailer
+    return bytes(out)
+
+
+def _gif_decode(raw: bytes):
+    """REAL GIF decoder (87a/89a) using ONLY the stdlib: header + logical
+    screen parse, global/local color tables, extension-block skip, LZW
+    decompression of the FIRST image frame, interlace reordering.  Returns
+    (width, height, palette_size, mcs, interlaced, ndarray[h,w,3]).
+    Animated GIFs decode to their first frame; raises on malformed
+    streams.  Pinned against wild GIFs from real encoders (libxslt docs /
+    Tk logos) in tests, so the LZW width-growth pairing is interop-checked,
+    not just self-consistent."""
+    import struct
+
+    import numpy as np
+
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (bad signature)")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", raw[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = [tuple(raw[pos + 3 * j : pos + 3 * j + 3]) for j in range(n)]
+        pos += 3 * n
+    while pos < len(raw):
+        b0 = raw[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks until terminator
+            pos += 2
+            while raw[pos] != 0:
+                pos += 1 + raw[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack("<HHHHB", raw[pos + 1 : pos + 10])
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                pal = [tuple(raw[pos + 3 * j : pos + 3 * j + 3]) for j in range(n)]
+                pos += 3 * n
+            interlaced = bool(ipacked & 0x40)
+            mcs = raw[pos]
+            pos += 1
+            stream = bytearray()
+            while raw[pos] != 0:
+                ln = raw[pos]
+                stream += raw[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            idx = _gif_lzw_decode(bytes(stream), mcs, w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data short")
+            grid = np.asarray(idx, dtype=np.int64).reshape(h, w)
+            if interlaced:
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                deinter = np.zeros_like(grid)
+                deinter[order] = grid
+                grid = deinter
+            if int(grid.max(initial=0)) >= len(pal):
+                raise ValueError("GIF pixel index beyond palette")
+            img = np.asarray(pal, dtype=np.uint8)[grid]
+            return sw, sh, len(pal), mcs, interlaced, img
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        continue
+    raise ValueError("GIF contains no image data")
+
+
+def synth_gif(df: DataFrame, id_col: str, w_col: str, h_col: str, a_col: str, b_col: str, p_col: str) -> DataFrame:
+    """Deterministic REAL-GIF synthesis: palette entry j gets the channel
+    ramp ((a·j+b) mod 256, +85, +170) — the synth_png algebra — and pixel i
+    gets palette index (a·i+b) mod P, encoded through genuine LZW +
+    sub-block framing (_gif_encode).  LZW is lossless, so the q174 oracle
+    recomputes every decoded channel sum from (a, b, P, w, h) alone.  One
+    Arrow pass, no shuffle."""
+
+    def worker(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, w, h, a, b, p in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["a"], pdf["b"], pdf["p"]
+            ):
+                w, h, a, b, p = int(w), int(h), int(a), int(b), int(p)
+                pal = [
+                    tuple(int((a * j + b + 85 * c) % 256) for c in range(3))
+                    for j in range(p)
+                ]
+                i = np.arange(w * h, dtype=np.int64)
+                idx = (a * i + b) % p
+                rows.append((doc_id, _gif_encode(idx.tolist(), pal, w, h)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    proj = _spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(w_col).alias("w"),
+            F.col(h_col).alias("h"),
+            F.col(a_col).alias("a"),
+            F.col(b_col).alias("b"),
+            F.col(p_col).alias("p"),
+        )
+    )
+    return proj.mapInPandas(worker, "doc_id long, payload binary")
+
+
+def decode_gif_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL palette-image decode over a binary column, stdlib only: GIF
+    header/color-table walk, LZW decompression, palette mapping,
+    integer-exact per-channel sums a SQL oracle recomputes from synthesis
+    parameters (q174).  With PNG (q164) and baseline JPEG (q168) this
+    narrows decode_image_batches' honest gate to progressive/arithmetic
+    JPEG, WebP/AVIF and video.
+
+    ``lzw_ok`` is the contract-oracle boolean: decode raises on truncated
+    streams, out-of-dictionary codes, or palette overruns, so surviving
+    rows are TRUE by construction.  Scale: Arrow-batched mapInPandas, no
+    shuffle, worker memory bounded by payload size; the per-code LZW loop
+    is the format's sequential floor (dictionary state threads through
+    every code)."""
+
+    def worker(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = [
+            "doc_id", "width", "height", "palette_size", "lzw_min_code_size",
+            "interlaced", "sum_r", "sum_g", "sum_b", "lzw_ok",
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, psize, mcs, inter, img = _gif_decode(bytes(payload))
+                s = img.astype("int64").sum(axis=(0, 1))
+                rows.append(
+                    (doc_id, w, h, psize, mcs, inter, int(s[0]), int(s[1]), int(s[2]), True)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    proj = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+    return proj.mapInPandas(worker, GIF_FEATURES_SCHEMA)
 
 
 def _jpeg_ramp(w: int, h: int, ay: int, ax: int, b: int):

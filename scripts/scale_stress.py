@@ -88,6 +88,8 @@ QUERIES = [
     "q169_jpeg420_roundtrip",  # 4:2:0 subsampled JPEG: numpy Arrow batches
     "q170_image_transcode",    # cross-codec PNG->JPEG transcode: one Arrow stage
     "q171_jpeg422_roundtrip",  # 4:2:2 layout through the generic MCU walk
+    "q172_jpeg411_roundtrip",  # 4:1:1 layout (4x horizontal chroma pooling)
+    "q174_gif_roundtrip",      # GIF LZW codec: sequential dictionary walk per payload
 ]
 
 

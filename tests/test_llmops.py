@@ -2225,3 +2225,98 @@ def test_jaccard_pairs_exact_adversarial_near_threshold_fuzz(spark):
         assert got == want
 
     check()
+
+
+def test_gif_lzw_roundtrip_and_growth():
+    """GIF LZW pair across the hard boundaries: code-width growth points,
+    the KwKwK case, and the 4096-entry CLEAR-reset (forced by a >4096-pixel
+    high-entropy stream)."""
+    import numpy as np
+
+    from pyspark_engine.llmops import _gif_lzw_decode, _gif_lzw_encode
+
+    rng = np.random.RandomState(3)
+    for mcs, n in [(2, 7), (2, 64), (4, 500), (8, 9000)]:
+        idx = rng.randint(0, 1 << mcs, n).tolist()
+        assert _gif_lzw_decode(_gif_lzw_encode(idx, mcs), mcs, n) == idx
+    # KwKwK: aaa... forces code == next_code immediately
+    idx = [1] * 40
+    assert _gif_lzw_decode(_gif_lzw_encode(idx, 2), 2, 40) == idx
+
+
+def test_gif_codec_roundtrip_and_guards():
+    """Whole-container roundtrip (palette mapping, sub-block framing) and
+    the malformed-input guards."""
+    import numpy as np
+    import pytest
+
+    from pyspark_engine.llmops import _gif_decode, _gif_encode
+
+    rng = np.random.RandomState(11)
+    pal = [tuple(int(x) for x in rng.randint(0, 256, 3)) for _ in range(13)]
+    idx = rng.randint(0, 13, 24 * 18)
+    raw = _gif_encode(idx.tolist(), pal, 24, 18)
+    sw, sh, ps, mcs, inter, img = _gif_decode(raw)
+    assert (sw, sh, mcs, inter) == (24, 18, 4, False)
+    assert ps == 16  # palette padded to the 2^bits GCT size
+    assert np.array_equal(img, np.asarray(pal, dtype=np.uint8)[idx.reshape(18, 24)])
+    with pytest.raises(ValueError, match="bad signature"):
+        _gif_decode(b"JIF89a" + raw[6:])
+    with pytest.raises(ValueError, match="truncated"):
+        # chop inside the LZW stream but keep the sub-block framing valid
+        body = bytearray(raw)
+        blk_at = raw.index(bytes([mcs])) + 1
+        body[blk_at] = 2  # shrink first sub-block to 2 bytes
+        _gif_decode(bytes(body[: blk_at + 3]) + b"\x00\x3b")
+
+
+def test_gif_decode_wild_files():
+    """Interop pin: GIFs written by real-world encoders (libxslt docs, Tk
+    logos — incl. 345k-pixel images exercising thousands of width
+    transitions + full-dictionary CLEAR resets, and one interlaced file)
+    must decode cleanly with pixel counts matching their headers."""
+    import glob
+    import os
+
+    import pytest
+
+    files = sorted(
+        glob.glob("/usr/share/doc/libxslt1-dev/html/*.gif")
+        + glob.glob("/usr/share/tcltk/tk8.6/images/*.gif")
+    )
+    if not files:
+        pytest.skip("no system GIFs on this box")
+    from pyspark_engine.llmops import _gif_decode
+
+    interlaced_seen = 0
+    for f in files:
+        sw, sh, ps, mcs, inter, img = _gif_decode(open(f, "rb").read())
+        assert img.shape[2] == 3 and img.shape[0] * img.shape[1] > 0
+        interlaced_seen += bool(inter)
+    assert len(files) >= 10
+    if os.path.exists("/usr/share/tcltk/tk8.6/images/tai-ku.gif"):
+        assert interlaced_seen >= 1  # the deinterlace path really ran
+
+
+def test_gif_spark_roundtrip(spark):
+    """synth_gif → decode_gif_features through the Spark operators: the
+    decoded sums must equal the palette-algebra recomputation (the q174
+    oracle's arithmetic)."""
+    from pyspark_engine import llmops
+
+    params = spark.createDataFrame(
+        [(1, 16, 12, 3, 7, 5), (2, 24, 18, 2, 250, 13)],
+        "doc_id long, w int, h int, a int, b int, p int",
+    )
+    gif = llmops.synth_gif(params, "doc_id", "w", "h", "a", "b", "p")
+    feats = {r["doc_id"]: r for r in llmops.decode_gif_features(gif, "doc_id", "payload").collect()}
+    for doc_id, w, h, a, b, p in [(1, 16, 12, 3, 7, 5), (2, 24, 18, 2, 250, 13)]:
+        exp = [0, 0, 0]
+        for i in range(w * h):
+            j = (a * i + b) % p
+            for c in range(3):
+                exp[c] += (a * j + b + 85 * c) % 256
+        r = feats[doc_id]
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(exp)
+        assert r["lzw_ok"] and not r["interlaced"]
