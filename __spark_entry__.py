@@ -2969,6 +2969,31 @@ def q174_gif_roundtrip(spark, sf_dir):
     return llmops.decode_gif_features(gif, "doc_id", "payload")
 
 
+def q175_wav_ulaw_roundtrip(spark, sf_dir):
+    """REAL lossy audio transcode with a FULL-STRENGTH oracle: 16-bit PCM
+    WAV → G.711 µ-law WAV (llmops.wav_transcode_ulaw — the telephony
+    companding codec, WAVE_FORMAT_MULAW container with fact chunk) →
+    parse + expand back (llmops.decode_wav_ulaw_features).  µ-law is lossy
+    but CLOSED-FORM per sample, so unlike JPEG's measured-bound contract
+    the oracle recomputes every decoded value EXACTLY: the same Sun/CCITT
+    integer arithmetic (14-bit truncation via floor(s/4), bias 33, clip
+    8159, segment thresholds, mantissa shift, expansion formula) applied in
+    SQL to the synthesis ramp.  The codec pair itself is pinned
+    byte-for-byte against CPython's C implementation (audioop) over all
+    65536 inputs in tests."""
+    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(100) + F.col("doc_id") % 50).alias("n"),
+        F.when(F.col("doc_id") % 2 == 0, 8000).otherwise(16000).alias("rate"),
+        (F.lit(1) + F.col("doc_id") % 7).alias("a"),
+        (F.col("doc_id") % 997).alias("b"),
+    )
+    pcm = llmops.synth_wav(params, "doc_id", "n", "rate", "a", "b")
+    ulaw = llmops.wav_transcode_ulaw(pcm, "doc_id", "payload")
+    return llmops.decode_wav_ulaw_features(ulaw, "doc_id", "payload")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3145,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_jpeg411_roundtrip": q172_jpeg411_roundtrip,
         "q173_wire_serde": q173_wire_serde,
         "q174_gif_roundtrip": q174_gif_roundtrip,
+        "q175_wav_ulaw_roundtrip": q175_wav_ulaw_roundtrip,
     }
 
 
@@ -3888,6 +3914,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(agg.sb AS BIGINT) AS sum_b,
                    TRUE AS lzw_ok
             FROM bits JOIN agg ON bits.doc_id = agg.doc_id
+        """,
+        # the Sun/CCITT mu-law encode + expansion, re-derived in pure SQL
+        # integer arithmetic over the synthesis ramp (floor() not //: DuckDB
+        # // truncates toward zero on negatives, the codec floors)
+        "q175_wav_ulaw_roundtrip": """
+            WITH p AS (
+                SELECT doc_id, 100 + doc_id % 50 AS n,
+                       CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+                       1 + doc_id % 7 AS a, doc_id % 997 AS b
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, n, rate,
+                       (a * unnest(generate_series(0, n - 1)) + b) % 65536
+                           - 32768 AS sv
+                FROM p
+            ),
+            q AS (
+                SELECT doc_id, n, rate, sv,
+                       least(CASE WHEN sv < 0
+                                  THEN -CAST(floor(sv / 4.0) AS BIGINT)
+                                  ELSE CAST(floor(sv / 4.0) AS BIGINT) END,
+                             8159) + 33 AS qc
+                FROM s
+            ),
+            seg AS (
+                SELECT doc_id, n, rate, sv, qc,
+                       (qc > 63)::INT + (qc > 127)::INT + (qc > 255)::INT
+                       + (qc > 511)::INT + (qc > 1023)::INT + (qc > 2047)::INT
+                       + (qc > 4095)::INT + (qc > 8191)::INT AS sg
+                FROM q
+            ),
+            dec AS (
+                SELECT doc_id, n, rate,
+                       CASE WHEN sv < 0 THEN -1 ELSE 1 END
+                       * (CASE WHEN sg >= 8
+                               THEN (15 * 8 + 132) * 128 - 132
+                               ELSE ((qc // (1 << (sg + 1))) % 16 * 8 + 132)
+                                    * (1 << sg) - 132 END) AS dv
+                FROM seg
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(7 AS BIGINT) AS fmt_tag,
+                   CAST(8 AS BIGINT) AS bits,
+                   CAST(rate AS BIGINT) AS sample_rate,
+                   CAST(sum(dv) AS BIGINT) AS sum_decoded,
+                   CAST(sum(abs(dv)) AS BIGINT) AS sum_abs_decoded,
+                   CAST(max(abs(dv)) AS BIGINT) AS max_abs_decoded
+            FROM dec
+            GROUP BY doc_id, n, rate
         """,
         # independent recomputation of the BitConverter little-endian wire
         # layouts: per-byte two's-complement arithmetic (no hex/byte

@@ -139,6 +139,7 @@ HEADLINE = [
     "q171_jpeg422_roundtrip",
     "q173_wire_serde",
     "q174_gif_roundtrip",
+    "q175_wav_ulaw_roundtrip",
 ]
 
 

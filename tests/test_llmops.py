@@ -2320,3 +2320,90 @@ def test_gif_spark_roundtrip(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(exp)
         assert r["lzw_ok"] and not r["interlaced"]
+
+
+def test_ulaw_matches_cpython_audioop_full_domain():
+    """INTEROP pin for the G.711 codec pair: byte-for-byte equal to
+    CPython's C implementation (audioop lin2ulaw/ulaw2lin — the Sun/CCITT
+    reference code) over ALL 65536 encoder inputs and all 256 decoder
+    codes.  audioop is deprecated-for-removal, so skip gracefully when
+    absent — the q175 oracle still re-derives the arithmetic in SQL."""
+    import warnings
+
+    import numpy as np
+    import pytest
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        audioop = pytest.importorskip("audioop")
+    from pyspark_engine.llmops import _ulaw_decode_arr, _ulaw_encode_arr
+
+    s = np.arange(-32768, 32768, dtype=np.int64)
+    ref = np.frombuffer(
+        audioop.lin2ulaw(s.astype("<i2").tobytes(), 2), dtype=np.uint8
+    )
+    assert int((_ulaw_encode_arr(s) != ref).sum()) == 0
+    codes = np.arange(256, dtype=np.uint8)
+    rdec = np.frombuffer(
+        audioop.ulaw2lin(codes.tobytes(), 2), dtype="<i2"
+    ).astype(np.int64)
+    assert int((_ulaw_decode_arr(codes) != rdec).sum()) == 0
+    assert int(_ulaw_decode_arr(codes).max()) == 32124  # the spec's max output
+
+
+def test_ulaw_wav_container_roundtrip_and_guards():
+    """µ-law WAV container: fact-chunk layout, word-aligned chunk walk,
+    format guards, and the transcode pipeline through the Spark-less
+    helpers."""
+    import numpy as np
+    import pytest
+
+    from pyspark_engine.llmops import (
+        _pack_wav,
+        _pack_wav_ulaw,
+        _parse_wav_ulaw,
+        _ulaw_decode_arr,
+        _ulaw_encode_arr,
+    )
+
+    s = ((np.arange(123, dtype=np.int64) * 517 + 9) % 65536) - 32768
+    raw = _pack_wav_ulaw(8000, _ulaw_encode_arr(s).tobytes())
+    rate, n, codes = _parse_wav_ulaw(raw)
+    assert (rate, n) == (8000, 123)
+    assert np.array_equal(_ulaw_decode_arr(codes), _ulaw_decode_arr(_ulaw_encode_arr(s)))
+    with pytest.raises(ValueError, match="not a RIFF"):
+        _parse_wav_ulaw(b"RIFX" + raw[4:])
+    with pytest.raises(ValueError, match="tag 7"):
+        _parse_wav_ulaw(_pack_wav(8000, s.astype("<i2").tobytes()))  # PCM tag 1
+    bad = bytearray(raw)
+    bad[0x2E] = 99  # corrupt the fact count (offset: 12 + 8+18 + 8 -> 46)
+    with pytest.raises(ValueError, match="fact sample count"):
+        _parse_wav_ulaw(bytes(bad))
+
+
+def test_ulaw_transcode_spark(spark):
+    """synth_wav → wav_transcode_ulaw → decode_wav_ulaw_features through
+    the Spark operators equals the pure-numpy recomputation."""
+    import numpy as np
+
+    from pyspark_engine import llmops
+    from pyspark_engine.llmops import _ulaw_decode_arr, _ulaw_encode_arr
+
+    params = spark.createDataFrame(
+        [(1, 120, 8000, 3, 11), (2, 149, 16000, 7, 996)],
+        "doc_id long, n int, rate int, a int, b int",
+    )
+    pcm = llmops.synth_wav(params, "doc_id", "n", "rate", "a", "b")
+    ulaw = llmops.wav_transcode_ulaw(pcm, "doc_id", "payload")
+    feats = {
+        r["doc_id"]: r
+        for r in llmops.decode_wav_ulaw_features(ulaw, "doc_id", "payload").collect()
+    }
+    for doc_id, n, rate, a, b in [(1, 120, 8000, 3, 11), (2, 149, 16000, 7, 996)]:
+        i = np.arange(n, dtype=np.int64)
+        dec = _ulaw_decode_arr(_ulaw_encode_arr((a * i + b) % 65536 - 32768))
+        r = feats[doc_id]
+        assert (r["n_samples"], r["fmt_tag"], r["bits"], r["sample_rate"]) == (n, 7, 8, rate)
+        assert r["sum_decoded"] == int(dec.sum())
+        assert r["sum_abs_decoded"] == int(np.abs(dec).sum())
+        assert r["max_abs_decoded"] == int(np.abs(dec).max())
