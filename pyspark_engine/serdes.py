@@ -50,6 +50,8 @@ __all__ = [
     "decode_wire",
     "encode_value_and_timestamp",
     "decode_value_and_timestamp",
+    "encode_windowed_key",
+    "decode_windowed_key",
     "decode_kafka",
     "encode_kafka",
     "frame_confluent",
@@ -266,6 +268,40 @@ def decode_value_and_timestamp(col: Column) -> Column:
     val = col.substr(F.lit(13), ln)
     return F.when(col.isNull(), F.lit(None).cast("struct<timestamp:bigint,value:binary>")).otherwise(
         F.struct(ts.alias("timestamp"), val.alias("value")))
+
+
+def encode_windowed_key(key: Column, window_start_ms: Column, seqnum: Column | int = 0) -> Column:
+    """Windowed store/changelog key: inner key bytes + LE int64 window
+    start + LE int32 seqnum (core/State/Helper/WindowKeyHelper.cs:67-77
+    (ToStoreKeyBinary); TimeWindowedSerDes serializes with seqnum 0,
+    core/SerDes/TimeWindowedSerDes.cs:33-41 (Serialize))."""
+    seq = F.lit(seqnum) if isinstance(seqnum, int) else seqnum
+    return F.concat(
+        key,
+        encode_wire(window_start_ms.cast("bigint"), "bigint"),
+        encode_wire(seq.cast("int"), "int"),
+    )
+
+
+def decode_windowed_key(col: Column, window_size_ms: int) -> Column:
+    """Inverse of :func:`encode_windowed_key` → struct(key binary,
+    window_start, window_end, seqnum).  The end is start + size with the
+    reference's overflow clamp to Long.MaxValue
+    (core/State/Helper/WindowKeyHelper.cs:18-28 (TimeWindowForSize));
+    try_add realizes the wrap-check under ANSI mode."""
+    klen = F.length(col) - F.lit(12)
+    start = decode_wire(col.substr(klen + 1, F.lit(8)), "bigint")
+    end = F.coalesce(
+        F.try_add(start, F.lit(int(window_size_ms)).cast("bigint")),
+        F.lit((1 << 63) - 1).cast("bigint"),
+    )
+    end = F.when(end < F.lit(0), F.lit((1 << 63) - 1).cast("bigint")).otherwise(end)
+    return F.struct(
+        col.substr(F.lit(1), klen).alias("key"),
+        start.alias("window_start"),
+        end.alias("window_end"),
+        decode_wire(col.substr(klen + 9, F.lit(4)), "int").alias("seqnum"),
+    )
 
 
 def decode_kafka(

@@ -2418,3 +2418,27 @@ def test_value_and_timestamp_serde_roundtrip(spark):
     assert bytes(r["b"]) == struct.pack("<q", 815) + struct.pack("<i", 6) + b"coucou"
     assert r["vt"]["timestamp"] == 815 and bytes(r["vt"]["value"]) == b"coucou"
     assert r["nb"] is None and r["nv"] is None
+
+
+def test_windowed_key_serde_roundtrip(spark):
+    """TimeWindowedSerDes.cs:33-41 / WindowKeyHelper.cs ToStoreKeyBinary:
+    inner key bytes + LE int64 window start + LE int32 seqnum(0);
+    deserialize re-derives [start, start + windowSize) with the
+    Long.MaxValue overflow clamp (TimeWindowForSize)."""
+    import struct
+
+    from pyspark_engine import serdes as S
+
+    key = S.encode_wire(F.lit("user-1"), "string")
+    wk = S.encode_windowed_key(key, F.lit(60000))
+    dec = S.decode_windowed_key(wk, 5000)
+    over = S.decode_windowed_key(
+        S.encode_windowed_key(key, F.lit((1 << 63) - 2)), 5000
+    )
+    r = _one(spark, [wk.alias("b"), dec.alias("d"), over.alias("o")])
+    assert bytes(r["b"]) == b"user-1" + struct.pack("<q", 60000) + struct.pack("<i", 0)
+    assert bytes(r["d"]["key"]) == b"user-1"
+    assert (r["d"]["window_start"], r["d"]["window_end"], r["d"]["seqnum"]) == (
+        60000, 65000, 0)
+    # end overflows long -> clamped to Long.MaxValue per TimeWindowForSize
+    assert r["o"]["window_end"] == (1 << 63) - 1
