@@ -2994,6 +2994,37 @@ def q175_wav_ulaw_roundtrip(spark, sf_dir):
     return llmops.decode_wav_ulaw_features(ulaw, "doc_id", "payload")
 
 
+def q176_wav_adpcm_roundtrip(spark, sf_dir):
+    """REAL adaptive audio codec: 16-bit PCM → IMA ADPCM (WAV tag 0x11,
+    4-bit differential coding with per-block predictor headers,
+    llmops.wav_adpcm_fidelity — encode, container parse, decode and
+    per-sample compare in ONE Arrow stage).  The quantizer recurrence is
+    stateful per sample (not SQL-expressible), so the oracle is the
+    JPEG-style contract: exact container structure (sample/block counts,
+    samples-per-block from the fmt extension, tag/bits), the EXACT first
+    sample (block headers store it verbatim — b − 32768 from the synthesis
+    ramp), and measured reconstruction-error bounds (worst over the
+    parameter space: max 2, Σ 88 → pinned at ≤4 and ≤2·n).  The recurrence
+    itself is pinned nibble-for-nibble against CPython's C implementation
+    (audioop) in tests."""
+    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(100) + F.col("doc_id") % 50).alias("n"),
+        F.when(F.col("doc_id") % 2 == 0, 8000).otherwise(16000).alias("rate"),
+        (F.lit(1) + F.col("doc_id") % 7).alias("a"),
+        (F.col("doc_id") % 997).alias("b"),
+    )
+    pcm = llmops.synth_wav(params, "doc_id", "n", "rate", "a", "b")
+    fid = llmops.wav_adpcm_fidelity(pcm, "doc_id", "payload")
+    return fid.select(
+        "doc_id", "n_samples", "n_blocks", "samples_per_block", "fmt_tag",
+        "bits", "first_sample",
+        (F.col("max_abs_err") <= 4).alias("max_err_le_4"),
+        (F.col("sum_abs_err") <= 2 * F.col("n_samples")).alias("sum_err_le_2n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3171,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_wire_serde": q173_wire_serde,
         "q174_gif_roundtrip": q174_gif_roundtrip,
         "q175_wav_ulaw_roundtrip": q175_wav_ulaw_roundtrip,
+        "q176_wav_adpcm_roundtrip": q176_wav_adpcm_roundtrip,
     }
 
 
@@ -3965,6 +3997,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(abs(dv)) AS BIGINT) AS max_abs_decoded
             FROM dec
             GROUP BY doc_id, n, rate
+        """,
+        "q176_wav_adpcm_roundtrip": """
+            SELECT doc_id,
+                   CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
+                   CAST((100 + doc_id % 50 + 64) // 65 AS BIGINT) AS n_blocks,
+                   CAST(65 AS BIGINT) AS samples_per_block,
+                   CAST(17 AS BIGINT) AS fmt_tag,
+                   CAST(4 AS BIGINT) AS bits,
+                   CAST(doc_id % 997 - 32768 AS BIGINT) AS first_sample,
+                   TRUE AS max_err_le_4,
+                   TRUE AS sum_err_le_2n
+            FROM documents
         """,
         # independent recomputation of the BitConverter little-endian wire
         # layouts: per-byte two's-complement arithmetic (no hex/byte

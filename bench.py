@@ -140,6 +140,7 @@ HEADLINE = [
     "q173_wire_serde",
     "q174_gif_roundtrip",
     "q175_wav_ulaw_roundtrip",
+    "q176_wav_adpcm_roundtrip",
 ]
 
 

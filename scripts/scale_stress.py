@@ -91,6 +91,7 @@ QUERIES = [
     "q172_jpeg411_roundtrip",  # 4:1:1 layout (4x horizontal chroma pooling)
     "q174_gif_roundtrip",      # GIF LZW codec: sequential dictionary walk per payload
     "q175_wav_ulaw_roundtrip", # G.711 transcode: vectorized numpy companding per payload
+    "q176_wav_adpcm_roundtrip",# IMA ADPCM: per-sample stateful recurrence per payload
 ]
 
 

@@ -2407,3 +2407,94 @@ def test_ulaw_transcode_spark(spark):
         assert r["sum_decoded"] == int(dec.sum())
         assert r["sum_abs_decoded"] == int(np.abs(dec).sum())
         assert r["max_abs_decoded"] == int(np.abs(dec).max())
+
+
+def test_adpcm_recurrence_matches_audioop():
+    """INTEROP pin for the IMA ADPCM quantizer: nibble-for-nibble equal to
+    CPython's C implementation (audioop.lin2adpcm, the Intel/DVI reference
+    recurrence) over random full-range input, given the same initial
+    (predictor, index) state.  audioop packs first-sample-high while
+    IMA-WAV packs low-first; the comparison unpacks each convention."""
+    import struct
+    import warnings
+
+    import numpy as np
+    import pytest
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        audioop = pytest.importorskip("audioop")
+    from pyspark_engine.llmops import _ima_expand, _ima_step
+
+    rng = np.random.RandomState(5)
+    s = rng.randint(-32768, 32768, 801).tolist()
+    pred, index = s[0], 0
+    mine = []
+    for v in s[1:]:
+        nib, pred, index = _ima_step(v, pred, index)
+        mine.append(nib)
+    code, _ = audioop.lin2adpcm(struct.pack(f"<{len(s) - 1}h", *s[1:]), 2, (s[0], 0))
+    ref = []
+    for byte in code:
+        ref.extend((byte >> 4, byte & 0x0F))
+    assert mine == ref[: len(mine)]
+    # decode side: audioop.adpcm2lin from the same state reproduces my expander
+    back, _ = audioop.adpcm2lin(code, 2, (s[0], 0))
+    rdec = struct.unpack(f"<{len(back) // 2}h", back)
+    pred, index = s[0], 0
+    mdec = []
+    for nib in mine:
+        pred, index = _ima_expand(nib, pred, index)
+        mdec.append(pred)
+    assert mdec == list(rdec[: len(mdec)])
+
+
+def test_adpcm_wav_container_roundtrip_and_guards():
+    """IMA ADPCM container: block headers store the seed sample verbatim,
+    multi-block carry-over of the step index, fact-count truncation of the
+    padded final block, format guards."""
+    import numpy as np
+    import pytest
+
+    from pyspark_engine.llmops import (
+        ADPCM_BLOCK_ALIGN,
+        _pack_wav,
+        _pack_wav_adpcm,
+        _parse_wav_adpcm,
+    )
+
+    i = np.arange(149, dtype=np.int64)
+    ramp = (7 * i + 996) % 65536 - 32768
+    raw = _pack_wav_adpcm(8000, ramp.tolist())
+    rate, spb, nb, dec = _parse_wav_adpcm(raw)
+    assert (rate, spb, nb) == (8000, (ADPCM_BLOCK_ALIGN - 4) * 2 + 1, 3)
+    assert dec.size == 149
+    assert dec[0] == ramp[0] and dec[65] == ramp[65] and dec[130] == ramp[130]
+    assert int(np.abs(dec - ramp).max()) <= 4
+    with pytest.raises(ValueError, match="tag 0x11"):
+        _parse_wav_adpcm(_pack_wav(8000, ramp.astype("<i2").tobytes()))
+    with pytest.raises(ValueError, match="short of the fact"):
+        _parse_wav_adpcm(raw[:-ADPCM_BLOCK_ALIGN])
+
+
+def test_adpcm_transcode_spark(spark):
+    """synth_wav → wav_transcode_adpcm → parse equals the in-worker
+    fidelity op's view of the same pipeline."""
+    import numpy as np
+
+    from pyspark_engine import llmops
+    from pyspark_engine.llmops import _parse_wav_adpcm
+
+    params = spark.createDataFrame(
+        [(1, 120, 8000, 3, 11)], "doc_id long, n int, rate int, a int, b int"
+    )
+    pcm = llmops.synth_wav(params, "doc_id", "n", "rate", "a", "b")
+    adp = llmops.wav_transcode_adpcm(pcm, "doc_id", "payload").collect()[0]
+    rate, spb, nb, dec = _parse_wav_adpcm(bytes(adp["payload"]))
+    i = np.arange(120, dtype=np.int64)
+    ramp = (3 * i + 11) % 65536 - 32768
+    assert (rate, nb, dec.size) == (8000, 2, 120)
+    assert int(np.abs(dec - ramp).max()) <= 4
+    fid = llmops.wav_adpcm_fidelity(pcm, "doc_id", "payload").collect()[0]
+    assert fid["n_samples"] == 120 and fid["first_sample"] == 11 - 32768
+    assert fid["max_abs_err"] <= 4 and fid["sum_abs_err"] <= 240
