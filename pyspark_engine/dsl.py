@@ -1321,11 +1321,11 @@ class TimeWindowedKStream:
         df = self.stream.df
         ts = F.col(self.stream.ts)
         w = self.window
-        if df.isStreaming and getattr(w, "grace_ms", 0):
+        if df.isStreaming and getattr(w, "grace_ms", None) is not None:
             # streaming mode: grace IS the watermark (late rows dropped by the
             # engine, windows closed at watermark - grace); no batch emulation
             df = df.withWatermark(self.stream.ts, f"{int(w.grace_ms)} milliseconds")
-            w = dataclasses.replace(w, grace_ms=0)
+            w = dataclasses.replace(w, grace_ms=None)
         if isinstance(w, CustomWindowOptions):
             start, end = w.assign(ts)
             df = df.withColumn("__w_start", start).withColumn("__w_end", end)
@@ -1342,7 +1342,7 @@ class TimeWindowedKStream:
             df = df.withColumn("__w", win).withColumn("__w_start", F.col("__w.start")).withColumn(
                 "__w_end", F.col("__w.end")
             ).drop("__w")
-        if getattr(w, "grace_ms", 0):
+        if getattr(w, "grace_ms", None) is not None:
             if not self.arrival_order:
                 raise ValueError("grace emulation requires arrival_order (the offset analog)")
             if self.arrival_partition is None:
@@ -1388,7 +1388,7 @@ class TimeWindowedKStream:
             # watermarked column's window expression is a grouping key, not
             # when start/end are pre-extracted as plain timestamp columns.
             # Complete/update modes are unaffected (same result either way).
-            if getattr(w, "grace_ms", 0):
+            if getattr(w, "grace_ms", None) is not None:
                 df = df.withWatermark(self.stream.ts, f"{int(w.grace_ms)} milliseconds")
             ts = F.col(self.stream.ts)
             if w.advance_ms == w.size_ms:
@@ -1426,7 +1426,7 @@ class TimeWindowedKStream:
         for sessions (final state over complete input is already exact)."""
         w = self.window
         df = self.stream.df
-        if df.isStreaming and w.grace_ms:
+        if df.isStreaming and w.grace_ms is not None:
             df = df.withWatermark(self.stream.ts, f"{int(w.grace_ms)} milliseconds")
         key = list(self.stream.key)
         sw = F.session_window(F.col(self.stream.ts), f"{int(w.gap_ms)} milliseconds")

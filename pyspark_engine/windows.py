@@ -26,11 +26,16 @@ from dataclasses import dataclass, field
 
 @dataclass(frozen=True)
 class WindowOptions:
-    """Base window spec. ``grace_ms`` bounds accepted lateness."""
+    """Base window spec.  ``grace_ms`` bounds accepted lateness; ``None``
+    means no grace configured (admit everything in batch — the complete-
+    replay default), while an explicit ``0`` is REAL zero grace: records
+    behind stream time are dropped, the reference's strictest setting
+    (KStreamWindowAggregateProcessor admission is windowEnd > closeTime,
+    so grace 0 still admits the window containing stream time itself)."""
 
     size_ms: int
     advance_ms: int
-    grace_ms: int = 0
+    grace_ms: int | None = None
 
 
 @dataclass(frozen=True)
@@ -38,7 +43,7 @@ class TumblingWindowOptions(WindowOptions):
     """Non-overlapping fixed windows (advance == size)."""
 
     @classmethod
-    def of(cls, size_ms: int, grace_ms: int = 0) -> "TumblingWindowOptions":
+    def of(cls, size_ms: int, grace_ms: int | None = None) -> "TumblingWindowOptions":
         return cls(size_ms=size_ms, advance_ms=size_ms, grace_ms=grace_ms)
 
 
@@ -47,7 +52,7 @@ class HoppingWindowOptions(WindowOptions):
     """Overlapping fixed windows advancing by ``advance_ms``."""
 
     @classmethod
-    def of(cls, size_ms: int, advance_ms: int, grace_ms: int = 0) -> "HoppingWindowOptions":
+    def of(cls, size_ms: int, advance_ms: int, grace_ms: int | None = None) -> "HoppingWindowOptions":
         return cls(size_ms=size_ms, advance_ms=advance_ms, grace_ms=grace_ms)
 
 
@@ -61,7 +66,7 @@ class CustomWindowOptions:
     """
 
     assign: Callable  # Callable[[Column], tuple[Column, Column]]
-    grace_ms: int = 0
+    grace_ms: int | None = None
     size_ms: int = 0  # informational
     advance_ms: int = 0
 
@@ -79,10 +84,10 @@ class SessionWindowOptions:
     """
 
     gap_ms: int
-    grace_ms: int = 0
+    grace_ms: int | None = None
 
     @classmethod
-    def of(cls, gap_ms: int, grace_ms: int = 0) -> "SessionWindowOptions":
+    def of(cls, gap_ms: int, grace_ms: int | None = None) -> "SessionWindowOptions":
         return cls(gap_ms=gap_ms, grace_ms=grace_ms)
 
 

@@ -1582,7 +1582,7 @@ def test_ts_sync_tombstone_after_click_still_matches(spark):
 # docstring).  Timestamps are the test's literal UTC datetimes as epoch ms.
 
 
-def _daily_18h_topo(grace_ms=0, with_seq=False):
+def _daily_18h_topo(grace_ms=None, with_seq=False):
     from pyspark_engine import CustomWindowOptions
 
     def assign(ts):
