@@ -2922,25 +2922,35 @@ def q173_wire_serde(spark, sf_dir):
     o = read_table(configure(spark), sf_dir, "orders")
     signed = (F.col("o_custkey") - F.lit(700)).cast("int")
     ts = (F.col("o_orderkey") * 1000 + 123).cast("bigint")
-    vat = serdes.encode_value_and_timestamp(
-        serdes.encode_wire(F.col("o_orderpriority"), "string"), ts
-    )
-    vt = serdes.decode_value_and_timestamp(vat)
-    return o.select(
+    # staged projections so each wire value MATERIALIZES once: inlining the
+    # encode tree into every consumer (hex + both decode fields) multiplies
+    # an already-wide hex/unhex/conv expression ~10x and blows up codegen
+    # (measured 12.5s -> sub-second at sf0.1); CollapseProject keeps
+    # non-cheap multi-consumer aliases staged, so this stays one narrow
+    # zero-shuffle stage with named-column reuse
+    enc = o.select(
         "o_orderkey",
-        F.hex(serdes.encode_wire(F.col("o_orderkey"), "bigint")).alias(
-            "okey_wire_hex"
-        ),
-        serdes.decode_wire(
-            serdes.encode_wire(F.col("o_orderkey"), "bigint"), "bigint"
-        ).alias("okey_rt"),
-        F.hex(serdes.encode_wire(signed, "int")).alias("signed_wire_hex"),
-        serdes.decode_wire(serdes.encode_wire(signed, "int"), "int").alias(
-            "signed_rt"
-        ),
-        F.hex(vat).alias("vat_hex"),
-        vt.getField("timestamp").alias("vat_ts"),
-        serdes.decode_wire(vt.getField("value"), "string").alias("vat_value"),
+        serdes.encode_wire(F.col("o_orderkey"), "bigint").alias("okey_wire"),
+        serdes.encode_wire(signed, "int").alias("signed_wire"),
+        serdes.encode_value_and_timestamp(
+            serdes.encode_wire(F.col("o_orderpriority"), "string"), ts
+        ).alias("vat"),
+    )
+    vt = serdes.decode_value_and_timestamp(F.col("vat"))
+    dec = enc.select(
+        "o_orderkey",
+        F.hex("okey_wire").alias("okey_wire_hex"),
+        serdes.decode_wire(F.col("okey_wire"), "bigint").alias("okey_rt"),
+        F.hex("signed_wire").alias("signed_wire_hex"),
+        serdes.decode_wire(F.col("signed_wire"), "int").alias("signed_rt"),
+        F.hex("vat").alias("vat_hex"),
+        vt.alias("vt"),
+    )
+    return dec.select(
+        "o_orderkey", "okey_wire_hex", "okey_rt", "signed_wire_hex",
+        "signed_rt", "vat_hex",
+        F.col("vt.timestamp").alias("vat_ts"),
+        serdes.decode_wire(F.col("vt.value"), "string").alias("vat_value"),
     )
 
 
