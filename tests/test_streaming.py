@@ -1640,3 +1640,73 @@ def test_kafka_smoke_wire_pairing_offline(spark):
     )
     decoded = serdes.decode_kafka(withmeta, ksm.COUNT_SCHEMA, key_type="long", include_meta=True)
     assert ksm.latest_counts_from_wire(decoded) == {5: 3, 6: 9}
+
+
+def test_audio_transcode_streaming_parity(spark, tmp_path):
+    """Stream/batch parity for the LOSSY audio transcodes: PCM → G.711
+    µ-law → decode features, and PCM → IMA ADPCM fidelity, each replayed
+    through file_stream in availableNow mode.  Both codecs are
+    deterministic (fixed tables, no timestamps in the containers), so the
+    streaming output equals the batch plan exactly."""
+    from pyspark_engine import llmops
+
+    params = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(100) + F.col("id") % 50).alias("n"),
+        F.when(F.col("id") % 2 == 0, 8000).otherwise(16000).alias("rate"),
+        (F.lit(1) + F.col("id") % 7).alias("a"),
+        (F.col("id") % 997).alias("b"),
+    )
+    src = str(tmp_path / "params")
+    params.coalesce(1).write.parquet(src)
+
+    def ulaw_chain(df):
+        pcm = llmops.synth_wav(df, "doc_id", "n", "rate", "a", "b")
+        ul = llmops.wav_transcode_ulaw(pcm, "doc_id", "payload")
+        return llmops.decode_wav_ulaw_features(ul, "doc_id", "payload")
+
+    def adpcm_chain(df):
+        pcm = llmops.synth_wav(df, "doc_id", "n", "rate", "a", "b")
+        return llmops.wav_adpcm_fidelity(pcm, "doc_id", "payload")
+
+    batch = spark.read.parquet(src)
+    for chain in (ulaw_chain, adpcm_chain):
+        stream_in = StreamingBuilder(spark).file_stream(src, key="doc_id")
+        got = run_available_now(
+            KStream(chain(stream_in.df), ("doc_id",), None), output_mode="append"
+        )
+        want = chain(batch)
+        cols = want.columns
+        pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+        assert got.count() == 30
+
+
+def test_gif_codec_streaming_parity(spark, tmp_path):
+    """Stream/batch parity for the GIF codec chain: synth → LZW encode →
+    decode features under availableNow equals batch (LZW and the palette
+    walk are fully deterministic)."""
+    from pyspark_engine import llmops
+
+    params = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(16) + F.col("id") % 9).alias("w"),
+        (F.lit(12) + F.col("id") % 7).alias("h"),
+        (F.lit(1) + F.col("id") % 5).alias("a"),
+        (F.col("id") % 251).alias("b"),
+        (F.lit(4) + F.col("id") % 13).alias("p"),
+    )
+    src = str(tmp_path / "gifparams")
+    params.coalesce(1).write.parquet(src)
+
+    def chain(df):
+        gif = llmops.synth_gif(df, "doc_id", "w", "h", "a", "b", "p")
+        return llmops.decode_gif_features(gif, "doc_id", "payload")
+
+    stream_in = StreamingBuilder(spark).file_stream(src, key="doc_id")
+    got = run_available_now(
+        KStream(chain(stream_in.df), ("doc_id",), None), output_mode="append"
+    )
+    want = chain(spark.read.parquet(src))
+    cols = want.columns
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+    assert got.count() == 30
