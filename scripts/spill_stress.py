@@ -77,8 +77,10 @@ def main() -> None:
     if only == "ALL":  # full-suite OOM hunt: every headline query, capped heap
         queries = [q for q in bench.HEADLINE if q not in SWEEP_EXCLUDE]
     elif only:
+        # explicit prefixes select from the FULL headline surface, not just
+        # the shuffle-heavy shortlist, so new queries can be spot-checked
         prefixes = [p.strip() for p in only.split(",") if p.strip()]
-        queries = [q for q in QUERIES if any(q.startswith(p) for p in prefixes)]
+        queries = [q for q in bench.HEADLINE if any(q.startswith(p) for p in prefixes)]
     spark = build_session("spill_stress", cpus=CPUS, shuffle_partitions=PARTS, ui=True)
     d = scale_stress._build_dir(spark, FACTOR)
     qs = entrymod.queries()
@@ -122,7 +124,19 @@ def main() -> None:
             doc = json.load(f)
     except Exception:
         doc = {}
-    doc["low_memory_full_sweep" if only == "ALL" else "low_memory"] = rec
+    key = "low_memory_full_sweep" if only == "ALL" else "low_memory"
+    prev = doc.get(key)
+    if prev and isinstance(prev.get("queries"), dict) and prev.get(
+        "replication_factor"
+    ) == rec["replication_factor"] and prev.get("driver_mem") == rec["driver_mem"]:
+        # same configuration: merge per-query so a targeted spot-check of new
+        # queries extends the sweep instead of replacing it
+        rec["queries"] = {**prev["queries"], **rec["queries"]}
+        rec["failures"] = {**prev.get("failures", {}), **rec["failures"]}
+        rec["total_spilled_mb"] = round(
+            sum((v["spilled_mb"] or 0) for v in rec["queries"].values()), 2
+        )
+    doc[key] = rec
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps({"low_memory": rec}))
