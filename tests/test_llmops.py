@@ -2498,3 +2498,32 @@ def test_adpcm_transcode_spark(spark):
     fid = llmops.wav_adpcm_fidelity(pcm, "doc_id", "payload").collect()[0]
     assert fid["n_samples"] == 120 and fid["first_sample"] == 11 - 32768
     assert fid["max_abs_err"] <= 4 and fid["sum_abs_err"] <= 240
+
+
+def test_gif_lzw_roundtrip_property():
+    """Hypothesis fuzz for the LZW pair: arbitrary index streams at every
+    min-code-size, including runs (KwKwK-rich), alternations, and lengths
+    crossing the code-width growth points — decode∘encode must be the
+    identity everywhere."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark_engine.llmops import _gif_lzw_decode, _gif_lzw_encode
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=8).flatmap(
+            lambda mcs: st.tuples(
+                st.just(mcs),
+                st.lists(
+                    st.integers(min_value=0, max_value=(1 << mcs) - 1),
+                    min_size=1,
+                    max_size=600,
+                ),
+            )
+        )
+    )
+    def check(case):
+        mcs, idx = case
+        assert _gif_lzw_decode(_gif_lzw_encode(idx, mcs), mcs, len(idx)) == idx
+
+    check()

@@ -2442,3 +2442,42 @@ def test_windowed_key_serde_roundtrip(spark):
         60000, 65000, 0)
     # end overflows long -> clamped to Long.MaxValue per TimeWindowForSize
     assert r["o"]["window_end"] == (1 << 63) - 1
+
+
+def test_wire_serde_roundtrip_property(spark):
+    """Hypothesis fuzz for the BitConverter wire pair: int32/int64 boundary
+    and random values (incl. min/max and sign flips) roundtrip through one
+    Spark projection, and the encoded hex equals struct.pack's view of the
+    same layout — an independent implementation of the byte order."""
+    import struct
+
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark_engine import serdes as S
+
+    i32 = st.one_of(
+        st.integers(min_value=-(1 << 31), max_value=(1 << 31) - 1),
+        st.sampled_from([0, -1, 1, (1 << 31) - 1, -(1 << 31)]),
+    )
+    i64 = st.one_of(
+        st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+        st.sampled_from([0, -1, (1 << 63) - 1, -(1 << 63)]),
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.tuples(i32, i64), min_size=1, max_size=24))
+    def check(vals):
+        df = spark.createDataFrame(vals, "a int, b long")
+        rows = df.select(
+            "a", "b",
+            F.hex(S.encode_wire(F.col("a"), "int")).alias("ha"),
+            S.decode_wire(S.encode_wire(F.col("a"), "int"), "int").alias("ra"),
+            F.hex(S.encode_wire(F.col("b"), "bigint")).alias("hb"),
+            S.decode_wire(S.encode_wire(F.col("b"), "bigint"), "bigint").alias("rb"),
+        ).collect()
+        for r in rows:
+            assert r["ra"] == r["a"] and r["rb"] == r["b"]
+            assert r["ha"] == struct.pack("<i", r["a"]).hex().upper()
+            assert r["hb"] == struct.pack("<q", r["b"]).hex().upper()
+
+    check()
