@@ -3035,6 +3035,39 @@ def q176_wav_adpcm_roundtrip(spark, sf_dir):
     )
 
 
+def q177_image_sniff(spark, sf_dir):
+    """Heterogeneous-corpus normalization: a MIXED binary column (PPM for
+    doc_id%3=0, PNG for 1, GIF for 2 — three real synthesized containers)
+    decoded to uniform features in ONE Arrow stage by magic-byte dispatch
+    (llmops.decode_any_image_features; the routing predicate itself is the
+    pure-Catalyst llmops.sniff_image_format).  This is the actual shape of
+    a crawl-derived multimodal ingest job: payloads carry no trustworthy
+    extension, the bytes decide.  All three containers are lossless here,
+    so the oracle recomputes every channel sum per format branch — the
+    direct ramp algebra for PPM/PNG, the palette indirection for GIF —
+    plus the format label from doc_id arithmetic."""
+    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(16) + F.col("doc_id") % 9).alias("w"),
+        (F.lit(12) + F.col("doc_id") % 7).alias("h"),
+        (F.lit(1) + F.col("doc_id") % 5).alias("a"),
+        (F.col("doc_id") % 251).alias("b"),
+        (F.lit(4) + F.col("doc_id") % 13).alias("p"),
+    )
+    ppm = llmops.synth_ppm(
+        params.filter(F.col("doc_id") % 3 == 0), "doc_id", "w", "h", "a", "b"
+    )
+    png = llmops.synth_png(
+        params.filter(F.col("doc_id") % 3 == 1), "doc_id", "w", "h", "a", "b"
+    )
+    gif = llmops.synth_gif(
+        params.filter(F.col("doc_id") % 3 == 2), "doc_id", "w", "h", "a", "b", "p"
+    )
+    mixed = ppm.unionByName(png).unionByName(gif)
+    return llmops.decode_any_image_features(mixed, "doc_id", "payload")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3213,6 +3246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_gif_roundtrip": q174_gif_roundtrip,
         "q175_wav_ulaw_roundtrip": q175_wav_ulaw_roundtrip,
         "q176_wav_adpcm_roundtrip": q176_wav_adpcm_roundtrip,
+        "q177_image_sniff": q177_image_sniff,
     }
 
 
@@ -4019,6 +4053,41 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS max_err_le_4,
                    TRUE AS sum_err_le_2n
             FROM documents
+        """,
+        "q177_image_sniff": """
+            WITH p AS (
+                SELECT doc_id, 16 + doc_id % 9 AS w, 12 + doc_id % 7 AS h,
+                       1 + doc_id % 5 AS a, doc_id % 251 AS b,
+                       4 + doc_id % 13 AS pp, doc_id % 3 AS f
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, w, h, a, b, pp, f,
+                       unnest(generate_series(0, w * h - 1)) AS i
+                FROM p
+            ),
+            agg AS (
+                SELECT doc_id,
+                       sum(CASE WHEN f = 2
+                                THEN (a * ((a * i + b) % pp) + b) % 256
+                                ELSE (a * i + b) % 256 END) AS sr,
+                       sum(CASE WHEN f = 2
+                                THEN (a * ((a * i + b) % pp) + b + 85) % 256
+                                ELSE (a * i + b + 85) % 256 END) AS sg,
+                       sum(CASE WHEN f = 2
+                                THEN (a * ((a * i + b) % pp) + b + 170) % 256
+                                ELSE (a * i + b + 170) % 256 END) AS sb
+                FROM s GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   CASE p.f WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+                            ELSE 'gif' END AS format,
+                   CAST(p.w AS BIGINT) AS width,
+                   CAST(p.h AS BIGINT) AS height,
+                   CAST(agg.sr AS BIGINT) AS sum_r,
+                   CAST(agg.sg AS BIGINT) AS sum_g,
+                   CAST(agg.sb AS BIGINT) AS sum_b
+            FROM p JOIN agg ON p.doc_id = agg.doc_id
         """,
         # independent recomputation of the BitConverter little-endian wire
         # layouts: per-byte two's-complement arithmetic (no hex/byte

@@ -141,6 +141,7 @@ HEADLINE = [
     "q174_gif_roundtrip",
     "q175_wav_ulaw_roundtrip",
     "q176_wav_adpcm_roundtrip",
+    "q177_image_sniff",
 ]
 
 

@@ -2532,6 +2532,69 @@ def decode_gif_features(df: DataFrame, id_col: str, payload_col: str) -> DataFra
     return proj.mapInPandas(worker, GIF_FEATURES_SCHEMA)
 
 
+IMAGE_SNIFF_SCHEMA = (
+    "doc_id long, format string, width long, height long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def sniff_image_format(col: Column) -> Column:
+    """Container sniffing by magic bytes as a PURE Catalyst expression
+    (substring on binary + literal compares — usable as a partition or
+    routing key before any Python runs): P6 → ppm, \\x89PNG → png,
+    GIF87a/GIF89a → gif, SOI \\xff\\xd8 → jpeg, else unknown.  The
+    real-corpus move: crawl payloads carry no trustworthy extension or
+    content-type, the bytes are the only authority."""
+    return (
+        F.when(F.substring(col, 1, 8) == F.lit(PNG_SIG), "png")
+        .when(F.substring(col, 1, 2) == F.lit(b"P6"), "ppm")
+        .when(F.substring(col, 1, 4) == F.lit(b"GIF8"), "gif")
+        .when(F.substring(col, 1, 2) == F.lit(b"\xff\xd8"), "jpeg")
+        .otherwise("unknown")
+    )
+
+
+def decode_any_image_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Normalize a HETEROGENEOUS image corpus in one Arrow stage: per-row
+    magic-byte dispatch to the real PPM/PNG/GIF decoders (each individually
+    oracle-checked: q158/q164/q174), emitting uniform features regardless
+    of container.  This is the shape of an actual multimodal ingest job —
+    one pass, no per-format corpus splits, no shuffle; unknown containers
+    raise rather than pass through silently (route them through
+    sniff_image_format + filter first when a corpus may hold gated
+    formats)."""
+
+    def worker(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ["doc_id", "format", "width", "height", "sum_r", "sum_g", "sum_b"]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:8] == PNG_SIG:
+                    fmt = "png"
+                    w, h, _d, _c, _n, img = _png_decode(raw)
+                elif raw[:2] == b"P6":
+                    fmt = "ppm"
+                    w, h, _maxval, img = _parse_ppm(raw)
+                elif raw[:4] == b"GIF8":
+                    fmt = "gif"
+                    w, h, _p, _m, _i, img = _gif_decode(raw)
+                else:
+                    raise ValueError(
+                        f"unrecognized image container (first bytes {raw[:4]!r})"
+                    )
+                s = img.astype("int64").sum(axis=(0, 1))
+                rows.append((doc_id, fmt, w, h, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(rows, columns=cols)
+
+    proj = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+    return proj.mapInPandas(worker, IMAGE_SNIFF_SCHEMA)
+
+
 def _jpeg_ramp(w: int, h: int, ay: int, ax: int, b: int):
     """The q168 synthesis image: smooth linear ramp per channel (offsets
     +0/+30/+60), parameters chosen never to clip — smoothness keeps the

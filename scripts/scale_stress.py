@@ -92,6 +92,7 @@ QUERIES = [
     "q174_gif_roundtrip",      # GIF LZW codec: sequential dictionary walk per payload
     "q175_wav_ulaw_roundtrip", # G.711 transcode: vectorized numpy companding per payload
     "q176_wav_adpcm_roundtrip",# IMA ADPCM: per-sample stateful recurrence per payload
+    "q177_image_sniff",        # magic-byte dispatch over a mixed-container corpus
 ]
 
 

@@ -2527,3 +2527,42 @@ def test_gif_lzw_roundtrip_property():
         assert _gif_lzw_decode(_gif_lzw_encode(idx, mcs), mcs, len(idx)) == idx
 
     check()
+
+
+def test_sniff_image_format_expression_and_dispatch(spark):
+    """sniff_image_format is a pure Catalyst routing predicate (magic
+    bytes), and decode_any_image_features dispatches all three real
+    containers in one worker; unknown bytes raise instead of passing
+    through."""
+    import pytest
+
+    from pyspark_engine import llmops
+
+    params = spark.createDataFrame(
+        [(0, 8, 6, 2, 5, 4), (1, 8, 6, 2, 5, 4), (2, 8, 6, 2, 5, 4)],
+        "doc_id long, w int, h int, a int, b int, p int",
+    )
+    ppm = llmops.synth_ppm(params.filter("doc_id = 0"), "doc_id", "w", "h", "a", "b")
+    png = llmops.synth_png(params.filter("doc_id = 1"), "doc_id", "w", "h", "a", "b")
+    gif = llmops.synth_gif(params.filter("doc_id = 2"), "doc_id", "w", "h", "a", "b", "p")
+    mixed = ppm.unionByName(png).unionByName(gif)
+    sniffed = {
+        r["doc_id"]: r["fmt"]
+        for r in mixed.select(
+            "doc_id", llmops.sniff_image_format(F.col("payload")).alias("fmt")
+        ).collect()
+    }
+    assert sniffed == {0: "ppm", 1: "png", 2: "gif"}
+    got = {r["doc_id"]: r for r in llmops.decode_any_image_features(mixed, "doc_id", "payload").collect()}
+    assert {k: v["format"] for k, v in got.items()} == sniffed
+    # ppm and png carry the SAME pixel algebra -> identical sums; gif differs
+    assert (got[0]["sum_r"], got[0]["sum_g"], got[0]["sum_b"]) == (
+        got[1]["sum_r"], got[1]["sum_g"], got[1]["sum_b"])
+    junk = spark.createDataFrame([(9, bytearray(b"BM??notanimage"))], "doc_id long, payload binary")
+    assert llmops.sniff_image_format(F.col("payload")).alias  # expression builds
+    assert (
+        junk.select(llmops.sniff_image_format(F.col("payload")).alias("f")).collect()[0]["f"]
+        == "unknown"
+    )
+    with pytest.raises(Exception, match="unrecognized image container"):
+        llmops.decode_any_image_features(junk, "doc_id", "payload").collect()
