@@ -3068,6 +3068,19 @@ def q177_image_sniff(spark, sf_dir):
     return llmops.decode_any_image_features(mixed, "doc_id", "payload")
 
 
+def q178_bmp_roundtrip(spark, sf_dir):
+    """REAL BMP codec, stdlib only: the q158 pixel ramp packed through the
+    canonical 24-bpp BI_RGB container (llmops.synth_bmp — BGR order,
+    bottom-up rows padded to 4 bytes) and decoded back
+    (llmops.decode_bmp_features; the decoder also handles 32-bpp
+    BI_BITFIELDS and top-down rows, pinned on CPython's own test-corpus V5
+    BMP in tests).  Widths 16-24 include non-multiple-of-4 strides, so the
+    padding math gates the hash.  Lossless → the oracle recomputes every
+    channel sum from parameters."""
+    bmp = llmops.synth_bmp(_ppm_params(spark, sf_dir), "doc_id", "w", "h", "a", "b")
+    return llmops.decode_bmp_features(bmp, "doc_id", "payload")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3247,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_wav_ulaw_roundtrip": q175_wav_ulaw_roundtrip,
         "q176_wav_adpcm_roundtrip": q176_wav_adpcm_roundtrip,
         "q177_image_sniff": q177_image_sniff,
+        "q178_bmp_roundtrip": q178_bmp_roundtrip,
     }
 
 
@@ -4084,6 +4098,34 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'gif' END AS format,
                    CAST(p.w AS BIGINT) AS width,
                    CAST(p.h AS BIGINT) AS height,
+                   CAST(agg.sr AS BIGINT) AS sum_r,
+                   CAST(agg.sg AS BIGINT) AS sum_g,
+                   CAST(agg.sb AS BIGINT) AS sum_b
+            FROM p JOIN agg ON p.doc_id = agg.doc_id
+        """,
+        "q178_bmp_roundtrip": """
+            WITH p AS (
+                SELECT doc_id, 16 + doc_id % 9 AS w, 12 + doc_id % 7 AS h,
+                       1 + doc_id % 5 AS a, doc_id % 251 AS b
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, unnest(generate_series(0, w * h - 1)) AS i,
+                       a, b
+                FROM p
+            ),
+            agg AS (
+                SELECT doc_id,
+                       sum((a * i + b) % 256) AS sr,
+                       sum((a * i + b + 85) % 256) AS sg,
+                       sum((a * i + b + 170) % 256) AS sb
+                FROM s GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   CAST(p.w AS BIGINT) AS width,
+                   CAST(p.h AS BIGINT) AS height,
+                   CAST(24 AS BIGINT) AS bpp,
+                   CAST(0 AS BIGINT) AS compression,
                    CAST(agg.sr AS BIGINT) AS sum_r,
                    CAST(agg.sg AS BIGINT) AS sum_g,
                    CAST(agg.sb AS BIGINT) AS sum_b

@@ -142,6 +142,7 @@ HEADLINE = [
     "q175_wav_ulaw_roundtrip",
     "q176_wav_adpcm_roundtrip",
     "q177_image_sniff",
+    "q178_bmp_roundtrip",
 ]
 
 

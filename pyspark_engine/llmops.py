@@ -2532,6 +2532,72 @@ def decode_gif_features(df: DataFrame, id_col: str, payload_col: str) -> DataFra
     return proj.mapInPandas(worker, GIF_FEATURES_SCHEMA)
 
 
+def _bmp_encode(img) -> bytes:
+    """REAL BMP encoder (the canonical 24-bpp BI_RGB BITMAPINFOHEADER
+    form): BGR pixel order, bottom-up rows, each padded to a 4-byte
+    boundary — stdlib struct only."""
+    import struct
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (stride - len(row))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    header = b"BM" + struct.pack("<III", 14 + 40 + len(body), 0, 14 + 40)
+    return header + info + bytes(body)
+
+
+def _bmp_decode(raw: bytes):
+    """REAL BMP decoder using ONLY the stdlib: file + DIB header parse
+    (any INFOHEADER-family size ≥ 40 — V4/V5 share the prefix), 24-bpp
+    BI_RGB and 32-bpp BI_RGB/BI_BITFIELDS (byte-aligned masks), bottom-up
+    and top-down (negative height) row orders, 4-byte row padding, pixel
+    offset honored.  Pinned against CPython's own test-corpus BMPs (V5
+    BITFIELDS 32-bpp, a real-encoder artifact) in tests.  Returns
+    (width, height, bpp, compression, ndarray[h, w, 3])."""
+    import struct
+
+    import numpy as np
+
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP payload (bad signature)")
+    _fsz, _res, off = struct.unpack("<III", raw[2:14])
+    (hsz,) = struct.unpack("<I", raw[14:18])
+    if hsz < 40:
+        raise ValueError(f"unsupported BMP header size {hsz} (CORE headers not handled)")
+    w, h, _planes, bpp, comp = struct.unpack("<iiHHI", raw[18:34])
+    top_down = h < 0
+    h = abs(h)
+    if bpp == 24 and comp == 0:
+        shifts = None  # byte-wise BGR reversal below, no mask math
+    elif bpp == 32 and comp in (0, 3):
+        if comp == 3:
+            masks = struct.unpack("<III", raw[54:66])  # R, G, B masks follow the prefix
+            shift_of = {0xFF: 0, 0xFF00: 8, 0xFF0000: 16, 0xFF000000: 24}
+            if any(m not in shift_of for m in masks):
+                raise ValueError(f"unsupported BMP bitfield masks {[hex(m) for m in masks]}")
+            shifts = tuple(shift_of[m] for m in masks)
+        else:
+            shifts = (16, 8, 0)  # BGRX
+    else:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for out_y in range(h):
+        src_y = out_y if top_down else h - 1 - out_y
+        row = np.frombuffer(raw, dtype=np.uint8, count=w * nbytes, offset=off + src_y * stride)
+        if bpp == 24:
+            px = row.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+        else:
+            u32 = row.view("<u4").astype(np.int64)
+            px = np.stack([(u32 >> s) & 0xFF for s in shifts], axis=-1).astype(np.uint8)
+        img[out_y] = px
+    return w, h, bpp, comp, img
+
+
 IMAGE_SNIFF_SCHEMA = (
     "doc_id long, format string, width long, height long, "
     "sum_r long, sum_g long, sum_b long"
@@ -2550,8 +2616,72 @@ def sniff_image_format(col: Column) -> Column:
         .when(F.substring(col, 1, 2) == F.lit(b"P6"), "ppm")
         .when(F.substring(col, 1, 4) == F.lit(b"GIF8"), "gif")
         .when(F.substring(col, 1, 2) == F.lit(b"\xff\xd8"), "jpeg")
+        .when(F.substring(col, 1, 2) == F.lit(b"BM"), "bmp")
         .otherwise("unknown")
     )
+
+
+def synth_bmp(df: DataFrame, id_col: str, w_col: str, h_col: str, a_col: str, b_col: str) -> DataFrame:
+    """Deterministic REAL-BMP synthesis: the synth_ppm pixel ramp packed
+    through the canonical 24-bpp BI_RGB container (_bmp_encode — BGR order,
+    bottom-up padded rows).  Lossless, so the q178 oracle recomputes every
+    decoded channel sum from parameters.  One Arrow pass, no shuffle."""
+
+    def worker(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, w, h, a, b in zip(pdf["doc_id"], pdf["w"], pdf["h"], pdf["a"], pdf["b"]):
+                w, h, a, b = int(w), int(h), int(a), int(b)
+                i = np.arange(w * h, dtype=np.int64)[:, None]
+                c = np.arange(3, dtype=np.int64)[None, :]
+                img = ((a * i + b + 85 * c) % 256).astype(np.uint8).reshape(h, w, 3)
+                rows.append((doc_id, _bmp_encode(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    proj = _spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(w_col).alias("w"),
+            F.col(h_col).alias("h"),
+            F.col(a_col).alias("a"),
+            F.col(b_col).alias("b"),
+        )
+    )
+    return proj.mapInPandas(worker, "doc_id long, payload binary")
+
+
+BMP_FEATURES_SCHEMA = (
+    "doc_id long, width long, height long, bpp long, compression long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def decode_bmp_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL BMP decode over a binary column (_bmp_decode: INFOHEADER-family
+    parse, 24/32-bpp, BI_RGB/BI_BITFIELDS, both row orders, padding) with
+    integer-exact channel sums the q178 oracle recomputes from synthesis
+    parameters.  Arrow-batched mapInPandas, no shuffle."""
+
+    def worker(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ["doc_id", "width", "height", "bpp", "compression",
+                "sum_r", "sum_g", "sum_b"]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, bpp, comp, img = _bmp_decode(bytes(payload))
+                s = img.astype("int64").sum(axis=(0, 1))
+                rows.append((doc_id, w, h, bpp, comp, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(rows, columns=cols)
+
+    proj = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+    return proj.mapInPandas(worker, BMP_FEATURES_SCHEMA)
 
 
 def decode_any_image_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
@@ -2581,6 +2711,9 @@ def decode_any_image_features(df: DataFrame, id_col: str, payload_col: str) -> D
                 elif raw[:4] == b"GIF8":
                     fmt = "gif"
                     w, h, _p, _m, _i, img = _gif_decode(raw)
+                elif raw[:2] == b"BM":
+                    fmt = "bmp"
+                    w, h, _bpp, _comp, img = _bmp_decode(raw)
                 else:
                     raise ValueError(
                         f"unrecognized image container (first bytes {raw[:4]!r})"

@@ -93,6 +93,7 @@ QUERIES = [
     "q175_wav_ulaw_roundtrip", # G.711 transcode: vectorized numpy companding per payload
     "q176_wav_adpcm_roundtrip",# IMA ADPCM: per-sample stateful recurrence per payload
     "q177_image_sniff",        # magic-byte dispatch over a mixed-container corpus
+    "q178_bmp_roundtrip",      # BMP container: stride/padding math, Arrow 1->1
 ]
 
 

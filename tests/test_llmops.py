@@ -2566,3 +2566,83 @@ def test_sniff_image_format_expression_and_dispatch(spark):
     )
     with pytest.raises(Exception, match="unrecognized image container"):
         llmops.decode_any_image_features(junk, "doc_id", "payload").collect()
+
+
+def test_bmp_codec_roundtrip_and_guards():
+    """BMP pair: padding-sensitive strides roundtrip exactly; top-down
+    (negative height) decode; unsupported depths guarded."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from pyspark_engine.llmops import _bmp_decode, _bmp_encode
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (13, 17, 3)).astype(np.uint8)  # 17*3=51 -> stride 52
+    raw = _bmp_encode(img)
+    w, h, bpp, comp, back = _bmp_decode(raw)
+    assert (w, h, bpp, comp) == (17, 13, 24, 0)
+    assert np.array_equal(back, img)
+    # top-down variant: flip rows, negate height in the header
+    body = bytearray(raw)
+    body[22:26] = struct.pack("<i", -13)
+    stride = 52
+    flipped = bytearray(raw[:54])
+    flipped[22:26] = struct.pack("<i", -13)
+    for y in range(13):
+        start = 54 + (12 - y) * stride
+        flipped += raw[start : start + stride]
+    w2, h2, _b, _c, td = _bmp_decode(bytes(flipped))
+    assert (w2, h2) == (17, 13) and np.array_equal(td, img)
+    with pytest.raises(ValueError, match="bad signature"):
+        _bmp_decode(b"XM" + raw[2:])
+    bad = bytearray(raw)
+    bad[28] = 8  # 8-bpp palette form -> guarded
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        _bmp_decode(bytes(bad))
+
+
+def test_bmp_decode_wild_cpython_corpus():
+    """Interop pin: CPython's own test-corpus python.bmp (a real-encoder
+    artifact: BITMAPV5HEADER, 32-bpp, BI_BITFIELDS masks) decodes through
+    the mask path."""
+    import glob
+
+    import pytest
+
+    files = sorted(
+        glob.glob(
+            "/root/.pyenv/versions/*/lib/python*/test/**/python.bmp",
+            recursive=True,
+        )
+    )
+    if not files:
+        pytest.skip("no CPython BMP corpus on this box")
+    from pyspark_engine.llmops import _bmp_decode
+
+    w, h, bpp, comp, img = _bmp_decode(open(files[0], "rb").read())
+    assert (w, h, bpp, comp) == (16, 16, 32, 3)
+    assert img.shape == (16, 16, 3) and int(img.sum()) > 0
+
+
+def test_bmp_spark_and_sniff_dispatch(spark):
+    """synth_bmp → decode_bmp_features equals the ramp algebra, and the
+    sniffer + mixed dispatch pick up the fourth container."""
+    from pyspark_engine import llmops
+
+    params = spark.createDataFrame(
+        [(7, 17, 13, 3, 9)], "doc_id long, w int, h int, a int, b int"
+    )
+    bmp = llmops.synth_bmp(params, "doc_id", "w", "h", "a", "b")
+    assert (
+        bmp.select(llmops.sniff_image_format(F.col("payload")).alias("f"))
+        .collect()[0]["f"]
+        == "bmp"
+    )
+    r = llmops.decode_bmp_features(bmp, "doc_id", "payload").collect()[0]
+    exp = [sum((3 * i + 9 + 85 * c) % 256 for i in range(17 * 13)) for c in range(3)]
+    assert (r["width"], r["height"], r["bpp"], r["compression"]) == (17, 13, 24, 0)
+    assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(exp)
+    any_r = llmops.decode_any_image_features(bmp, "doc_id", "payload").collect()[0]
+    assert any_r["format"] == "bmp" and any_r["sum_r"] == exp[0]
