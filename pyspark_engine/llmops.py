@@ -2073,6 +2073,7 @@ def _png_decode(raw: bytes):
     pos = 8
     ihdr = None
     idat = bytearray()
+    plte = None
     while pos < len(raw):
         (length,) = struct.unpack(">I", raw[pos : pos + 4])
         ctype = raw[pos + 4 : pos + 8]
@@ -2082,6 +2083,8 @@ def _png_decode(raw: bytes):
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -2090,13 +2093,16 @@ def _png_decode(raw: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, bit_depth, color_type, comp, filt_method, interlace = ihdr
-    if (bit_depth, color_type, comp, filt_method, interlace) != (8, 2, 0, 0, 0):
+    if (bit_depth, comp, filt_method, interlace) != (8, 0, 0, 0) or color_type not in (2, 3):
         raise ValueError(
             f"unsupported PNG (bit_depth={bit_depth}, color_type={color_type}, "
-            f"interlace={interlace}): only 8-bit non-interlaced RGB decodes here"
+            f"interlace={interlace}): only 8-bit non-interlaced RGB (2) and "
+            f"palette (3) decode here"
         )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     stream = zlib.decompress(bytes(idat))
-    bpp = 3
+    bpp = 3 if color_type == 2 else 1
     stride = w * bpp
     if len(stream) != h * (stride + 1):
         raise ValueError("PNG scanline stream length mismatch")
@@ -2126,7 +2132,13 @@ def _png_decode(raw: bytes):
                 else:
                     raise ValueError(f"bad PNG filter type {f}")
                 cur[i] = (row[i] + pred) % 256
-    return w, h, bit_depth, color_type, len(filter_types), img.reshape(h, w, bpp).astype(np.uint8)
+    out = img.reshape(h, w, bpp).astype(np.uint8)
+    if color_type == 3:  # palette indices -> RGB through PLTE
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index beyond PLTE")
+        out = plte[idx]
+    return w, h, bit_depth, color_type, len(filter_types), out
 
 
 def synth_png(df: DataFrame, id_col: str, w_col: str, h_col: str, a_col: str, b_col: str) -> DataFrame:

@@ -2646,3 +2646,33 @@ def test_bmp_spark_and_sniff_dispatch(spark):
     assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(exp)
     any_r = llmops.decode_any_image_features(bmp, "doc_id", "payload").collect()[0]
     assert any_r["format"] == "bmp" and any_r["sum_r"] == exp[0]
+
+
+def test_wild_cpython_corpus_cross_format_pixels():
+    """Triangulated interop pin: CPython ships the SAME source image in
+    multiple real-encoder containers (test/imghdrdata python.*); our
+    three independent decoders (palette PNG via PLTE, BMP via V5
+    BITFIELDS, PPM) must produce BYTE-IDENTICAL pixel grids from it — a
+    decoder bug in any one container breaks the equality.  The GIF
+    variant was palette-quantized at authoring time (128 colors), so it
+    is pinned by successful decode + shape, not pixel equality."""
+    import glob
+
+    import numpy as np
+    import pytest
+
+    base = sorted(glob.glob("/root/.pyenv/versions/*/lib/python*/test/imghdrdata"))
+    if not base:
+        pytest.skip("no CPython image corpus on this box")
+    base = base[0] + "/"
+    from pyspark_engine.llmops import _bmp_decode, _gif_decode, _parse_ppm, _png_decode
+
+    png = _png_decode(open(base + "python.png", "rb").read())[-1]
+    ppm = _parse_ppm(open(base + "python.ppm", "rb").read())[-1]
+    gif = _gif_decode(open(base + "python.gif", "rb").read())[-1]
+    assert png.shape == ppm.shape == gif.shape == (16, 16, 3)
+    assert np.array_equal(png, ppm)
+    bmps = sorted(glob.glob("/root/.pyenv/versions/*/lib/python*/test/**/python.bmp", recursive=True))
+    if bmps:
+        bmp = _bmp_decode(open(bmps[0], "rb").read())[-1]
+        assert np.array_equal(png, bmp)
