@@ -2558,7 +2558,7 @@ def test_sniff_image_format_expression_and_dispatch(spark):
     # ppm and png carry the SAME pixel algebra -> identical sums; gif differs
     assert (got[0]["sum_r"], got[0]["sum_g"], got[0]["sum_b"]) == (
         got[1]["sum_r"], got[1]["sum_g"], got[1]["sum_b"])
-    junk = spark.createDataFrame([(9, bytearray(b"BM??notanimage"))], "doc_id long, payload binary")
+    junk = spark.createDataFrame([(9, bytearray(b"ZZ??notanimage"))], "doc_id long, payload binary")
     assert llmops.sniff_image_format(F.col("payload")).alias  # expression builds
     assert (
         junk.select(llmops.sniff_image_format(F.col("payload")).alias("f")).collect()[0]["f"]
