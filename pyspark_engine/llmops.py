@@ -1492,29 +1492,38 @@ def _pack_wav_ulaw(rate: int, data: bytes) -> bytes:
     )
 
 
+def _walk_riff_chunks(raw: bytes) -> dict:
+    """Shared RIFF/WAVE chunk walk (signature check, word-aligned advance):
+    returns {chunk_id: body_bytes} with the LAST occurrence winning — both
+    the µ-law and ADPCM parsers layer their format checks on top of this
+    one loop so a walk fix lands once."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    import struct
+
+    chunks: dict = {}
+    pos = 12
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (ln,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        chunks[cid] = raw[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    return chunks
+
+
 def _parse_wav_ulaw(raw: bytes):
-    """Chunk-walking parser for µ-law WAVs (CPython's ``wave`` module
-    rejects non-PCM formats, so this side is its own spec implementation):
-    RIFF/WAVE signature, fmt (tag must be 7, mono, 8-bit), fact count,
-    data bytes.  Returns (rate, n_samples, codes ndarray)."""
+    """Parser for µ-law WAVs (CPython's ``wave`` module rejects non-PCM
+    formats, so this side is its own spec implementation): shared chunk
+    walk, then fmt (tag must be 7, mono, 8-bit), fact count, data bytes.
+    Returns (rate, n_samples, codes ndarray)."""
     import struct
 
     import numpy as np
 
-    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, fact_n, data = 12, None, None, None
-    while pos + 8 <= len(raw):
-        cid = raw[pos : pos + 4]
-        (ln,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
-        body = raw[pos + 8 : pos + 8 + ln]
-        if cid == b"fmt ":
-            fmt = struct.unpack("<HHIIHH", body[:16])
-        elif cid == b"fact":
-            (fact_n,) = struct.unpack("<I", body[:4])
-        elif cid == b"data":
-            data = body
-        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    chunks = _walk_riff_chunks(raw)
+    fmt = struct.unpack("<HHIIHH", chunks[b"fmt "][:16]) if b"fmt " in chunks else None
+    fact_n = struct.unpack("<I", chunks[b"fact"][:4])[0] if b"fact" in chunks else None
+    data = chunks.get(b"data")
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     tag, nch, rate, _bps, _align, bits = fmt
@@ -1678,12 +1687,11 @@ def _pack_wav_adpcm(rate: int, samples, block_align: int = ADPCM_BLOCK_ALIGN) ->
         nibbles += [0] * ((block_align - 4) * 2 - len(nibbles))  # pad final block
         for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
             blocks.append(lo | (hi << 4))
-    n_blocks = -(-n // spb) if n else 0
     return (
         b"RIFF" + struct.pack("<I", 52 + len(blocks)) + b"WAVE"
         + b"fmt " + struct.pack(
             "<IHHIIHHHH", 20, 0x11, 1, rate,
-            rate * block_align // spb + 1, block_align, 4, 2, spb,
+            (rate * block_align + spb - 1) // spb, block_align, 4, 2, spb,
         )
         + b"fact" + struct.pack("<II", 4, n)
         + b"data" + struct.pack("<I", len(blocks))
@@ -1692,30 +1700,23 @@ def _pack_wav_adpcm(rate: int, samples, block_align: int = ADPCM_BLOCK_ALIGN) ->
 
 
 def _parse_wav_adpcm(raw: bytes):
-    """Chunk-walking IMA ADPCM WAV decoder (stdlib ``wave`` rejects tag
-    0x11): fmt/fact/data walk, then per-block header + nibble expansion,
-    truncated to the fact sample count.  Returns (rate, samples_per_block,
-    n_blocks, ndarray of decoded int16)."""
+    """IMA ADPCM WAV decoder (stdlib ``wave`` rejects tag 0x11): shared
+    chunk walk, then per-block header + nibble expansion, truncated to the
+    fact sample count.  Returns (rate, samples_per_block, n_blocks,
+    ndarray of decoded int16)."""
     import struct
 
     import numpy as np
 
-    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, spb, fact_n, data = 12, None, None, None, None
-    while pos + 8 <= len(raw):
-        cid = raw[pos : pos + 4]
-        (ln,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
-        body = raw[pos + 8 : pos + 8 + ln]
-        if cid == b"fmt ":
-            fmt = struct.unpack("<HHIIHH", body[:16])
-            if ln >= 20:
-                (spb,) = struct.unpack("<H", body[18:20])
-        elif cid == b"fact":
-            (fact_n,) = struct.unpack("<I", body[:4])
-        elif cid == b"data":
-            data = body
-        pos += 8 + ln + (ln & 1)
+    chunks = _walk_riff_chunks(raw)
+    fmt, spb = None, None
+    if b"fmt " in chunks:
+        body = chunks[b"fmt "]
+        fmt = struct.unpack("<HHIIHH", body[:16])
+        if len(body) >= 20:
+            (spb,) = struct.unpack("<H", body[18:20])
+    fact_n = struct.unpack("<I", chunks[b"fact"][:4])[0] if b"fact" in chunks else None
+    data = chunks.get(b"data")
     if fmt is None or data is None:
         raise ValueError("ADPCM WAV missing fmt or data chunk")
     tag, nch, rate, _bps, block_align, bits = fmt
@@ -2457,7 +2458,12 @@ def _gif_decode(raw: bytes):
             if int(grid.max(initial=0)) >= len(pal):
                 raise ValueError("GIF pixel index beyond palette")
             img = np.asarray(pal, dtype=np.uint8)[grid]
-            return sw, sh, len(pal), mcs, interlaced, img
+            # report the FRAME's dimensions — they are what the pixel grid
+            # (and every sum computed from it) covers; wild animated GIFs
+            # often carry a first frame smaller than the logical screen
+            # (sw x sh), and returning screen dims would silently disagree
+            # with the decoded data
+            return w, h, len(pal), mcs, interlaced, img
         elif b0 == 0x3B:
             break
         else:
@@ -2616,21 +2622,39 @@ IMAGE_SNIFF_SCHEMA = (
 )
 
 
+def _decode_jpeg_rgb(raw: bytes):
+    from . import jpeg as _jpeg
+
+    w, h, _nc, img = _jpeg.jpeg_decode(raw)
+    return w, h, img
+
+
+# ONE table drives both the Catalyst sniffer and the Python dispatcher so
+# the two can never drift (the fifth container only needs one new row):
+# (label, magic bytes, decode(raw) -> (width, height, rgb ndarray)).
+# Order defines sniff precedence.
+_IMAGE_CONTAINERS = [
+    ("png", PNG_SIG, lambda raw: (lambda t: (t[0], t[1], t[5]))(_png_decode(raw))),
+    ("ppm", b"P6", lambda raw: (lambda t: (t[0], t[1], t[3]))(_parse_ppm(raw))),
+    ("gif", b"GIF8", lambda raw: (lambda t: (t[0], t[1], t[5]))(_gif_decode(raw))),
+    ("jpeg", b"\xff\xd8", _decode_jpeg_rgb),
+    ("bmp", b"BM", lambda raw: (lambda t: (t[0], t[1], t[4]))(_bmp_decode(raw))),
+]
+
+
 def sniff_image_format(col: Column) -> Column:
     """Container sniffing by magic bytes as a PURE Catalyst expression
     (substring on binary + literal compares — usable as a partition or
     routing key before any Python runs): P6 → ppm, \\x89PNG → png,
-    GIF87a/GIF89a → gif, SOI \\xff\\xd8 → jpeg, else unknown.  The
-    real-corpus move: crawl payloads carry no trustworthy extension or
-    content-type, the bytes are the only authority."""
-    return (
-        F.when(F.substring(col, 1, 8) == F.lit(PNG_SIG), "png")
-        .when(F.substring(col, 1, 2) == F.lit(b"P6"), "ppm")
-        .when(F.substring(col, 1, 4) == F.lit(b"GIF8"), "gif")
-        .when(F.substring(col, 1, 2) == F.lit(b"\xff\xd8"), "jpeg")
-        .when(F.substring(col, 1, 2) == F.lit(b"BM"), "bmp")
-        .otherwise("unknown")
-    )
+    GIF87a/GIF89a → gif, SOI \\xff\\xd8 → jpeg, BM → bmp, else
+    unknown.  The real-corpus move: crawl payloads carry no trustworthy
+    extension or content-type, the bytes are the only authority.  Driven
+    by the same _IMAGE_CONTAINERS table the dispatcher uses."""
+    expr = None
+    for label, magic, _dec in _IMAGE_CONTAINERS:
+        cond = F.substring(col, 1, len(magic)) == F.lit(magic)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return expr.otherwise("unknown")
 
 
 def synth_bmp(df: DataFrame, id_col: str, w_col: str, h_col: str, a_col: str, b_col: str) -> DataFrame:
@@ -2698,13 +2722,14 @@ def decode_bmp_features(df: DataFrame, id_col: str, payload_col: str) -> DataFra
 
 def decode_any_image_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     """Normalize a HETEROGENEOUS image corpus in one Arrow stage: per-row
-    magic-byte dispatch to the real PPM/PNG/GIF decoders (each individually
-    oracle-checked: q158/q164/q174), emitting uniform features regardless
-    of container.  This is the shape of an actual multimodal ingest job —
-    one pass, no per-format corpus splits, no shuffle; unknown containers
-    raise rather than pass through silently (route them through
-    sniff_image_format + filter first when a corpus may hold gated
-    formats)."""
+    magic-byte dispatch (the _IMAGE_CONTAINERS table, shared with the
+    Catalyst sniffer) to the real PPM/PNG/GIF/BMP/baseline-JPEG decoders
+    (each individually oracle-checked: q158/q164/q174/q178/q168),
+    emitting uniform features regardless of container.  This is the shape
+    of an actual multimodal ingest job — one pass, no per-format corpus
+    splits, no shuffle; unknown containers raise rather than pass through
+    silently (route them through sniff_image_format + filter first when a
+    corpus may hold gated formats)."""
 
     def worker(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -2714,18 +2739,10 @@ def decode_any_image_features(df: DataFrame, id_col: str, payload_col: str) -> D
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
-                if raw[:8] == PNG_SIG:
-                    fmt = "png"
-                    w, h, _d, _c, _n, img = _png_decode(raw)
-                elif raw[:2] == b"P6":
-                    fmt = "ppm"
-                    w, h, _maxval, img = _parse_ppm(raw)
-                elif raw[:4] == b"GIF8":
-                    fmt = "gif"
-                    w, h, _p, _m, _i, img = _gif_decode(raw)
-                elif raw[:2] == b"BM":
-                    fmt = "bmp"
-                    w, h, _bpp, _comp, img = _bmp_decode(raw)
+                for fmt, magic, dec in _IMAGE_CONTAINERS:
+                    if raw[: len(magic)] == magic:
+                        w, h, img = dec(raw)
+                        break
                 else:
                     raise ValueError(
                         f"unrecognized image container (first bytes {raw[:4]!r})"

@@ -202,13 +202,19 @@ def encode_wire(col: Column, dtype: str) -> Column:
 
         @F.pandas_udf("binary")
         def _enc(s: pd.Series) -> pd.Series:
+            # NaN is a VALUE here (BitConverter.GetBytes(double.NaN) yields
+            # real bytes; C# doubles are non-nullable so the reference has no
+            # null case).  Spark NULL and NaN are indistinguishable in the
+            # Arrow float lane (both arrive as NaN), so NULL coerces to NaN
+            # bytes rather than NaN silently collapsing to a NULL record.
+            # The REVERSE lane has the mirror limit: a pandas UDF returning
+            # NaN surfaces as NULL (pyarrow from_pandas treats NaN as null),
+            # so decode_wire maps NaN bytes to NULL — the NaN/NULL
+            # equivalence class is the Arrow float lane's floor, and both
+            # directions are pinned in the conformance test.
             arr = s.to_numpy(dtype=np_t)
             raw, w = arr.tobytes(), arr.itemsize
-            mask = s.isna()
-            return pd.Series([
-                None if m else raw[i * w:(i + 1) * w]
-                for i, m in enumerate(mask)
-            ])
+            return pd.Series([raw[i * w : (i + 1) * w] for i in range(len(arr))])
 
         return _enc(col.cast(dtype))
     raise ValueError(f"unsupported wire serde: {dtype}")

@@ -130,9 +130,13 @@ def main() -> None:
         "replication_factor"
     ) == rec["replication_factor"] and prev.get("driver_mem") == rec["driver_mem"]:
         # same configuration: merge per-query so a targeted spot-check of new
-        # queries extends the sweep instead of replacing it
-        rec["queries"] = {**prev["queries"], **rec["queries"]}
-        rec["failures"] = {**prev.get("failures", {}), **rec["failures"]}
+        # queries extends the sweep instead of replacing it; a query re-run
+        # this time must vacate its stale entry in the OPPOSITE map, or the
+        # evidence file would show it simultaneously passed and failed
+        prev_q = {k: v for k, v in prev["queries"].items() if k not in rec["failures"]}
+        prev_f = {k: v for k, v in prev.get("failures", {}).items() if k not in rec["queries"]}
+        rec["queries"] = {**prev_q, **rec["queries"]}
+        rec["failures"] = {**prev_f, **rec["failures"]}
         rec["total_spilled_mb"] = round(
             sum((v["spilled_mb"] or 0) for v in rec["queries"].values()), 2
         )

@@ -2263,9 +2263,12 @@ def test_gif_codec_roundtrip_and_guards():
     with pytest.raises(ValueError, match="bad signature"):
         _gif_decode(b"JIF89a" + raw[6:])
     with pytest.raises(ValueError, match="truncated"):
-        # chop inside the LZW stream but keep the sub-block framing valid
+        # chop inside the LZW stream but keep the sub-block framing valid;
+        # the first sub-block LENGTH byte sits at a computable offset:
+        # 13-byte header + 16-entry GCT (48) + image descriptor (10) + mcs
+        blk_at = 13 + 3 * 16 + 10 + 1
+        assert raw[blk_at - 1] == mcs  # structural, not searched
         body = bytearray(raw)
-        blk_at = raw.index(bytes([mcs])) + 1
         body[blk_at] = 2  # shrink first sub-block to 2 bytes
         _gif_decode(bytes(body[: blk_at + 3]) + b"\x00\x3b")
 
@@ -2584,9 +2587,7 @@ def test_bmp_codec_roundtrip_and_guards():
     w, h, bpp, comp, back = _bmp_decode(raw)
     assert (w, h, bpp, comp) == (17, 13, 24, 0)
     assert np.array_equal(back, img)
-    # top-down variant: flip rows, negate height in the header
-    body = bytearray(raw)
-    body[22:26] = struct.pack("<i", -13)
+    # top-down variant: negate the height and store rows first-to-last
     stride = 52
     flipped = bytearray(raw[:54])
     flipped[22:26] = struct.pack("<i", -13)

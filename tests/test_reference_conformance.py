@@ -2392,11 +2392,20 @@ def test_float_double_serde_roundtrip(spark):
         S.decode_wire(S.encode_wire(F.lit(3.5), "float"), "float").alias("f"),
         S.decode_wire(S.encode_wire(F.lit(-0.1), "double"), "double").alias("d"),
         F.hex(S.encode_wire(F.lit(1.0), "double")).alias("hd"),
-        S.encode_wire(F.lit(None).cast("double"), "double").alias("nd"),
+        F.hex(S.encode_wire(F.lit(float("nan")), "double")).alias("hnan"),
+        S.decode_wire(
+            S.encode_wire(F.lit(float("nan")), "double"), "double"
+        ).alias("rnan"),
     ])
     assert r["f"] == 3.5 and r["d"] == -0.1
     assert r["hd"] == struct.pack("<d", 1.0).hex().upper()
-    assert r["nd"] is None
+    # NaN is a VALUE on the wire: encoding emits the IEEE NaN payload (the
+    # reference's BitConverter has no null-double case).  The Arrow float
+    # lane conflates NaN with NULL in BOTH directions, so decode maps NaN
+    # bytes back to NULL — the documented floor (serdes.py note); both
+    # directions pinned here.
+    assert r["hnan"] == struct.pack("<d", float("nan")).hex().upper()
+    assert r["rnan"] is None
 
 
 def test_value_and_timestamp_serde_roundtrip(spark):
