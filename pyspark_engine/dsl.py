@@ -71,6 +71,24 @@ def _describe_plan(df: DataFrame, mode: str = "formatted") -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
 
 
+# Installed by testing.TopologyTestDriver in async mode: a callable
+# KTable -> KTable that drains a *streaming* table's current state through a
+# real availableNow query and hands back the batch snapshot.  Consulted only
+# at the plan shapes Structured Streaming cannot run in one query anyway —
+# a join against a streaming aggregate, or re-aggregating a streaming
+# aggregate — so installing it never displaces a legal all-streaming plan;
+# it realizes the reference's bootstrap-then-serve table semantics
+# (GlobalStreamThread pattern) instead of failing analysis.  Always None in
+# production; the hook is a test-harness affordance.
+_TABLE_SNAPSHOT_HOOK: Callable[["KTable"], "KTable"] | None = None
+
+
+def _maybe_snapshot(table: "KTable") -> "KTable":
+    if _TABLE_SNAPSHOT_HOOK is not None and table.df.isStreaming:
+        return _TABLE_SNAPSHOT_HOOK(table)
+    return table
+
+
 class StreamBuilder:
     """Entry point mirroring ``StreamBuilder`` (core/StreamBuilder.cs:49-636).
 
@@ -563,6 +581,7 @@ class KStream:
             raise ValueError("stream-table join supports inner|left")
         if len(self.key) != len(table.key):
             raise ValueError("join key arity mismatch")
+        table = _maybe_snapshot(table)  # async test driver: bootstrap-then-serve
         l = _not_null(self.df, self.key)
         r = table.df
         cond = None
@@ -888,6 +907,8 @@ class KTable:
         # silently draining un-suppressed.
         if getattr(self, "emit_final", False):
             out.emit_final = True
+        if getattr(self, "suppress_config", None) is not None:
+            out.suppress_config = dict(self.suppress_config)
         return out
 
     def filter(self, predicate: Column) -> "KTable":
@@ -922,8 +943,9 @@ class KTable:
         KTableGroupByTests.cs:12-22)."""
         if not key_exprs:
             raise ValueError("table group_by requires at least one key expression")
-        df = self.df.withColumns(dict(key_exprs))
-        return KGroupedTable(KTable(df, tuple(key_exprs), self.ts))
+        base = _maybe_snapshot(self)  # async test driver: re-agg needs a snapshot
+        df = base.df.withColumns(dict(key_exprs))
+        return KGroupedTable(KTable(df, tuple(key_exprs), base.ts))
 
     def join(self, other: "KTable", how: str = "inner", ts_alias: str | None = None) -> "KTable":
         """KTable⋈KTable changelog join (IKTable.cs:500-952;
@@ -936,7 +958,8 @@ class KTable:
             raise ValueError("table-table join supports inner|left|full")
         if len(self.key) != len(other.key):
             raise ValueError("join key arity mismatch")
-        l, r = self.df, other.df
+        snapped, other = _maybe_snapshot(self), _maybe_snapshot(other)
+        l, r = snapped.df, other.df
         cond = None
         for lk, rk in zip(self.key, other.key):
             c = l[lk] == r[rk]
@@ -970,13 +993,20 @@ class KTable:
         if len(other.key) != 1:
             raise ValueError("fk join requires single-column right key")
         fk_col = F.col(fk) if isinstance(fk, str) else fk
-        l, r = self.df, other.df
+        snapped, other = _maybe_snapshot(self), _maybe_snapshot(other)
+        l, r = snapped.df, other.df
         joined = l.join(r, fk_col == r[other.key[0]], how)
         cols = [l[c] for c in self.df.columns]
         cols += [r[c] for c in other.df.columns if c not in other.key]
         return KTable(joined.select(*cols), self.key, self.ts)
 
-    def suppress(self) -> "KTable":
+    def suppress(
+        self,
+        until_time_limit_ms: int | None = None,
+        max_records: int | None = None,
+        max_bytes: int | None = None,
+        emit_early_when_full: bool = False,
+    ) -> "KTable":
         """Emit-final (the reference's roadmap `Suppress`, README.md:106;
         Kafka Streams KIP-328 Suppress.untilWindowCloses).  Batch: the
         latest-per-key view IS final state — identity.  Streaming: the
@@ -990,9 +1020,36 @@ class KTable:
         STICKY: _with_df propagates it, so filter/map_values/materialize
         applied after suppress() still drain emit-final (Kafka Streams
         operators downstream of suppress() likewise see only final
-        values)."""
+        values).
+
+        ``until_time_limit_ms`` selects the OTHER KIP-328 mode instead —
+        Suppressed.untilTimeLimit(d, BufferConfig): each key's update is
+        held back until stream time passes its buffer-entry time by the
+        limit (intermediate updates replace the value WITHOUT resetting the
+        clock), bounded by ``max_records``/``max_bytes``; when the bound
+        trips, ``emit_early_when_full=True`` evicts-and-emits the earliest
+        entries (BufferConfig.emitEarlyWhenFull) and ``False`` raises (the
+        shutDownWhenFull default).  Batch semantics: identity — by the end
+        of a bounded replay stream time has passed every entry, so the
+        final state IS the emission (oracle unchanged).  Streaming
+        realization: streaming.suppress_buffered reads the config recorded
+        here and runs the time-ordered buffer loop per microbatch."""
         out = self._with_df(self.df)
-        out.emit_final = True
+        if until_time_limit_ms is not None:
+            out.suppress_config = {
+                "until_time_limit_ms": int(until_time_limit_ms),
+                "max_records": max_records,
+                "max_bytes": max_bytes,
+                "emit_early_when_full": bool(emit_early_when_full),
+            }
+        else:
+            if max_records is not None or max_bytes is not None:
+                raise ValueError(
+                    "buffer bounds (max_records/max_bytes) apply to the "
+                    "untilTimeLimit mode — pass until_time_limit_ms; "
+                    "untilWindowCloses is unbounded by definition (KIP-328)"
+                )
+            out.emit_final = True
         return out
 
     def materialize(self, store_name: str) -> "KTable":

@@ -176,6 +176,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
     portable: bool = False,
+    verify_salt: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact Jaccard verify.
 
@@ -193,7 +194,19 @@ def minhash_lsh_pairs(
     Scale: the only shuffles are (1) explode+groupBy on band buckets
     (O(docs × bands) rows) and (2) the candidate-pair self-join — no O(n²)
     stage.  A hot bucket (boilerplate text) is bounded by salting upstream or
-    capping bucket size; AQE skew-join handles moderate skew."""
+    capping bucket size; AQE skew-join handles moderate skew.
+
+    ``verify_salt=n``: explicit skew salting for the candidate→gram VERIFY
+    join (the join_table_salted lever, dsl.py:596, applied here): a hot
+    document — one boilerplate string shared by k near-identical docs puts
+    ~k candidate rows behind ONE id key — gets its pairs spread over ``n``
+    reducers via a deterministic per-pair salt, with the gram side
+    replicated n× (per-side independent salts, so both the id_a and id_b
+    hot spots split).  Pair set is IDENTICAL (each pair row carries exactly
+    one salt value and meets exactly one gram replica); cost is n× gram
+    duplication — the lever for when AQE cannot act (pinned partitioning,
+    Structured Streaming microbatches) or the hot key exceeds what a
+    runtime split can rebalance."""
     rows = num_hashes // bands
     # multiset shingles: min-hash is distinct-insensitive and the Jaccard
     # verify uses array_intersect/array_union (set semantics) — skipping
@@ -254,9 +267,22 @@ def minhash_lsh_pairs(
     # ARRAYS — corpus-sized payloads that must never transit the driver
     # (measured: broadcast-build OOM at 2 GiB driver on the x30 corpus,
     # SCALE_STRESS.json low_memory; sort-merge spills gracefully instead)
+    ja, jb = ["id_a"], ["id_b"]
+    if verify_salt is not None and int(verify_salt) > 1:
+        s = int(verify_salt)
+        cand = cand.withColumns(
+            {
+                "__sa": F.pmod(F.xxhash64("id_a", "id_b"), F.lit(s)).cast("int"),
+                "__sb": F.pmod(F.xxhash64("id_b", "id_a", F.lit(1)), F.lit(s)).cast("int"),
+            }
+        )
+        salt_seq = F.sequence(F.lit(0).cast("int"), F.lit(s - 1).cast("int"))
+        ga = ga.withColumn("__sa", F.explode(salt_seq))
+        gb = gb.withColumn("__sb", F.explode(salt_seq))
+        ja, jb = ["id_a", "__sa"], ["id_b", "__sb"]
     verified = (
-        cand.join(ga.hint("merge"), "id_a")
-        .join(gb.hint("merge"), "id_b")
+        cand.join(ga.hint("merge"), ja)
+        .join(gb.hint("merge"), jb)
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("__ga", "__gb")) / F.size(F.array_union("__ga", "__gb")),
@@ -289,35 +315,46 @@ def jaccard_pairs_exact(
     further before the verify.  Returns (id_a, id_b, inter_n, union_n)
     with id_a < id_b — integer outputs, so an oracle matches bit-for-bit.
 
-    Cost model, honestly: exactness makes the DUPLICATE-heavy regime
-    quadratic by definition (every one of C(k,2) pairs in a k-copy group
-    must be emitted — measured exponent 2.03 on the k-fold-replicated
-    corpus, SCALE_STRESS.json exact_join_scaling).  That is the floor of
-    the problem, not of the plan; ALWAYS run exact_dedup first so the
-    join sees one representative per identical group (the composed
-    pipeline runs the same x30 corpus in ~1.5s vs minutes raw), and use
-    minhash_lsh_pairs where probabilistic recall is acceptable.
+    Representative collapse (built in, automatic): Jaccard is a function of
+    the distinct-shingle SET alone, so documents with identical sets are
+    interchangeable — the join runs over ONE representative per identical
+    set (min id per set digest) and member pairs are re-expanded afterwards
+    through the digest→members map.  On a k-fold-duplicated corpus the
+    expensive part (candidate generation + gram-array verification) is thus
+    linear in DISTINCT documents; only the pair EMISSION stays C(k,2) per
+    duplicate group, which is the information-theoretic output floor of an
+    exact join (measured raw exponent 2.03 pre-collapse,
+    SCALE_STRESS.json exact_join_scaling).  exact_dedup first is therefore
+    no longer required for safety — it remains the cheaper composition when
+    duplicate pairs aren't wanted at all (RECIPES.md ordering).
 
-    Scale: shuffles are (1) the df-count aggregation over exploded
-    shingles, (2) the per-doc re-sort (same explode, grouped back), (3)
-    the prefix-token self-join — fan-out per token is its document
-    frequency, and prefix tokens are by construction the RAREST in each
-    doc, so the quadratic risk concentrates exactly where partner counts
-    are smallest (the classic AllPairs argument; no recall-losing cap
-    needed), and (4) the merge-hinted verify join (gram payloads never
-    broadcast).  Run exact_dedup first — identical copies all share every
-    prefix token and are pure candidate fan-out (RECIPES.md ordering)."""
-    grams = word_ngrams(tokens(F.col(text_col)), shingle)
-    base = (
+    Scale: shuffles are (1) the set-digest collapse groupBy, (2) the
+    df-count aggregation over exploded representative shingles, (3) the
+    per-doc re-sort (same explode, grouped back), (4) the prefix-token
+    self-join — fan-out per token is its document frequency, and prefix
+    tokens are by construction the RAREST in each doc, so the quadratic
+    risk concentrates exactly where partner counts are smallest (the
+    classic AllPairs argument; no recall-losing cap needed), (5) the
+    merge-hinted verify join (gram payloads never broadcast), and (6) the
+    digest-keyed expansion joins (pair-stat rows only, no gram payloads)."""
+    grams = F.array_sort(word_ngrams(tokens(F.col(text_col)), shingle))
+    every = (
         _spread(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col).alias("__id"), grams.alias("__grams"))
         .filter(F.size("__grams") > 0)
+        # digest of the canonical (sorted) gram set; to_json escapes every
+        # character, so the encoding is collision-free even for grams
+        # containing exotic separators
+        .withColumn("__d", F.sha2(F.to_json(F.struct(F.col("__grams"))), 256))
     )
-    gram_rows = base.select("__id", F.explode("__grams").alias("__g"))
+    memb = _persist(every.select("__id", "__d", F.size("__grams").alias("__sn")))
+    rep_ids = memb.groupBy("__d").agg(F.min("__id").alias("__id")).select("__id")
+    base = every.join(rep_ids.hint("merge"), "__id")
+    gram_rows = base.select("__id", "__d", F.explode("__grams").alias("__g"))
     dfreq = gram_rows.groupBy("__g").agg(F.count(F.lit(1)).alias("__dfc"))
     ordered = (
         gram_rows.join(dfreq, "__g")
-        .groupBy("__id")
+        .groupBy("__id", "__d")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct(F.col("__dfc"), F.col("__g")))),
@@ -326,6 +363,7 @@ def jaccard_pairs_exact(
         )
         .select(
             "__id",
+            "__d",
             "__ord",
             F.size("__ord").alias("__n"),
             # prefix length n - ceil(t*n) + 1; the 1e-9 nudge keeps float
@@ -358,20 +396,57 @@ def jaccard_pairs_exact(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    ga = ordered.select(F.col("__id").alias("id_a"), F.col("__ord").alias("__ga"))
-    gb = ordered.select(F.col("__id").alias("id_b"), F.col("__ord").alias("__gb"))
+    ga = ordered.select(
+        F.col("__id").alias("id_a"), F.col("__d").alias("__da"), F.col("__ord").alias("__ga")
+    )
+    gb = ordered.select(
+        F.col("__id").alias("id_b"), F.col("__d").alias("__db"), F.col("__ord").alias("__gb")
+    )
     inter = F.size(F.array_intersect("__ga", "__gb"))
-    return (
+    rep_pairs = (
         cand.join(ga.hint("merge"), "id_a")
         .join(gb.hint("merge"), "id_b")
         .select(
-            "id_a",
-            "id_b",
+            "__da",
+            "__db",
             inter.cast("long").alias("inter_n"),
             (F.size("__ga") + F.size("__gb") - inter).cast("long").alias("union_n"),
         )
         .filter(F.col("inter_n").cast("double") / F.col("union_n") >= F.lit(t))
     )
+    # re-expand representative pairs to member pairs through the digest map
+    # (pair-stat rows only — gram arrays never join again); id order can
+    # invert across groups, so normalize with least/greatest
+    ma = memb.select(F.col("__d").alias("__da"), F.col("__id").alias("__ma"))
+    mb = memb.select(F.col("__d").alias("__db"), F.col("__id").alias("__mb"))
+    cross = (
+        rep_pairs.join(ma, "__da")
+        .join(mb, "__db")
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "inter_n",
+            "union_n",
+        )
+    )
+    # members of one identical-set group: J = 1 ≥ t for every t ≤ 1, with
+    # inter = union = the set size — the exact join's output floor (C(k,2)
+    # rows per k-duplicate group, emission only, no verification work)
+    x, y = memb.alias("x"), memb.alias("y")
+    intra = (
+        x.join(
+            y,
+            (F.col("x.__d") == F.col("y.__d")) & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.col("x.__sn").cast("long").alias("inter_n"),
+            F.col("x.__sn").cast("long").alias("union_n"),
+        )
+        .filter(F.lit(1.0) >= F.lit(t))
+    )
+    return cross.unionByName(intra)
 
 
 def lsh_recall_audit(

@@ -48,8 +48,10 @@ __all__ = [
     "start_to_kafka",
     "start_foreach_batch",
     "stateful_map",
+    "suppress_buffered",
     "sessionize_streaming",
     "join_tables_streaming",
+    "join_fk_streaming",
     "join_table_asof_streaming",
     "cogroup_streaming",
     "observed_metrics",
@@ -128,6 +130,14 @@ def _check_emit_final(obj, df: DataFrame, output_mode: str) -> None:
     windowed aggregation needs a watermark — so a suppressed aggregation
     built without grace gets a descriptive error here instead of Spark's
     opaque 'append not supported without watermark' analysis exception."""
+    if df.isStreaming and getattr(obj, "suppress_config", None) is not None:
+        raise ValueError(
+            "this table is suppressed untilTimeLimit (KTable.suppress("
+            "until_time_limit_ms=...)); its streaming realization is the "
+            "time-ordered buffer — drain it with streaming.suppress_buffered "
+            "instead of a plain sink (batch drains are identity and need no "
+            "buffer)"
+        )
     if not getattr(obj, "emit_final", False):
         return
     if output_mode != "append":
@@ -482,6 +492,75 @@ def join_tables_streaming(
         raise ValueError("table-table join supports inner|left|full")
     if len(left.key) != len(right.key):
         raise ValueError("join key arity mismatch")
+
+    def combine(l_t: KTable, r_t: KTable) -> KTable:
+        return l_t.join(r_t, how=how, ts_alias=ts_alias)
+
+    return _changelog_join_loop(
+        left, right, combine, l_order, r_order, store_name, state_dir, checkpoint,
+        state_prefix="pse-ttjoin-",
+    )
+
+
+def join_fk_streaming(
+    left: KStream,
+    right: KStream,
+    fk,
+    how: str = "inner",
+    l_order: Sequence[str] | None = None,
+    r_order: Sequence[str] | None = None,
+    store_name: str | None = None,
+    state_dir: str | None = None,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Continuous foreign-key table join — the streaming realization of
+    ``KTable.join_fk`` (Kafka Streams 2.4 KIP-213; absent in the reference —
+    SURVEY §2.5 note.  KS wires a subscription topic keyed by FK and a
+    response topic keyed back by the left PK so FK *changes* re-subscribe).
+
+    Spark plan: the same changelog-state loop as join_tables_streaming —
+    each microbatch upserts both tables' latest-per-key snapshots, then
+    recomputes the FK equi-join over the snapshots.  Re-subscription is
+    structural rather than protocol-level: the recompute always reads each
+    left row's CURRENT fk value, so an update that changes a row's FK
+    atomically retracts the old join row and emits the new one — the exact
+    guarantee KIP-213's unsubscribe/subscribe round-trip exists to provide.
+    Cadence is per-microbatch, final state identical (§7.3.3); the parity
+    test replays an FK flip across microbatches and compares against batch
+    KTable.join_fk."""
+    if not (left.df.isStreaming and right.df.isStreaming):
+        raise ValueError("join_fk_streaming requires streaming inputs; use KTable.join_fk in batch")
+    if how not in ("inner", "left"):
+        raise ValueError("fk join supports inner|left")
+    if len(right.key) != 1:
+        raise ValueError("fk join requires single-column right key")
+
+    def combine(l_t: KTable, r_t: KTable) -> KTable:
+        return l_t.join_fk(r_t, fk, how=how)
+
+    return _changelog_join_loop(
+        left, right, combine, l_order, r_order, store_name, state_dir, checkpoint,
+        state_prefix="pse-fkjoin-",
+    )
+
+
+def _changelog_join_loop(
+    left: KStream,
+    right: KStream,
+    combine: Callable[[KTable, KTable], KTable],
+    l_order: Sequence[str] | None,
+    r_order: Sequence[str] | None,
+    store_name: str | None,
+    state_dir: str | None,
+    checkpoint: str | None,
+    state_prefix: str,
+) -> DataFrame:
+    """Shared state loop of the continuous table⋈table family: one streaming
+    query over the union of both tagged changelogs; per microbatch (a)
+    upsert each side's latest-per-key parquet snapshot (ping-pong
+    generations, restart-safe via the _GEN marker) and (b) re-``combine``
+    the two snapshots into the output store.  ``combine`` is the only thing
+    the PK join and the FK join disagree on."""
     overlap = set(left.df.columns) & set(right.df.columns)
     if overlap:
         raise ValueError(f"sides must have disjoint column names; overlap: {sorted(overlap)}")
@@ -490,7 +569,7 @@ def join_tables_streaming(
     rord = tuple(r_order) if r_order else ((right.ts,) if right.ts else ())
     if not lord or not rord:
         raise ValueError("changelog order required per side (ts or explicit l_order/r_order)")
-    root = state_dir or tempfile.mkdtemp(prefix="pse-ttjoin-")
+    root = state_dir or tempfile.mkdtemp(prefix=state_prefix)
     os.makedirs(root, exist_ok=True)
     tagged = left.df.select(
         F.lit(1).alias("__side"),
@@ -521,7 +600,7 @@ def join_tables_streaming(
             latest.write.mode("overwrite").parquet(os.path.join(root, f"{tag}-{nxt}"))
         l_t = KTable(spark.read.parquet(os.path.join(root, f"l-{nxt}")), left.key, left.ts)
         r_t = KTable(spark.read.parquet(os.path.join(root, f"r-{nxt}")), right.key, right.ts)
-        out = l_t.join(r_t, how=how, ts_alias=ts_alias)
+        out = combine(l_t, r_t)
         out.df.write.mode("overwrite").parquet(os.path.join(root, "out"))
         gen["n"] += 1
         _write_gen(root, gen["n"])
@@ -539,11 +618,184 @@ def join_tables_streaming(
         # no microbatch ever fired (both changelogs empty): empty join result
         l_t = KTable(spark.createDataFrame([], left.df.schema), left.key, left.ts)
         r_t = KTable(spark.createDataFrame([], right.df.schema), right.key, right.ts)
-        return l_t.join(r_t, how=how, ts_alias=ts_alias).df
+        return combine(l_t, r_t).df
     out = spark.read.parquet(out_path)
     if store_name is not None:
         out.createOrReplaceTempView(store_name)
     return out
+
+
+def suppress_buffered(
+    table: KTable,
+    time_col: str | None = None,
+    state_dir: str | None = None,
+    checkpoint: str | None = None,
+    store_name: str | None = None,
+) -> DataFrame:
+    """Streaming realization of ``KTable.suppress(until_time_limit_ms=...)``
+    — Kafka Streams Suppressed.untilTimeLimit(d, BufferConfig) (KIP-328;
+    the reference's roadmap Suppress, README.md:106).
+
+    Semantics (ported from KS's InMemoryTimeOrderedKeyValueBuffer):
+
+      * each key's update enters a time-ordered buffer stamped with its own
+        event time; LATER updates replace the value but do NOT reset the
+        clock (the entry keeps its first-buffered time);
+      * an entry emits when stream time (running max event time) passes
+        entry_time + limit;
+      * the buffer is bounded by max_records and/or max_bytes (serialized
+        JSON size — the analog of KS's measured byte size): on overflow,
+        emit_early_when_full=True evicts-and-EMITS the earliest entries
+        (BufferConfig.emitEarlyWhenFull), False raises — the
+        shutDownWhenFull default, a crash in KS;
+      * emission cadence is per-microbatch (§7.3.3): time checks run when a
+        batch closes, not per record.
+
+    One streaming query in update mode (the changed aggregate rows per
+    microbatch) over a parquet ping-pong buffer (restart-safe via the _GEN
+    marker, like the changelog joins).  Drains availableNow and returns the
+    emitted records — columns = the table's columns plus ``__emit_reason``
+    ('time' | 'early') and ``__emit_batch`` — in emission order; entries
+    still inside their time limit at drain end stay buffered (readable via
+    ``store_name``), exactly like a KS buffer across restarts."""
+    cfg = getattr(table, "suppress_config", None)
+    if cfg is None:
+        raise ValueError(
+            "suppress_buffered needs a table from "
+            "KTable.suppress(until_time_limit_ms=...) — for untilWindowCloses "
+            "suppression drain the table in append mode instead"
+        )
+    df = table.df
+    if not df.isStreaming:
+        raise ValueError("suppress_buffered requires a streaming table; batch suppress is identity")
+    tcol = time_col or table.ts
+    if tcol is None or tcol not in df.columns:
+        raise ValueError("suppress_buffered requires an event-time column (time_col or table.ts)")
+    from .runtime import epoch_ms
+
+    key = list(table.key)
+    if not key:
+        raise ValueError("suppress_buffered requires key columns")
+    limit_ms = int(cfg["until_time_limit_ms"])
+    max_records = cfg.get("max_records")
+    max_bytes = cfg.get("max_bytes")
+    emit_early = bool(cfg.get("emit_early_when_full"))
+    cols = list(df.columns)
+    root = state_dir or tempfile.mkdtemp(prefix="pse-suppress-")
+    os.makedirs(root, exist_ok=True)
+    gen = {"n": _read_gen(root)}
+
+    def _stream_time() -> int:
+        try:
+            with open(os.path.join(root, "_STREAM_TIME")) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -(1 << 62)
+
+    def _emit(spark, rows: DataFrame, reason: str, batch_id: int) -> None:
+        (
+            rows.select(*cols, F.lit(reason).alias("__emit_reason"), F.lit(int(batch_id)).alias("__emit_batch"))
+            .write.mode("append")
+            .parquet(os.path.join(root, "out"))
+        )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        spark = batch.sparkSession
+        cur, nxt = gen["n"] % 2, (gen["n"] + 1) % 2
+        new = batch.withColumn("__ev_ms", epoch_ms(tcol))
+        st = max(_stream_time(), (new.agg(F.max("__ev_ms")).collect()[0][0] or -(1 << 62)))
+        prev_path = os.path.join(root, f"buf-{cur}")
+        if os.path.exists(prev_path):
+            prev = spark.read.parquet(prev_path)
+            # update-in-place: new value wins, FIRST entry time sticks
+            n2 = new.select(
+                *[F.col(c).alias(f"__n_{c}") for c in cols], F.col("__ev_ms").alias("__n_ev")
+            )
+            cond = None
+            for k in key:
+                c = prev[k].eqNullSafe(n2[f"__n_{k}"])
+                cond = c if cond is None else cond & c
+            j = prev.join(n2, cond, "full_outer")
+            merged = j.select(
+                *[F.coalesce(n2[f"__n_{c}"], prev[c]).alias(c) for c in cols],
+                F.coalesce(prev["__entry_ms"], n2["__n_ev"]).alias("__entry_ms"),
+            )
+        else:
+            merged = new.select(*cols, F.col("__ev_ms").alias("__entry_ms"))
+        merged = merged.localCheckpoint()  # cut lineage; buffer is bounded
+        due = merged.filter(F.col("__entry_ms") + F.lit(limit_ms) <= F.lit(st))
+        if due.limit(1).count():
+            _emit(spark, due, "time", batch_id)
+        remaining = merged.filter(~(F.col("__entry_ms") + F.lit(limit_ms) <= F.lit(st)))
+        # capacity bounds (the buffer is <= max_records rows by invariant, so
+        # the single-partition rank window below is bounded, not a skew risk)
+        if max_records is not None or max_bytes is not None:
+            w = Window.orderBy(F.col("__entry_ms"), *[F.col(k) for k in key])
+            sized = remaining.withColumn("__rank", F.row_number().over(w))
+            n = sized.count()
+            keep_rank = None
+            if max_records is not None and n > max_records:
+                keep_rank = n - int(max_records)
+            if max_bytes is not None:
+                sized = sized.withColumn(
+                    "__bytes", F.length(F.to_json(F.struct(*[F.col(c) for c in cols])))
+                )
+                # keep the NEWEST suffix that fits: cumulative size from the
+                # newest entry backwards
+                wb = Window.orderBy(
+                    F.col("__entry_ms").desc(), *[F.col(k).desc() for k in key]
+                ).rowsBetween(Window.unboundedPreceding, 0)
+                sized = sized.withColumn("__cum", F.sum("__bytes").over(wb))
+                over_bytes = sized.filter(F.col("__cum") > F.lit(int(max_bytes)))
+                nb = over_bytes.count()
+                if nb:
+                    keep_rank = max(keep_rank or 0, nb)
+            if keep_rank:
+                if not emit_early:
+                    raise ValueError(
+                        "suppress buffer full (shutDownWhenFull): "
+                        f"{n} records exceed the configured bound; pass "
+                        "emit_early_when_full=True for BufferConfig.emitEarlyWhenFull"
+                    )
+                early = sized.filter(F.col("__rank") <= keep_rank)
+                _emit(spark, early, "early", batch_id)
+                remaining = sized.filter(F.col("__rank") > keep_rank).select(*cols, "__entry_ms")
+        remaining.write.mode("overwrite").parquet(os.path.join(root, f"buf-{nxt}"))
+        tmp = os.path.join(root, "_STREAM_TIME.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(int(st)))
+        os.replace(tmp, os.path.join(root, "_STREAM_TIME"))
+        gen["n"] += 1
+        _write_gen(root, gen["n"])
+
+    q = (
+        df.writeStream.outputMode("update")
+        .foreachBatch(_apply)
+        .option("checkpointLocation", _checkpoint(checkpoint))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    out_path = os.path.join(root, "out")
+    if store_name is not None:
+        buf_path = os.path.join(root, f"buf-{gen['n'] % 2}")
+        buf = (
+            spark.read.parquet(buf_path)
+            if os.path.exists(buf_path)
+            else spark.createDataFrame([], df.schema)
+        )
+        buf.createOrReplaceTempView(store_name)
+    if not os.path.exists(out_path):
+        empty = spark.createDataFrame([], df.schema)
+        return empty.select(
+            *cols,
+            F.lit(None).cast("string").alias("__emit_reason"),
+            F.lit(None).cast("long").alias("__emit_batch"),
+        )
+    return spark.read.parquet(out_path)
 
 
 # ---------------- custom stateful operator escape hatch ----------------

@@ -27,13 +27,17 @@ Shape differences, both deliberate (SURVEY §3-4):
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+import uuid
 from collections import Counter
 from collections.abc import Callable, Iterable, Mapping
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
-from .dsl import KStream, KTable, StreamBuilder
+from .dsl import GlobalKTable, KStream, KTable, StreamBuilder
 from .runtime import StoreRegistry
 
 # Deterministic auto-timestamp base (the reference uses wall-clock "now" as
@@ -64,6 +68,7 @@ class _TopicLog:
         self.ts_col = ts_col
         self.rows: list[dict] = []
         self.next_auto_ms = _DEFAULT_BASE_MS
+        self.sealed = 0  # async mode: rows already written out as generation files
 
 
 class TestInputTopic:
@@ -227,9 +232,42 @@ def _sort_key(v):
     return (v is None, str(type(v)), v if v is not None else 0)
 
 
+class _DriverRegistry(StoreRegistry):
+    """StoreRegistry whose reads route through the owning driver, so async
+    mode can swap the streaming store view for a freshly drained snapshot on
+    every interactive read (the reference's store reads go through the
+    running StreamThread's state, ClusterInMemoryTopologyDriver.GetStateStore)."""
+
+    def __init__(self, driver: "TopologyTestDriver"):
+        super().__init__(driver.spark)
+        self._driver = driver
+
+    def store(self, name: str) -> DataFrame:
+        return self._driver._refresh_store(name)
+
+
+def _plan_has_aggregate(df: DataFrame) -> bool:
+    """Whether the analyzed logical plan contains a streaming aggregation —
+    decides complete vs append output mode for KStream terminals (a
+    ``to_stream`` over table state still carries the aggregate, so its
+    current-state read needs complete mode).  On introspection failure err
+    toward True: complete is the mode that reads state."""
+    try:
+        return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True
+
+
 class _TestBuilder(StreamBuilder):
     """StreamBuilder whose topic names resolve to the driver's in-memory
-    logs (the MockConsumer read path, ClusterInMemoryTopologyDriver.cs)."""
+    logs (the MockConsumer read path, ClusterInMemoryTopologyDriver.cs).
+
+    In async mode topic names resolve to *streaming* file sources over the
+    driver's generation logs (the MockCluster partition-log analog), so the
+    identical topology function runs through real Structured Streaming
+    microbatches — the reference's ASYNC_CLUSTER_IN_MEMORY mode
+    (core/Mock/ClusterInMemoryTopologyDriver.cs:14, which spins a real
+    StreamThread against MockCluster instead of the sync task loop)."""
 
     def __init__(self, driver: "TopologyTestDriver"):
         super().__init__(driver.spark, data_dir=None)
@@ -241,7 +279,53 @@ class _TestBuilder(StreamBuilder):
             raise ValueError("source topic/path must be a non-empty string or a DataFrame")
         if isinstance(source, DataFrame):
             return source
+        if self._driver.mode == "async":
+            return self._driver._topic_stream_df(str(source))
         return self._driver._topic_df(str(source))
+
+    def stream(self, source, key=(), ts=None, ts_alias: str = "ts") -> KStream:
+        ks = super().stream(source, key=key, ts=ts, ts_alias=ts_alias)
+        if (
+            self._driver.mode == "async"
+            and isinstance(source, str)
+            and ks.ts is not None
+            and source in self._driver._watermarks
+        ):
+            ks = ks.with_watermark(self._driver._watermarks[source])
+        return ks
+
+    def table(self, source, key, ts=None, order=None, tombstones: bool = False) -> KTable:
+        """KTable source.  In the async driver's snapshot-tables fallback the
+        table is first *bootstrapped through its own streaming query*
+        (complete-mode availableNow over the generation log — the reference's
+        GlobalStreamThread bootstrap-then-serve pattern), then joins as a
+        static side.  Used only when the direct all-streaming plan is a shape
+        Structured Streaming cannot run in one query (e.g. a join against a
+        streaming aggregate)."""
+        if self._driver.mode == "async" and self._driver._snapshot_tables and isinstance(source, str):
+            streaming_tbl = KStream(
+                self._driver._topic_stream_df(str(source)), _as_tuple_t(key), ts
+            ).to_table(order=order, tombstones=tombstones)
+            snap = self._driver._realize(streaming_tbl, cacheable=False)
+            return KTable(snap, streaming_tbl.key, streaming_tbl.ts)
+        return super().table(source, key, ts=ts, order=order, tombstones=tombstones)
+
+    def global_table(self, source, key, ts=None, order=None) -> GlobalKTable:
+        """GlobalKTable source: in async mode ALWAYS a bootstrapped snapshot
+        (the reference replicates a global table fully before processing —
+        core/Processors/GlobalStreamThread.cs bootstrap phase — so a static
+        broadcast side is the faithful realization, not a moving stream)."""
+        if self._driver.mode == "async" and isinstance(source, str):
+            streaming_tbl = KStream(
+                self._driver._topic_stream_df(str(source)), _as_tuple_t(key), ts
+            ).to_table(order=order)
+            snap = self._driver._realize(streaming_tbl, cacheable=False)
+            return GlobalKTable(snap, streaming_tbl.key, streaming_tbl.ts)
+        return super().global_table(source, key, ts=ts, order=order)
+
+
+def _as_tuple_t(key) -> tuple[str, ...]:
+    return (key,) if isinstance(key, str) else tuple(key)
 
 
 class ReadOnlyKeyValueStore:
@@ -340,13 +424,53 @@ class TopologyTestDriver:
 
     DEFAULT_SCHEMA = "key string, value string, ts timestamp"
 
-    def __init__(self, spark: SparkSession, topology: Callable[[StreamBuilder], Mapping]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        topology: Callable[[StreamBuilder], Mapping],
+        mode: str = "sync",
+        watermarks: Mapping[str, str] | None = None,
+    ):
+        """``mode`` mirrors the reference driver's two modes
+        (core/Mock/TopologyTestDriver.cs Mode enum):
+
+        * ``sync`` — SYNC_TASK: the topology is recomputed as a batch plan
+          over everything piped so far (the default; cheap, deterministic).
+        * ``async`` — ASYNC_CLUSTER_IN_MEMORY
+          (core/Mock/ClusterInMemoryTopologyDriver.cs:14 +
+          core/Mock/Kafka/MockCluster.cs): piped records land in per-topic
+          generation logs on disk, sources become *streaming* file sources
+          (one microbatch per pipe-generation via maxFilesPerTrigger=1), and
+          every read drains the REAL Structured Streaming engine with an
+          availableNow trigger.  Same topology function, same assertions —
+          the engine under test is the actual microbatch scheduler, state
+          store, and watermark machinery instead of the batch analog.
+
+        ``watermarks``: async-only — optional {stream_topic: delay} map
+        applied to stream sources (``with_watermark``), for topologies whose
+        streaming plan requires one (outer stream-stream joins)."""
+        if mode not in ("sync", "async"):
+            raise ValueError("mode must be 'sync' or 'async'")
         self.spark = spark
+        self.mode = mode
         self._topology = topology
         self._logs: dict[str, _TopicLog] = {}
         self._dirty = True
         self._terminals: Mapping[str, KStream | KTable] | None = None
-        self._registry = StoreRegistry(spark)
+        self._registry = _DriverRegistry(self)
+        self._watermarks = dict(watermarks or {})
+        # ---- async-mode state ----
+        self._root: str | None = None
+        self._gen = 0  # global generation counter (cross-topic pipe order)
+        self._snapshot_tables = False
+        self._hook_fired = False
+        self._realized: dict[str, tuple[int, DataFrame]] = {}
+        self._store_snaps: dict[str, tuple[int, DataFrame]] = {}
+        self._mem_tables: list[str] = []
+        #: per-output-topic realization level, for tests/debugging:
+        #: "streaming" = one all-streaming query; "snapshot-tables" = table
+        #: sources bootstrapped via their own streaming queries, then static.
+        self.realization: dict[str, str] = {}
 
     # ---------------- topics ----------------
 
@@ -381,11 +505,44 @@ class TopologyTestDriver:
         """Materialized-store view, or None when the topology never
         materialized ``name`` — the reference driver returns null for store
         lookup misses (TopologyTestDriverTests.cs:14-37)."""
-        self._run()
         try:
-            return self._registry.store(name)
+            return self._refresh_store(name)
         except Exception:
             return None
+
+    def _refresh_store(self, name: str) -> DataFrame:
+        """Current store view.  Async mode: the materialized view is a
+        *streaming* plan — drain its current state through the engine
+        (complete mode) and hand back the snapshot; snapshots are cached per
+        pipe-generation so repeated interactive reads don't re-run, but any
+        new pipe invalidates (the view's file source re-lists the grown log
+        on the next realization — no topology rebuild needed)."""
+        if self.mode == "async":
+            self._seal()
+        self._run()
+        df = self.spark.table(name)
+        if not df.isStreaming:
+            return df
+        version = self._gen
+        hit = self._store_snaps.get(name)
+        if hit is not None and hit[0] == version:
+            return hit[1]
+        try:
+            snap = self._realize(df)
+        except Exception:
+            if self._snapshot_tables:
+                raise
+            # same fallback as _realize_output: the store's plan is a shape
+            # one streaming query can't run (e.g. aggregation over a
+            # streaming-aggregate table) — bootstrap table sources through
+            # their own streaming queries, rebuild, re-read the view.
+            self._snapshot_tables = True
+            self._terminals = None
+            self._store_snaps.clear()
+            self._run()
+            snap = self._realize(self.spark.table(name))
+        self._store_snaps[name] = (version, snap)
+        return snap
 
     def get_key_value_store(self, name: str, key: str | tuple[str, ...]) -> ReadOnlyKeyValueStore | None:
         """GetKeyValueStore (TopologyTestDriver.cs:340-360): the topology must
@@ -416,10 +573,149 @@ class TopologyTestDriver:
         )
         return df
 
+    # ---------------- async internals (ASYNC_CLUSTER_IN_MEMORY analog) ----
+
+    def _topic_dir(self, name: str) -> str:
+        if self._root is None:
+            self._root = tempfile.mkdtemp(prefix="pse-async-driver-")
+        d = os.path.join(self._root, "topics", name)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _seal(self) -> None:
+        """Write rows piped since the last read as ONE generation file per
+        topic — the MockCluster 'records appended to the partition log'
+        step.  With maxFilesPerTrigger=1 each generation replays as its own
+        microbatch, so pipe→read→pipe→read test shapes exercise genuine
+        multi-microbatch state evolution, not a single mega-batch."""
+        for name, log in self._logs.items():
+            pending = log.rows[log.sealed :]
+            if not pending:
+                continue
+            gen = self._gen
+            self._gen += 1
+            df = self.spark.createDataFrame(
+                [_coerce_ts(dict(r), log, self.spark) for r in pending], log.schema
+            )
+            stage = os.path.join(self._root or self._topic_dir(name), "_stage", name, str(gen))
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+            dst = os.path.join(self._topic_dir(name), f"gen-{gen:06d}.parquet")
+            os.rename(os.path.join(stage, part), dst)
+            # deterministic mod-times: the file source batches oldest-first
+            os.utime(dst, (1_700_000_000 + gen, 1_700_000_000 + gen))
+            log.sealed = len(log.rows)
+
+    def _topic_stream_df(self, name: str) -> DataFrame:
+        """Streaming file source over the topic's generation log (the
+        MockConsumer poll loop analog; one file per microbatch)."""
+        if name not in self._logs:
+            raise KeyError(f"unknown input topic '{name}' — create_input_topic first")
+        log = self._logs[name]
+        schema = self.spark.createDataFrame([], log.schema).schema
+        return (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(self._topic_dir(name))
+        )
+
+    def _realize(self, obj, cacheable: bool = True, topic: str | None = None) -> DataFrame:
+        """Drain one terminal through the real engine: availableNow trigger
+        into a memory sink, output mode chosen by terminal shape (KTable /
+        aggregate plan → complete = current state, the sync driver's read
+        contract; stateless stream → append; suppressed table → append,
+        which IS emit-final — streaming._check_emit_final enforces it)."""
+        from .streaming import _check_emit_final, _checkpoint
+
+        df = obj.df if hasattr(obj, "df") else obj
+        if not df.isStreaming:
+            return df
+        if getattr(obj, "emit_final", False):
+            mode = "append"
+        elif isinstance(obj, KTable) or _plan_has_aggregate(df):
+            mode = "complete"
+        else:
+            mode = "append"
+        _check_emit_final(obj, df, mode)
+        name = f"attd_{uuid.uuid4().hex[:10]}"
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", _checkpoint(None))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        self._mem_tables.append(name)
+        try:
+            out = self.spark.table(name)
+        except Exception:
+            out = self.spark.createDataFrame([], df.schema)
+        if topic is not None:
+            self.realization[topic] = (
+                "snapshot-tables"
+                if self._snapshot_tables
+                else "hybrid-bootstrap"
+                if self._hook_fired
+                else "streaming"
+            )
+        return out
+
+    def _realize_output(self, name: str) -> DataFrame:
+        self._seal()
+        version = self._gen
+        hit = self._realized.get(name)
+        if hit is not None and hit[0] == version:
+            return hit[1]
+        try:
+            out = self._realize(self._terminal(name), topic=name)
+        except Exception:
+            if self._snapshot_tables:
+                raise
+            # fallback: plan shape Structured Streaming can't run in one
+            # query (stream⋈streaming-aggregate, chained aggregations) —
+            # bootstrap table sources via their own streaming queries
+            # (GlobalStreamThread pattern), keep the stream side streaming.
+            self._snapshot_tables = True
+            self._terminals = None
+            self._store_snaps.clear()
+            out = self._realize(self._terminal(name), topic=name)
+        self._realized[name] = (version, out)
+        return out
+
+    def _snapshot_table(self, table: KTable) -> KTable:
+        """dsl._TABLE_SNAPSHOT_HOOK body: drain the streaming table's current
+        state through a real availableNow query (complete mode) and hand the
+        batch snapshot back to the join/re-aggregation that asked.  This is
+        the bootstrap-then-serve table semantics of the reference's
+        GlobalStreamThread; it fires only at plan shapes one streaming query
+        could not run anyway (join/re-agg over a streaming aggregate)."""
+        self._hook_fired = True
+        return KTable(self._realize(table, cacheable=False), table.key, table.ts)
+
     def _run(self) -> Mapping[str, KStream | KTable]:
         if self._dirty or self._terminals is None:
-            self._terminals = dict(self._topology(_TestBuilder(self)))
+            if self.mode == "async":
+                # seal BEFORE building: bootstrap snapshots (hook / fallback)
+                # realize at build time and must see everything piped so far
+                self._seal()
+            from . import dsl as _dsl
+
+            install = self.mode == "async"
+            prev = _dsl._TABLE_SNAPSHOT_HOOK
+            if install:
+                _dsl._TABLE_SNAPSHOT_HOOK = self._snapshot_table
+            try:
+                self._terminals = dict(self._topology(_TestBuilder(self)))
+            finally:
+                if install:
+                    _dsl._TABLE_SNAPSHOT_HOOK = prev
             self._dirty = False
+            if self.mode == "async" and (self._snapshot_tables or self._hook_fired):
+                # bootstrapped snapshots are pinned at build time; new pipes
+                # must rebuild so the bootstrap re-runs over the grown log
+                self._realized.clear()
         return self._terminals
 
     def _terminal(self, name: str) -> KStream | KTable:
@@ -429,6 +725,8 @@ class TopologyTestDriver:
         return terminals[name]
 
     def _output_df(self, name: str) -> DataFrame:
+        if self.mode == "async":
+            return self._realize_output(name)
         return self._terminal(name).df
 
     def close(self) -> None:
@@ -436,6 +734,16 @@ class TopologyTestDriver:
         SparkSession is caller-owned and survives."""
         self._logs.clear()
         self._terminals = None
+        for t in self._mem_tables:
+            try:
+                self.spark.catalog.dropTempView(t)
+            except Exception:
+                pass
+        self._mem_tables.clear()
+        self._realized.clear()
+        if self._root is not None:
+            shutil.rmtree(self._root, ignore_errors=True)
+            self._root = None
 
     def __enter__(self) -> "TopologyTestDriver":
         return self

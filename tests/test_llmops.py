@@ -31,6 +31,50 @@ def test_minhash_lsh_finds_planted_near_dup(spark):
     assert all(3 not in p and 4 not in p for p in got)
 
 
+def test_minhash_verify_salt_hot_bucket(spark):
+    """Planted hot bucket — ONE boilerplate string duplicated across k docs
+    puts ~k candidate rows behind each hot doc id in the verify join.
+    verify_salt must (a) leave the emitted pair set IDENTICAL to the
+    unsalted join and (b) spread each hot id's verify rows over multiple
+    salt groups so no single reducer carries the whole key (the
+    join_table_salted lever, extended to the LSH candidate-verify join)."""
+    k, s = 120, 4
+    boiler = "the quick brown fox jumps over the lazy dog boilerplate footer text here"
+    rows = [(i, boiler) for i in range(k)]
+    rows += [(1000 + i, f"unique document number {i} speaking about entirely different things") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        plain = sorted(
+            (r.id_a, r.id_b)
+            for r in llmops.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+        )
+        salted_df = llmops.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5, verify_salt=s)
+        salted = sorted((r.id_a, r.id_b) for r in salted_df.collect())
+    finally:
+        llmops.release_cache()
+    assert salted == plain and len(plain) == k * (k - 1) // 2
+    # the salt column actually drives the verify join keys
+    assert "__sa" in salted_df._jdf.queryExecution().analyzed().toString()
+    # distribution: recompute the per-pair salt with the same expression and
+    # check every hot id's pairs split across >= 3 of the 4 salt groups with
+    # no group holding more than ~half the key's rows
+    pairs = spark.createDataFrame(plain, "id_a long, id_b long")
+    dist = (
+        pairs.withColumn("__sa", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(s)).cast("int"))
+        .groupBy("id_a", "__sa")
+        .count()
+        .groupBy("id_a")
+        .agg(
+            F.max("count").alias("mx"),
+            F.sum("count").alias("tot"),
+            F.count_distinct("__sa").alias("ns"),
+        )
+        .filter(F.col("tot") >= 50)
+        .collect()
+    )
+    assert dist and all(r.ns >= 3 and r.mx <= r.tot * 0.6 for r in dist)
+
+
 def test_simhash_near_dup_and_identical(spark):
     pairs = llmops.simhash_pairs(_docs(spark), "doc_id", "text", max_hamming=8)
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}

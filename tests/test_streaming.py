@@ -809,6 +809,169 @@ def test_tt_join_streaming_parity(spark, tmp_path):
     assert spark.table("tt_join_store").count() == got.count()
 
 
+def _write_source_file(spark, rows, schema, src_dir, seq):
+    """One parquet file per microbatch, mtime-ordered so the file source
+    replays them as separate batches (maxFilesPerTrigger=1)."""
+    import os
+
+    os.makedirs(src_dir, exist_ok=True)
+    df = spark.createDataFrame(rows, schema)
+    stage = os.path.join(src_dir, f"_stage{seq}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+    dst = os.path.join(src_dir, f"gen-{seq:03d}.parquet")
+    os.rename(os.path.join(stage, part), dst)
+    os.utime(dst, (1_700_000_000 + seq, 1_700_000_000 + seq))
+
+
+def test_suppress_until_time_limit_streaming(spark, tmp_path):
+    """KIP-328 Suppressed.untilTimeLimit over real microbatches: entries
+    emit exactly when stream time passes entry_time + limit; an
+    intermediate update REPLACES the value but does NOT reset the clock
+    (the update's own ts would not be due yet — only the preserved entry
+    time makes it due); undelivered entries stay buffered at drain end."""
+    import datetime as dt
+
+    from pyspark_engine.streaming import suppress_buffered
+
+    def t(m, s=0):
+        return dt.datetime(2024, 1, 1, 10, m, s)
+
+    src = str(tmp_path / "src")
+    schema = "k string, v int, ts timestamp"
+    _write_source_file(spark, [("a", 1, t(0)), ("b", 1, t(0, 10))], schema, src, 0)
+    # a updates at 10:01:00: clock-reset would put its due time at 10:02:00,
+    # AFTER this batch's stream time 10:01:30 — emission proves no reset
+    _write_source_file(spark, [("a", 2, t(1)), ("c", 1, t(1, 30))], schema, src, 1)
+    _write_source_file(spark, [("d", 1, t(3))], schema, src, 2)
+
+    sb = StreamingBuilder(spark)
+    tbl = (
+        sb.file_stream(src, key="k", ts="ts", max_files_per_trigger=1)
+        .to_table()
+        .suppress(until_time_limit_ms=60_000)
+    )
+    got = suppress_buffered(tbl, time_col="ts", store_name="sup_buf")
+    rows = {r["k"]: r for r in got.collect()}
+    assert set(rows) == {"a", "b", "c"}  # d still inside its limit
+    assert rows["a"]["v"] == 2  # updated value, original clock
+    assert all(r["__emit_reason"] == "time" for r in rows.values())
+    # a and b became due in batch 1 (stream time 10:01:30), c in batch 2
+    assert rows["a"]["__emit_batch"] == 1 and rows["b"]["__emit_batch"] == 1
+    assert rows["c"]["__emit_batch"] == 2
+    assert [r["k"] for r in spark.table("sup_buf").collect()] == ["d"]
+
+
+def test_suppress_buffer_bounds_emit_early_and_shutdown(spark, tmp_path):
+    """BufferConfig bounds: maxRecords overflow with emitEarlyWhenFull
+    evicts-and-emits the EARLIEST entries exactly when the bound trips;
+    the shutDownWhenFull default raises instead.  Batch identity oracle:
+    suppress(until_time_limit_ms) on a batch table changes nothing."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark_engine.streaming import suppress_buffered
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    schema = "k string, v int, ts timestamp"
+    src = str(tmp_path / "src2")
+    _write_source_file(spark, [("a", 1, t(0)), ("b", 1, t(1))], schema, src, 0)
+    _write_source_file(spark, [("c", 1, t(2)), ("d", 1, t(3))], schema, src, 1)
+
+    sb = StreamingBuilder(spark)
+
+    def mk():
+        return sb.file_stream(src, key="k", ts="ts", max_files_per_trigger=1).to_table()
+
+    got = suppress_buffered(
+        mk().suppress(until_time_limit_ms=3_600_000, max_records=2, emit_early_when_full=True),
+        time_col="ts",
+        store_name="sup_bound_buf",
+    )
+    early = sorted((r["k"], r["__emit_reason"], r["__emit_batch"]) for r in got.collect())
+    assert early == [("a", "early", 1), ("b", "early", 1)]  # oldest two, at the tripping batch
+    assert sorted(r["k"] for r in spark.table("sup_bound_buf").collect()) == ["c", "d"]
+
+    # shutDownWhenFull (the default): the query dies at the overflow batch
+    with _pytest.raises(Exception, match="shutDownWhenFull|buffer full"):
+        suppress_buffered(
+            mk().suppress(until_time_limit_ms=3_600_000, max_records=2),
+            time_col="ts",
+        )
+
+    # max_bytes path: tiny byte budget, newest-suffix keep, oldest emitted
+    got_b = suppress_buffered(
+        mk().suppress(until_time_limit_ms=3_600_000, max_bytes=1, emit_early_when_full=True),
+        time_col="ts",
+    )
+    assert {r["__emit_reason"] for r in got_b.collect()} == {"early"}
+
+    # batch identity: the suppressed batch table IS the plain table
+    batch_tbl = KStream(spark.read.parquet(src), ("k",), "ts").to_table()
+    sup = batch_tbl.suppress(until_time_limit_ms=60_000)
+    assert sorted(map(tuple, sup.df.collect())) == sorted(map(tuple, batch_tbl.df.collect()))
+    # and the streaming sink guard points time-limit tables at the buffer
+    from pyspark_engine.streaming import run_available_now
+
+    with _pytest.raises(ValueError, match="suppress_buffered"):
+        run_available_now(mk().suppress(until_time_limit_ms=60_000), output_mode="update")
+
+
+def test_fk_join_streaming_parity(spark, tmp_path):
+    """Streaming KTable.join_fk (changelog-state loop + FK-join recompute,
+    KIP-213 analog) over multi-microbatch changelogs == batch
+    KTable.join_fk — INCLUDING an FK-change step: customer 1 re-points its
+    fk from 10 to 20 in a later changelog record, which must retract the
+    old join row and emit the new one (the re-subscription round-trip
+    KIP-213's subscription/response topics exist to provide)."""
+    import datetime as dt
+
+    from pyspark_engine.streaming import join_fk_streaming
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    left_rows = [
+        (1, 10, t(0)),
+        (2, 20, t(0)),
+        (3, 30, t(0)),
+        (1, 20, t(5)),   # FK CHANGE: key 1 re-subscribes 10 -> 20
+        (4, 99, t(5)),   # dangling fk: inner drops, left keeps
+        (2, 20, t(9)),   # same-fk refresh (no-op re-subscription)
+    ]
+    right_rows = [
+        (10, "ten", t(0)),
+        (20, "twenty", t(0)),
+        (30, "thirty", t(0)),
+        (20, "TWENTY", t(7)),  # right-side update after the flip
+    ]
+    ldf = spark.createDataFrame(left_rows, "pk int, fk int, lts timestamp")
+    rdf = spark.createDataFrame(right_rows, "rk int, rname string, rts timestamp")
+    ldf.repartition(3).write.parquet(str(tmp_path / "l"))  # 3 files -> 3 microbatches
+    rdf.repartition(2).write.parquet(str(tmp_path / "r"))
+
+    sb = StreamingBuilder(spark)
+    for how in ("inner", "left"):
+        lks = sb.file_stream(str(tmp_path / "l"), key="pk", ts="lts", max_files_per_trigger=1)
+        rks = sb.file_stream(str(tmp_path / "r"), key="rk", ts="rts", max_files_per_trigger=1)
+        got = join_fk_streaming(lks, rks, fk="fk", how=how, store_name=f"fk_join_{how}")
+
+        lb = KStream(spark.read.parquet(str(tmp_path / "l")), ("pk",), "lts").to_table()
+        rb = KStream(spark.read.parquet(str(tmp_path / "r")), ("rk",), "rts").to_table()
+        want = lb.join_fk(rb, "fk", how=how).df
+        cols = ["pk", "fk", "rname"]
+        pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+        # the FK flip itself: key 1 must be joined to the key-20 row (and,
+        # with the later right-side update, to its LATEST value)
+        m = {r["pk"]: r["rname"] for r in got.collect()}
+        assert m[1] == "TWENTY" and m[2] == "TWENTY" and m[3] == "thirty"
+        assert (4 in m) == (how == "left") and (m.get(4) is None if how == "left" else True)
+        assert spark.table(f"fk_join_{how}").count() == got.count()
+
+
 def test_window_store_fetch_range_and_order(spark):
     """IWindowStore.Fetch analog: key + [from, to] on window START, ordered
     by start (core/State/QueryableStoreTypes.cs:24-41)."""
