@@ -3081,6 +3081,32 @@ def q178_bmp_roundtrip(spark, sf_dir):
     return llmops.decode_bmp_features(bmp, "doc_id", "payload")
 
 
+def q179_gif_animation(spark, sf_dir):
+    """REAL animated-GIF codec, stdlib only: synthesize genuine multi-frame
+    GIF89a files (llmops.synth_gif_animation — NETSCAPE loop block, per
+    frame a Graphic Control Extension with disposal/delay, alternating
+    half-screen rects with offsets, genuine LZW) and decode them through
+    the full animation walk (llmops.decode_gif_animation: GCE parse,
+    per-frame LZW, GIF89a compositing — disposal/transparency semantics
+    pinned against a hand-checked scenario in tests).  LZW is lossless and
+    compositing is alternating-halves algebra, so the oracle recomputes
+    every per-frame AND composited-canvas channel sum from the synthesis
+    parameters alone — a compositor bug on either side breaks the hash.
+    1->N frame fan-out, zero shuffle."""
+    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(8) + (F.col("doc_id") % 5) * 2).alias("w"),
+        (F.lit(6) + F.col("doc_id") % 5).alias("h"),
+        (F.lit(2) + F.col("doc_id") % 3).alias("n"),
+        (F.lit(1) + F.col("doc_id") % 5).alias("a"),
+        (F.col("doc_id") % 251).alias("b"),
+        (F.lit(4) + F.col("doc_id") % 13).alias("p"),
+    )
+    gif = llmops.synth_gif_animation(params, "doc_id", "w", "h", "n", "a", "b", "p")
+    return llmops.decode_gif_animation(gif, "doc_id", "payload")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3261,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_wav_adpcm_roundtrip": q176_wav_adpcm_roundtrip,
         "q177_image_sniff": q177_image_sniff,
         "q178_bmp_roundtrip": q178_bmp_roundtrip,
+        "q179_gif_animation": q179_gif_animation,
     }
 
 
@@ -6412,5 +6439,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha
             FROM documents
+        """,
+        # animated-GIF compositor algebra: frame f covers the alternating
+        # half-screen rect, so canvas(f) = frame(f) + frame(f-1) [the other
+        # half; background for f=0] + background * the odd-height strip
+        # neither half ever draws.  Palette size reports the power-of-two
+        # padded GCT (GIF stores 2^bits entries).
+        "q179_gif_animation": """
+            WITH p AS (
+                SELECT doc_id,
+                       8 + (doc_id % 5) * 2 AS w,
+                       6 + doc_id % 5 AS h,
+                       2 + doc_id % 3 AS n,
+                       1 + doc_id % 5 AS a,
+                       doc_id % 251 AS b,
+                       4 + doc_id % 13 AS pp
+                FROM documents
+            ),
+            fr AS (
+                SELECT doc_id, w, h, n, a, b, pp, h // 2 AS fh,
+                       unnest(generate_series(0, n - 1)) AS f
+                FROM p
+            ),
+            px AS (
+                SELECT doc_id, a, b, pp, f, fh, w,
+                       unnest(generate_series(0, w * fh - 1)) AS i
+                FROM fr
+            ),
+            fs AS (
+                SELECT doc_id, f,
+                       sum((a * ((a * i + b + f) % pp) + b) % 256) AS fr_,
+                       sum((a * ((a * i + b + f) % pp) + b + 85) % 256) AS fg_,
+                       sum((a * ((a * i + b + f) % pp) + b + 170) % 256) AS fb_
+                FROM px GROUP BY doc_id, f
+            ),
+            cv AS (
+                SELECT fr.doc_id, fr.f, fr.n, fr.w, fr.h, fr.fh, fr.b, fr.pp,
+                       fs.fr_, fs.fg_, fs.fb_,
+                       COALESCE(lag(fs.fr_) OVER win, (fr.b % 256) * fr.fh * fr.w) AS pr_,
+                       COALESCE(lag(fs.fg_) OVER win, ((fr.b + 85) % 256) * fr.fh * fr.w) AS pg_,
+                       COALESCE(lag(fs.fb_) OVER win, ((fr.b + 170) % 256) * fr.fh * fr.w) AS pb_
+                FROM fr JOIN fs ON fr.doc_id = fs.doc_id AND fr.f = fs.f
+                WINDOW win AS (PARTITION BY fr.doc_id ORDER BY fr.f)
+            )
+            SELECT doc_id,
+                   CAST(f AS INT) AS frame_idx,
+                   CAST(n AS INT) AS n_frames,
+                   CAST(0 AS INT) AS "left",
+                   CAST((f % 2) * fh AS INT) AS top,
+                   CAST(w AS INT) AS width,
+                   CAST(fh AS INT) AS height,
+                   CAST(CASE WHEN pp <= 4 THEN 4 WHEN pp <= 8 THEN 8
+                             ELSE 16 END AS INT) AS palette_size,
+                   CAST(1 AS INT) AS disposal,
+                   CAST(f + 1 AS INT) AS delay_cs,
+                   CAST(-1 AS INT) AS transparent,
+                   CAST(fr_ AS BIGINT) AS frame_r,
+                   CAST(fg_ AS BIGINT) AS frame_g,
+                   CAST(fb_ AS BIGINT) AS frame_b,
+                   CAST(fr_ + pr_ + (b % 256) * (h - 2 * fh) * w AS BIGINT) AS canvas_r,
+                   CAST(fg_ + pg_ + ((b + 85) % 256) * (h - 2 * fh) * w AS BIGINT) AS canvas_g,
+                   CAST(fb_ + pb_ + ((b + 170) % 256) * (h - 2 * fh) * w AS BIGINT) AS canvas_b
+            FROM cv
         """,
     }

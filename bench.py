@@ -143,6 +143,7 @@ HEADLINE = [
     "q176_wav_adpcm_roundtrip",
     "q177_image_sniff",
     "q178_bmp_roundtrip",
+    "q179_gif_animation",
 ]
 
 

@@ -2471,37 +2471,121 @@ def _gif_encode(indices, palette, w: int, h: int) -> bytes:
     return bytes(out)
 
 
-def _gif_decode(raw: bytes):
-    """REAL GIF decoder (87a/89a) using ONLY the stdlib: header + logical
-    screen parse, global/local color tables, extension-block skip, LZW
-    decompression of the FIRST image frame, interlace reordering.  Returns
-    (width, height, palette_size, mcs, interlaced, ndarray[h,w,3]).
-    Animated GIFs decode to their first frame; raises on malformed
-    streams.  Pinned against wild GIFs from real encoders (libxslt docs /
-    Tk logos) in tests, so the LZW width-growth pairing is interop-checked,
-    not just self-consistent."""
+def _gif_encode_animated(sw: int, sh: int, palette, frames, bg_index: int = 0, loop: int = 0) -> bytes:
+    """REAL animated GIF89a encoder using ONLY the stdlib: logical screen +
+    global color table, NETSCAPE2.0 loop extension, and per frame a Graphic
+    Control Extension (disposal method, transparency flag+index, delay in
+    centiseconds) + image descriptor (left/top offsets, optional local
+    color table) + genuine LZW sub-block stream (_gif_lzw_encode).  Frames
+    are dicts: ``indices`` (row-major), ``w``/``h``, optional ``left``/
+    ``top``/``disposal``/``transparent``/``delay_cs``/``palette`` (a local
+    color table overriding the global one).  Lossless, so the q179 oracle
+    recomputes every per-frame and composited-canvas channel sum from the
+    synthesis parameters alone."""
+    import struct
+
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out.append(0x80 | ((bits - 1) & 7))
+    out += bytes((bg_index & 0xFF,)) + b"\x00"
+    for j in range(1 << bits):
+        r, g, b = palette[j] if j < n else (0, 0, 0)
+        out += bytes((r, g, b))
+    # NETSCAPE2.0 application extension: animation loop count
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    for f in frames:
+        disposal = int(f.get("disposal", 0)) & 7
+        trans = f.get("transparent")
+        delay = int(f.get("delay_cs", 0))
+        gpacked = (disposal << 2) | (1 if trans is not None else 0)
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", gpacked, delay, (trans or 0) & 0xFF
+        ) + b"\x00"
+        w, h = int(f["w"]), int(f["h"])
+        left, top = int(f.get("left", 0)), int(f.get("top", 0))
+        lct = f.get("palette")
+        ipacked = 0
+        if lct is not None:
+            lbits = max(1, (len(lct) - 1).bit_length())
+            ipacked = 0x80 | ((lbits - 1) & 7)
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, ipacked)
+        if lct is not None:
+            for j in range(1 << lbits):
+                r, g, b = lct[j] if j < len(lct) else (0, 0, 0)
+                out += bytes((r, g, b))
+            mcs = max(2, lbits)
+        else:
+            mcs = max(2, bits)
+        out.append(mcs)
+        stream = _gif_lzw_encode(list(f["indices"]), mcs)
+        for i in range(0, len(stream), 255):
+            block = stream[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_decode_frames(raw: bytes, composite: bool = True, max_frames: int | None = None):
+    """REAL multi-frame GIF decoder (87a/89a) using ONLY the stdlib + numpy:
+    header + logical-screen parse, global/local color tables, Graphic
+    Control Extensions (disposal method, transparency index, frame delay),
+    per-frame offsets, interlace reordering, LZW decompression of EVERY
+    image block — the full animation walk _gif_decode's single-frame view
+    delegates to.
+
+    Compositing (GIF89a §23, the browser model): the canvas starts as the
+    background color (GCT[bg] when a GCT exists, else black); each frame
+    draws its rect at (left, top), skipping transparent-index pixels so the
+    previous content shows through; disposal 2 then restores the frame's
+    RECT to background, disposal 3 restores the canvas as it was before the
+    frame drew, 0/1 keep.  Returns (screen_w, screen_h, bg_rgb, frames);
+    each frame dict carries the raw descriptor fields (left/top/w/h,
+    palette size, mcs, interlaced, disposal, transparent, delay_cs), the
+    decoded index ``grid`` [h,w], the palette-mapped ``pixels`` [h,w,3],
+    and — with ``composite=True`` — the post-draw ``canvas`` [sh,sw,3].
+    Raises on malformed streams (truncated data, indices beyond the
+    palette, rects outside the screen), same strictness as _gif_decode."""
     import struct
 
     import numpy as np
 
     if raw[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload (bad signature)")
-    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", raw[6:13])
+    sw, sh, packed, bg_idx, _aspect = struct.unpack("<HHBBB", raw[6:13])
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 7)
         gct = [tuple(raw[pos + 3 * j : pos + 3 * j + 3]) for j in range(n)]
         pos += 3 * n
+    bg_rgb = gct[bg_idx] if gct is not None and bg_idx < len(gct) else (0, 0, 0)
+    canvas = (
+        np.tile(np.asarray(bg_rgb, dtype=np.uint8), (sh, sw, 1)) if composite else None
+    )
+    frames: list[dict] = []
+    gce = None  # pending Graphic Control Extension
     while pos < len(raw):
         b0 = raw[pos]
         if b0 == 0x21:  # extension: label + sub-blocks until terminator
+            label = raw[pos + 1]
             pos += 2
+            if label == 0xF9 and raw[pos] >= 4:
+                gpacked, delay = struct.unpack("<BH", raw[pos + 1 : pos + 4])
+                tindex = raw[pos + 4]
+                gce = {
+                    "disposal": (gpacked >> 2) & 7,
+                    "transparent": tindex if (gpacked & 1) else None,
+                    "delay_cs": delay,
+                }
             while raw[pos] != 0:
                 pos += 1 + raw[pos]
             pos += 1
         elif b0 == 0x2C:  # image descriptor
-            _l, _t, w, h, ipacked = struct.unpack("<HHHHB", raw[pos + 1 : pos + 10])
+            left, top, w, h, ipacked = struct.unpack("<HHHHB", raw[pos + 1 : pos + 10])
             pos += 10
             pal = gct
             if ipacked & 0x80:
@@ -2516,6 +2600,7 @@ def _gif_decode(raw: bytes):
                 ln = raw[pos]
                 stream += raw[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            pos += 1  # block terminator
             if pal is None:
                 raise ValueError("GIF image has no color table")
             idx = _gif_lzw_decode(bytes(stream), mcs, w * h)
@@ -2532,19 +2617,65 @@ def _gif_decode(raw: bytes):
                 grid = deinter
             if int(grid.max(initial=0)) >= len(pal):
                 raise ValueError("GIF pixel index beyond palette")
-            img = np.asarray(pal, dtype=np.uint8)[grid]
-            # report the FRAME's dimensions — they are what the pixel grid
-            # (and every sum computed from it) covers; wild animated GIFs
-            # often carry a first frame smaller than the logical screen
-            # (sw x sh), and returning screen dims would silently disagree
-            # with the decoded data
-            return w, h, len(pal), mcs, interlaced, img
+            meta = gce or {"disposal": 0, "transparent": None, "delay_cs": 0}
+            gce = None
+            pixels = np.asarray(pal, dtype=np.uint8)[grid]
+            frame = {
+                "left": left,
+                "top": top,
+                "w": w,
+                "h": h,
+                "palette_size": len(pal),
+                "mcs": mcs,
+                "interlaced": interlaced,
+                "palette": pal,
+                "grid": grid,
+                "pixels": pixels,
+                **meta,
+            }
+            if composite:
+                if left + w > sw or top + h > sh:
+                    raise ValueError("GIF frame rect outside the logical screen")
+                prev = canvas.copy() if meta["disposal"] == 3 else None
+                region = canvas[top : top + h, left : left + w]
+                tc = meta["transparent"]
+                if tc is None:
+                    region[...] = pixels
+                else:
+                    mask = grid != tc
+                    region[mask] = pixels[mask]
+                frame["canvas"] = canvas.copy()
+                if meta["disposal"] == 2:
+                    canvas[top : top + h, left : left + w] = np.asarray(
+                        bg_rgb, dtype=np.uint8
+                    )
+                elif meta["disposal"] == 3:
+                    canvas = prev
+            frames.append(frame)
+            if max_frames is not None and len(frames) >= max_frames:
+                break
         elif b0 == 0x3B:
             break
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
-        continue
-    raise ValueError("GIF contains no image data")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return sw, sh, bg_rgb, frames
+
+
+def _gif_decode(raw: bytes):
+    """REAL GIF decoder (87a/89a) using ONLY the stdlib: single-frame view
+    over :func:`_gif_decode_frames` — parses the FIRST image block and
+    returns (width, height, palette_size, mcs, interlaced, ndarray[h,w,3])
+    of the frame's own pixels (frame dims, not screen dims: wild animated
+    GIFs often carry a first frame smaller than the logical screen, and
+    screen dims would silently disagree with the decoded data).  Raises on
+    malformed streams.  Pinned against wild GIFs from real encoders
+    (libxslt docs / Tk logos) in tests, so the LZW width-growth pairing is
+    interop-checked, not just self-consistent."""
+    _sw, _sh, _bg, frames = _gif_decode_frames(raw, composite=False, max_frames=1)
+    f = frames[0]
+    return f["w"], f["h"], f["palette_size"], f["mcs"], f["interlaced"], f["pixels"]
 
 
 def synth_gif(df: DataFrame, id_col: str, w_col: str, h_col: str, a_col: str, b_col: str, p_col: str) -> DataFrame:
@@ -2623,6 +2754,153 @@ def decode_gif_features(df: DataFrame, id_col: str, payload_col: str) -> DataFra
         df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
     )
     return proj.mapInPandas(worker, GIF_FEATURES_SCHEMA)
+
+
+def synth_gif_animation(
+    df: DataFrame,
+    id_col: str,
+    w_col: str,
+    h_col: str,
+    n_col: str,
+    a_col: str,
+    b_col: str,
+    p_col: str,
+) -> DataFrame:
+    """Deterministic REAL animated-GIF synthesis (the multi-frame twin of
+    synth_gif): an n-frame GIF89a on a w x h logical screen where frame f
+    draws a w x (h//2) rect on the alternating half (top = (f % 2)*(h//2)),
+    pixel i of the rect gets palette index (a*i + b + f) mod P, palette
+    entry j the channel ramp ((a*j + b + 85*c) mod 256), disposal 1 (keep)
+    and per-frame delay f+1 cs.  LZW is lossless and compositing is pure
+    algebra over the params, so the q179 oracle recomputes every per-frame
+    AND composited-canvas channel sum from (w, h, n, a, b, P) alone.  One
+    Arrow pass, no shuffle."""
+
+    def worker(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, w, h, n, a, b, p in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["n"], pdf["a"], pdf["b"], pdf["p"]
+            ):
+                w, h, n, a, b, p = int(w), int(h), int(n), int(a), int(b), int(p)
+                pal = [
+                    tuple(int((a * j + b + 85 * c) % 256) for c in range(3))
+                    for j in range(p)
+                ]
+                fh = h // 2
+                i = np.arange(w * fh, dtype=np.int64)
+                frames = [
+                    {
+                        "indices": ((a * i + b + f) % p).tolist(),
+                        "w": w,
+                        "h": fh,
+                        "left": 0,
+                        "top": (f % 2) * fh,
+                        "disposal": 1,
+                        "delay_cs": f + 1,
+                    }
+                    for f in range(n)
+                ]
+                rows.append((doc_id, _gif_encode_animated(w, h, pal, frames)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    proj = _spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(w_col).alias("w"),
+            F.col(h_col).alias("h"),
+            F.col(n_col).alias("n"),
+            F.col(a_col).alias("a"),
+            F.col(b_col).alias("b"),
+            F.col(p_col).alias("p"),
+        )
+    )
+    return proj.mapInPandas(worker, "doc_id long, payload binary")
+
+
+GIF_ANIMATION_SCHEMA = (
+    "doc_id long, frame_idx int, n_frames int, left int, top int, "
+    "width int, height int, palette_size int, disposal int, delay_cs int, "
+    "transparent int, frame_r long, frame_g long, frame_b long, "
+    "canvas_r long, canvas_g long, canvas_b long"
+)
+
+
+def decode_gif_animation(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL animated-GIF decode over a binary column (stdlib + numpy): the
+    full _gif_decode_frames walk — Graphic Control Extensions (disposal,
+    transparency, delays), per-frame offsets and local palettes, LZW per
+    frame, GIF89a compositing — emitted as one row per frame (1->N
+    fan-out) with integer-exact channel sums of BOTH the frame's own
+    pixels and the composited canvas after the frame draws.  ``transparent``
+    is -1 when the frame declares no transparency index.
+
+    Scale: Arrow-batched mapInPandas, zero shuffle — frames fan out on the
+    scan partitioning; worker memory is bounded by one payload's screen
+    (the compositor holds one canvas, not the animation)."""
+
+    def worker(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = [c.split()[0] for c in GIF_ANIMATION_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _sw, _sh, _bg, frames = _gif_decode_frames(bytes(payload))
+                for fi, f in enumerate(frames):
+                    fs = f["pixels"].astype("int64").sum(axis=(0, 1))
+                    cs = f["canvas"].astype("int64").sum(axis=(0, 1))
+                    rows.append(
+                        (
+                            doc_id, fi, len(frames), f["left"], f["top"],
+                            f["w"], f["h"], f["palette_size"], f["disposal"],
+                            f["delay_cs"],
+                            -1 if f["transparent"] is None else int(f["transparent"]),
+                            int(fs[0]), int(fs[1]), int(fs[2]),
+                            int(cs[0]), int(cs[1]), int(cs[2]),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    proj = _spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+    return proj.mapInPandas(worker, GIF_ANIMATION_SCHEMA)
+
+
+def gif_frame_sample(df: DataFrame, id_col: str, payload_col: str, stride: int = 2) -> DataFrame:
+    """Container-aware keyframe sampler: decode an animated GIF's frames
+    and re-emit every ``stride``-th one as a STANDALONE single-frame GIF —
+    the codec-aware realization of frame_sample's (id, frame_idx, frame)
+    contract (same mapInPandas signature and 1->N shape; frame_sample
+    remains the fixed-byte-slice fallback for containers without a decoder
+    in this image).  Re-encoding reuses the frame's own index grid and
+    palette through the real LZW encoder, so sampling is LOSSLESS — a
+    decode of an emitted frame reproduces the source frame's pixels
+    exactly (pinned in tests).  Arrow-batched, zero shuffle."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames_out = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                _sw, _sh, _bg, frames = _gif_decode_frames(bytes(b), composite=False)
+                for j in range(0, len(frames), stride):
+                    f = frames[j]
+                    ids.append(i)
+                    idxs.append(j)
+                    frames_out.append(
+                        _gif_encode(
+                            f["grid"].reshape(-1).tolist(), f["palette"], f["w"], f["h"]
+                        )
+                    )
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames_out})
+
+    return df.mapInPandas(gen, f"{id_col} long, frame_idx int, frame binary")
 
 
 def _bmp_encode(img) -> bytes:

@@ -2369,6 +2369,135 @@ def test_gif_spark_roundtrip(spark):
         assert r["lzw_ok"] and not r["interlaced"]
 
 
+def test_gif_animation_compositor_semantics():
+    """Disposal methods + transparency against a hand-checked scenario:
+    disposal 1 keeps, disposal 2 restores the frame RECT to background,
+    disposal 3 restores the pre-frame canvas, transparent-index pixels
+    show the canvas through (GIF89a §23)."""
+    import numpy as np
+
+    from pyspark_engine.llmops import _gif_decode_frames, _gif_encode_animated
+
+    pal = [(0, 0, 0), (10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    frames = [
+        dict(indices=[1] * 16, w=4, h=4, disposal=1, delay_cs=5),
+        dict(indices=[2] * 4, w=2, h=2, left=1, top=1, disposal=2, delay_cs=7),
+        dict(indices=[3, 0, 0, 3], w=2, h=2, left=0, top=0, disposal=3, transparent=0, delay_cs=9),
+        dict(indices=[2] * 4, w=2, h=2, left=2, top=2, disposal=1),
+    ]
+    raw = _gif_encode_animated(4, 4, pal, frames, bg_index=0)
+    sw, sh, bg, dec = _gif_decode_frames(raw)
+    assert (sw, sh, bg, len(dec)) == (4, 4, (0, 0, 0), 4)
+    assert (dec[0]["canvas"] == np.array(pal[1])).all()  # full-screen draw
+    c1 = dec[1]["canvas"]
+    assert (c1[1:3, 1:3] == np.array(pal[2])).all() and (c1[0, :] == np.array(pal[1])).all()
+    c2 = dec[2]["canvas"]
+    # frame2's transparent-0 pixels show frame0's pal[1] through; frame1's
+    # disposal-2 rect has been restored to background
+    assert (c2[0, 0] == np.array(pal[3])).all() and (c2[1, 1] == np.array(pal[3])).all()
+    assert (c2[0, 1] == np.array(pal[1])).all() and (c2[1, 0] == np.array(pal[1])).all()
+    assert (c2[2, 2] == np.array(bg)).all() and (c2[1, 2] == np.array(bg)).all()
+    c3 = dec[3]["canvas"]
+    assert (c3[0, 0] == np.array(pal[1])).all()  # disposal-3 reverted frame2
+    assert (c3[2:4, 2:4] == np.array(pal[2])).all()
+    assert dec[0]["delay_cs"] == 5 and dec[1]["disposal"] == 2 and dec[2]["transparent"] == 0
+    # single-frame delegate still sees the first frame's own pixels
+    from pyspark_engine.llmops import _gif_decode
+
+    w, h, _ps, _mcs, _inter, img = _gif_decode(raw)
+    assert (w, h) == (4, 4) and (img == np.array(pal[1])).all()
+
+
+def test_gif_animation_spark_roundtrip(spark):
+    """synth_gif_animation → decode_gif_animation: per-frame AND composited
+    canvas sums must equal the alternating-halves algebra recomputation
+    (the q179 oracle's arithmetic), including odd heights whose bottom
+    strip stays background forever."""
+    from pyspark_engine import llmops
+
+    cases = [(1, 8, 6, 3, 2, 5, 7), (2, 10, 9, 4, 3, 11, 6), (3, 6, 4, 1, 1, 0, 4)]
+    params = spark.createDataFrame(cases, "doc_id long, w int, h int, n int, a int, b int, p int")
+    gif = llmops.synth_gif_animation(params, "doc_id", "w", "h", "n", "a", "b", "p")
+    rows = llmops.decode_gif_animation(gif, "doc_id", "payload").collect()
+    got = {(r["doc_id"], r["frame_idx"]): r for r in rows}
+    for doc_id, w, h, n, a, b, p in cases:
+        fh = h // 2
+        bgc = [(b + 85 * c) % 256 for c in range(3)]  # palette[0]
+
+        def fsum(f):
+            s = [0, 0, 0]
+            for i in range(w * fh):
+                j = (a * i + b + f) % p
+                for c in range(3):
+                    s[c] += (a * j + b + 85 * c) % 256
+            return s
+
+        for f in range(n):
+            r = got[(doc_id, f)]
+            assert (r["n_frames"], r["width"], r["height"]) == (n, w, fh)
+            assert (r["left"], r["top"]) == (0, (f % 2) * fh)
+            assert (r["disposal"], r["delay_cs"], r["transparent"]) == (1, f + 1, -1)
+            fs = fsum(f)
+            assert (r["frame_r"], r["frame_g"], r["frame_b"]) == tuple(fs)
+            strip = (h - 2 * fh) * w  # odd-height bottom strip, never drawn
+            # f == 0: the other half is still background (fh*w pixels)
+            other = [bgc[c] * (fh * w) for c in range(3)] if f == 0 else fsum(f - 1)
+            want = [fs[c] + other[c] + bgc[c] * strip for c in range(3)]
+            assert (r["canvas_r"], r["canvas_g"], r["canvas_b"]) == tuple(want)
+
+
+def test_gif_frame_sample_lossless(spark):
+    """gif_frame_sample re-emits every stride-th frame as a standalone
+    single-frame GIF; decoding an emitted frame reproduces the source
+    frame's pixel grid exactly (LZW re-encode is lossless)."""
+    import numpy as np
+
+    from pyspark_engine import llmops
+    from pyspark_engine.llmops import _gif_decode, _gif_decode_frames
+
+    params = spark.createDataFrame(
+        [(7, 8, 6, 5, 3, 1, 6)], "doc_id long, w int, h int, n int, a int, b int, p int"
+    )
+    gif = llmops.synth_gif_animation(params, "doc_id", "w", "h", "n", "a", "b", "p")
+    payload = bytes(gif.collect()[0]["payload"])
+    src = _gif_decode_frames(payload, composite=False)[3]
+    out = llmops.gif_frame_sample(gif, "doc_id", "payload", stride=2).collect()
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    for r in out:
+        w, h, _ps, _mcs, _inter, img = _gif_decode(bytes(r["frame"]))
+        assert (w, h) == (8, 3)
+        assert (img == src[r["frame_idx"]]["pixels"]).all()
+
+
+def test_gif_animation_wild_files():
+    """Interop pin: animated GIFs written by real-world encoders must walk
+    cleanly (every frame decodes, offsets inside the screen, compositor
+    runs).  Skipped when the box ships no multi-frame GIFs."""
+    import glob
+
+    import pytest
+
+    from pyspark_engine.llmops import _gif_decode_frames
+
+    candidates = sorted(
+        glob.glob("/usr/share/doc/libxslt1-dev/html/*.gif")
+        + glob.glob("/usr/share/tcltk/**/*.gif", recursive=True)
+        + glob.glob("/usr/share/**/images/*.gif", recursive=True)
+    )
+    animated = 0
+    for f in candidates:
+        raw = open(f, "rb").read()
+        try:
+            _sw, _sh, _bg, frames = _gif_decode_frames(raw)
+        except ValueError:
+            continue
+        if len(frames) > 1:
+            animated += 1
+            assert all(fr["canvas"].shape == (_sh, _sw, 3) for fr in frames)
+    if not animated:
+        pytest.skip("no multi-frame GIFs on this box (single-frame pins cover the walker)")
+
+
 def test_ulaw_matches_cpython_audioop_full_domain():
     """INTEROP pin for the G.711 codec pair: byte-for-byte equal to
     CPython's C implementation (audioop lin2ulaw/ulaw2lin — the Sun/CCITT
