@@ -58,6 +58,8 @@ __all__ = [
     "unframe_confluent_id",
     "unframe_confluent_payload",
     "InMemorySchemaRegistry",
+    "HttpSchemaRegistry",
+    "subject_name",
 ]
 
 
@@ -927,6 +929,133 @@ class InMemorySchemaRegistry:
     def latest(self, subject: str) -> tuple[int, str]:
         sid = self._subjects[subject][-1]
         return sid, self._by_id[sid]
+
+
+def subject_name(topic: str, is_key: bool = False, record_name: str | None = None, strategy: str = "topic") -> str:
+    """Subject-name strategy (core/SchemaRegistryConfig.cs:8-28
+    SubjectNameStrategy): ``topic`` (default) → <topic>-key|-value;
+    ``record`` → the fully-qualified record name; ``topic_record`` →
+    <topic>-<record>."""
+    if strategy == "topic":
+        return f"{topic}-key" if is_key else f"{topic}-value"
+    if record_name is None:
+        raise ValueError(f"subject strategy '{strategy}' needs record_name")
+    if strategy == "record":
+        return record_name
+    if strategy == "topic_record":
+        return f"{topic}-{record_name}"
+    raise ValueError("strategy must be topic|record|topic_record")
+
+
+class HttpSchemaRegistry:
+    """Confluent Schema-Registry REST client, stdlib-only (urllib) — the
+    networked realization of the reference's satellite-package serdes,
+    which serialize through Confluent's CachedSchemaRegistryClient
+    (serdes/Streamiz.Kafka.Net.SchemaRegistry.SerDes.Avro/
+    SchemaAvroSerDes.cs; configured by core/SchemaRegistryConfig.cs:36-74
+    ISchemaRegistryConfig).  Same register/by_id/latest surface as
+    InMemorySchemaRegistry, so it drops into the serde call sites
+    unchanged; ids and schemas are cached locally (the Cached… behavior —
+    an id is immutable server-side, so a cache hit never re-fetches),
+    bounded by ``max_cached_schemas`` (SchemaRegistryMaxCachedSchemas
+    analog, default 1000).
+
+    Config analogs: ``urls`` = SchemaRegistryUrl (comma list, tried in
+    order per request — failover); ``timeout_ms`` =
+    SchemaRegistryRequestTimeoutMs; ``auto_register`` =
+    AutoRegisterSchemas (False turns ``register`` into a lookup via
+    POST /subjects/{subject} and raises when the schema is unknown);
+    ``basic_auth`` = BasicAuthUserInfo ("user:pass").  Offline use is the
+    in-memory registry; a dead endpoint raises ConnectionError with the
+    failing URL rather than an opaque socket trace."""
+
+    def __init__(
+        self,
+        urls: str,
+        timeout_ms: int = 30_000,
+        max_cached_schemas: int = 1000,
+        auto_register: bool = True,
+        basic_auth: str | None = None,
+        schema_type: str = "AVRO",
+    ):
+        self._urls = [u.strip().rstrip("/") for u in urls.split(",") if u.strip()]
+        if not self._urls:
+            raise ValueError("SchemaRegistryUrl must name at least one endpoint")
+        self._timeout = timeout_ms / 1000.0
+        self._max = int(max_cached_schemas)
+        self._auto = bool(auto_register)
+        self._auth = basic_auth
+        self._type = schema_type
+        self._by_id: dict[int, str] = {}
+        self._ids: dict[tuple[str, str], int] = {}  # (subject, schema) -> id
+
+    # ---- transport ----
+
+    def _request(self, method: str, path: str, body: dict | None = None) -> dict:
+        import base64
+        import json
+        import urllib.error
+        import urllib.request
+
+        data = json.dumps(body).encode() if body is not None else None
+        last: Exception | None = None
+        for base in self._urls:
+            req = urllib.request.Request(base + path, data=data, method=method)
+            req.add_header("Content-Type", "application/vnd.schemaregistry.v1+json")
+            if self._auth:
+                tok = base64.b64encode(self._auth.encode()).decode()
+                req.add_header("Authorization", f"Basic {tok}")
+            try:
+                with urllib.request.urlopen(req, timeout=self._timeout) as resp:
+                    return json.loads(resp.read().decode())
+            except urllib.error.HTTPError as e:  # registry answered: no failover
+                detail = e.read().decode(errors="replace")[:200]
+                raise ConnectionError(
+                    f"schema registry {base}{path} -> HTTP {e.code}: {detail}"
+                ) from None
+            except Exception as e:  # unreachable endpoint: try the next URL
+                last = e
+        raise ConnectionError(
+            f"no schema-registry endpoint reachable among {self._urls} "
+            f"(SchemaRegistryUrl analog): {last}"
+        ) from last
+
+    # ---- InMemorySchemaRegistry surface ----
+
+    def _bound(self, cache: dict) -> None:
+        while len(cache) > self._max:  # FIFO eviction, the cache is a bound not an oracle
+            cache.pop(next(iter(cache)))
+
+    def register(self, subject: str, schema: str) -> int:
+        key = (subject, schema)
+        sid = self._ids.get(key)
+        if sid is not None:
+            return sid
+        path = f"/subjects/{subject}" + ("/versions" if self._auto else "")
+        out = self._request("POST", path, {"schema": schema, "schemaType": self._type})
+        sid = int(out["id"])
+        self._ids[key] = sid
+        self._by_id.setdefault(sid, out.get("schema", schema))
+        self._bound(self._ids)
+        self._bound(self._by_id)
+        return sid
+
+    def by_id(self, schema_id: int) -> str:
+        hit = self._by_id.get(schema_id)
+        if hit is not None:
+            return hit
+        out = self._request("GET", f"/schemas/ids/{int(schema_id)}")
+        schema = out["schema"]
+        self._by_id[schema_id] = schema
+        self._bound(self._by_id)
+        return schema
+
+    def latest(self, subject: str) -> tuple[int, str]:
+        out = self._request("GET", f"/subjects/{subject}/versions/latest")
+        sid, schema = int(out["id"]), out["schema"]
+        self._by_id.setdefault(sid, schema)
+        self._bound(self._by_id)
+        return sid, schema
 
 
 # ---------------------------------------------------------------- WARC codec

@@ -453,3 +453,146 @@ def test_warc_gz_members_split_and_truncation(spark):
     cut = spark.createDataFrame([(bytearray(blob[:-5]),)], "blob binary")
     with _pytest.raises(PythonException, match="truncated gzip member"):
         cut.select(serdes.split_gzip_members(F.col("blob")).alias("ms")).collect()
+
+
+def _mock_registry_server():
+    """Minimal Confluent Schema-Registry REST mock (stdlib http.server):
+    POST /subjects/{s}/versions registers, POST /subjects/{s} looks up,
+    GET /schemas/ids/{id} and /subjects/{s}/versions/latest read.  Counts
+    hits per path so the client's id cache is observable."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    state = {"by_id": {}, "ids": {}, "subjects": {}, "hits": [], "auth": []}
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def _send(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/vnd.schemaregistry.v1+json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            state["hits"].append(("GET", self.path))
+            if self.path.startswith("/schemas/ids/"):
+                sid = int(self.path.rsplit("/", 1)[1])
+                if sid not in state["by_id"]:
+                    return self._send(404, {"error_code": 40403, "message": "Schema not found"})
+                return self._send(200, {"schema": state["by_id"][sid]})
+            if self.path.endswith("/versions/latest"):
+                subject = self.path.split("/")[2]
+                versions = state["subjects"].get(subject)
+                if not versions:
+                    return self._send(404, {"error_code": 40401, "message": "Subject not found"})
+                sid = versions[-1]
+                return self._send(
+                    200,
+                    {"subject": subject, "version": len(versions), "id": sid,
+                     "schema": state["by_id"][sid]},
+                )
+            return self._send(404, {"error_code": 404, "message": "unknown path"})
+
+        def do_POST(self):
+            state["hits"].append(("POST", self.path))
+            state["auth"].append(self.headers.get("Authorization"))
+            n = int(self.headers.get("Content-Length", 0))
+            schema = json.loads(self.rfile.read(n).decode())["schema"]
+            parts = self.path.strip("/").split("/")
+            subject = parts[1]
+            if len(parts) == 3 and parts[2] == "versions":  # register
+                sid = state["ids"].get(schema)
+                if sid is None:
+                    sid = len(state["by_id"]) + 1
+                    state["ids"][schema] = sid
+                    state["by_id"][sid] = schema
+                state["subjects"].setdefault(subject, [])
+                if sid not in state["subjects"][subject]:
+                    state["subjects"][subject].append(sid)
+                return self._send(200, {"id": sid})
+            # lookup (auto_register=False path)
+            sid = state["ids"].get(schema)
+            if sid is None or sid not in state["subjects"].get(subject, []):
+                return self._send(404, {"error_code": 40403, "message": "Schema not found"})
+            return self._send(200, {"subject": subject, "id": sid, "version": 1, "schema": schema})
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, state
+
+
+def test_http_schema_registry_client(spark):
+    """HttpSchemaRegistry against a mock Confluent REST server: register/
+    by_id/latest with TopicNameStrategy subjects, the id cache (a second
+    register/by_id never re-hits the server — CachedSchemaRegistryClient
+    behavior), dead-endpoint failover, basic-auth header, the
+    auto_register=False lookup mode, and 404 surfaced as ConnectionError.
+    The Confluent wire framing (q103) is registry-id-driven and unchanged."""
+    import pytest as _pytest
+
+    from pyspark_engine.serdes import HttpSchemaRegistry, subject_name
+
+    srv, state = _mock_registry_server()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        avro = '{"type":"record","name":"E","fields":[{"name":"x","type":"long"}]}'
+
+        # TopicNameStrategy (SchemaRegistryConfig.cs:8-28)
+        assert subject_name("events", is_key=False) == "events-value"
+        assert subject_name("events", is_key=True) == "events-key"
+        assert subject_name("events", record_name="com.x.E", strategy="record") == "com.x.E"
+        assert subject_name("events", record_name="com.x.E", strategy="topic_record") == "events-com.x.E"
+
+        # failover: dead endpoint first, live second; basic auth forwarded
+        reg = HttpSchemaRegistry(
+            f"http://127.0.0.1:1,{url}", timeout_ms=3000, basic_auth="user:secret"
+        )
+        sid = reg.register(subject_name("events"), avro)
+        assert sid == 1
+        assert state["auth"][-1].startswith("Basic ")
+        # id cache: re-register and by_id never re-hit the server
+        hits = len(state["hits"])
+        assert reg.register(subject_name("events"), avro) == sid
+        assert reg.by_id(sid) == avro
+        assert len(state["hits"]) == hits
+        # latest always consults the registry (mutable server-side)
+        assert reg.latest("events-value") == (sid, avro)
+        assert len(state["hits"]) == hits + 1
+        # a second schema version under the same subject
+        avro2 = avro.replace('"E"', '"E2"')
+        sid2 = reg.register("events-value", avro2)
+        assert sid2 == 2 and reg.latest("events-value")[0] == sid2
+
+        # auto_register=False: lookup-only; unknown schema -> ConnectionError(404)
+        ro = HttpSchemaRegistry(url, auto_register=False)
+        assert ro.register("events-value", avro) == sid
+        with _pytest.raises(ConnectionError, match="40403|Schema not found|HTTP 404"):
+            ro.register("events-value", avro.replace('"E"', '"Nope"'))
+
+        # unknown id -> ConnectionError, not KeyError-silence
+        with _pytest.raises(ConnectionError, match="HTTP 404"):
+            reg.by_id(99)
+
+        # all endpoints dead -> ConnectionError naming the config analog
+        dead = HttpSchemaRegistry("http://127.0.0.1:1", timeout_ms=500)
+        with _pytest.raises(ConnectionError, match="SchemaRegistryUrl"):
+            dead.by_id(1)
+
+        # q103 framing unchanged: registry ids drive the SAME wire frame
+        df = spark.createDataFrame([(b"payload",)], "v binary")
+        framed = df.select(
+            serdes.frame_confluent(F.col("v"), sid).alias("w")
+        ).select(
+            serdes.unframe_confluent_id(F.col("w")).alias("sid"),
+            serdes.unframe_confluent_payload(F.col("w")).alias("p"),
+        ).collect()[0]
+        assert framed.sid == sid and bytes(framed.p) == b"payload"
+        assert reg.by_id(framed.sid) == avro  # the decode-side schema fetch
+    finally:
+        srv.shutdown()
