@@ -89,6 +89,15 @@ def _maybe_snapshot(table: "KTable") -> "KTable":
     return table
 
 
+# Companion hook for the as-of join (same install site, async test driver
+# only): join_asof ranks versions with a rowsBetween window — unsupported
+# over streaming input — so its genuine streaming realization is the
+# per-microbatch foreachBatch lookup (streaming.join_table_asof_streaming
+# pattern).  The hook routes a streaming-input join_asof through that loop
+# and hands back the accumulated batch result as a KStream.
+_ASOF_STREAM_HOOK: Callable | None = None
+
+
 class StreamBuilder:
     """Entry point mirroring ``StreamBuilder`` (core/StreamBuilder.cs:49-636).
 
@@ -675,6 +684,9 @@ class KStream:
             raise ValueError("join key arity mismatch")
         if how not in ("inner", "left"):
             raise ValueError("as-of join supports inner|left")
+        if _ASOF_STREAM_HOOK is not None and (self.df.isStreaming or other.df.isStreaming):
+            # async test driver: realize through the real microbatch loop
+            return _ASOF_STREAM_HOOK(self, other, tolerance_ms, how, matched_ts)
         from pyspark.sql import types as T
 
         l_vals = [c for c in self.df.columns if c not in self.key and c != self.ts]

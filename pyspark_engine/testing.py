@@ -694,6 +694,45 @@ class TopologyTestDriver:
         self._hook_fired = True
         return KTable(self._realize(table, cacheable=False), table.key, table.ts)
 
+    def _asof_stream(self, left: KStream, right: KStream, tolerance_ms, how, matched_ts) -> KStream:
+        """dsl._ASOF_STREAM_HOOK body: the genuine streaming realization of
+        the as-of join (streaming.join_table_asof_streaming pattern) — the
+        right-side version history bootstraps through its own streaming
+        drain, then every LEFT microbatch performs the identical event-time
+        as-of lookup via foreachBatch (the reference's per-record
+        ValueGetter read at microbatch granularity; as-of semantics are
+        arrival-order independent, so the result equals the one-shot batch
+        join — the same parity test_versioned_asof_join_streaming_parity
+        pins for the public API)."""
+        from .streaming import _checkpoint
+
+        self._hook_fired = True
+        if right.df.isStreaming:
+            right = KStream(self._realize(right.df), right.key, right.ts)
+        if not left.df.isStreaming:
+            # both sides batch after the bootstrap: the guard in join_asof
+            # no-ops the hook, so this call takes the plain window path
+            return left.join_asof(right, tolerance_ms=tolerance_ms, how=how, matched_ts=matched_ts)
+        out_dir = tempfile.mkdtemp(prefix="pse-attd-asof-")
+
+        def _apply(batch: DataFrame, batch_id: int) -> None:
+            got = KStream(batch, left.key, left.ts).join_asof(
+                right, tolerance_ms=tolerance_ms, how=how, matched_ts=matched_ts
+            )
+            got.df.write.mode("append").parquet(out_dir)
+
+        q = (
+            left.df.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", _checkpoint(None))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+            empty = KStream(self.spark.createDataFrame([], left.df.schema), left.key, left.ts)
+            return empty.join_asof(right, tolerance_ms=tolerance_ms, how=how, matched_ts=matched_ts)
+        return KStream(self.spark.read.parquet(out_dir), left.key, left.ts)
+
     def _run(self) -> Mapping[str, KStream | KTable]:
         if self._dirty or self._terminals is None:
             if self.mode == "async":
@@ -704,13 +743,16 @@ class TopologyTestDriver:
 
             install = self.mode == "async"
             prev = _dsl._TABLE_SNAPSHOT_HOOK
+            prev_asof = _dsl._ASOF_STREAM_HOOK
             if install:
                 _dsl._TABLE_SNAPSHOT_HOOK = self._snapshot_table
+                _dsl._ASOF_STREAM_HOOK = self._asof_stream
             try:
                 self._terminals = dict(self._topology(_TestBuilder(self)))
             finally:
                 if install:
                     _dsl._TABLE_SNAPSHOT_HOOK = prev
+                    _dsl._ASOF_STREAM_HOOK = prev_asof
             self._dirty = False
             if self.mode == "async" and (self._snapshot_tables or self._hook_fired):
                 # bootstrapped snapshots are pinned at build time; new pipes

@@ -54,9 +54,6 @@ _REAL_DRIVER = TopologyTestDriver
 #     moment the record processes (pre-KIP-633); Spark emits it only when
 #     the watermark PASSES the window close, which an availableNow drain of
 #     a fixed input set never reaches for the latest-timestamp rows.
-#   * event-time as-of join: join_asof ranks versions with a window
-#     function, unsupported over streaming input; the streaming realization
-#     is streaming.join_table_asof_streaming (foreachBatch).
 #   * record-granularity stream time: the reference's grace rule admits or
 #     drops PER RECORD against observed stream time; a microbatch watermark
 #     is batch-granularity and complete-mode reads keep all state.
@@ -66,23 +63,10 @@ _SS_EAGER = (
     "test_streaming.py::test_stream_stream_left_join_streaming_parity / "
     "test_stream_stream_outer_join_streaming_parity"
 )
-_ASOF = (
-    "event-time as-of join ranks versions with a window function (unsupported "
-    "over streaming input); streaming realization is join_table_asof_streaming, "
-    "covered by test_streaming.py::test_versioned_asof_join_streaming_parity"
-)
 ASYNC_SKIP: dict[str, str] = {
     "test_stream_stream_left_join_no_right_record": _SS_EAGER,
     "test_stream_stream_outer_join_only_left": _SS_EAGER,
     "test_stream_stream_outer_join_only_right": _SS_EAGER,
-    "test_stream_table_join_impossible": _ASOF,
-    "test_ts_sync_match_in_right_order": _ASOF,
-    "test_ts_sync_no_match_in_wrong_order": _ASOF,
-    "test_ts_sync_extractor_beats_arrival_order": _ASOF,
-    "test_ts_sync_multi_event": _ASOF,
-    "test_ts_sync_same_timestamp_matches": _ASOF,
-    "test_ts_sync_tombstone_blocks_match": _ASOF,
-    "test_ts_sync_tombstone_after_click_still_matches": _ASOF,
     "test_custom_window_grace_drops_late_arrival": (
         "per-record stream-time admission (windowEnd > streamTime - grace) is "
         "record-granularity; a microbatch watermark advances per batch and "
