@@ -306,6 +306,18 @@ class KStream:
         metrics = aggs or (F.count(F.lit(1)).alias("records"),)
         return self._with_df(self.df.observe(observation, *metrics))
 
+    def metadata(self) -> "StreamMetadata":
+        """FollowMetadata convenience layer — the StreamizMetadata ambient
+        accessor surface (core/StreamizMetadata.cs:33-130, gated by
+        StreamConfig.FollowMetadata) re-expressed columnar: see
+        StreamMetadata.  Usage mirroring the reference's example::
+
+            ks = builder.kafka_stream(..., include_meta=True)
+            m = ks.metadata()
+            ks.map_values(v=..., part=m.current_partition())
+        """
+        return StreamMetadata(self)
+
     def branch(self, *predicates: Column) -> list["KStream"]:
         """Split by ordered predicates, first-match wins, no-match dropped
         (KStreamBranchProcessor.cs:5-29).  Branch i = p_i ∧ ¬p_0 ∧ … ∧ ¬p_{i-1};
@@ -896,6 +908,61 @@ class BranchedKStream:
             rest = rest & ~p
         out[self._prefix + name] = self._source._with_df(self._source.df.filter(rest))
         return out
+
+
+class StreamMetadata:
+    """Ambient record-metadata accessors — StreamizMetadata
+    (core/StreamizMetadata.cs:33-130: GetCurrentHeaders/Timestamp/Offset/
+    Partition/TopicMetadata, enabled by StreamConfig.FollowMetadata).
+
+    The reference reads "the record currently being processed" from
+    thread-local task context; in a distributed columnar engine the current
+    record IS the row, so each accessor returns a Column expression over
+    the metadata columns the source attaches (serdes.decode_kafka with
+    include_meta=True / include_headers=True — the IRecordContext surface).
+    The reference's contract — accessors return null when metadata isn't
+    followed — maps to a typed NULL literal when the column is absent, so
+    topologies stay buildable either way instead of failing analysis."""
+
+    def __init__(self, stream: "KStream"):
+        self._df = stream.df
+        self._ts = stream.ts
+
+    def _col(self, name: str, dtype: str) -> Column:
+        if name in self._df.columns:
+            return F.col(name)
+        return F.lit(None).cast(dtype)
+
+    def current_topic(self) -> Column:
+        """GetCurrentTopicMetadata (StreamizMetadata.cs:96-115)."""
+        return self._col("topic", "string")
+
+    def current_partition(self) -> Column:
+        """GetCurrentPartitionMetadata (StreamizMetadata.cs:117-130)."""
+        return self._col("partition", "int")
+
+    def current_offset(self) -> Column:
+        """GetCurrentOffsetMetadata (StreamizMetadata.cs:71-94)."""
+        return self._col("offset", "long")
+
+    def current_headers(self) -> Column:
+        """GetCurrentHeadersMetadata (StreamizMetadata.cs:34-50); the Kafka
+        source's header shape (array of key/value pairs, value binary)."""
+        return self._col("headers", "array<struct<key:string,value:binary>>")
+
+    def current_timestamp_ms(self) -> Column:
+        """GetCurrentTimestampMetadata (StreamizMetadata.cs:52-69) — the
+        record's event timestamp as epoch millis (the reference's long)."""
+        if self._ts is not None and self._ts in self._df.columns:
+            from .runtime import epoch_ms
+
+            return epoch_ms(self._ts)
+        return F.lit(None).cast("long")
+
+    def is_following(self) -> bool:
+        """Whether the pipeline carries the topic/partition/offset columns
+        (the FollowMetadata=true state)."""
+        return all(c in self._df.columns for c in ("topic", "partition", "offset"))
 
 
 class KTable:

@@ -648,3 +648,51 @@ def test_join_null_value_rows_kept(spark):
         ts="ts",
     ).join_table(table, how="inner")
     assert [(r.k, r.v, r.tv) for r in st.df.collect()] == [(1, None, None)]
+
+
+def test_stream_metadata_accessors(spark):
+    """StreamizMetadata analog (core/StreamizMetadata.cs:33-130): ambient
+    per-record metadata as Column accessors over the include_meta columns —
+    real values when the source follows metadata, TYPED NULLS (the
+    reference's null-when-not-following contract) when it doesn't, with
+    the topology still buildable either way."""
+    import datetime as dt
+
+    from pyspark_engine import serdes
+
+    raw = spark.createDataFrame(
+        [
+            (
+                b"7",
+                b'{"v": 1.5}',
+                dt.datetime(2024, 1, 1, 12, 0, 0),
+                "clicks",
+                3,
+                42,
+            )
+        ],
+        "key binary, value binary, timestamp timestamp, topic string, partition int, offset long",
+    )
+    df = serdes.decode_kafka(raw, "v double", key_type="bigint", include_meta=True)
+    ks = KStream(df, ("key",), "ts")
+    m = ks.metadata()
+    assert m.is_following()
+    [r] = ks.map_values(
+        v=F.col("v"),
+        top=m.current_topic(),
+        part=m.current_partition(),
+        off=m.current_offset(),
+        ts_ms=m.current_timestamp_ms(),
+        hdrs=m.current_headers(),
+    ).df.collect()
+    assert (r.top, r.part, r.off) == ("clicks", 3, 42)
+    assert r.ts_ms == int(dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert r.hdrs is None  # headers not followed -> typed null
+
+    bare = KStream(spark.createDataFrame([("a", 1)], "key string, v int"), ("key",), None)
+    m2 = bare.metadata()
+    assert not m2.is_following()
+    [r2] = bare.map_values(
+        v=F.col("v"), part=m2.current_partition(), ts_ms=m2.current_timestamp_ms()
+    ).df.collect()
+    assert r2.part is None and r2.ts_ms is None
