@@ -4,10 +4,29 @@ test/Streamiz.Kafka.Net.Tests/TestDriver/*)."""
 
 from __future__ import annotations
 
+import sys
+
 import pytest
 from pyspark.sql import functions as F
 
 from pyspark_engine.testing import TestRecord, TopologyTestDriver
+
+_REAL_DRIVER = TopologyTestDriver
+
+
+@pytest.fixture(params=["sync", "async"], autouse=True)
+def driver_mode(request, monkeypatch):
+    """Every driver scenario runs in BOTH modes: sync (batch recompute) and
+    async (real Structured Streaming microbatches —
+    core/Mock/ClusterInMemoryTopologyDriver.cs:14 analog)."""
+    mode = request.param
+    if mode == "async":
+        monkeypatch.setattr(
+            sys.modules[__name__],
+            "TopologyTestDriver",
+            lambda spark, topo, **kw: _REAL_DRIVER(spark, topo, mode="async", **kw),
+        )
+    return mode
 
 
 def _filter_topology(b):
