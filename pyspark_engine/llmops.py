@@ -347,9 +347,17 @@ def jaccard_pairs_exact(
         # containing exotic separators
         .withColumn("__d", F.sha2(F.to_json(F.struct(F.col("__grams"))), 256))
     )
-    memb = _persist(every.select("__id", "__d", F.size("__grams").alias("__sn")))
-    rep_ids = memb.groupBy("__d").agg(F.min("__id").alias("__id")).select("__id")
-    base = every.join(rep_ids.hint("merge"), "__id")
+    every = _persist(every)
+    memb = every.select("__id", "__d", F.size("__grams").alias("__sn"))
+    # representative = min-id member per digest, selected with ONE map-side-
+    # combinable min_by aggregate (duplicates collapse before the shuffle;
+    # an id-join back to the payload table would re-shuffle every gram
+    # array AND force a second pass over the corpus)
+    base = (
+        every.groupBy("__d")
+        .agg(F.min_by(F.struct("__id", "__grams"), F.col("__id")).alias("__rep"))
+        .select(F.col("__rep.__id").alias("__id"), "__d", F.col("__rep.__grams").alias("__grams"))
+    )
     gram_rows = base.select("__id", "__d", F.explode("__grams").alias("__g"))
     dfreq = gram_rows.groupBy("__g").agg(F.count(F.lit(1)).alias("__dfc"))
     ordered = (
