@@ -2847,8 +2847,12 @@ def decode_gif_animation(df: DataFrame, id_col: str, payload_col: str) -> DataFr
     is -1 when the frame declares no transparency index.
 
     Scale: Arrow-batched mapInPandas, zero shuffle — frames fan out on the
-    scan partitioning; worker memory is bounded by one payload's screen
-    (the compositor holds one canvas, not the animation)."""
+    scan partitioning.  Worker memory is bounded by ONE payload's decoded
+    animation (the walker materializes each frame's index grid, pixels and
+    a composited-canvas copy before this reducer collapses them to six
+    sums — O(n_frames x screen) per payload, the per-document bound of the
+    format, not of the corpus; a pathological thousand-frame crawl GIF is
+    the row to length-filter upstream, like any oversized payload)."""
 
     def worker(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -534,6 +534,17 @@ def join_fk_streaming(
         raise ValueError("fk join supports inner|left")
     if len(right.key) != 1:
         raise ValueError("fk join requires single-column right key")
+    # the canonical FK naming has the LEFT fk column named like the RIGHT
+    # key (departments keyed dept_id, employees carrying dept_id) — batch
+    # join_fk accepts it because the right key never reaches the output.
+    # The tagged-union state loop needs globally distinct names, so rename
+    # the right key to a reserved one for the loop's lifetime; the combine
+    # step joins fk == __fk_rk and the output is unchanged.
+    rk = right.key[0]
+    if rk in left.df.columns:
+        right = KStream(right.df.withColumnRenamed(rk, "__fk_rk"), ("__fk_rk",), right.ts)
+        if r_order:
+            r_order = tuple("__fk_rk" if c == rk else c for c in r_order)
 
     def combine(l_t: KTable, r_t: KTable) -> KTable:
         return l_t.join_fk(r_t, fk, how=how)
@@ -684,6 +695,24 @@ def suppress_buffered(
     root = state_dir or tempfile.mkdtemp(prefix="pse-suppress-")
     os.makedirs(root, exist_ok=True)
     gen = {"n": _read_gen(root)}
+    if gen["n"] > 0 and checkpoint is None:
+        # same refusal as the changelog joins' _GEN contract: resuming the
+        # buffer with a FRESH checkpoint would replay the whole source and
+        # re-merge already-emitted keys (double emission); the caller must
+        # bring the original checkpointLocation alongside the state_dir
+        raise ValueError(
+            f"state dir {root!r} holds suppress-buffer generation {gen['n']} but no "
+            "checkpoint was passed; resuming requires the query's original "
+            "checkpointLocation (or a fresh state_dir)"
+        )
+    spark0 = df.sparkSession
+    out_dir = os.path.join(root, "out")
+    # this CALL returns only ITS OWN emissions: remember where the emitted
+    # log already stood (resumed drains must not re-deliver prior records)
+    prior_batch = -1
+    if os.path.exists(out_dir):
+        row = spark0.read.parquet(out_dir).agg(F.max("__emit_batch")).collect()[0]
+        prior_batch = row[0] if row[0] is not None else -1
 
     def _stream_time() -> int:
         try:
@@ -705,7 +734,8 @@ def suppress_buffered(
         spark = batch.sparkSession
         cur, nxt = gen["n"] % 2, (gen["n"] + 1) % 2
         new = batch.withColumn("__ev_ms", epoch_ms(tcol))
-        st = max(_stream_time(), (new.agg(F.max("__ev_ms")).collect()[0][0] or -(1 << 62)))
+        batch_max = new.agg(F.max("__ev_ms")).collect()[0][0]
+        st = max(_stream_time(), batch_max if batch_max is not None else -(1 << 62))
         prev_path = os.path.join(root, f"buf-{cur}")
         if os.path.exists(prev_path):
             prev = spark.read.parquet(prev_path)
@@ -779,7 +809,7 @@ def suppress_buffered(
     )
     q.awaitTermination()
     spark = df.sparkSession
-    out_path = os.path.join(root, "out")
+    out_path = out_dir
     if store_name is not None:
         buf_path = os.path.join(root, f"buf-{gen['n'] % 2}")
         buf = (
@@ -795,7 +825,7 @@ def suppress_buffered(
             F.lit(None).cast("string").alias("__emit_reason"),
             F.lit(None).cast("long").alias("__emit_batch"),
         )
-    return spark.read.parquet(out_path)
+    return spark.read.parquet(out_path).filter(F.col("__emit_batch") > F.lit(int(prior_batch)))
 
 
 # ---------------- custom stateful operator escape hatch ----------------

@@ -37,7 +37,7 @@ from collections.abc import Callable, Iterable, Mapping
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
-from .dsl import GlobalKTable, KStream, KTable, StreamBuilder
+from .dsl import GlobalKTable, KStream, KTable, StreamBuilder, _as_tuple
 from .runtime import StoreRegistry
 
 # Deterministic auto-timestamp base (the reference uses wall-clock "now" as
@@ -304,9 +304,9 @@ class _TestBuilder(StreamBuilder):
         streaming aggregate)."""
         if self._driver.mode == "async" and self._driver._snapshot_tables and isinstance(source, str):
             streaming_tbl = KStream(
-                self._driver._topic_stream_df(str(source)), _as_tuple_t(key), ts
+                self._driver._topic_stream_df(str(source)), _as_tuple(key), ts
             ).to_table(order=order, tombstones=tombstones)
-            snap = self._driver._realize(streaming_tbl, cacheable=False)
+            snap = self._driver._realize(streaming_tbl)
             return KTable(snap, streaming_tbl.key, streaming_tbl.ts)
         return super().table(source, key, ts=ts, order=order, tombstones=tombstones)
 
@@ -317,15 +317,11 @@ class _TestBuilder(StreamBuilder):
         broadcast side is the faithful realization, not a moving stream)."""
         if self._driver.mode == "async" and isinstance(source, str):
             streaming_tbl = KStream(
-                self._driver._topic_stream_df(str(source)), _as_tuple_t(key), ts
+                self._driver._topic_stream_df(str(source)), _as_tuple(key), ts
             ).to_table(order=order)
-            snap = self._driver._realize(streaming_tbl, cacheable=False)
+            snap = self._driver._realize(streaming_tbl)
             return GlobalKTable(snap, streaming_tbl.key, streaming_tbl.ts)
         return super().global_table(source, key, ts=ts, order=order)
-
-
-def _as_tuple_t(key) -> tuple[str, ...]:
-    return (key,) if isinstance(key, str) else tuple(key)
 
 
 class ReadOnlyKeyValueStore:
@@ -505,9 +501,14 @@ class TopologyTestDriver:
         """Materialized-store view, or None when the topology never
         materialized ``name`` — the reference driver returns null for store
         lookup misses (TopologyTestDriverTests.cs:14-37)."""
+        # build FIRST, outside the miss-to-None mapping: a broken topology
+        # function must surface as its own error, not as 'store not found'
+        if self.mode == "async":
+            self._seal()
+        self._run()
         try:
             return self._refresh_store(name)
-        except Exception:
+        except KeyError:
             return None
 
     def _refresh_store(self, name: str) -> DataFrame:
@@ -520,7 +521,10 @@ class TopologyTestDriver:
         if self.mode == "async":
             self._seal()
         self._run()
-        df = self.spark.table(name)
+        try:
+            df = self.spark.table(name)
+        except Exception:
+            raise KeyError(f"no materialized store '{name}'") from None
         if not df.isStreaming:
             return df
         version = self._gen
@@ -597,10 +601,11 @@ class TopologyTestDriver:
             df = self.spark.createDataFrame(
                 [_coerce_ts(dict(r), log, self.spark) for r in pending], log.schema
             )
-            stage = os.path.join(self._root or self._topic_dir(name), "_stage", name, str(gen))
+            topic_dir = self._topic_dir(name)  # resolves self._root on first use
+            stage = os.path.join(self._root, "_stage", name, str(gen))
             df.coalesce(1).write.mode("overwrite").parquet(stage)
             part = next(f for f in os.listdir(stage) if f.startswith("part-"))
-            dst = os.path.join(self._topic_dir(name), f"gen-{gen:06d}.parquet")
+            dst = os.path.join(topic_dir, f"gen-{gen:06d}.parquet")
             os.rename(os.path.join(stage, part), dst)
             # deterministic mod-times: the file source batches oldest-first
             os.utime(dst, (1_700_000_000 + gen, 1_700_000_000 + gen))
@@ -619,7 +624,7 @@ class TopologyTestDriver:
             .parquet(self._topic_dir(name))
         )
 
-    def _realize(self, obj, cacheable: bool = True, topic: str | None = None) -> DataFrame:
+    def _realize(self, obj, topic: str | None = None) -> DataFrame:
         """Drain one terminal through the real engine: availableNow trigger
         into a memory sink, output mode chosen by terminal shape (KTable /
         aggregate plan → complete = current state, the sync driver's read
@@ -692,7 +697,7 @@ class TopologyTestDriver:
         GlobalStreamThread; it fires only at plan shapes one streaming query
         could not run anyway (join/re-agg over a streaming aggregate)."""
         self._hook_fired = True
-        return KTable(self._realize(table, cacheable=False), table.key, table.ts)
+        return KTable(self._realize(table), table.key, table.ts)
 
     def _asof_stream(self, left: KStream, right: KStream, tolerance_ms, how, matched_ts) -> KStream:
         """dsl._ASOF_STREAM_HOOK body: the genuine streaming realization of

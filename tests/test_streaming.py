@@ -1873,3 +1873,79 @@ def test_gif_codec_streaming_parity(spark, tmp_path):
     cols = want.columns
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
     assert got.count() == 30
+
+
+def test_suppress_buffered_resume_no_redelivery(spark, tmp_path):
+    """Review finding (r8): a drain must return only ITS OWN emissions — a
+    resumed drain over the same state_dir + checkpoint must not re-deliver
+    previously emitted records; and resuming a populated state_dir WITHOUT
+    the original checkpoint is refused (the _GEN contract), because a fresh
+    checkpoint would replay the source and double-emit."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark_engine.streaming import suppress_buffered
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    schema = "k string, v int, ts timestamp"
+    src = str(tmp_path / "src")
+    _write_source_file(spark, [("a", 1, t(0)), ("b", 1, t(0))], schema, src, 0)
+    _write_source_file(spark, [("c", 1, t(2))], schema, src, 1)
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    sb = StreamingBuilder(spark)
+
+    def mk():
+        return (
+            sb.file_stream(src, key="k", ts="ts", max_files_per_trigger=1)
+            .to_table()
+            .suppress(until_time_limit_ms=60_000)
+        )
+
+    got1 = suppress_buffered(mk(), time_col="ts", state_dir=state, checkpoint=ckpt)
+    assert sorted(r["k"] for r in got1.collect()) == ["a", "b"]  # c still buffered
+
+    # no new data: the resumed drain must deliver NOTHING new
+    got2 = suppress_buffered(mk(), time_col="ts", state_dir=state, checkpoint=ckpt)
+    assert got2.collect() == []
+
+    # new data advancing stream time: only the NEWLY due key emits
+    _write_source_file(spark, [("d", 1, t(10))], schema, src, 2)
+    got3 = suppress_buffered(mk(), time_col="ts", state_dir=state, checkpoint=ckpt)
+    assert sorted(r["k"] for r in got3.collect()) == ["c"]
+
+    # populated state_dir without the original checkpoint -> refused
+    with _pytest.raises(ValueError, match="checkpoint"):
+        suppress_buffered(mk(), time_col="ts", state_dir=state)
+
+
+def test_fk_join_streaming_accepts_shared_fk_name(spark, tmp_path):
+    """Review finding (r8): the canonical FK naming — the left fk column
+    named like the right table's key — must work in the streaming
+    realization exactly as it does in batch KTable.join_fk."""
+    import datetime as dt
+
+    from pyspark_engine.streaming import join_fk_streaming
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    ldf = spark.createDataFrame(
+        [(1, 10, t(0)), (2, 20, t(0))], "pk int, dept_id int, lts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(10, "eng", t(0)), (20, "ops", t(1))], "dept_id int, dname string, rts timestamp"
+    )
+    ldf.write.parquet(str(tmp_path / "l"))
+    rdf.write.parquet(str(tmp_path / "r"))
+    sb = StreamingBuilder(spark)
+    lks = sb.file_stream(str(tmp_path / "l"), key="pk", ts="lts")
+    rks = sb.file_stream(str(tmp_path / "r"), key="dept_id", ts="rts")
+    got = join_fk_streaming(lks, rks, fk="dept_id", how="inner")
+    m = {r["pk"]: r["dname"] for r in got.collect()}
+    assert m == {1: "eng", 2: "ops"}
+    assert "__fk_rk" not in got.columns and "dept_id" in got.columns

@@ -202,3 +202,21 @@ def test_multi_input_topic_flush_order(spark):
 
         with _pytest.raises(KeyError):
             multi.pipe_input("unknown-topic", "k", "v")
+
+
+def test_broken_topology_error_propagates_from_store_read(spark):
+    """Review finding (r8): a topology function that raises while BUILDING
+    must surface its own error from get_key_value_store, not be swallowed
+    into a 'store never materialized' None."""
+
+    def broken(b):
+        raise ValueError("deliberately broken topology")
+
+    with TopologyTestDriver(spark, broken) as d:
+        d.create_input_topic("t")
+        with pytest.raises(ValueError, match="deliberately broken"):
+            d.get_key_value_store("whatever", key="k")
+    # an UNKNOWN store on a healthy topology still maps to None
+    with TopologyTestDriver(spark, _filter_topology) as d:
+        d.create_input_topic("test")
+        assert d.get_key_value_store("nope", key="k") is None
