@@ -1949,3 +1949,103 @@ def test_fk_join_streaming_accepts_shared_fk_name(spark, tmp_path):
     m = {r["pk"]: r["dname"] for r in got.collect()}
     assert m == {1: "eng", 2: "ops"}
     assert "__fk_rk" not in got.columns and "dept_id" in got.columns
+
+
+def test_suppress_buffered_differential_fuzz(spark, tmp_path):
+    """Differential check of the suppress buffer against an independent
+    Python simulator of the KS rules (entry clock kept across updates,
+    stream time = running max event time per batch, emit when
+    entry + limit <= stream time, overflow evicts earliest with
+    emitEarlyWhenFull): several seeded random workloads, random generation
+    splits, random buffer bounds — emitted (key, value, reason, batch)
+    sets and the final buffered keys must match exactly."""
+    import datetime as dt
+    import random
+
+    from pyspark_engine.streaming import suppress_buffered
+
+    schema = "k string, v int, ts timestamp"
+    base = dt.datetime(2024, 1, 1)
+
+    def simulate(batches, limit_ms, max_records):
+        buf = {}  # k -> [entry_ms, v]
+        hist = {}  # k -> (max_ts, v): the to_table state (latest-by-ts EVER)
+        st = -(1 << 62)
+        emitted = []
+        for bid, rows in enumerate(batches):
+            touched = set()
+            for k, v, ms in rows:
+                if k not in hist or ms >= hist[k][0]:
+                    hist[k] = (ms, v)
+                touched.add(k)
+            if rows:
+                st = max(st, max(ms for _, _, ms in rows))
+            # update mode emits the key's CURRENT state row (value and event
+            # ts of the latest-by-ts record across history, not of the batch)
+            for k in touched:
+                ms, v = hist[k]
+                if k in buf:
+                    buf[k][1] = v  # value replaced, clock kept
+                else:
+                    buf[k] = [ms, v]
+            due = [k for k, (e, _) in buf.items() if e + limit_ms <= st]
+            for k in due:
+                emitted.append((k, buf[k][1], "time", bid))
+                del buf[k]
+            if max_records is not None and len(buf) > max_records:
+                over = len(buf) - max_records
+                for k in sorted(buf, key=lambda k: (buf[k][0], k))[:over]:
+                    emitted.append((k, buf[k][1], "early", bid))
+                    del buf[k]
+        return emitted, set(buf)
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        n = rng.randint(6, 14)
+        rows = [
+            (
+                f"k{rng.randint(0, 4)}",
+                rng.randint(0, 99),
+                rng.randint(0, 240) * 60_000,  # minutes 0..240 as epoch-ms offsets
+            )
+            for _ in range(n)
+        ]
+        # split into 2-5 generations preserving pipe order
+        n_gen = rng.randint(2, 5)
+        cuts = sorted(rng.sample(range(1, n), min(n_gen - 1, n - 1)))
+        batches, prev = [], 0
+        for c in cuts + [n]:
+            batches.append(rows[prev:c])
+            prev = c
+        batches = [b for b in batches if b]
+        limit_ms = rng.choice([30, 60, 90]) * 60_000
+        max_records = rng.choice([None, 2, 3])
+
+        src = str(tmp_path / f"src{seed}")
+        for i, b in enumerate(batches):
+            _write_source_file(
+                spark,
+                [(k, v, base + dt.timedelta(milliseconds=ms)) for k, v, ms in b],
+                schema,
+                src,
+                i,
+            )
+        sb = StreamingBuilder(spark)
+        tbl = (
+            sb.file_stream(src, key="k", ts="ts", max_files_per_trigger=1)
+            .to_table()
+            .suppress(
+                until_time_limit_ms=limit_ms,
+                max_records=max_records,
+                emit_early_when_full=max_records is not None,
+            )
+        )
+        got = suppress_buffered(tbl, time_col="ts", store_name=f"fuzz_buf_{seed}")
+        got_set = {
+            (r["k"], r["v"], r["__emit_reason"], r["__emit_batch"]) for r in got.collect()
+        }
+        want, want_buf = simulate(batches, limit_ms, max_records)
+        assert got_set == set(want), f"seed {seed}: {sorted(got_set)} != {sorted(want)}"
+        assert set(
+            r["k"] for r in spark.table(f"fuzz_buf_{seed}").collect()
+        ) == want_buf, f"seed {seed} buffer mismatch"
