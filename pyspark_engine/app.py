@@ -72,7 +72,13 @@ class StreamApp:
     KafkaStream.cs:398-417).
     """
 
-    def __init__(self, spark: SparkSession, starters: Sequence[Callable[[], object]]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        starters: Sequence[Callable[[], object]],
+        inner_exception_handler: Callable[[Exception], str] | None = None,
+        max_restarts: int = 3,
+    ):
         self.spark = spark
         self._starters = list(starters)
         self.queries: list = []
@@ -80,6 +86,13 @@ class StreamApp:
         self._lock = threading.Lock()
         self._listeners: list[Callable[[State, State], None]] = []
         self._registry = StoreRegistry(spark)
+        # InnerExceptionHandler analog (core/StreamConfig.cs:130,2140):
+        # called with the query's exception, returns "CONTINUE" or "FAIL".
+        # Default None == FAIL, the reference's default (StreamConfig.cs:1907).
+        self.inner_exception_handler = inner_exception_handler
+        self.max_restarts = int(max_restarts)
+        self._restarts: dict[int, int] = {}
+        self._done: set[int] = set()
 
     # ---------------- state machine ----------------
 
@@ -128,7 +141,7 @@ class StreamApp:
         try:
             for q in self.queries:
                 try:
-                    q.stop()
+                    q.stop()  # already-terminated handles no-op
                 except Exception:
                     pass
             for q in self.queries:
@@ -139,6 +152,68 @@ class StreamApp:
                         pass
         finally:
             self._set_state(State.NOT_RUNNING)
+
+    def supervise(self, poll_s: float = 0.2, max_wait_s: float | None = None) -> None:
+        """Stream-thread supervision loop — the runtime half of the
+        reference's ``InnerExceptionHandler`` (core/StreamConfig.cs:130:
+        uncaught processing exceptions map to CONTINUE/FAIL at the stream
+        thread; KafkaStream tears down or replaces the thread accordingly).
+
+        Polls the started queries until every one terminates cleanly (an
+        availableNow drain) or ``max_wait_s`` elapses (continuous queries).
+        A query that terminated WITH an exception is routed through the
+        handler:
+
+          * FAIL (or no handler — the reference's default): transition to
+            ERROR and re-raise the query's exception;
+          * CONTINUE: transition RUNNING → REBALANCING, restart the query
+            from its starter — same checkpointLocation, so Spark resumes
+            from the last committed batch and REPLAYS the failed one (the
+            thread-replacement semantics) — then back to RUNNING.  Each
+            starter has a ``max_restarts`` budget; exhausting it is ERROR
+            regardless of policy (a permanently poisoned batch must not
+            hot-loop).
+        """
+        import time
+
+        deadline = None if max_wait_s is None else time.monotonic() + max_wait_s
+        while True:
+            active = False
+            for i, q in enumerate(list(self.queries)):
+                if i in self._done:
+                    continue
+                if getattr(q, "isActive", False):
+                    active = True
+                    continue
+                exc = q.exception() if hasattr(q, "exception") else None
+                if exc is None:
+                    self._done.add(i)
+                    continue
+                self._handle_query_failure(i, exc)
+                active = True  # restarted; poll again
+            if not active:
+                return
+            if deadline is not None and time.monotonic() > deadline:
+                return
+            time.sleep(poll_s)
+
+    def _handle_query_failure(self, i: int, exc: Exception) -> None:
+        handler = self.inner_exception_handler
+        resp = handler(exc) if handler is not None else "FAIL"
+        used = self._restarts.get(i, 0)
+        if resp != "CONTINUE" or used >= self.max_restarts:
+            self._set_state(State.ERROR)
+            raise exc
+        self._restarts[i] = used + 1
+        # restart plays the rebalance role: offset re-discovery + state
+        # restore from the checkpoint before the topology runs again
+        self._set_state(State.REBALANCING)
+        try:
+            self.queries[i] = self._starters[i]()
+        except Exception:
+            self._set_state(State.ERROR)
+            raise
+        self._set_state(State.RUNNING)
 
     def raise_error(self) -> None:
         """Transition to ERROR (stream-thread uncaught-exception path;

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 from collections.abc import Callable, Sequence
+from contextvars import ContextVar
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,14 +79,20 @@ def _describe_plan(df: DataFrame, mode: str = "formatted") -> str:
 # a join against a streaming aggregate, or re-aggregating a streaming
 # aggregate — so installing it never displaces a legal all-streaming plan;
 # it realizes the reference's bootstrap-then-serve table semantics
-# (GlobalStreamThread pattern) instead of failing analysis.  Always None in
-# production; the hook is a test-harness affordance.
-_TABLE_SNAPSHOT_HOOK: Callable[["KTable"], "KTable"] | None = None
+# (GlobalStreamThread pattern) instead of failing analysis.  Always unset in
+# production; the hook is a test-harness affordance.  A ContextVar, not a
+# module global (advisor finding, r8): two drivers building topologies
+# concurrently — threads, or interleaved builds — must never see each
+# other's hooks and snapshot through the wrong driver's state.
+_TABLE_SNAPSHOT_HOOK: ContextVar[Callable[["KTable"], "KTable"] | None] = ContextVar(
+    "pse_table_snapshot_hook", default=None
+)
 
 
 def _maybe_snapshot(table: "KTable") -> "KTable":
-    if _TABLE_SNAPSHOT_HOOK is not None and table.df.isStreaming:
-        return _TABLE_SNAPSHOT_HOOK(table)
+    hook = _TABLE_SNAPSHOT_HOOK.get()
+    if hook is not None and table.df.isStreaming:
+        return hook(table)
     return table
 
 
@@ -95,7 +102,19 @@ def _maybe_snapshot(table: "KTable") -> "KTable":
 # per-microbatch foreachBatch lookup (streaming.join_table_asof_streaming
 # pattern).  The hook routes a streaming-input join_asof through that loop
 # and hands back the accumulated batch result as a KStream.
-_ASOF_STREAM_HOOK: Callable | None = None
+_ASOF_STREAM_HOOK: ContextVar[Callable | None] = ContextVar(
+    "pse_asof_stream_hook", default=None
+)
+
+# Third companion hook (async test driver only): pyspark Observation objects
+# are batch-only, so a STREAMING KStream.observe(Observation) registers a
+# generated metric name here ({name: observation}); the driver names the
+# observe, harvests observedMetrics from every progress event of its drains,
+# and injects the per-metric totals back into the Observation so
+# ``observation.get`` works identically in both driver modes.
+_OBSERVE_REGISTRY: ContextVar[dict | None] = ContextVar(
+    "pse_observe_registry", default=None
+)
 
 
 class StreamBuilder:
@@ -302,8 +321,24 @@ class KStream:
         Spark-native one).  Batch: pass a ``pyspark.sql.Observation`` and
         read ``observation.get`` after an action — accumulator semantics,
         zero plan impact.  Streaming: pass a string name and read the values
-        from each progress event (streaming.observed_metrics)."""
+        from each progress event (streaming.observed_metrics).  Under the
+        async TopologyTestDriver an Observation object on a STREAMING plan
+        is rewritten to a generated metric name and filled from the drain's
+        progress events (summed across microbatches — exact for additive
+        metrics like the default count; see testing._inject_observation), so
+        the same test body runs in both driver modes."""
         metrics = aggs or (F.count(F.lit(1)).alias("records"),)
+        if self.df.isStreaming and not isinstance(observation, str):
+            reg = _OBSERVE_REGISTRY.get()
+            if reg is None:
+                raise ValueError(
+                    "streaming observe needs a string metric name (read via "
+                    "streaming.observed_metrics); Observation objects are "
+                    "batch-only outside the TopologyTestDriver"
+                )
+            name = f"__pse_obs_{len(reg)}"
+            reg[name] = observation
+            return self._with_df(self.df.observe(name, *metrics))
         return self._with_df(self.df.observe(observation, *metrics))
 
     def metadata(self) -> "StreamMetadata":
@@ -502,7 +537,16 @@ class KStream:
                 for c in payload:
                     alive = alive | F.col(c).isNotNull()
                 df = df.filter(alive)
-        return KTable(df, self.key, self.ts)
+        out = KTable(df, self.key, self.ts)
+        if self.df.isStreaming:
+            # streaming.suppress_buffered's keyed engine re-derives the
+            # latest-per-key fold per key inside applyInPandasWithState, so
+            # it needs the RAW changelog (a stateful operator cannot chain
+            # downstream of this update-mode aggregate)
+            out._source_stream = self
+            out._source_tombstones = bool(tombstones)
+            out._source_order = order_cols
+        return out
 
     # ---------------- grouping (SURVEY §2.3) ----------------
 
@@ -696,9 +740,10 @@ class KStream:
             raise ValueError("join key arity mismatch")
         if how not in ("inner", "left"):
             raise ValueError("as-of join supports inner|left")
-        if _ASOF_STREAM_HOOK is not None and (self.df.isStreaming or other.df.isStreaming):
+        asof_hook = _ASOF_STREAM_HOOK.get()
+        if asof_hook is not None and (self.df.isStreaming or other.df.isStreaming):
             # async test driver: realize through the real microbatch loop
-            return _ASOF_STREAM_HOOK(self, other, tolerance_ms, how, matched_ts)
+            return asof_hook(self, other, tolerance_ms, how, matched_ts)
         from pyspark.sql import types as T
 
         l_vals = [c for c in self.df.columns if c not in self.key and c != self.ts]
@@ -988,6 +1033,14 @@ class KTable:
             out.emit_final = True
         if getattr(self, "suppress_config", None) is not None:
             out.suppress_config = dict(self.suppress_config)
+        if df is self.df:
+            # marker-only rewraps (suppress()) keep the raw-changelog link;
+            # any df-changing operator (filter/map_values/...) invalidates it
+            # — the keyed suppress engine re-folds the RAW source, which
+            # would silently skip such a transformation
+            for attr in ("_source_stream", "_source_tombstones", "_source_order"):
+                if getattr(self, attr, None) is not None:
+                    setattr(out, attr, getattr(self, attr))
         return out
 
     def filter(self, predicate: Column) -> "KTable":
@@ -1457,9 +1510,19 @@ class TimeWindowedKStream:
         df = self.stream.df
         ts = F.col(self.stream.ts)
         w = self.window
-        if df.isStreaming and getattr(w, "grace_ms", None) is not None:
+        per_record_grace = (
+            df.isStreaming
+            and getattr(w, "grace_ms", None) is not None
+            and bool(self.arrival_order)
+            and self.arrival_partition is not None
+        )
+        if df.isStreaming and getattr(w, "grace_ms", None) is not None and not per_record_grace:
             # streaming mode: grace IS the watermark (late rows dropped by the
-            # engine, windows closed at watermark - grace); no batch emulation
+            # engine, windows closed at watermark - grace); no batch emulation.
+            # With arrival_order + arrival_partition declared, the per-record
+            # admission stage below replaces this (exact KS record-granularity
+            # semantics; the watermark is batch-granularity and complete-mode
+            # reads keep late rows).
             df = df.withWatermark(self.stream.ts, f"{int(w.grace_ms)} milliseconds")
             w = dataclasses.replace(w, grace_ms=None)
         if isinstance(w, CustomWindowOptions):
@@ -1478,6 +1541,8 @@ class TimeWindowedKStream:
             df = df.withColumn("__w", win).withColumn("__w_start", F.col("__w.start")).withColumn(
                 "__w_end", F.col("__w.end")
             ).drop("__w")
+        if per_record_grace:
+            return self._grace_admission_streaming(df, int(w.grace_ms))
         if getattr(w, "grace_ms", None) is not None:
             if not self.arrival_order:
                 raise ValueError("grace emulation requires arrival_order (the offset analog)")
@@ -1510,6 +1575,67 @@ class TimeWindowedKStream:
             df = df.filter(F.col("__w_end") > F.col("__stream_time") - _interval_ms(w.grace_ms))
             df = df.drop("__stream_time")
         return df
+
+    def _grace_admission_streaming(self, df: DataFrame, grace_ms: int) -> DataFrame:
+        """Record-granularity grace admission for STREAMING input — the exact
+        rule of KStreamWindowAggregateProcessor.cs:51-58 (admit iff
+        windowEnd > observedStreamTime − grace, stream time = the running max
+        event time per task, updated per record in arrival order), realized
+        as an ``applyInPandasWithState`` stage grouped by
+        ``arrival_partition`` — the StreamTask analog: stream time is PER
+        TASK in Kafka Streams, so the partition column is both the faithful
+        unit and the scale unit (no single-partition funnel).  State per
+        partition = one long (the running stream time); each microbatch
+        sorts its rows by ``arrival_order`` and replays the per-record rule,
+        so admission matches the batch emulation exactly — including a
+        record admitted just before a later record's stream-time advance
+        would have closed its window.  Append mode, NoTimeout (no watermark
+        required); admitted rows flow to the downstream windowed aggregation,
+        a supported stateful-operator chain."""
+        from .runtime import epoch_ms
+
+        cols = list(df.columns)
+        ddl = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        order_cols = [c if isinstance(c, Column) else F.col(c) for c in self.arrival_order]
+        staged = (
+            df.withColumn("__gpart", self.arrival_partition.cast("string"))
+            .withColumn("__ev_ms", epoch_ms(self.stream.ts))
+            .withColumn("__wend_ms", epoch_ms("__w_end"))
+        )
+        ord_names = []
+        for i, c in enumerate(order_cols):
+            n = f"__ord_{i}"
+            staged = staged.withColumn(n, c)
+            ord_names.append(n)
+        out_schema = ", ".join(f"`{c}` {ddl[c]}" for c in cols)
+        grace = int(grace_ms)
+
+        def fn(key, pdfs, state):
+            import pandas as pd  # noqa: PLC0415 - worker-side import
+
+            stime = state.get[0] if state.exists else None
+            frames = [pdf for pdf in pdfs if len(pdf)]
+            if not frames:
+                return
+            data = pd.concat(frames).reset_index(drop=True)
+            data = data.sort_values(ord_names, kind="stable")
+            keep = []
+            for idx in data.index:
+                ev = data.at[idx, "__ev_ms"]
+                if pd.isna(ev):
+                    continue  # no event time -> no admission (KS needs ts)
+                ev = int(ev)
+                stime = ev if stime is None else max(stime, ev)
+                if int(data.at[idx, "__wend_ms"]) > stime - grace:
+                    keep.append(idx)
+            if stime is not None:
+                state.update((int(stime),))
+            if keep:
+                yield data.loc[keep, cols]
+
+        return staged.groupBy("__gpart").applyInPandasWithState(
+            fn, out_schema, "stream_time long", "append", "NoTimeout"
+        )
 
     def _agg(self, agg_exprs: dict[str, Column], start_alias: str, end_alias: str) -> KTable:
         if isinstance(self.window, SessionWindowOptions):

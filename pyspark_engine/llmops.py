@@ -299,6 +299,7 @@ def jaccard_pairs_exact(
     text_col: str,
     threshold: float = 0.5,
     shingle: int = 3,
+    collapse: str = "auto",
 ) -> DataFrame:
     """EXACT set-similarity join: every pair with shingle-Jaccard ≥
     ``threshold``, guaranteed complete — the deterministic complement of
@@ -328,6 +329,17 @@ def jaccard_pairs_exact(
     no longer required for safety — it remains the cheaper composition when
     duplicate pairs aren't wanted at all (RECIPES.md ordering).
 
+    ``collapse="auto"`` (default) gates the collapse on a one-row
+    ``approx_count_distinct(digest)/count`` probe over the already-persisted
+    gram frame: a dup-light corpus (distinct ratio ≥ 0.98) skips the
+    collapse groupBy and the digest re-expansion joins entirely — the r7
+    direct plan, recovering their ~2 s fixed cost (SCALE_STRESS
+    exact_join_scaling dup_light row) — while a duplicate-heavy corpus
+    keeps the linear-in-distinct-docs path.  A misclassified probe is a
+    PERFORMANCE wobble only (both paths are oracle-identical), so the
+    cheap approximate probe is safe.  ``"always"``/``"never"`` pin the
+    choice.
+
     Scale: shuffles are (1) the set-digest collapse groupBy, (2) the
     df-count aggregation over exploded representative shingles, (3) the
     per-doc re-sort (same explode, grouped back), (4) the prefix-token
@@ -349,15 +361,29 @@ def jaccard_pairs_exact(
     )
     every = _persist(every)
     memb = every.select("__id", "__d", F.size("__grams").alias("__sn"))
-    # representative = min-id member per digest, selected with ONE map-side-
-    # combinable min_by aggregate (duplicates collapse before the shuffle;
-    # an id-join back to the payload table would re-shuffle every gram
-    # array AND force a second pass over the corpus)
-    base = (
-        every.groupBy("__d")
-        .agg(F.min_by(F.struct("__id", "__grams"), F.col("__id")).alias("__rep"))
-        .select(F.col("__rep.__id").alias("__id"), "__d", F.col("__rep.__grams").alias("__grams"))
-    )
+    if collapse == "auto":
+        probe = every.agg(
+            F.count(F.lit(1)).alias("n"), F.approx_count_distinct("__d", 0.02).alias("nd")
+        ).collect()[0]
+        do_collapse = probe["n"] > 0 and probe["nd"] < 0.98 * probe["n"]
+    elif collapse in ("always", "never"):
+        do_collapse = collapse == "always"
+    else:
+        raise ValueError(f"collapse must be auto|always|never, got {collapse!r}")
+    if do_collapse:
+        # representative = min-id member per digest, selected with ONE
+        # map-side-combinable min_by aggregate (duplicates collapse before
+        # the shuffle; an id-join back to the payload table would re-shuffle
+        # every gram array AND force a second pass over the corpus)
+        base = (
+            every.groupBy("__d")
+            .agg(F.min_by(F.struct("__id", "__grams"), F.col("__id")).alias("__rep"))
+            .select(
+                F.col("__rep.__id").alias("__id"), "__d", F.col("__rep.__grams").alias("__grams")
+            )
+        )
+    else:
+        base = every.select("__id", "__d", "__grams")
     gram_rows = base.select("__id", "__d", F.explode("__grams").alias("__g"))
     dfreq = gram_rows.groupBy("__g").agg(F.count(F.lit(1)).alias("__dfc"))
     ordered = (
@@ -415,6 +441,8 @@ def jaccard_pairs_exact(
         cand.join(ga.hint("merge"), "id_a")
         .join(gb.hint("merge"), "id_b")
         .select(
+            "id_a",
+            "id_b",
             "__da",
             "__db",
             inter.cast("long").alias("inter_n"),
@@ -422,6 +450,12 @@ def jaccard_pairs_exact(
         )
         .filter(F.col("inter_n").cast("double") / F.col("union_n") >= F.lit(t))
     )
+    if not do_collapse:
+        # dup-light direct plan: every doc was its own representative, so
+        # the verified pairs ARE the member pairs (identical-set pairs fall
+        # out of the ordinary candidate path with J = 1)
+        return rep_pairs.select("id_a", "id_b", "inter_n", "union_n")
+    rep_pairs = rep_pairs.drop("id_a", "id_b")
     # re-expand representative pairs to member pairs through the digest map
     # (pair-stat rows only — gram arrays never join again); id order can
     # invert across groups, so normalize with least/greatest

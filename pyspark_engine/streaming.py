@@ -99,8 +99,8 @@ def _read_gen(root: str) -> int:
     stale ping-pong slot and produce silently wrong aggregates."""
     try:
         with open(os.path.join(root, "_GEN")) as f:
-            return int(f.read().strip())
-    except (OSError, ValueError):
+            return int(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
         existing = (
             [e for e in os.listdir(root) if e not in ("_GEN", "_GEN.tmp")]
             if os.path.isdir(root)
@@ -115,13 +115,45 @@ def _read_gen(root: str) -> int:
         return 0
 
 
-def _write_gen(root: str, n: int) -> None:
+def _write_gen(root: str, n: int, applied_batch: int | None = None) -> None:
     """Atomically persist the generation counter next to the state dirs
-    (write-then-rename, so a crash mid-write leaves the previous value)."""
+    (write-then-rename, so a crash mid-write leaves the previous value).
+
+    ``applied_batch`` records, IN THE SAME atomic write, the last microbatch
+    id folded into this generation: a crash between the state write and the
+    streaming checkpoint commit makes Spark REPLAY that batch on restart,
+    and without the marker the replay would read the post-batch generation
+    as its input snapshot and fold the batch a second time (for the
+    suppress buffer: re-buffer and later re-emit already-emitted keys)."""
     tmp = os.path.join(root, "_GEN.tmp")
     with open(tmp, "w") as f:
-        f.write(str(int(n)))
+        f.write(str(int(n)) if applied_batch is None else f"{int(n)} {int(applied_batch)}")
     os.replace(tmp, os.path.join(root, "_GEN"))
+
+
+def _read_applied(root: str) -> int:
+    """Last microbatch id recorded by _write_gen (or -1): foreachBatch state
+    loops skip a replayed batch whose fold already committed to the state
+    dirs — the idempotent-replay half of the _GEN contract."""
+    try:
+        with open(os.path.join(root, "_GEN")) as f:
+            parts = f.read().split()
+            return int(parts[1]) if len(parts) > 1 else -1
+    except (OSError, ValueError):
+        return -1
+
+
+def _last_committed(checkpoint: str) -> int:
+    """Highest microbatch id COMMITTED in a streaming checkpoint (or -1) —
+    read from the commits log, the source of truth for which batches were
+    durably delivered (a batch that wrote output but crashed pre-commit is
+    replayed by Spark and must count as undelivered)."""
+    commits = os.path.join(checkpoint, "commits")
+    try:
+        ids = [int(e) for e in os.listdir(commits) if e.isdigit()]
+    except OSError:
+        return -1
+    return max(ids, default=-1)
 
 
 def _check_emit_final(obj, df: DataFrame, output_mode: str) -> None:
@@ -542,7 +574,16 @@ def join_fk_streaming(
     # step joins fk == __fk_rk and the output is unchanged.
     rk = right.key[0]
     if rk in left.df.columns:
-        right = KStream(right.df.withColumnRenamed(rk, "__fk_rk"), ("__fk_rk",), right.ts)
+        if "__fk_rk" in left.df.columns or "__fk_rk" in right.df.columns:
+            raise ValueError(
+                "'__fk_rk' is reserved by join_fk_streaming for the right-key "
+                "rename; rename that column on the input"
+            )
+        # the rename must follow EVERY reference to the old name: the
+        # KStream's ts (a right ts column named like the key) and the
+        # declared changelog order, or downstream resolution fails opaquely
+        r_ts = "__fk_rk" if right.ts == rk else right.ts
+        right = KStream(right.df.withColumnRenamed(rk, "__fk_rk"), ("__fk_rk",), r_ts)
         if r_order:
             r_order = tuple("__fk_rk" if c == rk else c for c in r_order)
 
@@ -596,6 +637,12 @@ def _changelog_join_loop(
     gen = {"n": _read_gen(root)}  # survives a restart on the same checkpoint
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= _read_applied(root):
+            # crash-replay of a batch whose fold already committed: skip the
+            # fold, but still run the batch's tasks (noop sink) so the
+            # upstream stateful operator's stores commit for this batch
+            batch.write.format("noop").mode("overwrite").save()
+            return
         spark = batch.sparkSession
         cur, nxt = gen["n"] % 2, (gen["n"] + 1) % 2
         sides = (
@@ -614,7 +661,7 @@ def _changelog_join_loop(
         out = combine(l_t, r_t)
         out.df.write.mode("overwrite").parquet(os.path.join(root, "out"))
         gen["n"] += 1
-        _write_gen(root, gen["n"])
+        _write_gen(root, gen["n"], batch_id)
 
     q = (
         tagged.writeStream.foreachBatch(_apply)
@@ -642,6 +689,7 @@ def suppress_buffered(
     state_dir: str | None = None,
     checkpoint: str | None = None,
     store_name: str | None = None,
+    engine: str | None = None,
 ) -> DataFrame:
     """Streaming realization of ``KTable.suppress(until_time_limit_ms=...)``
     — Kafka Streams Suppressed.untilTimeLimit(d, BufferConfig) (KIP-328;
@@ -662,13 +710,42 @@ def suppress_buffered(
       * emission cadence is per-microbatch (§7.3.3): time checks run when a
         batch closes, not per record.
 
-    One streaming query in update mode (the changed aggregate rows per
-    microbatch) over a parquet ping-pong buffer (restart-safe via the _GEN
-    marker, like the changelog joins).  Drains availableNow and returns the
-    emitted records — columns = the table's columns plus ``__emit_reason``
-    ('time' | 'early') and ``__emit_batch`` — in emission order; entries
-    still inside their time limit at drain end stay buffered (readable via
-    ``store_name``), exactly like a KS buffer across restarts."""
+    Two engines, selected by ``engine`` (None = auto):
+
+      * ``"keyed"`` — the scale engine: ``applyInPandasWithState`` over the
+        RAW changelog (threaded through ``KStream.to_table``), per-key
+        RocksDB/HDFS state in the streaming checkpoint, event-time timers
+        for emission.  Per-microbatch I/O is O(changed keys + newly due
+        keys), never O(buffered keys).  Emission batch ids match the KS
+        per-batch rule exactly: a timer set at ``entry+limit-1`` fires in
+        the microbatch AFTER the one whose stream time passed the deadline
+        (the watermark Spark hands a batch is the PREVIOUS batch's running
+        max), so timer emissions are renumbered ``batch_id - 1``; an entry
+        already due against the current watermark at creation emits in its
+        own batch untagged.  Requires an unbounded buffer (capacity bounds
+        are buffer-GLOBAL — see below) and a table built by plain
+        ``to_table`` (default ts order, no tombstones).
+      * ``"exact"`` — the bounded-buffer engine: one parquet ping-pong
+        buffer folded per microbatch.  Capacity bounds (max_records /
+        max_bytes) need a total time-order across ALL keys per batch, which
+        per-key state cannot see; per-batch O(buffer) I/O is within the
+        operator's contract there because a KIP-328 bounded buffer is small
+        by definition.  Auto-selected whenever bounds are configured or the
+        raw changelog is unavailable.
+
+    Both engines write each microbatch's emissions to an
+    ``out/sink_batch=<id>`` partition with OVERWRITE, so a crash-replayed
+    batch rewrites its own partition instead of appending duplicates
+    (exactly-once emission), and both return only emissions newer than the
+    checkpoint's last COMMITTED batch at drain start (a resumed drain never
+    re-delivers, and a batch that crashed pre-commit is re-delivered —
+    it was never returned to any caller).
+
+    Drains availableNow and returns the emitted records — columns = the
+    table's columns plus ``__emit_reason`` ('time' | 'early') and
+    ``__emit_batch`` — in emission order; entries still inside their time
+    limit at drain end stay buffered (readable via ``store_name``), exactly
+    like a KS buffer across restarts."""
     cfg = getattr(table, "suppress_config", None)
     if cfg is None:
         raise ValueError(
@@ -691,6 +768,35 @@ def suppress_buffered(
     max_records = cfg.get("max_records")
     max_bytes = cfg.get("max_bytes")
     emit_early = bool(cfg.get("emit_early_when_full"))
+    bounded = max_records is not None or max_bytes is not None
+
+    src = getattr(table, "_source_stream", None)
+    keyed_ok = (
+        not bounded
+        and src is not None
+        and not getattr(table, "_source_tombstones", False)
+        and tuple(getattr(table, "_source_order", ()) or ()) == (tcol,)
+        and tcol in src.df.columns
+    )
+    if engine is None:
+        engine = "keyed" if keyed_ok else "exact"
+    if engine == "keyed":
+        if bounded:
+            raise ValueError(
+                "the keyed suppress engine cannot enforce max_records/max_bytes: "
+                "capacity bounds are buffer-global (a total time-order across all "
+                "keys), invisible to per-key state — use engine='exact'"
+            )
+        if not keyed_ok:
+            raise ValueError(
+                "the keyed suppress engine needs the raw changelog threaded by a "
+                "plain KStream.to_table() (default ts order, no tombstones) whose "
+                "ts column is the suppress time column"
+            )
+        return _suppress_keyed(table, src, tcol, limit_ms, state_dir, checkpoint, store_name)
+    if engine != "exact":
+        raise ValueError(f"unknown suppress engine {engine!r}; expected 'keyed' or 'exact'")
+
     cols = list(df.columns)
     root = state_dir or tempfile.mkdtemp(prefix="pse-suppress-")
     os.makedirs(root, exist_ok=True)
@@ -707,12 +813,12 @@ def suppress_buffered(
         )
     spark0 = df.sparkSession
     out_dir = os.path.join(root, "out")
-    # this CALL returns only ITS OWN emissions: remember where the emitted
-    # log already stood (resumed drains must not re-deliver prior records)
-    prior_batch = -1
-    if os.path.exists(out_dir):
-        row = spark0.read.parquet(out_dir).agg(F.max("__emit_batch")).collect()[0]
-        prior_batch = row[0] if row[0] is not None else -1
+    ckpt = _checkpoint(checkpoint)
+    # this CALL returns only ITS OWN emissions: a resumed drain must not
+    # re-deliver records from batches the checkpoint already COMMITTED
+    # (an emitted-but-uncommitted batch replays and IS delivered — the
+    # previous drain crashed before returning it)
+    prior_batch = _last_committed(ckpt)
 
     def _stream_time() -> int:
         try:
@@ -721,16 +827,15 @@ def suppress_buffered(
         except (OSError, ValueError):
             return -(1 << 62)
 
-    def _emit(spark, rows: DataFrame, reason: str, batch_id: int) -> None:
-        (
-            rows.select(*cols, F.lit(reason).alias("__emit_reason"), F.lit(int(batch_id)).alias("__emit_batch"))
-            .write.mode("append")
-            .parquet(os.path.join(root, "out"))
-        )
-
     def _apply(batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
 
+        if batch_id <= _read_applied(root):
+            # crash-replay of a batch whose fold already committed: skip the
+            # fold (the emission partition is already on disk), but still
+            # run the batch's tasks so the upstream aggregate's stores commit
+            batch.write.format("noop").mode("overwrite").save()
+            return
         spark = batch.sparkSession
         cur, nxt = gen["n"] % 2, (gen["n"] + 1) % 2
         new = batch.withColumn("__ev_ms", epoch_ms(tcol))
@@ -755,9 +860,10 @@ def suppress_buffered(
         else:
             merged = new.select(*cols, F.col("__ev_ms").alias("__entry_ms"))
         merged = merged.localCheckpoint()  # cut lineage; buffer is bounded
+        emissions = []  # [(rows_df, reason)] — written ONCE per batch below
         due = merged.filter(F.col("__entry_ms") + F.lit(limit_ms) <= F.lit(st))
         if due.limit(1).count():
-            _emit(spark, due, "time", batch_id)
+            emissions.append((due, "time"))
         remaining = merged.filter(~(F.col("__entry_ms") + F.lit(limit_ms) <= F.lit(st)))
         # capacity bounds (the buffer is <= max_records rows by invariant, so
         # the single-partition rank window below is bounded, not a skew risk)
@@ -790,26 +896,39 @@ def suppress_buffered(
                         "emit_early_when_full=True for BufferConfig.emitEarlyWhenFull"
                     )
                 early = sized.filter(F.col("__rank") <= keep_rank)
-                _emit(spark, early, "early", batch_id)
+                emissions.append((early, "early"))
                 remaining = sized.filter(F.col("__rank") > keep_rank).select(*cols, "__entry_ms")
+        if emissions:
+            out = None
+            for rows, reason in emissions:
+                part = rows.select(
+                    *cols,
+                    F.lit(reason).alias("__emit_reason"),
+                    F.lit(int(batch_id)).alias("__emit_batch"),
+                )
+                out = part if out is None else out.unionByName(part)
+            # one OVERWRITE per batch partition: a crash-replayed batch
+            # rewrites its own emissions instead of appending duplicates
+            out.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"sink_batch={batch_id}")
+            )
         remaining.write.mode("overwrite").parquet(os.path.join(root, f"buf-{nxt}"))
         tmp = os.path.join(root, "_STREAM_TIME.tmp")
         with open(tmp, "w") as f:
             f.write(str(int(st)))
         os.replace(tmp, os.path.join(root, "_STREAM_TIME"))
         gen["n"] += 1
-        _write_gen(root, gen["n"])
+        _write_gen(root, gen["n"], batch_id)
 
     q = (
         df.writeStream.outputMode("update")
         .foreachBatch(_apply)
-        .option("checkpointLocation", _checkpoint(checkpoint))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     spark = df.sparkSession
-    out_path = out_dir
     if store_name is not None:
         buf_path = os.path.join(root, f"buf-{gen['n'] % 2}")
         buf = (
@@ -818,14 +937,205 @@ def suppress_buffered(
             else spark.createDataFrame([], df.schema)
         )
         buf.createOrReplaceTempView(store_name)
-    if not os.path.exists(out_path):
-        empty = spark.createDataFrame([], df.schema)
-        return empty.select(
-            *cols,
-            F.lit(None).cast("string").alias("__emit_reason"),
-            F.lit(None).cast("long").alias("__emit_batch"),
+    if not _has_emissions(out_dir):
+        return _empty_emissions(spark, df.schema, cols)
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("sink_batch") > F.lit(int(prior_batch)))
+        .select(*cols, "__emit_reason", "__emit_batch")
+    )
+
+
+def _has_emissions(out_dir: str) -> bool:
+    """Whether the suppress out/ directory holds any sink_batch=* partition
+    (a bare or absent dir means no microbatch ever emitted)."""
+    if not os.path.isdir(out_dir):
+        return False
+    return any(e.startswith("sink_batch=") for e in os.listdir(out_dir))
+
+
+def _empty_emissions(spark, schema, cols):
+    empty = spark.createDataFrame([], schema)
+    return empty.select(
+        *cols,
+        F.lit(None).cast("string").alias("__emit_reason"),
+        F.lit(None).cast("long").alias("__emit_batch"),
+    )
+
+
+def _suppress_keyed(
+    table: KTable,
+    src: KStream,
+    tcol: str,
+    limit_ms: int,
+    state_dir: str | None,
+    checkpoint: str | None,
+    store_name: str | None,
+) -> DataFrame:
+    """Keyed-state engine of ``suppress_buffered`` (see its docstring for
+    the contract): per-key buffer state in ``applyInPandasWithState``
+    (Spark's RocksDB/HDFS state store — the KS changelog-backed
+    InMemoryTimeOrderedKeyValueBuffer analog), EventTimeTimeout timers for
+    emission, and the latest-per-key fold of ``KStream.to_table`` re-derived
+    INSIDE the state function (a stateful operator cannot chain downstream
+    of the update-mode aggregate, so the engine consumes the raw changelog).
+
+    State per key = (buffer entry time | null, latest event time, latest
+    row); the latest-row half persists after emission so a late record
+    cannot resurrect an older value (exactly the update-mode aggregate's
+    memory).  Timers fire when the watermark STRICTLY exceeds the set
+    timestamp, so ``entry+limit-1`` fires at the first watermark >=
+    entry+limit — the KS due rule.  One boundary is documented rather than
+    closed: when Spark rejects that timestamp as not beyond the current
+    watermark (entry+limit == wm+1), the timer is floored to wm+1 and an
+    advance to EXACTLY wm+1 ms would not fire it until the next advance —
+    unreachable for ms-granularity event data unless stream time lands on
+    that exact millisecond with no later data.
+    """
+    from .runtime import epoch_ms
+
+    spark0 = src.df.sparkSession
+    key = list(table.key)
+    cols = list(table.df.columns)
+    root = state_dir or tempfile.mkdtemp(prefix="pse-suppress-")
+    os.makedirs(root, exist_ok=True)
+    out_dir = os.path.join(root, "out")
+    if _has_emissions(out_dir) and checkpoint is None:
+        raise ValueError(
+            f"state dir {root!r} holds prior suppress emissions but no checkpoint "
+            "was passed; resuming requires the query's original "
+            "checkpointLocation (or a fresh state_dir)"
         )
-    return spark.read.parquet(out_path).filter(F.col("__emit_batch") > F.lit(int(prior_batch)))
+    ckpt = _checkpoint(checkpoint)
+    prior_batch = _last_committed(ckpt)
+
+    sdf = src.df
+    for k in key:
+        sdf = sdf.filter(F.col(k).isNotNull())  # to_table drops null keys
+    if not _has_watermark(sdf):
+        # KS stream time = running max event time -> zero-delay watermark
+        sdf = sdf.withWatermark(tcol, "0 milliseconds")
+    sdf = sdf.select(*cols, epoch_ms(tcol).alias("__ev_ms"))
+
+    ddl = {f.name: f.dataType.simpleString() for f in table.df.schema.fields}
+    state_schema = "__entry_ms long, __hist_ms long, " + ", ".join(
+        f"`{c}` {ddl[c]}" for c in cols
+    )
+    out_schema = ", ".join(f"`{c}` {ddl[c]}" for c in cols) + ", __fired boolean"
+    NEG = -(1 << 62)
+    n_cols = len(cols)
+
+    def fn(grp_key, pdfs, state):
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        def clean(v):
+            if v is None or v is pd.NaT:
+                return None
+            if isinstance(v, float) and v != v:
+                return None
+            if isinstance(v, pd.Timestamp):
+                return v.to_pydatetime()
+            if type(v).__module__ == "numpy":
+                return v.item()
+            return v
+
+        wm = state.getCurrentWatermarkMs()
+        wm_eff = wm if wm > 0 else NEG
+        out_rows = []
+        if state.hasTimedOut:
+            st = list(state.get)
+            out_rows.append((*st[2:], True))
+            # buffer entry leaves; the latest-row memory stays (a late
+            # record must still lose to it, like the update-mode aggregate)
+            state.update((None, st[1], *st[2:]))
+        else:
+            if state.exists:
+                st = list(state.get)
+                entry, hist_ms, hist_vals = st[0], st[1], list(st[2:])
+            else:
+                entry, hist_ms, hist_vals = None, None, None
+            if entry is not None and entry + limit_ms <= wm_eff:
+                # due BEFORE this batch's data (KS emitted it last batch;
+                # this batch's arrival pre-empted the timer): emit the
+                # pre-merge value, renumbered like a timer firing
+                out_rows.append((*hist_vals, True))
+                entry = None
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                evs = pdf["__ev_ms"].tolist()
+                for i, ev in enumerate(evs):
+                    if ev is None or (isinstance(ev, float) and ev != ev):
+                        continue
+                    ev = int(ev)
+                    if hist_ms is None or ev >= hist_ms:
+                        # later-wins on ties, in arrival order — the
+                        # max_by(ts) fold of to_table
+                        hist_ms = ev
+                        row = pdf.iloc[i]
+                        hist_vals = [clean(row[c]) for c in cols]
+            if hist_ms is not None:
+                if entry is None:
+                    # (re-)enter the buffer: clock = the state row's event
+                    # time (which a late record does NOT move backwards)
+                    entry = hist_ms
+                    if entry + limit_ms <= wm_eff:
+                        # already due vs the previous batch's stream time:
+                        # KS emits it in THIS batch — no renumbering
+                        out_rows.append((*hist_vals, False))
+                        entry = None
+                # else: value replaced via hist_vals, clock kept
+                state.update((entry, hist_ms, *hist_vals))
+                if entry is not None:
+                    state.setTimeoutTimestamp(max(entry + limit_ms - 1, wm + 1))
+            elif state.exists:
+                state.update((entry, st[1], *st[2:]))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=cols + ["__fired"])
+
+    res = sdf.groupBy(*key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "EventTimeTimeout"
+    )
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        (
+            batch.select(
+                *cols,
+                F.lit("time").alias("__emit_reason"),
+                # timer-fired rows belong to the batch whose stream time
+                # passed the deadline — one earlier than the firing batch
+                (F.lit(int(batch_id)) - F.col("__fired").cast("long")).alias("__emit_batch"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"sink_batch={batch_id}"))
+        )
+
+    q = (
+        res.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    if store_name is not None:
+        try:
+            state_df = read_state_store(spark0, ckpt)
+            buf = state_df.filter(
+                F.col("value.groupState.__entry_ms").isNotNull()
+            ).select(*[F.col(f"value.groupState.`{c}`").alias(c) for c in cols])
+        except Exception:
+            buf = spark0.createDataFrame([], table.df.schema)  # no batch ever ran
+        buf.createOrReplaceTempView(store_name)
+    if not _has_emissions(out_dir):
+        return _empty_emissions(spark0, table.df.schema, cols)
+    return (
+        spark0.read.parquet(out_dir)
+        .filter(F.col("sink_batch") > F.lit(int(prior_batch)))
+        .select(*cols, "__emit_reason", "__emit_batch")
+    )
 
 
 # ---------------- custom stateful operator escape hatch ----------------
@@ -1131,6 +1441,9 @@ def cogroup_streaming(
         gen = {"n": _read_gen(side_root)}  # survives a restart on the same checkpoint
 
         def _apply(batch: DataFrame, batch_id: int, side_root=side_root, gen=gen, kcols=tuple(grouped.key)):
+            if batch_id <= _read_applied(side_root):
+                batch.write.format("noop").mode("overwrite").save()
+                return  # crash-replay of a batch whose fold already committed
             spark = batch.sparkSession
             cur, nxt = gen["n"] % 2, (gen["n"] + 1) % 2
             rows = batch.withColumn("__gen", F.lit(gen["n"] + 1).cast("long"))
@@ -1140,7 +1453,7 @@ def cogroup_streaming(
             latest = KStream(rows, kcols, None).to_table(order=("__gen",)).df
             latest.write.mode("overwrite").parquet(os.path.join(side_root, f"g-{nxt}"))
             gen["n"] += 1
-            _write_gen(side_root, gen["n"])
+            _write_gen(side_root, gen["n"], batch_id)
 
         q = (
             agg_df.writeStream.outputMode("update")

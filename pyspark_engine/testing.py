@@ -250,12 +250,40 @@ def _plan_has_aggregate(df: DataFrame) -> bool:
     """Whether the analyzed logical plan contains a streaming aggregation —
     decides complete vs append output mode for KStream terminals (a
     ``to_stream`` over table state still carries the aggregate, so its
-    current-state read needs complete mode).  On introspection failure err
+    current-state read needs complete mode).  Matches plan NODE names at
+    their line anchors (after tree-drawing prefixes), not raw substrings —
+    a user column or alias merely CONTAINING 'Aggregate' must not force a
+    stateless stream into complete mode.  On introspection failure err
     toward True: complete is the mode that reads state."""
+    import re
+
     try:
-        return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+        plan = df._jdf.queryExecution().analyzed().toString()
+        return any(
+            re.match(r"^[\s+:*()~\-]*'?Aggregate\b", line) for line in plan.splitlines()
+        )
     except Exception:
         return True
+
+
+def _inject_observation(obs, values: dict) -> None:
+    """Make ``obs.get`` return the harvested streaming totals.  pyspark's
+    Observation.get is a JVM-backed property that only works on batch
+    actions, so the instance is reclassed onto a subclass whose ``get``
+    serves the injected dict — the narrowest intervention that keeps the
+    conformance test body (obs.get["records"]) identical across driver
+    modes."""
+    if getattr(obs, "_pse_injected", False):
+        obs._pse_values = dict(values)
+        return
+    base = type(obs)
+    sub = type(
+        f"_Observed{base.__name__}",
+        (base,),
+        {"get": property(lambda self: dict(self._pse_values)), "_pse_injected": True},
+    )
+    obs.__class__ = sub
+    obs._pse_values = dict(values)
 
 
 class _TestBuilder(StreamBuilder):
@@ -652,6 +680,7 @@ class TopologyTestDriver:
             .start()
         )
         q.awaitTermination()
+        self._harvest_observations(q)
         self._mem_tables.append(name)
         try:
             out = self.spark.table(name)
@@ -666,6 +695,35 @@ class TopologyTestDriver:
                 else "streaming"
             )
         return out
+
+    def _harvest_observations(self, q) -> None:
+        """Fill registered Observation objects from a finished drain's
+        progress events.  Each drain reprocesses the FULL generation log
+        from a fresh checkpoint, so the summed per-microbatch metrics are
+        absolute totals over everything piped so far — the sync driver's
+        read contract.  Summation across batches is exact for additive
+        metrics (count/sum — the Peek/observe analog the reference derives
+        from its callback list, KStreamPeekTests.cs:14-45); non-additive
+        Observation metrics need sync mode or a named streaming observe."""
+        reg = getattr(self, "_observations", None)
+        if not reg:
+            return
+        totals: dict[str, dict] = {}
+        try:
+            progresses = q.recentProgress
+        except Exception:
+            return
+        for p in progresses:
+            om = p.get("observedMetrics") or {} if isinstance(p, dict) else {}
+            for name, row in om.items():
+                if name not in reg:
+                    continue
+                vals = dict(row.asDict()) if hasattr(row, "asDict") else dict(row)
+                t = totals.setdefault(name, {})
+                for k, v in vals.items():
+                    t[k] = t.get(k, 0) + v if isinstance(v, (int, float)) else v
+        for name, vals in totals.items():
+            _inject_observation(reg[name], vals)
 
     def _realize_output(self, name: str) -> DataFrame:
         self._seal()
@@ -746,18 +804,23 @@ class TopologyTestDriver:
                 self._seal()
             from . import dsl as _dsl
 
+            # ContextVar tokens scope the install to THIS execution context:
+            # concurrently-building drivers (threads / interleaved builds)
+            # never observe each other's hooks (advisor finding, r8)
             install = self.mode == "async"
-            prev = _dsl._TABLE_SNAPSHOT_HOOK
-            prev_asof = _dsl._ASOF_STREAM_HOOK
+            tok = tok_asof = tok_obs = None
             if install:
-                _dsl._TABLE_SNAPSHOT_HOOK = self._snapshot_table
-                _dsl._ASOF_STREAM_HOOK = self._asof_stream
+                tok = _dsl._TABLE_SNAPSHOT_HOOK.set(self._snapshot_table)
+                tok_asof = _dsl._ASOF_STREAM_HOOK.set(self._asof_stream)
+                self._observations = {}
+                tok_obs = _dsl._OBSERVE_REGISTRY.set(self._observations)
             try:
                 self._terminals = dict(self._topology(_TestBuilder(self)))
             finally:
                 if install:
-                    _dsl._TABLE_SNAPSHOT_HOOK = prev
-                    _dsl._ASOF_STREAM_HOOK = prev_asof
+                    _dsl._TABLE_SNAPSHOT_HOOK.reset(tok)
+                    _dsl._ASOF_STREAM_HOOK.reset(tok_asof)
+                    _dsl._OBSERVE_REGISTRY.reset(tok_obs)
             self._dirty = False
             if self.mode == "async" and (self._snapshot_tables or self._hook_fired):
                 # bootstrapped snapshots are pinned at build time; new pipes

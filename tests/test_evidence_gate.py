@@ -1,0 +1,88 @@
+"""Structural evidence-at-true-HEAD gate (r8 verdict, next-round item 2).
+
+The repeated process defect across rounds 7 and 8 was evidence artifacts
+committed mid-round and then invalidated by later source commits.  The gate
+lives in scripts/close_round.py; this test wires it into pytest so the round
+close runs it as part of the suite:
+
+    PSE_CLOSE_ROUND=1 python -m pytest tests/test_evidence_gate.py -q
+
+Skipped in ordinary development runs (mid-round, source commits legitimately
+trail the previous round's evidence)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_evidence_commit_is_last_source_commit():
+    if os.environ.get("PSE_CLOSE_ROUND") != "1":
+        pytest.skip("round-close-only gate; run with PSE_CLOSE_ROUND=1")
+    r = subprocess.run(
+        [sys.executable, "scripts/close_round.py", "--verify"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, f"{r.stdout}\n{r.stderr}"
+
+
+def test_close_round_verify_logic(tmp_path):
+    """The --verify ancestry rule itself, on a scratch repo: evidence commit
+    after the source commit passes; a later source commit flips it to FAIL
+    until the evidence is regenerated and re-committed."""
+    import shutil
+
+    repo = tmp_path / "r"
+    repo.mkdir()
+    env = {
+        **os.environ,
+        "GIT_AUTHOR_NAME": "t",
+        "GIT_AUTHOR_EMAIL": "t@t",
+        "GIT_COMMITTER_NAME": "t",
+        "GIT_COMMITTER_EMAIL": "t@t",
+    }
+
+    def git(*a):
+        subprocess.run(["git", *a], cwd=repo, env=env, check=True, capture_output=True)
+
+    git("init", "-q")
+    (repo / "pyspark_engine").mkdir()
+    (repo / "scripts").mkdir()
+    shutil.copy(os.path.join(REPO, "scripts", "close_round.py"), repo / "scripts" / "close_round.py")
+    (repo / "pyspark_engine" / "m.py").write_text("x = 1\n")
+    git("add", "-A")
+    git("commit", "-qm", "source")
+    (repo / "CORRECTNESS_HEAD.json").write_text("{}")
+    git("add", "-A")
+    git("commit", "-qm", "evidence")
+
+    def verify():
+        return subprocess.run(
+            [sys.executable, "scripts/close_round.py", "--verify"],
+            cwd=repo,
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+
+    r = verify()
+    assert r.returncode == 0, r.stdout
+
+    (repo / "pyspark_engine" / "m.py").write_text("x = 2\n")
+    git("add", "-A")
+    git("commit", "-qm", "post-evidence source change")
+    r = verify()
+    assert r.returncode == 1 and "stale" in r.stdout
+
+    (repo / "CORRECTNESS_HEAD.json").write_text('{"refreshed": true}')
+    git("add", "-A")
+    git("commit", "-qm", "evidence refresh")
+    r = verify()
+    assert r.returncode == 0, r.stdout

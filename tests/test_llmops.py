@@ -1329,6 +1329,16 @@ def test_jaccard_pairs_exact_matches_brute_force(spark):
             (r.id_a, r.id_b): (r.inter_n, r.union_n)
             for r in llmops.jaccard_pairs_exact(df, "doc_id", "text", threshold=t).collect()
         }
+        # r9: the collapse probe is a performance gate only — forcing either
+        # path must return the identical pair set (incl. the exact-dup 1-3)
+        for mode in ("always", "never"):
+            forced = {
+                (r.id_a, r.id_b): (r.inter_n, r.union_n)
+                for r in llmops.jaccard_pairs_exact(
+                    df, "doc_id", "text", threshold=t, collapse=mode
+                ).collect()
+            }
+            assert forced == got, f"collapse={mode} diverged at t={t}"
         # brute force with the same shingle definition
         import itertools
 

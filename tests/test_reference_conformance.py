@@ -67,18 +67,12 @@ ASYNC_SKIP: dict[str, str] = {
     "test_stream_stream_left_join_no_right_record": _SS_EAGER,
     "test_stream_stream_outer_join_only_left": _SS_EAGER,
     "test_stream_stream_outer_join_only_right": _SS_EAGER,
-    "test_custom_window_grace_drops_late_arrival": (
-        "per-record stream-time admission (windowEnd > streamTime - grace) is "
-        "record-granularity; a microbatch watermark advances per batch and "
-        "complete-mode state reads keep late rows — streaming grace semantics "
-        "covered by test_streaming.py::test_windowed_grace_watermark_parity"
-    ),
-    "test_peek_observes_stream_elements": (
-        "Observation objects are batch-only in Spark; the streaming read side "
-        "is query.lastProgress, covered by "
-        "test_streaming.py::test_observe_metrics_batch_and_streaming"
-    ),
 }
+# Closed in round 9 (both formerly here): per-record grace admission now runs
+# through TimeWindowedKStream._grace_admission_streaming (stream time per
+# arrival_partition in applyInPandasWithState), and Observation objects on
+# streaming plans are rewritten to named observes whose progress-event totals
+# the driver injects back (testing._inject_observation).
 
 # Async-only watermarks per vector ({stream_topic: delay}): left/outer
 # stream-stream joins refuse to START without a watermark (Spark

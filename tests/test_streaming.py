@@ -824,12 +824,16 @@ def _write_source_file(spark, rows, schema, src_dir, seq):
     os.utime(dst, (1_700_000_000 + seq, 1_700_000_000 + seq))
 
 
-def test_suppress_until_time_limit_streaming(spark, tmp_path):
+@pytest.mark.parametrize("engine", ["keyed", "exact"])
+def test_suppress_until_time_limit_streaming(spark, tmp_path, engine):
     """KIP-328 Suppressed.untilTimeLimit over real microbatches: entries
     emit exactly when stream time passes entry_time + limit; an
     intermediate update REPLACES the value but does NOT reset the clock
     (the update's own ts would not be due yet — only the preserved entry
-    time makes it due); undelivered entries stay buffered at drain end."""
+    time makes it due); undelivered entries stay buffered at drain end.
+    Identical emissions — values, reasons, AND batch ids — from BOTH
+    engines: the keyed applyInPandasWithState scale engine and the exact
+    ping-pong buffer."""
     import datetime as dt
 
     from pyspark_engine.streaming import suppress_buffered
@@ -851,7 +855,7 @@ def test_suppress_until_time_limit_streaming(spark, tmp_path):
         .to_table()
         .suppress(until_time_limit_ms=60_000)
     )
-    got = suppress_buffered(tbl, time_col="ts", store_name="sup_buf")
+    got = suppress_buffered(tbl, time_col="ts", store_name="sup_buf", engine=engine)
     rows = {r["k"]: r for r in got.collect()}
     assert set(rows) == {"a", "b", "c"}  # d still inside its limit
     assert rows["a"]["v"] == 2  # updated value, original clock
@@ -1664,7 +1668,8 @@ def test_cogroup_streaming_restart_recovers_generation(spark, tmp_path):
 
     first = {r.k: (r.cnt, r.total) for r in run().collect()}
     assert first == {1: (3, 60), 2: (3, 3)}
-    assert int(open(tmp_path / "state" / "side-0" / "_GEN").read()) == 3
+    # marker = "<generation> <last-applied-batch>" since the replay-skip fix
+    assert open(tmp_path / "state" / "side-0" / "_GEN").read().split() == ["3", "2"]
 
     # new data lands; the restarted query replays ONLY the new file
     pd.DataFrame({"k": [1, 3], "v": [5, 7]}).to_parquet(src / "f3.parquet")
@@ -1875,12 +1880,13 @@ def test_gif_codec_streaming_parity(spark, tmp_path):
     assert got.count() == 30
 
 
-def test_suppress_buffered_resume_no_redelivery(spark, tmp_path):
+@pytest.mark.parametrize("engine", ["keyed", "exact"])
+def test_suppress_buffered_resume_no_redelivery(spark, tmp_path, engine):
     """Review finding (r8): a drain must return only ITS OWN emissions — a
     resumed drain over the same state_dir + checkpoint must not re-deliver
     previously emitted records; and resuming a populated state_dir WITHOUT
     the original checkpoint is refused (the _GEN contract), because a fresh
-    checkpoint would replay the source and double-emit."""
+    checkpoint would replay the source and double-emit.  Both engines."""
     import datetime as dt
 
     import pytest as _pytest
@@ -1906,21 +1912,83 @@ def test_suppress_buffered_resume_no_redelivery(spark, tmp_path):
             .suppress(until_time_limit_ms=60_000)
         )
 
-    got1 = suppress_buffered(mk(), time_col="ts", state_dir=state, checkpoint=ckpt)
+    got1 = suppress_buffered(mk(), time_col="ts", state_dir=state, checkpoint=ckpt, engine=engine)
     assert sorted(r["k"] for r in got1.collect()) == ["a", "b"]  # c still buffered
 
     # no new data: the resumed drain must deliver NOTHING new
-    got2 = suppress_buffered(mk(), time_col="ts", state_dir=state, checkpoint=ckpt)
+    got2 = suppress_buffered(mk(), time_col="ts", state_dir=state, checkpoint=ckpt, engine=engine)
     assert got2.collect() == []
 
     # new data advancing stream time: only the NEWLY due key emits
     _write_source_file(spark, [("d", 1, t(10))], schema, src, 2)
-    got3 = suppress_buffered(mk(), time_col="ts", state_dir=state, checkpoint=ckpt)
+    got3 = suppress_buffered(mk(), time_col="ts", state_dir=state, checkpoint=ckpt, engine=engine)
     assert sorted(r["k"] for r in got3.collect()) == ["c"]
 
     # populated state_dir without the original checkpoint -> refused
     with _pytest.raises(ValueError, match="checkpoint"):
-        suppress_buffered(mk(), time_col="ts", state_dir=state)
+        suppress_buffered(mk(), time_col="ts", state_dir=state, engine=engine)
+
+
+@pytest.mark.parametrize("engine", ["keyed", "exact"])
+def test_suppress_buffered_crash_replay_idempotent(spark, tmp_path, engine):
+    """Advisor finding (r8, medium): emission must be idempotent under
+    Spark's at-least-once foreachBatch replay.  Simulate a crash between
+    the emission write and the checkpoint commit by deleting the latest
+    commit marker: the re-drain replays that batch; the per-batch OVERWRITE
+    partition must leave each emission exactly ONCE in the out log, the
+    replayed batch's rows ARE re-delivered (the crashed drain never
+    returned them to a caller), and the buffer state is unchanged — for
+    BOTH engines (keyed: state-store version rollback recomputes the batch;
+    exact: the _GEN applied-batch marker skips the already-folded state
+    mutation while the emission partition stands)."""
+    import datetime as dt
+    import os
+
+    from pyspark_engine.streaming import _last_committed, suppress_buffered
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    schema = "k string, v int, ts timestamp"
+    src = str(tmp_path / "src")
+    _write_source_file(spark, [("a", 1, t(0)), ("b", 1, t(0))], schema, src, 0)
+    _write_source_file(spark, [("c", 1, t(2))], schema, src, 1)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    sb = StreamingBuilder(spark)
+
+    def mk():
+        return (
+            sb.file_stream(src, key="k", ts="ts", max_files_per_trigger=1)
+            .to_table()
+            .suppress(until_time_limit_ms=60_000)
+        )
+
+    got1 = suppress_buffered(
+        mk(), time_col="ts", state_dir=state, checkpoint=ckpt, engine=engine
+    )
+    first = sorted((r["k"], r["__emit_batch"]) for r in got1.collect())
+    assert [k for k, _ in first] == ["a", "b"]
+
+    last = _last_committed(ckpt)
+    os.remove(os.path.join(ckpt, "commits", str(last)))  # "crash" pre-commit
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    got2 = suppress_buffered(
+        mk(),
+        time_col="ts",
+        state_dir=state,
+        checkpoint=ckpt,
+        store_name=f"replay_buf_{engine}",
+        engine=engine,
+    )
+    redelivered = sorted(set(r["k"] for r in got2.collect()))
+    assert redelivered == ["a", "b"]  # uncommitted batch re-delivered, once
+    # the durable out log holds each emission exactly once (no append-dups)
+    out = spark.read.parquet(os.path.join(state, "out"))
+    assert sorted((r["k"], r["__emit_batch"]) for r in out.collect()) == first
+    assert sorted(r["k"] for r in spark.table(f"replay_buf_{engine}").collect()) == ["c"]
 
 
 def test_fk_join_streaming_accepts_shared_fk_name(spark, tmp_path):
@@ -1951,7 +2019,8 @@ def test_fk_join_streaming_accepts_shared_fk_name(spark, tmp_path):
     assert "__fk_rk" not in got.columns and "dept_id" in got.columns
 
 
-def test_suppress_buffered_differential_fuzz(spark, tmp_path):
+@pytest.mark.parametrize("engine", [None, "exact"])
+def test_suppress_buffered_differential_fuzz(spark, tmp_path, engine):
     """Differential check of the suppress buffer against an independent
     Python simulator of the KS rules (entry clock kept across updates,
     stream time = running max event time per batch, emit when
@@ -2040,12 +2109,14 @@ def test_suppress_buffered_differential_fuzz(spark, tmp_path):
                 emit_early_when_full=max_records is not None,
             )
         )
-        got = suppress_buffered(tbl, time_col="ts", store_name=f"fuzz_buf_{seed}")
+        got = suppress_buffered(
+            tbl, time_col="ts", store_name=f"fuzz_buf_{seed}_{engine}", engine=engine
+        )
         got_set = {
             (r["k"], r["v"], r["__emit_reason"], r["__emit_batch"]) for r in got.collect()
         }
         want, want_buf = simulate(batches, limit_ms, max_records)
         assert got_set == set(want), f"seed {seed}: {sorted(got_set)} != {sorted(want)}"
         assert set(
-            r["k"] for r in spark.table(f"fuzz_buf_{seed}").collect()
+            r["k"] for r in spark.table(f"fuzz_buf_{seed}_{engine}").collect()
         ) == want_buf, f"seed {seed} buffer mismatch"
