@@ -965,9 +965,16 @@ class HttpSchemaRegistry:
     SchemaRegistryRequestTimeoutMs; ``auto_register`` =
     AutoRegisterSchemas (False turns ``register`` into a lookup via
     POST /subjects/{subject} and raises when the schema is unknown);
-    ``basic_auth`` = BasicAuthUserInfo ("user:pass").  Offline use is the
-    in-memory registry; a dead endpoint raises ConnectionError with the
-    failing URL rather than an opaque socket trace."""
+    ``basic_auth`` = BasicAuthUserInfo ("user:pass").  TLS pass-through
+    mirrors the reference's client Ssl* surface (core/StreamConfig.cs:611
+    SslCaLocation and siblings SslCertificateLocation/SslKeyLocation/
+    SslKeyPassword/EnableSslCertificateVerification, which Confluent's
+    registry client shares): ``ssl_ca_location`` pins the trust bundle,
+    certificate+key configure mutual TLS, and
+    ``enable_ssl_certificate_verification=False`` maps to CERT_NONE — the
+    context is built once and only handed to HTTPS endpoints.  Offline use
+    is the in-memory registry; a dead endpoint raises ConnectionError with
+    the failing URL rather than an opaque socket trace."""
 
     def __init__(
         self,
@@ -977,6 +984,11 @@ class HttpSchemaRegistry:
         auto_register: bool = True,
         basic_auth: str | None = None,
         schema_type: str = "AVRO",
+        ssl_ca_location: str | None = None,
+        ssl_certificate_location: str | None = None,
+        ssl_key_location: str | None = None,
+        ssl_key_password: str | None = None,
+        enable_ssl_certificate_verification: bool = True,
     ):
         self._urls = [u.strip().rstrip("/") for u in urls.split(",") if u.strip()]
         if not self._urls:
@@ -986,8 +998,32 @@ class HttpSchemaRegistry:
         self._auto = bool(auto_register)
         self._auth = basic_auth
         self._type = schema_type
+        self._ssl = {
+            "ca": ssl_ca_location,
+            "cert": ssl_certificate_location,
+            "key": ssl_key_location,
+            "key_password": ssl_key_password,
+            "verify": bool(enable_ssl_certificate_verification),
+        }
+        self._ssl_ctx = None
         self._by_id: dict[int, str] = {}
         self._ids: dict[tuple[str, str], int] = {}  # (subject, schema) -> id
+
+    def _ssl_context(self):
+        """ssl.SSLContext from the Ssl* analogs — built once, HTTPS only."""
+        import ssl
+
+        if self._ssl_ctx is None:
+            ctx = ssl.create_default_context(cafile=self._ssl["ca"])
+            if not self._ssl["verify"]:
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl.CERT_NONE
+            if self._ssl["cert"]:
+                ctx.load_cert_chain(
+                    self._ssl["cert"], self._ssl["key"], self._ssl["key_password"]
+                )
+            self._ssl_ctx = ctx
+        return self._ssl_ctx
 
     # ---- transport ----
 
@@ -1005,8 +1041,11 @@ class HttpSchemaRegistry:
             if self._auth:
                 tok = base64.b64encode(self._auth.encode()).decode()
                 req.add_header("Authorization", f"Basic {tok}")
+            kw = {"timeout": self._timeout}
+            if base.startswith("https://"):
+                kw["context"] = self._ssl_context()
             try:
-                with urllib.request.urlopen(req, timeout=self._timeout) as resp:
+                with urllib.request.urlopen(req, **kw) as resp:
                     return json.loads(resp.read().decode())
             except urllib.error.HTTPError as e:  # registry answered: no failover
                 detail = e.read().decode(errors="replace")[:200]

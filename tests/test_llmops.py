@@ -2479,33 +2479,109 @@ def test_gif_frame_sample_lossless(spark):
         assert (img == src[r["frame_idx"]]["pixels"]).all()
 
 
-def test_gif_animation_wild_files():
-    """Interop pin: animated GIFs written by real-world encoders must walk
-    cleanly (every frame decodes, offsets inside the screen, compositor
-    runs).  Skipped when the box ships no multi-frame GIFs."""
+def _spec_built_animated_gif():
+    """A multi-frame GIF89a assembled BYTE BY BYTE from the spec (GIF89a
+    §§17-23) — fully independent of the repo's encoder.  The LZW payload
+    uses the always-CLEAR form (CLEAR before every literal, so the code
+    width never grows): valid per §22, trivially verifiable by hand.
+
+    Scenario (4x3 screen, bg_index=3=black): frame 0 full-screen red
+    (disposal 1); frame 1 a 2x2 rect at (1,1) from a LOCAL 2-color palette
+    with transparency index 1 (draws white on a diagonal, disposal 2);
+    frame 2 one green pixel at (0,0) after frame 1's rect was restored to
+    background."""
+    import struct
+
+    def plain_lzw(indices, mcs):
+        clear, eoi, width = 1 << mcs, (1 << mcs) + 1, mcs + 1
+        bits = []
+
+        def emit(code):
+            for i in range(width):
+                bits.append((code >> i) & 1)
+
+        for ix in indices:
+            emit(clear)
+            emit(ix)
+        emit(eoi)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j, bit in enumerate(bits[i : i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+    def image_data(indices, mcs):
+        lzw = plain_lzw(indices, mcs)
+        blocks = b""
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            blocks += bytes([len(chunk)]) + chunk
+        return bytes([mcs]) + blocks + b"\x00"
+
+    buf = b"GIF89a"
+    buf += struct.pack("<HH", 4, 3)  # logical screen 4x3
+    buf += bytes([0x80 | (0b001 << 4) | 0b001, 3, 0])  # GCT, 4 colors, bg=3
+    buf += bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0])  # red green blue black
+    # frame 0: GCE disposal 1, no transparency; full-screen red
+    buf += b"\x21\xf9\x04" + bytes([0b000_001_0_0]) + struct.pack("<H", 10) + b"\x00\x00"
+    buf += b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 3) + b"\x00" + image_data([0] * 12, 2)
+    # frame 1: GCE disposal 2 + transparent index 1; 2x2 rect at (1,1),
+    # LOCAL palette [white, cyan], indices [0,1,1,0] (white diagonal)
+    buf += b"\x21\xf9\x04" + bytes([0b000_010_0_1]) + struct.pack("<H", 20) + b"\x01\x00"
+    buf += b"\x2c" + struct.pack("<HHHH", 1, 1, 2, 2) + bytes([0x80])
+    buf += bytes([255, 255, 255, 0, 255, 255])
+    buf += image_data([0, 1, 1, 0], 2)
+    # frame 2: no GCE options; 1x1 at (0,0), global palette index 1 (green)
+    buf += b"\x21\xf9\x04\x00" + struct.pack("<H", 30) + b"\x00\x00"
+    buf += b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00" + image_data([1], 2)
+    return buf + b"\x3b"
+
+
+def test_gif_animation_spec_vector_and_wild_files():
+    """Decoder interop against a spec-assembled multi-frame GIF89a (bytes
+    built in _spec_built_animated_gif, independent of the repo encoder):
+    disposal 2 + transparency + a local palette pinned canvas-by-canvas.
+    Wild GIFs found on the box are walked too, but the embedded vector
+    means the test NEVER skips (r8 verdict item 7)."""
     import glob
 
-    import pytest
+    import numpy as np
 
     from pyspark_engine.llmops import _gif_decode_frames
 
-    candidates = sorted(
+    sw, sh, bg, frames = _gif_decode_frames(_spec_built_animated_gif())
+    RED, GREEN, WHITE, BLACK = (255, 0, 0), (0, 255, 0), (255, 255, 255), (0, 0, 0)
+    assert (sw, sh, bg, len(frames)) == (4, 3, BLACK, 3)
+    assert [f["delay_cs"] for f in frames] == [10, 20, 30]
+    assert [f["disposal"] for f in frames] == [1, 2, 0]
+    assert frames[1]["transparent"] == 1 and frames[0]["transparent"] is None
+    c0 = frames[0]["canvas"]
+    assert (c0 == np.array(RED)).all()
+    c1 = frames[1]["canvas"]
+    want1 = np.tile(np.array(RED, dtype=c1.dtype), (3, 4, 1))
+    want1[1, 1] = WHITE  # local-palette draw
+    want1[2, 2] = WHITE
+    assert (c1 == want1).all()  # transparent-1 pixels show red through
+    c2 = frames[2]["canvas"]
+    want2 = np.tile(np.array(RED, dtype=c2.dtype), (3, 4, 1))
+    want2[1:3, 1:3] = BLACK  # frame 1's rect restored to background
+    want2[0, 0] = GREEN
+    assert (c2 == want2).all()
+
+    # wild-encoder GIFs, when the box ships any: every frame must walk
+    for f in sorted(
         glob.glob("/usr/share/doc/libxslt1-dev/html/*.gif")
         + glob.glob("/usr/share/tcltk/**/*.gif", recursive=True)
         + glob.glob("/usr/share/**/images/*.gif", recursive=True)
-    )
-    animated = 0
-    for f in candidates:
+    ):
         raw = open(f, "rb").read()
         try:
-            _sw, _sh, _bg, frames = _gif_decode_frames(raw)
+            _sw, _sh, _bg, frs = _gif_decode_frames(raw)
         except ValueError:
             continue
-        if len(frames) > 1:
-            animated += 1
-            assert all(fr["canvas"].shape == (_sh, _sw, 3) for fr in frames)
-    if not animated:
-        pytest.skip("no multi-frame GIFs on this box (single-frame pins cover the walker)")
+        assert all(fr["canvas"].shape == (_sh, _sw, 3) for fr in frs)
 
 
 def test_ulaw_matches_cpython_audioop_full_domain():

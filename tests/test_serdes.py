@@ -478,8 +478,17 @@ def _mock_registry_server():
             self.end_headers()
             self.wfile.write(body)
 
+        def _authorized(self):
+            want = state.get("require_auth")
+            if want and self.headers.get("Authorization") != want:
+                self._send(401, {"error_code": 401, "message": "Unauthorized"})
+                return False
+            return True
+
         def do_GET(self):
             state["hits"].append(("GET", self.path))
+            if not self._authorized():
+                return
             if self.path.startswith("/schemas/ids/"):
                 sid = int(self.path.rsplit("/", 1)[1])
                 if sid not in state["by_id"]:
@@ -501,6 +510,8 @@ def _mock_registry_server():
         def do_POST(self):
             state["hits"].append(("POST", self.path))
             state["auth"].append(self.headers.get("Authorization"))
+            if not self._authorized():
+                return
             n = int(self.headers.get("Content-Length", 0))
             schema = json.loads(self.rfile.read(n).decode())["schema"]
             parts = self.path.strip("/").split("/")
@@ -596,3 +607,68 @@ def test_http_schema_registry_client(spark):
         assert reg.by_id(framed.sid) == avro  # the decode-side schema fetch
     finally:
         srv.shutdown()
+
+
+def test_http_schema_registry_eviction_auth_and_tls():
+    """Registry-client hardening (r8 verdict item 8): (1) the schema caches
+    stay BOUNDED under subject churn — max_cached_schemas is a bound, not
+    an oracle, so an evicted id transparently re-fetches from the server;
+    (2) an auth failure (HTTP 401 from a reachable endpoint) surfaces as a
+    descriptive ConnectionError without failover; (3) the Ssl* pass-through
+    (StreamConfig.cs:611 analogs) builds a real SSLContext — CA pinning,
+    CERT_NONE when verification is disabled, and bad client-cert paths
+    fail loudly."""
+    import base64
+    import ssl
+
+    import pytest as _pytest
+
+    from pyspark_engine.serdes import HttpSchemaRegistry
+
+    srv, state = _mock_registry_server()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # (1) cache-bound eviction under churn
+        reg = HttpSchemaRegistry(url, max_cached_schemas=3)
+        ids = {}
+        for i in range(8):
+            schema = '{"type":"record","name":"R%d","fields":[]}' % i
+            ids[i] = reg.register(f"churn-{i}-value", schema)
+        assert len(reg._ids) <= 3 and len(reg._by_id) <= 3
+        # id 1 was evicted: by_id must re-fetch (server hit count grows)
+        before = len(state["hits"])
+        assert "R0" in reg.by_id(ids[0])
+        assert len(state["hits"]) == before + 1
+        # and the refetched entry is cached again (no second hit)
+        reg.by_id(ids[0])
+        assert len(state["hits"]) == before + 1
+
+        # (2) auth failure: reachable endpoint, wrong credentials -> 401
+        # surfaced as ConnectionError, no retry storm against other URLs
+        tok = base64.b64encode(b"user:right").decode()
+        state["require_auth"] = f"Basic {tok}"
+        ok = HttpSchemaRegistry(url, basic_auth="user:right")
+        assert ok.register("authed-value", '{"type":"string"}') >= 1
+        bad = HttpSchemaRegistry(url, basic_auth="user:wrong")
+        with _pytest.raises(ConnectionError, match="401"):
+            bad.register("authed-value", '{"type":"string"}')
+        state["require_auth"] = None
+    finally:
+        srv.shutdown()
+
+    # (3) TLS context wiring (no HTTPS server on the box: assert the
+    # context itself, which is what urlopen receives for https:// URLs)
+    plain = HttpSchemaRegistry(
+        "https://registry.example:8081", enable_ssl_certificate_verification=False
+    )
+    ctx = plain._ssl_context()
+    assert ctx.verify_mode == ssl.CERT_NONE and not ctx.check_hostname
+    assert plain._ssl_context() is ctx  # built once
+    strict = HttpSchemaRegistry("https://registry.example:8081")
+    assert strict._ssl_context().verify_mode == ssl.CERT_REQUIRED
+    with _pytest.raises((OSError, ssl.SSLError)):
+        HttpSchemaRegistry(
+            "https://registry.example:8081",
+            ssl_certificate_location="/nonexistent/client.pem",
+            ssl_key_location="/nonexistent/client.key",
+        )._ssl_context()
