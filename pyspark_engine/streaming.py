@@ -635,6 +635,15 @@ def _changelog_join_loop(
         )
     )
     gen = {"n": _read_gen(root)}  # survives a restart on the same checkpoint
+    if gen["n"] > 0 and checkpoint is None:
+        # same refusal as suppress_buffered: a FRESH checkpoint renumbers
+        # batches from 0, so the replay-skip below would treat the full
+        # replay (old + NEW data) as already-applied and silently drop it
+        raise ValueError(
+            f"state dir {root!r} holds join-state generation {gen['n']} but no "
+            "checkpoint was passed; resuming requires the query's original "
+            "checkpointLocation (or a fresh state_dir)"
+        )
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch_id <= _read_applied(root):
@@ -990,7 +999,9 @@ def _suppress_keyed(
     watermark (entry+limit == wm+1), the timer is floored to wm+1 and an
     advance to EXACTLY wm+1 ms would not fire it until the next advance —
     unreachable for ms-granularity event data unless stream time lands on
-    that exact millisecond with no later data.
+    that exact millisecond with no later data.  Pre-epoch (< 1970) event
+    times cannot advance a Spark watermark at all (Spark floors it at 0),
+    so such changelogs must use ``engine="exact"``.
     """
     from .runtime import epoch_ms
 
@@ -1023,7 +1034,6 @@ def _suppress_keyed(
     )
     out_schema = ", ".join(f"`{c}` {ddl[c]}" for c in cols) + ", __fired boolean"
     NEG = -(1 << 62)
-    n_cols = len(cols)
 
     def fn(grp_key, pdfs, state):
         import pandas as pd  # noqa: PLC0415 - worker-side import
@@ -1040,6 +1050,10 @@ def _suppress_keyed(
             return v
 
         wm = state.getCurrentWatermarkMs()
+        # Spark initializes the watermark at 0 and only ratchets it UP, so
+        # 0 means "no watermark yet"; pre-epoch event times can never
+        # advance a Spark watermark at all (timers would never fire), so
+        # such data must use engine="exact" — documented limitation.
         wm_eff = wm if wm > 0 else NEG
         out_rows = []
         if state.hasTimedOut:
@@ -1439,6 +1453,12 @@ def cogroup_streaming(
         side_root = os.path.join(root, f"side-{i}")
         os.makedirs(side_root, exist_ok=True)
         gen = {"n": _read_gen(side_root)}  # survives a restart on the same checkpoint
+        if gen["n"] > 0 and checkpoint is None:
+            raise ValueError(
+                f"state dir {side_root!r} holds cogroup-state generation {gen['n']} "
+                "but no checkpoint was passed; resuming requires the query's "
+                "original checkpointLocation (or a fresh state_dir)"
+            )
 
         def _apply(batch: DataFrame, batch_id: int, side_root=side_root, gen=gen, kcols=tuple(grouped.key)):
             if batch_id <= _read_applied(side_root):

@@ -713,6 +713,18 @@ class TopologyTestDriver:
             progresses = q.recentProgress
         except Exception:
             return
+        last = progresses[-1] if progresses else None
+        n_batches = (last.get("batchId", 0) + 1) if isinstance(last, dict) else 0
+        if n_batches > len(progresses):
+            # Spark retains only numRecentProgressUpdates progress events;
+            # a silent undercount would be a WRONG metric, so refuse loudly
+            # (the driver raises the retention in _run; hitting this means
+            # an extreme generation count — use a named streaming observe)
+            raise ValueError(
+                f"observe harvest saw {len(progresses)} progress events for "
+                f"{n_batches} microbatches (numRecentProgressUpdates cap); "
+                "Observation totals would undercount"
+            )
         for p in progresses:
             om = p.get("observedMetrics") or {} if isinstance(p, dict) else {}
             for name, row in om.items():
@@ -814,6 +826,11 @@ class TopologyTestDriver:
                 tok_asof = _dsl._ASOF_STREAM_HOOK.set(self._asof_stream)
                 self._observations = {}
                 tok_obs = _dsl._OBSERVE_REGISTRY.set(self._observations)
+                # Observation totals are summed over progress events: keep
+                # every microbatch's event retained (default cap is 100)
+                self.spark.conf.set(
+                    "spark.sql.streaming.numRecentProgressUpdates", "10000"
+                )
             try:
                 self._terminals = dict(self._topology(_TestBuilder(self)))
             finally:

@@ -98,6 +98,20 @@ def verify() -> int:
             "and commit the refreshed artifacts as the round's last commit"
         )
         return 1
+    # the evidence commit itself must be artifacts-only: evidence generated
+    # at P then committed TOGETHER with a source change describes P's tree,
+    # not the commit's — the exact defect this gate exists to prevent
+    touched = _git("show", "--name-only", "--format=", ev).splitlines()
+    src_in_ev = [
+        f for f in touched if any(f == p.rstrip("/") or f.startswith(p) for p in SOURCE_PATHS)
+    ]
+    if src_in_ev:
+        print(
+            f"FAIL: the evidence commit {ev[:12]} itself touches source "
+            f"({src_in_ev[:4]}); commit source first, then regenerate and commit "
+            "the artifacts alone"
+        )
+        return 1
     print(f"OK: evidence commit {ev[:12]} covers the latest source commit {(src or 'none')[:12]}")
     return 0
 
@@ -127,11 +141,15 @@ def generate() -> int:
         print(f"== {name}: {' '.join(cmd)}")
         r = subprocess.run(cmd, cwd=REPO, env=e, capture_output=(name.startswith("bench")), text=True)
         if name.startswith("bench"):
-            line = (r.stdout or "").strip().splitlines()
-            if r.returncode == 0 and line:
+            lines = [ln for ln in (r.stdout or "").strip().splitlines() if ln.strip()]
+            if r.returncode == 0:
+                if not lines:
+                    print("FAIL: bench.py exited 0 but printed no JSON line — "
+                          "refusing to stamp a stale BENCH_HEAD.json")
+                    return 1
                 with open(os.path.join(REPO, "BENCH_HEAD.json"), "w") as f:
-                    f.write(line[-1] + "\n")
-                print(line[-1])
+                    f.write(lines[-1] + "\n")
+                print(lines[-1])
         if r.returncode != 0:
             print(f"FAIL: {name} exited {r.returncode}")
             if r.stderr:

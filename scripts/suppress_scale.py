@@ -1,0 +1,113 @@
+"""Suppress-buffer engine scaling evidence (r8 verdict, next-round item 1).
+
+Measures the property the keyed engine exists for: with N keys sitting in the
+buffer (none due — long limit), the cost of draining B additional single-key
+microbatches should be FLAT in N for the keyed engine (applyInPandasWithState
+touches only changed/due keys) and GROW with N for the exact engine (the
+parquet ping-pong rewrites the whole buffer and full-outer-joins it against
+every batch).
+
+Protocol: per (engine, N) — build the buffer with one N-key drain (untimed
+warmup that also warms the JVM paths), then write B single-row generations and
+time the RESUMED drain (same checkpoint + state_dir), i.e. the steady
+per-microbatch regime.  One session, idle box.
+
+Usage: python scripts/suppress_scale.py            # N = 20k, 100k; B = 10
+       SUPPRESS_NS=1000,10000 SUPPRESS_B=5 python scripts/suppress_scale.py
+Prints one JSON line; merge the result into SCALE_STRESS.json.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+from pyspark_engine.runtime import build_session
+from pyspark_engine.streaming import StreamingBuilder, suppress_buffered
+
+ROOT = "/tmp/pse-suppress-scale"
+BASE_TS = dt.datetime(2024, 1, 1)
+
+
+def _write_gen_file(spark, rows, schema, src, seq):
+    os.makedirs(src, exist_ok=True)
+    stage = os.path.join(src, f"_stage{seq}")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+    dst = os.path.join(src, f"gen-{seq:06d}.parquet")
+    os.rename(os.path.join(stage, part), dst)
+    os.utime(dst, (1_700_000_000 + seq, 1_700_000_000 + seq))
+    shutil.rmtree(stage)
+
+
+def measure(spark, engine: str, n_keys: int, n_batches: int) -> dict:
+    tag = f"{engine}-{n_keys}"
+    root = os.path.join(ROOT, tag)
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    state = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ckpt")
+    schema = "k string, v int, ts timestamp"
+
+    # one N-key generation fills the buffer (limit far in the future)
+    bulk = spark.range(n_keys).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        F.col("id").cast("int").alias("v"),
+        F.lit(BASE_TS).cast("timestamp").alias("ts"),
+    )
+    os.makedirs(src, exist_ok=True)
+    stage = os.path.join(src, "_stage0")
+    bulk.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+    os.rename(os.path.join(stage, part), os.path.join(src, "gen-000000.parquet"))
+    os.utime(os.path.join(src, "gen-000000.parquet"), (1_700_000_000, 1_700_000_000))
+    shutil.rmtree(stage)
+
+    sb = StreamingBuilder(spark)
+
+    def mk():
+        return (
+            sb.file_stream(src, key="k", ts="ts", max_files_per_trigger=1)
+            .to_table()
+            .suppress(until_time_limit_ms=10**12)  # nothing ever due
+        )
+
+    # warmup drain: builds the N-key buffer, warms code paths
+    suppress_buffered(mk(), time_col="ts", state_dir=state, checkpoint=ckpt, engine=engine)
+
+    # B single-key microbatches; time the resumed incremental drain
+    for i in range(1, n_batches + 1):
+        _write_gen_file(
+            spark,
+            [(f"extra{i}", i, BASE_TS + dt.timedelta(seconds=i))],
+            schema,
+            src,
+            i,
+        )
+    t0 = time.time()
+    suppress_buffered(mk(), time_col="ts", state_dir=state, checkpoint=ckpt, engine=engine)
+    wall = time.time() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    return {"incremental_drain_sec": round(wall, 2), "sec_per_batch": round(wall / n_batches, 3)}
+
+
+def main() -> None:
+    ns = [int(x) for x in os.environ.get("SUPPRESS_NS", "20000,100000").split(",")]
+    b = int(os.environ.get("SUPPRESS_B", "10"))
+    spark = build_session("suppress_scale", ui=False)
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"metric": "suppress_engine_scaling", "batches": b, "buffered_keys": ns}
+    for engine in ("keyed", "exact"):
+        out[engine] = {f"n{n}": measure(spark, engine, n, b) for n in ns}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

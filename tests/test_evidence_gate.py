@@ -86,3 +86,12 @@ def test_close_round_verify_logic(tmp_path):
     git("commit", "-qm", "evidence refresh")
     r = verify()
     assert r.returncode == 0, r.stdout
+
+    # evidence and a source change in the SAME commit: the evidence was
+    # generated from the parent's tree, so the gate must refuse
+    (repo / "pyspark_engine" / "m.py").write_text("x = 3\n")
+    (repo / "CORRECTNESS_HEAD.json").write_text('{"mixed": true}')
+    git("add", "-A")
+    git("commit", "-qm", "mixed evidence+source commit")
+    r = verify()
+    assert r.returncode == 1 and "touches source" in r.stdout

@@ -2120,3 +2120,55 @@ def test_suppress_buffered_differential_fuzz(spark, tmp_path, engine):
         assert set(
             r["k"] for r in spark.table(f"fuzz_buf_{seed}_{engine}").collect()
         ) == want_buf, f"seed {seed} buffer mismatch"
+
+
+def test_changelog_join_refuses_resume_without_checkpoint(spark, tmp_path):
+    """Review finding (r9): the replay-skip marker makes resuming a
+    populated join/cogroup state_dir WITHOUT the original checkpoint
+    dangerous (a fresh checkpoint renumbers batches from 0, so the skip
+    would silently drop the replay — including NEW data).  Both loops must
+    refuse, exactly like suppress_buffered."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark_engine.streaming import (
+        StreamingBuilder,
+        cogroup_streaming,
+        join_tables_streaming,
+    )
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    ldf = spark.createDataFrame([(1, "a", t(0))], "lk int, lv string, lts timestamp")
+    rdf = spark.createDataFrame([(1, "x", t(0))], "rk int, rv string, rts timestamp")
+    ldf.write.parquet(str(tmp_path / "l"))
+    rdf.write.parquet(str(tmp_path / "r"))
+    sb = StreamingBuilder(spark)
+
+    def sides():
+        return (
+            sb.file_stream(str(tmp_path / "l"), key="lk", ts="lts"),
+            sb.file_stream(str(tmp_path / "r"), key="rk", ts="rts"),
+        )
+
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck")
+    l1, r1 = sides()
+    got = join_tables_streaming(l1, r1, how="inner", state_dir=state, checkpoint=ckpt)
+    assert got.count() == 1
+    l2, r2 = sides()
+    with _pytest.raises(ValueError, match="checkpoint"):
+        join_tables_streaming(l2, r2, how="inner", state_dir=state)
+
+    cstate, cckpt = str(tmp_path / "cstate"), str(tmp_path / "cck")
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, 5)], "k int, v int").write.parquet(src)
+
+    def cg():
+        ks = sb.file_stream(src, key="k")
+        return ks.group_by_key().cogroup(total=F.sum("v"))
+
+    cogroup_streaming(cg(), state_dir=cstate, checkpoint=cckpt)
+    with _pytest.raises(ValueError, match="checkpoint"):
+        cogroup_streaming(cg(), state_dir=cstate)
