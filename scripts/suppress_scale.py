@@ -94,8 +94,42 @@ def measure(spark, engine: str, n_keys: int, n_batches: int) -> dict:
     t0 = time.time()
     suppress_buffered(mk(), time_col="ts", state_dir=state, checkpoint=ckpt, engine=engine)
     wall = time.time() - t0
+
+    # per-batch STATE I/O — the metric the engines actually differ on (at
+    # local sizes the ~1s/microbatch scheduler cost hides the asymptotics):
+    #   exact: every batch rewrites the whole buffer parquet (O(N) bytes)
+    #   keyed: the state store appends per-partition delta files written
+    #          during the incremental drain (O(changed keys) bytes; the
+    #          store's periodic snapshot files are counted too, which only
+    #          biases AGAINST the keyed engine)
+    if engine == "exact":
+        bufs = [d for d in os.listdir(state) if d.startswith("buf-")]
+        per_batch = max(
+            sum(
+                os.path.getsize(os.path.join(state, b, f))
+                for f in os.listdir(os.path.join(state, b))
+                if not f.startswith(".")
+            )
+            for b in bufs
+        )
+    else:
+        new_bytes = 0
+        for dirpath, _dirs, files in os.walk(os.path.join(ckpt, "state")):
+            for f in files:
+                fp = os.path.join(dirpath, f)
+                try:
+                    if os.path.getmtime(fp) >= t0:
+                        new_bytes += os.path.getsize(fp)
+                except OSError:
+                    pass
+        per_batch = new_bytes / n_batches
+    out = {
+        "incremental_drain_sec": round(wall, 2),
+        "sec_per_batch": round(wall / n_batches, 3),
+        "state_bytes_per_batch": int(per_batch),
+    }
     shutil.rmtree(root, ignore_errors=True)
-    return {"incremental_drain_sec": round(wall, 2), "sec_per_batch": round(wall / n_batches, 3)}
+    return out
 
 
 def main() -> None:
