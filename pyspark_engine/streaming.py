@@ -731,7 +731,10 @@ def suppress_buffered(
         (the watermark Spark hands a batch is the PREVIOUS batch's running
         max), so timer emissions are renumbered ``batch_id - 1``; an entry
         already due against the current watermark at creation emits in its
-        own batch untagged.  Requires an unbounded buffer (capacity bounds
+        own batch untagged.  Arbitrarily LATE updates are admitted exactly
+        like KS: the watermark rides separate clock-copy rows, so Spark's
+        stateful late-row filter can never drop a data row (see
+        _suppress_keyed).  Requires an unbounded buffer (capacity bounds
         are buffer-GLOBAL — see below) and a table built by plain
         ``to_table`` (default ts order, no tombstones).
       * ``"exact"`` — the bounded-buffer engine: one parquet ping-pong
@@ -786,6 +789,10 @@ def suppress_buffered(
         and not getattr(table, "_source_tombstones", False)
         and tuple(getattr(table, "_source_order", ()) or ()) == (tcol,)
         and tcol in src.df.columns
+        # the keyed engine brings its OWN decoupled watermark (clock-copy
+        # rows); a pre-watermarked source would re-introduce the stateful
+        # late-row filter on the data copies
+        and not _has_watermark(src.df)
     )
     if engine is None:
         engine = "keyed" if keyed_ok else "exact"
@@ -799,8 +806,8 @@ def suppress_buffered(
         if not keyed_ok:
             raise ValueError(
                 "the keyed suppress engine needs the raw changelog threaded by a "
-                "plain KStream.to_table() (default ts order, no tombstones) whose "
-                "ts column is the suppress time column"
+                "plain KStream.to_table() (default ts order, no tombstones, no "
+                "pre-existing watermark) whose ts column is the suppress time column"
             )
         return _suppress_keyed(table, src, tcol, limit_ms, state_dir, checkpoint, store_name)
     if engine != "exact":
@@ -1023,10 +1030,31 @@ def _suppress_keyed(
     sdf = src.df
     for k in key:
         sdf = sdf.filter(F.col(k).isNotNull())  # to_table drops null keys
-    if not _has_watermark(sdf):
-        # KS stream time = running max event time -> zero-delay watermark
-        sdf = sdf.withWatermark(tcol, "0 milliseconds")
-    sdf = sdf.select(*cols, epoch_ms(tcol).alias("__ev_ms"))
+    # The watermark is DECOUPLED from the data rows: Spark's stateful
+    # operators filter input rows older than the late-events watermark
+    # (which lags the eviction watermark by one batch), but KS admits
+    # arbitrarily late updates into the suppress buffer.  So every row is
+    # shipped twice: a DATA copy whose event-time column (__wm_ts) is NULL
+    # — null event times are never late-filtered and don't contribute to
+    # the watermark — and a CLOCK copy carrying ts with all other value
+    # columns nulled (shuffle weight), which exists only to advance the
+    # watermark; a clock copy dropped as late is by definition one that
+    # would not have advanced the running max anyway.  The function folds
+    # only data copies; timers ride the clock-driven watermark.
+    value_cols = [c for c in cols if c not in key]
+    sdf = sdf.select(*cols, epoch_ms(tcol).alias("__ev_ms")).select(
+        "*", F.explode(F.array(F.lit(0), F.lit(1))).alias("__clk")
+    )
+    sdf = sdf.select(
+        *key,
+        *[
+            F.when(F.col("__clk") == 0, F.col(c)).otherwise(F.lit(None)).alias(c)
+            for c in value_cols
+        ],
+        F.when(F.col("__clk") == 0, F.col("__ev_ms")).alias("__ev_ms"),
+        "__clk",
+        F.when(F.col("__clk") == 1, F.col(tcol)).alias("__wm_ts"),
+    ).withWatermark("__wm_ts", "0 milliseconds")
 
     ddl = {f.name: f.dataType.simpleString() for f in table.df.schema.fields}
     state_schema = "__entry_ms long, __hist_ms long, " + ", ".join(
@@ -1034,11 +1062,15 @@ def _suppress_keyed(
     )
     out_schema = ", ".join(f"`{c}` {ddl[c]}" for c in cols) + ", __fired boolean"
     NEG = -(1 << 62)
+    # the clock copies carry NULL value columns, so pandas delivers integral
+    # columns as float64 — values must be coerced back before they land in
+    # the typed state tuple (a Python float in an int field nulls silently)
+    int_cols = {c for c in cols if ddl[c] in ("tinyint", "smallint", "int", "bigint")}
 
     def fn(grp_key, pdfs, state):
         import pandas as pd  # noqa: PLC0415 - worker-side import
 
-        def clean(v):
+        def clean(v, c=None):
             if v is None or v is pd.NaT:
                 return None
             if isinstance(v, float) and v != v:
@@ -1046,7 +1078,9 @@ def _suppress_keyed(
             if isinstance(v, pd.Timestamp):
                 return v.to_pydatetime()
             if type(v).__module__ == "numpy":
-                return v.item()
+                v = v.item()
+            if c in int_cols and isinstance(v, float):
+                return int(v)
             return v
 
         wm = state.getCurrentWatermarkMs()
@@ -1074,36 +1108,38 @@ def _suppress_keyed(
                 # pre-merge value, renumbered like a timer firing
                 out_rows.append((*hist_vals, True))
                 entry = None
+            had_data = False
             for pdf in pdfs:
                 if len(pdf) == 0:
                     continue
-                evs = pdf["__ev_ms"].tolist()
+                data = pdf[pdf["__clk"] == 0]  # clock copies only drive wm
+                evs = data["__ev_ms"].tolist()
                 for i, ev in enumerate(evs):
                     if ev is None or (isinstance(ev, float) and ev != ev):
                         continue
+                    had_data = True
                     ev = int(ev)
                     if hist_ms is None or ev >= hist_ms:
                         # later-wins on ties, in arrival order — the
                         # max_by(ts) fold of to_table
                         hist_ms = ev
-                        row = pdf.iloc[i]
-                        hist_vals = [clean(row[c]) for c in cols]
+                        row = data.iloc[i]
+                        hist_vals = [clean(row[c], c) for c in cols]
+            if had_data and entry is None:
+                # (re-)enter the buffer: clock = the state row's event
+                # time (which a late record does NOT move backwards)
+                entry = hist_ms
+                if entry + limit_ms <= wm_eff:
+                    # already due vs the previous batch's stream time:
+                    # KS emits it in THIS batch — no renumbering
+                    out_rows.append((*hist_vals, False))
+                    entry = None
+            # else: value replaced via hist_vals, clock kept
             if hist_ms is not None:
-                if entry is None:
-                    # (re-)enter the buffer: clock = the state row's event
-                    # time (which a late record does NOT move backwards)
-                    entry = hist_ms
-                    if entry + limit_ms <= wm_eff:
-                        # already due vs the previous batch's stream time:
-                        # KS emits it in THIS batch — no renumbering
-                        out_rows.append((*hist_vals, False))
-                        entry = None
-                # else: value replaced via hist_vals, clock kept
                 state.update((entry, hist_ms, *hist_vals))
                 if entry is not None:
+                    # invocations clear timers: re-arm whenever buffered
                     state.setTimeoutTimestamp(max(entry + limit_ms - 1, wm + 1))
-            elif state.exists:
-                state.update((entry, st[1], *st[2:]))
         if out_rows:
             yield pd.DataFrame(out_rows, columns=cols + ["__fired"])
 

@@ -2172,3 +2172,101 @@ def test_changelog_join_refuses_resume_without_checkpoint(spark, tmp_path):
     cogroup_streaming(cg(), state_dir=cstate, checkpoint=cckpt)
     with _pytest.raises(ValueError, match="checkpoint"):
         cogroup_streaming(cg(), state_dir=cstate)
+
+
+@pytest.mark.parametrize("engine", ["keyed", "exact"])
+def test_suppress_buffered_resume_differential_fuzz(spark, tmp_path, engine):
+    """Cross-DRAIN differential check: the same seeded workloads as the
+    single-drain fuzz, but the generations are split across TWO resumed
+    drains (same state_dir + checkpoint).  Emission CONTENT — (key, value,
+    reason) multiset over both drains' returns — and the final buffered
+    keys must match the independent KS-rules simulator exactly.  Batch IDS
+    are excluded by design: availableNow appends engine-internal no-data
+    microbatches at each drain end (timer flushes), so absolute ids shift
+    per drain; the KS contract under test is WHAT emits and WHAT stays
+    buffered across a restart."""
+    import datetime as dt
+    import random
+
+    from pyspark_engine.streaming import suppress_buffered
+
+    schema = "k string, v int, ts timestamp"
+    base = dt.datetime(2024, 1, 1)
+
+    def simulate(batches, limit_ms):
+        buf, hist, st, emitted = {}, {}, -(1 << 62), []
+        for bid, rows in enumerate(batches):
+            touched = set()
+            for k, v, ms in rows:
+                if k not in hist or ms >= hist[k][0]:
+                    hist[k] = (ms, v)
+                touched.add(k)
+            if rows:
+                st = max(st, max(ms for _, _, ms in rows))
+            for k in touched:
+                ms, v = hist[k]
+                if k in buf:
+                    buf[k][1] = v
+                else:
+                    buf[k] = [ms, v]
+            for k in [k for k, (e, _) in buf.items() if e + limit_ms <= st]:
+                emitted.append((k, buf[k][1], "time"))
+                del buf[k]
+        return emitted, set(buf)
+
+    for seed in (11, 58):
+        rng = random.Random(seed)
+        n = rng.randint(8, 14)
+        rows = [
+            (f"k{rng.randint(0, 4)}", rng.randint(0, 99), rng.randint(0, 240) * 60_000)
+            for _ in range(n)
+        ]
+        cuts = sorted(rng.sample(range(1, n), min(rng.randint(2, 4), n - 1)))
+        batches, prev = [], 0
+        for c in cuts + [n]:
+            if rows[prev:c]:
+                batches.append(rows[prev:c])
+            prev = c
+        limit_ms = rng.choice([30, 60, 90]) * 60_000
+        split = rng.randint(1, len(batches) - 1)  # drain 1 sees batches[:split]
+
+        src = str(tmp_path / f"src{seed}")
+        state = str(tmp_path / f"state{seed}")
+        ckpt = str(tmp_path / f"ckpt{seed}")
+        sb = StreamingBuilder(spark)
+
+        def mk():
+            return (
+                sb.file_stream(src, key="k", ts="ts", max_files_per_trigger=1)
+                .to_table()
+                .suppress(until_time_limit_ms=limit_ms)
+            )
+
+        got = []
+        for i, b in enumerate(batches[:split]):
+            _write_source_file(
+                spark,
+                [(k, v, base + dt.timedelta(milliseconds=ms)) for k, v, ms in b],
+                schema, src, i,
+            )
+        d1 = suppress_buffered(
+            mk(), time_col="ts", state_dir=state, checkpoint=ckpt, engine=engine
+        )
+        got += [(r["k"], r["v"], r["__emit_reason"]) for r in d1.collect()]
+        for i, b in enumerate(batches[split:], start=split):
+            _write_source_file(
+                spark,
+                [(k, v, base + dt.timedelta(milliseconds=ms)) for k, v, ms in b],
+                schema, src, i,
+            )
+        d2 = suppress_buffered(
+            mk(), time_col="ts", state_dir=state, checkpoint=ckpt,
+            store_name=f"resume_fuzz_{seed}_{engine}", engine=engine,
+        )
+        got += [(r["k"], r["v"], r["__emit_reason"]) for r in d2.collect()]
+
+        want, want_buf = simulate(batches, limit_ms)
+        assert sorted(got) == sorted(want), f"seed {seed}: {sorted(got)} != {sorted(want)}"
+        assert set(
+            r["k"] for r in spark.table(f"resume_fuzz_{seed}_{engine}").collect()
+        ) == want_buf, f"seed {seed} buffer mismatch"
