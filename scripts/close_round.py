@@ -121,6 +121,7 @@ def generate() -> int:
     if dirty:
         print(f"FAIL: working tree dirty (commit or stash first): {dirty[:8]}")
         return 1
+    before = set(dirty_files())
     head = head_commit()
     env = dict(os.environ)
     env["CHECK_JSON_OUT"] = os.path.join(REPO, "CORRECTNESS_HEAD.json")
@@ -155,8 +156,12 @@ def generate() -> int:
             if r.stderr:
                 print(r.stderr[-2000:])
             return r.returncode
-    if head_commit() != head or dirty_files():
-        print("FAIL: tree changed while evidence was being generated — re-run")
+    after = set(dirty_files())
+    if head_commit() != head or after - before:
+        print(
+            "FAIL: tree changed while evidence was being generated — re-run "
+            f"(new dirty files: {sorted(after - before)[:8]}, head moved: {head_commit() != head})"
+        )
         return 1
     with open(os.path.join(REPO, "EVIDENCE_HEAD.json"), "w") as f:
         json.dump({"commit": head, "artifacts": list(EVIDENCE[:3])}, f, indent=1)
