@@ -55,7 +55,11 @@ def head_commit() -> str:
 
 
 def dirty_files() -> list[str]:
-    out = _git("status", "--porcelain")
+    # NOT via _git(): its strip() would eat the leading space of the first
+    # porcelain line (' M name'), shifting the 3-char status prefix
+    out = subprocess.run(
+        ["git", "status", "--porcelain"], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout
     files = [line[3:].strip() for line in out.splitlines() if line.strip()]
     return [f for f in files if f not in EVIDENCE]
 
