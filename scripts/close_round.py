@@ -78,10 +78,13 @@ def is_ancestor(a: str, b: str) -> bool:
 
 
 def verify() -> int:
-    ev = last_commit_touching(EVIDENCE[:1])  # CORRECTNESS_HEAD.json is the anchor
+    # anchor = the newest commit touching ANY evidence artifact: a
+    # deterministic artifact (CORRECTNESS_HEAD rows carry no timings) can be
+    # byte-identical across rounds and never re-enter a commit
+    ev = last_commit_touching(EVIDENCE)
     src = last_commit_touching(SOURCE_PATHS)
     if ev is None:
-        print("FAIL: no commit touches CORRECTNESS_HEAD.json")
+        print("FAIL: no commit touches any evidence artifact")
         return 1
     stamp_path = os.path.join(REPO, "EVIDENCE_HEAD.json")
     if os.path.exists(stamp_path):
