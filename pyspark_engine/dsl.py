@@ -116,6 +116,17 @@ _OBSERVE_REGISTRY: ContextVar[dict | None] = ContextVar(
     "pse_observe_registry", default=None
 )
 
+# Fourth companion hook (async test driver only): routes a STREAMING
+# stream-stream windowed join through streaming.join_windowed_eager — the
+# reference's pre-KIP-633 eager unmatched-emission timing
+# (KStreamKStreamJoinProcessor.cs:51-66) — instead of Spark's native
+# watermark-gated interval join, whose unmatched rows emit only after
+# window close (correct modern semantics, but not what the reference's
+# conformance vectors observe).
+_SS_JOIN_HOOK: ContextVar[Callable | None] = ContextVar(
+    "pse_ss_join_hook", default=None
+)
+
 
 class StreamBuilder:
     """Entry point mirroring ``StreamBuilder`` (core/StreamBuilder.cs:49-636).
@@ -601,6 +612,10 @@ class KStream:
             raise ValueError("join key arity mismatch")
         if self.ts is None or other.ts is None:
             raise ValueError("stream-stream join requires ts on both sides")
+        ss_hook = _SS_JOIN_HOOK.get()
+        if ss_hook is not None and (self.df.isStreaming or other.df.isStreaming):
+            # async test driver: reference-exact eager emission timing
+            return ss_hook(self, other, window, how, ts_alias)
         l, r = self.df, other.df
         cond = None
         for lk, rk in zip(self.key, other.key):

@@ -52,6 +52,7 @@ __all__ = [
     "sessionize_streaming",
     "join_tables_streaming",
     "join_fk_streaming",
+    "join_windowed_eager",
     "join_table_asof_streaming",
     "cogroup_streaming",
     "observed_metrics",
@@ -1375,6 +1376,120 @@ def sessionize_streaming(
         fn, out_schema, state_schema, "append", "EventTimeTimeout"
     )
     return KStream(out, (user,), None)
+
+
+def join_windowed_eager(
+    left: KStream,
+    right: KStream,
+    window,
+    how: str = "inner",
+    ts_alias: str = "ts",
+    state_dir: str | None = None,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Streaming KStream⋈KStream windowed join with the reference's EAGER
+    emission timing (KStreamKStreamJoinProcessor.cs:51-66, pre-KIP-633
+    Kafka Streams): an unmatched left/full-outer record emits its
+    null-padded row the moment it processes, and a match arriving later
+    emits the joined row IN ADDITION (the "spurious outer result" KIP-633
+    later made suppressible).  Spark's native stream-stream join emits
+    unmatched rows only after the watermark passes the window close — the
+    correct modern semantics, used by the production path
+    (dsl.KStream.join on watermarked streams); THIS loop exists for
+    reference-exact conformance and for callers that want KS 2.x timing.
+
+    Realization: one availableNow query over the tagged union of both
+    sides; per microbatch the batch-join DELTA —
+    ``join(all_l, all_r) exceptAll join(old_l, old_r)`` over the
+    accumulated row buffers, reusing the batch ``KStream.join`` operator
+    verbatim (identical schema and null-padding rules) — is exactly the
+    eager emission set at microbatch granularity: new matches plus new
+    unmatched-side rows, never retractions.  Buffers are ping-pong parquet
+    generations (the _GEN applied-batch contract: crash-replays skip, a
+    populated state_dir without its checkpoint is refused); emissions are
+    idempotent per-batch overwrites.  Per batch this recomputes a join of
+    the buffered windows — conformance-harness scale by design; the
+    production path is the native interval join."""
+    if not (left.df.isStreaming and right.df.isStreaming):
+        raise ValueError("join_windowed_eager requires streaming inputs; use KStream.join in batch")
+    if how not in ("inner", "left", "full"):
+        raise ValueError("eager windowed join supports inner|left|full")
+    l_cols, r_cols = list(left.df.columns), list(right.df.columns)
+    root = state_dir or tempfile.mkdtemp(prefix="pse-ssjoin-")
+    os.makedirs(root, exist_ok=True)
+    out_dir = os.path.join(root, "out")
+    gen = {"n": _read_gen(root)}
+    if gen["n"] > 0 and checkpoint is None:
+        raise ValueError(
+            f"state dir {root!r} holds eager-join generation {gen['n']} but no "
+            "checkpoint was passed; resuming requires the query's original "
+            "checkpointLocation (or a fresh state_dir)"
+        )
+    ckpt = _checkpoint(checkpoint)
+    prior_batch = _last_committed(ckpt)
+    tagged = left.df.select(
+        F.lit(1).alias("__side"),
+        *l_cols,
+        *[F.lit(None).cast(right.df.schema[c].dataType).alias(f"__r_{c}") for c in r_cols],
+    ).unionByName(
+        right.df.select(
+            F.lit(0).alias("__side"),
+            *[F.lit(None).cast(left.df.schema[c].dataType).alias(c) for c in l_cols],
+            *[F.col(c).alias(f"__r_{c}") for c in r_cols],
+        )
+    )
+
+    def _join(ldf: DataFrame, rdf: DataFrame) -> DataFrame:
+        return KStream(ldf, left.key, left.ts).join(
+            KStream(rdf, right.key, right.ts), window, how=how, ts_alias=ts_alias
+        ).df
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= _read_applied(root):
+            batch.write.format("noop").mode("overwrite").save()
+            return
+        spark = batch.sparkSession
+        cur, nxt = gen["n"] % 2, (gen["n"] + 1) % 2
+        sides = {}
+        for tag, pred, cols in (
+            ("l", F.col("__side") == 1, l_cols),
+            ("r", F.col("__side") == 0, [f"__r_{c}" for c in r_cols]),
+        ):
+            new = batch.filter(pred).select(
+                *[F.col(c).alias(c.removeprefix("__r_")) for c in cols]
+            )
+            prev_path = os.path.join(root, f"{tag}-{cur}")
+            old = (
+                spark.read.parquet(prev_path)
+                if os.path.exists(prev_path)
+                else spark.createDataFrame([], new.schema)
+            )
+            allrows = old.unionByName(new).localCheckpoint()
+            allrows.write.mode("overwrite").parquet(os.path.join(root, f"{tag}-{nxt}"))
+            sides[tag] = (old, allrows)
+        old_l, all_l = sides["l"]
+        old_r, all_r = sides["r"]
+        # eager emission set = what the full eager history would have added
+        # this batch: new matches + new unmatched-side paddings, no retraction
+        delta = _join(all_l, all_r).exceptAll(_join(old_l, old_r))
+        delta.write.mode("overwrite").parquet(os.path.join(out_dir, f"sink_batch={batch_id}"))
+        gen["n"] += 1
+        _write_gen(root, gen["n"], batch_id)
+
+    q = (
+        tagged.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = left.df.sparkSession
+    if not _has_emissions(out_dir):
+        empty_l = spark.createDataFrame([], left.df.schema)
+        empty_r = spark.createDataFrame([], right.df.schema)
+        return _join(empty_l, empty_r)
+    got = spark.read.parquet(out_dir)
+    return got.filter(F.col("sink_batch") > F.lit(int(prior_batch))).drop("sink_batch")
 
 
 def join_table_asof_streaming(

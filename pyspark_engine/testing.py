@@ -769,6 +769,26 @@ class TopologyTestDriver:
         self._hook_fired = True
         return KTable(self._realize(table), table.key, table.ts)
 
+    def _ss_join_stream(self, left: KStream, right: KStream, window, how, ts_alias) -> KStream:
+        """dsl._SS_JOIN_HOOK body: realize a streaming stream-stream
+        windowed join with the reference's eager emission timing
+        (streaming.join_windowed_eager; KStreamKStreamJoinProcessor.cs:51-66)
+        so the pre-KIP-633 conformance vectors — unmatched left/outer rows
+        observed immediately, not at watermark close — run through real
+        microbatches in async mode."""
+        from .streaming import join_windowed_eager
+
+        self._hook_fired = True
+        if not (left.df.isStreaming and right.df.isStreaming):
+            if left.df.isStreaming:
+                left = KStream(self._realize(left.df), left.key, left.ts)
+            if right.df.isStreaming:
+                right = KStream(self._realize(right.df), right.key, right.ts)
+            # both batch now: the hook guard in KStream.join no-ops
+            return left.join(right, window, how=how, ts_alias=ts_alias)
+        out = join_windowed_eager(left, right, window, how=how, ts_alias=ts_alias)
+        return KStream(out, tuple(left.key), ts_alias)
+
     def _asof_stream(self, left: KStream, right: KStream, tolerance_ms, how, matched_ts) -> KStream:
         """dsl._ASOF_STREAM_HOOK body: the genuine streaming realization of
         the as-of join (streaming.join_table_asof_streaming pattern) — the
@@ -820,10 +840,11 @@ class TopologyTestDriver:
             # concurrently-building drivers (threads / interleaved builds)
             # never observe each other's hooks (advisor finding, r8)
             install = self.mode == "async"
-            tok = tok_asof = tok_obs = None
+            tok = tok_asof = tok_obs = tok_ss = None
             if install:
                 tok = _dsl._TABLE_SNAPSHOT_HOOK.set(self._snapshot_table)
                 tok_asof = _dsl._ASOF_STREAM_HOOK.set(self._asof_stream)
+                tok_ss = _dsl._SS_JOIN_HOOK.set(self._ss_join_stream)
                 self._observations = {}
                 tok_obs = _dsl._OBSERVE_REGISTRY.set(self._observations)
                 # Observation totals are summed over progress events: keep
@@ -838,6 +859,7 @@ class TopologyTestDriver:
                     _dsl._TABLE_SNAPSHOT_HOOK.reset(tok)
                     _dsl._ASOF_STREAM_HOOK.reset(tok_asof)
                     _dsl._OBSERVE_REGISTRY.reset(tok_obs)
+                    _dsl._SS_JOIN_HOOK.reset(tok_ss)
             self._dirty = False
             if self.mode == "async" and (self._snapshot_tables or self._hook_fired):
                 # bootstrapped snapshots are pinned at build time; new pipes

@@ -57,33 +57,23 @@ _REAL_DRIVER = TopologyTestDriver
 #   * record-granularity stream time: the reference's grace rule admits or
 #     drops PER RECORD against observed stream time; a microbatch watermark
 #     is batch-granularity and complete-mode reads keep all state.
-_SS_EAGER = (
-    "reference emits unmatched outer rows eagerly at process time; Spark emits "
-    "them only after watermark passage beyond the window close — covered by "
-    "test_streaming.py::test_stream_stream_left_join_streaming_parity / "
-    "test_stream_stream_outer_join_streaming_parity"
-)
-ASYNC_SKIP: dict[str, str] = {
-    "test_stream_stream_left_join_no_right_record": _SS_EAGER,
-    "test_stream_stream_outer_join_only_left": _SS_EAGER,
-    "test_stream_stream_outer_join_only_right": _SS_EAGER,
-}
-# Closed in round 9 (both formerly here): per-record grace admission now runs
-# through TimeWindowedKStream._grace_admission_streaming (stream time per
-# arrival_partition in applyInPandasWithState), and Observation objects on
-# streaming plans are rewritten to named observes whose progress-event totals
-# the driver injects back (testing._inject_observation).
+ASYNC_SKIP: dict[str, str] = {}
+# EMPTY since round 9 — all five former entries closed: per-record grace
+# admission runs through TimeWindowedKStream._grace_admission_streaming
+# (stream time per arrival_partition in applyInPandasWithState);
+# Observation objects on streaming plans are rewritten to named observes
+# whose progress-event totals the driver injects back
+# (testing._inject_observation); and the three pre-KIP-633 eager-outer
+# vectors route through streaming.join_windowed_eager (the reference's
+# unmatched rows emit at process time, not at watermark close —
+# KStreamKStreamJoinProcessor.cs:51-66) via dsl._SS_JOIN_HOOK.
 
-# Async-only watermarks per vector ({stream_topic: delay}): left/outer
-# stream-stream joins refuse to START without a watermark (Spark
-# requirement; the sync batch analog needs none).  Only vectors whose
-# expected output does not depend on eager unmatched emission belong here —
-# the others are ASYNC_SKIP.
-_SS_WM = {"topic1": "0 milliseconds", "topic2": "0 milliseconds"}
-ASYNC_WATERMARKS: dict[str, dict[str, str]] = {
-    "test_stream_stream_left_join_no_left_record": _SS_WM,
-    "test_stream_stream_outer_join_matched": _SS_WM,
-}
+# Async-only watermarks per vector ({stream_topic: delay}) — empty since
+# round 9: stream-stream joins route through the eager hook, which needs no
+# watermark (the two former entries existed for Spark's native left/outer
+# stream-stream join start requirement).  The mechanism stays for future
+# vectors that exercise the native watermark-gated path.
+ASYNC_WATERMARKS: dict[str, dict[str, str]] = {}
 
 
 @pytest.fixture(params=["sync", "async"], autouse=True)

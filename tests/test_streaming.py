@@ -2270,3 +2270,59 @@ def test_suppress_buffered_resume_differential_fuzz(spark, tmp_path, engine):
         assert set(
             r["k"] for r in spark.table(f"resume_fuzz_{seed}_{engine}").collect()
         ) == want_buf, f"seed {seed} buffer mismatch"
+
+
+def test_join_windowed_eager_spurious_outer_timing(spark, tmp_path):
+    """join_windowed_eager reproduces the reference's pre-KIP-633 timing
+    (KStreamKStreamJoinProcessor.cs:51-66): a left record with no match
+    emits its null-padded row in ITS OWN microbatch, and the match arriving
+    a later batch emits the joined row IN ADDITION (the spurious outer
+    result KIP-633 later made suppressible) — while the inner join emits
+    matches only.  Also: resuming a populated state_dir without the
+    original checkpoint is refused."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark_engine import JoinWindowOptions
+    from pyspark_engine.streaming import StreamingBuilder, join_windowed_eager
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 10, 0, s)
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    schema_l = "key string, v2 string, lts timestamp"
+    schema_r = "key string, v1 string, rts timestamp"
+    _write_source_file(spark, [("test", "coucou", t(0))], schema_l, lsrc, 0)
+    # right side gets its matching record only in a LATER generation
+    _write_source_file(spark, [("other", "x", t(1))], schema_r, rsrc, 0)
+    _write_source_file(spark, [("test", "test", t(2))], schema_r, rsrc, 1)
+
+    sb = StreamingBuilder(spark)
+
+    def sides():
+        return (
+            sb.file_stream(lsrc, key="key", ts="lts", max_files_per_trigger=1),
+            sb.file_stream(rsrc, key="key", ts="rts", max_files_per_trigger=1),
+        )
+
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck")
+    l1, r1 = sides()
+    got = join_windowed_eager(
+        l1, r1, JoinWindowOptions.of(10_000), how="left",
+        state_dir=state, checkpoint=ckpt,
+    )
+    rows = sorted(
+        ((r["key"], r["v2"], r["v1"]) for r in got.collect()), key=lambda x: (x[0], str(x[2]))
+    )
+    # eager null-padding when the window was empty AND the later real match
+    assert rows == [("test", "coucou", None), ("test", "coucou", "test")]
+
+    l2, r2 = sides()
+    with _pytest.raises(ValueError, match="checkpoint"):
+        join_windowed_eager(l2, r2, JoinWindowOptions.of(10_000), how="left", state_dir=state)
+
+    # inner join over the same data: the match only
+    l3, r3 = sides()
+    got_i = join_windowed_eager(l3, r3, JoinWindowOptions.of(10_000), how="inner")
+    assert [(r["key"], r["v2"], r["v1"]) for r in got_i.collect()] == [("test", "coucou", "test")]
