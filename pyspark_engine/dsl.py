@@ -128,6 +128,16 @@ _SS_JOIN_HOOK: ContextVar[Callable | None] = ContextVar(
 )
 
 
+def _plan_has_watermark(df: DataFrame) -> bool:
+    """Whether the streaming plan already carries an event-time watermark
+    (used by the _SS_JOIN_HOOK guard; errs False so the hook still routes
+    on introspection failure — the conformance default)."""
+    try:
+        return "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+
+
 class StreamBuilder:
     """Entry point mirroring ``StreamBuilder`` (core/StreamBuilder.cs:49-636).
 
@@ -613,7 +623,14 @@ class KStream:
         if self.ts is None or other.ts is None:
             raise ValueError("stream-stream join requires ts on both sides")
         ss_hook = _SS_JOIN_HOOK.get()
-        if ss_hook is not None and (self.df.isStreaming or other.df.isStreaming):
+        if (
+            ss_hook is not None
+            and (self.df.isStreaming or other.df.isStreaming)
+            and how in ("inner", "left", "full")
+            # an explicit user watermark asks for the native watermark-gated
+            # (emit-at-window-close) semantics — don't hijack it
+            and not (_plan_has_watermark(self.df) or _plan_has_watermark(other.df))
+        ):
             # async test driver: reference-exact eager emission timing
             return ss_hook(self, other, window, how, ts_alias)
         l, r = self.df, other.df

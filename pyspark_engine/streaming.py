@@ -1043,16 +1043,26 @@ def _suppress_keyed(
     # would not have advanced the running max anyway.  The function folds
     # only data copies; timers ride the clock-driven watermark.
     value_cols = [c for c in cols if c not in key]
+    ddl0 = {f.name: f.dataType.simpleString() for f in table.df.schema.fields}
+    integral = {"tinyint", "smallint", "int", "bigint"}
     sdf = sdf.select(*cols, epoch_ms(tcol).alias("__ev_ms")).select(
         "*", F.explode(F.array(F.lit(0), F.lit(1))).alias("__clk")
     )
+
+    def _clock_fill(c):
+        # integral columns get a 0 fill on clock copies instead of NULL:
+        # a null forces the whole Arrow column to float64, and int(float)
+        # corrupts bigints >= 2^53 (fn ignores clock rows, so any fill is
+        # free; columns with REAL nulls in data rows still pay the float
+        # path — that boundary predates the clock copies)
+        if ddl0.get(c) in integral:
+            return F.when(F.col("__clk") == 0, F.col(c)).otherwise(F.lit(0)).alias(c)
+        return F.when(F.col("__clk") == 0, F.col(c)).otherwise(F.lit(None)).alias(c)
+
     sdf = sdf.select(
         *key,
-        *[
-            F.when(F.col("__clk") == 0, F.col(c)).otherwise(F.lit(None)).alias(c)
-            for c in value_cols
-        ],
-        F.when(F.col("__clk") == 0, F.col("__ev_ms")).alias("__ev_ms"),
+        *[_clock_fill(c) for c in value_cols],
+        F.when(F.col("__clk") == 0, F.col("__ev_ms")).otherwise(F.lit(0)).alias("__ev_ms"),
         "__clk",
         F.when(F.col("__clk") == 1, F.col(tcol)).alias("__wm_ts"),
     ).withWatermark("__wm_ts", "0 milliseconds")

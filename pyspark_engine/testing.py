@@ -713,13 +713,17 @@ class TopologyTestDriver:
             progresses = q.recentProgress
         except Exception:
             return
+        relevant = any(
+            isinstance(p, dict) and any(n in reg for n in (p.get("observedMetrics") or {}))
+            for p in progresses
+        )
         last = progresses[-1] if progresses else None
         n_batches = (last.get("batchId", 0) + 1) if isinstance(last, dict) else 0
-        if n_batches > len(progresses):
+        if relevant and n_batches > len(progresses):
             # Spark retains only numRecentProgressUpdates progress events;
             # a silent undercount would be a WRONG metric, so refuse loudly
-            # (the driver raises the retention in _run; hitting this means
-            # an extreme generation count — use a named streaming observe)
+            # — but only for queries that actually carry a registered
+            # observation (an unrelated terminal's drain must not abort)
             raise ValueError(
                 f"observe harvest saw {len(progresses)} progress events for "
                 f"{n_batches} microbatches (numRecentProgressUpdates cap); "
@@ -848,7 +852,15 @@ class TopologyTestDriver:
                 self._observations = {}
                 tok_obs = _dsl._OBSERVE_REGISTRY.set(self._observations)
                 # Observation totals are summed over progress events: keep
-                # every microbatch's event retained (default cap is 100)
+                # every microbatch's event retained (default cap is 100).
+                # Previous value restored with the hook tokens below — the
+                # session is caller-owned.
+                try:
+                    prev_cap = self.spark.conf.get(
+                        "spark.sql.streaming.numRecentProgressUpdates"
+                    )
+                except Exception:
+                    prev_cap = None
                 self.spark.conf.set(
                     "spark.sql.streaming.numRecentProgressUpdates", "10000"
                 )
@@ -860,6 +872,14 @@ class TopologyTestDriver:
                     _dsl._ASOF_STREAM_HOOK.reset(tok_asof)
                     _dsl._OBSERVE_REGISTRY.reset(tok_obs)
                     _dsl._SS_JOIN_HOOK.reset(tok_ss)
+                    if prev_cap is None:
+                        self.spark.conf.unset(
+                            "spark.sql.streaming.numRecentProgressUpdates"
+                        )
+                    else:
+                        self.spark.conf.set(
+                            "spark.sql.streaming.numRecentProgressUpdates", prev_cap
+                        )
             self._dirty = False
             if self.mode == "async" and (self._snapshot_tables or self._hook_fired):
                 # bootstrapped snapshots are pinned at build time; new pipes

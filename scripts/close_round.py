@@ -128,7 +128,6 @@ def generate() -> int:
     if dirty:
         print(f"FAIL: working tree dirty (commit or stash first): {dirty[:8]}")
         return 1
-    before = set(dirty_files())
     head = head_commit()
     env = dict(os.environ)
     env["CHECK_JSON_OUT"] = os.path.join(REPO, "CORRECTNESS_HEAD.json")
@@ -163,11 +162,11 @@ def generate() -> int:
             if r.stderr:
                 print(r.stderr[-2000:])
             return r.returncode
-    after = set(dirty_files())
-    if head_commit() != head or after - before:
+    after = dirty_files()
+    if head_commit() != head or after:
         print(
             "FAIL: tree changed while evidence was being generated — re-run "
-            f"(new dirty files: {sorted(after - before)[:8]}, head moved: {head_commit() != head})"
+            f"(dirty files: {sorted(after)[:8]}, head moved: {head_commit() != head})"
         )
         return 1
     with open(os.path.join(REPO, "EVIDENCE_HEAD.json"), "w") as f:
