@@ -18,10 +18,17 @@ Modes:
 Generate mode:
   1. refuses if the working tree is dirty (anything unstaged/uncommitted
      beyond the evidence artifacts themselves);
-  2. runs check_correctness (CHECK_JSON_OUT=CORRECTNESS_HEAD.json) at sf0.01,
+  2. runs the FULL pytest suite at HEAD and refuses to proceed unless it is
+     green (the r9 verdict's gap: the gate validated artifacts but a stale
+     doc anchor left ``pytest tests/`` red at the evidence commit).  Debug
+     escape: PSE_SKIP_PYTEST=1, never for a real round close;
+  3. runs check_correctness (CHECK_JSON_OUT=CORRECTNESS_HEAD.json) at sf0.01,
      plan_audit (PLAN_AUDIT_OUT=PLAN_AUDIT.json), and bench.py
      (-> BENCH_HEAD.json);
-  3. stamps each artifact run with the HEAD commit in EVIDENCE_HEAD.json.
+  4. stamps each artifact run with the HEAD commit, the pytest tail, and
+     box-state metadata (loadavg + top CPU consumers sampled before the
+     bench, so cross-round comparisons can see box drift) in
+     EVIDENCE_HEAD.json.
   After it succeeds, commit the artifacts; then run --verify (also enforced
   by tests/test_evidence_gate.py under PSE_CLOSE_ROUND=1).  ANY later commit
   touching source invalidates the evidence: re-run this script and commit
@@ -123,6 +130,38 @@ def verify() -> int:
     return 0
 
 
+def box_state() -> dict:
+    """Loadavg + top CPU consumers: the r9 session measured ~25% same-code
+    bench drift over hours of back-to-back suites, so every pinned number
+    records what the box looked like when it ran (verdict r9 item 5)."""
+    state: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            state["loadavg"] = f.read().split()[:3]
+    except OSError:
+        pass
+    try:
+        ps = subprocess.run(
+            ["ps", "-eo", "pcpu,comm", "--sort=-pcpu", "--no-headers"],
+            capture_output=True, text=True, check=True,
+        ).stdout.splitlines()[:5]
+        state["top_cpu"] = [ln.strip() for ln in ps]
+    except (OSError, subprocess.CalledProcessError):
+        pass
+    return state
+
+
+def run_full_pytest(env: dict) -> tuple[int, str]:
+    """The whole suite, not just the gate test: a red test anywhere at the
+    evidence commit fails the round bar even if every artifact is fresh."""
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--no-header", "-p", "no:cacheprovider"],
+        cwd=REPO, env=env, capture_output=True, text=True,
+    )
+    tail = "\n".join((r.stdout or "").strip().splitlines()[-15:])
+    return r.returncode, tail
+
+
 def generate() -> int:
     dirty = dirty_files()
     if dirty:
@@ -131,6 +170,17 @@ def generate() -> int:
     head = head_commit()
     env = dict(os.environ)
     env["CHECK_JSON_OUT"] = os.path.join(REPO, "CORRECTNESS_HEAD.json")
+    if env.get("PSE_SKIP_PYTEST") == "1":
+        print("== full pytest: SKIPPED (PSE_SKIP_PYTEST=1 — debug only, not a round close)")
+        pytest_tail = "SKIPPED (PSE_SKIP_PYTEST=1)"
+    else:
+        print("== full pytest @ HEAD")
+        rc, pytest_tail = run_full_pytest(env)
+        print(pytest_tail)
+        if rc != 0:
+            print(f"FAIL: pytest exited {rc} — the evidence commit must have a green suite")
+            return rc
+    box: dict = {}
     steps = [
         (
             "correctness @ sf0.01",
@@ -145,6 +195,9 @@ def generate() -> int:
         ("bench @ sf0.1", [sys.executable, "bench.py"], env),
     ]
     for name, cmd, e in steps:
+        if name.startswith("bench"):
+            box = box_state()
+            print(f"box state before bench: {box}")
         print(f"== {name}: {' '.join(cmd)}")
         r = subprocess.run(cmd, cwd=REPO, env=e, capture_output=(name.startswith("bench")), text=True)
         if name.startswith("bench"):
@@ -170,7 +223,16 @@ def generate() -> int:
         )
         return 1
     with open(os.path.join(REPO, "EVIDENCE_HEAD.json"), "w") as f:
-        json.dump({"commit": head, "artifacts": list(EVIDENCE[:3])}, f, indent=1)
+        json.dump(
+            {
+                "commit": head,
+                "artifacts": list(EVIDENCE[:3]),
+                "pytest_tail": pytest_tail,
+                "box_state_before_bench": box,
+            },
+            f,
+            indent=1,
+        )
     print(f"evidence generated at {head[:12]}; commit the artifacts, then run --verify")
     return 0
 

@@ -95,3 +95,56 @@ def test_close_round_verify_logic(tmp_path):
     git("commit", "-qm", "mixed evidence+source commit")
     r = verify()
     assert r.returncode == 1 and "touches source" in r.stdout
+
+
+def test_close_round_generate_requires_green_pytest(tmp_path):
+    """r9 verdict item 1: the gate must RUN the suite, not just regenerate
+    artifacts — an injected red test (e.g. a stale doc anchor) must stop
+    generate() before any evidence step, and a green suite must let it
+    proceed past pytest into the evidence steps."""
+    import shutil
+
+    repo = tmp_path / "r"
+    (repo / "scripts").mkdir(parents=True)
+    (repo / "tests").mkdir()
+    shutil.copy(os.path.join(REPO, "scripts", "close_round.py"), repo / "scripts" / "close_round.py")
+    env = {
+        **os.environ,
+        "GIT_AUTHOR_NAME": "t",
+        "GIT_AUTHOR_EMAIL": "t@t",
+        "GIT_COMMITTER_NAME": "t",
+        "GIT_COMMITTER_EMAIL": "t@t",
+    }
+    env.pop("PSE_SKIP_PYTEST", None)
+
+    def git(*a):
+        subprocess.run(["git", *a], cwd=repo, env=env, check=True, capture_output=True)
+
+    def generate(extra_env=None):
+        return subprocess.run(
+            [sys.executable, "scripts/close_round.py"],
+            cwd=repo,
+            env={**env, **(extra_env or {})},
+            capture_output=True,
+            text=True,
+        )
+
+    (repo / "tests" / "test_anchor.py").write_text("def test_anchor():\n    assert False, 'stale anchor'\n")
+    git("init", "-q")
+    git("add", "-A")
+    git("commit", "-qm", "red suite")
+    r = generate()
+    assert r.returncode != 0 and "green suite" in r.stdout, r.stdout
+
+    (repo / "tests" / "test_anchor.py").write_text("def test_anchor():\n    assert True\n")
+    git("add", "-A")
+    git("commit", "-qm", "green suite")
+    r = generate()
+    # pytest passes, so the gate moves on to the evidence steps (which fail
+    # here — the scratch repo has no check_correctness.py — proving pytest
+    # was the step that gated, not an incidental crash)
+    assert "green suite" not in r.stdout
+    assert "correctness" in r.stdout, r.stdout
+
+    r = generate({"PSE_SKIP_PYTEST": "1"})
+    assert "SKIPPED (PSE_SKIP_PYTEST=1" in r.stdout, r.stdout
