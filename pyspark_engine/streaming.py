@@ -103,7 +103,11 @@ def _read_gen(root: str) -> int:
             return int(f.read().split()[0])
     except (OSError, ValueError, IndexError):
         existing = (
-            [e for e in os.listdir(root) if e not in ("_GEN", "_GEN.tmp")]
+            [
+                e
+                for e in os.listdir(root)
+                if e not in ("_GEN", "_GEN.tmp", "_PSE_BIND", "_PSE_BIND.tmp")
+            ]
             if os.path.isdir(root)
             else []
         )
@@ -155,6 +159,77 @@ def _last_committed(checkpoint: str) -> int:
     except OSError:
         return -1
     return max(ids, default=-1)
+
+
+def _read_bind(path: str) -> str | None:
+    try:
+        with open(path) as f:
+            return f.read().strip() or None
+    except OSError:
+        return None
+
+
+def _bind_state_checkpoint(root: str, ckpt: str, populated: bool, what: str) -> str:
+    """Pair a parquet state dir with the ONE streaming checkpoint allowed to
+    drive it, and refuse every other combination (r9 verdict item 3).
+
+    The foreachBatch state loops derive their replay-skip / delivery cursors
+    from the checkpoint's batch ids, so a populated state dir paired with a
+    WRONG-but-existing checkpoint (from a different query or topology) would
+    silently skip foreign batch ids or re-deliver old emissions — the
+    reference cannot make this mistake because its changelog topics are keyed
+    by appId+store (core/State/Logging/
+    ChangeLoggingTimestampedKeyValueBytesStore.cs:8).  At first use (both
+    sides fresh) a random token is written to ``<root>/_PSE_BIND`` and
+    ``<ckpt>/_PSE_BIND``; thereafter the pair must match:
+
+      * tokens match — resume OK;
+      * state dir populated, checkpoint missing/mismatched — refused (covers
+        both the old checkpoint=None hole and the wrong-checkpoint hole);
+      * state dir fresh or unpopulated, checkpoint already bound elsewhere —
+        refused (its committed batches would be skipped against empty state);
+      * state dir bound but never populated (crash before the first fold) —
+        re-bound to the offered checkpoint.
+
+    Returns ``ckpt`` so call sites can bind and resolve in one expression."""
+    s_path = os.path.join(root, "_PSE_BIND")
+    c_path = os.path.join(ckpt, "_PSE_BIND")
+    sbind, cbind = _read_bind(s_path), _read_bind(c_path)
+    if sbind is not None and sbind == cbind:
+        return ckpt
+    if populated:
+        if sbind is None:
+            raise ValueError(
+                f"state dir {root!r} holds {what} but no _PSE_BIND marker — it was "
+                "not created by this loop (or the marker was removed); refusing to "
+                "pair it with any checkpoint, pass a fresh state_dir"
+            )
+        raise ValueError(
+            f"state dir {root!r} holds {what} bound to a different checkpoint "
+            f"(state bind {sbind[:8]}, offered checkpoint bind "
+            f"{cbind[:8] if cbind else 'none'}): its batch ids would renumber or "
+            "skip and silently drop or re-deliver data; resuming requires the "
+            "query's original checkpointLocation (or a fresh state_dir)"
+        )
+    if cbind is not None:
+        raise ValueError(
+            f"checkpoint {ckpt!r} is already bound to a different {what} state dir "
+            f"(bind {cbind[:8]}); resuming it against this state dir would skip its "
+            "committed batches' folds — pass the original state_dir or a fresh "
+            "checkpoint"
+        )
+    token = uuid.uuid4().hex
+    os.makedirs(root, exist_ok=True)
+    os.makedirs(ckpt, exist_ok=True)
+    # state marker first: a crash between the writes leaves an UNPOPULATED
+    # bound state dir, which re-binds on the next attempt (the reverse order
+    # would leave a bound checkpoint that refuses its own retry)
+    for p in (s_path, c_path):
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(token)
+        os.replace(tmp, p)
+    return ckpt
 
 
 def _check_emit_final(obj, df: DataFrame, output_mode: str) -> None:
@@ -636,15 +711,12 @@ def _changelog_join_loop(
         )
     )
     gen = {"n": _read_gen(root)}  # survives a restart on the same checkpoint
-    if gen["n"] > 0 and checkpoint is None:
-        # same refusal as suppress_buffered: a FRESH checkpoint renumbers
-        # batches from 0, so the replay-skip below would treat the full
-        # replay (old + NEW data) as already-applied and silently drop it
-        raise ValueError(
-            f"state dir {root!r} holds join-state generation {gen['n']} but no "
-            "checkpoint was passed; resuming requires the query's original "
-            "checkpointLocation (or a fresh state_dir)"
-        )
+    # a fresh OR foreign checkpoint renumbers/skips batch ids, so the
+    # replay-skip below would silently drop or double-fold data — the state
+    # dir is bound to its original checkpoint and every other pair refused
+    ckpt = _bind_state_checkpoint(
+        root, _checkpoint(checkpoint), gen["n"] > 0, f"join-state generation {gen['n']}"
+    )
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch_id <= _read_applied(root):
@@ -675,7 +747,7 @@ def _changelog_join_loop(
 
     q = (
         tagged.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", _checkpoint(checkpoint))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -818,19 +890,14 @@ def suppress_buffered(
     root = state_dir or tempfile.mkdtemp(prefix="pse-suppress-")
     os.makedirs(root, exist_ok=True)
     gen = {"n": _read_gen(root)}
-    if gen["n"] > 0 and checkpoint is None:
-        # same refusal as the changelog joins' _GEN contract: resuming the
-        # buffer with a FRESH checkpoint would replay the whole source and
-        # re-merge already-emitted keys (double emission); the caller must
-        # bring the original checkpointLocation alongside the state_dir
-        raise ValueError(
-            f"state dir {root!r} holds suppress-buffer generation {gen['n']} but no "
-            "checkpoint was passed; resuming requires the query's original "
-            "checkpointLocation (or a fresh state_dir)"
-        )
     spark0 = df.sparkSession
     out_dir = os.path.join(root, "out")
-    ckpt = _checkpoint(checkpoint)
+    # resuming the buffer with a fresh OR foreign checkpoint would replay
+    # the whole source and re-merge already-emitted keys (double emission),
+    # or skip foreign batch ids — only the bound original pair is accepted
+    ckpt = _bind_state_checkpoint(
+        root, _checkpoint(checkpoint), gen["n"] > 0, f"suppress-buffer generation {gen['n']}"
+    )
     # this CALL returns only ITS OWN emissions: a resumed drain must not
     # re-deliver records from batches the checkpoint already COMMITTED
     # (an emitted-but-uncommitted batch replays and IS delivered — the
@@ -1009,7 +1076,8 @@ def _suppress_keyed(
     unreachable for ms-granularity event data unless stream time lands on
     that exact millisecond with no later data.  Pre-epoch (< 1970) event
     times cannot advance a Spark watermark at all (Spark floors it at 0),
-    so such changelogs must use ``engine="exact"``.
+    so such changelogs must use ``engine="exact"`` — the state fn raises
+    loudly on the first pre-epoch data row instead of buffering it forever.
     """
     from .runtime import epoch_ms
 
@@ -1019,13 +1087,12 @@ def _suppress_keyed(
     root = state_dir or tempfile.mkdtemp(prefix="pse-suppress-")
     os.makedirs(root, exist_ok=True)
     out_dir = os.path.join(root, "out")
-    if _has_emissions(out_dir) and checkpoint is None:
-        raise ValueError(
-            f"state dir {root!r} holds prior suppress emissions but no checkpoint "
-            "was passed; resuming requires the query's original "
-            "checkpointLocation (or a fresh state_dir)"
-        )
-    ckpt = _checkpoint(checkpoint)
+    # the buffer itself lives in the Spark checkpoint here; a fresh or
+    # foreign checkpoint would orphan it AND re-deliver old out/ emissions
+    # (prior_batch would restart at -1) — only the bound pair is accepted
+    ckpt = _bind_state_checkpoint(
+        root, _checkpoint(checkpoint), _has_emissions(out_dir), "prior suppress emissions"
+    )
     prior_batch = _last_committed(ckpt)
 
     sdf = src.df
@@ -1045,18 +1112,21 @@ def _suppress_keyed(
     value_cols = [c for c in cols if c not in key]
     ddl0 = {f.name: f.dataType.simpleString() for f in table.df.schema.fields}
     integral = {"tinyint", "smallint", "int", "bigint"}
-    sdf = sdf.select(*cols, epoch_ms(tcol).alias("__ev_ms")).select(
-        "*", F.explode(F.array(F.lit(0), F.lit(1))).alias("__clk")
-    )
+    # Integral VALUE columns tunnel through the stateful operator as strings:
+    # any null in a group's Arrow column slice (a clock copy, or a real null
+    # in a data row) makes pandas deliver the slice as float64 BEFORE the
+    # state fn ever sees it, and float64 cannot represent bigints past 2^53
+    # — a decimal string round-trips exactly and null-safely.  Cast back in
+    # the returned emissions and the store view.  Key columns stay integral:
+    # they are null-filtered above, so their slices never leave int64.
+    tunnel = {c for c in value_cols if ddl0[c] in integral}
+    sdf = sdf.select(
+        *[F.col(c).cast("string").alias(c) if c in tunnel else F.col(c) for c in cols],
+        epoch_ms(tcol).alias("__ev_ms"),
+    ).select("*", F.explode(F.array(F.lit(0), F.lit(1))).alias("__clk"))
 
     def _clock_fill(c):
-        # integral columns get a 0 fill on clock copies instead of NULL:
-        # a null forces the whole Arrow column to float64, and int(float)
-        # corrupts bigints >= 2^53 (fn ignores clock rows, so any fill is
-        # free; columns with REAL nulls in data rows still pay the float
-        # path — that boundary predates the clock copies)
-        if ddl0.get(c) in integral:
-            return F.when(F.col("__clk") == 0, F.col(c)).otherwise(F.lit(0)).alias(c)
+        # clock copies carry no payload — null fill keeps shuffle weight down
         return F.when(F.col("__clk") == 0, F.col(c)).otherwise(F.lit(None)).alias(c)
 
     sdf = sdf.select(
@@ -1067,16 +1137,18 @@ def _suppress_keyed(
         F.when(F.col("__clk") == 1, F.col(tcol)).alias("__wm_ts"),
     ).withWatermark("__wm_ts", "0 milliseconds")
 
-    ddl = {f.name: f.dataType.simpleString() for f in table.df.schema.fields}
+    ddl = {c: ("string" if c in tunnel else ddl0[c]) for c in cols}
     state_schema = "__entry_ms long, __hist_ms long, " + ", ".join(
         f"`{c}` {ddl[c]}" for c in cols
     )
     out_schema = ", ".join(f"`{c}` {ddl[c]}" for c in cols) + ", __fired boolean"
     NEG = -(1 << 62)
-    # the clock copies carry NULL value columns, so pandas delivers integral
-    # columns as float64 — values must be coerced back before they land in
-    # the typed state tuple (a Python float in an int field nulls silently)
-    int_cols = {c for c in cols if ddl[c] in ("tinyint", "smallint", "int", "bigint")}
+    # keys are never null, so their slices stay int64 — the coercion below
+    # is a guard (a Python float in a typed int state field nulls silently)
+    int_cols = {c for c in key if ddl0[c] in integral}
+
+    def _untunnel(c):
+        return F.col(c).cast(ddl0[c]).alias(c) if c in tunnel else F.col(c)
 
     def fn(grp_key, pdfs, state):
         import pandas as pd  # noqa: PLC0415 - worker-side import
@@ -1130,6 +1202,17 @@ def _suppress_keyed(
                         continue
                     had_data = True
                     ev = int(ev)
+                    if ev < 0:
+                        # ADVICE r9: engine=None auto-selects this engine,
+                        # which would buffer pre-epoch entries FOREVER
+                        # (Spark floors the watermark at 0, timers never
+                        # fire) — loud beats silently empty
+                        raise ValueError(
+                            "pre-epoch (< 1970) event time in the keyed "
+                            "suppress engine: Spark watermarks cannot go "
+                            "negative, so such entries would never emit — "
+                            "use engine='exact'"
+                        )
                     if hist_ms is None or ev >= hist_ms:
                         # later-wins on ties, in arrival order — the
                         # max_by(ts) fold of to_table
@@ -1184,9 +1267,14 @@ def _suppress_keyed(
     if store_name is not None:
         try:
             state_df = read_state_store(spark0, ckpt)
-            buf = state_df.filter(
-                F.col("value.groupState.__entry_ms").isNotNull()
-            ).select(*[F.col(f"value.groupState.`{c}`").alias(c) for c in cols])
+            buf = state_df.filter(F.col("value.groupState.__entry_ms").isNotNull()).select(
+                *[
+                    F.col(f"value.groupState.`{c}`").cast(ddl0[c]).alias(c)
+                    if c in tunnel
+                    else F.col(f"value.groupState.`{c}`").alias(c)
+                    for c in cols
+                ]
+            )
         except Exception:
             buf = spark0.createDataFrame([], table.df.schema)  # no batch ever ran
         buf.createOrReplaceTempView(store_name)
@@ -1195,7 +1283,7 @@ def _suppress_keyed(
     return (
         spark0.read.parquet(out_dir)
         .filter(F.col("sink_batch") > F.lit(int(prior_batch)))
-        .select(*cols, "__emit_reason", "__emit_batch")
+        .select(*[_untunnel(c) for c in cols], "__emit_reason", "__emit_batch")
     )
 
 
@@ -1429,13 +1517,9 @@ def join_windowed_eager(
     os.makedirs(root, exist_ok=True)
     out_dir = os.path.join(root, "out")
     gen = {"n": _read_gen(root)}
-    if gen["n"] > 0 and checkpoint is None:
-        raise ValueError(
-            f"state dir {root!r} holds eager-join generation {gen['n']} but no "
-            "checkpoint was passed; resuming requires the query's original "
-            "checkpointLocation (or a fresh state_dir)"
-        )
-    ckpt = _checkpoint(checkpoint)
+    ckpt = _bind_state_checkpoint(
+        root, _checkpoint(checkpoint), gen["n"] > 0, f"eager-join generation {gen['n']}"
+    )
     prior_batch = _last_committed(ckpt)
     tagged = left.df.select(
         F.lit(1).alias("__side"),
@@ -1524,29 +1608,37 @@ def join_table_asof_streaming(
     history) by key — bounded by history size, not stream length; prune the
     history first with ``VersionedKTable.retain`` (the historyRetention
     analog).  Drains with availableNow and returns the accumulated result.
+
+    Exactly-once: each microbatch OVERWRITES its own ``sink_batch=<id>``
+    partition (a crash-replayed batch rewrites itself instead of appending
+    duplicates), and the out dir is bound to its checkpoint like every other
+    state loop — a fresh or foreign checkpoint would renumber batch ids over
+    stale partitions.
     """
     if not stream.df.isStreaming:
         raise ValueError("join_table_asof_streaming requires a streaming stream side")
     root = out_dir or tempfile.mkdtemp(prefix="pse-asof-")
+    os.makedirs(root, exist_ok=True)
+    ckpt = _bind_state_checkpoint(
+        root, _checkpoint(checkpoint), _has_emissions(root), "prior as-of join output"
+    )
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         ks = KStream(batch, stream.key, stream.ts)
         out = ks.join_table_asof(
             table, how=how, tolerance_ms=tolerance_ms, matched_ts=matched_ts
         )
-        out.df.write.mode("append").parquet(root)
+        out.df.write.mode("overwrite").parquet(os.path.join(root, f"sink_batch={batch_id}"))
 
     q = (
         stream.df.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", _checkpoint(checkpoint))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     spark = stream.df.sparkSession
-    if not any(f.endswith(".parquet") for f in os.listdir(root)) and not os.path.exists(
-        os.path.join(root, "_SUCCESS")
-    ):
+    if not _has_emissions(root):
         # no microbatch fired (empty stream): schema-correct empty result
         empty = KStream(
             spark.createDataFrame([], stream.df.schema), stream.key, stream.ts
@@ -1554,7 +1646,7 @@ def join_table_asof_streaming(
         return empty.join_table_asof(
             table, how=how, tolerance_ms=tolerance_ms, matched_ts=matched_ts
         ).df
-    return spark.read.parquet(root)
+    return spark.read.parquet(root).drop("sink_batch")
 
 
 def cogroup_streaming(
@@ -1614,12 +1706,12 @@ def cogroup_streaming(
         side_root = os.path.join(root, f"side-{i}")
         os.makedirs(side_root, exist_ok=True)
         gen = {"n": _read_gen(side_root)}  # survives a restart on the same checkpoint
-        if gen["n"] > 0 and checkpoint is None:
-            raise ValueError(
-                f"state dir {side_root!r} holds cogroup-state generation {gen['n']} "
-                "but no checkpoint was passed; resuming requires the query's "
-                "original checkpointLocation (or a fresh state_dir)"
-            )
+        side_ckpt = _bind_state_checkpoint(
+            side_root,
+            _checkpoint(None if checkpoint is None else os.path.join(checkpoint, f"side-{i}")),
+            gen["n"] > 0,
+            f"cogroup-state generation {gen['n']}",
+        )
 
         def _apply(batch: DataFrame, batch_id: int, side_root=side_root, gen=gen, kcols=tuple(grouped.key)):
             if batch_id <= _read_applied(side_root):
@@ -1639,10 +1731,7 @@ def cogroup_streaming(
         q = (
             agg_df.writeStream.outputMode("update")
             .foreachBatch(_apply)
-            .option(
-                "checkpointLocation",
-                _checkpoint(None if checkpoint is None else os.path.join(checkpoint, f"side-{i}")),
-            )
+            .option("checkpointLocation", side_ckpt)
             .trigger(availableNow=True)
             .start()
         )

@@ -717,6 +717,55 @@ def test_stream_stream_interval_join_parity(spark):
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
 
 
+def test_ss_join_hook_bypassed_by_explicit_watermark(spark):
+    """r9 verdict item 6 / f35e008 hook scope: the async driver's eager
+    stream-stream join hook must NOT hijack a plan carrying an explicit
+    user watermark — that watermark asks for the native watermark-gated
+    (emit-at-window-close) semantics.  One watermarked side suffices to
+    bypass; an unwatermarked join under the same hook IS routed to it; and
+    the bypassed native inner join still matches the batch interval join."""
+    from pyspark_engine import JoinWindowOptions
+    from pyspark_engine.dsl import _SS_JOIN_HOOK
+
+    def sides(ks):
+        clicks = ks.filter(F.col("event_type") == "click").map(
+            key={"user_id": F.col("user_id")}, values={"l_id": F.col("event_id")}
+        )
+        purchases = ks.filter(F.col("event_type") == "purchase").map(
+            key={"r_user": F.col("user_id")}, values={"r_id": F.col("event_id")}
+        ).rename(ts="r_ts")
+        return clicks, purchases
+
+    w = JoinWindowOptions.of(30 * 60 * 1000)
+    taken = []
+
+    def fake_hook(left, right, window, how, ts_alias):
+        taken.append(how)
+        raise RuntimeError("hook taken")
+
+    lc, rp = sides(_events_stream(spark))
+    tok = _SS_JOIN_HOOK.set(fake_hook)
+    try:
+        # one explicitly watermarked side bypasses the hook for every how
+        for how in ("inner", "left", "full"):
+            joined = lc.with_watermark("1 hour").join(rp, w, how=how)
+            assert joined.df.isStreaming
+        # no user watermark: the hook is the async conformance path
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="hook taken"):
+            lc.join(rp, w, how="left")
+        assert taken == ["left"]
+        native = lc.with_watermark("1 hour").join(rp.with_watermark("1 hour"), w, how="inner")
+    finally:
+        _SS_JOIN_HOOK.reset(tok)
+    got = run_available_now(native, output_mode="append")
+    blc, brp = sides(_events_batch(spark))
+    want = blc.join(brp, w, how="inner").df
+    cols = ["user_id", "l_id", "r_id"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
+
+
 def test_streaming_dedup_within_watermark(spark):
     """Replay events twice (planted exact dups); state-bounded streaming
     dedup must recover the single-copy batch row set."""
@@ -864,6 +913,97 @@ def test_suppress_until_time_limit_streaming(spark, tmp_path, engine):
     assert rows["a"]["__emit_batch"] == 1 and rows["b"]["__emit_batch"] == 1
     assert rows["c"]["__emit_batch"] == 2
     assert [r["k"] for r in spark.table("sup_buf").collect()] == ["d"]
+
+
+@pytest.mark.parametrize("engine", ["keyed", "exact"])
+def test_suppress_nullable_bigint_precision(spark, tmp_path, engine):
+    """r9 verdict item 2: a bigint value column containing REAL nulls in
+    data rows forces the whole Arrow column to float64 on the way into the
+    keyed engine's state fn, so int(float) silently corrupted values past
+    2^53.  Both engines must round-trip 2^53+1 exactly alongside null
+    values and null-bearing rows must emit with their nulls intact."""
+    import datetime as dt
+
+    from pyspark_engine.streaming import suppress_buffered
+
+    big = (1 << 53) + 1  # int(float(big)) == big - 1: detects any float hop
+    neg_big = -(1 << 53) - 3
+
+    def t(m, s=0):
+        return dt.datetime(2024, 1, 1, 10, m, s)
+
+    src = str(tmp_path / "src")
+    schema = "k string, v bigint, n int, ts timestamp"
+    _write_source_file(
+        spark,
+        [
+            ("a", big, None, t(0)),
+            ("b", None, 7, t(0, 10)),
+            ("c", neg_big, None, t(0, 20)),
+            # e mixes a NULL and a >2^53 value in the SAME key's Arrow
+            # column slice — the exact float64-conversion trigger
+            ("e", None, 1, t(0, 30)),
+            ("e", big, 2, t(0, 40)),
+        ],
+        schema,
+        src,
+        0,
+    )
+    _write_source_file(spark, [("d", 1, 1, t(3))], schema, src, 1)
+
+    sb = StreamingBuilder(spark)
+    tbl = (
+        sb.file_stream(src, key="k", ts="ts", max_files_per_trigger=1)
+        .to_table()
+        .suppress(until_time_limit_ms=60_000)
+    )
+    got = suppress_buffered(tbl, time_col="ts", store_name=f"bigint_buf_{engine}", engine=engine)
+    rows = {r["k"]: r for r in got.collect()}
+    assert set(rows) == {"a", "b", "c", "e"}
+    assert rows["a"]["v"] == big and rows["a"]["n"] is None
+    assert rows["b"]["v"] is None and rows["b"]["n"] == 7
+    assert rows["c"]["v"] == neg_big
+    assert rows["e"]["v"] == big and rows["e"]["n"] == 2
+    assert dict(got.dtypes)["v"] == "bigint" and dict(got.dtypes)["n"] == "int"
+    # the interactive-query store view must round-trip types and values too
+    # (the keyed engine reads them back out of the string-tunneled state)
+    buf = spark.table(f"bigint_buf_{engine}")
+    assert dict(buf.dtypes)["v"] == "bigint"
+    assert [(r["k"], r["v"]) for r in buf.collect()] == [("d", 1)]
+
+
+def test_suppress_keyed_rejects_pre_epoch_event_times(spark, tmp_path):
+    """ADVICE r9: engine=None auto-selects the keyed engine, whose Spark
+    watermark is floored at 0 — pre-epoch (< 1970) event times would sit
+    buffered forever and the drain returned silently empty.  The state fn
+    now raises loudly, pointing at engine='exact' (which handles them: its
+    stream-time fold is plain Python ints)."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark_engine.streaming import suppress_buffered
+
+    src = str(tmp_path / "src")
+    schema = "k string, v int, ts timestamp"
+    rows = [("a", 1, dt.datetime(1960, 1, 1)), ("b", 1, dt.datetime(1960, 1, 2))]
+    _write_source_file(spark, rows, schema, src, 0)
+    sb = StreamingBuilder(spark)
+
+    def mk():
+        return (
+            sb.file_stream(src, key="k", ts="ts")
+            .to_table()
+            .suppress(until_time_limit_ms=60_000)
+        )
+
+    with _pytest.raises(Exception, match="pre-epoch"):
+        suppress_buffered(mk(), time_col="ts", engine="keyed")
+    # the exact engine handles the same changelog: both due at drain end?
+    # no — nothing advances past entry+limit (only two pre-epoch points a
+    # day apart, limit 60 s): 1960-01-02 stream time makes 'a' due
+    got = suppress_buffered(mk(), time_col="ts", engine="exact")
+    assert [r["k"] for r in got.collect()] == ["a"]
 
 
 def test_suppress_buffer_bounds_emit_early_and_shutdown(spark, tmp_path):
@@ -1777,6 +1917,38 @@ def test_kafka_smoke_helpers_offline(spark):
     assert ksm.latest_counts_from_wire(decoded) == {5: 3, 6: 9}
 
 
+def test_kafka_smoke_live_calls_bind_to_current_surface(spark):
+    """r9 verdict item 7: the smoke script's LIVE-path invocations
+    (scripts/kafka_smoke.py main(), the only part not driven offline) must
+    fail a TEST on API drift, not the demo on a cluster.  Each call below
+    mirrors the script's argument shape verbatim and is bound against the
+    current signature (binding validates names/arity without a broker)."""
+    import inspect
+
+    from pyspark_engine import serdes
+    from pyspark_engine.streaming import StreamingBuilder, start_to_kafka
+
+    # kafka_smoke.py step 1: encode_kafka(records, key_col=, value_cols=)
+    inspect.signature(serdes.encode_kafka).bind(
+        object(), key_col="user_id", value_cols=["user_id", "amount"]
+    )
+    # step 2: sb.kafka_stream(bootstrap, topic, VALUE_SCHEMA, key_type=, ts_alias=)
+    inspect.signature(StreamingBuilder.kafka_stream).bind(
+        object(), "host:9092", "topic-in", "user_id long, amount double",
+        key_type="long", ts_alias="ts",
+    )
+    # step 2: start_to_kafka(counted, bootstrap, topic=, key_col=, value_cols=,
+    #                        output_mode=, available_now=)
+    inspect.signature(start_to_kafka).bind(
+        object(), "host:9092", topic="t-out", key_col="key", value_cols=["cnt"],
+        output_mode="update", available_now=True,
+    )
+    # step 3: decode_kafka(raw, COUNT_SCHEMA, key_type=, include_meta=)
+    inspect.signature(serdes.decode_kafka).bind(
+        object(), "cnt long", key_type="long", include_meta=True
+    )
+
+
 def test_kafka_smoke_wire_pairing_offline(spark):
     """The smoke script's encode/decode pairing, emulated offline: batch
     records through the SAME serdes.encode_kafka call the script's PRODUCE
@@ -2172,6 +2344,99 @@ def test_changelog_join_refuses_resume_without_checkpoint(spark, tmp_path):
     cogroup_streaming(cg(), state_dir=cstate, checkpoint=cckpt)
     with _pytest.raises(ValueError, match="checkpoint"):
         cogroup_streaming(cg(), state_dir=cstate)
+
+
+def test_state_dir_refuses_mismatched_checkpoint(spark, tmp_path):
+    """r9 verdict item 3: a populated state dir paired with a WRONG-but-
+    existing checkpoint (from a different query) must be refused on every
+    state loop — batch ids from a foreign commits log would silently skip
+    or re-deliver.  The reference cannot mispair them (changelog topics are
+    keyed by appId+store, core/State/Logging/
+    ChangeLoggingTimestampedKeyValueBytesStore.cs:8).  Also the reverse:
+    a bound checkpoint offered against a fresh state dir is refused."""
+    import datetime as dt
+    import os
+
+    import pytest as _pytest
+
+    from pyspark_engine.streaming import (
+        StreamingBuilder,
+        cogroup_streaming,
+        join_table_asof_streaming,
+        join_tables_streaming,
+        join_windowed_eager,
+        suppress_buffered,
+    )
+    from pyspark_engine.windows import JoinWindowOptions
+
+    def t(m, s=0):
+        return dt.datetime(2024, 1, 1, 0, m, s)
+
+    sb = StreamingBuilder(spark)
+    ldf = spark.createDataFrame([(1, "a", t(0))], "lk int, lv string, lts timestamp")
+    rdf = spark.createDataFrame([(1, "x", t(0))], "rk int, rv string, rts timestamp")
+    ldf.write.parquet(str(tmp_path / "l"))
+    rdf.write.parquet(str(tmp_path / "r"))
+
+    def sides():
+        return (
+            sb.file_stream(str(tmp_path / "l"), key="lk", ts="lts"),
+            sb.file_stream(str(tmp_path / "r"), key="rk", ts="rts"),
+        )
+
+    def paths(name, run):
+        return str(tmp_path / f"{name}-state-{run}"), str(tmp_path / f"{name}-ck-{run}")
+
+    def run_loop(name, state, ckpt):
+        if name == "join_tables":
+            l, r = sides()
+            return join_tables_streaming(l, r, how="inner", state_dir=state, checkpoint=ckpt)
+        if name == "eager_join":
+            l, r = sides()
+            return join_windowed_eager(
+                l, r, JoinWindowOptions.of(60_000), how="inner",
+                state_dir=state, checkpoint=ckpt,
+            )
+        if name == "cogroup":
+            ks = sb.file_stream(str(tmp_path / "l"), key="lk")
+            cg = ks.group_by_key().cogroup(total=F.count("lv"))
+            return cogroup_streaming(cg, state_dir=state, checkpoint=ckpt)
+        if name == "asof":
+            from pyspark_engine import StreamBuilder as BatchBuilder
+
+            ks = sb.file_stream(str(tmp_path / "l"), key="lk", ts="lts")
+            hist = spark.createDataFrame([(1, "x", t(0))], "lk int, rv string, rts timestamp")
+            vt = BatchBuilder(spark).versioned_table(hist, key="lk", ts="rts")
+            return join_table_asof_streaming(ks, vt, how="left", out_dir=state, checkpoint=ckpt)
+        # suppress engines
+        src = str(tmp_path / "sup-src")
+        if not os.path.isdir(src):
+            _write_source_file(
+                spark, [("a", 1, t(0)), ("b", 1, t(3))], "k string, v int, ts timestamp", src, 0
+            )
+        tbl = sb.file_stream(src, key="k", ts="ts").to_table().suppress(until_time_limit_ms=60_000)
+        return suppress_buffered(
+            tbl, time_col="ts", state_dir=state, checkpoint=ckpt,
+            engine="keyed" if name == "sup_keyed" else "exact",
+        )
+
+    loops = ["join_tables", "eager_join", "cogroup", "asof", "sup_keyed", "sup_exact"]
+    for name in loops:
+        state_a, ckpt_a = paths(name, "a")
+        state_b, ckpt_b = paths(name, "b")
+        run_loop(name, state_a, ckpt_a)
+        run_loop(name, state_b, ckpt_b)
+        # loop A's state with loop B's checkpoint: descriptive refusal
+        with _pytest.raises(ValueError, match="different checkpoint"):
+            run_loop(name, state_a, ckpt_b)
+        # the original pair still resumes fine after the refusal
+        run_loop(name, state_a, ckpt_a)
+
+    # reverse direction (one loop suffices — shared helper): a checkpoint
+    # already bound elsewhere, offered against a brand-new state dir
+    state_a, ckpt_a = paths("join_tables", "a")
+    with _pytest.raises(ValueError, match="already bound"):
+        run_loop("join_tables", str(tmp_path / "fresh-state"), ckpt_a)
 
 
 @pytest.mark.parametrize("engine", ["keyed", "exact"])
