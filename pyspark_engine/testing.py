@@ -33,6 +33,7 @@ import tempfile
 import uuid
 from collections import Counter
 from collections.abc import Callable, Iterable, Mapping
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
@@ -226,6 +227,28 @@ class TestOutputTopic:
             k = tuple(r[c] for c in key)
             out[k[0] if len(k) == 1 else k] = {c: r[c] for c in df.columns if c not in key}
         return out
+
+
+def stage_generation_file(
+    df: DataFrame, dest_dir: str, seq: int, mtime_base: int = 1_700_000_000
+) -> str:
+    """Write ``df`` as ONE parquet generation file ``gen-<seq>.parquet`` in
+    ``dest_dir`` — the canonical staging protocol for every generation-log
+    producer (the async driver's topic logs, the scale scripts, the test
+    sources).  Stages into an underscore-prefixed dir (which Spark's file
+    listing ignores) then renames, so a streaming file source never sees a
+    partial file; stamps a deterministic mtime because the file source
+    batches oldest-first (one file per microbatch under
+    maxFilesPerTrigger=1)."""
+    os.makedirs(dest_dir, exist_ok=True)
+    stage = os.path.join(dest_dir, f"_stage-{seq}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+    dst = os.path.join(dest_dir, f"gen-{seq:06d}.parquet")
+    os.rename(os.path.join(stage, part), dst)
+    shutil.rmtree(stage)
+    os.utime(dst, (mtime_base + seq, mtime_base + seq))
+    return dst
 
 
 def _sort_key(v):
@@ -630,13 +653,7 @@ class TopologyTestDriver:
                 [_coerce_ts(dict(r), log, self.spark) for r in pending], log.schema
             )
             topic_dir = self._topic_dir(name)  # resolves self._root on first use
-            stage = os.path.join(self._root, "_stage", name, str(gen))
-            df.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = next(f for f in os.listdir(stage) if f.startswith("part-"))
-            dst = os.path.join(topic_dir, f"gen-{gen:06d}.parquet")
-            os.rename(os.path.join(stage, part), dst)
-            # deterministic mod-times: the file source batches oldest-first
-            os.utime(dst, (1_700_000_000 + gen, 1_700_000_000 + gen))
+            stage_generation_file(df, topic_dir, gen)
             log.sealed = len(log.rows)
 
     def _topic_stream_df(self, name: str) -> DataFrame:
@@ -671,15 +688,16 @@ class TopologyTestDriver:
             mode = "append"
         _check_emit_final(obj, df, mode)
         name = f"attd_{uuid.uuid4().hex[:10]}"
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .option("checkpointLocation", _checkpoint(None))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with self._progress_cap():
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .option("checkpointLocation", _checkpoint(None))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         self._harvest_observations(q)
         self._mem_tables.append(name)
         try:
@@ -695,6 +713,32 @@ class TopologyTestDriver:
                 else "streaming"
             )
         return out
+
+    @contextmanager
+    def _progress_cap(self):
+        """Raise the progress-event retention around a DRAIN (not the
+        topology build — the r9 advisor found the build-scoped override was
+        restored before any drain started, so the default cap of 100 still
+        applied and a long drain tripped _harvest_observations' loud
+        undercount guard).  recentProgress retention is fixed at query
+        start, so the conf must hold across .start(); it is restored as
+        soon as the drain terminates — the session is caller-owned."""
+        if not getattr(self, "_observations", None):
+            yield  # no registered Observations: nothing reads recentProgress
+            return
+        key = "spark.sql.streaming.numRecentProgressUpdates"
+        try:
+            prev = self.spark.conf.get(key)
+        except Exception:
+            prev = None
+        self.spark.conf.set(key, "10000")
+        try:
+            yield
+        finally:
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
 
     def _harvest_observations(self, q) -> None:
         """Fill registered Observation objects from a finished drain's
@@ -851,19 +895,6 @@ class TopologyTestDriver:
                 tok_ss = _dsl._SS_JOIN_HOOK.set(self._ss_join_stream)
                 self._observations = {}
                 tok_obs = _dsl._OBSERVE_REGISTRY.set(self._observations)
-                # Observation totals are summed over progress events: keep
-                # every microbatch's event retained (default cap is 100).
-                # Previous value restored with the hook tokens below — the
-                # session is caller-owned.
-                try:
-                    prev_cap = self.spark.conf.get(
-                        "spark.sql.streaming.numRecentProgressUpdates"
-                    )
-                except Exception:
-                    prev_cap = None
-                self.spark.conf.set(
-                    "spark.sql.streaming.numRecentProgressUpdates", "10000"
-                )
             try:
                 self._terminals = dict(self._topology(_TestBuilder(self)))
             finally:
@@ -872,14 +903,6 @@ class TopologyTestDriver:
                     _dsl._ASOF_STREAM_HOOK.reset(tok_asof)
                     _dsl._OBSERVE_REGISTRY.reset(tok_obs)
                     _dsl._SS_JOIN_HOOK.reset(tok_ss)
-                    if prev_cap is None:
-                        self.spark.conf.unset(
-                            "spark.sql.streaming.numRecentProgressUpdates"
-                        )
-                    else:
-                        self.spark.conf.set(
-                            "spark.sql.streaming.numRecentProgressUpdates", prev_cap
-                        )
             self._dirty = False
             if self.mode == "async" and (self._snapshot_tables or self._hook_fired):
                 # bootstrapped snapshots are pinned at build time; new pipes

@@ -31,20 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 from pyspark_engine.runtime import build_session
 from pyspark_engine.streaming import StreamingBuilder, suppress_buffered
+from pyspark_engine.testing import stage_generation_file
 
 ROOT = "/tmp/pse-suppress-scale"
 BASE_TS = dt.datetime(2024, 1, 1)
-
-
-def _write_gen_file(spark, rows, schema, src, seq):
-    os.makedirs(src, exist_ok=True)
-    stage = os.path.join(src, f"_stage{seq}")
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(stage)
-    part = next(f for f in os.listdir(stage) if f.startswith("part-"))
-    dst = os.path.join(src, f"gen-{seq:06d}.parquet")
-    os.rename(os.path.join(stage, part), dst)
-    os.utime(dst, (1_700_000_000 + seq, 1_700_000_000 + seq))
-    shutil.rmtree(stage)
 
 
 def measure(spark, engine: str, n_keys: int, n_batches: int) -> dict:
@@ -56,19 +46,15 @@ def measure(spark, engine: str, n_keys: int, n_batches: int) -> dict:
     ckpt = os.path.join(root, "ckpt")
     schema = "k string, v int, ts timestamp"
 
-    # one N-key generation fills the buffer (limit far in the future)
+    # one N-key generation fills the buffer (limit far in the future);
+    # staged by the engine's own generation-file protocol so the scale
+    # evidence cannot drift from the production write path (r9 item 4)
     bulk = spark.range(n_keys).select(
         F.concat(F.lit("k"), F.col("id")).alias("k"),
         F.col("id").cast("int").alias("v"),
         F.lit(BASE_TS).cast("timestamp").alias("ts"),
     )
-    os.makedirs(src, exist_ok=True)
-    stage = os.path.join(src, "_stage0")
-    bulk.coalesce(1).write.mode("overwrite").parquet(stage)
-    part = next(f for f in os.listdir(stage) if f.startswith("part-"))
-    os.rename(os.path.join(stage, part), os.path.join(src, "gen-000000.parquet"))
-    os.utime(os.path.join(src, "gen-000000.parquet"), (1_700_000_000, 1_700_000_000))
-    shutil.rmtree(stage)
+    stage_generation_file(bulk, src, 0)
 
     sb = StreamingBuilder(spark)
 
@@ -84,10 +70,8 @@ def measure(spark, engine: str, n_keys: int, n_batches: int) -> dict:
 
     # B single-key microbatches; time the resumed incremental drain
     for i in range(1, n_batches + 1):
-        _write_gen_file(
-            spark,
-            [(f"extra{i}", i, BASE_TS + dt.timedelta(seconds=i))],
-            schema,
+        stage_generation_file(
+            spark.createDataFrame([(f"extra{i}", i, BASE_TS + dt.timedelta(seconds=i))], schema),
             src,
             i,
         )

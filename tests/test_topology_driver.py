@@ -220,3 +220,50 @@ def test_broken_topology_error_propagates_from_store_read(spark):
     with TopologyTestDriver(spark, _filter_topology) as d:
         d.create_input_topic("test")
         assert d.get_key_value_store("nope", key="k") is None
+
+
+def test_observe_harvest_survives_low_progress_retention(spark, driver_mode):
+    """ADVICE r9 (medium): the numRecentProgressUpdates bump was scoped
+    around the topology BUILD, but recentProgress retention is fixed when a
+    drain query STARTS — so an observed async drain of more microbatches
+    than the session cap tripped _harvest_observations' loud undercount
+    guard.  The override now wraps each drain: with the session cap forced
+    to 2, a 3-microbatch observed drain must still produce exact totals,
+    and the cap must be restored afterwards."""
+    from pyspark.sql import Observation
+
+    if driver_mode == "sync":
+        pytest.skip(
+            "multi-read Observation reuse exists only in the async driver's "
+            "named-observe rewrite; the sync rebuild would re-attach the "
+            "same Observation (REUSE_OBSERVATION)"
+        )
+    key = "spark.sql.streaming.numRecentProgressUpdates"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "2")
+    try:
+        obs = Observation()
+
+        def topo(b):
+            return {"out": b.stream("topic", key="key", ts="ts").observe(obs)}
+
+        with TopologyTestDriver(spark, topo) as d:
+            inp = d.create_input_topic("topic")
+            out = d.create_output_topic("out")
+            seen = []
+            for i in range(3):  # one generation per pipe->read cycle
+                inp.pipe_input(f"k{i}", f"V{i}")
+                seen += out.read_key_value_list()
+            assert len(seen) == 3
+            # the last drain reprocessed the FULL 3-generation log: exact
+            # totals despite the session cap of 2
+            assert obs.get["records"] == 3
+        assert spark.conf.get(key) == "2"  # drain-scoped override restored
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
