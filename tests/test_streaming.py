@@ -860,17 +860,11 @@ def test_tt_join_streaming_parity(spark, tmp_path):
 
 def _write_source_file(spark, rows, schema, src_dir, seq):
     """One parquet file per microbatch, mtime-ordered so the file source
-    replays them as separate batches (maxFilesPerTrigger=1)."""
-    import os
+    replays them as separate batches (maxFilesPerTrigger=1) — the engine's
+    canonical staging protocol."""
+    from pyspark_engine.testing import stage_generation_file
 
-    os.makedirs(src_dir, exist_ok=True)
-    df = spark.createDataFrame(rows, schema)
-    stage = os.path.join(src_dir, f"_stage{seq}")
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    part = next(f for f in os.listdir(stage) if f.startswith("part-"))
-    dst = os.path.join(src_dir, f"gen-{seq:03d}.parquet")
-    os.rename(os.path.join(stage, part), dst)
-    os.utime(dst, (1_700_000_000 + seq, 1_700_000_000 + seq))
+    stage_generation_file(spark.createDataFrame(rows, schema), src_dir, seq)
 
 
 @pytest.mark.parametrize("engine", ["keyed", "exact"])
