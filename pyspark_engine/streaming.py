@@ -184,12 +184,21 @@ def _bind_state_checkpoint(root: str, ckpt: str, populated: bool, what: str) -> 
     ``<ckpt>/_PSE_BIND``; thereafter the pair must match:
 
       * tokens match — resume OK;
-      * state dir populated, checkpoint missing/mismatched — refused (covers
-        both the old checkpoint=None hole and the wrong-checkpoint hole);
-      * state dir fresh or unpopulated, checkpoint already bound elsewhere —
-        refused (its committed batches would be skipped against empty state);
+      * state dir populated + bound, checkpoint missing/mismatched — refused
+        (covers both the old checkpoint=None hole and the wrong-checkpoint
+        hole);
+      * state dir populated but UNBOUND (created before the marker protocol)
+        — adopted iff the offered checkpoint is also unbound and its commit
+        cursor is consistent with the state dir's applied cursor (committed
+        ∈ {applied, applied−1}, or the loop keeps no _GEN cursor); a fresh
+        or inconsistent checkpoint is refused.  Adoption is one-time: the
+        pair is bound on success, so only legacy dirs ever take this path;
+      * checkpoint bound elsewhere, or unbound but already holding committed
+        batches, offered against a fresh/unpopulated state dir — refused
+        (its committed batches would be skipped against empty state);
       * state dir bound but never populated (crash before the first fold) —
-        re-bound to the offered checkpoint.
+        re-bound to the offered checkpoint (unless that checkpoint already
+        has foreign commits, refused above).
 
     Returns ``ckpt`` so call sites can bind and resolve in one expression."""
     s_path = os.path.join(root, "_PSE_BIND")
@@ -197,26 +206,41 @@ def _bind_state_checkpoint(root: str, ckpt: str, populated: bool, what: str) -> 
     sbind, cbind = _read_bind(s_path), _read_bind(c_path)
     if sbind is not None and sbind == cbind:
         return ckpt
+    committed = _last_committed(ckpt)
     if populated:
         if sbind is None:
+            # legacy (pre-marker) state dir: adopt its original checkpoint —
+            # recognizable as unbound-with-commits whose commit cursor lines
+            # up with the state dir's applied cursor (equal after a clean
+            # stop; committed = applied-1 when the last fold committed its
+            # state but crashed before the checkpoint commit)
+            applied = _read_applied(root)
+            if cbind is None and committed >= 0 and (
+                applied == -1 or committed in (applied, applied - 1)
+            ):
+                pass  # fall through to bind the adopted pair
+            else:
+                raise ValueError(
+                    f"state dir {root!r} holds {what} but no _PSE_BIND marker, and "
+                    f"the offered checkpoint (committed batch {committed}, "
+                    f"{'un' if cbind is None else ''}bound) is not recognizably its "
+                    "original — refusing to pair; pass the original checkpoint or a "
+                    "fresh state_dir"
+                )
+        else:
             raise ValueError(
-                f"state dir {root!r} holds {what} but no _PSE_BIND marker — it was "
-                "not created by this loop (or the marker was removed); refusing to "
-                "pair it with any checkpoint, pass a fresh state_dir"
+                f"state dir {root!r} holds {what} bound to a different checkpoint "
+                f"(state bind {sbind[:8]}, offered checkpoint bind "
+                f"{cbind[:8] if cbind else 'none'}): its batch ids would renumber or "
+                "skip and silently drop or re-deliver data; resuming requires the "
+                "query's original checkpointLocation (or a fresh state_dir)"
             )
+    elif cbind is not None or committed >= 0:
         raise ValueError(
-            f"state dir {root!r} holds {what} bound to a different checkpoint "
-            f"(state bind {sbind[:8]}, offered checkpoint bind "
-            f"{cbind[:8] if cbind else 'none'}): its batch ids would renumber or "
-            "skip and silently drop or re-deliver data; resuming requires the "
-            "query's original checkpointLocation (or a fresh state_dir)"
-        )
-    if cbind is not None:
-        raise ValueError(
-            f"checkpoint {ckpt!r} is already bound to a different {what} state dir "
-            f"(bind {cbind[:8]}); resuming it against this state dir would skip its "
-            "committed batches' folds — pass the original state_dir or a fresh "
-            "checkpoint"
+            f"checkpoint {ckpt!r} already belongs to a different {what} run "
+            f"({'bind ' + cbind[:8] if cbind else f'committed batch {committed}, unbound'}); "
+            "resuming it against this fresh state dir would skip its committed "
+            "batches' folds — pass the original state_dir or a fresh checkpoint"
         )
     token = uuid.uuid4().hex
     os.makedirs(root, exist_ok=True)
@@ -1202,16 +1226,17 @@ def _suppress_keyed(
                         continue
                     had_data = True
                     ev = int(ev)
-                    if ev < 0:
+                    if ev <= 0:
                         # ADVICE r9: engine=None auto-selects this engine,
                         # which would buffer pre-epoch entries FOREVER
-                        # (Spark floors the watermark at 0, timers never
-                        # fire) — loud beats silently empty
+                        # (Spark floors the watermark at 0 and this fn reads
+                        # wm == 0 as "none yet", so epoch-0 exactly is just
+                        # as undeliverable) — loud beats silently empty
                         raise ValueError(
-                            "pre-epoch (< 1970) event time in the keyed "
-                            "suppress engine: Spark watermarks cannot go "
-                            "negative, so such entries would never emit — "
-                            "use engine='exact'"
+                            "pre-epoch (<= 1970-01-01T00:00:00) event time "
+                            "in the keyed suppress engine: Spark watermarks "
+                            "cannot advance past it, so such entries would "
+                            "never emit — use engine='exact'"
                         )
                     if hist_ms is None or ev >= hist_ms:
                         # later-wins on ties, in arrival order — the
@@ -1619,6 +1644,15 @@ def join_table_asof_streaming(
         raise ValueError("join_table_asof_streaming requires a streaming stream side")
     root = out_dir or tempfile.mkdtemp(prefix="pse-asof-")
     os.makedirs(root, exist_ok=True)
+    if any(e.startswith("part-") or e == "_SUCCESS" for e in os.listdir(root)):
+        # pre-exactly-once layout (flat appended part files): new
+        # sink_batch=<id> partitions next to them would make the final read
+        # see conflicting directory structures — and the flat rows carry no
+        # batch identity to replay-protect
+        raise ValueError(
+            f"out dir {root!r} holds flat append-mode output from the "
+            "pre-exactly-once as-of join; pass a fresh out_dir"
+        )
     ckpt = _bind_state_checkpoint(
         root, _checkpoint(checkpoint), _has_emissions(root), "prior as-of join output"
     )

@@ -153,7 +153,13 @@ def box_state() -> dict:
 
 def run_full_pytest(env: dict) -> tuple[int, str]:
     """The whole suite, not just the gate test: a red test anywhere at the
-    evidence commit fails the round bar even if every artifact is fresh."""
+    evidence commit fails the round bar even if every artifact is fresh.
+
+    PSE_CLOSE_ROUND is stripped for this inner run: with it set, the suite's
+    --verify gate test would fail against the necessarily-stale evidence this
+    very script is about to regenerate — a deadlock.  The gate test runs
+    AFTER the refreshed artifacts are committed, per the round-close recipe."""
+    env = {k: v for k, v in env.items() if k != "PSE_CLOSE_ROUND"}
     r = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "-q", "--no-header", "-p", "no:cacheprovider"],
         cwd=REPO, env=env, capture_output=True, text=True,

@@ -148,3 +148,16 @@ def test_close_round_generate_requires_green_pytest(tmp_path):
 
     r = generate({"PSE_SKIP_PYTEST": "1"})
     assert "SKIPPED (PSE_SKIP_PYTEST=1" in r.stdout, r.stdout
+
+    # review finding (r10): PSE_CLOSE_ROUND must be STRIPPED for the inner
+    # pytest — with it set, the suite's own --verify gate test would fail
+    # against the evidence generate() is about to regenerate (a deadlock).
+    # The sentinel test fails iff the var leaks through.
+    (repo / "tests" / "test_env.py").write_text(
+        "import os\n\ndef test_close_round_env_stripped():\n"
+        "    assert os.environ.get('PSE_CLOSE_ROUND') != '1'\n"
+    )
+    git("add", "-A")
+    git("commit", "-qm", "env sentinel")
+    r = generate({"PSE_CLOSE_ROUND": "1"})
+    assert "green suite" not in r.stdout and "correctness" in r.stdout, r.stdout

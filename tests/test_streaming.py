@@ -993,6 +993,18 @@ def test_suppress_keyed_rejects_pre_epoch_event_times(spark, tmp_path):
 
     with _pytest.raises(Exception, match="pre-epoch"):
         suppress_buffered(mk(), time_col="ts", engine="keyed")
+
+    # review finding (r10): epoch 0 EXACTLY is just as undeliverable (the
+    # engine reads watermark 0 as "none yet"), so the guard is <= 0
+    src0 = str(tmp_path / "src0")
+    _write_source_file(spark, [("z", 1, dt.datetime(1970, 1, 1))], schema, src0, 0)
+    tbl0 = (
+        sb.file_stream(src0, key="k", ts="ts")
+        .to_table()
+        .suppress(until_time_limit_ms=60_000)
+    )
+    with _pytest.raises(Exception, match="pre-epoch"):
+        suppress_buffered(tbl0, time_col="ts", engine="keyed")
     # the exact engine handles the same changelog: both due at drain end?
     # no — nothing advances past entry+limit (only two pre-epoch points a
     # day apart, limit 60 s): 1960-01-02 stream time makes 'a' due
@@ -2429,8 +2441,75 @@ def test_state_dir_refuses_mismatched_checkpoint(spark, tmp_path):
     # reverse direction (one loop suffices — shared helper): a checkpoint
     # already bound elsewhere, offered against a brand-new state dir
     state_a, ckpt_a = paths("join_tables", "a")
-    with _pytest.raises(ValueError, match="already bound"):
+    with _pytest.raises(ValueError, match="already belongs"):
         run_loop("join_tables", str(tmp_path / "fresh-state"), ckpt_a)
+
+
+def test_legacy_unbound_state_adoption_and_commit_guard(spark, tmp_path):
+    """Review findings (r10) on the bind protocol's edges: (a) a populated
+    state dir that predates the _PSE_BIND markers (simulated by deleting
+    them) must ADOPT its original checkpoint — recognized by commit/applied
+    cursor consistency — and refuse a fresh one; (b) an UNBOUND checkpoint
+    that already holds committed batches is refused against a fresh state
+    dir (previously it silently re-bound and Spark skipped its committed
+    batches over empty state); (c) a pre-exactly-once flat as-of out dir is
+    refused outright (mixing layouts would break the final read)."""
+    import datetime as dt
+    import os
+
+    import pytest as _pytest
+
+    from pyspark_engine.streaming import (
+        StreamingBuilder,
+        join_table_asof_streaming,
+        join_tables_streaming,
+    )
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    sb = StreamingBuilder(spark)
+    ldf = spark.createDataFrame([(1, "a", t(0))], "lk int, lv string, lts timestamp")
+    rdf = spark.createDataFrame([(1, "x", t(0))], "rk int, rv string, rts timestamp")
+    ldf.write.parquet(str(tmp_path / "l"))
+    rdf.write.parquet(str(tmp_path / "r"))
+
+    def run(state, ckpt):
+        l = sb.file_stream(str(tmp_path / "l"), key="lk", ts="lts")
+        r = sb.file_stream(str(tmp_path / "r"), key="rk", ts="rts")
+        return join_tables_streaming(l, r, how="inner", state_dir=state, checkpoint=ckpt)
+
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck")
+    assert run(state, ckpt).count() == 1
+
+    def unbind(*dirs):
+        for d in dirs:
+            os.remove(os.path.join(d, "_PSE_BIND"))
+
+    # (a) legacy pair: adoption succeeds with the ORIGINAL checkpoint...
+    unbind(state, ckpt)
+    assert run(state, ckpt).count() == 1
+    assert os.path.exists(os.path.join(state, "_PSE_BIND"))  # re-bound
+    # ...and a FRESH checkpoint is refused (commit cursor -1, inconsistent)
+    unbind(state, ckpt)
+    with _pytest.raises(ValueError, match="not recognizably"):
+        run(state, str(tmp_path / "fresh-ck"))
+
+    # (b) unbound checkpoint WITH commits against a fresh state dir
+    with _pytest.raises(ValueError, match="already belongs"):
+        run(str(tmp_path / "fresh-state"), ckpt)
+
+    # (c) legacy flat as-of out dir
+    legacy = str(tmp_path / "legacy-asof")
+    os.makedirs(legacy)
+    open(os.path.join(legacy, "part-00000-legacy.snappy.parquet"), "wb").close()
+    ks = sb.file_stream(str(tmp_path / "l"), key="lk", ts="lts")
+    from pyspark_engine import StreamBuilder as BatchBuilder
+
+    hist = spark.createDataFrame([(1, "x", t(0))], "lk int, rv string, rts timestamp")
+    vt = BatchBuilder(spark).versioned_table(hist, key="lk", ts="rts")
+    with _pytest.raises(ValueError, match="fresh out_dir"):
+        join_table_asof_streaming(ks, vt, how="left", out_dir=legacy)
 
 
 @pytest.mark.parametrize("engine", ["keyed", "exact"])
