@@ -213,8 +213,12 @@ def generate() -> int:
                     print("FAIL: bench.py exited 0 but printed no JSON line — "
                           "refusing to stamp a stale BENCH_HEAD.json")
                     return 1
+                # bench prints the full {"metric", "queries": {...}} line then a
+                # <300 B truncation-proof tail; pin the FULL one when present
+                metric = [ln for ln in lines if ln.lstrip().startswith('{"metric')]
+                pin = metric[-1] if metric else lines[-1]
                 with open(os.path.join(REPO, "BENCH_HEAD.json"), "w") as f:
-                    f.write(lines[-1] + "\n")
+                    f.write(pin + "\n")
                 print(lines[-1])
         if r.returncode != 0:
             print(f"FAIL: {name} exited {r.returncode}")
