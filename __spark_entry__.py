@@ -3107,6 +3107,59 @@ def q179_gif_animation(spark, sf_dir):
     return llmops.decode_gif_animation(gif, "doc_id", "payload")
 
 
+def q180_cube(spark, sf_dir):
+    """GROUP BY CUBE over (event_type, day) — all grouping-set combinations
+    (KStream.aggregate_cube; §2.3 "absent" row, the CUBE sibling of
+    q63's ROLLUP).  One Expand+partial-agg pass, a single shuffle — the
+    same shape Catalyst gives a plain groupBy, ×4 grouping sets."""
+    b = _b(spark, sf_dir)
+    s = b.stream("events", key="user_id", ts="ts").with_values(
+        day_ms=F.unix_millis(F.date_trunc("day", F.col("ts")))
+    )
+    out = s.aggregate_cube(
+        ["event_type", "day_ms"],
+        cnt=F.count(F.lit(1)),
+        total=F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+    )
+    return out.df.select("event_type", "day_ms", "cnt", "total")
+
+
+def q181_versioned_retain(spark, sf_dir):
+    """Versioned-table history lifecycle (VersionedKTable.retain / snapshot /
+    history — the KIP-914 historyRetention analog, SURVEY §2.7 extension):
+    per user, keep only purchase VERSIONS within 7 days of that user's
+    newest version, then report the retained-version count (via history()'s
+    changelog view) next to the latest value (via snapshot()'s
+    latest-per-key collapse).  ``retain`` is the scale lever — history is
+    pruned BEFORE anything shuffles it downstream.
+
+    The per-user "now" rides in as a value column (window max over the
+    user's partition), exercising retain's Column-expression contract;
+    the changelog dedups ties on (user, ts) by event id, last writer wins
+    (the offset-order rule, cf. KTableSourceProcessor.cs:37-41)."""
+    b = _b(spark, sf_dir)
+    s = b.stream("events", key="user_id", ts="ts")
+    purchases = s.filter(F.col("event_type") == "purchase").map_values(
+        p_val=F.col("value"), p_id=F.col("event_id")
+    )
+    vt = b.versioned_table(
+        purchases.df, key="user_id", ts="ts", order=("p_id",)
+    ).map_values(
+        p_val=F.col("p_val"),
+        u_now=F.max(F.col("ts")).over(Window.partitionBy("user_id")),
+    )
+    kept = vt.retain(7 * 86_400_000, F.col("u_now"))
+    snap = kept.snapshot()
+    counts = kept.history().group_by_key().count("n_versions")
+    j = snap.join(counts, how="inner")
+    return j.df.select(
+        "user_id",
+        F.col("p_val").alias("latest_val"),
+        F.unix_micros(F.col("ts")).alias("latest_ts_us"),
+        "n_versions",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3288,6 +3341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_image_sniff": q177_image_sniff,
         "q178_bmp_roundtrip": q178_bmp_roundtrip,
         "q179_gif_animation": q179_gif_animation,
+        "q180_cube": q180_cube,
+        "q181_versioned_retain": q181_versioned_retain,
     }
 
 
@@ -6501,5 +6556,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(fg_ + pg_ + ((b + 85) % 256) * (h - 2 * fh) * w AS BIGINT) AS canvas_g,
                    CAST(fb_ + pb_ + ((b + 170) % 256) * (h - 2 * fh) * w AS BIGINT) AS canvas_b
             FROM cv
+        """,
+        "q180_cube": """
+            SELECT event_type,
+                   epoch_ms(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day_ms,
+                   count(*) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM events
+            GROUP BY CUBE(event_type, day_ms)
+        """,
+        "q181_versioned_retain": """
+            WITH p0 AS (
+                SELECT user_id, ts, value AS p_val, event_id AS p_id
+                FROM events
+                WHERE event_type = 'purchase' AND user_id IS NOT NULL
+            ),
+            p1 AS (  -- one version per (user, ts): highest event id wins
+                SELECT user_id, ts, p_val FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY user_id, ts ORDER BY p_id DESC) AS rn
+                    FROM p0) WHERE rn = 1
+            ),
+            p2 AS (
+                SELECT *, max(ts) OVER (PARTITION BY user_id) AS u_now FROM p1
+            ),
+            kept AS (
+                SELECT * FROM p2 WHERE ts >= u_now - INTERVAL 7 DAY
+            ),
+            snap AS (
+                SELECT user_id, p_val, ts FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY user_id ORDER BY ts DESC) AS rn
+                    FROM kept) WHERE rn = 1
+            ),
+            cnt AS (
+                SELECT user_id, count(*) AS n_versions FROM kept GROUP BY user_id
+            )
+            SELECT s.user_id, s.p_val AS latest_val,
+                   epoch_us(s.ts) AS latest_ts_us, c.n_versions
+            FROM snap s JOIN cnt c USING (user_id)
         """,
     }

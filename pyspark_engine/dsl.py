@@ -1123,25 +1123,31 @@ class KTable:
         if len(self.key) != len(other.key):
             raise ValueError("join key arity mismatch")
         snapped, other = _maybe_snapshot(self), _maybe_snapshot(other)
-        l, r = snapped.df, other.df
+        # plan-level aliases so SELF-joins (both tables derived from the same
+        # changelog, e.g. snapshot ⋈ history-counts) resolve unambiguously —
+        # without them Spark's ambiguous-self-join check rejects the column
+        # references below whenever the two sides share lineage
+        l, r = snapped.df.alias("__tt_l"), other.df.alias("__tt_r")
+        lc = lambda c: F.col(f"__tt_l.`{c}`")  # noqa: E731 — alias-qualified
+        rc = lambda c: F.col(f"__tt_r.`{c}`")  # noqa: E731
         cond = None
         for lk, rk in zip(self.key, other.key):
-            c = l[lk] == r[rk]
+            c = lc(lk) == rc(rk)
             cond = c if cond is None else cond & c
         joined = l.join(r, cond, how)
         cols = []
         for lk, rk in zip(self.key, other.key):
-            cols.append(F.coalesce(l[lk], r[rk]).alias(lk))
+            cols.append(F.coalesce(lc(lk), rc(rk)).alias(lk))
         merge_ts = ts_alias is not None and self.ts and other.ts
         for c in self.df.columns:
             if c not in self.key and not (merge_ts and c == self.ts):
-                cols.append(l[c])
+                cols.append(lc(c))
         for c in other.df.columns:
             if c not in other.key and not (merge_ts and c == other.ts):
-                cols.append(r[c])
+                cols.append(rc(c))
         out_ts = None
         if merge_ts:
-            cols.append(F.greatest(l[self.ts], r[other.ts]).alias(ts_alias))
+            cols.append(F.greatest(lc(self.ts), rc(other.ts)).alias(ts_alias))
             out_ts = ts_alias
         return KTable(joined.select(*cols), self.key, out_ts)
 

@@ -696,3 +696,71 @@ def test_stream_metadata_accessors(spark):
         v=F.col("v"), part=m2.current_partition(), ts_ms=m2.current_timestamp_ms()
     ).df.collect()
     assert r2.part is None and r2.ts_ms is None
+
+
+def test_aggregate_cube_all_grouping_sets(spark):
+    """aggregate_cube emits every grouping-set combination (GROUP BY CUBE —
+    §2.3 extension, the CUBE sibling of aggregate_rollup): (a,b), (a,·),
+    (·,b), (·,·), subtotal slots carried as NULL."""
+    df = spark.createDataFrame(
+        [("x", 1, 10), ("x", 2, 20), ("y", 1, 30)], "a string, b long, v long"
+    )
+    s = KStream(df, key=("a",))
+    out = s.aggregate_cube(["a", "b"], total=F.sum("v"), cnt=F.count(F.lit(1)))
+    got = {(r.a, r.b): (r.total, r.cnt) for r in out.df.collect()}
+    assert got == {
+        ("x", 1): (10, 1),
+        ("x", 2): (20, 1),
+        ("y", 1): (30, 1),
+        ("x", None): (30, 2),
+        ("y", None): (30, 1),
+        (None, 1): (40, 2),
+        (None, 2): (20, 1),
+        (None, None): (60, 3),
+    }
+
+
+def test_versioned_retain_snapshot_history(spark):
+    """VersionedKTable lifecycle: retain prunes versions older than
+    history_ms relative to ``now`` (the KIP-914 historyRetention analog),
+    history() exposes the surviving changelog, snapshot() collapses to the
+    ordinary latest-per-key KTable."""
+    chg = spark.createDataFrame(
+        [
+            (1, sec(0), "v1"),
+            (1, sec(100), "v2"),
+            (1, sec(200), "v3"),
+            (2, sec(0), "w1"),
+        ],
+        "k long, ts timestamp, val string",
+    )
+    b = StreamBuilder(spark)
+    vt = b.versioned_table(chg, key="k", ts="ts")
+    kept = vt.retain(150_000, F.lit(sec(200)))
+    # history(): key 1 keeps ts in {100, 200} (0 aged out); key 2 fully aged
+    hist = sorted((r.k, r.val) for r in kept.history().df.collect())
+    assert hist == [(1, "v2"), (1, "v3")]
+    # snapshot(): latest surviving version per key
+    snap = {r.k: r.val for r in kept.snapshot().df.collect()}
+    assert snap == {1: "v3"}
+    # without retain, snapshot sees every key
+    full = {r.k: r.val for r in vt.snapshot().df.collect()}
+    assert full == {1: "v3", 2: "w1"}
+
+
+def test_tt_join_shared_lineage_self_join(spark):
+    """KTable⋈KTable where both sides derive from the SAME changelog
+    (snapshot ⋈ per-key history counts) — regression for the ambiguous
+    self-join rejection fixed by alias-qualified column references in
+    KTable.join."""
+    chg = spark.createDataFrame(
+        [(1, sec(0), "v1"), (1, sec(100), "v2"), (2, sec(50), "w1")],
+        "k long, ts timestamp, val string",
+    )
+    b = StreamBuilder(spark)
+    vt = b.versioned_table(chg, key="k", ts="ts")
+    snap = vt.snapshot()
+    counts = vt.history().group_by_key().count("n")
+    j = snap.join(counts, how="inner")
+    got = {r.k: (r.val, r.n) for r in j.df.collect()}
+    assert got == {1: ("v2", 2), 2: ("w1", 1)}
