@@ -1162,12 +1162,18 @@ class KTable:
             raise ValueError("fk join supports inner|left")
         if len(other.key) != 1:
             raise ValueError("fk join requires single-column right key")
-        fk_col = F.col(fk) if isinstance(fk, str) else fk
         snapped, other = _maybe_snapshot(self), _maybe_snapshot(other)
-        l, r = snapped.df, other.df
-        joined = l.join(r, fk_col == r[other.key[0]], how)
-        cols = [l[c] for c in self.df.columns]
-        cols += [r[c] for c in other.df.columns if c not in other.key]
+        # alias-qualified refs so self-lineage fk joins resolve (same fix as
+        # KTable.join); a string fk is re-rooted under the left alias, a
+        # caller-built Column expression is used as-is (it carries the
+        # caller's own references)
+        l, r = snapped.df.alias("__fk_l"), other.df.alias("__fk_r")
+        fk_col = F.col(f"__fk_l.`{fk}`") if isinstance(fk, str) else fk
+        joined = l.join(r, fk_col == F.col(f"__fk_r.`{other.key[0]}`"), how)
+        cols = [F.col(f"__fk_l.`{c}`") for c in self.df.columns]
+        cols += [
+            F.col(f"__fk_r.`{c}`") for c in other.df.columns if c not in other.key
+        ]
         return KTable(joined.select(*cols), self.key, self.ts)
 
     def suppress(

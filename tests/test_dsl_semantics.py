@@ -764,3 +764,21 @@ def test_tt_join_shared_lineage_self_join(spark):
     j = snap.join(counts, how="inner")
     got = {r.k: (r.val, r.n) for r in j.df.collect()}
     assert got == {1: ("v2", 2), 2: ("w1", 1)}
+
+
+def test_fk_join_shared_lineage_self_join(spark):
+    """KTable.join_fk where both tables derive from the same source (an
+    org table fk-joined to itself: employee -> manager) — regression for
+    the ambiguous self-join rejection, same alias-qualified fix as
+    KTable.join."""
+    df = spark.createDataFrame(
+        [(1, None, "ceo"), (2, 1, "dev"), (3, 1, "ops")],
+        "emp long, mgr long, role string",
+    )
+    t = KStream(
+        df.withColumn("ts", F.lit(sec(0))), ("emp",), "ts"
+    ).to_table(order=("emp",))
+    mgr = t.map_values(mgr_role=F.col("role"))
+    j = t.join_fk(mgr, "mgr", how="left")
+    got = {r.emp: r.mgr_role for r in j.df.collect()}
+    assert got == {1: None, 2: "ceo", 3: "ceo"}
