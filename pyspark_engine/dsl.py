@@ -633,28 +633,32 @@ class KStream:
         ):
             # async test driver: reference-exact eager emission timing
             return ss_hook(self, other, window, how, ts_alias)
-        l, r = self.df, other.df
+        # alias-qualified refs so SELF-joins (both sides derived from the
+        # same upstream plan, e.g. an aggregate fanned into two legs)
+        # resolve unambiguously — same fix as KTable.join
+        l = _not_null(self.df, self.key).alias("__ss_l")
+        r = _not_null(other.df, other.key).alias("__ss_r")
+        lc = lambda c: F.col(f"__ss_l.`{c}`")  # noqa: E731 — alias-qualified
+        rc = lambda c: F.col(f"__ss_r.`{c}`")  # noqa: E731
         cond = None
         for lk, rk in zip(self.key, other.key):
-            c = l[lk] == r[rk]
+            c = lc(lk) == rc(rk)
             cond = c if cond is None else cond & c
-        cond = cond & (r[other.ts] >= l[self.ts] - _interval_ms(window.before_ms))
-        cond = cond & (r[other.ts] <= l[self.ts] + _interval_ms(window.after_ms))
-        l = _not_null(l, self.key)
-        r = _not_null(r, other.key)
+        cond = cond & (rc(other.ts) >= lc(self.ts) - _interval_ms(window.before_ms))
+        cond = cond & (rc(other.ts) <= lc(self.ts) + _interval_ms(window.after_ms))
         joined = l.join(r, cond, how)
         out_key = []
         cols = []
         for lk, rk in zip(self.key, other.key):
-            cols.append(F.coalesce(l[lk], r[rk]).alias(lk))
+            cols.append(F.coalesce(lc(lk), rc(rk)).alias(lk))
             out_key.append(lk)
         for c in self.df.columns:
             if c not in self.key and c != self.ts:
-                cols.append(l[c])
+                cols.append(lc(c))
         for c in other.df.columns:
             if c not in other.key and c != other.ts:
-                cols.append(r[c])
-        cols.append(F.greatest(l[self.ts], r[other.ts]).alias(ts_alias))
+                cols.append(rc(c))
+        cols.append(F.greatest(lc(self.ts), rc(other.ts)).alias(ts_alias))
         return KStream(joined.select(*cols), tuple(out_key), ts_alias)
 
     def join_table(self, table: "KTable", how: str = "inner") -> "KStream":

@@ -782,3 +782,34 @@ def test_fk_join_shared_lineage_self_join(spark):
     j = t.join_fk(mgr, "mgr", how="left")
     got = {r.emp: r.mgr_role for r in j.df.collect()}
     assert got == {1: None, 2: "ceo", 3: "ceo"}
+
+
+def test_ss_join_shared_lineage_self_join(spark):
+    """KStream⋈KStream interval join where both legs fan out of the SAME
+    aggregate — regression for the ambiguous self-join rejection, same
+    alias-qualified fix as KTable.join."""
+    df = spark.createDataFrame(
+        [(1, sec(0), 10.0), (1, sec(5), 20.0), (2, sec(3), 30.0)],
+        "k long, ts timestamp, v double",
+    )
+    agg = (
+        KStream(df, ("k",), "ts")
+        .group_by_key()
+        .aggregate(total=F.sum("v"), last_ts=F.max("ts"))
+        .to_stream()
+    )
+    s1 = KStream(
+        agg.df.select("k", F.col("last_ts").alias("ts1"), F.col("total").alias("a_total")),
+        ("k",),
+        "ts1",
+    )
+    s2 = KStream(
+        agg.df.select("k", F.col("last_ts").alias("ts2"), F.col("total").alias("b_total")),
+        ("k",),
+        "ts2",
+    )
+    rows = s1.join(s2, JoinWindowOptions.of(10_000), "inner").df.collect()
+    assert sorted((r.k, r.a_total, r.b_total) for r in rows) == [
+        (1, 30.0, 30.0),
+        (2, 30.0, 30.0),
+    ]
