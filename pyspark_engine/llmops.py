@@ -347,8 +347,16 @@ def jaccard_pairs_exact(
     tokens are by construction the RAREST in each doc, so the quadratic
     risk concentrates exactly where partner counts are smallest (the
     classic AllPairs argument; no recall-losing cap needed), (5) the
-    merge-hinted verify join (gram payloads never broadcast), and (6) the
-    digest-keyed expansion joins (pair-stat rows only, no gram payloads)."""
+    merge-hinted verify joins (gram payloads never broadcast), and (6) the
+    digest-keyed expansion joins (pair-stat rows only, no gram payloads).
+    Stages (2)-(5) run on 8-byte xxhash64 gram keys instead of shingle
+    strings, and the candidate dedup doubles as the PPJoin POSITIONAL
+    filter (each pair's first shared prefix token bounds the achievable
+    overlap, pruning before any gram array ships); survivors are
+    re-verified on the string gram sets so (inter_n, union_n) stay
+    bit-exact.  On a dense-vocabulary corpus (every shingle shared by many
+    docs — the prefix filter's worst case) the positional filter is what
+    keeps the verify join linear in TRUE pairs rather than in candidates."""
     grams = F.array_sort(word_ngrams(tokens(F.col(text_col)), shingle))
     every = (
         _spread(df.select(F.col(id_col), F.col(text_col)))
@@ -384,11 +392,21 @@ def jaccard_pairs_exact(
         )
     else:
         base = every.select("__id", "__d", "__grams")
-    gram_rows = base.select("__id", "__d", F.explode("__grams").alias("__g"))
+    # the heavy middle (df-count, rarity re-sort, prefix self-join, first
+    # verify) runs on xxhash64 GRAM HASHES — 8-byte keys instead of
+    # ~20-char shingle strings, shrinking every shuffle and array op ~4×.
+    # Survivors are RE-VERIFIED on the string gram sets below, so outputs
+    # stay bit-exact; completeness is modulo 64-bit gram-hash collisions
+    # (two colliding SHARED grams could understate a pair's hashed Jaccard
+    # — probability < 1e-15 per corpus-scale run, the same order of
+    # engineering assumption as the sha-256 set digest above)
+    gram_rows = base.select("__id", F.explode("__grams").alias("__gs")).select(
+        "__id", F.xxhash64("__gs").alias("__g")
+    )
     dfreq = gram_rows.groupBy("__g").agg(F.count(F.lit(1)).alias("__dfc"))
     ordered = (
         gram_rows.join(dfreq, "__g")
-        .groupBy("__id", "__d")
+        .groupBy("__id")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct(F.col("__dfc"), F.col("__g")))),
@@ -397,7 +415,6 @@ def jaccard_pairs_exact(
         )
         .select(
             "__id",
-            "__d",
             "__ord",
             F.size("__ord").alias("__n"),
             # prefix length n - ceil(t*n) + 1; the 1e-9 nudge keeps float
@@ -414,39 +431,87 @@ def jaccard_pairs_exact(
     )
     ordered = _persist(ordered)
     pref = ordered.select(
-        "__id", "__n", F.explode(F.slice("__ord", 1, F.col("__p"))).alias("__g")
+        "__id",
+        "__n",
+        F.posexplode(F.slice("__ord", 1, F.col("__p"))).alias("__pos", "__g"),
     )
     a, b = pref.alias("a"), pref.alias("b")
     t = float(threshold)
+    raw = a.join(
+        b,
+        (F.col("a.__g") == F.col("b.__g"))
+        & (F.col("a.__id") < F.col("b.__id"))
+        # size filter: J >= t requires t*max <= min
+        & (F.col("a.__n") * F.lit(t) <= F.col("b.__n") + F.lit(1e-9))
+        & (F.col("b.__n") * F.lit(t) <= F.col("a.__n") + F.lit(1e-9)),
+    ).select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        F.col("a.__pos").alias("__pa"),
+        F.col("b.__pos").alias("__pb"),
+        F.col("a.__n").alias("__na"),
+        F.col("b.__n").alias("__nb"),
+    )
+    # PPJoin positional filter (Xiao et al. 2008), join-safe form: the agg
+    # that replaces the old candidate .distinct() (same single shuffle)
+    # keeps each pair's FIRST shared prefix token in the global rarity
+    # order — both lists are sorted by that order, so min(pos_a) and
+    # min(pos_b) name the SAME token — whose suffix lengths bound the
+    # achievable overlap: |A∩B| ≤ 1 + min(|A|-i, |B|-j).  J ≥ t needs
+    # |A∩B| ≥ t/(1+t)·(|A|+|B|), so pairs whose first share sits too late
+    # in both prefixes are pruned before the verify join ever sees them.
     cand = (
-        a.join(
-            b,
-            (F.col("a.__g") == F.col("b.__g"))
-            & (F.col("a.__id") < F.col("b.__id"))
-            # size filter: J >= t requires t*max <= min
-            & (F.col("a.__n") * F.lit(t) <= F.col("b.__n") + F.lit(1e-9))
-            & (F.col("b.__n") * F.lit(t) <= F.col("a.__n") + F.lit(1e-9)),
+        raw.groupBy("id_a", "id_b")
+        .agg(
+            F.min("__pa").alias("__pa"),
+            F.min("__pb").alias("__pb"),
+            F.min("__na").alias("__na"),
+            F.min("__nb").alias("__nb"),
         )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("__na") - (F.col("__pa") + 1),
+                F.col("__nb") - (F.col("__pb") + 1),
+            )
+            >= F.ceil(
+                F.lit(t / (1.0 + t)) * (F.col("__na") + F.col("__nb")) - F.lit(1e-9)
+            )
+        )
+        .select("id_a", "id_b")
     )
-    ga = ordered.select(
-        F.col("__id").alias("id_a"), F.col("__d").alias("__da"), F.col("__ord").alias("__ga")
-    )
-    gb = ordered.select(
-        F.col("__id").alias("id_b"), F.col("__d").alias("__db"), F.col("__ord").alias("__gb")
-    )
-    inter = F.size(F.array_intersect("__ga", "__gb"))
-    rep_pairs = (
+    ga = ordered.select(F.col("__id").alias("id_a"), F.col("__ord").alias("__ha"))
+    gb = ordered.select(F.col("__id").alias("id_b"), F.col("__ord").alias("__hb"))
+    inter_h = F.size(F.array_intersect("__ha", "__hb"))
+    hash_pairs = (
         cand.join(ga.hint("merge"), "id_a")
         .join(gb.hint("merge"), "id_b")
+        .filter(
+            inter_h.cast("double")
+            / (F.size("__ha") + F.size("__hb") - inter_h).cast("double")
+            >= F.lit(t)
+        )
+        .select("id_a", "id_b")
+    )
+    # exact re-verify on the string gram sets: survivors are ~the true
+    # pairs, so these merge joins ship gram payloads for a tiny row set
+    sa = base.select(
+        F.col("__id").alias("id_a"), F.col("__d").alias("__da"), F.col("__grams").alias("__sa")
+    )
+    sb = base.select(
+        F.col("__id").alias("id_b"), F.col("__d").alias("__db"), F.col("__grams").alias("__sb")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    rep_pairs = (
+        hash_pairs.join(sa.hint("merge"), "id_a")
+        .join(sb.hint("merge"), "id_b")
         .select(
             "id_a",
             "id_b",
             "__da",
             "__db",
             inter.cast("long").alias("inter_n"),
-            (F.size("__ga") + F.size("__gb") - inter).cast("long").alias("union_n"),
+            (F.size("__sa") + F.size("__sb") - inter).cast("long").alias("union_n"),
         )
         .filter(F.col("inter_n").cast("double") / F.col("union_n") >= F.lit(t))
     )
