@@ -97,13 +97,30 @@ QUERIES = [
 ]
 
 
+def _base_stamp() -> str:
+    """Identity of the base corpus: the driver REGENERATES /root/testdata
+    between rounds (round 10 changed the documents vocabulary outright), so
+    a /tmp replication cache from an earlier session would silently measure
+    the wrong corpus.  mtime+size of each scaled source is enough to detect
+    regeneration."""
+    parts = []
+    for t in SCALED:
+        st = os.stat(f"{BASE}/{t}.parquet")
+        parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+    return ";".join(parts)
+
+
 def _build_dir(spark, k: int) -> str:
     out = f"{ROOT}/x{k}"
-    if os.path.isdir(out) and os.path.exists(f"{out}/_DONE"):
-        for t in COPIED:  # idempotently top up copies added after a build
-            if not os.path.exists(f"{out}/{t}.parquet"):
-                shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
-        return out
+    stamp = _base_stamp()
+    done = f"{out}/_DONE"
+    if os.path.isdir(out) and os.path.exists(done):
+        with open(done) as f:
+            if f.read() == stamp:
+                for t in COPIED:  # idempotently top up copies added after a build
+                    if not os.path.exists(f"{out}/{t}.parquet"):
+                        shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+                return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     for t in SCALED:
@@ -144,7 +161,8 @@ def _build_dir(spark, k: int) -> str:
         df.repartition(32 * k).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     for t in COPIED:
         shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
-    open(f"{out}/_DONE", "w").close()
+    with open(f"{out}/_DONE", "w") as f:
+        f.write(stamp)
     return out
 
 

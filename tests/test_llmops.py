@@ -2936,3 +2936,24 @@ def test_wild_cpython_corpus_cross_format_pixels():
     if bmps:
         bmp = _bmp_decode(open(bmps[0], "rb").read())[-1]
         assert np.array_equal(png, bmp)
+
+
+def test_jaccard_positional_filter_boundary_pair_kept(spark):
+    """PPJoin positional-filter boundary: A and B share m=10 tokens (df=2,
+    so they sort LAST in the global rarity order) and carry k=5 unique
+    tokens each (df=1, sorted first).  J = m/(2k+m) = 0.5 exactly, and the
+    filter's overlap bound 1 + min(n−i, n−j) = m equals the required
+    overlap ceil(t/(1+t)·(n_a+n_b)) = m EXACTLY — the keep/prune knife
+    edge.  Any off-by-one in the bound (a dropped +1, a mis-nudged ceil)
+    silently loses this true pair."""
+    shared = [f"shared{i:02d}" for i in range(10)]
+    a = " ".join([f"aonly{i}" for i in range(5)] + shared)
+    b = " ".join([f"bonly{i}" for i in range(5)] + shared)
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    got = [
+        (r.id_a, r.id_b, r.inter_n, r.union_n)
+        for r in llmops.jaccard_pairs_exact(
+            df, "doc_id", "text", threshold=0.5, shingle=1
+        ).collect()
+    ]
+    assert got == [(0, 1, 10, 20)]
