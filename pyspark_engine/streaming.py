@@ -169,6 +169,34 @@ def _read_bind(path: str) -> str | None:
         return None
 
 
+# keyed-suppress state/sink schema version: bumped to "2" when integral
+# columns started riding the string tunnel (exact bigint round-trip); a
+# populated dir whose version differs is refused instead of letting Spark's
+# state-schema check fail opaquely mid-drain
+_KEYED_STATE_VERSION = "2"
+
+
+def _max_sink_batch(root: str) -> int:
+    """Highest ``sink_batch=<id>`` partition under root or root/out (or -1)
+    — the delivered-batch cursor of the sink-partitioned loops (keyed
+    suppress, as-of join), which keep no _GEN.  Used to cross-check legacy
+    adoption: an emission cannot postdate its own checkpoint's commits by
+    more than the one crash-replayed batch."""
+    best = -1
+    for d in (root, os.path.join(root, "out")):
+        try:
+            entries = os.listdir(d)
+        except OSError:
+            continue
+        for e in entries:
+            if e.startswith("sink_batch="):
+                try:
+                    best = max(best, int(e.split("=", 1)[1]))
+                except ValueError:
+                    pass
+    return best
+
+
 def _bind_state_checkpoint(root: str, ckpt: str, populated: bool, what: str) -> str:
     """Pair a parquet state dir with the ONE streaming checkpoint allowed to
     drive it, and refuse every other combination (r9 verdict item 3).
@@ -189,10 +217,15 @@ def _bind_state_checkpoint(root: str, ckpt: str, populated: bool, what: str) -> 
         hole);
       * state dir populated but UNBOUND (created before the marker protocol)
         — adopted iff the offered checkpoint is also unbound and its commit
-        cursor is consistent with the state dir's applied cursor (committed
-        ∈ {applied, applied−1}, or the loop keeps no _GEN cursor); a fresh
-        or inconsistent checkpoint is refused.  Adoption is one-time: the
-        pair is bound on success, so only legacy dirs ever take this path;
+        cursor is consistent with the state dir's delivery cursor: committed
+        ∈ {applied, applied−1} for _GEN loops, committed ≥ max(sink_batch)−1
+        for the sink-partitioned loops (keyed suppress / as-of keep no _GEN
+        but their emissions name the batches that produced them); a fresh or
+        inconsistent checkpoint is refused.  A legacy dir with NEITHER
+        cursor nor emissions has nothing to cross-check and adopts freely —
+        the residual (unauthenticatable) legacy window; every post-protocol
+        pair is closed by the markers.  Adoption is one-time: the pair is
+        bound on success, so only legacy dirs ever take this path;
       * checkpoint bound elsewhere, or unbound but already holding committed
         batches, offered against a fresh/unpopulated state dir — refused
         (its committed batches would be skipped against empty state);
@@ -215,9 +248,18 @@ def _bind_state_checkpoint(root: str, ckpt: str, populated: bool, what: str) -> 
             # stop; committed = applied-1 when the last fold committed its
             # state but crashed before the checkpoint commit)
             applied = _read_applied(root)
-            if cbind is None and committed >= 0 and (
-                applied == -1 or committed in (applied, applied - 1)
-            ):
+            if applied != -1:
+                consistent = committed in (applied, applied - 1)
+            else:
+                # cursor-free loops (keyed suppress / as-of) still leave a
+                # delivered-batch trail in their sink_batch partitions: the
+                # original checkpoint must have committed at least up to the
+                # highest emitted batch minus the one crash-replayed batch
+                # (no upper bound — later batches may emit nothing).  A dir
+                # with neither cursor nor emissions has nothing to check.
+                sink = _max_sink_batch(root)
+                consistent = sink == -1 or committed >= sink - 1
+            if cbind is None and committed >= 0 and consistent:
                 pass  # fall through to bind the adopted pair
             else:
                 raise ValueError(
@@ -1117,6 +1159,28 @@ def _suppress_keyed(
     ckpt = _bind_state_checkpoint(
         root, _checkpoint(checkpoint), _has_emissions(out_dir), "prior suppress emissions"
     )
+    # state-schema version gate: the string tunnel for integral columns
+    # changed BOTH the applyInPandasWithState state schema and the
+    # out/sink_batch parquet schema (v2).  A populated v1 dir cannot resume
+    # under v2 — Spark would fail its state-schema compatibility check with
+    # an opaque error, and new string-typed sink partitions next to v1
+    # int64 ones would break the final out/ read — so refuse descriptively
+    # instead; fresh dirs are stamped before the first batch runs.
+    ver_path = os.path.join(root, "_PSE_STATE_V")
+    ver = _read_bind(ver_path)
+    if _has_emissions(out_dir) and ver != _KEYED_STATE_VERSION:
+        raise ValueError(
+            f"state dir {root!r} holds keyed-suppress emissions with state-schema "
+            f"version {ver or 'pre-versioning (v1)'}, but this engine writes "
+            f"version {_KEYED_STATE_VERSION} (integral columns string-tunneled "
+            "for exact bigint round-trip) — resuming would fail Spark's state-"
+            "schema check and mix sink schemas; drain the old run with the code "
+            "that wrote it, or start a fresh state_dir"
+        )
+    if ver is None:
+        with open(ver_path + ".tmp", "w") as f:
+            f.write(_KEYED_STATE_VERSION)
+        os.replace(ver_path + ".tmp", ver_path)
     prior_batch = _last_committed(ckpt)
 
     sdf = src.df

@@ -164,7 +164,13 @@ def run_full_pytest(env: dict) -> tuple[int, str]:
         [sys.executable, "-m", "pytest", "tests/", "-q", "--no-header", "-p", "no:cacheprovider"],
         cwd=REPO, env=env, capture_output=True, text=True,
     )
+    # stderr too: a collection error / usage error / interpreter crash puts
+    # the diagnostic on stderr with little or nothing on stdout, and a gate
+    # refusal with an empty tail forces a blind manual re-run
     tail = "\n".join((r.stdout or "").strip().splitlines()[-15:])
+    err_tail = "\n".join((r.stderr or "").strip().splitlines()[-10:])
+    if r.returncode != 0 and err_tail:
+        tail = f"{tail}\n--- stderr ---\n{err_tail}" if tail else err_tail
     return r.returncode, tail
 
 

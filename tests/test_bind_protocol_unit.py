@@ -17,13 +17,16 @@ import pytest
 from pyspark_engine.streaming import _bind_state_checkpoint, _read_bind
 
 
-def _mk(tmp_path, name, marker=None, applied=None):
+def _mk(tmp_path, name, marker=None, applied=None, sink=None, sink_in_out=False):
     d = tmp_path / name
     d.mkdir(exist_ok=True)
     if marker is not None:
         (d / "_PSE_BIND").write_text(marker)
     if applied is not None:
         (d / "_GEN").write_text(f"1 {applied}")
+    if sink is not None:
+        base = d / "out" if sink_in_out else d
+        (base / f"sink_batch={sink}").mkdir(parents=True, exist_ok=True)
     return str(d)
 
 
@@ -72,6 +75,30 @@ CASES = [
     # legacy populated state + BOUND checkpoint: belongs to someone else
     (None, "B", True, (0,), 2, "not recognizably"),
 ]
+
+
+@pytest.mark.parametrize(
+    "commits,sink,sink_in_out,expect",
+    [
+        # cursor-free loops (keyed suppress / as-of) leave sink_batch=<id>
+        # partitions: the original checkpoint must have committed at least
+        # max(sink)-1 (one crash-replayed batch of slack); a checkpoint too
+        # far behind the emissions is a foreign run (r10 review finding)
+        ((0, 1, 2, 3, 4), 5, True, "bind"),   # committed=4 >= 5-1: adopt
+        ((0, 1, 2, 3, 4, 5), 5, True, "bind"),  # clean stop
+        ((0, 1, 2), 5, True, "not recognizably"),  # 2 < 4: foreign
+        ((0, 1, 2), 5, False, "not recognizably"),  # flat as-of layout too
+        ((0,), 0, True, "bind"),  # single-batch legacy run
+    ],
+)
+def test_bind_legacy_adoption_sink_batch_cursor(tmp_path, commits, sink, sink_in_out, expect):
+    root = _mk(tmp_path, "state", sink=sink, sink_in_out=sink_in_out)
+    ckpt = _mk_ckpt(tmp_path, "ckpt", commits=commits)
+    if expect == "bind":
+        assert _bind_state_checkpoint(root, ckpt, True, "unit-test state") == ckpt
+    else:
+        with pytest.raises(ValueError, match=expect):
+            _bind_state_checkpoint(root, ckpt, True, "unit-test state")
 
 
 @pytest.mark.parametrize("s_marker,c_marker,populated,commits,applied,expect", CASES)

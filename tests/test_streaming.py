@@ -2664,3 +2664,67 @@ def test_join_windowed_eager_spurious_outer_timing(spark, tmp_path):
     l3, r3 = sides()
     got_i = join_windowed_eager(l3, r3, JoinWindowOptions.of(10_000), how="inner")
     assert [(r["key"], r["v2"], r["v1"]) for r in got_i.collect()] == [("test", "coucou", "test")]
+
+
+def test_keyed_suppress_refuses_foreign_state_schema_version(spark, tmp_path):
+    """r10 review finding: the string tunnel changed the keyed engine's
+    applyInPandasWithState state schema AND the out/ sink schema (v2).  A
+    populated dir stamped with a different version — or a pre-versioning
+    (v1) dir with its stamp absent — must get a descriptive refusal, not
+    Spark's opaque state-schema error mid-drain; the bound pair itself is
+    still recognized (the refusal is about schema, not identity)."""
+    import datetime as dt
+    import os as _os
+
+    import pytest as _pytest
+
+    from pyspark_engine.streaming import suppress_buffered
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    schema = "k string, v int, ts timestamp"
+    src = str(tmp_path / "src")
+    _write_source_file(spark, [("a", 1, t(0)), ("b", 1, t(0))], schema, src, 0)
+    _write_source_file(spark, [("c", 1, t(2))], schema, src, 1)
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    sb = StreamingBuilder(spark)
+
+    def mk():
+        return (
+            sb.file_stream(src, key="k", ts="ts", max_files_per_trigger=1)
+            .to_table()
+            .suppress(until_time_limit_ms=60_000)
+        )
+
+    got1 = suppress_buffered(
+        mk(), time_col="ts", state_dir=state, checkpoint=ckpt, engine="keyed"
+    )
+    assert sorted(r["k"] for r in got1.collect()) == ["a", "b"]
+    ver = _os.path.join(state, "_PSE_STATE_V")
+    assert _os.path.exists(ver)  # stamped before the first batch ran
+
+    # simulate a pre-versioning (v1) dir: populated emissions, stamp absent
+    _os.remove(ver)
+    with _pytest.raises(ValueError, match="state-schema"):
+        suppress_buffered(
+            mk(), time_col="ts", state_dir=state, checkpoint=ckpt, engine="keyed"
+        )
+
+    # a mismatched future version is refused the same way
+    with open(ver, "w") as f:
+        f.write("99")
+    with _pytest.raises(ValueError, match="state-schema"):
+        suppress_buffered(
+            mk(), time_col="ts", state_dir=state, checkpoint=ckpt, engine="keyed"
+        )
+
+    # restoring the correct stamp resumes cleanly (nothing new to deliver)
+    with open(ver, "w") as f:
+        f.write("2")
+    got2 = suppress_buffered(
+        mk(), time_col="ts", state_dir=state, checkpoint=ckpt, engine="keyed"
+    )
+    assert got2.collect() == []
