@@ -1170,10 +1170,24 @@ class KTable:
         # alias-qualified refs so self-lineage fk joins resolve (same fix as
         # KTable.join); a string fk is re-rooted under the left alias, a
         # caller-built Column expression is used as-is (it carries the
-        # caller's own references)
+        # caller's own references — which means it MUST be built from the
+        # left table's own columns: an unqualified F.col("x") turns
+        # ambiguous when both sides carry "x" in a self-lineage join, so
+        # that failure is re-raised with the string-fk escape hatch named)
         l, r = snapped.df.alias("__fk_l"), other.df.alias("__fk_r")
         fk_col = F.col(f"__fk_l.`{fk}`") if isinstance(fk, str) else fk
-        joined = l.join(r, fk_col == F.col(f"__fk_r.`{other.key[0]}`"), how)
+        try:
+            joined = l.join(r, fk_col == F.col(f"__fk_r.`{other.key[0]}`"), how)
+        except Exception as e:
+            if not isinstance(fk, str) and "AMBIGUOUS" in str(e).upper():
+                raise ValueError(
+                    "join_fk: the Column-valued fk expression resolved ambiguously "
+                    "— both join sides carry the referenced column (self-lineage "
+                    "join).  Build the fk Column from the LEFT table's own columns "
+                    "(left.df[...]), or pass fk as a string column name to have it "
+                    "re-rooted under the left side automatically"
+                ) from e
+            raise
         cols = [F.col(f"__fk_l.`{c}`") for c in self.df.columns]
         cols += [
             F.col(f"__fk_r.`{c}`") for c in other.df.columns if c not in other.key

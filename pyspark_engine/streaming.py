@@ -218,14 +218,19 @@ def _bind_state_checkpoint(root: str, ckpt: str, populated: bool, what: str) -> 
       * state dir populated but UNBOUND (created before the marker protocol)
         — adopted iff the offered checkpoint is also unbound and its commit
         cursor is consistent with the state dir's delivery cursor: committed
-        ∈ {applied, applied−1} for _GEN loops, committed ≥ max(sink_batch)−1
-        for the sink-partitioned loops (keyed suppress / as-of keep no _GEN
-        but their emissions name the batches that produced them); a fresh or
-        inconsistent checkpoint is refused.  A legacy dir with NEITHER
-        cursor nor emissions has nothing to cross-check and adopts freely —
-        the residual (unauthenticatable) legacy window; every post-protocol
-        pair is closed by the markers.  Adoption is one-time: the pair is
-        bound on success, so only legacy dirs ever take this path;
+        ∈ {applied, applied−1} for _GEN loops, committed ∈ {max(sink_batch),
+        max(sink_batch)−1} for the sink-partitioned loops (keyed suppress /
+        as-of keep no _GEN but their emissions name the batches that
+        produced them); a fresh or inconsistent checkpoint is refused.  Two
+        UNAUTHENTICATABLE legacy shapes — a dir with NEITHER cursor nor
+        emissions (nothing to cross-check), and a checkpoint whose commits
+        run AHEAD of the emissions by more than the clean-stop window
+        (legal when trailing batches emitted nothing, indistinguishable
+        from a foreign run) — are REFUSED by default and adopt only under
+        the documented opt-in ``PSE_ADOPT_LEGACY=1`` (r10 review finding:
+        silent adoption of an arbitrarily-ahead checkpoint skips replays).
+        Adoption is one-time: the pair is bound on success, so only legacy
+        dirs ever take this path;
       * checkpoint bound elsewhere, or unbound but already holding committed
         batches, offered against a fresh/unpopulated state dir — refused
         (its committed batches would be skipped against empty state);
@@ -253,12 +258,19 @@ def _bind_state_checkpoint(root: str, ckpt: str, populated: bool, what: str) -> 
             else:
                 # cursor-free loops (keyed suppress / as-of) still leave a
                 # delivered-batch trail in their sink_batch partitions: the
-                # original checkpoint must have committed at least up to the
-                # highest emitted batch minus the one crash-replayed batch
-                # (no upper bound — later batches may emit nothing).  A dir
-                # with neither cursor nor emissions has nothing to check.
+                # original checkpoint's commits must line up with the
+                # highest emitted batch (equal after a clean stop, one less
+                # when the last fold committed state but crashed before the
+                # checkpoint commit).  A checkpoint further AHEAD is legal
+                # (trailing batches may emit nothing) but unverifiable, and
+                # a dir with neither cursor nor emissions has nothing to
+                # check at all — both adopt only under the explicit
+                # PSE_ADOPT_LEGACY=1 opt-in.
                 sink = _max_sink_batch(root)
-                consistent = sink == -1 or committed >= sink - 1
+                adopt_legacy = os.environ.get("PSE_ADOPT_LEGACY") == "1"
+                consistent = (sink != -1 and committed in (sink, sink - 1)) or (
+                    adopt_legacy and (sink == -1 or committed >= sink - 1)
+                )
             if cbind is None and committed >= 0 and consistent:
                 pass  # fall through to bind the adopted pair
             else:
@@ -267,7 +279,8 @@ def _bind_state_checkpoint(root: str, ckpt: str, populated: bool, what: str) -> 
                     f"the offered checkpoint (committed batch {committed}, "
                     f"{'un' if cbind is None else ''}bound) is not recognizably its "
                     "original — refusing to pair; pass the original checkpoint or a "
-                    "fresh state_dir"
+                    "fresh state_dir (a legacy pair that cannot be cross-checked "
+                    "adopts only under PSE_ADOPT_LEGACY=1)"
                 )
         else:
             raise ValueError(
@@ -636,28 +649,41 @@ def join_tables_streaming(
     store_name: str | None = None,
     state_dir: str | None = None,
     checkpoint: str | None = None,
+    engine: str | None = None,
 ) -> DataFrame:
     """Continuous KTable⋈KTable changelog join — the streaming realization of
     KTable.join (reference: KTableKTableJoinProcessor.cs:20-48 joins the two
     changelogs record-at-a-time against each other's state stores; output
     timestamp = max of the sides, :35).
 
-    Spark has no built-in update-stream⋈update-stream join, so this is the
-    SURVEY §7.3.2 plan: ONE streaming query over the union of both (tagged)
-    changelogs; each microbatch (a) upserts each side's latest-per-key state
-    — ``max_by`` over the declared order merged with the previous snapshot,
-    associative, so snapshot ∪ batch ≡ full-changelog replay — and (b)
-    recomputes the equi-join over the two materialized states, emitting the
-    joined snapshot.  Emission cadence is per-microbatch instead of
-    per-record (§7.3.3: coarser cadence, same final state — which is what
-    the parity tests compare).
+    Spark has no built-in update-stream⋈update-stream join; two engines,
+    selected by ``engine`` (None = ``"keyed"``, the scale engine):
 
-    State lives in parquet ping-pong directories (write generation N+1 while
-    reading N; atomic swap by generation counter).  At scale the same loop
-    runs on Delta/Iceberg with MERGE for incremental upsert — the recompute
-    here rewrites state per batch, bounded by key cardinality, never by
-    stream length.  Drains with an availableNow trigger and returns the
-    final joined snapshot (also registered under ``store_name`` for the
+      * ``"keyed"`` — ``applyInPandasWithState`` over the union of both
+        tagged changelogs, grouped by the JOIN KEY, per-key state = (latest
+        left row, latest right row) — exactly the reference's
+        record-at-a-time shape (KTableKTableJoinProcessor.cs:20-48 reads
+        the other side's store for each changelog record).  Each key whose
+        state changed emits its current joined row to an
+        ``out/sink_batch=<id>`` partition (overwritten on crash-replay —
+        exactly-once), so per-microbatch I/O is O(changed keys), never
+        O(table): the state lives in Spark's RocksDB/HDFS store, which
+        checkpoints per-batch DELTAS.  The returned snapshot is the
+        latest-per-key fold of the emission log.  Requires non-null order
+        values and equal key dtypes across sides (raises descriptively).
+      * ``"exact"`` — the SURVEY §7.3.2 parquet ping-pong loop: each
+        microbatch (a) upserts each side's latest-per-key snapshot —
+        ``max_by`` over the declared order merged with the previous
+        snapshot, associative, so snapshot ∪ batch ≡ full-changelog replay
+        — and (b) recomputes the equi-join over the two materialized
+        states.  Per-batch I/O is O(table) (bounded by key cardinality,
+        never stream length); kept for null-order changelogs and as the
+        differential oracle for the keyed engine.
+
+    Emission cadence is per-microbatch instead of per-record (§7.3.3:
+    coarser cadence, same final state — which is what the parity tests
+    compare).  Both engines drain with an availableNow trigger and return
+    the final joined snapshot (also registered under ``store_name`` for the
     interactive-query surface).
     """
     if not (left.df.isStreaming and right.df.isStreaming):
@@ -666,6 +692,14 @@ def join_tables_streaming(
         raise ValueError("table-table join supports inner|left|full")
     if len(left.key) != len(right.key):
         raise ValueError("join key arity mismatch")
+    if engine is None:
+        engine = "keyed"
+    if engine == "keyed":
+        return _join_tables_keyed(
+            left, right, how, l_order, r_order, ts_alias, store_name, state_dir, checkpoint
+        )
+    if engine != "exact":
+        raise ValueError(f"unknown tt-join engine {engine!r}; expected 'keyed' or 'exact'")
 
     def combine(l_t: KTable, r_t: KTable) -> KTable:
         return l_t.join(r_t, how=how, ts_alias=ts_alias)
@@ -736,6 +770,287 @@ def join_fk_streaming(
         left, right, combine, l_order, r_order, store_name, state_dir, checkpoint,
         state_prefix="pse-fkjoin-",
     )
+
+
+# keyed tt-join state/sink schema version (same contract as
+# _KEYED_STATE_VERSION for suppress): bumped whenever the
+# applyInPandasWithState state schema or the out/sink_batch layout changes,
+# so a populated dir from an older engine is refused descriptively instead
+# of failing Spark's state-schema check mid-drain
+_TTJOIN_STATE_VERSION = "1"
+
+
+def _join_tables_keyed(
+    left: KStream,
+    right: KStream,
+    how: str,
+    l_order: Sequence[str] | None,
+    r_order: Sequence[str] | None,
+    ts_alias: str | None,
+    store_name: str | None,
+    state_dir: str | None,
+    checkpoint: str | None,
+) -> DataFrame:
+    """Keyed-state engine of ``join_tables_streaming`` (see its docstring
+    for the contract): the two tagged changelogs union into ONE
+    ``applyInPandasWithState`` grouped by the JOIN KEY, whose per-key state
+    is (latest left row, latest right row) under the declared per-side
+    orders — the record-at-a-time state-store shape of the reference's
+    KTableKTableJoinProcessor.cs:20-48, at per-microbatch emission cadence
+    (SURVEY §7.3.3).  A key whose state changed emits its CURRENT joined
+    row to an ``out/sink_batch=<id>`` partition (overwritten on
+    crash-replay — exactly-once), so per-microbatch I/O is O(changed keys),
+    never O(table): the fold state lives in Spark's RocksDB/HDFS store,
+    which checkpoints per-batch deltas.  The returned snapshot is the
+    latest-per-key fold of the emission log (a joined row only ever
+    UPDATES — this path has no tombstones — so the fold is exact).
+
+    Integral VALUE columns tunnel through the stateful operator as decimal
+    strings exactly like the keyed suppress engine (_suppress_keyed): the
+    other side's columns are null on every union row, and a null in a
+    group's Arrow slice coerces int64 to float64, which cannot represent
+    bigints past 2^53.  Join-key columns never ride the union null-padded —
+    both sides' keys map onto the shared non-null ``__jk*`` grouping
+    columns — so keys stay exactly typed.  NoTimeout and no watermark:
+    there is no time semantics here, just fold-and-emit-on-change, so late
+    data is admitted unconditionally (KTable upsert semantics).  Requires
+    non-null order values (raises in the state fn — loud beats a silently
+    wrong fold) and equal key/ts dtypes across sides; use engine='exact'
+    otherwise."""
+    spark0 = left.df.sparkSession
+    overlap = set(left.df.columns) & set(right.df.columns)
+    if overlap:
+        raise ValueError(f"sides must have disjoint column names; overlap: {sorted(overlap)}")
+    l_key, r_key = list(left.key), list(right.key)
+    l_ddl = {f.name: f.dataType.simpleString() for f in left.df.schema.fields}
+    r_ddl = {f.name: f.dataType.simpleString() for f in right.df.schema.fields}
+    for lk, rk in zip(l_key, r_key):
+        if l_ddl[lk] != r_ddl[rk]:
+            raise ValueError(
+                f"the keyed tt-join engine requires equal key dtypes across sides; "
+                f"{lk}:{l_ddl[lk]} vs {rk}:{r_ddl[rk]} — cast one side or use engine='exact'"
+            )
+    lord = tuple(l_order) if l_order else ((left.ts,) if left.ts else ())
+    rord = tuple(r_order) if r_order else ((right.ts,) if right.ts else ())
+    if not lord or not rord:
+        raise ValueError("changelog order required per side (ts or explicit l_order/r_order)")
+    for oc, cols in ((lord, left.df.columns), (rord, right.df.columns)):
+        missing = [c for c in oc if c not in cols]
+        if missing:
+            raise ValueError(f"order columns {missing} not in the side's columns")
+    l_val = [c for c in left.df.columns if c not in l_key]
+    r_val = [c for c in right.df.columns if c not in r_key]
+    merge_ts = bool(ts_alias is not None and left.ts and right.ts)
+    if merge_ts and l_ddl[left.ts] != r_ddl[right.ts]:
+        raise ValueError(
+            "the keyed tt-join engine requires equal ts dtypes for ts_alias merging; "
+            f"{left.ts}:{l_ddl[left.ts]} vs {right.ts}:{r_ddl[right.ts]} — use engine='exact'"
+        )
+    out_l_val = [c for c in l_val if not (merge_ts and c == left.ts)]
+    out_r_val = [c for c in r_val if not (merge_ts and c == right.ts)]
+    # canonical output layout (names, order, dtypes) = the batch combine
+    empty_out = KTable(spark0.createDataFrame([], left.df.schema), left.key, left.ts).join(
+        KTable(spark0.createDataFrame([], right.df.schema), right.key, right.ts),
+        how=how,
+        ts_alias=ts_alias,
+    ).df
+
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    tunnel = {c for c in l_val if l_ddl[c] in integral} | {
+        c for c in r_val if r_ddl[c] in integral
+    }
+    ts_integral = merge_ts and l_ddl[left.ts] in integral
+
+    def _ddl(c):
+        base = l_ddl.get(c) or r_ddl[c]
+        return "string" if c in tunnel else base
+
+    jk = [f"__jk{i}" for i in range(len(l_key))]
+    l_src, r_src = left.df, right.df
+    for k in l_key:
+        l_src = l_src.filter(F.col(k).isNotNull())  # to_table drops null keys
+    for k in r_key:
+        r_src = r_src.filter(F.col(k).isNotNull())
+
+    def _tcol(c):
+        return (F.col(c).cast("string") if c in tunnel else F.col(c)).alias(c)
+
+    def _ncol(c):
+        return F.lit(None).cast(_ddl(c)).alias(c)
+
+    tagged = l_src.select(
+        F.lit(1).alias("__side"),
+        *[F.col(k).alias(j) for k, j in zip(l_key, jk)],
+        *[_tcol(c) for c in l_val],
+        *[_ncol(c) for c in r_val],
+    ).unionByName(
+        r_src.select(
+            F.lit(0).alias("__side"),
+            *[F.col(k).alias(j) for k, j in zip(r_key, jk)],
+            *[_ncol(c) for c in l_val],
+            *[_tcol(c) for c in r_val],
+        )
+    )
+
+    state_schema = "__l_set boolean, __r_set boolean" + "".join(
+        f", `{c}` {_ddl(c)}" for c in l_val + r_val
+    )
+    out_cols = list(l_key) + out_l_val + out_r_val + ([ts_alias] if merge_ts else [])
+
+    def _out_ddl(c):
+        if merge_ts and c == ts_alias:
+            return "string" if ts_integral else l_ddl[left.ts]
+        if c in l_key:
+            return l_ddl[c]
+        return _ddl(c)
+
+    out_schema = ", ".join(f"`{c}` {_out_ddl(c)}" for c in out_cols)
+
+    n_l, n_r = len(l_val), len(r_val)
+    l_idx = {c: i for i, c in enumerate(l_val)}
+    r_idx = {c: i for i, c in enumerate(r_val)}
+    l_key_pos = {c: i for i, c in enumerate(l_key)}
+    r_key_pos = {c: i for i, c in enumerate(r_key)}
+    l_ts_name, r_ts_name = (left.ts, right.ts) if merge_ts else (None, None)
+
+    def fn(gkey, pdfs, state):
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        def clean(v):
+            if v is None or v is pd.NaT:
+                return None
+            if isinstance(v, float) and v != v:
+                return None
+            if isinstance(v, pd.Timestamp):
+                return v.to_pydatetime()
+            if type(v).__module__ == "numpy":
+                return v.item()
+            return v
+
+        def make_ord(order, key_pos, lookup):
+            vals = []
+            for c in order:
+                v = clean(gkey[key_pos[c]]) if c in key_pos else clean(lookup(c))
+                if v is None:
+                    raise ValueError(
+                        "null order value in the keyed tt-join engine — the fold "
+                        "needs a total order per key; use engine='exact'"
+                    )
+                if c in tunnel:
+                    v = int(v)
+                vals.append(v)
+            return tuple(vals)
+
+        if state.exists:
+            st = list(state.get)
+            l_set, r_set = bool(st[0]), bool(st[1])
+            l_vals, r_vals = list(st[2 : 2 + n_l]), list(st[2 + n_l :])
+        else:
+            l_set = r_set = False
+            l_vals, r_vals = [None] * n_l, [None] * n_r
+        l_ord = make_ord(lord, l_key_pos, lambda c: l_vals[l_idx[c]]) if l_set else None
+        r_ord = make_ord(rord, r_key_pos, lambda c: r_vals[r_idx[c]]) if r_set else None
+
+        changed = False
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for _, row in pdf.iterrows():
+                if int(row["__side"]) == 1:
+                    ov = make_ord(lord, l_key_pos, lambda c: row[c])
+                    if (not l_set) or ov >= l_ord:
+                        l_vals = [clean(row[c]) for c in l_val]
+                        l_ord, l_set, changed = ov, True, True
+                else:
+                    ov = make_ord(rord, r_key_pos, lambda c: row[c])
+                    if (not r_set) or ov >= r_ord:
+                        r_vals = [clean(row[c]) for c in r_val]
+                        r_ord, r_set, changed = ov, True, True
+        if not changed:
+            return
+        state.update((l_set, r_set, *l_vals, *r_vals))
+        emit = (l_set and r_set) if how == "inner" else (l_set if how == "left" else True)
+        if not emit:
+            return
+        out_row = [clean(k) for k in gkey]
+        out_row += [clean(l_vals[l_idx[c]]) if l_set else None for c in out_l_val]
+        out_row += [clean(r_vals[r_idx[c]]) if r_set else None for c in out_r_val]
+        if merge_ts:
+            # output ts = max of the sides (KTableKTableJoinProcessor.cs:35),
+            # skipping absent/null sides like F.greatest
+            def ts_of(is_set, key_pos, idx, vals, name):
+                if not is_set:
+                    return None
+                v = clean(gkey[key_pos[name]]) if name in key_pos else clean(vals[idx[name]])
+                if v is None:
+                    return None
+                return int(v) if ts_integral else v
+
+            cands = [
+                t
+                for t in (
+                    ts_of(l_set, l_key_pos, l_idx, l_vals, l_ts_name),
+                    ts_of(r_set, r_key_pos, r_idx, r_vals, r_ts_name),
+                )
+                if t is not None
+            ]
+            best = max(cands) if cands else None
+            out_row.append(str(best) if ts_integral and best is not None else best)
+        yield pd.DataFrame([tuple(out_row)], columns=out_cols)
+
+    root = state_dir or tempfile.mkdtemp(prefix="pse-ttjoin-")
+    os.makedirs(root, exist_ok=True)
+    if os.path.exists(os.path.join(root, "_GEN")):
+        raise ValueError(
+            f"state dir {root!r} was written by the exact tt-join engine (ping-pong "
+            "generations); pass engine='exact' to resume it, or a fresh state_dir"
+        )
+    out_dir = os.path.join(root, "out")
+    ckpt = _bind_state_checkpoint(
+        root, _checkpoint(checkpoint), _has_emissions(out_dir), "prior tt-join emissions"
+    )
+    ver_path = os.path.join(root, "_PSE_TTJOIN_V")
+    ver = _read_bind(ver_path)
+    if (_has_emissions(out_dir) or _last_committed(ckpt) >= 0) and ver != _TTJOIN_STATE_VERSION:
+        raise ValueError(
+            f"state dir {root!r} holds keyed tt-join state with state-schema version "
+            f"{ver or 'unknown'}, but this engine writes version "
+            f"{_TTJOIN_STATE_VERSION} — resuming would fail Spark's state-schema "
+            "check or mix sink schemas; drain the old run with the code that wrote "
+            "it, or start a fresh state_dir"
+        )
+    if ver is None:
+        # only verifiably FRESH dirs (no emissions, no commits) reach here
+        with open(ver_path + ".tmp", "w") as f:
+            f.write(_TTJOIN_STATE_VERSION)
+        os.replace(ver_path + ".tmp", ver_path)
+
+    res = tagged.groupBy(*jk).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.write.mode("overwrite").parquet(os.path.join(out_dir, f"sink_batch={batch_id}"))
+
+    q = (
+        res.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not _has_emissions(out_dir):
+        return empty_out
+    emitted = spark0.read.parquet(out_dir)
+    snap = KStream(emitted, tuple(l_key), None).to_table(order=("sink_batch",)).df
+    snap = snap.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in empty_out.schema.fields]
+    )
+    if store_name is not None:
+        snap.createOrReplaceTempView(store_name)
+    return snap
 
 
 def _changelog_join_loop(
@@ -1168,9 +1483,15 @@ def _suppress_keyed(
     # instead; fresh dirs are stamped before the first batch runs.
     ver_path = os.path.join(root, "_PSE_STATE_V")
     ver = _read_bind(ver_path)
-    if _has_emissions(out_dir) and ver != _KEYED_STATE_VERSION:
+    prior_batch = _last_committed(ckpt)
+    # "populated" for the version gate means EITHER emissions OR committed
+    # batches: suppress can buffer for many batches before its first
+    # emission, and such a run still holds v-old state in the checkpoint
+    # (r10 advice — gating on emissions alone would stamp the dir v-new
+    # and then hit the opaque Spark state-schema failure mid-drain)
+    if (_has_emissions(out_dir) or prior_batch >= 0) and ver != _KEYED_STATE_VERSION:
         raise ValueError(
-            f"state dir {root!r} holds keyed-suppress emissions with state-schema "
+            f"state dir {root!r} holds keyed-suppress state with state-schema "
             f"version {ver or 'pre-versioning (v1)'}, but this engine writes "
             f"version {_KEYED_STATE_VERSION} (integral columns string-tunneled "
             "for exact bigint round-trip) — resuming would fail Spark's state-"
@@ -1178,10 +1499,10 @@ def _suppress_keyed(
             "that wrote it, or start a fresh state_dir"
         )
     if ver is None:
+        # only verifiably FRESH dirs (no emissions, no commits) reach here
         with open(ver_path + ".tmp", "w") as f:
             f.write(_KEYED_STATE_VERSION)
         os.replace(ver_path + ".tmp", ver_path)
-    prior_batch = _last_committed(ckpt)
 
     sdf = src.df
     for k in key:

@@ -66,8 +66,10 @@ CASES = [
     (None, None, True, (0, 1, 2), 2, "bind"),
     # ...or lags it by one (crash between fold and checkpoint commit)
     (None, None, True, (0, 1), 2, "bind"),
-    # ...or the loop keeps no _GEN cursor at all (keyed suppress / as-of)
-    (None, None, True, (0,), None, "bind"),
+    # a populated dir with NEITHER cursor nor emissions has nothing to
+    # cross-check: refused by default (r10 review — the old
+    # "adopts freely" residual window), opt-in via PSE_ADOPT_LEGACY=1
+    (None, None, True, (0,), None, "not recognizably"),
     # legacy populated state + FRESH checkpoint: nothing recognizable
     (None, None, True, (), 2, "not recognizably"),
     # legacy populated state + inconsistent used checkpoint (foreign run)
@@ -80,15 +82,19 @@ CASES = [
 @pytest.mark.parametrize(
     "commits,sink,sink_in_out,expect",
     [
-        # cursor-free loops (keyed suppress / as-of) leave sink_batch=<id>
-        # partitions: the original checkpoint must have committed at least
-        # max(sink)-1 (one crash-replayed batch of slack); a checkpoint too
-        # far behind the emissions is a foreign run (r10 review finding)
-        ((0, 1, 2, 3, 4), 5, True, "bind"),   # committed=4 >= 5-1: adopt
+        # cursor-free loops (keyed suppress / tt-join / as-of) leave
+        # sink_batch=<id> partitions: the original checkpoint's commits must
+        # LINE UP with the highest emitted batch — equal (clean stop) or one
+        # less (crash between fold and checkpoint commit).  A checkpoint
+        # behind that is a foreign run; one AHEAD is legal (trailing batches
+        # may emit nothing) but unverifiable, so it needs the explicit
+        # PSE_ADOPT_LEGACY=1 opt-in (r10 review finding)
+        ((0, 1, 2, 3, 4), 5, True, "bind"),   # committed=4 == 5-1: adopt
         ((0, 1, 2, 3, 4, 5), 5, True, "bind"),  # clean stop
         ((0, 1, 2), 5, True, "not recognizably"),  # 2 < 4: foreign
         ((0, 1, 2), 5, False, "not recognizably"),  # flat as-of layout too
         ((0,), 0, True, "bind"),  # single-batch legacy run
+        ((0, 1, 2, 3, 4, 5, 6, 7), 5, True, "not recognizably"),  # ahead: opt-in only
     ],
 )
 def test_bind_legacy_adoption_sink_batch_cursor(tmp_path, commits, sink, sink_in_out, expect):
@@ -99,6 +105,24 @@ def test_bind_legacy_adoption_sink_batch_cursor(tmp_path, commits, sink, sink_in
     else:
         with pytest.raises(ValueError, match=expect):
             _bind_state_checkpoint(root, ckpt, True, "unit-test state")
+
+
+@pytest.mark.parametrize(
+    "commits,sink,expect_default",
+    [
+        # unauthenticatable legacy shapes: refused by default, adopted
+        # under the documented PSE_ADOPT_LEGACY=1 opt-in
+        ((0,), -1, "not recognizably"),  # emissions-free, cursor-free
+        ((0, 1, 2, 3, 4, 5, 6, 7), 5, "not recognizably"),  # commits ahead
+    ],
+)
+def test_bind_legacy_opt_in_adopts_unverifiable(tmp_path, monkeypatch, commits, sink, expect_default):
+    root = _mk(tmp_path, "state", sink=None if sink == -1 else sink, sink_in_out=True)
+    ckpt = _mk_ckpt(tmp_path, "ckpt", commits=commits)
+    with pytest.raises(ValueError, match=expect_default):
+        _bind_state_checkpoint(root, ckpt, True, "unit-test state")
+    monkeypatch.setenv("PSE_ADOPT_LEGACY", "1")
+    assert _bind_state_checkpoint(root, ckpt, True, "unit-test state") == ckpt
 
 
 @pytest.mark.parametrize("s_marker,c_marker,populated,commits,applied,expect", CASES)

@@ -783,6 +783,19 @@ def test_fk_join_shared_lineage_self_join(spark):
     got = {r.emp: r.mgr_role for r in j.df.collect()}
     assert got == {1: None, 2: "ceo", 3: "ceo"}
 
+    # r10 advice probe: a Column-valued fk built as an UNQUALIFIED reference
+    # while both sides carry "mgr".  Spark 4 resolves it against the left
+    # side, so the join must produce the same result as the string form; if
+    # a future Spark re-tightens the ambiguity check, join_fk re-raises
+    # descriptively naming the string escape hatch (dsl.py join_fk) — either
+    # outcome is contract-clean, silence with a WRONG side would not be
+    try:
+        j2 = t.join_fk(mgr, F.col("mgr"), how="left")
+        got2 = {r.emp: r.mgr_role for r in j2.df.collect()}
+        assert got2 == {1: None, 2: "ceo", 3: "ceo"}
+    except ValueError as e:
+        assert "string column name" in str(e)
+
 
 def test_ss_join_shared_lineage_self_join(spark):
     """KStream⋈KStream interval join where both legs fan out of the SAME

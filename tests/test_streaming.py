@@ -813,10 +813,13 @@ def test_file_sink_roundtrip(spark, tmp_path):
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
 
 
-def test_tt_join_streaming_parity(spark, tmp_path):
-    """Streaming KTable⋈KTable (foreachBatch state upsert + join recompute,
-    SURVEY §7.3.2) over multi-microbatch changelogs == batch KTable.join —
-    the continuous analog of KTableKTableJoinProcessor.cs:20-48."""
+@pytest.mark.parametrize("engine", ["keyed", "exact"])
+def test_tt_join_streaming_parity(spark, tmp_path, engine):
+    """Streaming KTable⋈KTable over multi-microbatch changelogs == batch
+    KTable.join — the continuous analog of KTableKTableJoinProcessor.cs:
+    20-48 — from BOTH engines: the keyed applyInPandasWithState scale
+    engine (O(changed keys) per batch) and the exact ping-pong loop
+    (SURVEY §7.3.2)."""
     from pyspark_engine.streaming import join_tables_streaming
 
     ev = (
@@ -843,6 +846,7 @@ def test_tt_join_streaming_parity(spark, tmp_path):
         r_order=("o_orderdate", "o_orderkey"),
         ts_alias="jts",
         store_name="tt_join_store",
+        engine=engine,
     )
 
     lb = KStream(spark.read.parquet(str(tmp_path / "ev")), ("user_id",), "ts").to_table(
@@ -1827,12 +1831,15 @@ def test_cogroup_streaming_restart_recovers_generation(spark, tmp_path):
     assert again == got
 
 
-def test_tt_join_streaming_restart_recovers_generation(spark, tmp_path):
+@pytest.mark.parametrize("engine", ["keyed", "exact"])
+def test_tt_join_streaming_restart_recovers_generation(spark, tmp_path, engine):
     """join_tables_streaming restart: re-invoking with the same durable
     checkpoint + state_dir after new changelog data continues from the
-    committed state snapshot (the _GEN marker), replaying only the new
-    microbatch; result == batch join over the full changelogs.  Run 1 uses
-    an odd microbatch count so a gen-reset would read the stale side."""
+    committed state snapshot (the _GEN marker for the exact engine, the
+    checkpointed keyed store + emission log for the keyed one), replaying
+    only the new microbatch; result == batch join over the full changelogs.
+    Run 1 uses an odd microbatch count so a gen-reset would read the stale
+    side."""
     import os
     import time
 
@@ -1855,6 +1862,7 @@ def test_tt_join_streaming_restart_recovers_generation(spark, tmp_path):
         return join_tables_streaming(
             lks, rks, how="left", l_order=("lo",), r_order=("ro",),
             state_dir=str(tmp_path / "state"), checkpoint=str(tmp_path / "ck"),
+            engine=engine,
         )
 
     first = {r.k: (r.lv, r.rv) for r in run().collect()}
@@ -1865,6 +1873,94 @@ def test_tt_join_streaming_restart_recovers_generation(spark, tmp_path):
     pd.DataFrame({"rk": [2], "rv": [200], "ro": [1]}).to_parquet(rdir / "f1.parquet")
     got = {r.k: (r.lv, r.rv) for r in run().collect()}
     assert got == {1: (30, 100), 2: (7, 200)}
+
+
+def test_tt_join_keyed_bigint_tunnel(spark, tmp_path):
+    """The keyed tt-join engine string-tunnels integral value columns for
+    the same reason as the keyed suppress engine: the OTHER side's columns
+    are null on every union row, so every integral slice would ride
+    float64 through Arrow and corrupt bigints past 2^53.  Values must
+    round-trip exactly, nulls stay null, and the unmatched-left row of a
+    left join carries typed nulls."""
+    import datetime as dt
+
+    from pyspark_engine.streaming import join_tables_streaming
+
+    big = (1 << 53) + 1  # int(float(big)) == big - 1: detects any float hop
+    neg_big = -(1 << 53) - 3
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    ldf = spark.createDataFrame(
+        [(1, big, t(0)), (2, None, t(0)), (3, 7, t(0))],
+        "k int, lv bigint, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(1, neg_big, t(1)), (2, big, t(1))], "rk int, rv bigint, rts timestamp"
+    )
+    ldf.write.parquet(str(tmp_path / "l"))
+    rdf.write.parquet(str(tmp_path / "r"))
+    sb = StreamingBuilder(spark)
+    got = join_tables_streaming(
+        sb.file_stream(str(tmp_path / "l"), key="k", ts="lts"),
+        sb.file_stream(str(tmp_path / "r"), key="rk", ts="rts"),
+        how="left",
+        ts_alias="jts",
+        engine="keyed",
+    )
+    assert dict(got.dtypes)["lv"] == "bigint" and dict(got.dtypes)["rv"] == "bigint"
+    rows = {r["k"]: r for r in got.collect()}
+    assert rows[1]["lv"] == big and rows[1]["rv"] == neg_big and rows[1]["jts"] == t(1)
+    assert rows[2]["lv"] is None and rows[2]["rv"] == big
+    assert rows[3]["lv"] == 7 and rows[3]["rv"] is None and rows[3]["jts"] == t(0)
+
+
+def test_tt_join_engine_state_dirs_do_not_mix(spark, tmp_path):
+    """A state dir written by one tt-join engine must be refused by the
+    other (their layouts are incompatible: ping-pong generations + flat
+    out/ vs keyed store + sink_batch partitions), and a keyed dir whose
+    state-schema version is foreign is refused instead of hitting Spark's
+    opaque state-schema failure mid-drain."""
+    import datetime as dt
+    import os
+
+    from pyspark_engine.streaming import join_tables_streaming
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    ldf = spark.createDataFrame([(1, "a", t(0))], "k int, lv string, lts timestamp")
+    rdf = spark.createDataFrame([(1, "x", t(0))], "rk int, rv string, rts timestamp")
+    ldf.write.parquet(str(tmp_path / "l"))
+    rdf.write.parquet(str(tmp_path / "r"))
+    sb = StreamingBuilder(spark)
+
+    def run(engine, state, ckpt):
+        return join_tables_streaming(
+            sb.file_stream(str(tmp_path / "l"), key="k", ts="lts"),
+            sb.file_stream(str(tmp_path / "r"), key="rk", ts="rts"),
+            how="inner",
+            state_dir=state,
+            checkpoint=ckpt,
+            engine=engine,
+        )
+
+    ex_state, ex_ck = str(tmp_path / "ex-state"), str(tmp_path / "ex-ck")
+    assert run("exact", ex_state, ex_ck).count() == 1
+    with pytest.raises(ValueError, match="exact tt-join engine"):
+        run("keyed", ex_state, ex_ck)
+
+    ky_state, ky_ck = str(tmp_path / "ky-state"), str(tmp_path / "ky-ck")
+    assert run("keyed", ky_state, ky_ck).count() == 1
+    with pytest.raises(ValueError, match="no\\s+readable _GEN marker"):
+        run("exact", ky_state, ky_ck)
+
+    # version gate: a populated keyed dir stamped with a foreign version
+    with open(os.path.join(ky_state, "_PSE_TTJOIN_V"), "w") as f:
+        f.write("0")
+    with pytest.raises(ValueError, match="state-schema version"):
+        run("keyed", ky_state, ky_ck)
 
 
 def test_cogroup_streaming_rejects_invalid_parts(spark, tmp_path):
@@ -2728,3 +2824,46 @@ def test_keyed_suppress_refuses_foreign_state_schema_version(spark, tmp_path):
         mk(), time_col="ts", state_dir=state, checkpoint=ckpt, engine="keyed"
     )
     assert got2.collect() == []
+
+
+def test_keyed_suppress_version_gate_fires_on_committed_unemitted_state(spark, tmp_path):
+    """r10 advice: suppress can buffer for many batches before its FIRST
+    emission, so a v-old dir may hold committed state with an empty out/.
+    The version gate must fire on committed-state too — gating on emissions
+    alone would stamp the dir v-new and then hit Spark's opaque
+    state-schema failure mid-drain with a permanently wrong stamp."""
+    import datetime as dt
+    import os as _os
+
+    import pytest as _pytest
+
+    from pyspark_engine.streaming import suppress_buffered
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    schema = "k string, v int, ts timestamp"
+    src = str(tmp_path / "src")
+    _write_source_file(spark, [("a", 1, t(0))], schema, src, 0)
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    sb = StreamingBuilder(spark)
+
+    def mk():
+        return (
+            sb.file_stream(src, key="k", ts="ts")
+            .to_table()
+            .suppress(until_time_limit_ms=10**12)  # nothing ever due
+        )
+
+    got = suppress_buffered(mk(), time_col="ts", state_dir=state, checkpoint=ckpt, engine="keyed")
+    assert got.collect() == []  # buffered, no emissions — out/ is empty
+    ver = _os.path.join(state, "_PSE_STATE_V")
+
+    # simulate the v1 shape: stamp absent, checkpoint committed, out/ empty
+    _os.remove(ver)
+    with _pytest.raises(ValueError, match="state-schema"):
+        suppress_buffered(mk(), time_col="ts", state_dir=state, checkpoint=ckpt, engine="keyed")
+    # the refusal must NOT have restamped the dir (it is not verifiably fresh)
+    assert not _os.path.exists(ver)
