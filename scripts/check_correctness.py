@@ -79,6 +79,21 @@ def main() -> int:
     con = duck_con(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if os.environ.get("CHECK_INJECT_SCALEBUG") == "1":
+        # self-test hook for the close gate's sf0.1 sample (r10 verdict item
+        # 3): a deliberately cardinality-dependent wrong answer — the Spark
+        # side caps a count that only exceeds the cap at sf >= 0.1, so the
+        # query is GREEN at sf0.01 and RED at sf0.1.  Proves the sampled
+        # scale gate can catch the wrong-only-at-scale class; never set
+        # outside tests/test_evidence_gate.py.
+        def _scalebug(spark, sf_dir):
+            from pyspark.sql import functions as F  # noqa: PLC0415
+
+            df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            return df.agg(F.least(F.count(F.lit(1)), F.lit(100_000)).alias("n_rows"))
+
+        qs["zz_injected_scalebug"] = _scalebug
+        oracles["zz_injected_scalebug"] = "SELECT COUNT(*) AS n_rows FROM lineitem"
     n_pass = n_fail = n_rows_only = 0
     failures = []
     record: dict[str, dict] = {}

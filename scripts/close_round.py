@@ -23,8 +23,14 @@ Generate mode:
      doc anchor left ``pytest tests/`` red at the evidence commit).  Debug
      escape: PSE_SKIP_PYTEST=1, never for a real round close;
   3. runs check_correctness (CHECK_JSON_OUT=CORRECTNESS_HEAD.json) at sf0.01,
-     plan_audit (PLAN_AUDIT_OUT=PLAN_AUDIT.json), and bench.py
-     (-> BENCH_HEAD.json);
+     a ROTATING ~15-query oracle sample at sf0.1
+     (CHECK_JSON_OUT=CORRECTNESS_SF01_SAMPLE.json — all other answer
+     checking happens at sf0.01, so a cardinality-dependent wrong answer
+     was previously invisible; the sample is seeded by the round number so
+     coverage rotates, and excludes the queries whose DuckDB oracles are
+     deliberately brute-force pairwise/recursive at documents scale —
+     those have dedicated scale-stress coverage instead), plan_audit
+     (PLAN_AUDIT_OUT=PLAN_AUDIT.json), and bench.py (-> BENCH_HEAD.json);
   4. stamps each artifact run with the HEAD commit, the pytest tail, and
      box-state metadata (loadavg + top CPU consumers sampled before the
      bench, so cross-round comparisons can see box drift) in
@@ -47,8 +53,50 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-EVIDENCE = ("CORRECTNESS_HEAD.json", "PLAN_AUDIT.json", "BENCH_HEAD.json", "EVIDENCE_HEAD.json")
+EVIDENCE = (
+    "CORRECTNESS_HEAD.json",
+    "PLAN_AUDIT.json",
+    "BENCH_HEAD.json",
+    "EVIDENCE_HEAD.json",
+    "CORRECTNESS_SF01_SAMPLE.json",
+)
 SOURCE_PATHS = ("pyspark_engine/", "__spark_entry__.py", "bench.py", "scripts/")
+
+# Excluded from the sf0.1 oracle sample: their DuckDB oracles are
+# deliberately brute-force (all-pairs string similarity / recursive-CTE
+# closures over the documents table) — exact by design at the sf0.01 gate
+# scale, hours at sf0.1.  Each has dedicated scale evidence in
+# SCALE_STRESS.json instead (x1→x100 exponents, spill sweep).
+SF01_SAMPLE_EXCLUDE = {
+    "q43", "q44", "q45", "q74", "q90", "q108", "q109", "q127", "q134",
+    "q140", "q151", "q154",
+}
+
+
+def sf01_sample(n: int = 15) -> list[str]:
+    """Deterministic rotating sample of query names for the sf0.1 oracle
+    spot-check: seeded by the NEXT round number (max CORRECTNESS_r*.json
+    + 1), so each round checks a different slice and every query cycles
+    through the scale gate over time."""
+    import glob
+    import random
+    import re
+
+    rounds = [0]
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json", os.path.basename(f))
+        if m:
+            rounds.append(int(m.group(1)))
+    seed = max(rounds) + 1
+    sys.path.insert(0, REPO)
+    try:
+        import __spark_entry__ as entrymod  # noqa: PLC0415
+
+        names = sorted(entrymod.queries())
+    except Exception:  # noqa: BLE001 — no entry module (scratch repo): no sample
+        return []
+    pool = [q for q in names if q.split("_")[0] not in SF01_SAMPLE_EXCLUDE]
+    return sorted(random.Random(seed).sample(pool, min(n, len(pool))))
 
 
 def _git(*args: str) -> str:
@@ -193,11 +241,28 @@ def generate() -> int:
             print(f"FAIL: pytest exited {rc} — the evidence commit must have a green suite")
             return rc
     box: dict = {}
+    sample = sf01_sample()
     steps = [
         (
             "correctness @ sf0.01",
             [sys.executable, "scripts/check_correctness.py", "/root/testdata/sf0.01"],
             env,
+        ),
+        *(
+            [
+                (
+                    f"correctness sample @ sf0.1 ({len(sample)} queries)",
+                    [
+                        sys.executable,
+                        "scripts/check_correctness.py",
+                        "/root/testdata/sf0.1",
+                        *sample,
+                    ],
+                    {**env, "CHECK_JSON_OUT": os.path.join(REPO, "CORRECTNESS_SF01_SAMPLE.json")},
+                )
+            ]
+            if sample
+            else []
         ),
         (
             "plan audit",
@@ -242,8 +307,9 @@ def generate() -> int:
         json.dump(
             {
                 "commit": head,
-                "artifacts": list(EVIDENCE[:3]),
+                "artifacts": [a for a in EVIDENCE if a != "EVIDENCE_HEAD.json"],
                 "pytest_tail": pytest_tail,
+                "sf01_sample": sample,
                 "box_state_before_bench": box,
             },
             f,

@@ -161,3 +161,46 @@ def test_close_round_generate_requires_green_pytest(tmp_path):
     git("commit", "-qm", "env sentinel")
     r = generate({"PSE_CLOSE_ROUND": "1"})
     assert "green suite" not in r.stdout and "correctness" in r.stdout, r.stdout
+
+
+def test_sf01_sample_gate_catches_scale_dependent_wrong_answer():
+    """r10 verdict item 3: all ordinary answer-checking runs at sf0.01, so a
+    cardinality-dependent wrong answer (overflowing bucket math, a cap that
+    only binds at higher row counts) was invisible.  The close gate now runs
+    a rotating oracle sample at sf0.1; this test proves that gate CATCHES
+    the wrong-only-at-scale class: the injectable scale-bug query (Spark
+    caps a count at 100k; the oracle doesn't) is green at sf0.01 and red at
+    sf0.1."""
+    env = {**os.environ, "CHECK_INJECT_SCALEBUG": "1"}
+    env.pop("CHECK_JSON_OUT", None)
+
+    def run(sf_dir):
+        return subprocess.run(
+            [sys.executable, "scripts/check_correctness.py", sf_dir, "zz_injected_scalebug"],
+            cwd=REPO,
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+
+    r_small = run("/root/testdata/sf0.01")
+    assert r_small.returncode == 0 and "1 pass" in r_small.stdout, r_small.stdout[-800:]
+    r_big = run("/root/testdata/sf0.1")
+    assert r_big.returncode == 1 and "zz_injected_scalebug" in r_big.stdout, r_big.stdout[-800:]
+
+
+def test_sf01_sample_is_deterministic_rotating_and_excludes_brute_oracles():
+    """The sf0.1 sample must be reproducible within a round (same seed →
+    same slice), rotate across rounds, and never pick the queries whose
+    DuckDB oracles are brute-force at documents scale."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "close_round", os.path.join(REPO, "scripts", "close_round.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    s1, s2 = m.sf01_sample(), m.sf01_sample()
+    assert s1 == s2 and len(s1) == 15
+    assert not {q.split("_")[0] for q in s1} & m.SF01_SAMPLE_EXCLUDE
