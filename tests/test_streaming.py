@@ -2826,6 +2826,111 @@ def test_keyed_suppress_refuses_foreign_state_schema_version(spark, tmp_path):
     assert got2.collect() == []
 
 
+@pytest.mark.parametrize("engine", ["keyed", "exact"])
+def test_suppress_value_type_matrix(spark, tmp_path, engine):
+    """r10 verdict item 5: extend the exact-value round-trip matrix beyond
+    bigint — decimal(38,2) and microsecond-precision timestamp VALUE columns
+    (including a pre-epoch timestamp VALUE, legal anywhere except the event-
+    time column) ride the same Arrow state path as the tunneled integrals,
+    with real nulls in the same keys' column slices.  Values, nulls, and
+    dtypes must round-trip exactly through BOTH suppress engines."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from pyspark_engine.streaming import suppress_buffered
+
+    big = (1 << 53) + 1
+    big_dec = Decimal("123456789012345678901234567890123456.78")  # 38 digits
+    pre_epoch = dt.datetime(1969, 7, 20, 20, 17, 0, 123456)
+    us_edge = dt.datetime(2024, 6, 1, 0, 0, 0, 999999)
+
+    def t(m, s=0):
+        return dt.datetime(2024, 1, 1, 10, m, s)
+
+    schema = "k string, vb bigint, vd decimal(38,2), vt timestamp, ts timestamp"
+    src = str(tmp_path / "src")
+    _write_source_file(
+        spark,
+        [
+            ("a", big, big_dec, pre_epoch, t(0)),
+            ("b", None, None, None, t(0, 10)),
+            # e mixes NULLs and extremes in the SAME key's Arrow slices
+            ("e", None, None, None, t(0, 30)),
+            ("e", -big, Decimal("-1.23"), us_edge, t(0, 40)),
+        ],
+        schema,
+        src,
+        0,
+    )
+    _write_source_file(spark, [("z", 1, Decimal("1.00"), t(3), t(3))], schema, src, 1)
+
+    sb = StreamingBuilder(spark)
+    tbl = (
+        sb.file_stream(src, key="k", ts="ts", max_files_per_trigger=1)
+        .to_table()
+        .suppress(until_time_limit_ms=60_000)
+    )
+    got = suppress_buffered(tbl, time_col="ts", engine=engine)
+    d = dict(got.dtypes)
+    assert (d["vb"], d["vd"], d["vt"]) == ("bigint", "decimal(38,2)", "timestamp")
+    rows = {r["k"]: r for r in got.collect()}
+    assert set(rows) == {"a", "b", "e"}
+    assert (rows["a"]["vb"], rows["a"]["vd"], rows["a"]["vt"]) == (big, big_dec, pre_epoch)
+    assert (rows["b"]["vb"], rows["b"]["vd"], rows["b"]["vt"]) == (None, None, None)
+    assert (rows["e"]["vb"], rows["e"]["vd"], rows["e"]["vt"]) == (
+        -big,
+        Decimal("-1.23"),
+        us_edge,
+    )
+
+
+def test_stateful_map_decimal_timestamp_state_roundtrip(spark, tmp_path):
+    """The raw stateful_map escape hatch: decimal and timestamp values held
+    ACROSS microbatches in applyInPandasWithState state come back exactly
+    (the caller-visible contract behind the suppress engines' type matrix).
+    Integral columns are the caller's responsibility — the documented Arrow
+    null→float64 coercion is why the suppress engines tunnel them."""
+    import datetime as dt
+    from decimal import Decimal
+
+    import pandas as pd_
+
+    from pyspark_engine.streaming import StreamingBuilder, run_available_now, stateful_map
+
+    big_dec = Decimal("987654321098765432109876543210.12345678")
+    ts_edge = dt.datetime(1969, 12, 31, 23, 59, 59, 999999)
+
+    schema = "k string, vd decimal(38,8), vt timestamp, seq int"
+    src = str(tmp_path / "src")
+    _write_source_file(spark, [("a", big_dec, ts_edge, 0)], schema, src, 0)
+    _write_source_file(spark, [("a", None, None, 1)], schema, src, 1)
+
+    def fn(key, pdfs, state):
+        first_d, first_t = (state.get if state.exists else (None, None))
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                if int(row["seq"]) == 0:
+                    first_d, first_t = row["vd"], row["vt"].to_pydatetime()
+                    state.update((first_d, first_t))
+                else:
+                    # second batch: emit what STATE preserved from batch 0
+                    yield pd_.DataFrame(
+                        [(key[0], first_d, first_t)], columns=["k", "vd", "vt"]
+                    )
+
+    sb = StreamingBuilder(spark)
+    ks = sb.file_stream(src, key="k", max_files_per_trigger=1)
+    out = stateful_map(
+        ks.group_by_key(),
+        fn,
+        "k string, vd decimal(38,8), vt timestamp",
+        "vd decimal(38,8), vt timestamp",
+    )
+    got = run_available_now(out, output_mode="update").collect()
+    assert len(got) == 1
+    assert got[0]["vd"] == big_dec and got[0]["vt"] == ts_edge
+
+
 def test_keyed_suppress_version_gate_fires_on_committed_unemitted_state(spark, tmp_path):
     """r10 advice: suppress can buffer for many batches before its FIRST
     emission, so a v-old dir may hold committed state with an empty out/.
