@@ -237,6 +237,7 @@ def main() -> None:
     }
     if shuffle_mb:
         out["shuffle_write_mb"] = shuffle_mb
+        out["shuffle_write_mb_total"] = round(sum(shuffle_mb.values()), 2)
         out["spilled_mb_total"] = round(sum(spill_mb.values()), 2)
     # second scale point: sibling sf dir (or explicit override), totals only
     scale2 = os.environ.get("SPARK_GRAFT_SCALE2_DIR")
@@ -258,13 +259,17 @@ def main() -> None:
         out["streaming_replay"] = {"err": str(e)[:200]}
     print(json.dumps(out))
     # truncation-proof tail: harnesses that keep only the last ~2 KB of
-    # output still get the headline numbers — a compact (<300 byte) second
-    # line AFTER the full JSON, so whatever tail survives contains it
+    # output still get the headline numbers — a compact (<350 byte) second
+    # line AFTER the full JSON, so whatever tail survives contains it.
+    # Every key is UNIT-SUFFIXED (r10 advice: a truncated capture of the
+    # full line's per-query shuffle-MB dict was misread as seconds — the
+    # tail must be self-describing even in isolation)
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     print(json.dumps({
         "wall_sec": total,
         "n_queries": len(timings),
-        "slowest": {k: v for k, v in slowest},
+        "slowest_sec": {k: v for k, v in slowest},
+        "shuffle_write_mb_total": out.get("shuffle_write_mb_total", 0.0),
         "spilled_mb": out.get("spilled_mb_total", 0.0),
     }))
 

@@ -142,6 +142,63 @@ def windowed_distinct(
     )
 
 
+def windowed_distinct_sketches(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    id_col: str,
+    size_ms: int,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-batch PARTIALS for the incremental store realization of
+    :func:`windowed_distinct`: (key, w_start_ms, n_events, ids_sketch) where
+    ids_sketch is a MERGEABLE Apache DataSketches HLL sketch
+    (``hll_sketch_agg``) instead of a finished estimate — the sufficient
+    statistic a foreachBatch loop can union into a store whose size is
+    fixed per (key, window) regardless of event volume.  The union is
+    deterministic: incrementally merged microbatch partials estimate
+    IDENTICALLY to one sketch over the whole stream (pinned by
+    test_windowed_distinct_store_parity), which is exactly why the sketch —
+    and not the distinct-id SET — is the store schema; the exact version
+    would grow the store by events, the classic 100 TB trap
+    windowed_distinct's docstring describes."""
+    e = epoch_ms(F.col(ts_col))
+    start = e - F.pmod(e, F.lit(size_ms))
+    return (
+        ensure_min_parallelism(events)
+        .filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(key_col), start.alias("w_start_ms"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.hll_sketch_agg(F.col(id_col), F.lit(lg_k)).alias("ids_sketch"),
+        )
+    )
+
+
+def merge_distinct_sketches(store: DataFrame, part: DataFrame, key_col: str) -> DataFrame:
+    """Store-merge rule of the incremental windowed-distinct loop: union the
+    previous store with a batch's partials and re-reduce — sum the event
+    counts, ``hll_union_agg`` the sketches.  Associative, so any microbatch
+    slicing converges to the same store."""
+    return (
+        store.unionByName(part)
+        .groupBy(key_col, "w_start_ms")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.hll_union_agg("ids_sketch").alias("ids_sketch"),
+        )
+    )
+
+
+def windowed_distinct_over_sketches(store: DataFrame) -> DataFrame:
+    """Finalize the sketch store into the :func:`windowed_distinct` output
+    shape: (key, w_start_ms, n_events, ids_approx).  ``hll_sketch_estimate``
+    is a pure projection — the store stays queryable and mergeable."""
+    return store.withColumn(
+        "ids_approx", F.hll_sketch_estimate(F.col("ids_sketch"))
+    ).drop("ids_sketch")
+
+
 def rate_anomaly_time(
     events: DataFrame,
     ts_col: str,

@@ -315,6 +315,117 @@ def test_windowed_distinct_sketch_contract(spark):
     assert out[("b", 0)].n_events == 1   # the null-ts row is gone
 
 
+def test_windowed_distinct_store_parity(spark, tmp_path):
+    """r10 verdict item 7: the foreachBatch sufficient-statistic-store
+    realization of windowed_distinct (q152), mirroring the q141/q146
+    pattern — each microbatch folds its (key, window) HLL-sketch partials
+    into a parquet store via hll_union_agg (state fixed-size per (key,
+    window), never per event), and the finalized store must equal a ONE-
+    SHOT sketch run over all events exactly (DataSketches HLL union is
+    merge-deterministic); the estimates must also sit within the sketch's
+    error bound of the exact distinct counts."""
+    from pyspark_engine.runtime import normalize_event_time
+
+    HOUR = 3_600_000
+    sf = "/root/testdata/sf0.001"
+    ev = normalize_event_time(spark.read.parquet(f"{sf}/events.parquet"), "ts").select(
+        "event_type", "ts", "user_id"
+    )
+    src = str(tmp_path / "ev")
+    ev.repartition(3).write.parquet(src)  # 3 files -> 3 microbatches
+    ev = spark.read.parquet(src)
+
+    store = str(tmp_path / "sketches")
+    spark.createDataFrame(
+        [], analytics.windowed_distinct_sketches(ev, "ts", "event_type", "user_id", HOUR).schema
+    ).write.parquet(store)
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+
+    def upsert(batch_df, batch_id):
+        s = batch_df.sparkSession
+        part = analytics.windowed_distinct_sketches(batch_df, "ts", "event_type", "user_id", HOUR)
+        merged = analytics.merge_distinct_sketches(s.read.parquet(store), part, "event_type")
+        merged.localCheckpoint().write.mode("overwrite").parquet(store)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = analytics.windowed_distinct_over_sketches(spark.read.parquet(store))
+    want = analytics.windowed_distinct_over_sketches(
+        analytics.windowed_distinct_sketches(ev, "ts", "event_type", "user_id", HOUR)
+    )
+    cols = ["event_type", "w_start_ms", "n_events", "ids_approx"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+    # estimates vs exact distinct: within the lg_k=12 sketch's ~3σ bound
+    exact = {
+        (r["event_type"], r["w_start_ms"]): r["n"]
+        for r in ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            (
+                (F.unix_millis("ts") - F.pmod(F.unix_millis("ts"), F.lit(HOUR)))
+            ).alias("w_start_ms"),
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in got.select(cols).collect():
+        n = exact[(r["event_type"], r["w_start_ms"])]
+        assert abs(r["ids_approx"] - n) <= max(3, 3 * 0.03 * n), (r, n)
+
+
+def test_histogram_store_parity(spark, tmp_path):
+    """r10 verdict item 7 (q139's half): the histogram's per-bin counts are
+    a sum-mergeable sufficient statistic, so a foreachBatch loop folding
+    each microbatch's llmops.histogram partials into a (bin, n) store must
+    equal the one-shot batch histogram exactly across a 3-microbatch
+    replay."""
+    from pyspark_engine import llmops
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select("l_extendedprice")
+    src = str(tmp_path / "li")
+    li.repartition(3).write.parquet(src)
+    li = spark.read.parquet(src)
+
+    store = str(tmp_path / "hist")
+    hist_schema = llmops.histogram(li, "l_extendedprice", 0.0, 100_000.0, 20).schema
+    spark.createDataFrame([], hist_schema).write.parquet(store)
+    stream = spark.readStream.schema(li.schema).option("maxFilesPerTrigger", 1).parquet(src)
+
+    def upsert(batch_df, batch_id):
+        s = batch_df.sparkSession
+        part = llmops.histogram(batch_df, "l_extendedprice", 0.0, 100_000.0, 20)
+        merged = (
+            s.read.parquet(store)
+            .unionByName(part)
+            .groupBy("bin", "lo_edge", "hi_edge")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        merged.localCheckpoint().write.mode("overwrite").parquet(store)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    cols = ["bin", "n", "lo_edge", "hi_edge"]
+    got = spark.read.parquet(store).select(cols)
+    want = llmops.histogram(li, "l_extendedprice", 0.0, 100_000.0, 20).select(cols)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_windowed_distinct_streaming_parity(spark, tmp_path):
     """windowed_distinct is a plain windowed aggregation, so the SAME call
     runs under Structured Streaming (HLL registers are the native streaming
