@@ -720,28 +720,51 @@ def join_fk_streaming(
     store_name: str | None = None,
     state_dir: str | None = None,
     checkpoint: str | None = None,
+    engine: str | None = None,
 ) -> DataFrame:
     """Continuous foreign-key table join — the streaming realization of
     ``KTable.join_fk`` (Kafka Streams 2.4 KIP-213; absent in the reference —
     SURVEY §2.5 note.  KS wires a subscription topic keyed by FK and a
     response topic keyed back by the left PK so FK *changes* re-subscribe).
 
-    Spark plan: the same changelog-state loop as join_tables_streaming —
-    each microbatch upserts both tables' latest-per-key snapshots, then
-    recomputes the FK equi-join over the snapshots.  Re-subscription is
-    structural rather than protocol-level: the recompute always reads each
-    left row's CURRENT fk value, so an update that changes a row's FK
-    atomically retracts the old join row and emits the new one — the exact
-    guarantee KIP-213's unsubscribe/subscribe round-trip exists to provide.
-    Cadence is per-microbatch, final state identical (§7.3.3); the parity
-    test replays an FK flip across microbatches and compares against batch
-    KTable.join_fk."""
+    Two engines, selected by ``engine`` (None = ``"keyed"`` for a string fk
+    column, the scale engine):
+
+      * ``"keyed"`` — the literal KIP-213 two-stage architecture on per-key
+        Spark state: a PK-keyed subscription resolver emitting
+        unsubscribe/subscribe records into a durable subscription log, then
+        an FK-keyed join state holding (latest right row, subscriber list)
+        that fans out U/D emissions; per-microbatch I/O is
+        O(changed keys + affected subscribers) (see _join_fk_keyed).
+      * ``"exact"`` — the shared changelog-state loop: each microbatch
+        upserts both tables' latest-per-key snapshots, then recomputes the
+        FK equi-join over the snapshots (O(table) per batch, bounded by key
+        cardinality).  Re-subscription is structural: the recompute always
+        reads each left row's CURRENT fk value, so an FK flip atomically
+        retracts the old join row and emits the new one.
+
+    Both give the exact KIP-213 guarantee at per-microbatch cadence
+    (§7.3.3); the parity test replays an FK flip across microbatches and
+    compares against batch KTable.join_fk on both engines."""
     if not (left.df.isStreaming and right.df.isStreaming):
         raise ValueError("join_fk_streaming requires streaming inputs; use KTable.join_fk in batch")
     if how not in ("inner", "left"):
         raise ValueError("fk join supports inner|left")
     if len(right.key) != 1:
         raise ValueError("fk join requires single-column right key")
+    if engine is None:
+        engine = "keyed" if isinstance(fk, str) else "exact"
+    if engine == "keyed":
+        if not isinstance(fk, str):
+            raise ValueError(
+                "the keyed fk-join engine requires a string fk column name (the fk "
+                "VALUE rides the subscription log); use engine='exact' for Column fks"
+            )
+        return _join_fk_keyed(
+            left, right, fk, how, l_order, r_order, store_name, state_dir, checkpoint
+        )
+    if engine != "exact":
+        raise ValueError(f"unknown fk-join engine {engine!r}; expected 'keyed' or 'exact'")
     # the canonical FK naming has the LEFT fk column named like the RIGHT
     # key (departments keyed dept_id, employees carrying dept_id) — batch
     # join_fk accepts it because the right key never reaches the output.
@@ -1046,6 +1069,391 @@ def _join_tables_keyed(
     emitted = spark0.read.parquet(out_dir)
     snap = KStream(emitted, tuple(l_key), None).to_table(order=("sink_batch",)).df
     snap = snap.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in empty_out.schema.fields]
+    )
+    if store_name is not None:
+        snap.createOrReplaceTempView(store_name)
+    return snap
+
+
+# keyed fk-join state/sink schema version: same contract as _TTJOIN_STATE_VERSION
+_FKJOIN_STATE_VERSION = "1"
+
+
+def _join_fk_keyed(
+    left: KStream,
+    right: KStream,
+    fk: str,
+    how: str,
+    l_order: Sequence[str] | None,
+    r_order: Sequence[str] | None,
+    store_name: str | None,
+    state_dir: str | None,
+    checkpoint: str | None,
+) -> DataFrame:
+    """Keyed-state engine of ``join_fk_streaming`` — the ACTUAL KIP-213
+    architecture, not a snapshot recompute: Kafka Streams realizes the FK
+    join as a subscription topic keyed by FK plus a response path keyed
+    back by the left PK, so an FK *change* unsubscribes from the old key
+    and subscribes to the new one.  Here the same two stages run as two
+    chained availableNow queries over per-key Spark state (Spark refuses
+    two flatMapGroups operators in ONE query, so the subscription changelog
+    is a durable parquet log between them — the subscription-topic analog):
+
+      stage A (keyed by LEFT PK): folds the left changelog latest-per-key;
+        a changed row emits ``U(new_fk, row)`` plus ``D(old_fk, pk)`` when
+        its fk moved — the unsubscribe/subscribe pair — into
+        ``sub/sink_batch=<id>`` partitions (overwritten on crash-replay);
+      stage B (keyed by FK VALUE): one query over the union of the
+        subscription log (a file stream, so resume skips consumed files)
+        and the right changelog; per-fk state = (latest right row, the
+        SUBSCRIBER LIST as an array<struct> of left rows).  A right-side
+        change re-emits every subscriber (the response-topic fan-out); a
+        left U/D re-emits/retracts just that pk.  Emissions land in
+        ``out/sink_batch=<id>`` with op U/D; the final snapshot is the
+        per-PK fold of the emission log, keeping keys whose LAST op is U.
+
+    Per-microbatch I/O is O(changed keys + affected subscribers), never
+    O(table) — the shape the exact loop's full-snapshot recompute
+    (engine='exact') cannot give.  Caveat, documented: a single fk value
+    with a huge subscriber list serializes its whole array per update
+    (Kafka Streams stores subscriptions as individual store entries, so it
+    pays O(1) there) — mega-fan-in dims belong on the exact loop or the
+    Delta MERGE path.  Ordering across the two stages is total: stage-A
+    batch ids ride the subscription records, ties inside one stage-B batch
+    resolve U over D, so a flip's retraction can never outlive its
+    re-subscription.  Integral columns string-tunnel exactly like the
+    keyed tt-join (artificial union nulls would float64-coerce them), and
+    the fk join value is canonicalized SQL-side (``cast(fk as string)``)
+    on BOTH stages so pandas repr differences can never split a group.
+    Requires a string fk column name, equal fk/right-key dtypes, and
+    non-null order values; ``engine='exact'`` otherwise."""
+    spark0 = left.df.sparkSession
+    l_key = list(left.key)
+    rk = right.key[0]
+    l_cols = list(left.df.columns)
+    r_val = [c for c in right.df.columns if c != rk]
+    overlap = set(l_cols) & set(r_val)
+    if overlap:
+        raise ValueError(
+            f"left columns and right value columns must be disjoint; overlap: {sorted(overlap)}"
+        )
+    l_ddl = {f.name: f.dataType.simpleString() for f in left.df.schema.fields}
+    r_ddl = {f.name: f.dataType.simpleString() for f in right.df.schema.fields}
+    if fk not in l_ddl:
+        raise ValueError(f"fk column {fk!r} not in left columns")
+    if l_ddl[fk] != r_ddl[rk]:
+        raise ValueError(
+            f"the keyed fk-join engine requires equal fk/right-key dtypes; "
+            f"{fk}:{l_ddl[fk]} vs {rk}:{r_ddl[rk]} — cast one side or use engine='exact'"
+        )
+    lord = tuple(l_order) if l_order else ((left.ts,) if left.ts else ())
+    rord = tuple(r_order) if r_order else ((right.ts,) if right.ts else ())
+    if not lord or not rord:
+        raise ValueError("changelog order required per side (ts or explicit l_order/r_order)")
+    for oc, cols in ((lord, l_cols), (rord, right.df.columns)):
+        missing = [c for c in oc if c not in cols]
+        if missing:
+            raise ValueError(f"order columns {missing} not in the side's columns")
+    l_val = [c for c in l_cols if c not in l_key]
+    empty_out = KTable(spark0.createDataFrame([], left.df.schema), left.key, left.ts).join_fk(
+        KTable(spark0.createDataFrame([], right.df.schema), right.key, right.ts), fk, how=how
+    ).df
+
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    tun_l = {c for c in l_cols if l_ddl[c] in integral}
+    tun_r = {c for c in r_val if r_ddl[c] in integral}
+
+    def lddl(c):
+        return "string" if c in tun_l else l_ddl[c]
+
+    def rddl(c):
+        return "string" if c in tun_r else r_ddl[c]
+
+    # ---------------- state dirs, binding, versioning ----------------
+    root = state_dir or tempfile.mkdtemp(prefix="pse-fkjoin-")
+    os.makedirs(root, exist_ok=True)
+    if os.path.exists(os.path.join(root, "_GEN")):
+        raise ValueError(
+            f"state dir {root!r} was written by the exact fk-join engine (ping-pong "
+            "generations); pass engine='exact' to resume it, or a fresh state_dir"
+        )
+    subdir = os.path.join(root, "sub")
+    outdir = os.path.join(root, "out")
+    os.makedirs(subdir, exist_ok=True)
+    ckpt_base = _checkpoint(checkpoint)
+    ckpt_a = _bind_state_checkpoint(
+        subdir,
+        os.path.join(ckpt_base, "sub"),
+        _has_emissions(subdir),
+        "prior fk-join subscription log",
+    )
+    ckpt_b = _bind_state_checkpoint(
+        outdir,
+        os.path.join(ckpt_base, "join"),
+        _has_emissions(outdir),
+        "prior fk-join emissions",
+    )
+    ver_path = os.path.join(root, "_PSE_FKJOIN_V")
+    ver = _read_bind(ver_path)
+    populated = (
+        _has_emissions(subdir)
+        or _has_emissions(outdir)
+        or _last_committed(ckpt_a) >= 0
+        or _last_committed(ckpt_b) >= 0
+    )
+    if populated and ver != _FKJOIN_STATE_VERSION:
+        raise ValueError(
+            f"state dir {root!r} holds keyed fk-join state with state-schema version "
+            f"{ver or 'unknown'}, but this engine writes version {_FKJOIN_STATE_VERSION} "
+            "— resuming would fail Spark's state-schema check or mix sink schemas; "
+            "drain the old run with the code that wrote it, or start a fresh state_dir"
+        )
+    if ver is None:
+        with open(ver_path + ".tmp", "w") as f:
+            f.write(_FKJOIN_STATE_VERSION)
+        os.replace(ver_path + ".tmp", ver_path)
+
+    # ---------------- stage A: subscription resolver (keyed by left PK) ----------------
+    a_src = left.df
+    for k in l_key:
+        a_src = a_src.filter(F.col(k).isNotNull())  # to_table drops null keys
+    a_in = a_src.select(
+        *[(F.col(c).cast("string") if c in tun_l else F.col(c)).alias(c) for c in l_cols],
+        F.col(fk).cast("string").alias("__jfk_in"),  # SQL-canonical join string
+    )
+    n_lv = len(l_val)
+    l_idx = {c: i for i, c in enumerate(l_val)}
+    l_key_pos = {c: i for i, c in enumerate(l_key)}
+    state_a = "__jfk string" + "".join(f", `{c}` {lddl(c)}" for c in l_val)
+    sub_cols = ["op", "__jfk", *l_key, *l_val]
+    sub_schema = "op string, __jfk string" + "".join(
+        f", `{c}` {lddl(c)}" for c in l_key + l_val
+    )
+
+    def fn_a(gkey, pdfs, state):
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        def clean(v):
+            if v is None or v is pd.NaT:
+                return None
+            if isinstance(v, float) and v != v:
+                return None
+            if isinstance(v, pd.Timestamp):
+                return v.to_pydatetime()
+            if type(v).__module__ == "numpy":
+                return v.item()
+            return v
+
+        def make_ord(lookup):
+            vals = []
+            for c in lord:
+                v = clean(gkey[l_key_pos[c]]) if c in l_key_pos else clean(lookup(c))
+                if v is None:
+                    raise ValueError(
+                        "null order value in the keyed fk-join engine — use engine='exact'"
+                    )
+                if c in tun_l:
+                    v = int(v)
+                vals.append(v)
+            return tuple(vals)
+
+        if state.exists:
+            st = list(state.get)
+            was_set, jfk, vals = True, st[0], list(st[1:])
+        else:
+            was_set, jfk, vals = False, None, [None] * n_lv
+        old_jfk = jfk
+        cur_ord = make_ord(lambda c: vals[l_idx[c]]) if was_set else None
+        changed = False
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for _, row in pdf.iterrows():
+                ov = make_ord(lambda c: row[c])
+                if (cur_ord is None) or ov >= cur_ord:
+                    vals = [clean(row[c]) for c in l_val]
+                    jfk = clean(row["__jfk_in"])
+                    cur_ord, changed = ov, True
+        if not changed:
+            return
+        state.update((jfk, *vals))
+        key_vals = [clean(k) for k in gkey]
+        rows = []
+        if was_set and old_jfk != jfk:
+            # the unsubscribe half of the KIP-213 re-key round-trip
+            rows.append(("D", old_jfk, *key_vals, *([None] * n_lv)))
+        rows.append(("U", jfk, *key_vals, *vals))
+        yield pd.DataFrame(rows, columns=sub_cols)
+
+    res_a = a_in.groupBy(*l_key).applyInPandasWithState(
+        fn_a, sub_schema, state_a, "append", "NoTimeout"
+    )
+
+    def _sink_a(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.write.mode("overwrite").parquet(os.path.join(subdir, f"sink_batch={batch_id}"))
+
+    qa = (
+        res_a.writeStream.foreachBatch(_sink_a)
+        .option("checkpointLocation", ckpt_a)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qa.awaitTermination()
+
+    # ---------------- stage B: per-fk join state over sub-log ∪ right ----------------
+    n_rv = len(r_val)
+    r_idx = {c: i for i, c in enumerate(r_val)}
+    sub_stream = spark0.readStream.schema(sub_schema + ", sink_batch int").parquet(subdir)
+    b_l = sub_stream.select(
+        "op",
+        "__jfk",
+        F.col("sink_batch").alias("__sub"),
+        *l_key,
+        *l_val,
+        *[F.lit(None).cast(rddl(c)).alias(c) for c in r_val],
+    )
+    r_src = right.df.filter(F.col(rk).isNotNull())
+    b_r = r_src.select(
+        F.lit("R").alias("op"),
+        F.col(rk).cast("string").alias("__jfk"),
+        F.lit(None).cast("int").alias("__sub"),
+        *[F.lit(None).cast(lddl(c)).alias(c) for c in l_key + l_val],
+        *[(F.col(c).cast("string") if c in tun_r else F.col(c)).alias(c) for c in r_val],
+    )
+    b_in = b_l.unionByName(b_r)
+    state_b = (
+        "__r_set boolean"
+        + "".join(f", `{c}` {rddl(c)}" for c in r_val)
+        + ", __subs array<struct<__sub: int"
+        + "".join(f", `{c}`: {lddl(c)}" for c in l_key + l_val)
+        + ">>"
+    )
+    out_cols = ["op", *l_key, *l_val, *r_val]
+    out_schema = "op string" + "".join(f", `{c}` {lddl(c)}" for c in l_key + l_val) + "".join(
+        f", `{c}` {rddl(c)}" for c in r_val
+    )
+    n_lk = len(l_key)
+
+    def fn_b(gkey, pdfs, state):
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        def clean(v):
+            if v is None or v is pd.NaT:
+                return None
+            if isinstance(v, float) and v != v:
+                return None
+            if isinstance(v, pd.Timestamp):
+                return v.to_pydatetime()
+            if type(v).__module__ == "numpy":
+                return v.item()
+            return v
+
+        def r_ord_of(lookup):
+            vals = []
+            for c in rord:
+                v = clean(gkey[0]) if c == rk else clean(lookup(c))
+                if v is None:
+                    raise ValueError(
+                        "null order value in the keyed fk-join engine — use engine='exact'"
+                    )
+                if c in tun_r or (c == rk and rk in tun_r):
+                    v = int(v)
+                vals.append(v)
+            return tuple(vals)
+
+        if state.exists:
+            st = list(state.get)
+            r_set, r_vals = bool(st[0]), list(st[1 : 1 + n_rv])
+            subs = {}
+            for s in st[1 + n_rv] or []:
+                vals = [s[c] for c in ([*l_key, *l_val])]
+                subs[tuple(vals[:n_lk])] = {"sub": s["__sub"], "vals": vals}
+        else:
+            r_set, r_vals, subs = False, [None] * n_rv, {}
+        cur_rord = r_ord_of(lambda c: r_vals[r_idx[c]]) if r_set else None
+        right_changed = False
+        lops = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for _, row in pdf.iterrows():
+                op = row["op"]
+                if op == "R":
+                    ov = r_ord_of(lambda c: row[c])
+                    if (cur_rord is None) or ov >= cur_rord:
+                        r_vals = [clean(row[c]) for c in r_val]
+                        cur_rord, r_set, right_changed = ov, True, True
+                else:
+                    lops.append(
+                        (
+                            int(row["__sub"]),
+                            op,
+                            tuple(clean(row[c]) for c in l_key),
+                            [clean(row[c]) for c in l_key + l_val],
+                        )
+                    )
+        changed, removed = {}, {}
+        for sub, op, pkt, vals in sorted(lops, key=lambda t: t[0]):
+            cur = subs.get(pkt)
+            if op == "U":
+                if cur is None or cur["sub"] <= sub:
+                    subs[pkt] = {"sub": sub, "vals": vals}
+                    changed[pkt] = True
+                    removed.pop(pkt, None)
+            elif cur is None or cur["sub"] <= sub:
+                subs.pop(pkt, None)
+                removed[pkt] = True
+                changed.pop(pkt, None)
+        if not (right_changed or changed or removed):
+            return
+        state.update(
+            (
+                r_set,
+                *r_vals,
+                [
+                    {"__sub": e["sub"], **dict(zip(l_key + l_val, e["vals"]))}
+                    for e in subs.values()
+                ],
+            )
+        )
+        out_rows = []
+        if how == "left" or r_set:
+            ups = subs.keys() if right_changed else [p for p in changed if p in subs]
+            pad = r_vals if r_set else [None] * n_rv
+            for pkt in ups:
+                out_rows.append(("U", *subs[pkt]["vals"], *pad))
+        for pkt in removed:
+            out_rows.append(("D", *pkt, *([None] * (n_lv + n_rv))))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=out_cols)
+
+    res_b = b_in.groupBy("__jfk").applyInPandasWithState(
+        fn_b, out_schema, state_b, "append", "NoTimeout"
+    )
+
+    def _sink_b(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.write.mode("overwrite").parquet(os.path.join(outdir, f"sink_batch={batch_id}"))
+
+    qb = (
+        res_b.writeStream.foreachBatch(_sink_b)
+        .option("checkpointLocation", ckpt_b)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qb.awaitTermination()
+
+    if not _has_emissions(outdir):
+        return empty_out
+    ranked = spark0.read.parquet(outdir).withColumn(
+        "__op_rank", (F.col("op") == "U").cast("int")
+    )
+    snap = KStream(ranked, tuple(l_key), None).to_table(order=("sink_batch", "__op_rank")).df
+    snap = snap.filter(F.col("op") == "U").select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in empty_out.schema.fields]
     )
     if store_name is not None:

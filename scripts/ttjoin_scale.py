@@ -129,14 +129,108 @@ def measure(spark, engine: str, n_keys: int, n_batches: int) -> dict:
     return out
 
 
+def measure_fk(spark, engine: str, n_keys: int, n_batches: int) -> dict:
+    """Same protocol for join_fk_streaming: N left rows, each fk-pointing at
+    one of N/10 right rows (fan-out 10), then B single-key left updates
+    (every other one an FK FLIP — the re-subscription path).  keyed =
+    two-stage subscription/response state, per-batch I/O O(changed keys +
+    affected subscribers); exact = full-snapshot recompute, O(N)."""
+    from pyspark_engine.streaming import join_fk_streaming
+
+    tag = f"fk-{engine}-{n_keys}"
+    root = os.path.join(ROOT, tag)
+    shutil.rmtree(root, ignore_errors=True)
+    lsrc, rsrc = os.path.join(root, "lsrc"), os.path.join(root, "rsrc")
+    state, ckpt = os.path.join(root, "state"), os.path.join(root, "ckpt")
+    n_right = max(n_keys // 10, 1)
+
+    stage_generation_file(
+        spark.range(n_keys).select(
+            F.col("id").alias("pk"),
+            (F.col("id") % n_right).alias("fk"),
+            F.col("id").alias("lv"),
+            F.lit(0).cast("long").alias("lo"),
+        ),
+        lsrc,
+        0,
+    )
+    stage_generation_file(
+        spark.range(n_right).select(
+            F.col("id").alias("rk"), F.col("id").alias("rv"), F.lit(0).cast("long").alias("ro")
+        ),
+        rsrc,
+        0,
+    )
+
+    sb = StreamingBuilder(spark)
+
+    def run():
+        return join_fk_streaming(
+            sb.file_stream(lsrc, key="pk", max_files_per_trigger=1),
+            sb.file_stream(rsrc, key="rk"),
+            fk="fk",
+            how="inner",
+            l_order=("lo",),
+            r_order=("ro",),
+            state_dir=state,
+            checkpoint=ckpt,
+            engine=engine,
+        )
+
+    run()  # warmup drain: builds the N-key join state
+
+    for i in range(1, n_batches + 1):
+        # alternate plain updates and FK FLIPS so the subscription path runs
+        stage_generation_file(
+            spark.createDataFrame(
+                [(i % n_keys, (i * 7) % n_right if i % 2 else (i % n_keys) % n_right, -i, i)],
+                "pk long, fk long, lv long, lo long",
+            ),
+            lsrc,
+            i,
+        )
+    t0 = time.time()
+    run()
+    wall = time.time() - t0
+
+    if engine == "exact":
+        cur = int(open(os.path.join(state, "_GEN")).read().split()[0]) % 2
+        per_batch = sum(
+            _tree_bytes(os.path.join(state, d))
+            for d in (f"l-{cur}", f"r-{cur}", "out")
+            if os.path.isdir(os.path.join(state, d))
+        )
+    else:
+        new_state = _tree_bytes(os.path.join(ckpt, "sub", "state"), newer_than=t0) + _tree_bytes(
+            os.path.join(ckpt, "join", "state"), newer_than=t0
+        )
+        new_sink = _tree_bytes(os.path.join(state, "sub"), newer_than=t0) + _tree_bytes(
+            os.path.join(state, "out"), newer_than=t0
+        )
+        per_batch = (new_state + new_sink) / n_batches
+    out = {
+        "incremental_drain_sec": round(wall, 2),
+        "sec_per_batch": round(wall / n_batches, 3),
+        "state_bytes_per_batch": int(per_batch),
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     ns = [int(x) for x in os.environ.get("TTJOIN_NS", "100000,1000000").split(",")]
     b = int(os.environ.get("TTJOIN_B", "10"))
     spark = build_session("ttjoin_scale", ui=False)
     spark.sparkContext.setLogLevel("ERROR")
-    out: dict = {"metric": "ttjoin_engine_scaling", "batches": b, "state_keys": ns}
-    for engine in ("keyed", "exact"):
-        out[engine] = {f"n{n}": measure(spark, engine, n, b) for n in ns}
+    which = os.environ.get("TTJOIN_KIND", "tt")
+    if which == "fk":
+        out = {"metric": "fkjoin_engine_scaling", "batches": b, "state_keys": ns}
+        for engine in ("keyed", "exact"):
+            out[engine] = {f"n{n}": measure_fk(spark, engine, n, b) for n in ns}
+    else:
+        out = {"metric": "ttjoin_engine_scaling", "batches": b, "state_keys": ns}
+        for engine in ("keyed", "exact"):
+            out[engine] = {f"n{n}": measure(spark, engine, n, b) for n in ns}
     print(json.dumps(out))
 
 

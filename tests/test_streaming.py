@@ -1074,13 +1074,15 @@ def test_suppress_buffer_bounds_emit_early_and_shutdown(spark, tmp_path):
         run_available_now(mk().suppress(until_time_limit_ms=60_000), output_mode="update")
 
 
-def test_fk_join_streaming_parity(spark, tmp_path):
-    """Streaming KTable.join_fk (changelog-state loop + FK-join recompute,
-    KIP-213 analog) over multi-microbatch changelogs == batch
+@pytest.mark.parametrize("engine", ["keyed", "exact"])
+def test_fk_join_streaming_parity(spark, tmp_path, engine):
+    """Streaming KTable.join_fk over multi-microbatch changelogs == batch
     KTable.join_fk — INCLUDING an FK-change step: customer 1 re-points its
     fk from 10 to 20 in a later changelog record, which must retract the
     old join row and emit the new one (the re-subscription round-trip
-    KIP-213's subscription/response topics exist to provide)."""
+    KIP-213's subscription/response topics exist to provide) — from BOTH
+    engines: the keyed two-stage subscription/response realization and the
+    exact changelog-state recompute loop."""
     import datetime as dt
 
     from pyspark_engine.streaming import join_fk_streaming
@@ -1111,7 +1113,9 @@ def test_fk_join_streaming_parity(spark, tmp_path):
     for how in ("inner", "left"):
         lks = sb.file_stream(str(tmp_path / "l"), key="pk", ts="lts", max_files_per_trigger=1)
         rks = sb.file_stream(str(tmp_path / "r"), key="rk", ts="rts", max_files_per_trigger=1)
-        got = join_fk_streaming(lks, rks, fk="fk", how=how, store_name=f"fk_join_{how}")
+        got = join_fk_streaming(
+            lks, rks, fk="fk", how=how, store_name=f"fk_join_{how}", engine=engine
+        )
 
         lb = KStream(spark.read.parquet(str(tmp_path / "l")), ("pk",), "lts").to_table()
         rb = KStream(spark.read.parquet(str(tmp_path / "r")), ("rk",), "rts").to_table()
@@ -1961,6 +1965,91 @@ def test_tt_join_engine_state_dirs_do_not_mix(spark, tmp_path):
         f.write("0")
     with pytest.raises(ValueError, match="state-schema version"):
         run("keyed", ky_state, ky_ck)
+
+
+def test_fk_join_keyed_tunnel_restart_and_guards(spark, tmp_path):
+    """Keyed fk-join engine specifics in one staged scenario: bigint values
+    past 2^53 round-trip the two-stage state exactly (with real nulls and
+    a null fk riding the subscription log); a resumed drain continues from
+    both checkpoints and applies an FK flip arriving AFTER the first drain
+    (retract + re-subscribe across drains); and the state-dir guards fire —
+    exact-loop dirs are refused, foreign version stamps are refused, and a
+    Column-valued fk cannot select the keyed engine."""
+    import datetime as dt
+    import os
+
+    from pyspark_engine.streaming import join_fk_streaming
+
+    big = (1 << 53) + 1
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    lschema = "pk bigint, fk bigint, lv bigint, lts timestamp"
+    rschema = "rk bigint, rv bigint, rts timestamp"
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_source_file(
+        spark,
+        [(1, 10, big, t(0)), (2, 20, None, t(0)), (3, None, 7, t(0))],
+        lschema,
+        lsrc,
+        0,
+    )
+    _write_source_file(spark, [(10, -big, t(0)), (20, 5, t(0))], rschema, rsrc, 0)
+
+    sb = StreamingBuilder(spark)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck")
+
+    def run(how):
+        return join_fk_streaming(
+            sb.file_stream(lsrc, key="pk", ts="lts"),
+            sb.file_stream(rsrc, key="rk", ts="rts"),
+            fk="fk",
+            how=how,
+            state_dir=state,
+            checkpoint=ckpt,
+            engine="keyed",
+        )
+
+    got = {r["pk"]: r for r in run("left").collect()}
+    assert got[1]["lv"] == big and got[1]["rv"] == -big  # exact past 2^53
+    assert got[2]["lv"] is None and got[2]["rv"] == 5
+    assert got[3]["fk"] is None and got[3]["rv"] is None  # null fk, left-padded
+
+    # resumed drain: pk 1 flips 10 -> 20 (retract + re-subscribe), and the
+    # right row 20 updates afterwards (response fan-out to pk 1 AND pk 2)
+    _write_source_file(spark, [(1, 20, big - 1, t(5))], lschema, lsrc, 1)
+    _write_source_file(spark, [(20, big, t(6))], rschema, rsrc, 1)
+    got = {r["pk"]: r for r in run("left").collect()}
+    assert got[1]["fk"] == 20 and got[1]["lv"] == big - 1 and got[1]["rv"] == big
+    assert got[2]["rv"] == big and got[3]["rv"] is None
+    assert len(got) == 3  # the old (1 -> 10) join row was retracted
+
+    # guards: foreign version stamp refused; exact dirs refused; Column fk
+    with open(os.path.join(state, "_PSE_FKJOIN_V"), "w") as f:
+        f.write("0")
+    with pytest.raises(ValueError, match="state-schema version"):
+        run("left")
+    ex_state = str(tmp_path / "ex-state")
+    os.makedirs(ex_state)
+    open(os.path.join(ex_state, "_GEN"), "w").write("1 0")
+    with pytest.raises(ValueError, match="exact fk-join engine"):
+        join_fk_streaming(
+            sb.file_stream(lsrc, key="pk", ts="lts"),
+            sb.file_stream(rsrc, key="rk", ts="rts"),
+            fk="fk",
+            how="left",
+            state_dir=ex_state,
+            engine="keyed",
+        )
+    with pytest.raises(ValueError, match="string fk column"):
+        join_fk_streaming(
+            sb.file_stream(lsrc, key="pk", ts="lts"),
+            sb.file_stream(rsrc, key="rk", ts="rts"),
+            fk=F.col("fk"),
+            how="left",
+            engine="keyed",
+        )
 
 
 def test_cogroup_streaming_rejects_invalid_parts(spark, tmp_path):
