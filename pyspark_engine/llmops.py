@@ -851,13 +851,35 @@ def ann_lsh_topk(
     )
 
 
+def _resolve_planes(emb: DataFrame, n_planes, target_bucket: int = 16) -> int:
+    """Resolve ``n_planes="auto"`` to a corpus-sized plane count: k =
+    ceil(log2(n / target_bucket)), floor 8 — so expected bucket occupancy
+    stays ~``target_bucket`` and the per-bucket pair stage stays
+    ~O(n·target·k) instead of O(n²/2^k) with a FIXED k (the r11 rate-planted
+    scale stress measured exponent 1.4 for semantic_dedup at fixed k=8 —
+    bucket occupancy, and so candidate pairs per bucket, grew with the
+    corpus).  The tradeoff is explicit: hyperplane-LSH pair recall at
+    cosine t is ≈ p^k + k·p^(k-1)(1−p) with p = 1 − arccos(t)/π, so MORE
+    planes lower recall for borderline-threshold pairs (exact/near-exact
+    duplicates, p → 1, are unaffected at any k).  Auto is right for
+    dedup-style workloads dominated by high-similarity pairs; for
+    recall-sensitive borderline thresholds fix ``n_planes`` and raise
+    ``multiprobe`` instead.  Costs one count() of the corpus."""
+    if n_planes != "auto":
+        return int(n_planes)
+    import math as _math  # noqa: PLC0415
+
+    n = emb.count()
+    return max(8, _math.ceil(_math.log2(max(n / target_bucket, 2.0))))
+
+
 def embedding_neardup(
     emb: DataFrame,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_planes: int = 8,
+    n_planes: int | str = 8,
     multiprobe: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector analog of
@@ -869,7 +891,11 @@ def embedding_neardup(
 
     Scale: corpus shuffles on the bucket id (16 B/row), candidate pairs are
     |bucket|²-bounded per bucket, never a global O(n²) stage; identical or
-    near-identical vectors land in the same bucket by construction."""
+    near-identical vectors land in the same bucket by construction.  Bucket
+    OCCUPANCY is the lever that must track corpus size: pass
+    ``n_planes="auto"`` to size the plane count to the corpus
+    (_resolve_planes — recall tradeoff documented there)."""
+    n_planes = _resolve_planes(emb, n_planes)
     base = _spread(emb).select(
         F.col(id_col).alias("__id"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("__b0"),
@@ -4705,7 +4731,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_planes: int = 8,
+    n_planes: int | str = "auto",
     multiprobe: int = 1,
     max_iter: int = 25,
 ) -> DataFrame:
@@ -4719,9 +4745,13 @@ def semantic_dedup(
     Composition of two oracle-proven stages: bucketed-LSH pair generation
     (embedding_neardup — never all-pairs) → alternating large-star/small-star
     components (dedup_clusters — O(log²) rounds), then a left-anti join on
-    the non-representative ids.  At 100 TB each stage keeps its documented
-    scale levers (n_planes/multiprobe for bucket sizing, history-free
-    edge set for the components)."""
+    the non-representative ids.  ``n_planes`` defaults to ``"auto"``
+    (corpus-sized bucket count, _resolve_planes): the r11 rate-planted scale
+    stress measured exponent 1.4 at a FIXED k=8 — bucket occupancy grew with
+    the corpus and the verify stage went quadratic — and dedup is exactly
+    the workload where auto's borderline-recall tradeoff is safe (true
+    duplicates sit at p → 1).  At 100 TB the remaining levers are
+    multiprobe for recall and the history-free edge set for components."""
     pairs = embedding_neardup(
         emb,
         dim,

@@ -266,6 +266,10 @@ def _rate_dedup_demo(spark) -> dict:
         ("q109_semantic_dedup", (1, 10, 30), _steady),
         ("q90_dedup_clusters", (1, 2), _once),
     ]
+    only = os.environ.get("RATE_QUERIES")
+    if only:
+        prefixes = [p.strip() for p in only.split(",") if p.strip()]
+        plan = [row for row in plan if any(row[0].startswith(p) for p in prefixes)]
     for q, factors, timer in plan:
         res[q] = {}
         for k in factors:
@@ -274,8 +278,11 @@ def _rate_dedup_demo(spark) -> dict:
             res[q][f"x{k}"] = timer(qs[q](spark, d))
     # the production composition q90 approximates: bucketed pair generation
     # then connected components, same rate corpus, full factors
-    res["clusters_over_lsh_pairs"] = {}
-    for k in (1, 10, 30):
+    if only and not any("clusters".startswith(p) or p.startswith("clusters") for p in prefixes):
+        pass
+    else:
+        res["clusters_over_lsh_pairs"] = {}
+    for k in (1, 10, 30) if "clusters_over_lsh_pairs" in res else ():
         d = _build_rate_dir(spark, k)
         llmops.release_cache()
         docs = spark.read.parquet(f"{d}/documents.parquet")
