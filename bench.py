@@ -2,7 +2,7 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
 full JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...} followed by a compact (<300 byte)
-summary line {"wall_sec", "n_queries", "slowest", "spilled_mb"} so a
+summary line {"wall_sec", "n_queries", "slowest_sec", "shuffle_write_mb_total", "spilled_mb"} so a
 tail-truncated capture still preserves the headline numbers.
 
 Headliners cover every subsystem: scan+agg (q01), projection (q05), keyed agg

@@ -795,6 +795,42 @@ def join_fk_streaming(
     )
 
 
+def _clean_state_value(v):
+    """Normalize a value crossing the Arrow boundary of a keyed state fn
+    (incoming row cell, state tuple element, or grouping-key element) to a
+    plain Python value: pandas NaT/NaN → None, pd.Timestamp → datetime,
+    numpy scalars → .item().  ONE shared implementation for every keyed
+    engine (suppress / tt-join / fk-join) — workers unpickle it by module
+    reference, and a normalization fix here reaches all of them (r11 review:
+    four hand-rolled copies had already drifted one keyword apart)."""
+    import pandas as pd  # noqa: PLC0415 - worker-side import
+
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, float) and v != v:
+        return None
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if type(v).__module__ == "numpy":
+        return v.item()
+    return v
+
+
+def _check_reserved_columns(cols, reserved: dict[str, str], what: str) -> None:
+    """Fail fast when user columns collide with a keyed engine's internal
+    schema fields or its sink partition column — the collision otherwise
+    surfaces as an opaque Arrow/parquet error MID-DRAIN, after state and
+    checkpoint are already written (r11 review finding).  ``reserved`` maps
+    name → why it is reserved."""
+    hit = {c: reserved[c] for c in cols if c in reserved}
+    if hit:
+        msgs = "; ".join(f"{c!r} ({why})" for c, why in hit.items())
+        raise ValueError(
+            f"{what}: column names collide with engine-internal fields — {msgs}; "
+            "rename them on the input"
+        )
+
+
 # keyed tt-join state/sink schema version (same contract as
 # _KEYED_STATE_VERSION for suppress): bumped whenever the
 # applyInPandasWithState state schema or the out/sink_batch layout changes,
@@ -845,6 +881,15 @@ def _join_tables_keyed(
     if overlap:
         raise ValueError(f"sides must have disjoint column names; overlap: {sorted(overlap)}")
     l_key, r_key = list(left.key), list(right.key)
+    _check_reserved_columns(
+        list(left.df.columns) + list(right.df.columns) + ([ts_alias] if ts_alias else []),
+        {
+            "sink_batch": "emission-log partition column",
+            "__side": "changelog union tag",
+            **{f"__jk{i}": "join-key grouping column" for i in range(len(l_key))},
+        },
+        "keyed tt-join engine",
+    )
     l_ddl = {f.name: f.dataType.simpleString() for f in left.df.schema.fields}
     r_ddl = {f.name: f.dataType.simpleString() for f in right.df.schema.fields}
     for lk, rk in zip(l_key, r_key):
@@ -939,16 +984,7 @@ def _join_tables_keyed(
     def fn(gkey, pdfs, state):
         import pandas as pd  # noqa: PLC0415 - worker-side import
 
-        def clean(v):
-            if v is None or v is pd.NaT:
-                return None
-            if isinstance(v, float) and v != v:
-                return None
-            if isinstance(v, pd.Timestamp):
-                return v.to_pydatetime()
-            if type(v).__module__ == "numpy":
-                return v.item()
-            return v
+        clean = _clean_state_value
 
         def make_ord(order, key_pos, lookup):
             vals = []
@@ -1138,6 +1174,18 @@ def _join_fk_keyed(
         raise ValueError(
             f"left columns and right value columns must be disjoint; overlap: {sorted(overlap)}"
         )
+    _check_reserved_columns(
+        l_cols + list(right.df.columns),
+        {
+            "op": "subscription/emission op tag",
+            "__jfk": "fk grouping column",
+            "__jfk_in": "SQL-canonical fk string",
+            "__sub": "stage-A batch cursor",
+            "__op_rank": "final-fold tie-breaker",
+            "sink_batch": "emission-log partition column",
+        },
+        "keyed fk-join engine",
+    )
     l_ddl = {f.name: f.dataType.simpleString() for f in left.df.schema.fields}
     r_ddl = {f.name: f.dataType.simpleString() for f in right.df.schema.fields}
     if fk not in l_ddl:
@@ -1234,16 +1282,7 @@ def _join_fk_keyed(
     def fn_a(gkey, pdfs, state):
         import pandas as pd  # noqa: PLC0415 - worker-side import
 
-        def clean(v):
-            if v is None or v is pd.NaT:
-                return None
-            if isinstance(v, float) and v != v:
-                return None
-            if isinstance(v, pd.Timestamp):
-                return v.to_pydatetime()
-            if type(v).__module__ == "numpy":
-                return v.item()
-            return v
+        clean = _clean_state_value
 
         def make_ord(lookup):
             vals = []
@@ -1340,16 +1379,7 @@ def _join_fk_keyed(
     def fn_b(gkey, pdfs, state):
         import pandas as pd  # noqa: PLC0415 - worker-side import
 
-        def clean(v):
-            if v is None or v is pd.NaT:
-                return None
-            if isinstance(v, float) and v != v:
-                return None
-            if isinstance(v, pd.Timestamp):
-                return v.to_pydatetime()
-            if type(v).__module__ == "numpy":
-                return v.item()
-            return v
+        clean = _clean_state_value
 
         def r_ord_of(lookup):
             vals = []
@@ -1481,6 +1511,11 @@ def _changelog_join_loop(
     overlap = set(left.df.columns) & set(right.df.columns)
     if overlap:
         raise ValueError(f"sides must have disjoint column names; overlap: {sorted(overlap)}")
+    _check_reserved_columns(
+        list(left.df.columns) + list(right.df.columns),
+        {"__side": "changelog union tag"},
+        "changelog-state join loop",
+    )
     l_cols, r_cols = list(left.df.columns), list(right.df.columns)
     lord = tuple(l_order) if l_order else ((left.ts,) if left.ts else ())
     rord = tuple(r_order) if r_order else ((right.ts,) if right.ts else ())
@@ -1873,6 +1908,21 @@ def _suppress_keyed(
     spark0 = src.df.sparkSession
     key = list(table.key)
     cols = list(table.df.columns)
+    _check_reserved_columns(
+        cols,
+        {
+            "__ev_ms": "event-time projection",
+            "__clk": "clock-copy tag",
+            "__wm_ts": "watermark carrier",
+            "__entry_ms": "buffer-entry state field",
+            "__hist_ms": "latest-event state field",
+            "__fired": "timer-emission flag",
+            "__emit_reason": "emission metadata column",
+            "__emit_batch": "emission metadata column",
+            "sink_batch": "emission-log partition column",
+        },
+        "keyed suppress engine",
+    )
     root = state_dir or tempfile.mkdtemp(prefix="pse-suppress-")
     os.makedirs(root, exist_ok=True)
     out_dir = os.path.join(root, "out")
@@ -1971,14 +2021,7 @@ def _suppress_keyed(
         import pandas as pd  # noqa: PLC0415 - worker-side import
 
         def clean(v, c=None):
-            if v is None or v is pd.NaT:
-                return None
-            if isinstance(v, float) and v != v:
-                return None
-            if isinstance(v, pd.Timestamp):
-                return v.to_pydatetime()
-            if type(v).__module__ == "numpy":
-                v = v.item()
+            v = _clean_state_value(v)
             if c in int_cols and isinstance(v, float):
                 return int(v)
             return v

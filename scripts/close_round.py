@@ -307,7 +307,16 @@ def generate() -> int:
         json.dump(
             {
                 "commit": head,
-                "artifacts": [a for a in EVIDENCE if a != "EVIDENCE_HEAD.json"],
+                # only artifacts this run actually wrote: the sf0.1 sample
+                # step is skipped (sample == []) where __spark_entry__ is
+                # absent, and the stamp must not advertise a file with
+                # nothing behind it (r11 review finding)
+                "artifacts": [
+                    a
+                    for a in EVIDENCE
+                    if a != "EVIDENCE_HEAD.json"
+                    and (a != "CORRECTNESS_SF01_SAMPLE.json" or sample)
+                ],
                 "pytest_tail": pytest_tail,
                 "sf01_sample": sample,
                 "box_state_before_bench": box,

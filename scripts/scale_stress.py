@@ -278,11 +278,12 @@ def _rate_dedup_demo(spark) -> dict:
             res[q][f"x{k}"] = timer(qs[q](spark, d))
     # the production composition q90 approximates: bucketed pair generation
     # then connected components, same rate corpus, full factors
-    if only and not any("clusters".startswith(p) or p.startswith("clusters") for p in prefixes):
-        pass
-    else:
+    run_clusters = not only or any(
+        "clusters_over_lsh_pairs".startswith(p) for p in prefixes
+    )
+    if run_clusters:
         res["clusters_over_lsh_pairs"] = {}
-    for k in (1, 10, 30) if "clusters_over_lsh_pairs" in res else ():
+    for k in (1, 10, 30) if run_clusters else ():
         d = _build_rate_dir(spark, k)
         llmops.release_cache()
         docs = spark.read.parquet(f"{d}/documents.parquet")

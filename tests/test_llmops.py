@@ -153,6 +153,56 @@ def test_embedding_neardup_finds_planted_copies(spark, sf_dir):
     assert got == {(i, i + 10000) for i in range(10)}
 
 
+def test_embedding_neardup_auto_planes_recall_pin(spark):
+    """r11 review finding: ``n_planes="auto"`` (semantic_dedup's default)
+    sizes the bucket count to the corpus, which LOWERS recall for
+    borderline-threshold pairs as the corpus grows — a tradeoff the sf0.01
+    oracle cannot see (auto resolves to the old fixed 8 there).  This pin
+    makes it observable: at a corpus size where auto resolves ABOVE 8,
+    (a) exact-duplicate pairs are still found with recall 1.0 (the dedup
+    regime auto exists for — p → 1 at any plane count), and (b) planted
+    borderline pairs (cosine ≈ 0.905 vs threshold 0.9) keep at least the
+    floor recall the _resolve_planes docstring's math predicts.  All inputs
+    are seeded and the hyperplanes are fixed, so the measured recall is
+    DETERMINISTIC — a change to the plane sizing or probing shows up as an
+    exact number shift, not flake."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n, dim = 16384, 64
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    cos_t = 0.905
+    n_border, n_exact = 100, 50
+    for i in range(n_border):  # borderline partner: cos exactly ~0.905
+        v = base[i]
+        o = rng.standard_normal(dim)
+        o -= o.dot(v) * v
+        o /= np.linalg.norm(o)
+        w = cos_t * v + np.sqrt(1 - cos_t**2) * o
+        rows.append((100000 + i, w.tolist()))
+    for i in range(n_exact):  # exact duplicates
+        rows.append((200000 + i, base[1000 + i].tolist()))
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        "vec_id long, embedding array<double>",
+    )
+    assert llmops._resolve_planes(emb, "auto") == 11  # 16534/16 -> ceil(log2(1033.4))=11
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in llmops.embedding_neardup(
+            emb, dim=dim, threshold=0.9, n_planes="auto"
+        ).collect()
+    }
+    exact_found = sum((1000 + i, 200000 + i) in pairs for i in range(n_exact))
+    border_found = sum((i, 100000 + i) in pairs for i in range(n_border))
+    assert exact_found == n_exact  # recall 1.0 for true duplicates
+    # predicted borderline recall at k=11, hamming-1 multiprobe:
+    # p = 1 - arccos(0.905)/pi = 0.859 -> p^11 + 11 p^10 (1-p) = 0.52
+    assert border_found >= 40, border_found  # floor well under prediction
+
+
 def test_multimodal_features_exact(spark):
     """mapInPandas plumbing with the deterministic fake decoder: features
     must equal a direct numpy computation on the same payloads."""

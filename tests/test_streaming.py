@@ -2052,6 +2052,51 @@ def test_fk_join_keyed_tunnel_restart_and_guards(spark, tmp_path):
         )
 
 
+def test_keyed_engines_reject_reserved_column_names(spark, tmp_path):
+    """r11 review finding: user columns colliding with a keyed engine's
+    internal schema fields (union tags, grouping columns, the sink_batch
+    partition column) used to surface as opaque Arrow/parquet errors
+    MID-DRAIN, after state was already written.  Every keyed engine must
+    refuse at construction instead."""
+    import datetime as dt
+
+    from pyspark_engine.streaming import (
+        join_fk_streaming,
+        join_tables_streaming,
+        suppress_buffered,
+    )
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    sb = StreamingBuilder(spark)
+
+    def mk(schema, rows, key, ts, name):
+        spark.createDataFrame(rows, schema).write.parquet(str(tmp_path / name))
+        return sb.file_stream(str(tmp_path / name), key=key, ts=ts)
+
+    l1 = mk("k int, sink_batch int, lts timestamp", [(1, 1, t(0))], "k", "lts", "l1")
+    r1 = mk("rk int, rv int, rts timestamp", [(1, 1, t(0))], "rk", "rts", "r1")
+    with pytest.raises(ValueError, match="engine-internal"):
+        join_tables_streaming(l1, r1, engine="keyed")
+
+    l2 = mk("pk int, fk int, op string, lts timestamp", [(1, 1, "x", t(0))], "pk", "lts", "l2")
+    r2 = mk("rk2 int, rv2 int, rts2 timestamp", [(1, 1, t(0))], "rk2", "rts2", "r2")
+    with pytest.raises(ValueError, match="engine-internal"):
+        join_fk_streaming(l2, r2, fk="fk", engine="keyed")
+
+    l3 = mk("k int, __clk int, ts timestamp", [(1, 1, t(0))], "k", "ts", "l3")
+    with pytest.raises(ValueError, match="engine-internal"):
+        suppress_buffered(
+            l3.to_table().suppress(until_time_limit_ms=60_000), time_col="ts", engine="keyed"
+        )
+
+    # the exact loop's union tag is reserved too
+    l4 = mk("k int, __side int, lts timestamp", [(1, 1, t(0))], "k", "lts", "l4")
+    with pytest.raises(ValueError, match="engine-internal"):
+        join_tables_streaming(l4, r1, engine="exact")
+
+
 def test_cogroup_streaming_rejects_invalid_parts(spark, tmp_path):
     """cogroup_streaming enforces the SAME contract as the batch builder:
     duplicate aggregate column names and key-arity mismatches fail fast
