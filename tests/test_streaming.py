@@ -2052,6 +2052,82 @@ def test_fk_join_keyed_tunnel_restart_and_guards(spark, tmp_path):
         )
 
 
+def test_join_engines_differential_random_changelogs(spark, tmp_path):
+    """Engine-differential fuzz for the continuous joins: seeded random
+    changelogs with MULTIPLE updates per key per microbatch, out-of-order
+    order-values, and random fk flips, drained through BOTH engines — the
+    keyed applyInPandasWithState engines and the exact snapshot loops must
+    produce identical final snapshots (the exact loop doubles as the keyed
+    engines' differential oracle — RECIPES 'which engine')."""
+    import random
+
+    from pyspark_engine.streaming import join_fk_streaming, join_tables_streaming
+
+    rng = random.Random(1105)
+    n_keys, n_right = 12, 5
+
+    # --- tt join (how=full): 3 microbatches per side, 2-digit churn each
+    l_rows = [
+        [(rng.randrange(n_keys), rng.randrange(1000), b * 100 + i) for i in range(18)]
+        for b in range(3)
+    ]
+    r_rows = [
+        [(rng.randrange(n_keys), rng.randrange(1000), b * 100 + i) for i in range(10)]
+        for b in range(2)
+    ]
+
+    def stage(rows_per_batch, schema, name):
+        d = str(tmp_path / name)
+        for i, rows in enumerate(rows_per_batch):
+            _write_source_file(spark, rows, schema, d, i)
+        return d
+
+    ld = stage(l_rows, "k long, lv long, lo long", "tt-l")
+    rd = stage(r_rows, "rk long, rv long, ro long", "tt-r")
+    sb = StreamingBuilder(spark)
+
+    def tt(engine):
+        return join_tables_streaming(
+            sb.file_stream(ld, key="k", max_files_per_trigger=1),
+            sb.file_stream(rd, key="rk", max_files_per_trigger=1),
+            how="full",
+            l_order=("lo",),
+            r_order=("ro",),
+            engine=engine,
+        )
+
+    keyed = sorted(map(tuple, tt("keyed").collect()))
+    exact = sorted(map(tuple, tt("exact").collect()))
+    assert keyed == exact and len(keyed) > 0
+
+    # --- fk join (how=left): random fk flips across 3 microbatches
+    fk_rows = [
+        [
+            (rng.randrange(n_keys), rng.choice([None, *range(n_right)]), rng.randrange(1000), b * 100 + i)
+            for i in range(15)
+        ]
+        for b in range(3)
+    ]
+    rk_rows = [[(k, rng.randrange(1000), b * 100 + k) for k in range(n_right)] for b in range(2)]
+    fld = stage(fk_rows, "pk long, fk long, lv long, lo long", "fk-l")
+    frd = stage(rk_rows, "rk long, rv long, ro long", "fk-r")
+
+    def fkj(engine):
+        return join_fk_streaming(
+            sb.file_stream(fld, key="pk", max_files_per_trigger=1),
+            sb.file_stream(frd, key="rk", max_files_per_trigger=1),
+            fk="fk",
+            how="left",
+            l_order=("lo",),
+            r_order=("ro",),
+            engine=engine,
+        )
+
+    keyed_fk = sorted(map(tuple, fkj("keyed").collect()))
+    exact_fk = sorted(map(tuple, fkj("exact").collect()))
+    assert keyed_fk == exact_fk and len(keyed_fk) > 0
+
+
 def test_keyed_engines_reject_reserved_column_names(spark, tmp_path):
     """r11 review finding: user columns colliding with a keyed engine's
     internal schema fields (union tags, grouping columns, the sink_batch
