@@ -2052,6 +2052,87 @@ def test_fk_join_keyed_tunnel_restart_and_guards(spark, tmp_path):
         )
 
 
+def test_keyed_join_crash_replay_idempotent(spark, tmp_path):
+    """Crash-replay robustness of the keyed join engines (same protocol as
+    the suppress replay test: delete the newest commit marker, re-drain).
+    tt join: the replayed microbatch overwrites its own sink_batch
+    partition, so the final snapshot is unchanged.  fk join, BOTH stages:
+    a stage-B rollback recomputes from the pre-batch state version; a
+    stage-A rollback rewrites its subscription partition with new file
+    names, which stage B (file source) re-consumes — the re-applied U/D ops
+    are idempotent against per-pk sub cursors and same-batch U-over-D ties,
+    so re-emissions fold to the identical snapshot instead of resurrecting
+    a retracted row."""
+    import datetime as dt
+    import os
+
+    from pyspark_engine.streaming import (
+        _last_committed,
+        join_fk_streaming,
+        join_tables_streaming,
+    )
+
+    def crash(ckpt):
+        last = _last_committed(ckpt)
+        os.remove(os.path.join(ckpt, "commits", str(last)))
+        crc = os.path.join(ckpt, "commits", f".{last}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    sb = StreamingBuilder(spark)
+
+    # --- tt join
+    lsrc, rsrc = str(tmp_path / "tt-l"), str(tmp_path / "tt-r")
+    _write_source_file(spark, [(1, 10, t(0)), (2, 20, t(0))], "k int, lv int, lts timestamp", lsrc, 0)
+    _write_source_file(spark, [(1, 11, t(5))], "k int, lv int, lts timestamp", lsrc, 1)
+    _write_source_file(spark, [(1, 100, t(0)), (2, 200, t(0))], "rk int, rv int, rts timestamp", rsrc, 0)
+    state, ckpt = str(tmp_path / "tt-state"), str(tmp_path / "tt-ck")
+
+    def tt():
+        return join_tables_streaming(
+            sb.file_stream(lsrc, key="k", ts="lts", max_files_per_trigger=1),
+            sb.file_stream(rsrc, key="rk", ts="rts"),
+            how="inner",
+            state_dir=state,
+            checkpoint=ckpt,
+            engine="keyed",
+        )
+
+    want = {(1, 11, 100), (2, 20, 200)}
+    assert {(r["k"], r["lv"], r["rv"]) for r in tt().collect()} == want
+    crash(ckpt)
+    assert {(r["k"], r["lv"], r["rv"]) for r in tt().collect()} == want
+
+    # --- fk join: batch 1 contains an FK FLIP, the interesting replay case
+    flsrc, frsrc = str(tmp_path / "fk-l"), str(tmp_path / "fk-r")
+    lschema = "pk int, fk int, lts timestamp"
+    _write_source_file(spark, [(1, 10, t(0)), (2, 20, t(0))], lschema, flsrc, 0)
+    _write_source_file(spark, [(1, 20, t(5))], lschema, flsrc, 1)  # flip 10 -> 20
+    _write_source_file(spark, [(10, "a", t(0)), (20, "b", t(0))], "rk int, rv string, rts timestamp", frsrc, 0)
+    fstate, fck = str(tmp_path / "fk-state"), str(tmp_path / "fk-ck")
+
+    def fkj():
+        return join_fk_streaming(
+            sb.file_stream(flsrc, key="pk", ts="lts", max_files_per_trigger=1),
+            sb.file_stream(frsrc, key="rk", ts="rts"),
+            fk="fk",
+            how="inner",
+            state_dir=fstate,
+            checkpoint=fck,
+            engine="keyed",
+        )
+
+    fwant = {(1, 20, "b"), (2, 20, "b")}
+    assert {(r["pk"], r["fk"], r["rv"]) for r in fkj().collect()} == fwant
+    crash(os.path.join(fck, "join"))  # stage-B rollback
+    assert {(r["pk"], r["fk"], r["rv"]) for r in fkj().collect()} == fwant
+    crash(os.path.join(fck, "sub"))  # stage-A rollback: sub log rewritten + re-consumed
+    assert {(r["pk"], r["fk"], r["rv"]) for r in fkj().collect()} == fwant
+
+
 def test_join_engines_differential_random_changelogs(spark, tmp_path):
     """Engine-differential fuzz for the continuous joins: seeded random
     changelogs with MULTIPLE updates per key per microbatch, out-of-order
