@@ -864,12 +864,15 @@ def _resolve_planes(emb: DataFrame, n_planes, target_bucket: int = 16) -> int:
     duplicates, p → 1, are unaffected at any k).  Auto is right for
     dedup-style workloads dominated by high-similarity pairs; for
     recall-sensitive borderline thresholds fix ``n_planes`` and raise
-    ``multiprobe`` instead.  Costs one count() of the corpus."""
+    ``multiprobe`` instead.  Costs one count() of the corpus — the corpus is
+    persisted first (registered with ``release_cache``) so the caller's
+    bucketing stage reuses the materialized blocks instead of re-evaluating
+    the (possibly expensive) upstream lineage a second time (r11 advice)."""
     if n_planes != "auto":
         return int(n_planes)
     import math as _math  # noqa: PLC0415
 
-    n = emb.count()
+    n = _persist(emb).count()
     return max(8, _math.ceil(_math.log2(max(n / target_bucket, 2.0))))
 
 

@@ -802,7 +802,14 @@ def _clean_state_value(v):
     numpy scalars → .item().  ONE shared implementation for every keyed
     engine (suppress / tt-join / fk-join) — workers unpickle it by module
     reference, and a normalization fix here reaches all of them (r11 review:
-    four hand-rolled copies had already drifted one keyword apart)."""
+    four hand-rolled copies had already drifted one keyword apart).
+
+    KNOWN COERCION (r11 advice, pinned by the differential fuzz's NaN
+    column): a genuine float NaN in a double value column becomes null in
+    keyed-engine output, while the exact engines preserve NaN.  Largely
+    inherent to the Arrow/pandas boundary — union null-padding already makes
+    null and NaN indistinguishable inside a group's float64 slice, so the
+    keyed engines CANNOT tell them apart; null is the canonical spelling."""
     import pandas as pd  # noqa: PLC0415 - worker-side import
 
     if v is None or v is pd.NaT:

@@ -267,6 +267,7 @@ def _rate_dedup_demo(spark) -> dict:
         ("q90_dedup_clusters", (1, 2), _once),
     ]
     only = os.environ.get("RATE_QUERIES")
+    prefixes = []
     if only:
         prefixes = [p.strip() for p in only.split(",") if p.strip()]
         plan = [row for row in plan if any(row[0].startswith(p) for p in prefixes)]
