@@ -694,12 +694,20 @@ def join_tables_streaming(
         raise ValueError("join key arity mismatch")
     if engine is None:
         engine = "keyed"
+    if engine == "tws":
+        from .tws import join_tables_tws  # noqa: PLC0415 - optional protobuf dep
+
+        return join_tables_tws(
+            left, right, how, l_order, r_order, ts_alias, store_name, state_dir, checkpoint
+        )
     if engine == "keyed":
         return _join_tables_keyed(
             left, right, how, l_order, r_order, ts_alias, store_name, state_dir, checkpoint
         )
     if engine != "exact":
-        raise ValueError(f"unknown tt-join engine {engine!r}; expected 'keyed' or 'exact'")
+        raise ValueError(
+            f"unknown tt-join engine {engine!r}; expected 'keyed', 'tws' or 'exact'"
+        )
 
     def combine(l_t: KTable, r_t: KTable) -> KTable:
         return l_t.join(r_t, how=how, ts_alias=ts_alias)
