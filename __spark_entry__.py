@@ -2416,6 +2416,20 @@ def q154_lsh_recall_audit(spark, sf_dir):
     return llmops.lsh_recall_audit(docs, "doc_id", "text", threshold=0.4, portable=True)
 
 
+def q154_lsh_summary(spark, sf_dir):
+    """Production-cost half of q154 (r11 verdict task 6): the SAME one-row
+    summary shape at the cost of banded LSH pair generation + verify alone
+    (llmops.lsh_recall_audit(audit=False) — truth-dependent fields NULL).
+    This is the entry the headline bench measures; the full recall audit
+    (q154_lsh_recall_audit) keeps its brute-force ground truth as an
+    offline, oracle-exact audit tool — inherently ~2× the production
+    cost, like q90's brute-force oracle vs clusters_over_lsh_pairs."""
+    docs = read_table(configure(spark), sf_dir, "documents")
+    return llmops.lsh_recall_audit(
+        docs, "doc_id", "text", threshold=0.4, portable=True, audit=False
+    )
+
+
 def q155_wav_decode(spark, sf_dir):
     """REAL multimodal decode path (uncompressed audio): synthesize genuine
     RIFF/WAVE containers (struct-packed per the WAV spec — 16-bit mono
@@ -3316,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_windowed_distinct": q152_windowed_distinct,
         "q153_domain_blocklist": q153_domain_blocklist,
         "q154_lsh_recall_audit": q154_lsh_recall_audit,
+        "q154_lsh_summary": q154_lsh_summary,
         "q155_wav_decode": q155_wav_decode,
         "q156_wav_frames": q156_wav_frames,
         "q157_wav_trim": q157_wav_trim,
@@ -3412,12 +3427,16 @@ def _minhash_oracle_sql(threshold: float, num_hashes: int = 64, bands: int = 8) 
     """
 
 
-def _recall_audit_oracle_sql(threshold: float, num_hashes: int = 64, bands: int = 8) -> str:
+def _recall_audit_oracle_sql(
+    threshold: float, num_hashes: int = 64, bands: int = 8, audit: bool = True
+) -> str:
     """Combined DuckDB simulation for q154: brute-force ground-truth pairs
     (the q151 oracle's shape) FULL JOIN the full portable banded-LSH
     simulation (the q43 oracle's shape), reduced to the one-row audit
     summary (n_lsh_only surfaces truth-side completeness bugs).  Generated, not handwritten, so the permutation constants and
-    the threshold can't drift from the engine."""
+    the threshold can't drift from the engine.  ``audit=False`` simulates
+    the production mode of llmops.lsh_recall_audit instead: the LSH CTEs
+    only, truth-dependent fields NULL — the q154_lsh_summary oracle."""
     from pyspark_engine.llmops import _affine_coeffs
 
     p = 2147483647
@@ -3430,6 +3449,37 @@ def _recall_audit_oracle_sql(threshold: float, num_hashes: int = 64, bands: int 
         "(" + " AND ".join(f"a.mh{j} = b.mh{j}" for j in range(bd * rows, (bd + 1) * rows)) + ")"
         for bd in range(bands)
     )
+    truth_cte = f"""
+        truth AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                  / len(list_distinct(a.g || b.g)) >= {threshold}
+        ),"""
+    if audit:
+        final = """
+        j AS (SELECT coalesce(t.tr, 0) AS tr, coalesce(l.hit, 0) AS hit
+              FROM (SELECT id_a, id_b, 1 AS tr FROM truth) t
+              FULL JOIN lsh l USING (id_a, id_b))
+        SELECT CAST(coalesce(sum(tr), 0) AS BIGINT) AS n_true_pairs,
+               CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_lsh_pairs,
+               CAST(coalesce(sum(tr * (1 - hit)), 0) AS BIGINT) AS n_missed,
+               CAST(coalesce(sum((1 - tr) * hit), 0) AS BIGINT) AS n_lsh_only,
+               CAST(coalesce(floor(1000.0 * sum(tr * hit) / sum(tr)), 1000) AS BIGINT)
+                   AS recall_permille
+        FROM j
+    """
+    else:
+        truth_cte = ""
+        final = """
+        j AS (SELECT hit FROM lsh)
+        SELECT CAST(NULL AS BIGINT) AS n_true_pairs,
+               CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_lsh_pairs,
+               CAST(NULL AS BIGINT) AS n_missed,
+               CAST(NULL AS BIGINT) AS n_lsh_only,
+               CAST(NULL AS BIGINT) AS recall_permille
+        FROM j
+    """
     return f"""
         WITH d AS (
             SELECT doc_id,
@@ -3438,13 +3488,7 @@ def _recall_audit_oracle_sql(threshold: float, num_hashes: int = 64, bands: int 
             FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
                   FROM documents)
             WHERE len(toks) >= 3
-        ),
-        truth AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM d a JOIN d b ON a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                  / len(list_distinct(a.g || b.g)) >= {threshold}
-        ),
+        ),{truth_cte}
         gr AS (
             SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % {p} AS h
             FROM (SELECT doc_id, unnest(g) AS s FROM d)
@@ -3466,18 +3510,7 @@ def _recall_audit_oracle_sql(threshold: float, num_hashes: int = 64, bands: int 
             JOIN d db ON db.doc_id = cand.id_b
             WHERE CAST(len(list_intersect(da.g, db.g)) AS DOUBLE)
                   / len(list_distinct(da.g || db.g)) >= {threshold}
-        ),
-        j AS (SELECT coalesce(t.tr, 0) AS tr, coalesce(l.hit, 0) AS hit
-              FROM (SELECT id_a, id_b, 1 AS tr FROM truth) t
-              FULL JOIN lsh l USING (id_a, id_b))
-        SELECT CAST(coalesce(sum(tr), 0) AS BIGINT) AS n_true_pairs,
-               CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_lsh_pairs,
-               CAST(coalesce(sum(tr * (1 - hit)), 0) AS BIGINT) AS n_missed,
-               CAST(coalesce(sum((1 - tr) * hit), 0) AS BIGINT) AS n_lsh_only,
-               CAST(coalesce(floor(1000.0 * sum(tr * hit) / sum(tr)), 1000) AS BIGINT)
-                   AS recall_permille
-        FROM j
-    """
+        ),{final}"""
 
 
 def _minhash_incremental_oracle_sql(threshold: float, num_hashes: int = 64, bands: int = 8) -> str:
@@ -3876,6 +3909,7 @@ def oracle_sql() -> dict[str, str]:
         # candidate generation included — not just the verify step.
         "q43_dedup_minhash": _minhash_oracle_sql(threshold=0.4),
         "q154_lsh_recall_audit": _recall_audit_oracle_sql(threshold=0.4),
+        "q154_lsh_summary": _recall_audit_oracle_sql(threshold=0.4, audit=False),
         "q155_wav_decode": """
             WITH p AS (
                 SELECT doc_id,

@@ -128,7 +128,7 @@ HEADLINE = [
     "q151_jaccard_exact",
     "q152_windowed_distinct",
     "q153_domain_blocklist",
-    "q154_lsh_recall_audit",
+    "q154_lsh_summary",
     "q155_wav_decode",
     "q158_ppm_decode",
     "q164_png_decode",

@@ -1168,26 +1168,33 @@ class KTable:
             raise ValueError("fk join requires single-column right key")
         snapped, other = _maybe_snapshot(self), _maybe_snapshot(other)
         # alias-qualified refs so self-lineage fk joins resolve (same fix as
-        # KTable.join); a string fk is re-rooted under the left alias, a
-        # caller-built Column expression is used as-is (it carries the
-        # caller's own references — which means it MUST be built from the
-        # left table's own columns: an unqualified F.col("x") turns
-        # ambiguous when both sides carry "x" in a self-lineage join, so
-        # that failure is re-raised with the string-fk escape hatch named)
-        l, r = snapped.df.alias("__fk_l"), other.df.alias("__fk_r")
-        fk_col = F.col(f"__fk_l.`{fk}`") if isinstance(fk, str) else fk
-        try:
-            joined = l.join(r, fk_col == F.col(f"__fk_r.`{other.key[0]}`"), how)
-        except Exception as e:
-            if not isinstance(fk, str) and "AMBIGUOUS" in str(e).upper():
+        # KTable.join).  A string fk is re-rooted under the left alias.  A
+        # Column-valued fk is resolved against the LEFT table ALONE before
+        # the join (r11 verdict task 5): projecting it as `__fk_val` while
+        # only left columns are in scope means an unqualified F.col("mgr")
+        # binds to the left side even when both sides of a self-lineage join
+        # carry "mgr" — the previous re-raise-with-escape-hatch is gone.
+        l_df = snapped.df
+        if isinstance(fk, str):
+            fk_name = None
+        else:
+            if "__fk_val" in l_df.columns:
                 raise ValueError(
-                    "join_fk: the Column-valued fk expression resolved ambiguously "
-                    "— both join sides carry the referenced column (self-lineage "
-                    "join).  Build the fk Column from the LEFT table's own columns "
-                    "(left.df[...]), or pass fk as a string column name to have it "
-                    "re-rooted under the left side automatically"
+                    "'__fk_val' is reserved by join_fk for Column-valued fk "
+                    "resolution; rename that column on the input"
+                )
+            try:
+                l_df = l_df.withColumn("__fk_val", fk)
+            except Exception as e:
+                raise ValueError(
+                    "join_fk: the Column-valued fk expression did not resolve "
+                    "against the left table's columns — build it from columns of "
+                    "the left table (or pass a string column name)"
                 ) from e
-            raise
+            fk_name = "__fk_val"
+        l, r = l_df.alias("__fk_l"), other.df.alias("__fk_r")
+        fk_col = F.col(f"__fk_l.`{fk if fk_name is None else fk_name}`")
+        joined = l.join(r, fk_col == F.col(f"__fk_r.`{other.key[0]}`"), how)
         cols = [F.col(f"__fk_l.`{c}`") for c in self.df.columns]
         cols += [
             F.col(f"__fk_r.`{c}`") for c in other.df.columns if c not in other.key

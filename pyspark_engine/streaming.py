@@ -762,17 +762,25 @@ def join_fk_streaming(
         raise ValueError("fk join requires single-column right key")
     if engine is None:
         engine = "keyed" if isinstance(fk, str) else "exact"
-    if engine == "keyed":
+    if engine in ("keyed", "tws"):
         if not isinstance(fk, str):
             raise ValueError(
-                "the keyed fk-join engine requires a string fk column name (the fk "
+                f"the {engine} fk-join engine requires a string fk column name (the fk "
                 "VALUE rides the subscription log); use engine='exact' for Column fks"
+            )
+        if engine == "tws":
+            from .tws import join_fk_tws  # noqa: PLC0415 - optional protobuf dep
+
+            return join_fk_tws(
+                left, right, fk, how, l_order, r_order, store_name, state_dir, checkpoint
             )
         return _join_fk_keyed(
             left, right, fk, how, l_order, r_order, store_name, state_dir, checkpoint
         )
     if engine != "exact":
-        raise ValueError(f"unknown fk-join engine {engine!r}; expected 'keyed' or 'exact'")
+        raise ValueError(
+            f"unknown fk-join engine {engine!r}; expected 'keyed', 'tws' or 'exact'"
+        )
     # the canonical FK naming has the LEFT fk column named like the RIGHT
     # key (departments keyed dept_id, employees carrying dept_id) — batch
     # join_fk accepts it because the right key never reaches the output.
@@ -1708,22 +1716,28 @@ def suppress_buffered(
     )
     if engine is None:
         engine = "keyed" if keyed_ok else "exact"
-    if engine == "keyed":
+    if engine in ("keyed", "tws"):
         if bounded:
             raise ValueError(
-                "the keyed suppress engine cannot enforce max_records/max_bytes: "
+                f"the {engine} suppress engine cannot enforce max_records/max_bytes: "
                 "capacity bounds are buffer-global (a total time-order across all "
                 "keys), invisible to per-key state — use engine='exact'"
             )
         if not keyed_ok:
             raise ValueError(
-                "the keyed suppress engine needs the raw changelog threaded by a "
+                f"the {engine} suppress engine needs the raw changelog threaded by a "
                 "plain KStream.to_table() (default ts order, no tombstones, no "
                 "pre-existing watermark) whose ts column is the suppress time column"
             )
+        if engine == "tws":
+            from .tws import suppress_tws  # noqa: PLC0415 - optional protobuf dep
+
+            return suppress_tws(table, src, tcol, limit_ms, state_dir, checkpoint, store_name)
         return _suppress_keyed(table, src, tcol, limit_ms, state_dir, checkpoint, store_name)
     if engine != "exact":
-        raise ValueError(f"unknown suppress engine {engine!r}; expected 'keyed' or 'exact'")
+        raise ValueError(
+            f"unknown suppress engine {engine!r}; expected 'keyed', 'tws' or 'exact'"
+        )
 
     cols = list(df.columns)
     root = state_dir or tempfile.mkdtemp(prefix="pse-suppress-")

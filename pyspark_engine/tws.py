@@ -430,3 +430,564 @@ def join_tables_tws(
     if store_name is not None:
         snap.createOrReplaceTempView(store_name)
     return snap
+
+
+# ----------------------------------------------------------------- suppress
+
+
+def _make_suppress_processor(state_schema, cols, key, tcol, limit_ms, out_cols):
+    StatefulProcessor = _import_stateful_processor()
+    out_row = Row(*out_cols)
+    NEG = -(1 << 62)
+
+    class SuppressBuffer(StatefulProcessor):
+        def init(self, handle):
+            self.h = handle
+            self.st = handle.getValueState("buf", state_schema)
+
+        def close(self):
+            pass
+
+        def _rearm(self, entry):
+            # TWS timers PERSIST across invocations (unlike GroupState
+            # timeouts) — delete-all-then-register keeps exactly one.
+            for ts in list(self.h.listTimers()):
+                self.h.deleteTimer(ts)
+            if entry is not None:
+                # entry+limit-1 fires at the first wm >= entry+limit (TWS
+                # fires timers with expiry STRICTLY below the watermark) —
+                # the KS due rule.  Unlike applyInPandasWithState, a
+                # below-watermark registration is legal (it would fire this
+                # very batch), so no wm+1 floor is needed; the inline
+                # already-due branches emit before this point and pass
+                # entry=None instead.
+                self.h.registerTimer(entry + limit_ms - 1)
+
+        def handleInputRows(self, key, rows, timerValues):
+            wm = timerValues.getCurrentWatermarkInMs()
+            # Spark initializes the watermark at 0 and only ratchets UP, so 0
+            # means "no watermark yet"; pre-epoch event times can never
+            # advance it (engine='exact' territory — the loud raise below)
+            wm_eff = wm if wm > 0 else NEG
+            st = self.st.get()
+            if st is not None:
+                entry, hist_ms = st[0], st[1]
+                hist_vals = [_norm(x) for x in st[2:]]
+            else:
+                entry, hist_ms, hist_vals = None, None, None
+            if entry is not None and entry + limit_ms <= wm_eff:
+                # due BEFORE this batch's data (KS emitted it last batch; the
+                # arrival pre-empts the timer): emit the pre-merge value,
+                # renumbered like a timer firing; cancel the pending timer so
+                # it cannot double-fire in this batch's timer phase
+                yield out_row(*hist_vals, True)
+                entry = None
+            had_data = False
+            for row in rows:
+                if row["__clk"] != 0:  # clock copies only drive the watermark
+                    continue
+                ev = row["__ev_ms"]
+                if ev is None:
+                    continue
+                if ev <= 0:
+                    raise ValueError(
+                        "pre-epoch (<= 1970-01-01T00:00:00) event time in the "
+                        "tws suppress engine: Spark watermarks cannot advance "
+                        "past it, so such entries would never emit — use "
+                        "engine='exact'"
+                    )
+                had_data = True
+                if hist_ms is None or ev >= hist_ms:
+                    # later-wins on ties, in arrival order — the max_by(ts)
+                    # fold of to_table
+                    hist_ms = ev
+                    hist_vals = [_norm(row[c]) for c in cols]
+            if had_data and entry is None:
+                # (re-)enter the buffer: clock = the state row's event time
+                # (which a late record does NOT move backwards)
+                entry = hist_ms
+                if entry + limit_ms <= wm_eff:
+                    # already due vs the previous batch's stream time: KS
+                    # emits it in THIS batch — no renumbering
+                    yield out_row(*hist_vals, False)
+                    entry = None
+            if hist_ms is not None:
+                self.st.update((entry, hist_ms, *hist_vals))
+                self._rearm(entry)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            st = self.st.get()
+            if st is None or st[0] is None:
+                return  # buffer entry already emitted inline and timer raced
+            hist_vals = [_norm(x) for x in st[2:]]
+            yield out_row(*hist_vals, True)
+            # the buffer entry leaves; the latest-row memory stays (a late
+            # record must still lose to it, like the update-mode aggregate)
+            self.st.update((None, st[1], *hist_vals))
+
+    return SuppressBuffer()
+
+
+def suppress_tws(
+    table: KTable,
+    src: KStream,
+    tcol: str,
+    limit_ms: int,
+    state_dir: str | None,
+    checkpoint: str | None,
+    store_name: str | None,
+) -> DataFrame:
+    """transformWithState engine of ``suppress_buffered`` — the same design
+    as ``_suppress_keyed`` (decoupled clock-copy watermark, per-key buffer
+    state, emission renumbering; see its docstring for the KS contract),
+    with native-typed state (no string tunnel) and explicit per-key
+    event-time timers.  The buffered view for ``store_name`` reads the
+    transformWithState column family through the state source
+    (``stateVarName``)."""
+    from .runtime import epoch_ms
+
+    spark0 = src.df.sparkSession
+    require_tws(spark0)
+    key = list(table.key)
+    cols = list(table.df.columns)
+    _check_reserved_columns(
+        cols,
+        {
+            "__ev_ms": "event-time projection",
+            "__clk": "clock-copy tag",
+            "__wm_ts": "watermark carrier",
+            "__entry_ms": "buffer-entry state field",
+            "__hist_ms": "latest-event state field",
+            "__fired": "timer-emission flag",
+            "__emit_reason": "emission metadata column",
+            "__emit_batch": "emission metadata column",
+            "sink_batch": "emission-log partition column",
+        },
+        "tws suppress engine",
+    )
+    value_cols = [c for c in cols if c not in key]
+    _refuse_containers(table.df.schema, "tws suppress engine", value_cols)
+    ddl = {f.name: f.dataType.simpleString() for f in table.df.schema.fields}
+
+    root = state_dir or tempfile.mkdtemp(prefix="pse-suppress-tws-")
+    os.makedirs(root, exist_ok=True)
+    out_dir = os.path.join(root, "out")
+    ckpt = _bind_state_checkpoint(
+        root, _checkpoint(checkpoint), _has_emissions(out_dir), "prior suppress emissions"
+    )
+    prior_batch = _last_committed(ckpt)
+    _stamp_version(
+        root,
+        "_PSE_TWS_SUPPRESS_V",
+        _TWS_SUPPRESS_VERSION,
+        _has_emissions(out_dir) or prior_batch >= 0,
+        "tws suppress",
+    )
+
+    sdf = src.df
+    for k in key:
+        sdf = sdf.filter(F.col(k).isNotNull())  # to_table drops null keys
+    # Decoupled watermark: every row ships twice — a DATA copy with NULL
+    # event time (never late-filtered, does not move the watermark) and a
+    # CLOCK copy carrying ts with all value columns nulled (shuffle weight)
+    # that exists only to advance the watermark.  See _suppress_keyed.
+    sdf = sdf.select(*cols, epoch_ms(tcol).alias("__ev_ms")).select(
+        "*", F.explode(F.array(F.lit(0), F.lit(1))).alias("__clk")
+    )
+
+    def _clock_fill(c):
+        return F.when(F.col("__clk") == 0, F.col(c)).otherwise(F.lit(None)).alias(c)
+
+    sdf = sdf.select(
+        *key,
+        *[_clock_fill(c) for c in value_cols],
+        F.when(F.col("__clk") == 0, F.col("__ev_ms")).otherwise(F.lit(0)).alias("__ev_ms"),
+        "__clk",
+        F.when(F.col("__clk") == 1, F.col(tcol)).alias("__wm_ts"),
+    ).withWatermark("__wm_ts", "0 milliseconds")
+
+    state_schema = "__entry_ms long, __hist_ms long, " + ", ".join(
+        f"`{c}` {ddl[c]}" for c in cols
+    )
+    out_schema = ", ".join(f"`{c}` {ddl[c]}" for c in cols) + ", __fired boolean"
+    proc = _make_suppress_processor(
+        state_schema, cols, key, tcol, limit_ms, cols + ["__fired"]
+    )
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        (
+            batch.select(
+                *cols,
+                F.lit("time").alias("__emit_reason"),
+                # timer-fired rows belong to the batch whose stream time
+                # passed the deadline — one earlier than the firing batch
+                (F.lit(int(batch_id)) - F.col("__fired").cast("long")).alias("__emit_batch"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"sink_batch={batch_id}"))
+        )
+
+    with _rocksdb_provider(spark0):
+        res = sdf.groupBy(*key).transformWithState(proc, out_schema, "Update", "EventTime")
+        q = (
+            res.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if store_name is not None:
+        try:
+            state_df = (
+                spark0.read.format("statestore")
+                .option("path", ckpt)
+                .option("stateVarName", "buf")
+                .load()
+            )
+            buf = state_df.filter(F.col("value.__entry_ms").isNotNull()).select(
+                *[F.col(f"value.`{c}`").alias(c) for c in cols]
+            )
+        except Exception:
+            buf = spark0.createDataFrame([], table.df.schema)  # no batch ever ran
+        buf.createOrReplaceTempView(store_name)
+    if not _has_emissions(out_dir):
+        return _empty_emissions(spark0, table.df.schema, cols)
+    return (
+        spark0.read.parquet(out_dir)
+        .filter(F.col("sink_batch") > F.lit(int(prior_batch)))
+        .select(*cols, "__emit_reason", "__emit_batch")
+    )
+
+
+# ------------------------------------------------------------------ fk join
+
+
+def _make_fk_stage_a(state_schema, l_val, lord, l_key_pos, sub_cols):
+    StatefulProcessor = _import_stateful_processor()
+    n_lv = len(l_val)
+    l_idx = {c: i for i, c in enumerate(l_val)}
+    out_row = Row(*sub_cols)
+
+    class FKResolver(StatefulProcessor):
+        def init(self, handle):
+            self.st = handle.getValueState("sub", state_schema)
+
+        def close(self):
+            pass
+
+        def handleInputRows(self, key, rows, timerValues):
+            def make_ord(lookup):
+                vals = []
+                for c in lord:
+                    v = _norm(key[l_key_pos[c]]) if c in l_key_pos else _norm(lookup(c))
+                    if v is None:
+                        raise ValueError(
+                            "null order value in the tws fk-join engine — use engine='exact'"
+                        )
+                    vals.append(v)
+                return tuple(vals)
+
+            st = self.st.get()
+            if st is not None:
+                was_set, jfk = True, st[0]
+                vals = [_norm(x) for x in st[1:]]
+            else:
+                was_set, jfk, vals = False, None, [None] * n_lv
+            old_jfk = jfk
+            cur_ord = make_ord(lambda c: vals[l_idx[c]]) if was_set else None
+            changed = False
+            for row in rows:
+                ov = make_ord(lambda c: _norm(row[c]))
+                if (cur_ord is None) or ov >= cur_ord:
+                    vals = [_norm(row[c]) for c in l_val]
+                    jfk = row["__jfk_in"]
+                    cur_ord, changed = ov, True
+            if not changed:
+                return
+            self.st.update((jfk, *vals))
+            key_vals = [_norm(k) for k in key]
+            if was_set and old_jfk != jfk:
+                # the unsubscribe half of the KIP-213 re-key round-trip
+                yield out_row("D", old_jfk, *key_vals, *([None] * n_lv))
+            yield out_row("U", jfk, *key_vals, *vals)
+
+    return FKResolver()
+
+
+def _make_fk_stage_b(r_state_schema, subs_schema, l_key, l_val, r_val, rord, rk, how, out_cols):
+    StatefulProcessor = _import_stateful_processor()
+    n_lk, n_lv, n_rv = len(l_key), len(l_val), len(r_val)
+    r_idx = {c: i for i, c in enumerate(r_val)}
+    out_row = Row(*out_cols)
+
+    class FKJoin(StatefulProcessor):
+        def init(self, handle):
+            self.rstate = handle.getValueState("right", r_state_schema)
+            self.subs = handle.getListState("subs", subs_schema)
+
+        def close(self):
+            pass
+
+        def handleInputRows(self, key, rows, timerValues):
+            def r_ord_of(lookup):
+                vals = []
+                for c in rord:
+                    v = key[0] if c == rk else _norm(lookup(c))
+                    if v is None:
+                        raise ValueError(
+                            "null order value in the tws fk-join engine — use engine='exact'"
+                        )
+                    vals.append(v)
+                return tuple(vals)
+
+            st = self.rstate.get()
+            if st is not None:
+                r_set = bool(st[0])
+                r_vals = [_norm(x) for x in st[1:]]
+            else:
+                r_set, r_vals = False, [None] * n_rv
+            subs = {}
+            if self.subs.exists():
+                for s in self.subs.get():
+                    vals = [_norm(x) for x in s[1:]]
+                    subs[tuple(vals[:n_lk])] = {"sub": s[0], "vals": vals}
+            cur_rord = r_ord_of(lambda c: r_vals[r_idx[c]]) if r_set else None
+            right_changed = False
+            lops = []
+            for row in rows:
+                op = row["op"]
+                if op == "R":
+                    ov = r_ord_of(lambda c: _norm(row[c]))
+                    if (cur_rord is None) or ov >= cur_rord:
+                        r_vals = [_norm(row[c]) for c in r_val]
+                        cur_rord, r_set, right_changed = ov, True, True
+                else:
+                    lops.append(
+                        (
+                            row["__sub"],
+                            op,
+                            tuple(_norm(row[c]) for c in l_key),
+                            [_norm(row[c]) for c in l_key + l_val],
+                        )
+                    )
+            changed, removed = {}, {}
+            for sub, op, pkt, vals in sorted(lops, key=lambda t: t[0]):
+                cur = subs.get(pkt)
+                if op == "U":
+                    if cur is None or cur["sub"] <= sub:
+                        subs[pkt] = {"sub": sub, "vals": vals}
+                        changed[pkt] = True
+                        removed.pop(pkt, None)
+                elif cur is None or cur["sub"] <= sub:
+                    subs.pop(pkt, None)
+                    removed[pkt] = True
+                    changed.pop(pkt, None)
+            if not (right_changed or changed or removed):
+                return
+            self.rstate.update((r_set, *r_vals))
+            if subs:
+                self.subs.put([(e["sub"], *e["vals"]) for e in subs.values()])
+            else:
+                self.subs.clear()
+            if how == "left" or r_set:
+                ups = subs.keys() if right_changed else [p for p in changed if p in subs]
+                pad = r_vals if r_set else [None] * n_rv
+                for pkt in ups:
+                    yield out_row("U", *subs[pkt]["vals"], *pad)
+            for pkt in removed:
+                yield out_row("D", *pkt, *([None] * (n_lv + n_rv)))
+
+    return FKJoin()
+
+
+def join_fk_tws(
+    left: KStream,
+    right: KStream,
+    fk: str,
+    how: str,
+    l_order: Sequence[str] | None,
+    r_order: Sequence[str] | None,
+    store_name: str | None,
+    state_dir: str | None,
+    checkpoint: str | None,
+) -> DataFrame:
+    """transformWithState engine of ``join_fk_streaming`` — the same KIP-213
+    two-stage architecture as ``_join_fk_keyed`` (see its docstring for the
+    full design): a PK-keyed subscription resolver feeding a durable parquet
+    sub-log, then an FK-keyed join state fanning out U/D emissions.  Native
+    types end to end (no string tunnel); the subscriber list lives in LIST
+    state (struct elements round-trip exactly there, where the value-state
+    client scrambles nested containers)."""
+    spark0 = left.df.sparkSession
+    require_tws(spark0)
+    l_key = list(left.key)
+    rk = right.key[0]
+    l_cols = list(left.df.columns)
+    r_val = [c for c in right.df.columns if c != rk]
+    overlap = set(l_cols) & set(r_val)
+    if overlap:
+        raise ValueError(
+            f"left columns and right value columns must be disjoint; overlap: {sorted(overlap)}"
+        )
+    _check_reserved_columns(
+        l_cols + list(right.df.columns),
+        {
+            "op": "subscription/emission op tag",
+            "__jfk": "fk grouping column",
+            "__jfk_in": "SQL-canonical fk string",
+            "__sub": "stage-A batch cursor",
+            "__op_rank": "final-fold tie-breaker",
+            "sink_batch": "emission-log partition column",
+        },
+        "tws fk-join engine",
+    )
+    l_ddl = {f.name: f.dataType.simpleString() for f in left.df.schema.fields}
+    r_ddl = {f.name: f.dataType.simpleString() for f in right.df.schema.fields}
+    if fk not in l_ddl:
+        raise ValueError(f"fk column {fk!r} not in left columns")
+    if l_ddl[fk] != r_ddl[rk]:
+        raise ValueError(
+            f"the tws fk-join engine requires equal fk/right-key dtypes; "
+            f"{fk}:{l_ddl[fk]} vs {rk}:{r_ddl[rk]} — cast one side or use engine='exact'"
+        )
+    lord = tuple(l_order) if l_order else ((left.ts,) if left.ts else ())
+    rord = tuple(r_order) if r_order else ((right.ts,) if right.ts else ())
+    if not lord or not rord:
+        raise ValueError("changelog order required per side (ts or explicit l_order/r_order)")
+    for oc, cols in ((lord, l_cols), (rord, right.df.columns)):
+        missing = [c for c in oc if c not in cols]
+        if missing:
+            raise ValueError(f"order columns {missing} not in the side's columns")
+    l_val = [c for c in l_cols if c not in l_key]
+    _refuse_containers(left.df.schema, "tws fk-join engine", l_key + l_val)
+    _refuse_containers(right.df.schema, "tws fk-join engine", r_val)
+    empty_out = KTable(spark0.createDataFrame([], left.df.schema), left.key, left.ts).join_fk(
+        KTable(spark0.createDataFrame([], right.df.schema), right.key, right.ts), fk, how=how
+    ).df
+
+    # ---------------- state dirs, binding, versioning ----------------
+    root = state_dir or tempfile.mkdtemp(prefix="pse-fkjoin-tws-")
+    os.makedirs(root, exist_ok=True)
+    subdir = os.path.join(root, "sub")
+    outdir = os.path.join(root, "out")
+    os.makedirs(subdir, exist_ok=True)
+    ckpt_base = _checkpoint(checkpoint)
+    ckpt_a = _bind_state_checkpoint(
+        subdir,
+        os.path.join(ckpt_base, "sub"),
+        _has_emissions(subdir),
+        "prior fk-join subscription log",
+    )
+    ckpt_b = _bind_state_checkpoint(
+        outdir,
+        os.path.join(ckpt_base, "join"),
+        _has_emissions(outdir),
+        "prior fk-join emissions",
+    )
+    _stamp_version(
+        root,
+        "_PSE_TWS_FKJOIN_V",
+        _TWS_FKJOIN_VERSION,
+        (
+            _has_emissions(subdir)
+            or _has_emissions(outdir)
+            or _last_committed(ckpt_a) >= 0
+            or _last_committed(ckpt_b) >= 0
+        ),
+        "tws fk-join",
+    )
+
+    # ---------------- stage A: subscription resolver (keyed by left PK) ----------------
+    a_src = left.df
+    for k in l_key:
+        a_src = a_src.filter(F.col(k).isNotNull())  # to_table drops null keys
+    a_in = a_src.select(
+        *l_cols,
+        F.col(fk).cast("string").alias("__jfk_in"),  # SQL-canonical join string
+    )
+    l_key_pos = {c: i for i, c in enumerate(l_key)}
+    state_a = "__jfk string" + "".join(f", `{c}` {l_ddl[c]}" for c in l_val)
+    sub_cols = ["op", "__jfk", *l_key, *l_val]
+    sub_schema = "op string, __jfk string" + "".join(
+        f", `{c}` {l_ddl[c]}" for c in l_key + l_val
+    )
+
+    proc_a = _make_fk_stage_a(state_a, l_val, lord, l_key_pos, sub_cols)
+
+    def _sink_a(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.write.mode("overwrite").parquet(os.path.join(subdir, f"sink_batch={batch_id}"))
+
+    with _rocksdb_provider(spark0):
+        res_a = a_in.groupBy(*l_key).transformWithState(proc_a, sub_schema, "Update", "None")
+        qa = (
+            res_a.writeStream.foreachBatch(_sink_a)
+            .option("checkpointLocation", ckpt_a)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qa.awaitTermination()
+
+        # ---------------- stage B: per-fk join state over sub-log ∪ right ----------------
+        sub_stream = spark0.readStream.schema(sub_schema + ", sink_batch int").parquet(subdir)
+        b_l = sub_stream.select(
+            "op",
+            "__jfk",
+            F.col("sink_batch").alias("__sub"),
+            *l_key,
+            *l_val,
+            *[F.lit(None).cast(r_ddl[c]).alias(c) for c in r_val],
+        )
+        r_src = right.df.filter(F.col(rk).isNotNull())
+        b_r = r_src.select(
+            F.lit("R").alias("op"),
+            F.col(rk).cast("string").alias("__jfk"),
+            F.lit(None).cast("int").alias("__sub"),
+            *[F.lit(None).cast(l_ddl[c]).alias(c) for c in l_key + l_val],
+            *[F.col(c) for c in r_val],
+        )
+        b_in = b_l.unionByName(b_r)
+        state_b = "__r_set boolean" + "".join(f", `{c}` {r_ddl[c]}" for c in r_val)
+        subs_schema = (
+            "__sub int" + "".join(f", `{c}` {l_ddl[c]}" for c in l_key + l_val)
+        )
+        out_cols = ["op", *l_key, *l_val, *r_val]
+        out_schema = (
+            "op string"
+            + "".join(f", `{c}` {l_ddl[c]}" for c in l_key + l_val)
+            + "".join(f", `{c}` {r_ddl[c]}" for c in r_val)
+        )
+        proc_b = _make_fk_stage_b(
+            state_b, subs_schema, l_key, l_val, r_val, rord, rk, how, out_cols
+        )
+
+        def _sink_b(batch: DataFrame, batch_id: int) -> None:
+            if batch.isEmpty():
+                return
+            batch.write.mode("overwrite").parquet(os.path.join(outdir, f"sink_batch={batch_id}"))
+
+        res_b = b_in.groupBy("__jfk").transformWithState(proc_b, out_schema, "Update", "None")
+        qb = (
+            res_b.writeStream.foreachBatch(_sink_b)
+            .option("checkpointLocation", ckpt_b)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qb.awaitTermination()
+
+    if not _has_emissions(outdir):
+        return empty_out
+    ranked = spark0.read.parquet(outdir).withColumn(
+        "__op_rank", (F.col("op") == "U").cast("int")
+    )
+    snap = KStream(ranked, tuple(l_key), None).to_table(order=("sink_batch", "__op_rank")).df
+    snap = snap.filter(F.col("op") == "U").select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in empty_out.schema.fields]
+    )
+    if store_name is not None:
+        snap.createOrReplaceTempView(store_name)
+    return snap

@@ -122,7 +122,10 @@ def main() -> None:
     spark = build_session("suppress_scale", ui=False)
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"metric": "suppress_engine_scaling", "batches": b, "buffered_keys": ns}
-    for engine in ("keyed", "exact"):
+    engines = tuple(
+        e.strip() for e in os.environ.get("SUPPRESS_ENGINES", "keyed,exact").split(",") if e.strip()
+    )
+    for engine in engines:
         out[engine] = {f"n{n}": measure(spark, engine, n, b) for n in ns}
     print(json.dumps(out))
 

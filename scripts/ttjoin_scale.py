@@ -223,13 +223,16 @@ def main() -> None:
     spark = build_session("ttjoin_scale", ui=False)
     spark.sparkContext.setLogLevel("ERROR")
     which = os.environ.get("TTJOIN_KIND", "tt")
+    engines = tuple(
+        e.strip() for e in os.environ.get("TTJOIN_ENGINES", "keyed,exact").split(",") if e.strip()
+    )
     if which == "fk":
         out = {"metric": "fkjoin_engine_scaling", "batches": b, "state_keys": ns}
-        for engine in ("keyed", "exact"):
+        for engine in engines:
             out[engine] = {f"n{n}": measure_fk(spark, engine, n, b) for n in ns}
     else:
         out = {"metric": "ttjoin_engine_scaling", "batches": b, "state_keys": ns}
-        for engine in ("keyed", "exact"):
+        for engine in engines:
             out[engine] = {f"n{n}": measure(spark, engine, n, b) for n in ns}
     print(json.dumps(out))
 

@@ -783,18 +783,26 @@ def test_fk_join_shared_lineage_self_join(spark):
     got = {r.emp: r.mgr_role for r in j.df.collect()}
     assert got == {1: None, 2: "ceo", 3: "ceo"}
 
-    # r10 advice probe: a Column-valued fk built as an UNQUALIFIED reference
-    # while both sides carry "mgr".  Spark 4 resolves it against the left
-    # side, so the join must produce the same result as the string form; if
-    # a future Spark re-tightens the ambiguity check, join_fk re-raises
-    # descriptively naming the string escape hatch (dsl.py join_fk) — either
-    # outcome is contract-clean, silence with a WRONG side would not be
-    try:
-        j2 = t.join_fk(mgr, F.col("mgr"), how="left")
-        got2 = {r.emp: r.mgr_role for r in j2.df.collect()}
-        assert got2 == {1: None, 2: "ceo", 3: "ceo"}
-    except ValueError as e:
-        assert "string column name" in str(e)
+    # r11 verdict task 5: a Column-valued fk built as an UNQUALIFIED
+    # reference while both sides carry "mgr" must WORK (join_fk resolves the
+    # expression against the left table ALONE before the join), not hit an
+    # error path
+    j2 = t.join_fk(mgr, F.col("mgr"), how="left")
+    got2 = {r.emp: r.mgr_role for r in j2.df.collect()}
+    assert got2 == {1: None, 2: "ceo", 3: "ceo"}
+
+    # the harder lineage: BOTH sides derived from the same AGGREGATE (the
+    # case the plain alias fix could not cover — project-engine memory
+    # "selfjoin-lineage"); an expression fk (arithmetic over an unqualified
+    # ref) must also bind left
+    agg = t.group_by(g=F.col("mgr")).count(alias="n")  # keyed by g
+    left2 = agg.map_values(gv=F.col("n"))
+    right2 = agg.map_values(rn=F.col("n") * 10)
+    jj = left2.join_fk(right2, F.col("g"), how="left")
+    got3 = {r.g: r.rn for r in jj.df.collect()}
+    # null mgr group is dropped by table group_by (KS null-key rule), so the
+    # only group is g=1 (emps 2,3) joining itself: n=2 -> rn=20
+    assert got3 == {1: 20}
 
 
 def test_ss_join_shared_lineage_self_join(spark):

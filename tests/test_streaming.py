@@ -813,7 +813,7 @@ def test_file_sink_roundtrip(spark, tmp_path):
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
 
 
-@pytest.mark.parametrize("engine", ["keyed", "exact"])
+@pytest.mark.parametrize("engine", ["keyed", "tws", "exact"])
 def test_tt_join_streaming_parity(spark, tmp_path, engine):
     """Streaming KTable⋈KTable over multi-microbatch changelogs == batch
     KTable.join — the continuous analog of KTableKTableJoinProcessor.cs:
@@ -871,7 +871,7 @@ def _write_source_file(spark, rows, schema, src_dir, seq):
     stage_generation_file(spark.createDataFrame(rows, schema), src_dir, seq)
 
 
-@pytest.mark.parametrize("engine", ["keyed", "exact"])
+@pytest.mark.parametrize("engine", ["keyed", "tws", "exact"])
 def test_suppress_until_time_limit_streaming(spark, tmp_path, engine):
     """KIP-328 Suppressed.untilTimeLimit over real microbatches: entries
     emit exactly when stream time passes entry_time + limit; an
@@ -913,7 +913,7 @@ def test_suppress_until_time_limit_streaming(spark, tmp_path, engine):
     assert [r["k"] for r in spark.table("sup_buf").collect()] == ["d"]
 
 
-@pytest.mark.parametrize("engine", ["keyed", "exact"])
+@pytest.mark.parametrize("engine", ["keyed", "tws", "exact"])
 def test_suppress_nullable_bigint_precision(spark, tmp_path, engine):
     """r9 verdict item 2: a bigint value column containing REAL nulls in
     data rows forces the whole Arrow column to float64 on the way into the
@@ -1074,7 +1074,7 @@ def test_suppress_buffer_bounds_emit_early_and_shutdown(spark, tmp_path):
         run_available_now(mk().suppress(until_time_limit_ms=60_000), output_mode="update")
 
 
-@pytest.mark.parametrize("engine", ["keyed", "exact"])
+@pytest.mark.parametrize("engine", ["keyed", "tws", "exact"])
 def test_fk_join_streaming_parity(spark, tmp_path, engine):
     """Streaming KTable.join_fk over multi-microbatch changelogs == batch
     KTable.join_fk — INCLUDING an FK-change step: customer 1 re-points its
@@ -1835,7 +1835,7 @@ def test_cogroup_streaming_restart_recovers_generation(spark, tmp_path):
     assert again == got
 
 
-@pytest.mark.parametrize("engine", ["keyed", "exact"])
+@pytest.mark.parametrize("engine", ["keyed", "tws", "exact"])
 def test_tt_join_streaming_restart_recovers_generation(spark, tmp_path, engine):
     """join_tables_streaming restart: re-invoking with the same durable
     checkpoint + state_dir after new changelog data continues from the
@@ -2179,7 +2179,9 @@ def test_join_engines_differential_random_changelogs(spark, tmp_path):
 
     keyed = sorted(map(tuple, tt("keyed").collect()))
     exact = sorted(map(tuple, tt("exact").collect()))
+    tws = sorted(map(tuple, tt("tws").collect()))
     assert keyed == exact and len(keyed) > 0
+    assert tws == exact
 
     # --- fk join (how=left): random fk flips across 3 microbatches
     fk_rows = [
@@ -2206,7 +2208,9 @@ def test_join_engines_differential_random_changelogs(spark, tmp_path):
 
     keyed_fk = sorted(map(tuple, fkj("keyed").collect()))
     exact_fk = sorted(map(tuple, fkj("exact").collect()))
+    tws_fk = sorted(map(tuple, fkj("tws").collect()))
     assert keyed_fk == exact_fk and len(keyed_fk) > 0
+    assert tws_fk == exact_fk
 
 
 def test_keyed_engines_reject_reserved_column_names(spark, tmp_path):
@@ -2445,7 +2449,7 @@ def test_gif_codec_streaming_parity(spark, tmp_path):
     assert got.count() == 30
 
 
-@pytest.mark.parametrize("engine", ["keyed", "exact"])
+@pytest.mark.parametrize("engine", ["keyed", "tws", "exact"])
 def test_suppress_buffered_resume_no_redelivery(spark, tmp_path, engine):
     """Review finding (r8): a drain must return only ITS OWN emissions — a
     resumed drain over the same state_dir + checkpoint must not re-deliver
@@ -2494,7 +2498,7 @@ def test_suppress_buffered_resume_no_redelivery(spark, tmp_path, engine):
         suppress_buffered(mk(), time_col="ts", state_dir=state, engine=engine)
 
 
-@pytest.mark.parametrize("engine", ["keyed", "exact"])
+@pytest.mark.parametrize("engine", ["keyed", "tws", "exact"])
 def test_suppress_buffered_crash_replay_idempotent(spark, tmp_path, engine):
     """Advisor finding (r8, medium): emission must be idempotent under
     Spark's at-least-once foreachBatch replay.  Simulate a crash between
@@ -2584,7 +2588,7 @@ def test_fk_join_streaming_accepts_shared_fk_name(spark, tmp_path):
     assert "__fk_rk" not in got.columns and "dept_id" in got.columns
 
 
-@pytest.mark.parametrize("engine", [None, "exact"])
+@pytest.mark.parametrize("engine", [None, "tws", "exact"])
 def test_suppress_buffered_differential_fuzz(spark, tmp_path, engine):
     """Differential check of the suppress buffer against an independent
     Python simulator of the KS rules (entry clock kept across updates,
@@ -2654,6 +2658,11 @@ def test_suppress_buffered_differential_fuzz(spark, tmp_path, engine):
         batches = [b for b in batches if b]
         limit_ms = rng.choice([30, 60, 90]) * 60_000
         max_records = rng.choice([None, 2, 3])
+        if engine == "tws":
+            # capacity bounds are buffer-global (exact-engine territory, the
+            # dispatcher refuses them on per-key engines); run every seed
+            # unbounded so the tws leg always exercises the tws engine
+            max_records = None
 
         src = str(tmp_path / f"src{seed}")
         for i, b in enumerate(batches):
@@ -2899,7 +2908,7 @@ def test_legacy_unbound_state_adoption_and_commit_guard(spark, tmp_path):
         join_table_asof_streaming(ks, vt, how="left", out_dir=legacy)
 
 
-@pytest.mark.parametrize("engine", ["keyed", "exact"])
+@pytest.mark.parametrize("engine", ["keyed", "tws", "exact"])
 def test_suppress_buffered_resume_differential_fuzz(spark, tmp_path, engine):
     """Cross-DRAIN differential check: the same seeded workloads as the
     single-drain fuzz, but the generations are split across TWO resumed
@@ -3117,7 +3126,7 @@ def test_keyed_suppress_refuses_foreign_state_schema_version(spark, tmp_path):
     assert got2.collect() == []
 
 
-@pytest.mark.parametrize("engine", ["keyed", "exact"])
+@pytest.mark.parametrize("engine", ["keyed", "tws", "exact"])
 def test_suppress_value_type_matrix(spark, tmp_path, engine):
     """r10 verdict item 5: extend the exact-value round-trip matrix beyond
     bigint — decimal(38,2) and microsecond-precision timestamp VALUE columns

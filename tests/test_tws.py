@@ -1,0 +1,287 @@
+"""transformWithState engine family + the vendored minimal protobuf runtime.
+
+The live engine behavior (parity with keyed/exact, crash-replay, resume,
+type matrix) is covered by the engine-parametrized suites in
+test_streaming.py; this file pins what is UNIQUE to the tws path:
+
+* the clean-room ``vendor/google/protobuf`` runtime's wire format, against
+  hand-computed byte vectors (the live peer is the JVM protobuf runtime,
+  so any divergence the vectors miss would also fail the live suites);
+* engine guards: tws state dirs refuse the pandas/exact engines and vice
+  versa;
+* the container-column refusal (PySpark's value-state client scrambles
+  nested containers — upstream, observed on 4.1.2);
+* NaN semantics: tws and exact PRESERVE float NaN where the pandas keyed
+  engines coerce it to null (documented at _clean_state_value; this is the
+  r11-advice pin).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/vendor")  # the shim; a real protobuf wheel wins if present
+
+
+@pytest.fixture(scope="module")
+def sm():
+    pytest.importorskip("google.protobuf")
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as stateMessage
+
+    return stateMessage
+
+
+# ------------------------------------------------------- shim wire vectors
+
+
+def test_shim_serializes_handle_state_vector(sm):
+    m = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.INITIALIZED)
+        )
+    )
+    # field2(LEN){ field1(LEN){ field1(VARINT)=2 } } — hand-computed
+    assert m.SerializeToString() == bytes.fromhex("12040a020802")
+
+
+def test_shim_nested_assignment_marks_presence(sm):
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "myState"
+    cmd.schema = "s"
+    cmd.ttl.durationMs = 5000
+    data = cmd.SerializeToString()
+    # 5000 = varint 0x88 0x27 inside ttl (field 4)
+    assert data == bytes.fromhex("0a076d795374617465120173") + bytes.fromhex("2203088827")
+    back = sm.StateCallCommand()
+    back.ParseFromString(data)
+    assert (back.stateName, back.schema, back.ttl.durationMs) == ("myState", "s", 5000)
+
+
+def test_shim_vivified_submessage_not_serialized(sm):
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "x"
+    _ = cmd.ttl  # read-only access must NOT mark ttl present
+    assert cmd.SerializeToString() == bytes.fromhex("0a0178")
+
+
+def test_shim_empty_oneof_member_serialized(sm):
+    # an empty message that IS the active oneof member must hit the wire
+    # (tag + len 0) — the JVM dispatches on the oneof case
+    r = sm.StateRequest(
+        implicitGroupingKeyRequest=sm.ImplicitGroupingKeyRequest(
+            removeImplicitKey=sm.RemoveImplicitKey()
+        )
+    )
+    assert r.SerializeToString() == bytes.fromhex("22021200")
+    back = sm.StateRequest()
+    back.ParseFromString(bytes.fromhex("22021200"))
+    assert back.WhichOneof("method") == "implicitGroupingKeyRequest"
+    assert back.implicitGroupingKeyRequest.WhichOneof("method") == "removeImplicitKey"
+
+
+def test_shim_oneof_switch_clears_previous(sm):
+    call = sm.ValueStateCall(stateName="s", get=sm.Get())
+    assert call.WhichOneof("method") == "get"
+    call2 = sm.ValueStateCall(stateName="s", exists=sm.Exists())
+    assert call2.WhichOneof("method") == "exists"
+
+
+def test_shim_parses_all_default_response_from_empty_bytes(sm):
+    resp = sm.StateResponse()
+    resp.ParseFromString(b"")  # proto3 omits default fields entirely
+    assert (resp.statusCode, resp.errorMessage, resp.value) == (0, "", b"")
+
+
+def test_shim_negative_int64_roundtrip(sm):
+    m = sm.RegisterTimer(expiryTimestampMs=-1)
+    data = m.SerializeToString()
+    # -1 encodes as ten 0xff..0x01 bytes (two's-complement 64-bit varint)
+    assert data == bytes([0x08]) + b"\xff" * 9 + b"\x01"
+    back = sm.RegisterTimer()
+    back.ParseFromString(data)
+    assert back.expiryTimestampMs == -1
+
+
+def test_shim_repeated_message_and_optional_bytes(sm):
+    tr = sm.StateResponseWithTimer(
+        timer=[sm.TimerInfo(timestampMs=123, key=b"kk"), sm.TimerInfo(timestampMs=7)],
+        requireNextFetch=True,
+    )
+    back = sm.StateResponseWithTimer()
+    back.ParseFromString(tr.SerializeToString())
+    got = [(t.timestampMs, t.key, t.HasField("key")) for t in back.timer]
+    assert got == [(123, b"kk", True), (7, b"", False)]
+    assert back.requireNextFetch is True
+
+
+def test_shim_repeated_bytes_roundtrip(sm):
+    m = sm.StateResponseWithListGet(statusCode=0, value=[b"a", b"", b"ccc"])
+    back = sm.StateResponseWithListGet()
+    back.ParseFromString(m.SerializeToString())
+    assert list(back.value) == [b"a", b"", b"ccc"]
+
+
+def test_shim_skips_unknown_fields(sm):
+    # field 15 (unknown to RegisterTimer) varint + field 1 = known
+    payload = bytes([0x78, 0x05, 0x08, 0x2A])
+    m = sm.RegisterTimer()
+    m.ParseFromString(payload)
+    assert m.expiryTimestampMs == 42
+
+
+def test_shim_bigint_past_2_53_exact(sm):
+    v = (1 << 60) + 7
+    m = sm.RegisterTimer(expiryTimestampMs=v)
+    back = sm.RegisterTimer()
+    back.ParseFromString(m.SerializeToString())
+    assert back.expiryTimestampMs == v
+
+
+def test_shim_descriptor_parser_handles_full_state_message_file(sm):
+    # the generated module loaded through the shim exposes every message the
+    # state clients reference, with enum constants at module level
+    for name in (
+        "StateRequest",
+        "StateResponse",
+        "StateResponseWithLongTypeVal",
+        "StateResponseWithStringTypeVal",
+        "StateResponseWithListGet",
+        "StateResponseWithMapKeysOrValues",
+        "StateResponseWithMapIterator",
+        "StateResponseWithTimer",
+        "KeyAndValuePair",
+        "TimerInfo",
+        "StatefulProcessorCall",
+        "StateVariableRequest",
+        "ImplicitGroupingKeyRequest",
+        "TimerRequest",
+        "UtilsRequest",
+        "StateCallCommand",
+        "TimerStateCallCommand",
+        "ValueStateCall",
+        "ListStateCall",
+        "MapStateCall",
+    ):
+        assert hasattr(sm, name), name
+    assert (sm.PRE_INIT, sm.CREATED, sm.INITIALIZED, sm.CLOSED) == (0, 1, 2, 5)
+    assert sm.HandleState.DATA_PROCESSED == 3
+
+
+# ------------------------------------------------------------ engine guards
+
+
+def _mk_stream(spark, tmp_path, name, schema, rows, key, ts=None):
+    from pyspark_engine.streaming import StreamingBuilder
+
+    d = str(tmp_path / name)
+    spark.createDataFrame(rows, schema).write.parquet(d)
+    return StreamingBuilder(spark).file_stream(d, key=key, ts=ts)
+
+
+def test_tws_state_dir_refused_by_keyed_engine_and_vice_versa(spark, tmp_path):
+    """A dir stamped by one engine family must be refused descriptively by
+    the other (fabricated markers — no drain needed)."""
+    import os
+
+    from pyspark_engine.streaming import join_tables_streaming
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    l1 = _mk_stream(spark, tmp_path, "l1", "k int, lv int, lts timestamp", [(1, 1, t(0))], "k", "lts")
+    r1 = _mk_stream(spark, tmp_path, "r1", "rk int, rv int, rts timestamp", [(1, 1, t(0))], "rk", "rts")
+
+    # fabricate a pandas-keyed dir → tws must refuse
+    keyed_dir = tmp_path / "keyed_dir"
+    keyed_dir.mkdir()
+    (keyed_dir / "_PSE_TTJOIN_V").write_text("1")
+    with pytest.raises(ValueError, match="pandas keyed tt-join"):
+        join_tables_streaming(l1, r1, engine="tws", state_dir=str(keyed_dir))
+
+    # fabricate an exact ping-pong dir → tws must refuse
+    exact_dir = tmp_path / "exact_dir"
+    exact_dir.mkdir()
+    (exact_dir / "_GEN").write_text("1")
+    with pytest.raises(ValueError, match="exact ping-pong"):
+        join_tables_streaming(l1, r1, engine="tws", state_dir=str(exact_dir))
+
+    # fabricate a tws dir WITH emissions → the pandas keyed engine must
+    # refuse descriptively (the bind gate fires first on a fabricated dir;
+    # on a real one whose bind matches, the version gate fires — either way
+    # the populated foreign dir never drains under the wrong engine)
+    tws_dir = tmp_path / "tws_dir"
+    (tws_dir / "out" / "sink_batch=0").mkdir(parents=True)
+    (tws_dir / "out" / "sink_batch=0" / "part-0.parquet").write_bytes(b"")
+    (tws_dir / "_PSE_TWS_TTJOIN_V").write_text("1")
+    os.makedirs(tws_dir / "ck")
+    with pytest.raises(ValueError, match="state dir"):
+        join_tables_streaming(
+            l1, r1, engine="keyed", state_dir=str(tws_dir), checkpoint=str(tws_dir / "ck")
+        )
+
+
+def test_tws_refuses_container_value_columns(spark, tmp_path):
+    """Nested containers in value columns are refused with a pointer at
+    engine='keyed' (PySpark's value-state client scrambles them)."""
+    from pyspark_engine.streaming import join_tables_streaming, suppress_buffered
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    l1 = _mk_stream(
+        spark,
+        tmp_path,
+        "lc",
+        "k int, lv array<int>, lts timestamp",
+        [(1, [1, 2], t(0))],
+        "k",
+        "lts",
+    )
+    r1 = _mk_stream(spark, tmp_path, "rc", "rk int, rv int, rts timestamp", [(1, 1, t(0))], "rk", "rts")
+    with pytest.raises(ValueError, match="engine='keyed'"):
+        join_tables_streaming(l1, r1, engine="tws")
+
+    sup = _mk_stream(
+        spark,
+        tmp_path,
+        "sc",
+        "k int, v array<int>, ts timestamp",
+        [(1, [1], t(0))],
+        "k",
+        "ts",
+    ).to_table().suppress(until_time_limit_ms=60_000)
+    with pytest.raises(ValueError, match="engine='keyed'"):
+        suppress_buffered(sup, time_col="ts", engine="tws")
+
+
+# ------------------------------------------------------------ NaN semantics
+
+
+def test_nan_double_semantics_across_join_engines(spark, tmp_path):
+    """r11 advice pin: a genuine float NaN in a double value column is
+    PRESERVED by the exact loop and the tws engine, and coerced to null by
+    the pandas keyed engine (Arrow float64 slices cannot distinguish NaN
+    from union null-padding — documented at _clean_state_value)."""
+    from pyspark_engine.streaming import join_tables_streaming
+
+    l1 = _mk_stream(
+        spark, tmp_path, "ln", "k int, lv double, lo int", [(1, float("nan"), 1), (2, 2.5, 1)], "k"
+    )
+    r1 = _mk_stream(spark, tmp_path, "rn", "rk int, rv int, ro int", [(1, 10, 1), (2, 20, 1)], "rk")
+
+    def run(engine):
+        snap = join_tables_streaming(
+            l1, r1, how="inner", l_order=("lo",), r_order=("ro",), engine=engine
+        )
+        return {r["k"]: r["lv"] for r in snap.collect()}
+
+    exact = run("exact")
+    assert math.isnan(exact[1]) and exact[2] == 2.5
+    tws = run("tws")
+    assert math.isnan(tws[1]) and tws[2] == 2.5
+    keyed = run("keyed")
+    assert keyed[1] is None and keyed[2] == 2.5
