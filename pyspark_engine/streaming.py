@@ -365,21 +365,30 @@ class StreamingBuilder:
     ) -> KStream:
         """Kafka-topic KStream source (core/StreamBuilder.cs:49-134 +
         SourceProcessor deserialize step).  ``value_schema`` is a DDL string;
-        wire decode is pure Catalyst expressions (serdes.decode_kafka)."""
-        try:
-            raw = (
-                self.spark.readStream.format("kafka")
-                .option("kafka.bootstrap.servers", bootstrap)
-                .option("subscribe", topics)
-                .option("startingOffsets", starting_offsets)
-                .options(**options)
-                .load()
-            )
-        except Exception as e:  # pragma: no cover - connector not bundled locally
-            raise NotImplementedError(
-                "Kafka source requires the spark-sql-kafka connector on the "
-                "classpath (org.apache.spark:spark-sql-kafka-0-10)"
-            ) from e
+        wire decode is pure Catalyst expressions (serdes.decode_kafka).
+
+        A ``stub://<dir>`` bootstrap selects the in-process file-backed
+        transport (kafka_stub.KafkaStubBroker) with the SAME source schema
+        and decode path — the connectorless end-to-end test mode."""
+        from .kafka_stub import KafkaStubBroker, is_stub
+
+        if is_stub(bootstrap):
+            raw = KafkaStubBroker(bootstrap).read_stream(self.spark, topics, **options)
+        else:
+            try:
+                raw = (
+                    self.spark.readStream.format("kafka")
+                    .option("kafka.bootstrap.servers", bootstrap)
+                    .option("subscribe", topics)
+                    .option("startingOffsets", starting_offsets)
+                    .options(**options)
+                    .load()
+                )
+            except Exception as e:  # pragma: no cover - connector not bundled locally
+                raise NotImplementedError(
+                    "Kafka source requires the spark-sql-kafka connector on the "
+                    "classpath (org.apache.spark:spark-sql-kafka-0-10)"
+                ) from e
         df = decode_kafka(raw, value_schema, key_type=key_type, value_format=value_format, ts_alias=ts_alias)
         return KStream(df, ("key",) if key == "key" else _as_tuple(key), ts_alias)
 
@@ -495,9 +504,28 @@ def start_to_kafka(
     (IKStream.cs:90-137): Spark's Kafka sink routes on a ``topic`` column.
     ``available_now=True`` drains what's currently on the source and stops —
     the bounded mode scripts/kafka_smoke.py uses for its roundtrip check."""
+    from .kafka_stub import KafkaStubBroker, is_stub
+
     df = obj.df if hasattr(obj, "df") else obj
     _check_emit_final(obj, df, output_mode)
     wire = encode_kafka(df, key_col, list(value_cols) if value_cols else None, topic=topic_expr)
+    if is_stub(bootstrap):
+        # in-process transport: the encode above and the streaming query are
+        # the REAL produce path; only the broker append is file-backed
+        broker = KafkaStubBroker(bootstrap)
+
+        def _produce(batch: DataFrame, _batch_id: int) -> None:
+            if not batch.isEmpty():
+                broker.append(batch, topic)
+
+        w = (
+            wire.writeStream.foreachBatch(_produce)
+            .outputMode(output_mode)
+            .option("checkpointLocation", _checkpoint(checkpoint))
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
     w = (
         wire.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)

@@ -1,7 +1,14 @@
-"""End-to-end smoke test for the LIVE Kafka path — run this on any machine
-that can reach a Kafka broker (the sandbox cannot: no network to resolve the
-spark-sql-kafka package, so here the builders stop at their documented
-NotImplementedError gate).
+"""End-to-end smoke test for the Kafka path.  Two transports:
+
+* a REAL broker (``--bootstrap host:9092`` + the spark-sql-kafka package)
+  — run this on any machine with network;
+* the in-process stub (``--bootstrap stub:///some/dir``) — everywhere
+  else, including this sandbox: the PRODUCE/PROCESS/VERIFY steps below
+  all execute for real (wire bytes, streaming topology, offset
+  semantics), with only the broker replaced by a file-backed transport
+  (pyspark_engine/kafka_stub.py documents exactly what is real vs
+  stubbed).  tests/test_streaming.py::test_kafka_smoke_stub_end_to_end
+  runs this mode in the suite.
 
 What it exercises (the reference's whole I/O loop,
 core/Processors/SourceProcessor.cs:16-49 consume→deserialize and
@@ -99,22 +106,33 @@ def main() -> int:
     )
     args = ap.parse_args()
 
+    from pyspark_engine.kafka_stub import KafkaStubBroker, is_stub
+
+    stub = is_stub(args.bootstrap)
     b = SparkSession.builder.appName("kafka-smoke")
+    if stub:
+        # connectorless mode: in-process file-backed transport — see
+        # pyspark_engine/kafka_stub.py for exactly what is real vs stubbed
+        b = b.master(os.environ.get("KAFKA_SMOKE_MASTER", "local[8]"))
     if args.package:
         b = b.config("spark.jars.packages", args.package)
     spark = b.getOrCreate()
+    broker = KafkaStubBroker(args.bootstrap) if stub else None
 
     t0 = time.time()
     # 1. PRODUCE (batch Kafka write through the same encode_kafka expressions)
     records = sample_records(spark, args.rows)
     want = expected_counts(records)
     wire = serdes.encode_kafka(records, key_col="user_id", value_cols=["user_id", "amount"])
-    (
-        wire.write.format("kafka")
-        .option("kafka.bootstrap.servers", args.bootstrap)
-        .option("topic", args.topic_in)
-        .save()
-    )
+    if stub:
+        broker.append(wire, args.topic_in)
+    else:
+        (
+            wire.write.format("kafka")
+            .option("kafka.bootstrap.servers", args.bootstrap)
+            .option("topic", args.topic_in)
+            .save()
+        )
 
     # 2. PROCESS: live consume -> DSL -> live produce (bounded drain)
     sb = StreamingBuilder(spark)
@@ -134,13 +152,16 @@ def main() -> int:
     q.awaitTermination()
 
     # 3. VERIFY: read the output topic back and compare final per-key counts
-    raw = (
-        spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", args.bootstrap)
-        .option("subscribe", args.topic_out)
-        .option("startingOffsets", "earliest")
-        .load()
-    )
+    if stub:
+        raw = broker.read_batch(spark, args.topic_out)
+    else:
+        raw = (
+            spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", args.bootstrap)
+            .option("subscribe", args.topic_out)
+            .option("startingOffsets", "earliest")
+            .load()
+        )
     decoded = serdes.decode_kafka(raw, COUNT_SCHEMA, key_type="long", include_meta=True)
     got = latest_counts_from_wire(decoded)
     ok = got == want

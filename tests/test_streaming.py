@@ -1641,6 +1641,86 @@ def test_versioned_asof_join_streaming_parity(spark, tmp_path):
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
 
 
+def test_asof_join_streaming_differential_fuzz(spark, tmp_path):
+    """r11 verdict task 7: randomized differential oracle for the as-of
+    join's streaming loop — the one stateful loop that had none.  Seeded
+    random versioned histories and stream rows (duplicate (key, ts) pairs,
+    exact version-boundary timestamps, pre-first-version rows, keys with no
+    history), SHUFFLED so event time runs backwards across microbatches
+    (late arrivals), drained under ≥3 random batching boundaries per seed —
+    every drain must equal the one-shot batch ``join_table_asof`` snapshot
+    (the operator's contract: versioned lookup is batching-independent)."""
+    import datetime as dt
+    import random
+
+    from pyspark_engine import StreamBuilder as BatchBuilder
+    from pyspark_engine.streaming import join_table_asof_streaming
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(ms):
+        return base + dt.timedelta(milliseconds=ms)
+
+    b = BatchBuilder(spark)
+    for seed in (11, 37, 73):
+        rng = random.Random(seed)
+        hist_rows = [
+            (k, ts(rng.randint(0, 200) * 60_000), rng.randint(0, 999), i)
+            for i, (k, _) in enumerate(
+                (k, v) for k in range(5) for v in range(rng.randint(1, 4))
+            )
+        ]
+        vt = b.versioned_table(
+            spark.createDataFrame(hist_rows, "k long, ts timestamp, pv long, pid long"),
+            key="k",
+            ts="ts",
+            order=("pid",),
+        )
+        n = rng.randint(8, 16)
+        stream_rows = [
+            (rng.choice([0, 1, 2, 3, 4, 9]), ts(rng.randint(0, 220) * 60_000), i)
+            for i in range(n)
+        ]
+        # plant an exact-boundary lookup (stream ts == a version ts)
+        stream_rows.append((hist_rows[0][0], hist_rows[0][1], n))
+        rng.shuffle(stream_rows)  # late arrivals across batch boundaries
+        how = rng.choice(["inner", "left"])
+        tol = rng.choice([None, 30 * 60_000])
+        schema = "k long, ts timestamp, sid long"
+        want = sorted(
+            map(
+                tuple,
+                KStream(spark.createDataFrame(stream_rows, schema), ("k",), "ts")
+                .join_table_asof(vt, how=how, tolerance_ms=tol)
+                .df.collect(),
+            )
+        )
+        sb = StreamingBuilder(spark)
+        for batching in range(3):
+            cuts = sorted(
+                rng.sample(range(1, len(stream_rows)), rng.randint(1, 4))
+            )
+            src = str(tmp_path / f"asof-{seed}-{batching}")
+            prev = 0
+            gen = 0
+            for c in cuts + [len(stream_rows)]:
+                if stream_rows[prev:c]:
+                    _write_source_file(spark, stream_rows[prev:c], schema, src, gen)
+                    gen += 1
+                prev = c
+            ks = sb.file_stream(src, key="k", ts="ts", max_files_per_trigger=1)
+            got = sorted(
+                map(
+                    tuple,
+                    join_table_asof_streaming(ks, vt, how=how, tolerance_ms=tol).collect(),
+                )
+            )
+            assert got == want and len(want) > 0, (
+                f"seed {seed} batching {batching} ({how}, tol={tol}): "
+                f"{got[:4]}... != {want[:4]}..."
+            )
+
+
 def test_incremental_dedup_streaming_parity(spark, tmp_path):
     """Continuous-ingestion dedup over micro-batches: a foreachBatch loop
     anti-joins each batch against the digest store and appends survivors
@@ -2312,6 +2392,63 @@ def test_kafka_smoke_helpers_offline(spark):
         [(5, 1, 1), (5, 3, 2), (6, 9, 1)], "key long, cnt long, offset long"
     )
     assert ksm.latest_counts_from_wire(decoded) == {5: 3, 6: 9}
+
+
+def test_kafka_smoke_stub_end_to_end(spark, tmp_path, monkeypatch):
+    """r11 verdict task 3: the smoke's PROCESS + VERIFY steps EXECUTE (not
+    just signature-bind) against the in-process stub transport — produce
+    wire bytes through encode_kafka, consume them through kafka_stream's
+    stub route, run the topology as a real bounded streaming query, produce
+    the update-mode re-emissions back through start_to_kafka, and verify
+    the compacted per-key counts read back from the output topic."""
+    import importlib.util
+    import os as _os
+    import sys as _sys
+
+    p = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "scripts", "kafka_smoke.py"
+    )
+    spec = importlib.util.spec_from_file_location("kafka_smoke_e2e", p)
+    ksm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ksm)
+    monkeypatch.setattr(
+        _sys,
+        "argv",
+        ["kafka_smoke.py", "--bootstrap", f"stub://{tmp_path / 'broker'}", "--rows", "300"],
+    )
+    assert ksm.main() == 0  # prints the PASS json line
+
+
+def test_kafka_stub_offsets_and_partitioning(spark, tmp_path):
+    """The stub transport's broker contract: per-partition offsets are
+    monotonic ACROSS appends, the same key always lands on the same
+    partition, and the streaming read exposes the exact Kafka source
+    schema."""
+    from pyspark_engine.kafka_stub import WIRE_SCHEMA, KafkaStubBroker
+
+    broker = KafkaStubBroker(f"stub://{tmp_path / 'b'}")
+    wire = spark.createDataFrame(
+        [(str(k).encode(), b"v") for k in range(20)], "key binary, value binary"
+    )
+    broker.append(wire, "t")
+    broker.append(wire, "t")  # second append: offsets must continue, not restart
+    got = broker.read_batch(spark, "t")
+    assert dict(got.dtypes) == dict(
+        spark.createDataFrame([], WIRE_SCHEMA).dtypes
+    )
+    rows = got.collect()
+    assert len(rows) == 40
+    # same key -> same partition on both appends
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(bytes(r["key"]), set()).add(r["partition"])
+    assert all(len(parts) == 1 for parts in by_key.values())
+    # offsets unique and contiguous per partition
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["partition"], []).append(r["offset"])
+    for offs in by_part.values():
+        assert sorted(offs) == list(range(len(offs)))
 
 
 def test_kafka_smoke_live_calls_bind_to_current_surface(spark):
