@@ -2357,7 +2357,13 @@ def q152_windowed_distinct(spark, sf_dir):
     metric, sketched because exact per-window count(DISTINCT) shuffles
     every (key, window, user) triple at 100 TB.  q105-style contract
     oracle: exact row/user counts recomputed by both engines, users_ok =
-    |sketch − exact| ≤ 3·rsd·exact computed Spark-side, TRUE in SQL."""
+    |sketch − exact| ≤ max(3·rsd·exact, √exact, 1) computed Spark-side,
+    TRUE in SQL.  The √exact floor is the small-cardinality term: 3·rsd·n
+    is HLL's ASYMPTOTIC bound, while at n≈30 the estimator's error is
+    collision-dominated and scales ~√n — the r12 full-sf0.1 sweep caught
+    the pure-relative bound failing on 16/3600 windows (|err| ≤ 3 at
+    n≈12–51, bound 1.86) that the sf0.01 gate's tinier windows never
+    exposed."""
     ev = read_table(configure(spark), sf_dir, "events")
     sk = analytics.windowed_distinct(ev, "ts", "event_type", "user_id", 3_600_000, rsd=0.02)
     from pyspark_engine.runtime import epoch_ms
@@ -2375,7 +2381,11 @@ def q152_windowed_distinct(spark, sf_dir):
         "users_exact",
         (
             F.abs(F.col("ids_approx") - F.col("users_exact"))
-            <= F.greatest(F.lit(3 * 0.02) * F.col("users_exact"), F.lit(1.0))
+            <= F.greatest(
+                F.lit(3 * 0.02) * F.col("users_exact"),
+                F.sqrt(F.col("users_exact")),
+                F.lit(1.0),
+            )
         ).alias("users_ok"),
     )
 
@@ -3708,10 +3718,16 @@ def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 8, k: int = 5, n_queries:
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": """
+            -- decimal sums leave DuckDB via VARCHAR: its direct
+            -- decimal->double cast divides the scaled int128 by 10^scale in
+            -- double arithmetic, which is 1 ulp off nearest once the scaled
+            -- integer passes 2^53 (found by the r12 full-sf0.1 sweep on
+            -- sum_disc_price, scale 8 ~ 5e17); string->double is correctly
+            -- rounded and matches Spark's BigDecimal.doubleValue exactly
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2024-10-01'

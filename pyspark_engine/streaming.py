@@ -28,6 +28,7 @@ real plan and raise a clear error when the connector is absent.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 import uuid
@@ -56,6 +57,7 @@ __all__ = [
     "join_table_asof_streaming",
     "cogroup_streaming",
     "observed_metrics",
+    "compact_emission_log",
 ]
 
 
@@ -309,6 +311,207 @@ def _bind_state_checkpoint(root: str, ckpt: str, populated: bool, what: str) -> 
             f.write(token)
         os.replace(tmp, p)
     return ckpt
+
+
+_COMPACT_TMP = "compact-tmp"
+_COMPACT_TRASH_PREFIX = "compact-trash-"
+
+
+def _check_no_pending_compaction(root: str) -> None:
+    """A crashed compact_emission_log leaves a recovery marker; draining
+    over a half-swapped log would read a wrong snapshot, so engines refuse
+    until the (idempotent) compactor has recovered it."""
+    entries = []
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    if _COMPACT_TMP in entries or any(e.startswith(_COMPACT_TRASH_PREFIX) for e in entries):
+        raise ValueError(
+            f"state dir {root!r} holds an interrupted emission-log compaction "
+            "(compact-tmp/compact-trash present); re-run compact_emission_log "
+            "on it to recover before draining"
+        )
+
+
+def _sink_partitions(out_dir: str) -> dict[int, str]:
+    parts = {}
+    try:
+        for e in os.listdir(out_dir):
+            if e.startswith("sink_batch="):
+                try:
+                    parts[int(e.split("=", 1)[1])] = os.path.join(out_dir, e)
+                except ValueError:
+                    pass
+    except OSError:
+        pass
+    return parts
+
+
+def _recover_compaction(out_dir: str, root: str) -> None:
+    """Finish or roll back an interrupted compaction (idempotent)."""
+    import shutil  # noqa: PLC0415
+
+    tmp = os.path.join(root, _COMPACT_TMP)
+    target_path = os.path.join(tmp, "_TARGET")
+    if os.path.isdir(tmp):
+        if os.path.exists(target_path):
+            n = int(open(target_path).read().strip())
+            dest = os.path.join(out_dir, f"sink_batch={n}")
+            if not os.path.isdir(dest):
+                os.remove(target_path)
+                os.rename(tmp, dest)  # finish the install
+            else:
+                shutil.rmtree(tmp)  # install already happened
+            for k, p in _sink_partitions(out_dir).items():
+                if k < n:
+                    shutil.rmtree(p, ignore_errors=True)
+        else:
+            shutil.rmtree(tmp)  # crashed before the fold finished: out intact
+    for e in list(os.listdir(root)):
+        if e.startswith(_COMPACT_TRASH_PREFIX):
+            n = int(e[len(_COMPACT_TRASH_PREFIX) :])
+            shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+            for k, p in _sink_partitions(out_dir).items():
+                if k < n:
+                    shutil.rmtree(p, ignore_errors=True)
+
+
+def compact_emission_log(
+    spark: SparkSession,
+    state_dir: str,
+    checkpoint: str,
+    key: Sequence[str] = (),
+) -> dict:
+    """Compact a per-key engine's unbounded emission log between drains
+    (r11 advice): per-microbatch I/O is O(changed keys), but the returned
+    snapshot is a latest-per-key fold over the ENTIRE ``out/sink_batch=*``
+    history, so snapshot reconstruction degrades as O(total emissions
+    ever) on long-lived state dirs.  This folds every partition up to the
+    checkpoint's last COMMITTED batch into ONE base partition carrying
+    that batch id and prunes the replaced partitions; batches beyond the
+    commit cursor are untouched (crash-replay rewrites them).
+
+    Works on the tt-join and fk-join logs of BOTH engine families (pandas
+    keyed and tws — same log layout) and on suppress logs:
+
+      * tt join: base = latest-per-key rows (updates only — exact fold);
+        pass the JOIN KEY columns via ``key``.
+      * fk join: base = latest-per-(left PK) rows by (sink_batch,
+        op-rank), RETAINING last-op-D rows (a dropped D could resurrect a
+        key if a crash leaves older U partitions behind); also prunes
+        subscription-log files stage B's file-source checkpoint has
+        provably consumed.  ``key`` = the left PK columns.
+      * suppress: emissions are history, never re-read past the delivery
+        cursor — partitions strictly below the newest committed partition
+        are pruned outright (the newest is kept as the cursor trail).
+
+    Crash-safe and idempotent: the fold is written to ``compact-tmp``
+    (completed by a ``_TARGET`` marker) before any partition is touched,
+    the displaced base goes to ``compact-trash-<id>`` until the swap
+    completes, and a re-run (or this function at next call) finishes or
+    rolls back an interrupted pass; the engines refuse to drain over a
+    half-swapped log until then.  Run it from the SAME single-writer
+    context as the drains — it must not race a live query on the dir.
+
+    Returns a summary dict (kind, folded/pruned partition counts, rows)."""
+    import shutil  # noqa: PLC0415
+
+    root = state_dir
+    is_fk = os.path.isdir(os.path.join(root, "sub"))
+    out_dir = os.path.join(root, "out")
+    _recover_compaction(out_dir, root)
+    ck = os.path.join(checkpoint, "join") if is_fk else checkpoint
+    bind_root = out_dir if is_fk else root
+    sbind, cbind = _read_bind(os.path.join(bind_root, "_PSE_BIND")), _read_bind(
+        os.path.join(ck, "_PSE_BIND")
+    )
+    if sbind is None or sbind != cbind:
+        raise ValueError(
+            f"compact_emission_log: {state_dir!r} is not bound to checkpoint "
+            f"{checkpoint!r} — pass the pair the drains use"
+        )
+    committed = _last_committed(ck)
+    parts = _sink_partitions(out_dir)
+    foldable = sorted(k for k in parts if k <= committed)
+    if len(foldable) <= 1:
+        return {"kind": "fk" if is_fk else "log", "folded": 0, "pruned": 0}
+
+    cols = spark.read.parquet(out_dir).columns
+    kind = "suppress" if "__emit_reason" in cols else ("fk" if "op" in cols else "tt")
+    result: dict = {"kind": kind, "folded": len(foldable), "committed": committed}
+
+    if kind == "suppress":
+        keep = max(foldable)
+        for k in foldable:
+            if k != keep:
+                shutil.rmtree(parts[k], ignore_errors=True)
+        result["pruned"] = len(foldable) - 1
+        return result
+
+    if not key:
+        raise ValueError("compact_emission_log needs the fold key columns for join logs")
+    base_id = max(foldable)
+    kept = spark.read.parquet(out_dir).filter(F.col("sink_batch") <= F.lit(int(committed)))
+    if kind == "fk":
+        ranked = kept.withColumn("__op_rank", (F.col("op") == "U").cast("int"))
+        base = (
+            KStream(ranked, tuple(key), None)
+            .to_table(order=("sink_batch", "__op_rank"))
+            .df.drop("__op_rank", "sink_batch")
+        )
+    else:
+        base = KStream(kept, tuple(key), None).to_table(order=("sink_batch",)).df.drop(
+            "sink_batch"
+        )
+    tmp = os.path.join(root, _COMPACT_TMP)
+    shutil.rmtree(tmp, ignore_errors=True)
+    base.write.mode("overwrite").parquet(tmp)
+    result["base_rows"] = spark.read.parquet(tmp).count()
+    with open(os.path.join(tmp, "_TARGET"), "w") as f:
+        f.write(str(base_id))  # tmp is now complete: recovery will install it
+    dest = os.path.join(out_dir, f"sink_batch={base_id}")
+    trash = os.path.join(root, f"{_COMPACT_TRASH_PREFIX}{base_id}")
+    os.rename(dest, trash)
+    os.remove(os.path.join(tmp, "_TARGET"))
+    os.rename(tmp, dest)
+    shutil.rmtree(trash, ignore_errors=True)
+    pruned = 0
+    for k in foldable:
+        if k != base_id:
+            shutil.rmtree(parts[k], ignore_errors=True)
+            pruned += 1
+    result["pruned"] = pruned
+
+    if kind == "fk":
+        # prune sub-log files stage B's file-source log has consumed
+        consumed = set()
+        src_log = os.path.join(ck, "sources", "0")
+        try:
+            for entry in os.listdir(src_log):
+                with open(os.path.join(src_log, entry)) as f:
+                    for line in f:
+                        line = line.strip()
+                        if line.startswith("{"):
+                            try:
+                                rec = json.loads(line)
+                            except ValueError:
+                                continue
+                            p = rec.get("path", "")
+                            consumed.add(p[len("file:") :] if p.startswith("file:") else p)
+        except OSError:
+            pass
+        sub_dir = os.path.join(root, "sub")
+        sub_parts = _sink_partitions(sub_dir)
+        removed = 0
+        for k in sorted(sub_parts)[:-1]:  # keep the newest dir as cursor trail
+            p = sub_parts[k]
+            files = [os.path.join(p, x) for x in os.listdir(p) if not x.startswith(("_", "."))]
+            if files and all(x in consumed for x in files):
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+        result["sub_pruned"] = removed
+    return result
 
 
 def _check_emit_final(obj, df: DataFrame, output_mode: str) -> None:
@@ -684,9 +887,16 @@ def join_tables_streaming(
     changelogs record-at-a-time against each other's state stores; output
     timestamp = max of the sides, :35).
 
-    Spark has no built-in update-stream⋈update-stream join; two engines,
-    selected by ``engine`` (None = ``"keyed"``, the scale engine):
+    Spark has no built-in update-stream⋈update-stream join; three engines,
+    selected by ``engine`` (None = ``"tws"`` when transformWithState's
+    protobuf dependency is importable, else ``"keyed"`` — both are the
+    per-key scale architecture):
 
+      * ``"tws"`` — the Spark-4-native transformWithState port of the
+        keyed engine (tws.join_tables_tws): same union/fold/emission-log
+        design, native types end to end (no bigint string tunnel, NaN
+        preserved like the exact loop), RocksDB state store.  The default
+        wherever ``google.protobuf`` (wheel or the vendored shim) exists.
       * ``"keyed"`` — ``applyInPandasWithState`` over the union of both
         tagged changelogs, grouped by the JOIN KEY, per-key state = (latest
         left row, latest right row) — exactly the reference's
@@ -721,7 +931,13 @@ def join_tables_streaming(
     if len(left.key) != len(right.key):
         raise ValueError("join key arity mismatch")
     if engine is None:
-        engine = "keyed"
+        # default = the transformWithState engine when its protobuf dep is
+        # importable (native types end to end — no bigint tunnel, NaN
+        # preserved), else the pandas keyed engine: same architecture,
+        # Arrow-boundary coercions documented at _clean_state_value
+        from .protoshim import ensure_protobuf  # noqa: PLC0415
+
+        engine = "tws" if ensure_protobuf() else "keyed"
     if engine == "tws":
         from .tws import join_tables_tws  # noqa: PLC0415 - optional protobuf dep
 
@@ -763,9 +979,13 @@ def join_fk_streaming(
     SURVEY §2.5 note.  KS wires a subscription topic keyed by FK and a
     response topic keyed back by the left PK so FK *changes* re-subscribe).
 
-    Two engines, selected by ``engine`` (None = ``"keyed"`` for a string fk
-    column, the scale engine):
+    Three engines, selected by ``engine`` (None = ``"tws"`` for a string fk
+    column when protobuf is importable, else ``"keyed"``; Column fks =
+    ``"exact"``):
 
+      * ``"tws"`` — transformWithState port of the keyed engine
+        (tws.join_fk_tws): same two-stage subscription/response design,
+        native types (subscriber list in LIST state), RocksDB store.
       * ``"keyed"`` — the literal KIP-213 two-stage architecture on per-key
         Spark state: a PK-keyed subscription resolver emitting
         unsubscribe/subscribe records into a durable subscription log, then
@@ -789,7 +1009,12 @@ def join_fk_streaming(
     if len(right.key) != 1:
         raise ValueError("fk join requires single-column right key")
     if engine is None:
-        engine = "keyed" if isinstance(fk, str) else "exact"
+        if isinstance(fk, str):
+            from .protoshim import ensure_protobuf  # noqa: PLC0415
+
+            engine = "tws" if ensure_protobuf() else "keyed"
+        else:
+            engine = "exact"
     if engine in ("keyed", "tws"):
         if not isinstance(fk, str):
             raise ValueError(
@@ -1110,6 +1335,7 @@ def _join_tables_keyed(
 
     root = state_dir or tempfile.mkdtemp(prefix="pse-ttjoin-")
     os.makedirs(root, exist_ok=True)
+    _check_no_pending_compaction(root)
     if os.path.exists(os.path.join(root, "_GEN")):
         raise ValueError(
             f"state dir {root!r} was written by the exact tt-join engine (ping-pong "
@@ -1272,6 +1498,7 @@ def _join_fk_keyed(
     # ---------------- state dirs, binding, versioning ----------------
     root = state_dir or tempfile.mkdtemp(prefix="pse-fkjoin-")
     os.makedirs(root, exist_ok=True)
+    _check_no_pending_compaction(root)
     if os.path.exists(os.path.join(root, "_GEN")):
         raise ValueError(
             f"state dir {root!r} was written by the exact fk-join engine (ping-pong "
@@ -1667,8 +1894,14 @@ def suppress_buffered(
       * emission cadence is per-microbatch (§7.3.3): time checks run when a
         batch closes, not per record.
 
-    Two engines, selected by ``engine`` (None = auto):
+    Three engines, selected by ``engine`` (None = auto: ``"tws"`` when the
+    raw changelog is available, bounds are off and protobuf is importable;
+    ``"keyed"`` without protobuf; ``"exact"`` otherwise):
 
+      * ``"tws"`` — transformWithState port of the keyed engine
+        (tws.suppress_tws): identical decoupled clock-copy watermark and
+        due rule, per-key event-time TIMERS instead of GroupState
+        timeouts, native-typed state, RocksDB store.
       * ``"keyed"`` — the scale engine: ``applyInPandasWithState`` over the
         RAW changelog (threaded through ``KStream.to_table``), per-key
         RocksDB/HDFS state in the streaming checkpoint, event-time timers
@@ -1743,7 +1976,12 @@ def suppress_buffered(
         and not _has_watermark(src.df)
     )
     if engine is None:
-        engine = "keyed" if keyed_ok else "exact"
+        if keyed_ok:
+            from .protoshim import ensure_protobuf  # noqa: PLC0415
+
+            engine = "tws" if ensure_protobuf() else "keyed"
+        else:
+            engine = "exact"
     if engine in ("keyed", "tws"):
         if bounded:
             raise ValueError(

@@ -53,6 +53,7 @@ from .dsl import KStream, KTable
 from .protoshim import ensure_protobuf
 from .streaming import (
     _bind_state_checkpoint,
+    _check_no_pending_compaction,
     _checkpoint,
     _check_reserved_columns,
     _empty_emissions,
@@ -377,6 +378,7 @@ def join_tables_tws(
 
     root = state_dir or tempfile.mkdtemp(prefix="pse-ttjoin-tws-")
     os.makedirs(root, exist_ok=True)
+    _check_no_pending_compaction(root)
     out_dir = os.path.join(root, "out")
     ckpt = _bind_state_checkpoint(
         root, _checkpoint(checkpoint), _has_emissions(out_dir), "prior tt-join emissions"
@@ -871,6 +873,7 @@ def join_fk_tws(
     # ---------------- state dirs, binding, versioning ----------------
     root = state_dir or tempfile.mkdtemp(prefix="pse-fkjoin-tws-")
     os.makedirs(root, exist_ok=True)
+    _check_no_pending_compaction(root)
     subdir = os.path.join(root, "sub")
     outdir = os.path.join(root, "out")
     os.makedirs(subdir, exist_ok=True)

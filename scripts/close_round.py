@@ -73,7 +73,7 @@ SF01_SAMPLE_EXCLUDE = {
 }
 
 
-def sf01_sample(n: int = 15) -> list[str]:
+def sf01_sample(n: int = 30) -> list[str]:
     """Deterministic rotating sample of query names for the sf0.1 oracle
     spot-check: seeded by the NEXT round number (max CORRECTNESS_r*.json
     + 1), so each round checks a different slice and every query cycles

