@@ -2945,7 +2945,7 @@ def test_compact_emission_log_fk_and_suppress(spark, tmp_path):
 
     # --- suppress: emissions history prunes; resumed drain unaffected
     def t(m):
-        return dt.datetime(2024, 1, 1, 0, m)
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
 
     src = str(tmp_path / "ss")
     _write_source_file(spark, [("a", 1, t(0))], "k string, v int, ts timestamp", src, 0)
