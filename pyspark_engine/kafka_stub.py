@@ -67,7 +67,7 @@ class KafkaStubBroker:
     # ---------------------------------------------------------- internals
 
     def _dir(self, topic: str) -> str:
-        if not topic or "/" in topic or topic.startswith("_"):
+        if not topic or "/" in topic or "," in topic or topic.startswith("_"):
             raise ValueError(f"invalid stub topic name {topic!r}")
         d = os.path.join(self.root, topic)
         os.makedirs(d, exist_ok=True)
@@ -110,6 +110,22 @@ class KafkaStubBroker:
         n = self.n_partitions
         meta = self._read_meta(topic)
         base = {int(p): int(v) for p, v in meta["next_offset"].items()}
+        # the PARQUET dir is the durable offset source of truth: a crash
+        # between a previous append and its meta write would otherwise
+        # re-issue the same offsets (round-12 review finding) — take the
+        # elementwise max of the meta cache and the actual high watermarks
+        d = self._dir(topic)
+        if any(f.endswith(".parquet") for f in os.listdir(d)):
+            spark = wire.sparkSession
+            for r in (
+                spark.read.schema(WIRE_SCHEMA)
+                .parquet(d)
+                .groupBy("partition")
+                .agg(F.max("offset").alias("mx"))
+                .collect()
+            ):
+                p = int(r["partition"])
+                base[p] = max(base.get(p, 0), int(r["mx"]) + 1)
         part = F.coalesce(F.pmod(F.xxhash64(F.col("key")), F.lit(n)), F.lit(0)).cast("int")
         ts = F.col("timestamp") if "timestamp" in cols else F.current_timestamp()
         staged = wire.select(

@@ -349,32 +349,70 @@ def _sink_partitions(out_dir: str) -> dict[int, str]:
 
 
 def _recover_compaction(out_dir: str, root: str) -> None:
-    """Finish or roll back an interrupted compaction (idempotent)."""
+    """Finish or roll back an interrupted compaction (idempotent).
+
+    Crash-state table (install sequence: write tmp → write tmp/_TARGET →
+    rename dest→trash → remove _TARGET → rename tmp→dest → delete trash →
+    prune).  The ONLY states where finishing forward is provably safe are
+    the ones where the complete fold or the displaced base unambiguously
+    exists; every ambiguous state rolls BACK (restore the old base, drop
+    the fold) — a rolled-back compaction costs a re-run, a wrong
+    forward-finish costs committed emission history (round-12 review
+    findings 1-2: the first cut misread two pre-swap states as
+    post-install and pruned live partitions)."""
     import shutil  # noqa: PLC0415
 
     tmp = os.path.join(root, _COMPACT_TMP)
     target_path = os.path.join(tmp, "_TARGET")
+    trash_ids = {}
+    for e in list(os.listdir(root)):
+        if e.startswith(_COMPACT_TRASH_PREFIX):
+            trash_ids[int(e[len(_COMPACT_TRASH_PREFIX) :])] = os.path.join(root, e)
+
+    def dest_of(n: int) -> str:
+        return os.path.join(out_dir, f"sink_batch={n}")
+
+    def prune_below(n: int) -> None:
+        for k, p in _sink_partitions(out_dir).items():
+            if k < n:
+                shutil.rmtree(p, ignore_errors=True)
+
     if os.path.isdir(tmp):
         if os.path.exists(target_path):
             n = int(open(target_path).read().strip())
-            dest = os.path.join(out_dir, f"sink_batch={n}")
-            if not os.path.isdir(dest):
+            if not os.path.isdir(dest_of(n)):
+                # crashed between dest→trash and the install: the fold is
+                # complete and the old base is in trash — finish forward
                 os.remove(target_path)
-                os.rename(tmp, dest)  # finish the install
+                os.rename(tmp, dest_of(n))
+                if n in trash_ids:
+                    shutil.rmtree(trash_ids.pop(n), ignore_errors=True)
+                prune_below(n)
             else:
-                shutil.rmtree(tmp)  # install already happened
-            for k, p in _sink_partitions(out_dir).items():
-                if k < n:
-                    shutil.rmtree(p, ignore_errors=True)
+                # dest still present ⇒ the swap never started (crash right
+                # after _TARGET was written): roll back — drop the fold
+                # only, out/ is intact, prune NOTHING
+                shutil.rmtree(tmp)
         else:
-            shutil.rmtree(tmp)  # crashed before the fold finished: out intact
-    for e in list(os.listdir(root)):
-        if e.startswith(_COMPACT_TRASH_PREFIX):
-            n = int(e[len(_COMPACT_TRASH_PREFIX) :])
-            shutil.rmtree(os.path.join(root, e), ignore_errors=True)
-            for k, p in _sink_partitions(out_dir).items():
-                if k < n:
-                    shutil.rmtree(p, ignore_errors=True)
+            # no _TARGET: either the fold write crashed midway (dest and
+            # all partitions intact) or the crash hit between _TARGET
+            # removal and the install (dest missing, old base in trash) —
+            # both roll back; restore the old base first if it was
+            # displaced
+            for n, p in list(trash_ids.items()):
+                if not os.path.isdir(dest_of(n)):
+                    os.rename(p, dest_of(n))
+                    trash_ids.pop(n)
+            shutil.rmtree(tmp)
+    for n, p in trash_ids.items():
+        if os.path.isdir(dest_of(n)):
+            # dest present with trash left over ⇒ install completed and the
+            # crash hit during cleanup — finish forward
+            shutil.rmtree(p, ignore_errors=True)
+            prune_below(n)
+        else:
+            # trash without dest and without a fold: restore the old base
+            os.rename(p, dest_of(n))
 
 
 def compact_emission_log(
@@ -434,8 +472,56 @@ def compact_emission_log(
     committed = _last_committed(ck)
     parts = _sink_partitions(out_dir)
     foldable = sorted(k for k in parts if k <= committed)
+
+    def _prune_consumed_sub() -> int:
+        # prune sub-log files stage B's file-source log has consumed;
+        # normalize URI forms (file:/abs, file:///abs, symlinks) so a
+        # rendering difference cannot silently dead-end the prune
+        def _canon(p: str) -> str:
+            if p.startswith("file:"):
+                p = p[len("file:") :]
+                while p.startswith("//"):
+                    p = p[1:]
+            return os.path.realpath(p)
+
+        consumed = set()
+        src_log = os.path.join(ck, "sources", "0")
+        try:
+            for entry in os.listdir(src_log):
+                if entry.startswith("."):
+                    continue  # .N.crc sidecars are binary
+                with open(os.path.join(src_log, entry), errors="replace") as f:
+                    for line in f:
+                        line = line.strip()
+                        if line.startswith("{"):
+                            try:
+                                rec = json.loads(line)
+                            except ValueError:
+                                continue
+                            if rec.get("path"):
+                                consumed.add(_canon(rec["path"]))
+        except OSError:
+            pass
+        sub_dir = os.path.join(root, "sub")
+        sub_parts = _sink_partitions(sub_dir)
+        removed = 0
+        for k in sorted(sub_parts)[:-1]:  # keep the newest dir as cursor trail
+            p = sub_parts[k]
+            files = [
+                _canon(os.path.join(p, x))
+                for x in os.listdir(p)
+                if not x.startswith(("_", "."))
+            ]
+            if files and all(x in consumed for x in files):
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+        return removed
+
     if len(foldable) <= 1:
-        return {"kind": "fk" if is_fk else "log", "folded": 0, "pruned": 0}
+        out = {"kind": "fk" if is_fk else "log", "folded": 0, "pruned": 0}
+        if is_fk:
+            out["sub_pruned"] = _prune_consumed_sub()  # still worth doing
+        return out
 
     cols = spark.read.parquet(out_dir).columns
     kind = "suppress" if "__emit_reason" in cols else ("fk" if "op" in cols else "tt")
@@ -484,34 +570,67 @@ def compact_emission_log(
     result["pruned"] = pruned
 
     if kind == "fk":
-        # prune sub-log files stage B's file-source log has consumed
-        consumed = set()
-        src_log = os.path.join(ck, "sources", "0")
-        try:
-            for entry in os.listdir(src_log):
-                with open(os.path.join(src_log, entry)) as f:
-                    for line in f:
-                        line = line.strip()
-                        if line.startswith("{"):
-                            try:
-                                rec = json.loads(line)
-                            except ValueError:
-                                continue
-                            p = rec.get("path", "")
-                            consumed.add(p[len("file:") :] if p.startswith("file:") else p)
-        except OSError:
-            pass
-        sub_dir = os.path.join(root, "sub")
-        sub_parts = _sink_partitions(sub_dir)
-        removed = 0
-        for k in sorted(sub_parts)[:-1]:  # keep the newest dir as cursor trail
-            p = sub_parts[k]
-            files = [os.path.join(p, x) for x in os.listdir(p) if not x.startswith(("_", "."))]
-            if files and all(x in consumed for x in files):
-                shutil.rmtree(p, ignore_errors=True)
-                removed += 1
-        result["sub_pruned"] = removed
+        result["sub_pruned"] = _prune_consumed_sub()
     return result
+
+
+def _check_container_columns(schema, cols, what: str) -> None:
+    """Container-typed (array/map/struct) VALUE columns are unsupported by
+    BOTH per-key engine families: the tws value-state client scrambles
+    nested containers (upstream, observed on 4.1.2) and the pandas keyed
+    engines' Arrow slices deliver them as numpy arrays that fail the state
+    normalization mid-drain (round-12 review follow-up — loud construction
+    -time refusal beats either failure).  The exact snapshot loops handle
+    them as plain DataFrame data."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _St
+
+    bad = [
+        f.name
+        for f in schema.fields
+        if f.name in set(cols) and isinstance(f.dataType, (ArrayType, MapType, _St))
+    ]
+    if bad:
+        raise ValueError(
+            f"{what}: container-typed value columns {bad} are not supported by "
+            "the per-key engines (tws value state scrambles nested containers; "
+            "the pandas state fold rejects numpy array cells) — use engine='exact'"
+        )
+
+
+def _select_keyed_engine(state_dir: str | None, keyed_marker: str, schemas) -> str:
+    """engine=None auto-selection between the per-key families (round-12
+    review finding: a bare default flip to tws would break previously
+    working calls).  Order of precedence:
+
+      * no ``google.protobuf`` → ``keyed`` (tws cannot run);
+      * ``state_dir`` stamped by the exact loop (``_GEN``) → ``exact``,
+        stamped by the pandas keyed engine → ``keyed`` (resume with the
+        family that wrote the dir instead of raising);
+      * container-typed value columns (``schemas`` = [(StructType, cols)])
+        → ``exact`` (neither per-key family supports them — see
+        _check_container_columns);
+      * otherwise → ``tws``."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _St
+
+    from .protoshim import ensure_protobuf  # noqa: PLC0415
+
+    if not ensure_protobuf():
+        return "keyed"
+    if state_dir is not None:
+        if os.path.exists(os.path.join(state_dir, "_GEN")):
+            return "exact"
+        if os.path.exists(os.path.join(state_dir, keyed_marker)):
+            return "keyed"
+    for schema, cols in schemas:
+        cs = set(cols)
+        if any(
+            f.name in cs and isinstance(f.dataType, (ArrayType, MapType, _St))
+            for f in schema.fields
+        ):
+            return "exact"
+    return "tws"
 
 
 def _check_emit_final(obj, df: DataFrame, output_mode: str) -> None:
@@ -576,7 +695,17 @@ class StreamingBuilder:
         from .kafka_stub import KafkaStubBroker, is_stub
 
         if is_stub(bootstrap):
-            raw = KafkaStubBroker(bootstrap).read_stream(self.spark, topics, **options)
+            if starting_offsets != "earliest":
+                raise ValueError(
+                    "the stub Kafka transport replays topics from the beginning "
+                    "(file stream); startingOffsets='earliest' only — a real "
+                    "bootstrap honors the full option"
+                )
+            broker = KafkaStubBroker(bootstrap)
+            parts = [t.strip() for t in topics.split(",") if t.strip()]
+            raw = broker.read_stream(self.spark, parts[0], **options)
+            for t in parts[1:]:  # comma list = multi-topic subscribe
+                raw = raw.unionByName(broker.read_stream(self.spark, t, **options))
         else:
             try:
                 raw = (
@@ -931,13 +1060,17 @@ def join_tables_streaming(
     if len(left.key) != len(right.key):
         raise ValueError("join key arity mismatch")
     if engine is None:
-        # default = the transformWithState engine when its protobuf dep is
-        # importable (native types end to end — no bigint tunnel, NaN
-        # preserved), else the pandas keyed engine: same architecture,
-        # Arrow-boundary coercions documented at _clean_state_value
-        from .protoshim import ensure_protobuf  # noqa: PLC0415
-
-        engine = "tws" if ensure_protobuf() else "keyed"
+        # default = tws when it can run AND nothing ties the call to the
+        # pandas family (existing keyed/exact state dir, container-typed
+        # value columns, absent protobuf) — see _select_keyed_engine
+        engine = _select_keyed_engine(
+            state_dir,
+            "_PSE_TTJOIN_V",
+            [
+                (left.df.schema, [c for c in left.df.columns if c not in left.key]),
+                (right.df.schema, [c for c in right.df.columns if c not in right.key]),
+            ],
+        )
     if engine == "tws":
         from .tws import join_tables_tws  # noqa: PLC0415 - optional protobuf dep
 
@@ -1010,9 +1143,14 @@ def join_fk_streaming(
         raise ValueError("fk join requires single-column right key")
     if engine is None:
         if isinstance(fk, str):
-            from .protoshim import ensure_protobuf  # noqa: PLC0415
-
-            engine = "tws" if ensure_protobuf() else "keyed"
+            engine = _select_keyed_engine(
+                state_dir,
+                "_PSE_FKJOIN_V",
+                [
+                    (left.df.schema, list(left.df.columns)),
+                    (right.df.schema, [c for c in right.df.columns if c != right.key[0]]),
+                ],
+            )
         else:
             engine = "exact"
     if engine in ("keyed", "tws"):
@@ -1184,6 +1322,8 @@ def _join_tables_keyed(
             raise ValueError(f"order columns {missing} not in the side's columns")
     l_val = [c for c in left.df.columns if c not in l_key]
     r_val = [c for c in right.df.columns if c not in r_key]
+    _check_container_columns(left.df.schema, l_val, "keyed tt-join engine")
+    _check_container_columns(right.df.schema, r_val, "keyed tt-join engine")
     merge_ts = bool(ts_alias is not None and left.ts and right.ts)
     if merge_ts and l_ddl[left.ts] != r_ddl[right.ts]:
         raise ValueError(
@@ -1481,6 +1621,8 @@ def _join_fk_keyed(
         if missing:
             raise ValueError(f"order columns {missing} not in the side's columns")
     l_val = [c for c in l_cols if c not in l_key]
+    _check_container_columns(left.df.schema, l_key + l_val, "keyed fk-join engine")
+    _check_container_columns(right.df.schema, r_val, "keyed fk-join engine")
     empty_out = KTable(spark0.createDataFrame([], left.df.schema), left.key, left.ts).join_fk(
         KTable(spark0.createDataFrame([], right.df.schema), right.key, right.ts), fk, how=how
     ).df
@@ -1977,9 +2119,11 @@ def suppress_buffered(
     )
     if engine is None:
         if keyed_ok:
-            from .protoshim import ensure_protobuf  # noqa: PLC0415
-
-            engine = "tws" if ensure_protobuf() else "keyed"
+            engine = _select_keyed_engine(
+                state_dir,
+                "_PSE_STATE_V",
+                [(df.schema, [c for c in df.columns if c not in key])],
+            )
         else:
             engine = "exact"
     if engine in ("keyed", "tws"):
@@ -2272,6 +2416,7 @@ def _suppress_keyed(
     # would not have advanced the running max anyway.  The function folds
     # only data copies; timers ride the clock-driven watermark.
     value_cols = [c for c in cols if c not in key]
+    _check_container_columns(table.df.schema, value_cols, "keyed suppress engine")
     ddl0 = {f.name: f.dataType.simpleString() for f in table.df.schema.fields}
     integral = {"tinyint", "smallint", "int", "bigint"}
     # Integral VALUE columns tunnel through the stateful operator as strings:

@@ -25,9 +25,10 @@ fold), with the Arrow/pandas boundary replaced by the Row-based
 Known constraint (upstream): PySpark's value-state client mangles NESTED
 CONTAINER fields (an ``array<struct<...>>`` value comes back with field
 values scrambled — observed on 4.1.2), so these engines refuse container
--typed user columns with a named error pointing at ``engine='keyed'``
-(whose Arrow state path round-trips them).  The fk-join subscriber list —
-the one engine-internal container — therefore lives in LIST state (struct
+-typed user columns with a named error pointing at ``engine='exact'``
+(the pandas keyed engines' state fold rejects numpy array cells too —
+containers are exact-loop territory).  The fk-join subscriber list — the
+one engine-internal container — lives in LIST state instead (struct
 elements round-trip exactly there).
 
 Requires ``google.protobuf``: either the real wheel or the vendored
@@ -105,20 +106,9 @@ def _rocksdb_provider(spark):
 
 
 def _refuse_containers(schema: StructType, what: str, cols: Sequence[str]) -> None:
-    from pyspark.sql.types import ArrayType, MapType
-    from pyspark.sql.types import StructType as _St
+    from .streaming import _check_container_columns  # noqa: PLC0415
 
-    bad = [
-        f.name
-        for f in schema.fields
-        if f.name in set(cols) and isinstance(f.dataType, (ArrayType, MapType, _St))
-    ]
-    if bad:
-        raise ValueError(
-            f"{what}: container-typed value columns {bad} are not supported by "
-            "engine='tws' (PySpark's value-state client scrambles nested "
-            "containers); use engine='keyed'"
-        )
+    _check_container_columns(schema, cols, what)
 
 
 def _stamp_version(root: str, marker: str, version: str, populated: bool, what: str) -> None:

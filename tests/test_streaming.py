@@ -2894,6 +2894,27 @@ def test_compact_emission_log_tt_join(spark, tmp_path, engine):
         drain("a")
     compact_emission_log(spark, st_a, ck_a, key=("k",))  # recovers
 
+    # the OTHER two crash windows (round-12 review findings 1-2) must ROLL
+    # BACK, never prune:
+    # (A) tmp+_TARGET written but the swap never started (dest intact)
+    out_parts = lambda: sorted(  # noqa: E731
+        e for e in os.listdir(out_a) if e.startswith("sink_batch=")
+    )
+    snapshot_before = out_parts()
+    shutil.copytree(os.path.join(out_a, base), os.path.join(st_a, "compact-tmp"))
+    with open(os.path.join(st_a, "compact-tmp", "_TARGET"), "w") as f:
+        f.write(str(base_id))
+    compact_emission_log(spark, st_a, ck_a, key=("k",))
+    assert out_parts() == snapshot_before  # rollback: nothing pruned
+    assert not os.path.exists(os.path.join(st_a, "compact-tmp"))
+    # (B) crash between _TARGET removal and the install: tmp w/o _TARGET,
+    # dest displaced into trash — the old base must be RESTORED
+    shutil.copytree(os.path.join(out_a, base), os.path.join(st_a, "compact-tmp"))
+    shutil.move(os.path.join(out_a, base), os.path.join(st_a, f"compact-trash-{base_id}"))
+    compact_emission_log(spark, st_a, ck_a, key=("k",))
+    assert out_parts() == snapshot_before  # base restored, fold dropped
+    assert not any(e.startswith("compact-") for e in os.listdir(st_a))
+
     # resumed drains over compacted vs untouched twin: identical snapshots
     for name in ("a", "b"):
         ld = dirs[name][0]
@@ -2901,6 +2922,40 @@ def test_compact_emission_log_tt_join(spark, tmp_path, engine):
     got_a = sorted(map(tuple, drain("a").collect()))
     got_b = sorted(map(tuple, drain("b").collect()))
     assert got_a == got_b and any(r[1] == 999 for r in got_a)
+
+
+def test_engine_none_auto_selection_honors_dirs_and_containers(spark, tmp_path):
+    """Round-12 review finding 3: the default flip to tws must not break
+    previously working engine=None calls — a state dir stamped by the
+    pandas keyed engine resumes under 'keyed', an exact-loop dir under
+    'exact', and container-typed value columns route to 'keyed' instead
+    of tws's refusal."""
+    from pyspark_engine.streaming import join_tables_streaming
+
+    def mk(name, schema, rows, key):
+        d = str(tmp_path / name)
+        spark.createDataFrame(rows, schema).write.parquet(d)
+        return StreamingBuilder(spark).file_stream(d, key=key)
+
+    # container value column + engine=None: must run (exact), not refuse
+    lc = mk("lc", "k long, lv array<int>, lo long", [(1, [1, 2], 1)], "k")
+    rc = mk("rc", "rk long, rv long, ro long", [(1, 9, 1)], "rk")
+    snap = join_tables_streaming(lc, rc, how="inner", l_order=("lo",), r_order=("ro",))
+    assert [tuple(r) for r in snap.collect()] == [(1, [1, 2], 1, 9, 1)]
+
+    # keyed-stamped dir + engine=None: must resume, not raise the tws guard
+    l1 = mk("l1", "k long, lv long, lo long", [(1, 5, 1)], "k")
+    r1 = mk("r1", "rk long, rv long, ro long", [(1, 9, 1)], "rk")
+    st, ck = str(tmp_path / "st"), str(tmp_path / "ck")
+    join_tables_streaming(
+        l1, r1, how="inner", l_order=("lo",), r_order=("ro",),
+        state_dir=st, checkpoint=ck, engine="keyed",
+    )
+    snap2 = join_tables_streaming(
+        l1, r1, how="inner", l_order=("lo",), r_order=("ro",),
+        state_dir=st, checkpoint=ck, engine=None,
+    )
+    assert [tuple(r) for r in snap2.collect()] == [(1, 5, 1, 9, 1)]
 
 
 def test_compact_emission_log_fk_and_suppress(spark, tmp_path):
@@ -2939,6 +2994,8 @@ def test_compact_emission_log_fk_and_suppress(spark, tmp_path):
     before = sorted(map(tuple, fk_drain().collect()))
     res = compact_emission_log(spark, st, ck, key=("pk",))
     assert res["kind"] == "fk"
+    # stage B's file-source log lets the consumed sub partitions prune
+    assert res.get("sub_pruned", 0) >= 1, res
     # base retains the op column; resumed drain sees the same snapshot
     after = sorted(map(tuple, fk_drain().collect()))
     assert after == before
@@ -2966,15 +3023,16 @@ def test_compact_emission_log_fk_and_suppress(spark, tmp_path):
     first = {(r["k"], r["__emit_batch"]) for r in sup_drain().collect()}
     assert first  # a and/or b emitted
     res2 = compact_emission_log(spark, sst, sck)
-    assert res2["kind"] in ("suppress", "log") and res2.get("pruned", 0) >= 0
+    assert res2["kind"] == "suppress" and res2["pruned"] >= 1
     out_parts = [
         e for e in os.listdir(os.path.join(sst, "out")) if e.startswith("sink_batch=")
     ]
     assert len(out_parts) == 1  # history pruned to the cursor partition
-    # resumed drain with new data: only NEW emissions delivered, as before
+    # resumed drain with new data: only NEW emissions delivered — the
+    # compacted history must never be re-delivered
     _write_source_file(spark, [("d", 4, t(60))], "k string, v int, ts timestamp", src, 3)
     second = {r["k"] for r in sup_drain().collect()}
-    assert "a" not in second or first  # no re-delivery of compacted history
+    assert "a" not in second and "b" not in second
 
 
 def test_changelog_join_refuses_resume_without_checkpoint(spark, tmp_path):

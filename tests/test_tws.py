@@ -20,11 +20,16 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+import os
 import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo/vendor")  # the shim; a real protobuf wheel wins if present
+# the shim; a real protobuf wheel wins if present (checkout-relative, not
+# hardcoded — a wrong path would silently importorskip the wire vectors)
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "vendor")
+)
 
 
 @pytest.fixture(scope="module")
@@ -226,7 +231,9 @@ def test_tws_state_dir_refused_by_keyed_engine_and_vice_versa(spark, tmp_path):
 
 def test_tws_refuses_container_value_columns(spark, tmp_path):
     """Nested containers in value columns are refused with a pointer at
-    engine='keyed' (PySpark's value-state client scrambles them)."""
+    engine='exact' (tws value state scrambles them upstream; the pandas
+    keyed fold rejects numpy array cells — neither per-key family
+    supports containers)."""
     from pyspark_engine.streaming import join_tables_streaming, suppress_buffered
 
     def t(m):
@@ -242,7 +249,7 @@ def test_tws_refuses_container_value_columns(spark, tmp_path):
         "lts",
     )
     r1 = _mk_stream(spark, tmp_path, "rc", "rk int, rv int, rts timestamp", [(1, 1, t(0))], "rk", "rts")
-    with pytest.raises(ValueError, match="engine='keyed'"):
+    with pytest.raises(ValueError, match="engine='exact'"):
         join_tables_streaming(l1, r1, engine="tws")
 
     sup = _mk_stream(
@@ -254,7 +261,7 @@ def test_tws_refuses_container_value_columns(spark, tmp_path):
         "k",
         "ts",
     ).to_table().suppress(until_time_limit_ms=60_000)
-    with pytest.raises(ValueError, match="engine='keyed'"):
+    with pytest.raises(ValueError, match="engine='exact'"):
         suppress_buffered(sup, time_col="ts", engine="tws")
 
 
