@@ -348,6 +348,37 @@ def _sink_partitions(out_dir: str) -> dict[int, str]:
     return parts
 
 
+# every engine stamps exactly one of these at the state-dir root before its
+# first batch, so the marker — not the output columns — identifies the log
+# kind (round-12 advice: a tt-join whose USER schema carries a column named
+# '__emit_reason' would be misclassified as a suppress log by a column sniff
+# and have its committed emission history pruned outright)
+_LOG_KIND_MARKERS = (
+    ("_PSE_STATE_V", "suppress"),
+    ("_PSE_TWS_SUPPRESS_V", "suppress"),
+    ("_PSE_TTJOIN_V", "tt"),
+    ("_PSE_TWS_TTJOIN_V", "tt"),
+    ("_PSE_FKJOIN_V", "fk"),
+    ("_PSE_TWS_FKJOIN_V", "fk"),
+)
+
+
+def _detect_log_kind(root: str, is_fk: bool) -> str:
+    hits = {kind for marker, kind in _LOG_KIND_MARKERS if os.path.exists(os.path.join(root, marker))}
+    if is_fk:
+        hits.add("fk")  # the sub/ dir is written only by the fk engines
+    if len(hits) == 1:
+        return next(iter(hits))
+    raise ValueError(
+        f"compact_emission_log: cannot identify the engine that wrote {root!r} "
+        f"({'no engine version marker found' if not hits else f'conflicting markers for {sorted(hits)}'}) "
+        "— compaction folds differently per engine kind and guessing from the "
+        "output columns can destroy committed emission history, so refusing; "
+        "run at least one drain with the owning engine (which stamps the "
+        "marker) before compacting"
+    )
+
+
 def _recover_compaction(out_dir: str, root: str) -> None:
     """Finish or roll back an interrupted compaction (idempotent).
 
@@ -379,8 +410,17 @@ def _recover_compaction(out_dir: str, root: str) -> None:
 
     if os.path.isdir(tmp):
         if os.path.exists(target_path):
-            n = int(open(target_path).read().strip())
-            if not os.path.isdir(dest_of(n)):
+            try:
+                n = int(open(target_path).read().strip())
+            except ValueError:
+                n = None
+            if n is None:
+                # torn/empty _TARGET: only a non-atomic writer (pre-round-13
+                # code) crashing MID-WRITE can produce it, and that crash
+                # point provably precedes the dest→trash swap — roll back
+                # (drop the fold, out/ is intact, prune nothing)
+                shutil.rmtree(tmp)
+            elif not os.path.isdir(dest_of(n)):
                 # crashed between dest→trash and the install: the fold is
                 # complete and the old base is in trash — finish forward
                 os.remove(target_path)
@@ -523,8 +563,7 @@ def compact_emission_log(
             out["sub_pruned"] = _prune_consumed_sub()  # still worth doing
         return out
 
-    cols = spark.read.parquet(out_dir).columns
-    kind = "suppress" if "__emit_reason" in cols else ("fk" if "op" in cols else "tt")
+    kind = _detect_log_kind(root, is_fk)
     result: dict = {"kind": kind, "folded": len(foldable), "committed": committed}
 
     if kind == "suppress":
@@ -554,8 +593,12 @@ def compact_emission_log(
     shutil.rmtree(tmp, ignore_errors=True)
     base.write.mode("overwrite").parquet(tmp)
     result["base_rows"] = spark.read.parquet(tmp).count()
-    with open(os.path.join(tmp, "_TARGET"), "w") as f:
-        f.write(str(base_id))  # tmp is now complete: recovery will install it
+    # tmp+replace so a crash can never leave a torn marker (a torn _TARGET
+    # used to wedge _recover_compaction's int() parse on every attempt)
+    target = os.path.join(tmp, "_TARGET")
+    with open(target + ".tmp", "w") as f:
+        f.write(str(base_id))
+    os.replace(target + ".tmp", target)  # tmp is now complete: recovery installs it
     dest = os.path.join(out_dir, f"sink_batch={base_id}")
     trash = os.path.join(root, f"{_COMPACT_TRASH_PREFIX}{base_id}")
     os.rename(dest, trash)

@@ -89,7 +89,21 @@ def _rocksdb_provider(spark):
     the only one with multi-column-family support).  Scope the conf to the
     drain so concurrent/later queries in the same session — e.g. a resumed
     pandas-keyed checkpoint on the default HDFS provider — keep their own
-    provider."""
+    provider.
+
+    Also pins ``spark.sql.session.timeZone=UTC`` for the drain: ``_norm``'s
+    contract is that tz-aware input rows normalize to UTC-naive and the
+    value-state round-trip reinterprets naive datetimes in the SESSION tz —
+    on an externally created non-UTC session (round-12 advice) order
+    comparisons and emitted timestamps would otherwise skew by the zone
+    offset.  Scoping (rather than raising) keeps foreign sessions working;
+    restored on exit."""
+    tz_key = "spark.sql.session.timeZone"
+    try:
+        prev_tz = spark.conf.get(tz_key)
+    except Exception:
+        prev_tz = None
+    spark.conf.set(tz_key, "UTC")
     key = "spark.sql.streaming.stateStore.providerClass"
     try:
         prev = spark.conf.get(key)
@@ -103,6 +117,10 @@ def _rocksdb_provider(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+        if prev_tz is None:
+            spark.conf.unset(tz_key)
+        else:
+            spark.conf.set(tz_key, prev_tz)
 
 
 def _refuse_containers(schema: StructType, what: str, cols: Sequence[str]) -> None:
@@ -632,7 +650,13 @@ def suppress_tws(
         q.awaitTermination()
 
     if store_name is not None:
-        try:
+        if _last_committed(ckpt) < 0:
+            # no batch ever committed ⇒ no state to read; anything else that
+            # makes the statestore source fail (bad option, provider
+            # mismatch, corrupted checkpoint) must surface, not be swallowed
+            # into a silently-empty view (round-12 advice)
+            buf = spark0.createDataFrame([], table.df.schema)
+        else:
             state_df = (
                 spark0.read.format("statestore")
                 .option("path", ckpt)
@@ -642,8 +666,6 @@ def suppress_tws(
             buf = state_df.filter(F.col("value.__entry_ms").isNotNull()).select(
                 *[F.col(f"value.`{c}`").alias(c) for c in cols]
             )
-        except Exception:
-            buf = spark0.createDataFrame([], table.df.schema)  # no batch ever ran
         buf.createOrReplaceTempView(store_name)
     if not _has_emissions(out_dir):
         return _empty_emissions(spark0, table.df.schema, cols)

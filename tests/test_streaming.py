@@ -3035,6 +3035,82 @@ def test_compact_emission_log_fk_and_suppress(spark, tmp_path):
     assert "a" not in second and "b" not in second
 
 
+def test_compact_emission_log_kind_from_markers_not_columns(spark, tmp_path):
+    """Round-12 advice (medium): the log kind comes from the engine's state
+    -dir version marker, NOT from output-column sniffing — a tt-join whose
+    USER schema carries a column named '__emit_reason' used to be
+    misclassified as a suppress log and have every committed partition but
+    the newest deleted outright (destroying join emission history).  Also
+    pins the two companion fixes: a torn/empty _TARGET marker recovers by
+    rollback instead of wedging recovery with a ValueError, and a dir with
+    no recognizable marker refuses rather than guesses."""
+    import os
+    import shutil
+
+    from pyspark_engine.streaming import (
+        compact_emission_log,
+        join_tables_streaming,
+    )
+
+    ld, rd = str(tmp_path / "l"), str(tmp_path / "r")
+    # adversarial value-column name: '__emit_reason' is suppress's reserved
+    # output column but a legal tt-join USER column
+    for i in range(3):
+        _write_source_file(
+            spark,
+            [(k, i * 10 + k, i) for k in range(4)],
+            "k long, __emit_reason long, lo long",
+            ld,
+            i,
+        )
+    for i in range(2):
+        _write_source_file(
+            spark, [(k, 100 + i, i) for k in range(4)], "rk long, rv long, ro long", rd, i
+        )
+    st, ck = str(tmp_path / "st"), str(tmp_path / "ck")
+    sb = StreamingBuilder(spark)
+    join_tables_streaming(
+        sb.file_stream(ld, key="k", max_files_per_trigger=1),
+        sb.file_stream(rd, key="rk", max_files_per_trigger=1),
+        how="full",
+        l_order=("lo",),
+        r_order=("ro",),
+        state_dir=st,
+        checkpoint=ck,
+        engine="keyed",
+    )
+    out = os.path.join(st, "out")
+    res = compact_emission_log(spark, st, ck, key=("k",))
+    assert res["kind"] == "tt"  # the column sniff would have said "suppress"
+    # the fold kept every key's latest row — a suppress-style prune keeps
+    # only the newest partition and loses keys not re-emitted in it
+    snap = spark.read.parquet(out)
+    assert sorted(r["k"] for r in snap.select("k").distinct().collect()) == [0, 1, 2, 3]
+
+    # torn _TARGET (empty file): provably pre-swap — recover by rollback,
+    # prune nothing, don't raise
+    base = next(e for e in os.listdir(out) if e.startswith("sink_batch="))
+    parts_before = sorted(e for e in os.listdir(out) if e.startswith("sink_batch="))
+    shutil.copytree(os.path.join(out, base), os.path.join(st, "compact-tmp"))
+    open(os.path.join(st, "compact-tmp", "_TARGET"), "w").close()
+    compact_emission_log(spark, st, ck, key=("k",))
+    assert sorted(e for e in os.listdir(out) if e.startswith("sink_batch=")) == parts_before
+    assert not os.path.exists(os.path.join(st, "compact-tmp"))
+
+    # no marker at all: refuse — guessing is exactly the data-loss bug.
+    # (needs ≥2 foldable partitions or the compactor early-returns before
+    # kind detection: restage the base under a lower committed batch id)
+    base_id = int(base.split("=", 1)[1])
+    assert base_id > 0
+    shutil.copytree(os.path.join(out, base), os.path.join(out, "sink_batch=0"))
+    for m in ("_PSE_TTJOIN_V", "_PSE_TWS_TTJOIN_V"):
+        p = os.path.join(st, m)
+        if os.path.exists(p):
+            os.remove(p)
+    with pytest.raises(ValueError, match="cannot identify the engine"):
+        compact_emission_log(spark, st, ck, key=("k",))
+
+
 def test_changelog_join_refuses_resume_without_checkpoint(spark, tmp_path):
     """Review finding (r9): the replay-skip marker makes resuming a
     populated join/cogroup state_dir WITHOUT the original checkpoint

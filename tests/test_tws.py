@@ -268,6 +268,65 @@ def test_tws_refuses_container_value_columns(spark, tmp_path):
 # ------------------------------------------------------------ NaN semantics
 
 
+def test_tws_pins_session_timezone_utc_for_drain(spark, tmp_path):
+    """r12 advice: ``_norm``'s UTC contract is enforced by scoping
+    ``spark.sql.session.timeZone=UTC`` around every tws drain
+    (_rocksdb_provider).  On a non-UTC session, value-state timestamps
+    round-trip as session-tz-naive while fresh input rows normalize to
+    UTC-naive — the order comparison between them skews by the zone offset
+    and a strictly OLDER update arriving in a later batch wrongly replaces
+    the stored row.  Same two-batch drain under a New-York session: tws
+    must agree with the exact engine (keep 'old'), and the caller's tz must
+    be restored afterwards."""
+    from pyspark_engine.streaming import StreamingBuilder, join_tables_streaming
+    from pyspark_engine.testing import stage_generation_file
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    tz_key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(tz_key)
+    try:
+        results = {}
+        for engine in ("tws", "exact"):
+            ld, rd = str(tmp_path / f"l_{engine}"), str(tmp_path / f"r_{engine}")
+            stage_generation_file(
+                spark.createDataFrame([(1, "old", t(12))], "k int, lv string, lo timestamp"),
+                ld,
+                0,
+            )
+            # strictly older order value in a LATER batch: must NOT replace
+            stage_generation_file(
+                spark.createDataFrame([(1, "new", t(9))], "k int, lv string, lo timestamp"),
+                ld,
+                1,
+            )
+            stage_generation_file(
+                spark.createDataFrame([(1, 10, t(0))], "rk int, rv int, ro timestamp"), rd, 0
+            )
+            # StreamingBuilder's configure() pins UTC itself — flip the tz
+            # AFTER building, so the drain genuinely starts on a non-UTC
+            # session (the external-session case the advice targets)
+            sb = StreamingBuilder(spark)
+            lstream = sb.file_stream(ld, key="k", max_files_per_trigger=1)
+            rstream = sb.file_stream(rd, key="rk")
+            spark.conf.set(tz_key, "America/New_York")
+            snap = join_tables_streaming(
+                lstream,
+                rstream,
+                how="inner",
+                l_order=("lo",),
+                r_order=("ro",),
+                engine=engine,
+            )
+            results[engine] = {r["k"]: r["lv"] for r in snap.collect()}
+            assert spark.conf.get(tz_key) == "America/New_York"  # restored after drain
+            spark.conf.set(tz_key, prev)
+        assert results["tws"] == results["exact"] == {1: "old"}
+    finally:
+        spark.conf.set(tz_key, prev)
+
+
 def test_nan_double_semantics_across_join_engines(spark, tmp_path):
     """r11 advice pin: a genuine float NaN in a double value column is
     PRESERVED by the exact loop and the tws engine, and coerced to null by
