@@ -617,14 +617,55 @@ def compact_emission_log(
     return result
 
 
+def _container_cols_any(schema, cols) -> bool:
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _St
+
+    cs = {c for c in cols if c}
+    return any(
+        f.name in cs and isinstance(f.dataType, (ArrayType, MapType, _St))
+        for f in schema.fields
+    )
+
+
+_AUTOCOMPACT_DEFAULT = 32
+
+
+def _maybe_autocompact(spark: SparkSession, state_dir: str, checkpoint: str, key=()) -> None:
+    """Compact-every-N policy (r12 verdict task 5): called by every keyed/
+    tws drain at ENTRY — after binding and version stamping, before the
+    query starts.  Entry-time (never post-drain) because the returned
+    snapshot/emissions are LAZY reads over ``out/sink_batch=*``; a
+    post-drain compaction would prune partitions the caller is about to
+    scan.  When the committed partition count reaches ``PSE_COMPACT_EVERY``
+    (default 32; <= 0 disables), the log folds into one base partition,
+    bounding snapshot reconstruction at O(tail) instead of O(total
+    emissions ever) across long-lived resumed drains (r11 advice).  A crash
+    mid-compaction is covered by the existing recovery:
+    _check_no_pending_compaction refuses the drain and the next
+    compact_emission_log call finishes or rolls back the pass."""
+    try:
+        every = int(os.environ.get("PSE_COMPACT_EVERY", str(_AUTOCOMPACT_DEFAULT)))
+    except ValueError:
+        every = _AUTOCOMPACT_DEFAULT
+    if every <= 0:
+        return
+    is_fk = os.path.isdir(os.path.join(state_dir, "sub"))
+    out_dir = os.path.join(state_dir, "out")
+    ck = os.path.join(checkpoint, "join") if is_fk else checkpoint
+    committed = _last_committed(ck)
+    if sum(1 for k in _sink_partitions(out_dir) if k <= committed) >= every:
+        compact_emission_log(spark, state_dir, checkpoint, key=tuple(key))
+
+
 def _check_container_columns(schema, cols, what: str) -> None:
     """Container-typed (array/map/struct) VALUE columns are unsupported by
-    BOTH per-key engine families: the tws value-state client scrambles
-    nested containers (upstream, observed on 4.1.2) and the pandas keyed
-    engines' Arrow slices deliver them as numpy arrays that fail the state
-    normalization mid-drain (round-12 review follow-up — loud construction
-    -time refusal beats either failure).  The exact snapshot loops handle
-    them as plain DataFrame data."""
+    the PANDAS keyed engines: their Arrow slices deliver containers as
+    numpy arrays that fail the state normalization mid-drain (round-12
+    review follow-up — loud construction-time refusal beats that failure).
+    The tws engines tunnel container VALUE columns through pickled-binary
+    value state (tws._enc_c, r12 verdict task 2) and the exact snapshot
+    loops handle them as plain DataFrame data — point there."""
     from pyspark.sql.types import ArrayType, MapType
     from pyspark.sql.types import StructType as _St
 
@@ -636,43 +677,52 @@ def _check_container_columns(schema, cols, what: str) -> None:
     if bad:
         raise ValueError(
             f"{what}: container-typed value columns {bad} are not supported by "
-            "the per-key engines (tws value state scrambles nested containers; "
-            "the pandas state fold rejects numpy array cells) — use engine='exact'"
+            "the pandas keyed engine (its state fold rejects numpy array cells) "
+            "— use engine='tws' (binary-tunneled value state) or engine='exact'"
         )
 
 
-def _select_keyed_engine(state_dir: str | None, keyed_marker: str, schemas) -> str:
+def _select_keyed_engine(state_dir: str | None, keyed_marker: str, schemas, hard=()) -> str:
     """engine=None auto-selection between the per-key families (round-12
     review finding: a bare default flip to tws would break previously
     working calls).  Order of precedence:
 
-      * no ``google.protobuf`` → ``keyed`` (tws cannot run);
+      * no ``google.protobuf``: ``keyed`` (tws cannot run) — unless
+        container-typed VALUE columns are present (``schemas`` =
+        [(StructType, cols)]; the pandas engines refuse them, see
+        _check_container_columns) → ``exact``;
       * ``state_dir`` stamped by the exact loop (``_GEN``) → ``exact``,
         stamped by the pandas keyed engine → ``keyed`` (resume with the
         family that wrote the dir instead of raising);
-      * container-typed value columns (``schemas`` = [(StructType, cols)])
-        → ``exact`` (neither per-key family supports them — see
-        _check_container_columns);
-      * otherwise → ``tws``."""
+      * container-typed columns in a position the tws binary tunnel cannot
+        cover — keys, order columns, the fk column (``hard`` =
+        [(StructType, cols)]) → ``exact``;
+      * otherwise → ``tws`` (container VALUE columns ride tws's pickled
+        -binary value-state tunnel — r12 verdict task 2)."""
     from pyspark.sql.types import ArrayType, MapType
     from pyspark.sql.types import StructType as _St
 
     from .protoshim import ensure_protobuf  # noqa: PLC0415
 
+    def _has_containers(pairs):
+        for schema, cols in pairs:
+            cs = set(cols)
+            if any(
+                f.name in cs and isinstance(f.dataType, (ArrayType, MapType, _St))
+                for f in schema.fields
+            ):
+                return True
+        return False
+
     if not ensure_protobuf():
-        return "keyed"
+        return "exact" if _has_containers(schemas) else "keyed"
     if state_dir is not None:
         if os.path.exists(os.path.join(state_dir, "_GEN")):
             return "exact"
         if os.path.exists(os.path.join(state_dir, keyed_marker)):
             return "keyed"
-    for schema, cols in schemas:
-        cs = set(cols)
-        if any(
-            f.name in cs and isinstance(f.dataType, (ArrayType, MapType, _St))
-            for f in schema.fields
-        ):
-            return "exact"
+    if _has_containers(hard):
+        return "exact"
     return "tws"
 
 
@@ -1113,6 +1163,10 @@ def join_tables_streaming(
                 (left.df.schema, [c for c in left.df.columns if c not in left.key]),
                 (right.df.schema, [c for c in right.df.columns if c not in right.key]),
             ],
+            hard=[
+                (left.df.schema, list(left.key) + list(l_order or ())),
+                (right.df.schema, list(right.key) + list(r_order or ())),
+            ],
         )
     if engine == "tws":
         from .tws import join_tables_tws  # noqa: PLC0415 - optional protobuf dep
@@ -1192,6 +1246,10 @@ def join_fk_streaming(
                 [
                     (left.df.schema, list(left.df.columns)),
                     (right.df.schema, [c for c in right.df.columns if c != right.key[0]]),
+                ],
+                hard=[
+                    (left.df.schema, list(left.key) + [fk] + list(l_order or ())),
+                    (right.df.schema, list(r_order or ())),
                 ],
             )
         else:
@@ -1543,6 +1601,7 @@ def _join_tables_keyed(
         with open(ver_path + ".tmp", "w") as f:
             f.write(_TTJOIN_STATE_VERSION)
         os.replace(ver_path + ".tmp", ver_path)
+    _maybe_autocompact(spark0, root, ckpt, key=l_key)
 
     res = tagged.groupBy(*jk).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
@@ -1724,6 +1783,7 @@ def _join_fk_keyed(
         with open(ver_path + ".tmp", "w") as f:
             f.write(_FKJOIN_STATE_VERSION)
         os.replace(ver_path + ".tmp", ver_path)
+    _maybe_autocompact(spark0, root, ckpt_base, key=l_key)
 
     # ---------------- stage A: subscription resolver (keyed by left PK) ----------------
     a_src = left.df
@@ -2166,6 +2226,7 @@ def suppress_buffered(
                 state_dir,
                 "_PSE_STATE_V",
                 [(df.schema, [c for c in df.columns if c not in key])],
+                hard=[(df.schema, list(key))],
             )
         else:
             engine = "exact"
@@ -2443,6 +2504,7 @@ def _suppress_keyed(
         with open(ver_path + ".tmp", "w") as f:
             f.write(_KEYED_STATE_VERSION)
         os.replace(ver_path + ".tmp", ver_path)
+    _maybe_autocompact(spark0, root, ckpt)
 
     sdf = src.df
     for k in key:
@@ -2938,6 +3000,7 @@ def join_table_asof_streaming(
     matched_ts: str = "matched_ts",
     out_dir: str | None = None,
     checkpoint: str | None = None,
+    engine: str | None = None,
 ) -> DataFrame:
     """Streaming realization of ``KStream.join_table_asof``: each microbatch
     of stream records performs the identical event-time as-of lookup into the
@@ -2961,8 +3024,51 @@ def join_table_asof_streaming(
     """
     if not stream.df.isStreaming:
         raise ValueError("join_table_asof_streaming requires a streaming stream side")
+    if engine is None:
+        # same precedence as _select_keyed_engine: resume with the family
+        # that wrote the dir; otherwise tws when it can run (container/
+        # non-timestamp-ts calls fall back to exact, which has no such
+        # constraints)
+        from .protoshim import ensure_protobuf  # noqa: PLC0415
+
+        if out_dir is not None and os.path.isdir(out_dir):
+            entries = os.listdir(out_dir)
+            if any(e.startswith(("sink_batch=", "part-")) for e in entries):
+                engine = "exact"
+            elif "_PSE_TWS_ASOF_V" in entries:
+                engine = "tws"
+        if engine is None:
+            sts_t = dict(stream.df.dtypes).get(stream.ts) if stream.ts else None
+            tts_t = dict(table.df.dtypes).get(table.ts) if getattr(table, "ts", None) else None
+            tws_ok = (
+                ensure_protobuf()
+                and sts_t == "timestamp"
+                and tts_t == "timestamp"
+                and len(stream.key) == len(table.key)
+                and all(
+                    not _container_cols_any(sch, cols)
+                    for sch, cols in (
+                        (stream.df.schema, list(stream.key) + [stream.ts]),
+                        (table.df.schema, list(table.key) + [table.ts]),
+                    )
+                )
+            )
+            engine = "tws" if tws_ok else "exact"
+    if engine == "tws":
+        from .tws import join_table_asof_tws  # noqa: PLC0415 - optional protobuf dep
+
+        return join_table_asof_tws(
+            stream, table, how, tolerance_ms, matched_ts, out_dir, checkpoint
+        )
+    if engine != "exact":
+        raise ValueError(f"unknown as-of engine {engine!r}; expected 'tws' or 'exact'")
     root = out_dir or tempfile.mkdtemp(prefix="pse-asof-")
     os.makedirs(root, exist_ok=True)
+    if "_PSE_TWS_ASOF_V" in os.listdir(root):
+        raise ValueError(
+            f"out dir {root!r} was written by the tws as-of engine; pass "
+            "engine='tws' to resume it, or a fresh out_dir"
+        )
     if any(e.startswith("part-") or e == "_SUCCESS" for e in os.listdir(root)):
         # pre-exactly-once layout (flat appended part files): new
         # sink_batch=<id> partitions next to them would make the final read

@@ -22,14 +22,23 @@ fold), with the Arrow/pandas boundary replaced by the Row-based
   timers survive across invocations and are deleted/re-registered
   explicitly.
 
-Known constraint (upstream): PySpark's value-state client mangles NESTED
-CONTAINER fields (an ``array<struct<...>>`` value comes back with field
-values scrambled — observed on 4.1.2), so these engines refuse container
--typed user columns with a named error pointing at ``engine='exact'``
-(the pandas keyed engines' state fold rejects numpy array cells too —
-containers are exact-loop territory).  The fk-join subscriber list — the
-one engine-internal container — lives in LIST state instead (struct
-elements round-trip exactly there).
+Known constraint (upstream): PySpark's value-state client cannot round
+-trip NESTED CONTAINER fields (an ``array<struct<...>>`` value state
+either comes back with field values scrambled or — under the shim runtime
+on 4.1.2 — kills the worker with a cloudpickle "cannot pickle 'generator'
+object" during the update).  Container-typed user VALUE columns therefore
+ride the state as pickled ``binary`` (``_enc_c``/``_dec_c`` — bytes round
+-trip exactly), decoded back to native Python form before every emission,
+so input rows, the emission-log parquet, and the returned snapshots all
+keep NATIVE container types; only the opaque state cell is encoded.
+Container KEY / ORDER / FK columns stay refused (``
+_refuse_hard_containers`` — grouping and order comparisons need scalars;
+engine='exact' covers those).  The minimal upstream repro is pinned as a
+STRICT xfail in ``tests/test_tws.py::
+test_upstream_nested_container_value_state_roundtrip`` — when a Spark
+upgrade makes it XPASS, the tunnel can be retired for native state.  The
+fk-join subscriber list — the one engine-internal container — lives in
+LIST state (struct elements round-trip exactly there).
 
 Requires ``google.protobuf``: either the real wheel or the vendored
 clean-room shim (``pyspark_engine.protoshim.ensure_protobuf`` wires the
@@ -60,6 +69,7 @@ from .streaming import (
     _empty_emissions,
     _has_emissions,
     _last_committed,
+    _maybe_autocompact,
     _read_bind,
 )
 
@@ -123,10 +133,48 @@ def _rocksdb_provider(spark):
             spark.conf.set(tz_key, prev_tz)
 
 
-def _refuse_containers(schema: StructType, what: str, cols: Sequence[str]) -> None:
-    from .streaming import _check_container_columns  # noqa: PLC0415
+def _container_cols(schema: StructType, cols: Sequence[str]) -> set[str]:
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _St
 
-    _check_container_columns(schema, cols, what)
+    cs = set(cols)
+    return {
+        f.name
+        for f in schema.fields
+        if f.name in cs and isinstance(f.dataType, (ArrayType, MapType, _St))
+    }
+
+
+def _refuse_hard_containers(what: str, *pairs) -> None:
+    """Key / order / fk positions need scalar types (grouping keys and
+    order comparisons) — the binary value tunnel cannot cover them."""
+    bad = sorted(set().union(set(), *[_container_cols(s, c) for s, c in pairs]))
+    if bad:
+        raise ValueError(
+            f"{what}: container-typed columns {bad} sit in a key/order/fk "
+            "position; grouping and order comparisons need scalar types (the "
+            "binary value tunnel only covers VALUE columns) — use engine='exact'"
+        )
+
+
+def _enc_c(v):
+    """Encode one container VALUE for the state round-trip.  Upstream
+    PySpark 4.1.2 cannot round-trip nested containers through VALUE state
+    (tests/test_tws.py::test_upstream_nested_container_value_state_roundtrip,
+    strict xfail), so container-typed user value columns ride the state as
+    pickled ``binary`` — bytes round-trip exactly — and are decoded back to
+    their native Python form before every emission (r12 verdict task 2).
+    Input rows and emitted rows stay NATIVE containers end to end; only the
+    state cell is opaque."""
+    import pickle  # noqa: PLC0415
+
+    return None if v is None else pickle.dumps(v)
+
+
+def _dec_c(v):
+    import pickle  # noqa: PLC0415
+
+    return None if v is None else pickle.loads(bytes(v))
 
 
 def _stamp_version(root: str, marker: str, version: str, populated: bool, what: str) -> None:
@@ -193,14 +241,24 @@ def _make_tt_processor(
     l_ts_name,
     r_ts_name,
     ts_alias,
+    tun=frozenset(),
 ):
     """Build the tt-join StatefulProcessor (factory so the class body closes
-    over plain params — the instance cloudpickles to the workers)."""
+    over plain params — the instance cloudpickles to the workers).  ``tun``
+    = container value columns riding the state as pickled binary (_enc_c):
+    in-memory and emitted values stay native; only the state cell is
+    encoded."""
     StatefulProcessor = _import_stateful_processor()
     n_l, n_r = len(l_val), len(r_val)
     l_idx = {c: i for i, c in enumerate(l_val)}
     r_idx = {c: i for i, c in enumerate(r_val)}
     out_row = Row(*out_cols)
+
+    def _load(cols, vals):
+        return [_dec_c(x) if c in tun else _norm(x) for c, x in zip(cols, vals)]
+
+    def _store(cols, vals):
+        return [_enc_c(v) if c in tun else v for c, v in zip(cols, vals)]
 
     class TTJoin(StatefulProcessor):
         def init(self, handle):
@@ -225,8 +283,8 @@ def _make_tt_processor(
             st = self.st.get()
             if st is not None:
                 l_set, r_set = bool(st[0]), bool(st[1])
-                l_vals = [_norm(x) for x in st[2 : 2 + n_l]]
-                r_vals = [_norm(x) for x in st[2 + n_l :]]
+                l_vals = _load(l_val, st[2 : 2 + n_l])
+                r_vals = _load(r_val, st[2 + n_l :])
             else:
                 l_set = r_set = False
                 l_vals, r_vals = [None] * n_l, [None] * n_r
@@ -247,7 +305,7 @@ def _make_tt_processor(
                         r_ord, r_set, changed = ov, True, True
             if not changed:
                 return
-            self.st.update((l_set, r_set, *l_vals, *r_vals))
+            self.st.update((l_set, r_set, *_store(l_val, l_vals), *_store(r_val, r_vals)))
             emit = (l_set and r_set) if how == "inner" else (l_set if how == "left" else True)
             if not emit:
                 return
@@ -325,8 +383,13 @@ def join_tables_tws(
             raise ValueError(f"order columns {missing} not in the side's columns")
     l_val = [c for c in left.df.columns if c not in l_key]
     r_val = [c for c in right.df.columns if c not in r_key]
-    _refuse_containers(left.df.schema, "tws tt-join engine", l_val)
-    _refuse_containers(right.df.schema, "tws tt-join engine", r_val)
+    _refuse_hard_containers(
+        "tws tt-join engine",
+        (left.df.schema, list(l_key) + list(lord)),
+        (right.df.schema, list(r_key) + list(rord)),
+    )
+    # container VALUE columns ride the state as pickled binary (see _enc_c)
+    tun = _container_cols(left.df.schema, l_val) | _container_cols(right.df.schema, r_val)
     merge_ts = bool(ts_alias is not None and left.ts and right.ts)
     if merge_ts and l_ddl[left.ts] != r_ddl[right.ts]:
         raise ValueError(
@@ -369,7 +432,7 @@ def join_tables_tws(
     )
 
     state_schema = "__l_set boolean, __r_set boolean" + "".join(
-        f", `{c}` {_ddl(c)}" for c in l_val + r_val
+        f", `{c}` {'binary' if c in tun else _ddl(c)}" for c in l_val + r_val
     )
     out_cols = list(l_key) + out_l_val + out_r_val + ([ts_alias] if merge_ts else [])
 
@@ -398,6 +461,7 @@ def join_tables_tws(
         _has_emissions(out_dir) or _last_committed(ckpt) >= 0,
         "tws tt-join",
     )
+    _maybe_autocompact(spark0, root, ckpt, key=l_key)
 
     proc = _make_tt_processor(
         state_schema,
@@ -413,6 +477,7 @@ def join_tables_tws(
         left.ts if merge_ts else None,
         right.ts if merge_ts else None,
         ts_alias,
+        tun=frozenset(tun),
     )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -445,10 +510,16 @@ def join_tables_tws(
 # ----------------------------------------------------------------- suppress
 
 
-def _make_suppress_processor(state_schema, cols, key, tcol, limit_ms, out_cols):
+def _make_suppress_processor(state_schema, cols, key, tcol, limit_ms, out_cols, tun=frozenset()):
     StatefulProcessor = _import_stateful_processor()
     out_row = Row(*out_cols)
     NEG = -(1 << 62)
+
+    def _load(vals):
+        return [_dec_c(x) if c in tun else _norm(x) for c, x in zip(cols, vals)]
+
+    def _store(vals):
+        return [_enc_c(v) if c in tun else v for c, v in zip(cols, vals)]
 
     class SuppressBuffer(StatefulProcessor):
         def init(self, handle):
@@ -482,7 +553,7 @@ def _make_suppress_processor(state_schema, cols, key, tcol, limit_ms, out_cols):
             st = self.st.get()
             if st is not None:
                 entry, hist_ms = st[0], st[1]
-                hist_vals = [_norm(x) for x in st[2:]]
+                hist_vals = _load(st[2:])
             else:
                 entry, hist_ms, hist_vals = None, None, None
             if entry is not None and entry + limit_ms <= wm_eff:
@@ -522,18 +593,18 @@ def _make_suppress_processor(state_schema, cols, key, tcol, limit_ms, out_cols):
                     yield out_row(*hist_vals, False)
                     entry = None
             if hist_ms is not None:
-                self.st.update((entry, hist_ms, *hist_vals))
+                self.st.update((entry, hist_ms, *_store(hist_vals)))
                 self._rearm(entry)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             st = self.st.get()
             if st is None or st[0] is None:
                 return  # buffer entry already emitted inline and timer raced
-            hist_vals = [_norm(x) for x in st[2:]]
+            hist_vals = _load(st[2:])
             yield out_row(*hist_vals, True)
             # the buffer entry leaves; the latest-row memory stays (a late
             # record must still lose to it, like the update-mode aggregate)
-            self.st.update((None, st[1], *hist_vals))
+            self.st.update((None, st[1], *_store(hist_vals)))
 
     return SuppressBuffer()
 
@@ -576,7 +647,9 @@ def suppress_tws(
         "tws suppress engine",
     )
     value_cols = [c for c in cols if c not in key]
-    _refuse_containers(table.df.schema, "tws suppress engine", value_cols)
+    _refuse_hard_containers("tws suppress engine", (table.df.schema, key))
+    # container VALUE columns ride the state as pickled binary (see _enc_c)
+    tun = _container_cols(table.df.schema, value_cols)
     ddl = {f.name: f.dataType.simpleString() for f in table.df.schema.fields}
 
     root = state_dir or tempfile.mkdtemp(prefix="pse-suppress-tws-")
@@ -593,6 +666,7 @@ def suppress_tws(
         _has_emissions(out_dir) or prior_batch >= 0,
         "tws suppress",
     )
+    _maybe_autocompact(spark0, root, ckpt)
 
     sdf = src.df
     for k in key:
@@ -617,11 +691,11 @@ def suppress_tws(
     ).withWatermark("__wm_ts", "0 milliseconds")
 
     state_schema = "__entry_ms long, __hist_ms long, " + ", ".join(
-        f"`{c}` {ddl[c]}" for c in cols
+        f"`{c}` {'binary' if c in tun else ddl[c]}" for c in cols
     )
     out_schema = ", ".join(f"`{c}` {ddl[c]}" for c in cols) + ", __fired boolean"
     proc = _make_suppress_processor(
-        state_schema, cols, key, tcol, limit_ms, cols + ["__fired"]
+        state_schema, cols, key, tcol, limit_ms, cols + ["__fired"], tun=frozenset(tun)
     )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -663,8 +737,17 @@ def suppress_tws(
                 .option("stateVarName", "buf")
                 .load()
             )
+            def _view_col(c):
+                col = F.col(f"value.`{c}`")
+                if c in tun:
+                    # tunneled container cells surface as binary in the state
+                    # source — decode back to the native type (bounded
+                    # interactive-query view, not a data-scale path)
+                    col = F.udf(_dec_c, ddl[c])(col)
+                return col.alias(c)
+
             buf = state_df.filter(F.col("value.__entry_ms").isNotNull()).select(
-                *[F.col(f"value.`{c}`").alias(c) for c in cols]
+                *[_view_col(c) for c in cols]
             )
         buf.createOrReplaceTempView(store_name)
     if not _has_emissions(out_dir):
@@ -679,11 +762,17 @@ def suppress_tws(
 # ------------------------------------------------------------------ fk join
 
 
-def _make_fk_stage_a(state_schema, l_val, lord, l_key_pos, sub_cols):
+def _make_fk_stage_a(state_schema, l_val, lord, l_key_pos, sub_cols, tun_l=frozenset()):
     StatefulProcessor = _import_stateful_processor()
     n_lv = len(l_val)
     l_idx = {c: i for i, c in enumerate(l_val)}
     out_row = Row(*sub_cols)
+
+    def _load(vals):
+        return [_dec_c(x) if c in tun_l else _norm(x) for c, x in zip(l_val, vals)]
+
+    def _store(vals):
+        return [_enc_c(v) if c in tun_l else v for c, v in zip(l_val, vals)]
 
     class FKResolver(StatefulProcessor):
         def init(self, handle):
@@ -707,7 +796,7 @@ def _make_fk_stage_a(state_schema, l_val, lord, l_key_pos, sub_cols):
             st = self.st.get()
             if st is not None:
                 was_set, jfk = True, st[0]
-                vals = [_norm(x) for x in st[1:]]
+                vals = _load(st[1:])
             else:
                 was_set, jfk, vals = False, None, [None] * n_lv
             old_jfk = jfk
@@ -721,7 +810,7 @@ def _make_fk_stage_a(state_schema, l_val, lord, l_key_pos, sub_cols):
                     cur_ord, changed = ov, True
             if not changed:
                 return
-            self.st.update((jfk, *vals))
+            self.st.update((jfk, *_store(vals)))
             key_vals = [_norm(k) for k in key]
             if was_set and old_jfk != jfk:
                 # the unsubscribe half of the KIP-213 re-key round-trip
@@ -731,11 +820,36 @@ def _make_fk_stage_a(state_schema, l_val, lord, l_key_pos, sub_cols):
     return FKResolver()
 
 
-def _make_fk_stage_b(r_state_schema, subs_schema, l_key, l_val, r_val, rord, rk, how, out_cols):
+def _make_fk_stage_b(
+    r_state_schema,
+    subs_schema,
+    l_key,
+    l_val,
+    r_val,
+    rord,
+    rk,
+    how,
+    out_cols,
+    tun_l=frozenset(),
+    tun_r=frozenset(),
+):
     StatefulProcessor = _import_stateful_processor()
     n_lk, n_lv, n_rv = len(l_key), len(l_val), len(r_val)
     r_idx = {c: i for i, c in enumerate(r_val)}
     out_row = Row(*out_cols)
+    lkv = list(l_key) + list(l_val)
+
+    def _load_r(vals):
+        return [_dec_c(x) if c in tun_r else _norm(x) for c, x in zip(r_val, vals)]
+
+    def _store_r(vals):
+        return [_enc_c(v) if c in tun_r else v for c, v in zip(r_val, vals)]
+
+    def _load_sub(vals):
+        return [_dec_c(x) if c in tun_l else _norm(x) for c, x in zip(lkv, vals)]
+
+    def _store_sub(vals):
+        return [_enc_c(v) if c in tun_l else v for c, v in zip(lkv, vals)]
 
     class FKJoin(StatefulProcessor):
         def init(self, handle):
@@ -760,13 +874,13 @@ def _make_fk_stage_b(r_state_schema, subs_schema, l_key, l_val, r_val, rord, rk,
             st = self.rstate.get()
             if st is not None:
                 r_set = bool(st[0])
-                r_vals = [_norm(x) for x in st[1:]]
+                r_vals = _load_r(st[1:])
             else:
                 r_set, r_vals = False, [None] * n_rv
             subs = {}
             if self.subs.exists():
                 for s in self.subs.get():
-                    vals = [_norm(x) for x in s[1:]]
+                    vals = _load_sub(s[1:])
                     subs[tuple(vals[:n_lk])] = {"sub": s[0], "vals": vals}
             cur_rord = r_ord_of(lambda c: r_vals[r_idx[c]]) if r_set else None
             right_changed = False
@@ -801,9 +915,9 @@ def _make_fk_stage_b(r_state_schema, subs_schema, l_key, l_val, r_val, rord, rk,
                     changed.pop(pkt, None)
             if not (right_changed or changed or removed):
                 return
-            self.rstate.update((r_set, *r_vals))
+            self.rstate.update((r_set, *_store_r(r_vals)))
             if subs:
-                self.subs.put([(e["sub"], *e["vals"]) for e in subs.values()])
+                self.subs.put([(e["sub"], *_store_sub(e["vals"])) for e in subs.values()])
             else:
                 self.subs.clear()
             if how == "left" or r_set:
@@ -833,8 +947,9 @@ def join_fk_tws(
     full design): a PK-keyed subscription resolver feeding a durable parquet
     sub-log, then an FK-keyed join state fanning out U/D emissions.  Native
     types end to end (no string tunnel); the subscriber list lives in LIST
-    state (struct elements round-trip exactly there, where the value-state
-    client scrambles nested containers)."""
+    state, and container-typed user VALUE columns ride both states as
+    pickled binary (_enc_c — the upstream value-state client cannot round
+    -trip nested containers)."""
     spark0 = left.df.sparkSession
     require_tws(spark0)
     l_key = list(left.key)
@@ -876,8 +991,15 @@ def join_fk_tws(
         if missing:
             raise ValueError(f"order columns {missing} not in the side's columns")
     l_val = [c for c in l_cols if c not in l_key]
-    _refuse_containers(left.df.schema, "tws fk-join engine", l_key + l_val)
-    _refuse_containers(right.df.schema, "tws fk-join engine", r_val)
+    _refuse_hard_containers(
+        "tws fk-join engine",
+        (left.df.schema, list(l_key) + [fk] + list(lord)),
+        (right.df.schema, list(rord)),
+    )
+    # container VALUE columns ride the state as pickled binary (see _enc_c);
+    # the sub-log parquet keeps them NATIVE (stage A emits decoded values)
+    tun_l = _container_cols(left.df.schema, l_val)
+    tun_r = _container_cols(right.df.schema, r_val)
     empty_out = KTable(spark0.createDataFrame([], left.df.schema), left.key, left.ts).join_fk(
         KTable(spark0.createDataFrame([], right.df.schema), right.key, right.ts), fk, how=how
     ).df
@@ -914,6 +1036,7 @@ def join_fk_tws(
         ),
         "tws fk-join",
     )
+    _maybe_autocompact(spark0, root, ckpt_base, key=l_key)
 
     # ---------------- stage A: subscription resolver (keyed by left PK) ----------------
     a_src = left.df
@@ -924,13 +1047,15 @@ def join_fk_tws(
         F.col(fk).cast("string").alias("__jfk_in"),  # SQL-canonical join string
     )
     l_key_pos = {c: i for i, c in enumerate(l_key)}
-    state_a = "__jfk string" + "".join(f", `{c}` {l_ddl[c]}" for c in l_val)
+    state_a = "__jfk string" + "".join(
+        f", `{c}` {'binary' if c in tun_l else l_ddl[c]}" for c in l_val
+    )
     sub_cols = ["op", "__jfk", *l_key, *l_val]
     sub_schema = "op string, __jfk string" + "".join(
         f", `{c}` {l_ddl[c]}" for c in l_key + l_val
     )
 
-    proc_a = _make_fk_stage_a(state_a, l_val, lord, l_key_pos, sub_cols)
+    proc_a = _make_fk_stage_a(state_a, l_val, lord, l_key_pos, sub_cols, tun_l=frozenset(tun_l))
 
     def _sink_a(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -966,9 +1091,11 @@ def join_fk_tws(
             *[F.col(c) for c in r_val],
         )
         b_in = b_l.unionByName(b_r)
-        state_b = "__r_set boolean" + "".join(f", `{c}` {r_ddl[c]}" for c in r_val)
-        subs_schema = (
-            "__sub int" + "".join(f", `{c}` {l_ddl[c]}" for c in l_key + l_val)
+        state_b = "__r_set boolean" + "".join(
+            f", `{c}` {'binary' if c in tun_r else r_ddl[c]}" for c in r_val
+        )
+        subs_schema = "__sub int" + "".join(
+            f", `{c}` {'binary' if c in tun_l else l_ddl[c]}" for c in l_key + l_val
         )
         out_cols = ["op", *l_key, *l_val, *r_val]
         out_schema = (
@@ -977,7 +1104,17 @@ def join_fk_tws(
             + "".join(f", `{c}` {r_ddl[c]}" for c in r_val)
         )
         proc_b = _make_fk_stage_b(
-            state_b, subs_schema, l_key, l_val, r_val, rord, rk, how, out_cols
+            state_b,
+            subs_schema,
+            l_key,
+            l_val,
+            r_val,
+            rord,
+            rk,
+            how,
+            out_cols,
+            tun_l=frozenset(tun_l),
+            tun_r=frozenset(tun_r),
         )
 
         def _sink_b(batch: DataFrame, batch_id: int) -> None:
@@ -1006,3 +1143,252 @@ def join_fk_tws(
     if store_name is not None:
         snap.createOrReplaceTempView(store_name)
     return snap
+
+
+# ------------------------------------------------------------------ as-of join
+
+_TWS_ASOF_VERSION = "1"
+
+
+def _make_asof_processor(hist_schema, r_vals, l_vals, n_key, how, tol_ms, out_cols, tun_r):
+    """Per-key as-of lookup (r12 verdict task 4): the key's version history
+    lives in LIST state (append-only — history rows arrive once, in the
+    first batch that reads the staged history file); each stream record
+    binary-searches the sorted versions for the latest ``hts <= sts`` —
+    the reference's per-record ValueGetter read
+    (KStreamKTableJoinProcessor.cs:38-43) with KIP-889/KIP-914 versioned
+    rather than latest-only semantics.  Null-ts versions sort BEFORE every
+    real version (the batch window's NULLS FIRST), emitting with a null
+    ``matched_ts``; tolerance turns an out-of-window match into the no-match
+    row, and ``inner`` drops rows whose matched_ts is null — all matching
+    ``dsl.join_asof`` exactly (the differential fuzz is the gate)."""
+    import bisect  # noqa: PLC0415
+    import datetime as _dt  # noqa: PLC0415
+
+    StatefulProcessor = _import_stateful_processor()
+    out_row = Row(*out_cols)
+    n_rv = len(r_vals)
+    tol = _dt.timedelta(milliseconds=tol_ms) if tol_ms is not None else None
+
+    def _load_r(vals):
+        return [_dec_c(x) if c in tun_r else _norm(x) for c, x in zip(r_vals, vals)]
+
+    def _store_r(vals):
+        return [_enc_c(v) if c in tun_r else v for c, v in zip(r_vals, vals)]
+
+    class AsofLookup(StatefulProcessor):
+        def init(self, handle):
+            self.hist = handle.getListState("hist", hist_schema)
+
+        def close(self):
+            pass
+
+        def handleInputRows(self, key, rows, timerValues):
+            new_h, pending = [], []
+            for row in rows:
+                if row["__side"] == 0:
+                    new_h.append((_norm(row["__hts"]), *_store_r([row[c] for c in r_vals])))
+                else:
+                    pending.append(
+                        (_norm(row["__sts"]), [_norm(row[c]) for c in l_vals])
+                    )
+            if new_h:
+                # history is bounded by the versioned store's retention; it
+                # arrives ONCE (first batch) — append, never rewrite
+                self.hist.appendList(new_h)
+            if not pending:
+                return
+            hist = []
+            if self.hist.exists():
+                for s in self.hist.get():
+                    hist.append((_norm(s[0]), _load_r(s[1 : 1 + n_rv])))
+            # null-ts versions first (batch NULLS FIRST), then ts; stable on
+            # ties so the last-arrived equal-ts version wins like last()
+            hist.sort(key=lambda e: (e[0] is not None, e[0] or 0))
+            hts_keys = [(e[0] is not None, e[0] or 0) for e in hist]
+            key_vals = [_norm(k) for k in key[:n_key]]
+            for sts, lvs in pending:
+                matched = None
+                if sts is not None and hist:
+                    i = bisect.bisect_right(hts_keys, (True, sts))
+                    if i > 0:
+                        matched = hist[i - 1]
+                if matched is not None and tol is not None:
+                    mts = matched[0]
+                    if mts is None or mts < sts - tol:
+                        matched = None
+                if matched is None:
+                    if how == "inner":
+                        continue
+                    yield out_row(*key_vals, sts, *lvs, *([None] * n_rv), None)
+                else:
+                    if how == "inner" and matched[0] is None:
+                        continue  # matched_ts null (null-ts version) — batch drops it
+                    yield out_row(*key_vals, sts, *lvs, *matched[1], matched[0])
+
+    return AsofLookup()
+
+
+def join_table_asof_tws(
+    stream: KStream,
+    table,
+    how: str,
+    tolerance_ms: int | None,
+    matched_ts: str,
+    out_dir: str | None,
+    checkpoint: str | None,
+) -> DataFrame:
+    """transformWithState engine of ``join_table_asof_streaming`` (r12
+    verdict task 4 — the last continuous stateful loop without a per-key
+    realization).  The exact engine re-joins each microbatch against the
+    FULL history (per-batch shuffle bounded by history size); here the
+    history shuffles ONCE into per-key LIST state — staged as a parquet
+    file-source unioned with the stream, fully delivered in the first batch
+    — and every later batch shuffles only its own records, with per-record
+    lookups against RocksDB state.  The 100 TB shape: per-batch I/O is
+    O(batch + touched keys' histories), never O(history).
+
+    The history is BOUND at first drain (staged under ``<out_dir>/hist``);
+    resumed drains reuse the staged version history — pass a fresh out_dir
+    for a changed table (the exact engine re-reads the live table each
+    drain instead).  Emissions append to ``<out_dir>/out/sink_batch=<id>``
+    partitions (overwritten on crash-replay — exactly-once) and the return
+    is the accumulated result across all drains, like the exact engine."""
+    spark0 = stream.df.sparkSession
+    require_tws(spark0)
+    if not stream.df.isStreaming:
+        raise ValueError("join_table_asof_streaming requires a streaming stream side")
+    if stream.ts is None or table.ts is None:
+        raise ValueError("as-of join requires ts on both sides")
+    if len(stream.key) != len(table.key):
+        raise ValueError("join key arity mismatch")
+    if how not in ("inner", "left"):
+        raise ValueError("as-of join supports inner|left")
+    s_ddl = {f.name: f.dataType.simpleString() for f in stream.df.schema.fields}
+    t_ddl = {f.name: f.dataType.simpleString() for f in table.df.schema.fields}
+    if s_ddl[stream.ts] != "timestamp" or t_ddl[table.ts] != "timestamp":
+        raise ValueError(
+            "the tws as-of engine requires timestamp ts columns on both sides "
+            f"({stream.ts}:{s_ddl[stream.ts]}, {table.ts}:{t_ddl[table.ts]}) — "
+            "use engine='exact'"
+        )
+    l_key = list(stream.key)
+    l_vals = [c for c in stream.df.columns if c not in l_key and c != stream.ts]
+    r_vals = [c for c in table.df.columns if c not in table.key and c != table.ts]
+    overlap = (set(l_vals) | {stream.ts}) & set(r_vals)
+    if overlap:
+        raise ValueError(f"sides must have disjoint value column names; overlap: {sorted(overlap)}")
+    _check_reserved_columns(
+        list(stream.df.columns) + list(table.df.columns) + [matched_ts],
+        {
+            "sink_batch": "emission-log partition column",
+            "__side": "history/stream union tag",
+            "__sts": "stream event-time projection",
+            "__hts": "version event-time projection",
+            **{f"__jk{i}": "join-key grouping column" for i in range(len(l_key))},
+        },
+        "tws as-of engine",
+    )
+    _refuse_hard_containers(
+        "tws as-of engine",
+        (stream.df.schema, list(l_key) + [stream.ts]),
+        (table.df.schema, list(table.key) + [table.ts]),
+    )
+    tun_r = _container_cols(table.df.schema, r_vals)
+
+    for lk, rk_ in zip(l_key, table.key):
+        if s_ddl[lk] != t_ddl[rk_]:
+            raise ValueError(
+                f"the tws as-of engine requires equal key dtypes across sides; "
+                f"{lk}:{s_ddl[lk]} vs {rk_}:{t_ddl[rk_]} — cast one side or use engine='exact'"
+            )
+
+    root = out_dir or tempfile.mkdtemp(prefix="pse-asof-tws-")
+    os.makedirs(root, exist_ok=True)
+    if any(e.startswith("sink_batch=") or e.startswith("part-") for e in os.listdir(root)):
+        raise ValueError(
+            f"out dir {root!r} holds the exact as-of engine's output layout; "
+            "pass engine='exact' to resume it, or a fresh out_dir"
+        )
+    emit_dir = os.path.join(root, "out")
+    hist_dir = os.path.join(root, "hist")
+    ckpt = _bind_state_checkpoint(
+        root, _checkpoint(checkpoint), _has_emissions(emit_dir), "prior as-of join output"
+    )
+    _stamp_version(
+        root,
+        "_PSE_TWS_ASOF_V",
+        _TWS_ASOF_VERSION,
+        _has_emissions(emit_dir) or _last_committed(ckpt) >= 0,
+        "tws as-of join",
+    )
+    if not os.path.isdir(hist_dir):
+        # stage the version history ONCE (single delivery, first batch);
+        # null keys dropped on both sides (KStreamKTableJoinProcessor.cs:31-35)
+        h = table.df
+        for k in table.key:
+            h = h.filter(F.col(k).isNotNull())
+        h.write.parquet(hist_dir)
+
+    jk = [f"__jk{i}" for i in range(len(l_key))]
+    hist_schema_src = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in table.df.schema.fields)
+    h_src = spark0.readStream.schema(hist_schema_src).parquet(hist_dir)
+    h_tagged = h_src.select(
+        F.lit(0).alias("__side"),
+        *[F.col(k).alias(j) for k, j in zip(table.key, jk)],
+        F.lit(None).cast("timestamp").alias("__sts"),
+        F.col(table.ts).alias("__hts"),
+        *[F.lit(None).cast(s_ddl[c]).alias(c) for c in l_vals],
+        *[F.col(c) for c in r_vals],
+    )
+    s_src = stream.df
+    for k in l_key:
+        s_src = s_src.filter(F.col(k).isNotNull())
+    s_tagged = s_src.select(
+        F.lit(1).alias("__side"),
+        *[F.col(k).alias(j) for k, j in zip(l_key, jk)],
+        F.col(stream.ts).alias("__sts"),
+        F.lit(None).cast("timestamp").alias("__hts"),
+        *[F.col(c) for c in l_vals],
+        *[F.lit(None).cast(t_ddl[c]).alias(c) for c in r_vals],
+    )
+    tagged = h_tagged.unionByName(s_tagged)
+
+    hist_state = "__hts timestamp" + "".join(
+        f", `{c}` {'binary' if c in tun_r else t_ddl[c]}" for c in r_vals
+    )
+    out_cols = [*l_key, stream.ts, *l_vals, *r_vals, matched_ts]
+    out_schema = (
+        "".join(f"`{c}` {s_ddl[c]}, " for c in l_key)
+        + f"`{stream.ts}` timestamp"
+        + "".join(f", `{c}` {s_ddl[c]}" for c in l_vals)
+        + "".join(f", `{c}` {t_ddl[c]}" for c in r_vals)
+        + f", `{matched_ts}` timestamp"
+    )
+    proc = _make_asof_processor(
+        hist_state, r_vals, l_vals, len(l_key), how, tolerance_ms, out_cols, frozenset(tun_r)
+    )
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.write.mode("overwrite").parquet(os.path.join(emit_dir, f"sink_batch={batch_id}"))
+
+    with _rocksdb_provider(spark0):
+        res = tagged.groupBy(*jk).transformWithState(proc, out_schema, "Update", "None")
+        q = (
+            res.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if not _has_emissions(emit_dir):
+        empty = KStream(
+            spark0.createDataFrame([], stream.df.schema), stream.key, stream.ts
+        )
+        return empty.join_table_asof(
+            table, how=how, tolerance_ms=tolerance_ms, matched_ts=matched_ts
+        ).df
+    return spark0.read.parquet(emit_dir).drop("sink_batch")

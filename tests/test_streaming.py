@@ -1608,12 +1608,15 @@ def test_stream_stream_outer_join_streaming_parity(spark, tmp_path):
     assert rows["b"] == (2, None) and rows["c"] == (None, 20)  # both null sides
 
 
-def test_versioned_asof_join_streaming_parity(spark, tmp_path):
+@pytest.mark.parametrize("engine", ["exact", "tws"])
+def test_versioned_asof_join_streaming_parity(spark, tmp_path, engine):
     """join_table_asof_streaming == batch join_table_asof, with the stream
     deliberately split across MULTIPLE microbatches (maxFilesPerTrigger=1)
     to prove the enrichment is batching-independent — the versioned-lookup
     analog of the reference's per-record KStream⋈KTable processing
-    (KStreamKTableJoinProcessor.cs:38-43)."""
+    (KStreamKTableJoinProcessor.cs:38-43).  Both engines: the per-batch
+    re-join loop (exact) and the per-key list-state lookup (tws, r12
+    verdict task 4)."""
     from pyspark_engine import StreamBuilder as BatchBuilder
     from pyspark_engine.streaming import join_table_asof_streaming
 
@@ -1635,13 +1638,14 @@ def test_versioned_asof_join_streaming_parity(spark, tmp_path):
 
     sb = StreamingBuilder(spark)
     ks = sb.file_stream(str(src), key="user_id", ts="ts", max_files_per_trigger=1)
-    got = join_table_asof_streaming(ks, vt, how="left")
+    got = join_table_asof_streaming(ks, vt, how="left", engine=engine)
     want = KStream(clicks, ("user_id",), "ts").join_table_asof(vt, how="left").df
     cols = ["c_id", "user_id", "p_val"]
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
 
 
-def test_asof_join_streaming_differential_fuzz(spark, tmp_path):
+@pytest.mark.parametrize("engine", ["exact", "tws"])
+def test_asof_join_streaming_differential_fuzz(spark, tmp_path, engine):
     """r11 verdict task 7: randomized differential oracle for the as-of
     join's streaming loop — the one stateful loop that had none.  Seeded
     random versioned histories and stream rows (duplicate (key, ts) pairs,
@@ -1700,7 +1704,7 @@ def test_asof_join_streaming_differential_fuzz(spark, tmp_path):
             cuts = sorted(
                 rng.sample(range(1, len(stream_rows)), rng.randint(1, 4))
             )
-            src = str(tmp_path / f"asof-{seed}-{batching}")
+            src = str(tmp_path / f"asof-{engine}-{seed}-{batching}")
             prev = 0
             gen = 0
             for c in cuts + [len(stream_rows)]:
@@ -1712,7 +1716,9 @@ def test_asof_join_streaming_differential_fuzz(spark, tmp_path):
             got = sorted(
                 map(
                     tuple,
-                    join_table_asof_streaming(ks, vt, how=how, tolerance_ms=tol).collect(),
+                    join_table_asof_streaming(
+                        ks, vt, how=how, tolerance_ms=tol, engine=engine
+                    ).collect(),
                 )
             )
             assert got == want and len(want) > 0, (
@@ -2291,6 +2297,127 @@ def test_join_engines_differential_random_changelogs(spark, tmp_path):
     tws_fk = sorted(map(tuple, fkj("tws").collect()))
     assert keyed_fk == exact_fk and len(keyed_fk) > 0
     assert tws_fk == exact_fk
+
+
+def test_join_engines_container_values_differential(spark, tmp_path):
+    """r12 verdict task 2 gate: the tws engines with ``array<double>``
+    VALUE columns (binary-tunneled state, NaN/None/empty elements included)
+    must match the exact snapshot loops on seeded random changelogs — tt
+    join, fk join, and suppress.  The pandas keyed engines refuse
+    containers, so exact is the differential oracle here."""
+    import math
+    import random
+
+    from pyspark_engine.streaming import (
+        join_fk_streaming,
+        join_tables_streaming,
+        suppress_buffered,
+    )
+
+    rng = random.Random(1307)
+    n_keys = 8
+
+    def arr():
+        pick = rng.randrange(5)
+        if pick == 0:
+            return None
+        if pick == 1:
+            return []
+        return [
+            rng.choice([None, float("nan"), round(rng.uniform(-9, 9), 3)])
+            for _ in range(rng.randrange(1, 4))
+        ]
+
+    def canon(v):
+        # NaN-safe deep normalization for comparisons
+        if isinstance(v, float) and math.isnan(v):
+            return "NaN"
+        if isinstance(v, list):
+            return tuple(canon(x) for x in v)
+        return v
+
+    def rows_of(df):
+        return sorted(tuple(canon(v) for v in r) for r in map(tuple, df.collect()))
+
+    def stage(rows_per_batch, schema, name):
+        d = str(tmp_path / name)
+        for i, rows in enumerate(rows_per_batch):
+            _write_source_file(spark, rows, schema, d, i)
+        return d
+
+    # --- tt join (full): array value columns on BOTH sides
+    l_rows = [
+        [(rng.randrange(n_keys), arr(), b * 100 + i) for i in range(12)] for b in range(3)
+    ]
+    r_rows = [
+        [(rng.randrange(n_keys), arr(), b * 100 + i) for i in range(8)] for b in range(2)
+    ]
+    ld = stage(l_rows, "k long, lv array<double>, lo long", "cnt-tt-l")
+    rd = stage(r_rows, "rk long, rv array<double>, ro long", "cnt-tt-r")
+    sb = StreamingBuilder(spark)
+
+    def tt(engine):
+        return join_tables_streaming(
+            sb.file_stream(ld, key="k", max_files_per_trigger=1),
+            sb.file_stream(rd, key="rk", max_files_per_trigger=1),
+            how="full",
+            l_order=("lo",),
+            r_order=("ro",),
+            engine=engine,
+        )
+
+    exact = rows_of(tt("exact"))
+    assert rows_of(tt("tws")) == exact and len(exact) > 0
+
+    # --- fk join (left): container values ride the sub-log AND both states
+    fk_rows = [
+        [
+            (rng.randrange(n_keys), rng.choice([None, 0, 1, 2]), arr(), b * 100 + i)
+            for i in range(10)
+        ]
+        for b in range(3)
+    ]
+    rk_rows = [[(k, arr(), b * 100 + k) for k in range(3)] for b in range(2)]
+    fld = stage(fk_rows, "pk long, fk long, lv array<double>, lo long", "cnt-fk-l")
+    frd = stage(rk_rows, "rk long, rv array<double>, ro long", "cnt-fk-r")
+
+    def fkj(engine):
+        return join_fk_streaming(
+            sb.file_stream(fld, key="pk", max_files_per_trigger=1),
+            sb.file_stream(frd, key="rk", max_files_per_trigger=1),
+            fk="fk",
+            how="left",
+            l_order=("lo",),
+            r_order=("ro",),
+            engine=engine,
+        )
+
+    exact_fk = rows_of(fkj("exact"))
+    assert rows_of(fkj("tws")) == exact_fk and len(exact_fk) > 0
+
+    # --- suppress: buffered container values re-emitted from state on expiry
+    import datetime as dt
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    s_rows = [
+        [(rng.randrange(4), arr(), t(b * 10 + i)) for i in range(6)] for b in range(3)
+    ]
+    sd = stage(s_rows, "k long, v array<double>, ts timestamp", "cnt-sup")
+
+    def sup(engine):
+        table = (
+            sb.file_stream(sd, key="k", ts="ts", max_files_per_trigger=1)
+            .to_table()
+            .suppress(until_time_limit_ms=5 * 60_000)
+        )
+        return suppress_buffered(table, time_col="ts", engine=engine).select(
+            "k", "v", "__emit_reason"
+        )
+
+    exact_sup = rows_of(sup("exact"))
+    assert rows_of(sup("tws")) == exact_sup and len(exact_sup) > 0
 
 
 def test_keyed_engines_reject_reserved_column_names(spark, tmp_path):
@@ -2925,11 +3052,14 @@ def test_compact_emission_log_tt_join(spark, tmp_path, engine):
 
 
 def test_engine_none_auto_selection_honors_dirs_and_containers(spark, tmp_path):
-    """Round-12 review finding 3: the default flip to tws must not break
-    previously working engine=None calls — a state dir stamped by the
-    pandas keyed engine resumes under 'keyed', an exact-loop dir under
-    'exact', and container-typed value columns route to 'keyed' instead
-    of tws's refusal."""
+    """Round-12 review finding 3 + round-13 task 2: the default flip to tws
+    must not break previously working engine=None calls — a state dir
+    stamped by the pandas keyed engine resumes under 'keyed', an exact-loop
+    dir under 'exact'.  Container-typed VALUE columns now auto-select tws
+    (binary tunnel); container columns in a hard position (order/key/fk)
+    route to 'exact'."""
+    import os
+
     from pyspark_engine.streaming import join_tables_streaming
 
     def mk(name, schema, rows, key):
@@ -2937,11 +3067,24 @@ def test_engine_none_auto_selection_honors_dirs_and_containers(spark, tmp_path):
         spark.createDataFrame(rows, schema).write.parquet(d)
         return StreamingBuilder(spark).file_stream(d, key=key)
 
-    # container value column + engine=None: must run (exact), not refuse
+    # container VALUE column + engine=None: runs on tws (tunnel), not exact
     lc = mk("lc", "k long, lv array<int>, lo long", [(1, [1, 2], 1)], "k")
     rc = mk("rc", "rk long, rv long, ro long", [(1, 9, 1)], "rk")
-    snap = join_tables_streaming(lc, rc, how="inner", l_order=("lo",), r_order=("ro",))
+    stc = str(tmp_path / "st_container")
+    snap = join_tables_streaming(
+        lc, rc, how="inner", l_order=("lo",), r_order=("ro",), state_dir=stc,
+        checkpoint=str(tmp_path / "ck_container"),
+    )
     assert [tuple(r) for r in snap.collect()] == [(1, [1, 2], 1, 9, 1)]
+    assert os.path.exists(os.path.join(stc, "_PSE_TWS_TTJOIN_V"))  # tws selected
+
+    # container ORDER column (hard position) + engine=None: exact, not a raise
+    lh = mk("lh", "k long, lv long, lord array<int>", [(1, 5, [1])], "k")
+    rh = mk("rh", "rk long, rv long, ro long", [(1, 9, 1)], "rk")
+    snap_h = join_tables_streaming(
+        lh, rh, how="inner", l_order=("lord",), r_order=("ro",)
+    )
+    assert [tuple(r) for r in snap_h.collect()] == [(1, 5, [1], 9, 1)]
 
     # keyed-stamped dir + engine=None: must resume, not raise the tws guard
     l1 = mk("l1", "k long, lv long, lo long", [(1, 5, 1)], "k")
@@ -3033,6 +3176,60 @@ def test_compact_emission_log_fk_and_suppress(spark, tmp_path):
     _write_source_file(spark, [("d", 4, t(60))], "k string, v int, ts timestamp", src, 3)
     second = {r["k"] for r in sup_drain().collect()}
     assert "a" not in second and "b" not in second
+
+
+def test_autocompact_bounds_partitions_across_drains(spark, tmp_path, monkeypatch):
+    """r12 verdict task 5: the compact-every-N policy runs automatically at
+    drain entry (PSE_COMPACT_EVERY), so a long-lived resumed state dir keeps
+    a bounded ``out/`` partition count — and the folded snapshot stays
+    identical to an untouched twin fed the same batches with auto-compaction
+    disabled."""
+    import os
+
+    from pyspark_engine.streaming import join_tables_streaming
+
+    n_drains = 8
+    dirs = {}
+    for name in ("auto", "plain"):
+        ld, rd = str(tmp_path / f"l{name}"), str(tmp_path / f"r{name}")
+        _write_source_file(spark, [(k, -1, -1) for k in range(4)], "k long, lv long, lo long", ld, 0)
+        _write_source_file(spark, [(k, 100, 0) for k in range(4)], "rk long, rv long, ro long", rd, 0)
+        dirs[name] = (ld, rd, str(tmp_path / f"st{name}"), str(tmp_path / f"ck{name}"))
+
+    sb = StreamingBuilder(spark)
+
+    def drain(name):
+        ld, rd, st, ck = dirs[name]
+        return join_tables_streaming(
+            sb.file_stream(ld, key="k", max_files_per_trigger=1),
+            sb.file_stream(rd, key="rk", max_files_per_trigger=1),
+            how="full", l_order=("lo",), r_order=("ro",),
+            state_dir=st, checkpoint=ck, engine="keyed",
+        )
+
+    def parts(name):
+        out = os.path.join(dirs[name][2], "out")
+        return [e for e in os.listdir(out) if e.startswith("sink_batch=")]
+
+    for i in range(1, n_drains + 1):
+        for name, every in (("auto", "3"), ("plain", "0")):
+            monkeypatch.setenv("PSE_COMPACT_EVERY", every)
+            ld = dirs[name][0]
+            _write_source_file(
+                spark, [(k, i * 10 + k, i) for k in range(4)], "k long, lv long, lo long", ld, i
+            )
+            snap = drain(name)
+            if i == n_drains:
+                final = sorted(map(tuple, snap.collect()))
+                if name == "auto":
+                    final_auto = final
+                else:
+                    assert final == final_auto  # identical snapshots
+    # the un-compacted twin accumulated one partition per batch; the auto
+    # dir stayed bounded by the policy (base + tail < threshold + drains'
+    # new batches since the last fold)
+    assert len(parts("plain")) > n_drains
+    assert len(parts("auto")) <= 5
 
 
 def test_compact_emission_log_kind_from_markers_not_columns(spark, tmp_path):

@@ -229,40 +229,54 @@ def test_tws_state_dir_refused_by_keyed_engine_and_vice_versa(spark, tmp_path):
         )
 
 
-def test_tws_refuses_container_value_columns(spark, tmp_path):
-    """Nested containers in value columns are refused with a pointer at
-    engine='exact' (tws value state scrambles them upstream; the pandas
-    keyed fold rejects numpy array cells — neither per-key family
-    supports containers)."""
-    from pyspark_engine.streaming import join_tables_streaming, suppress_buffered
+def test_tws_container_value_columns_ride_binary_tunnel(spark, tmp_path):
+    """r12 verdict task 2: container-typed VALUE columns work on the tws
+    engines — they ride the value state as pickled binary (_enc_c) and are
+    decoded before emission, so the re-emission-from-state path returns the
+    NATIVE container.  Container ORDER columns (a position the tunnel
+    cannot cover) still refuse with a pointer at engine='exact'."""
+    from pyspark_engine.streaming import StreamingBuilder, join_tables_streaming
+    from pyspark_engine.testing import stage_generation_file
 
-    def t(m):
-        return dt.datetime(2024, 1, 1, 0, m)
-
-    l1 = _mk_stream(
-        spark,
-        tmp_path,
-        "lc",
-        "k int, lv array<int>, lts timestamp",
-        [(1, [1, 2], t(0))],
-        "k",
-        "lts",
+    # two batches: the left container is stored in batch 0 and re-emitted
+    # FROM STATE when the right side arrives in batch 1 — the round-trip
+    # the upstream bug breaks without the tunnel
+    ld, rd = str(tmp_path / "lt"), str(tmp_path / "rt")
+    stage_generation_file(
+        spark.createDataFrame(
+            [(1, [1.5, float("nan"), None], 1), (2, None, 1), (3, [], 1)],
+            "k int, lv array<double>, lo int",
+        ),
+        ld,
+        0,
     )
-    r1 = _mk_stream(spark, tmp_path, "rc", "rk int, rv int, rts timestamp", [(1, 1, t(0))], "rk", "rts")
-    with pytest.raises(ValueError, match="engine='exact'"):
-        join_tables_streaming(l1, r1, engine="tws")
+    stage_generation_file(
+        spark.createDataFrame([(1, 10, 1), (2, 20, 1), (3, 30, 1)], "rk int, rv int, ro int"),
+        rd,
+        0,
+    )
+    sb = StreamingBuilder(spark)
+    snap = join_tables_streaming(
+        sb.file_stream(ld, key="k"),
+        sb.file_stream(rd, key="rk"),
+        how="inner",
+        l_order=("lo",),
+        r_order=("ro",),
+        engine="tws",
+    )
+    got = {r["k"]: r["lv"] for r in snap.collect()}
+    assert got[1][0] == 1.5 and math.isnan(got[1][1]) and got[1][2] is None
+    assert got[2] is None and got[3] == []
 
-    sup = _mk_stream(
-        spark,
-        tmp_path,
-        "sc",
-        "k int, v array<int>, ts timestamp",
-        [(1, [1], t(0))],
-        "k",
-        "ts",
-    ).to_table().suppress(until_time_limit_ms=60_000)
-    with pytest.raises(ValueError, match="engine='exact'"):
-        suppress_buffered(sup, time_col="ts", engine="tws")
+    # container ORDER column: hard position, still refused
+    lo = _mk_stream(
+        spark, tmp_path, "lo2", "k int, lv int, lord array<int>", [(1, 1, [1])], "k"
+    )
+    ro = _mk_stream(spark, tmp_path, "ro2", "rk int, rv int, ro int", [(1, 1, 1)], "rk")
+    with pytest.raises(ValueError, match="key/order/fk position"):
+        join_tables_streaming(
+            lo, ro, how="inner", l_order=("lord",), r_order=("ro",), engine="tws"
+        )
 
 
 # ------------------------------------------------------------ NaN semantics
@@ -351,3 +365,139 @@ def test_nan_double_semantics_across_join_engines(spark, tmp_path):
     assert math.isnan(tws[1]) and tws[2] == 2.5
     keyed = run("keyed")
     assert keyed[1] is None and keyed[2] == 2.5
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="upstream PySpark 4.1.2: a nested container (array<struct>) in "
+    "VALUE state cannot round-trip — under the shim runtime the worker dies "
+    "in cloudpickle ('cannot pickle generator object') during the update; "
+    "with the wheel the value came back scrambled.  This is exactly why the "
+    "tws engines refuse container-typed user value columns (tws.py module "
+    "docstring / _refuse_containers).  A strict XPASS means a Spark upgrade "
+    "fixed the round-trip: lift the tws container refusal.",
+)
+def test_upstream_nested_container_value_state_roundtrip(spark, tmp_path):
+    """Minimal repro, independent of the engines: store [{a:1,b:'x'},
+    {a:2,b:'y'}] in a value state in batch 1, read it back in batch 2."""
+    import json
+
+    from pyspark.sql import Row as _Row
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pyspark_engine.testing import stage_generation_file
+    from pyspark_engine.tws import (
+        _import_stateful_processor,
+        _rocksdb_provider,
+        require_tws,
+    )
+
+    require_tws(spark)
+    StatefulProcessor = _import_stateful_processor()
+    elem = StructType([StructField("a", IntegerType()), StructField("b", StringType())])
+    state_schema = StructType([StructField("arr", ArrayType(elem))])
+    stored = [_Row(a=1, b="x"), _Row(a=2, b="y")]
+
+    class Echo(StatefulProcessor):
+        def init(self, handle):
+            self.st = handle.getValueState("v", state_schema)
+
+        def close(self):
+            pass
+
+        def handleInputRows(self, key, rows, timerValues):
+            list(rows)  # drain the iterator
+            prev = self.st.get()
+            if prev is None:
+                seen = "none"
+            else:
+                seen = json.dumps([[e["a"], e["b"]] for e in prev[0]])
+            self.st.update((stored,))
+            yield _Row(k=key[0], prev=seen)
+
+    src = str(tmp_path / "src")
+    stage_generation_file(spark.createDataFrame([(1, 1)], "k int, v int"), src, 0)
+    stage_generation_file(spark.createDataFrame([(1, 2)], "k int, v int"), src, 1)
+    sdf = (
+        spark.readStream.schema("k int, v int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _rocksdb_provider(spark):
+        res = sdf.groupBy("k").transformWithState(Echo(), "k int, prev string", "Update", "None")
+        q = (
+            res.writeStream.format("memory")
+            .queryName("xfail_container_state")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = {r["prev"] for r in spark.sql("select * from xfail_container_state").collect()}
+    assert 'none' in got
+    assert json.dumps([[1, "x"], [2, "y"]]) in got  # scrambled today (upstream)
+
+
+def test_asof_tws_engine_guards_and_resume(spark, tmp_path):
+    """r12 verdict task 4 companions: a dir written by one as-of engine is
+    refused by the other (layout/marker guards); a RESUMED tws drain with
+    new stream files returns the accumulated result and only per-batch work
+    (the staged history is consumed once — list state retains it)."""
+    import os
+
+    from pyspark_engine import StreamBuilder as BatchBuilder
+    from pyspark_engine.streaming import StreamingBuilder, join_table_asof_streaming
+    from pyspark_engine.testing import stage_generation_file
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    b = BatchBuilder(spark)
+    hist = spark.createDataFrame(
+        [(1, t(0), 100), (1, t(10), 110), (2, t(5), 200)], "k long, ts timestamp, pv long"
+    )
+    vt = b.versioned_table(hist, key="k", ts="ts", order=("pv",))
+    src = str(tmp_path / "s")
+    stage_generation_file(
+        spark.createDataFrame([(1, t(5), 0)], "k long, ts timestamp, sid long"), src, 0
+    )
+    sb = StreamingBuilder(spark)
+
+    def ks():
+        return sb.file_stream(src, key="k", ts="ts", max_files_per_trigger=1)
+
+    root, ck = str(tmp_path / "asof"), str(tmp_path / "ck")
+    got1 = join_table_asof_streaming(ks(), vt, how="left", out_dir=root, checkpoint=ck, engine="tws")
+    assert {(r["k"], r["sid"], r["pv"]) for r in got1.collect()} == {(1, 0, 100)}
+    assert os.path.exists(os.path.join(root, "_PSE_TWS_ASOF_V"))
+
+    # exact engine refuses the tws layout
+    with pytest.raises(ValueError, match="tws as-of engine"):
+        join_table_asof_streaming(ks(), vt, out_dir=root, checkpoint=ck, engine="exact")
+
+    # resume: a new stream file joins against the RETAINED list-state
+    # history; result accumulates (engine=None re-selects tws from the marker)
+    stage_generation_file(
+        spark.createDataFrame([(1, t(20), 1), (2, t(4), 2)], "k long, ts timestamp, sid long"),
+        src,
+        1,
+    )
+    got2 = join_table_asof_streaming(ks(), vt, how="left", out_dir=root, checkpoint=ck)
+    assert {(r["k"], r["sid"], r["pv"]) for r in got2.collect()} == {
+        (1, 0, 100),
+        (1, 1, 110),
+        (2, 2, None),
+    }
+
+    # tws refuses an exact-layout dir
+    root2, ck2 = str(tmp_path / "asof2"), str(tmp_path / "ck2")
+    join_table_asof_streaming(ks(), vt, how="left", out_dir=root2, checkpoint=ck2, engine="exact")
+    with pytest.raises(ValueError, match="exact as-of engine"):
+        join_table_asof_streaming(ks(), vt, out_dir=root2, checkpoint=ck2, engine="tws")
