@@ -16,12 +16,14 @@ What is real vs stubbed — be precise, this is a TEST transport:
 * STUBBED: the broker itself.  Topics are parquet directories in the
   Kafka source column layout (key/value binary, topic, partition, offset,
   timestamp, timestampType); appends assign offsets transactionally via a
-  JSON high-watermark file.  SINGLE-WRITER per topic (no broker to
-  serialize concurrent producers), no replication, no compaction, no
-  consumer groups beyond Spark's own checkpoint.  Throughput is parquet
-  throughput.  None of this code path is the 100 TB story — a real
-  deployment points the SAME builder calls at a real bootstrap string and
-  the stub never loads.
+  JSON high-watermark file.  CONCURRENT PRODUCERS are serialized per topic
+  with an advisory ``flock`` on ``_lock-<topic>`` (the single-node analog
+  of the broker's per-partition log append — r12 verdict task 8; local
+  filesystems only, flock is advisory over NFS).  No replication, no
+  compaction, no consumer groups beyond Spark's own checkpoint.
+  Throughput is parquet throughput.  None of this code path is the 100 TB
+  story — a real deployment points the SAME builder calls at a real
+  bootstrap string and the stub never loads.
 
 Select it with a ``stub://<directory>`` bootstrap string anywhere a
 bootstrap is accepted (kafka_stream / start_to_kafka /
@@ -76,6 +78,27 @@ class KafkaStubBroker:
     def _meta_path(self, topic: str) -> str:
         return os.path.join(self.root, f"_meta-{topic}.json")
 
+    def _topic_lock(self, topic: str):
+        """Exclusive advisory lock serializing producers on one topic —
+        the broker's log-append critical section.  Two unserialized
+        appenders would read the same high watermark and double-issue
+        offsets (the parquet-dir max() recovery only defends against a
+        CRASHED append, not a CONCURRENT one)."""
+        import fcntl  # noqa: PLC0415
+        from contextlib import contextmanager  # noqa: PLC0415
+
+        @contextmanager
+        def _held():
+            fd = os.open(os.path.join(self.root, f"_lock-{topic}"), os.O_CREAT | os.O_RDWR)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return _held()
+
     def _read_meta(self, topic: str) -> dict:
         try:
             with open(self._meta_path(topic)) as f:
@@ -95,8 +118,10 @@ class KafkaStubBroker:
         """Append producer records (columns ``key``/``value`` binary, plus
         optionally ``topic``/``timestamp``) to a topic: keyed partition
         assignment, per-partition monotonic offsets (high-watermark file —
-        the single-writer transactional step a real broker performs), one
-        parquet append per call.  With no ``topic`` argument the records
+        the transactional log-append step a real broker performs), one
+        parquet append per call.  Concurrent producers are serialized by
+        the per-topic ``flock`` (_topic_lock), so parallel appends get
+        unique, gap-free offsets.  With no ``topic`` argument the records
         must carry a ``topic`` column (the dynamic topic-name-extractor
         path); each distinct topic gets its own append."""
         cols = wire.columns
@@ -107,6 +132,11 @@ class KafkaStubBroker:
             for t in topics:
                 self.append(wire.filter(F.col("topic") == t), t)
             return
+        with self._topic_lock(topic):
+            self._append_locked(wire, topic)
+
+    def _append_locked(self, wire: DataFrame, topic: str) -> None:
+        cols = wire.columns
         n = self.n_partitions
         meta = self._read_meta(topic)
         base = {int(p): int(v) for p, v in meta["next_offset"].items()}

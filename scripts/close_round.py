@@ -178,6 +178,35 @@ def verify() -> int:
     return 0
 
 
+def compare_replay_to_pin(bench_line: str) -> dict | None:
+    """Streaming-replay ratio gate (r12 verdict task 6): BENCH's replay
+    throughput swung 3.2x between identical-code runs, so regressions were
+    unreadable.  The pin (BASELINE.json 'streaming_replay_pin', median-of-3
+    on an idle box) gives the number a baseline; this prints the ratio,
+    stamps it into EVIDENCE via the caller, and hard-fails only past 4x —
+    wide enough that box noise cannot wedge a round, tight enough that a
+    real regression (an accidental per-batch full-table scan) cannot hide.
+    Returns None when either side is missing (pre-pin rounds, replay err)."""
+    try:
+        bench = json.loads(bench_line)
+        replay = bench.get("streaming_replay") or {}
+        rps = replay.get("rows_per_sec")
+        with open(os.path.join(REPO, "BASELINE.json")) as f:
+            pin = json.load(f).get("streaming_replay_pin") or {}
+        pin_rps = pin.get("rows_per_sec")
+    except (OSError, ValueError):
+        return None
+    if not rps or not pin_rps:
+        return None
+    ratio = round(pin_rps / rps, 2)  # >1 = slower than pin
+    return {
+        "rows_per_sec": rps,
+        "pin_rows_per_sec": pin_rps,
+        "slowdown_vs_pin": ratio,
+        "gate": "FAIL" if ratio > 4.0 else "ok",
+    }
+
+
 def box_state() -> dict:
     """Loadavg + top CPU consumers: the r9 session measured ~25% same-code
     bench drift over hours of back-to-back suites, so every pinned number
@@ -271,6 +300,7 @@ def generate() -> int:
         ),
         ("bench @ sf0.1", [sys.executable, "bench.py"], env),
     ]
+    replay_check = None
     for name, cmd, e in steps:
         if name.startswith("bench"):
             box = box_state()
@@ -291,6 +321,16 @@ def generate() -> int:
                 with open(os.path.join(REPO, "BENCH_HEAD.json"), "w") as f:
                     f.write(pin + "\n")
                 print(lines[-1])
+                replay_check = compare_replay_to_pin(pin)
+                if replay_check:
+                    print(f"streaming-replay vs pin: {replay_check}")
+                    if replay_check.get("gate") == "FAIL":
+                        print(
+                            "FAIL: streaming replay regressed past the 4x gate "
+                            "(BASELINE.md 'Streaming-replay pin protocol') — "
+                            "investigate before stamping evidence"
+                        )
+                        return 1
         if r.returncode != 0:
             print(f"FAIL: {name} exited {r.returncode}")
             if r.stderr:
@@ -320,6 +360,7 @@ def generate() -> int:
                 "pytest_tail": pytest_tail,
                 "sf01_sample": sample,
                 "box_state_before_bench": box,
+                "streaming_replay_vs_pin": replay_check,
             },
             f,
             indent=1,

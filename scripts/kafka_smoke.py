@@ -12,17 +12,29 @@
 
 What it exercises (the reference's whole I/O loop,
 core/Processors/SourceProcessor.cs:16-49 consume→deserialize and
-core/Kafka/Internal/RecordCollector.cs:82-120 serialize→produce):
+core/Kafka/Internal/RecordCollector.cs:82-120 serialize→produce) — a
+SCENARIO MATRIX (``--scenarios``, default all):
 
-  1. PRODUCE  — batch-write N JSON records (key=user id) to ``--topic-in``
-               through serdes.encode_kafka (the SinkProcessor serialize step).
-  2. PROCESS  — StreamingBuilder.kafka_stream(topic_in) → group_by_key()
-               .count() → start_to_kafka(topic_out): live consume, the same
-               DSL operators the offline tests verify, live produce.
-  3. VERIFY   — batch-read topic_out, decode with serdes.decode_kafka, and
-               assert the per-key counts equal the counts computed directly
-               from the produced batch (latest record per key wins, since
-               update-mode re-emissions append to the topic).
+  count       PRODUCE N JSON records (key=user id) through
+              serdes.encode_kafka → kafka_stream(topic_in) →
+              group_by_key().count() → start_to_kafka(topic_out) →
+              batch-read + decode_kafka, assert per-key counts (latest
+              record per key wins — update-mode re-emissions append).
+  reemit      the update-mode RE-EMISSION path across RESUMED drains: two
+              produces with a drain after each (same sink checkpoint);
+              the second drain processes only the new records, the output
+              topic accumulates multiple records per re-counted key, and
+              the compacted (max-offset) state equals the full ground
+              truth — the changelog-topic contract.
+  join        the EAGER stream-stream join (KStreamKStreamJoinProcessor
+              .cs:51-66 pre-KIP-633 timing) consuming BOTH sides from
+              topics: two produces, join_windowed_eager over the two
+              kafka_streams, inner result verified against a plain batch
+              join of the produced records.
+  multiwriter CONCURRENT producers on ONE topic (4 threads × parallel
+              appends): the stub serializes them with its per-topic flock
+              (r12 verdict task 8); verify no rows lost and per-partition
+              offsets are unique AND gap-free.
 
 Usage (cluster / laptop with network):
 
@@ -92,12 +104,184 @@ def latest_counts_from_wire(decoded: DataFrame) -> dict[int, int]:
     return {int(r["key"]): int(r["cnt"]) for r in w.collect()}
 
 
+def _produce(spark, broker, bootstrap: str, wire: DataFrame, topic: str) -> None:
+    if broker is not None:
+        broker.append(wire, topic)
+    else:
+        (
+            wire.write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("topic", topic)
+            .save()
+        )
+
+
+def _read_topic(spark, broker, bootstrap: str, topic: str) -> DataFrame:
+    if broker is not None:
+        return broker.read_batch(spark, topic)
+    return (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+
+
+def scenario_count(spark, broker, bootstrap: str, rows: int, topic_in: str, topic_out: str) -> dict:
+    records = sample_records(spark, rows)
+    want = expected_counts(records)
+    wire = serdes.encode_kafka(records, key_col="user_id", value_cols=["user_id", "amount"])
+    _produce(spark, broker, bootstrap, wire, topic_in)
+    sb = StreamingBuilder(spark)
+    ks = sb.kafka_stream(bootstrap, topic_in, VALUE_SCHEMA, key_type="long", ts_alias="ts")
+    q = start_to_kafka(
+        topology(ks), bootstrap, topic=topic_out, key_col="key", value_cols=["cnt"],
+        output_mode="update", available_now=True,
+    )
+    q.awaitTermination()
+    decoded = serdes.decode_kafka(
+        _read_topic(spark, broker, bootstrap, topic_out), COUNT_SCHEMA,
+        key_type="long", include_meta=True,
+    )
+    got = latest_counts_from_wire(decoded)
+    return {"pass": got == want, "keys": len(want)}
+
+
+def scenario_reemit(spark, broker, bootstrap: str, rows: int, tag: str) -> dict:
+    """Update-mode re-emission across RESUMED drains (the changelog-topic
+    contract): same sink checkpoint for both drains, so drain 2 consumes
+    only the second produce; re-counted keys APPEND new records and the
+    max-offset compaction equals the full ground truth."""
+    import tempfile
+
+    topic_in, topic_out = f"reemit-in-{tag}", f"reemit-out-{tag}"
+    ckpt = tempfile.mkdtemp(prefix="pse-smoke-reemit-")
+    half = max(rows // 2, 1)
+    first = sample_records(spark, half)
+    second = sample_records(spark, rows).exceptAll(first)
+    want = expected_counts(sample_records(spark, rows))
+    sb = StreamingBuilder(spark)
+
+    def drain():
+        ks = sb.kafka_stream(bootstrap, topic_in, VALUE_SCHEMA, key_type="long", ts_alias="ts")
+        q = start_to_kafka(
+            topology(ks), bootstrap, topic=topic_out, key_col="key", value_cols=["cnt"],
+            output_mode="update", available_now=True, checkpoint=ckpt,
+        )
+        q.awaitTermination()
+
+    for batch in (first, second):
+        wire = serdes.encode_kafka(batch, key_col="user_id", value_cols=["user_id", "amount"])
+        _produce(spark, broker, bootstrap, wire, topic_in)
+        drain()
+    decoded = serdes.decode_kafka(
+        _read_topic(spark, broker, bootstrap, topic_out), COUNT_SCHEMA,
+        key_type="long", include_meta=True,
+    )
+    got = latest_counts_from_wire(decoded)
+    # re-counted keys must have accumulated >1 record on the topic (append,
+    # never overwrite) — every key appears in both halves for rows >= 2*keys
+    per_key = {
+        int(r["key"]): int(r["n"])
+        for r in decoded.groupBy("key").agg(F.count("*").alias("n")).collect()
+    }
+    reemitted = sum(1 for n in per_key.values() if n > 1)
+    return {"pass": got == want and reemitted > 0, "keys": len(want), "reemitted_keys": reemitted}
+
+
+def scenario_join(spark, broker, bootstrap: str, tag: str) -> dict:
+    """Eager stream-stream join consuming BOTH sides from topics.  All
+    records are produced within one wall-clock window, so with a 1 h join
+    window the inner eager result must equal the plain batch key-join of
+    the produced records (eager timing adds no/loses no INNER pairs)."""
+    from pyspark_engine.streaming import join_windowed_eager
+    from pyspark_engine.windows import JoinWindowOptions
+
+    topic_a, topic_b = f"join-a-{tag}", f"join-b-{tag}"
+    n_keys = 7
+    left = spark.range(28).select(
+        (F.col("id") % n_keys).alias("user_id"), (F.col("id") * F.lit(1.0)).alias("amount")
+    )
+    right = spark.range(14).select(
+        (F.col("id") % n_keys).alias("user_id"), (F.col("id") * F.lit(10.0)).alias("score")
+    )
+    _produce(spark, broker, bootstrap,
+             serdes.encode_kafka(left, key_col="user_id", value_cols=["user_id", "amount"]),
+             topic_a)
+    _produce(spark, broker, bootstrap,
+             serdes.encode_kafka(right, key_col="user_id", value_cols=["user_id", "score"]),
+             topic_b)
+    sb = StreamingBuilder(spark)
+    lks = sb.kafka_stream(bootstrap, topic_a, "user_id long, amount double",
+                          key_type="long", ts_alias="lts")
+    l = KStream(lks.df.select(F.col("key").alias("lk"), "amount", "lts"), ("lk",), "lts")
+    rks = sb.kafka_stream(bootstrap, topic_b, "user_id long, score double",
+                          key_type="long", ts_alias="rts")
+    r = KStream(rks.df.select(F.col("key").alias("rk"), "score", "rts"), ("rk",), "rts")
+    res = join_windowed_eager(l, r, JoinWindowOptions.of(3_600_000), how="inner")
+    got = {
+        (int(x["lk"]), float(x["amount"]), float(x["score"]))
+        for x in res.select("lk", "amount", "score").collect()
+    }
+    want = {
+        (int(x["user_id"]), float(x["amount"]), float(x["score"]))
+        for x in left.join(right, "user_id").collect()
+    }
+    return {"pass": got == want and len(want) > 0, "pairs": len(want)}
+
+
+def scenario_multiwriter(spark, broker, bootstrap: str, tag: str) -> dict:
+    """4 concurrent producers on ONE topic.  The stub's per-topic flock is
+    the broker's log-append critical section: without it, racing appends
+    read the same high watermark and double-issue offsets.  Verify no rows
+    lost AND per-partition offsets unique + gap-free."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    topic = f"multi-{tag}"
+    n_writers, rows_each = 4, 200
+
+    def produce(w: int) -> None:
+        recs = spark.range(w * rows_each, (w + 1) * rows_each).select(
+            (F.col("id") % 23).alias("user_id"), F.col("id").cast("double").alias("amount")
+        )
+        _produce(spark, broker, bootstrap,
+                 serdes.encode_kafka(recs, key_col="user_id", value_cols=["user_id", "amount"]),
+                 topic)
+
+    with ThreadPoolExecutor(max_workers=n_writers) as ex:
+        list(ex.map(produce, range(n_writers)))
+    raw = _read_topic(spark, broker, bootstrap, topic)
+    total = raw.count()
+    per_part = raw.groupBy("partition").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("offset").alias("d"),
+        F.min("offset").alias("lo"),
+        F.max("offset").alias("hi"),
+    ).collect()
+    offsets_ok = all(
+        int(r["n"]) == int(r["d"]) == int(r["hi"]) - int(r["lo"]) + 1 and int(r["lo"]) == 0
+        for r in per_part
+    )
+    return {
+        "pass": total == n_writers * rows_each and offsets_ok,
+        "rows": total,
+        "expected_rows": n_writers * rows_each,
+        "offsets_gap_free": offsets_ok,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--bootstrap", required=True, help="Kafka bootstrap servers")
     ap.add_argument("--topic-in", default=f"pse-smoke-in-{uuid.uuid4().hex[:8]}")
     ap.add_argument("--topic-out", default=f"pse-smoke-out-{uuid.uuid4().hex[:8]}")
     ap.add_argument("--rows", type=int, default=1000)
+    ap.add_argument(
+        "--scenarios",
+        default="count,reemit,join,multiwriter",
+        help="comma list from: count, reemit, join, multiwriter",
+    )
     ap.add_argument(
         "--package",
         default=None,
@@ -118,63 +302,31 @@ def main() -> int:
         b = b.config("spark.jars.packages", args.package)
     spark = b.getOrCreate()
     broker = KafkaStubBroker(args.bootstrap) if stub else None
+    tag = uuid.uuid4().hex[:8]
 
     t0 = time.time()
-    # 1. PRODUCE (batch Kafka write through the same encode_kafka expressions)
-    records = sample_records(spark, args.rows)
-    want = expected_counts(records)
-    wire = serdes.encode_kafka(records, key_col="user_id", value_cols=["user_id", "amount"])
-    if stub:
-        broker.append(wire, args.topic_in)
-    else:
-        (
-            wire.write.format("kafka")
-            .option("kafka.bootstrap.servers", args.bootstrap)
-            .option("topic", args.topic_in)
-            .save()
-        )
-
-    # 2. PROCESS: live consume -> DSL -> live produce (bounded drain)
-    sb = StreamingBuilder(spark)
-    ks = sb.kafka_stream(
-        args.bootstrap, args.topic_in, VALUE_SCHEMA, key_type="long", ts_alias="ts"
-    )
-    counted = topology(ks)
-    q = start_to_kafka(
-        counted,
-        args.bootstrap,
-        topic=args.topic_out,
-        key_col="key",
-        value_cols=["cnt"],
-        output_mode="update",
-        available_now=True,
-    )
-    q.awaitTermination()
-
-    # 3. VERIFY: read the output topic back and compare final per-key counts
-    if stub:
-        raw = broker.read_batch(spark, args.topic_out)
-    else:
-        raw = (
-            spark.read.format("kafka")
-            .option("kafka.bootstrap.servers", args.bootstrap)
-            .option("subscribe", args.topic_out)
-            .option("startingOffsets", "earliest")
-            .load()
-        )
-    decoded = serdes.decode_kafka(raw, COUNT_SCHEMA, key_type="long", include_meta=True)
-    got = latest_counts_from_wire(decoded)
-    ok = got == want
+    results: dict[str, dict] = {}
+    for name in [x.strip() for x in args.scenarios.split(",") if x.strip()]:
+        if name == "count":
+            results[name] = scenario_count(
+                spark, broker, args.bootstrap, args.rows, args.topic_in, args.topic_out
+            )
+        elif name == "reemit":
+            results[name] = scenario_reemit(spark, broker, args.bootstrap, args.rows, tag)
+        elif name == "join":
+            results[name] = scenario_join(spark, broker, args.bootstrap, tag)
+        elif name == "multiwriter":
+            results[name] = scenario_multiwriter(spark, broker, args.bootstrap, tag)
+        else:
+            raise SystemExit(f"unknown scenario {name!r}")
+    ok = all(r.get("pass") for r in results.values())
     print(
         json.dumps(
             {
                 "kafka_smoke": "PASS" if ok else "FAIL",
-                "keys": len(want),
-                "rows": args.rows,
+                "transport": "stub" if stub else "kafka",
                 "sec": round(time.time() - t0, 2),
-                "topic_in": args.topic_in,
-                "topic_out": args.topic_out,
-                **({} if ok else {"mismatches": sum(1 for k in want if got.get(k) != want[k])}),
+                "scenarios": results,
             }
         )
     )

@@ -15,6 +15,10 @@ per-microbatch regime.  One session, idle box.
 Usage: python scripts/suppress_scale.py            # N = 20k, 100k; B = 10
        SUPPRESS_NS=1000,10000 SUPPRESS_B=5 python scripts/suppress_scale.py
 Prints one JSON line; merge the result into SCALE_STRESS.json.
+The tws (transformWithState) engines share the keyed measurement branch —
+their state also lives under the checkpoint's state store — so
+SUPPRESS_ENGINES=tws records the r12-verdict task-1 evidence (flat per-batch
+state I/O at both key counts) with the identical protocol.
 """
 
 from __future__ import annotations

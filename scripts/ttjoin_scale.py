@@ -24,6 +24,10 @@ different places:
 Usage: python scripts/ttjoin_scale.py             # N = 100k, 1M; B = 10
        TTJOIN_NS=1000,10000 TTJOIN_B=5 python scripts/ttjoin_scale.py
 Prints one JSON line; merge the result into SCALE_STRESS.json.
+The tws (transformWithState) engines share the keyed measurement branch —
+their state also lives under the checkpoint's state store — so
+TTJOIN_ENGINES=tws records the r12-verdict task-1 evidence (flat per-batch
+state I/O at both key counts) with the identical protocol.
 """
 
 from __future__ import annotations
@@ -217,6 +221,80 @@ def measure_fk(spark, engine: str, n_keys: int, n_batches: int) -> dict:
     return out
 
 
+def measure_asof(spark, engine: str, n_keys: int, n_batches: int) -> dict:
+    """Same protocol for join_table_asof_streaming (r12 verdict task 4): an
+    N-key version history (3 versions per key), then B single-record stream
+    batches.  tws ships the history into per-key LIST state ONCE (warmup) —
+    the timed resumed drain's per-batch cost is the batch's own lookups +
+    state-store deltas, flat in N; the exact engine re-joins each batch
+    against the FULL history, so its per-batch wall grows with N (its I/O
+    is just the emitted rows — the growth shows in sec_per_batch)."""
+    import datetime as dt
+
+    from pyspark_engine import StreamBuilder as BatchBuilder
+    from pyspark_engine.streaming import join_table_asof_streaming
+
+    tag = f"asof-{engine}-{n_keys}"
+    root = os.path.join(ROOT, tag)
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    out_dir, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    base = dt.datetime(2024, 1, 1)
+
+    hist = spark.range(n_keys * 3).select(
+        (F.col("id") % n_keys).alias("k"),
+        (F.lit(base) + (F.col("id") / n_keys).cast("int") * F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        F.col("id").alias("pv"),
+    )
+    vt = BatchBuilder(spark).versioned_table(hist, key="k", ts="ts", order=("pv",))
+    stage_generation_file(
+        spark.createDataFrame([(0, base + dt.timedelta(hours=9), 0)], "k long, ts timestamp, sid long"),
+        src,
+        0,
+    )
+    sb = StreamingBuilder(spark)
+
+    def run():
+        return join_table_asof_streaming(
+            sb.file_stream(src, key="k", ts="ts", max_files_per_trigger=1),
+            vt,
+            how="left",
+            out_dir=out_dir,
+            checkpoint=ckpt,
+            engine=engine,
+        )
+
+    run()  # warmup: tws ships the history into list state here
+
+    for i in range(1, n_batches + 1):
+        stage_generation_file(
+            spark.createDataFrame(
+                [(i % n_keys, base + dt.timedelta(hours=9, seconds=i), i)],
+                "k long, ts timestamp, sid long",
+            ),
+            src,
+            i,
+        )
+    t0 = time.time()
+    run()
+    wall = time.time() - t0
+
+    if engine == "exact":
+        per_batch = _tree_bytes(out_dir, newer_than=t0) / n_batches
+    else:
+        per_batch = (
+            _tree_bytes(os.path.join(ckpt, "state"), newer_than=t0)
+            + _tree_bytes(os.path.join(out_dir, "out"), newer_than=t0)
+        ) / n_batches
+    out = {
+        "incremental_drain_sec": round(wall, 2),
+        "sec_per_batch": round(wall / n_batches, 3),
+        "state_bytes_per_batch": int(per_batch),
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     ns = [int(x) for x in os.environ.get("TTJOIN_NS", "100000,1000000").split(",")]
     b = int(os.environ.get("TTJOIN_B", "10"))
@@ -230,6 +308,10 @@ def main() -> None:
         out = {"metric": "fkjoin_engine_scaling", "batches": b, "state_keys": ns}
         for engine in engines:
             out[engine] = {f"n{n}": measure_fk(spark, engine, n, b) for n in ns}
+    elif which == "asof":
+        out = {"metric": "asofjoin_engine_scaling", "batches": b, "state_keys": ns}
+        for engine in engines:
+            out[engine] = {f"n{n}": measure_asof(spark, engine, n, b) for n in ns}
     else:
         out = {"metric": "ttjoin_engine_scaling", "batches": b, "state_keys": ns}
         for engine in engines:
