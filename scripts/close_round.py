@@ -67,6 +67,12 @@ SOURCE_PATHS = ("pyspark_engine/", "__spark_entry__.py", "bench.py", "scripts/")
 # closures over the documents table) — exact by design at the sf0.01 gate
 # scale, hours at sf0.1.  Each has dedicated scale evidence in
 # SCALE_STRESS.json instead (x1→x100 exponents, spill sweep).
+# brute-force/recursive-oracle family: their DUCKDB ORACLES are O(n^2) or
+# recursive-CTE and intractable at the full 5000-doc sf0.1 corpus.  They are
+# NOT unchecked at scale: scripts/brute_probe.py runs this exact family
+# against a hash-sampled ~sf0.03-equivalent sub-corpus of REAL sf0.1 rows
+# (content-scale effects exercised, pair count capped) — artifact
+# CORRECTNESS_SF01_BRUTE.json (r12 verdict task 7).
 SF01_SAMPLE_EXCLUDE = {
     "q43", "q44", "q45", "q74", "q90", "q108", "q109", "q127", "q134",
     "q140", "q151", "q154",
