@@ -318,20 +318,31 @@ _COMPACT_TRASH_PREFIX = "compact-trash-"
 
 
 def _check_no_pending_compaction(root: str) -> None:
-    """A crashed compact_emission_log leaves a recovery marker; draining
-    over a half-swapped log would read a wrong snapshot, so engines refuse
-    until the (idempotent) compactor has recovered it."""
-    entries = []
+    """A crashed compact_emission_log leaves recovery markers; draining over
+    a half-swapped log would read a wrong snapshot.  Since compaction can now
+    run AUTOMATICALLY at drain entry (_maybe_autocompact), a crashed pass must
+    not wedge a previously fully-automatic pipeline behind a manual recovery
+    call (round-13 review finding 4) — the recovery is idempotent and provably
+    safe (it finishes forward only in unambiguous states, else rolls back), so
+    HEAL here and raise only if markers somehow survive recovery."""
+
+    def _pending(entries) -> bool:
+        return _COMPACT_TMP in entries or any(
+            e.startswith(_COMPACT_TRASH_PREFIX) for e in entries
+        )
+
     try:
         entries = os.listdir(root)
     except OSError:
         return
-    if _COMPACT_TMP in entries or any(e.startswith(_COMPACT_TRASH_PREFIX) for e in entries):
-        raise ValueError(
-            f"state dir {root!r} holds an interrupted emission-log compaction "
-            "(compact-tmp/compact-trash present); re-run compact_emission_log "
-            "on it to recover before draining"
-        )
+    if _pending(entries):
+        _recover_compaction(os.path.join(root, "out"), root)
+        if _pending(os.listdir(root)):
+            raise ValueError(
+                f"state dir {root!r} holds an interrupted emission-log compaction "
+                "(compact-tmp/compact-trash present) that recovery could not "
+                "clear; re-run compact_emission_log on it before draining"
+            )
 
 
 def _sink_partitions(out_dir: str) -> dict[int, str]:
@@ -617,15 +628,19 @@ def compact_emission_log(
     return result
 
 
-def _container_cols_any(schema, cols) -> bool:
+def _container_cols(schema, cols) -> set[str]:
+    """The container-typed (array/map/struct) members of ``cols`` — THE one
+    membership predicate shared by the keyed refusals, tws tunnel selection,
+    and engine auto-selection (round-13 review: three drifting copies)."""
     from pyspark.sql.types import ArrayType, MapType
     from pyspark.sql.types import StructType as _St
 
     cs = {c for c in cols if c}
-    return any(
-        f.name in cs and isinstance(f.dataType, (ArrayType, MapType, _St))
+    return {
+        f.name
         for f in schema.fields
-    )
+        if f.name in cs and isinstance(f.dataType, (ArrayType, MapType, _St))
+    }
 
 
 _AUTOCOMPACT_DEFAULT = 32
@@ -699,20 +714,10 @@ def _select_keyed_engine(state_dir: str | None, keyed_marker: str, schemas, hard
         [(StructType, cols)]) → ``exact``;
       * otherwise → ``tws`` (container VALUE columns ride tws's pickled
         -binary value-state tunnel — r12 verdict task 2)."""
-    from pyspark.sql.types import ArrayType, MapType
-    from pyspark.sql.types import StructType as _St
-
     from .protoshim import ensure_protobuf  # noqa: PLC0415
 
     def _has_containers(pairs):
-        for schema, cols in pairs:
-            cs = set(cols)
-            if any(
-                f.name in cs and isinstance(f.dataType, (ArrayType, MapType, _St))
-                for f in schema.fields
-            ):
-                return True
-        return False
+        return any(_container_cols(schema, cols) for schema, cols in pairs)
 
     if not ensure_protobuf():
         return "exact" if _has_containers(schemas) else "keyed"
@@ -3038,15 +3043,31 @@ def join_table_asof_streaming(
             elif "_PSE_TWS_ASOF_V" in entries:
                 engine = "tws"
         if engine is None:
-            sts_t = dict(stream.df.dtypes).get(stream.ts) if stream.ts else None
-            tts_t = dict(table.df.dtypes).get(table.ts) if getattr(table, "ts", None) else None
+            # every tws-engine construction guard must be mirrored here, or
+            # the auto-default breaks previously working exact calls (the
+            # round-12 'bare default flip' regression class): timestamp ts,
+            # key arity AND dtype equality, no hard containers, no reserved
+            # -name collisions
+            s_types = dict(stream.df.dtypes)
+            t_types = dict(table.df.dtypes)
+            reserved = {"sink_batch", "__side", "__sts", "__hts"} | {
+                f"__jk{i}" for i in range(len(stream.key))
+            }
             tws_ok = (
                 ensure_protobuf()
-                and sts_t == "timestamp"
-                and tts_t == "timestamp"
+                and stream.ts is not None
+                and getattr(table, "ts", None) is not None
+                and s_types.get(stream.ts) == "timestamp"
+                and t_types.get(table.ts) == "timestamp"
                 and len(stream.key) == len(table.key)
                 and all(
-                    not _container_cols_any(sch, cols)
+                    s_types.get(lk) == t_types.get(rk)
+                    for lk, rk in zip(stream.key, table.key)
+                )
+                and not reserved
+                & (set(stream.df.columns) | set(table.df.columns) | {matched_ts})
+                and not any(
+                    _container_cols(sch, cols)
                     for sch, cols in (
                         (stream.df.schema, list(stream.key) + [stream.ts]),
                         (table.df.schema, list(table.key) + [table.ts]),

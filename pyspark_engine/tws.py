@@ -66,6 +66,7 @@ from .streaming import (
     _check_no_pending_compaction,
     _checkpoint,
     _check_reserved_columns,
+    _container_cols,
     _empty_emissions,
     _has_emissions,
     _last_committed,
@@ -109,18 +110,20 @@ def _rocksdb_provider(spark):
     offset.  Scoping (rather than raising) keeps foreign sessions working;
     restored on exit."""
     tz_key = "spark.sql.session.timeZone"
+    key = "spark.sql.streaming.stateStore.providerClass"
     try:
         prev_tz = spark.conf.get(tz_key)
     except Exception:
         prev_tz = None
-    spark.conf.set(tz_key, "UTC")
-    key = "spark.sql.streaming.stateStore.providerClass"
     try:
         prev = spark.conf.get(key)
     except Exception:
         prev = None
-    spark.conf.set(key, _TWS_PROVIDER)
+    # both sets INSIDE the protected region: an exception between them must
+    # still restore whatever was already flipped (round-13 review)
     try:
+        spark.conf.set(tz_key, "UTC")
+        spark.conf.set(key, _TWS_PROVIDER)
         yield
     finally:
         if prev is None:
@@ -131,18 +134,6 @@ def _rocksdb_provider(spark):
             spark.conf.unset(tz_key)
         else:
             spark.conf.set(tz_key, prev_tz)
-
-
-def _container_cols(schema: StructType, cols: Sequence[str]) -> set[str]:
-    from pyspark.sql.types import ArrayType, MapType
-    from pyspark.sql.types import StructType as _St
-
-    cs = set(cols)
-    return {
-        f.name
-        for f in schema.fields
-        if f.name in cs and isinstance(f.dataType, (ArrayType, MapType, _St))
-    }
 
 
 def _refuse_hard_containers(what: str, *pairs) -> None:
@@ -1209,13 +1200,18 @@ def _make_asof_processor(hist_schema, r_vals, l_vals, n_key, how, tol_ms, out_co
             key_vals = [_norm(k) for k in key[:n_key]]
             for sts, lvs in pending:
                 matched = None
-                if sts is not None and hist:
-                    i = bisect.bisect_right(hts_keys, (True, sts))
+                if hist:
+                    # a null-ts stream row sorts after ONLY the null-ts
+                    # versions in the batch window (NULLS FIRST), so it
+                    # matches the last null-ts version — same as dsl.join_asof
+                    # (round-13 review finding 3)
+                    probe = (False, 0) if sts is None else (True, sts)
+                    i = bisect.bisect_right(hts_keys, probe)
                     if i > 0:
                         matched = hist[i - 1]
                 if matched is not None and tol is not None:
                     mts = matched[0]
-                    if mts is None or mts < sts - tol:
+                    if sts is None or mts is None or mts < sts - tol:
                         matched = None
                 if matched is None:
                     if how == "inner":
@@ -1322,13 +1318,25 @@ def join_table_asof_tws(
         _has_emissions(emit_dir) or _last_committed(ckpt) >= 0,
         "tws as-of join",
     )
+    import shutil  # noqa: PLC0415
+
+    if os.path.isdir(hist_dir) and not os.path.exists(os.path.join(hist_dir, "_SUCCESS")):
+        # torn staging (crash mid-write before this code staged atomically):
+        # the drain never started, so nothing consumed it — restage
+        shutil.rmtree(hist_dir)
     if not os.path.isdir(hist_dir):
         # stage the version history ONCE (single delivery, first batch);
-        # null keys dropped on both sides (KStreamKTableJoinProcessor.cs:31-35)
+        # null keys dropped on both sides (KStreamKTableJoinProcessor.cs:31-35).
+        # Written to a tmp dir + os.rename so a crash mid-write can never
+        # leave a partial hist_dir that a resumed drain would silently join
+        # against (round-13 review finding 1)
+        tmp_hist = hist_dir + "-tmp"
+        shutil.rmtree(tmp_hist, ignore_errors=True)
         h = table.df
         for k in table.key:
             h = h.filter(F.col(k).isNotNull())
-        h.write.parquet(hist_dir)
+        h.write.parquet(tmp_hist)
+        os.rename(tmp_hist, hist_dir)
 
     jk = [f"__jk{i}" for i in range(len(l_key))]
     hist_schema_src = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in table.df.schema.fields)

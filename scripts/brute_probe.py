@@ -75,6 +75,7 @@ def main() -> int:
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "check_correctness.py"), DEST, *PREFIXES],
         cwd=REPO,
+        env=env,
     )
     return r.returncode
 

@@ -3017,9 +3017,12 @@ def test_compact_emission_log_tt_join(spark, tmp_path, engine):
     with open(os.path.join(st_a, "compact-tmp", "_TARGET"), "w") as f:
         f.write(str(base_id))
     shutil.rmtree(os.path.join(out_a, base))
-    with pytest.raises(ValueError, match="interrupted emission-log compaction"):
-        drain("a")
-    compact_emission_log(spark, st_a, ck_a, key=("k",))  # recovers
+    # r13 (review finding): compaction can run AUTOMATICALLY at drain entry,
+    # so a crashed pass self-heals there (idempotent recovery) instead of
+    # wedging the drain behind a manual compact_emission_log call
+    drain("a")
+    assert not any(e.startswith("compact-") for e in os.listdir(st_a))
+    compact_emission_log(spark, st_a, ck_a, key=("k",))  # idempotent no-op
 
     # the OTHER two crash windows (round-12 review findings 1-2) must ROLL
     # BACK, never prune:
