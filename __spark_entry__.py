@@ -2303,24 +2303,10 @@ def q149_profile_approx(spark, sf_dir):
     against Spark's own exact profile, TRUE literal in the oracle."""
     li = read_table(configure(spark), sf_dir, "lineitem")
     cols = ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"]
-    ap = llmops.profile_columns(li, cols, approx=True, rsd=0.02).select(
-        "column", "n_nonnull", "n_null",
-        F.col("n_distinct").alias("__ndv_hll"), "min_str", "max_str",
-    )
-    ex = llmops.profile_columns(li, cols).select(
-        "column", F.col("n_distinct").alias("__ndv_exact")
-    )
-    return ap.join(ex, "column").select(
-        "column",
-        "n_nonnull",
-        "n_null",
-        (
-            F.abs(F.col("__ndv_hll") - F.col("__ndv_exact"))
-            <= F.greatest(F.lit(3 * 0.02) * F.col("__ndv_exact"), F.lit(1.0))
-        ).alias("ndv_ok"),
-        "min_str",
-        "max_str",
-    )
+    # r13 optimization: the original ap-join-ex composition scanned lineitem
+    # twice and joined two aggregates; profile_ndv_audit computes the same
+    # six output columns (bit-identical arithmetic) in ONE aggregation pass
+    return llmops.profile_ndv_audit(li, cols, rsd=0.02)
 
 
 def q150_rate_anomaly_time(spark, sf_dir):
@@ -2365,16 +2351,14 @@ def q152_windowed_distinct(spark, sf_dir):
     n≈12–51, bound 1.86) that the sf0.01 gate's tinier windows never
     exposed."""
     ev = read_table(configure(spark), sf_dir, "events")
-    sk = analytics.windowed_distinct(ev, "ts", "event_type", "user_id", 3_600_000, rsd=0.02)
-    from pyspark_engine.runtime import epoch_ms
-
-    e = epoch_ms(F.col("ts"))
-    exact = (
-        ev.filter(F.col("ts").isNotNull())
-        .groupBy(F.col("event_type"), (e - F.pmod(e, F.lit(3_600_000))).alias("w_start_ms"))
-        .agg(F.count_distinct("user_id").cast("long").alias("users_exact"))
+    # r13: the original sketch-groupBy ⋈ exact-groupBy composition scanned
+    # events twice and joined; windowed_distinct_audit produces the same
+    # numbers (HLL registers are duplicate-insensitive, so the sketch over
+    # deduped ids is bit-identical) in one scan with no join
+    au = analytics.windowed_distinct_audit(
+        ev, "ts", "event_type", "user_id", 3_600_000, rsd=0.02
     )
-    return sk.join(exact, ["event_type", "w_start_ms"]).select(
+    return au.select(
         "event_type",
         "w_start_ms",
         "n_events",
@@ -2861,22 +2845,32 @@ def q170_image_transcode(spark, sf_dir):
         F.col("w").alias("pw"), F.col("h").alias("ph"),
         F.col("a").alias("pa"), F.col("b").alias("pb"),
     )
-    out = feats.join(p, "doc_id")
+    # params are a narrow projection of the same corpus — broadcast so the
+    # decoded-feature side never shuffles (r13, guide §3.1)
+    out = feats.join(F.broadcast(p), "doc_id")
     # exact ramp channel sums: Σ_i (a·i + b + 85c) mod 256 is NOT closed-form
     # under mod — recompute with the same aggregate HOF the q164 Spark side
-    # trusts its decode against (the ORACLE recomputes it independently in SQL)
+    # trusts its decode against (the ORACLE recomputes it independently in
+    # SQL).  r13: ONE aggregate pass accumulating all three channels in a
+    # struct instead of three interpreted passes over the same w·h sequence
+    # (identical integer arithmetic per channel, guide §1.2 per-task work)
     idx = F.sequence(F.lit(0), F.col("pw") * F.col("ph") - 1)
-    def ramp_sum(c):
-        return F.aggregate(
-            idx, F.lit(0).cast("long"),
-            lambda acc, i: acc + (F.col("pa") * i + F.col("pb") + 85 * c) % 256,
-        )
+    zero = F.lit(0).cast("long")
+    sums = F.aggregate(
+        idx,
+        F.struct(zero.alias("r"), zero.alias("g"), zero.alias("b")),
+        lambda acc, i: F.struct(
+            (acc["r"] + (F.col("pa") * i + F.col("pb")) % 256).alias("r"),
+            (acc["g"] + (F.col("pa") * i + F.col("pb") + 85) % 256).alias("g"),
+            (acc["b"] + (F.col("pa") * i + F.col("pb") + 170) % 256).alias("b"),
+        ),
+    )
     wh = F.col("pw") * F.col("ph")
-    return out.select(
+    return out.withColumn("__rs", sums).select(
         "doc_id", "width", "height", "n_components", "n_blocks",
-        (F.abs(F.col("sum_r") - ramp_sum(0)) <= 8 * wh).alias("sum_r_close"),
-        (F.abs(F.col("sum_g") - ramp_sum(1)) <= 8 * wh).alias("sum_g_close"),
-        (F.abs(F.col("sum_b") - ramp_sum(2)) <= 8 * wh).alias("sum_b_close"),
+        (F.abs(F.col("sum_r") - F.col("__rs.r")) <= 8 * wh).alias("sum_r_close"),
+        (F.abs(F.col("sum_g") - F.col("__rs.g")) <= 8 * wh).alias("sum_g_close"),
+        (F.abs(F.col("sum_b") - F.col("__rs.b")) <= 8 * wh).alias("sum_b_close"),
     )
 
 

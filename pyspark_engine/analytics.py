@@ -142,6 +142,43 @@ def windowed_distinct(
     )
 
 
+def windowed_distinct_audit(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    id_col: str,
+    size_ms: int,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Sketch-vs-exact audit of :func:`windowed_distinct` in ONE scan:
+    (key, w_start_ms, n_events, users_exact, ids_approx).
+
+    r13 optimization of the original q152 composition (sketch groupBy ⋈
+    exact count-distinct groupBy): both sides reduce over the SAME distinct
+    (key, window, id) triples, so a two-stage aggregation serves both —
+    stage 1 dedups ids per window carrying the row count, stage 2 counts
+    rows for the exact ndv, sums counts for n_events, and feeds the SAME
+    values into the HLL sketch.  HyperLogLog registers are a pure function
+    of the distinct VALUE SET (duplicates rehash to the same register), so
+    ``ids_approx`` is bit-identical to sketching the raw stream; n_events /
+    users_exact are plain integer algebra.  One scan and two shuffles
+    (second one per-(key, window)) replace two scans, three shuffles and a
+    join (guide §2.4)."""
+    e = epoch_ms(F.col(ts_col))
+    start = e - F.pmod(e, F.lit(size_ms))
+    tri = (
+        ensure_min_parallelism(events)
+        .filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(key_col), start.alias("w_start_ms"), F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return tri.groupBy(F.col(key_col), "w_start_ms").agg(
+        F.sum("__n").cast("long").alias("n_events"),
+        F.count(F.col(id_col)).cast("long").alias("users_exact"),
+        F.approx_count_distinct(F.col(id_col), rsd=rsd).alias("ids_approx"),
+    )
+
+
 def windowed_distinct_sketches(
     events: DataFrame,
     ts_col: str,

@@ -1417,21 +1417,42 @@ def synth_wav_batches(batches: Iterator) -> Iterator:
     import pandas as pd
 
     for pdf in batches:
-        rows = []
-        pres = pdf["pre"] if "pre" in pdf.columns else [0] * len(pdf)
-        posts = pdf["post"] if "post" in pdf.columns else [0] * len(pdf)
-        for doc_id, n, rate, a, b, pre, post in zip(
-            pdf["doc_id"], pdf["n"], pdf["rate"], pdf["a"], pdf["b"], pres, posts
-        ):
-            n, rate, a, b = int(n), int(rate), int(a), int(b)
-            pre, post = int(pre), int(post)
-            i = np.arange(n, dtype=np.int64)
-            ramp = (a * i + b) % 65536 - 32768
-            pcm = np.concatenate(
-                [np.zeros(pre, dtype=np.int64), ramp, np.zeros(post, dtype=np.int64)]
-            ).astype("<i2")
-            data = pcm.tobytes()
-            rows.append((doc_id, _pack_wav(rate, data)))
+        if not len(pdf):
+            yield pd.DataFrame({"doc_id": [], "payload": []})
+            continue
+        # r13: one vectorized ramp evaluation across the WHOLE batch (guide
+        # §4.2 — the per-doc loop paid ~6 numpy-dispatch overheads per
+        # ~125-element array; now ~10 ops over one concatenated array, and
+        # per-doc payloads are byte slices of the single PCM buffer).
+        # Arithmetic is unchanged: sample = ((a·i + b) mod 65536) − 32768
+        # inside the ramp, 0 in the pre/post silence.
+        n_v = pdf["n"].to_numpy(dtype=np.int64)
+        rate_v = pdf["rate"].to_numpy(dtype=np.int64)
+        a_v = pdf["a"].to_numpy(dtype=np.int64)
+        b_v = pdf["b"].to_numpy(dtype=np.int64)
+        pre_v = (
+            pdf["pre"].to_numpy(dtype=np.int64)
+            if "pre" in pdf.columns else np.zeros(len(pdf), dtype=np.int64)
+        )
+        post_v = (
+            pdf["post"].to_numpy(dtype=np.int64)
+            if "post" in pdf.columns else np.zeros(len(pdf), dtype=np.int64)
+        )
+        lens = pre_v + n_v + post_v
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        doc = np.repeat(np.arange(len(lens)), lens)
+        p = np.arange(int(lens.sum()), dtype=np.int64) - starts[doc]
+        i = p - pre_v[doc]
+        in_ramp = (i >= 0) & (i < n_v[doc])
+        ramp = (a_v[doc] * i + b_v[doc]) % 65536 - 32768
+        pcm = np.where(in_ramp, ramp, 0).astype("<i2")
+        buf = pcm.tobytes()
+        off = starts * 2
+        end = (starts + lens) * 2
+        rows = [
+            (doc_id, _pack_wav(int(rate_v[k]), buf[off[k] : end[k]]))
+            for k, doc_id in enumerate(pdf["doc_id"])
+        ]
         yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
 
@@ -1775,15 +1796,33 @@ def wav_transcode_ulaw(df: DataFrame, id_col: str, payload_col: str) -> DataFram
     Arrow-batched 1→1 mapInPandas, no shuffle, 2× payload compression."""
 
     def worker(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            rows = []
+            # r13: container parse stays per doc (stdlib ``wave`` is the
+            # independent decode side), but the µ-law compression runs ONCE
+            # over the batch's concatenated samples (guide §4.2 — the
+            # encoder is ~15 numpy ops, formerly paid per ~125-sample doc);
+            # per-doc code words are byte slices of the one output array
+            metas = []
+            sample_arrs = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 rate, samples = _require_mono16(bytes(payload), "wav_transcode_ulaw")
-                rows.append(
-                    (doc_id, _pack_wav_ulaw(rate, _ulaw_encode_arr(samples).tobytes()))
-                )
+                metas.append((doc_id, rate, samples.size))
+                sample_arrs.append(samples)
+            if metas:
+                codes = _ulaw_encode_arr(
+                    np.concatenate(sample_arrs) if sample_arrs else np.empty(0, np.int64)
+                ).tobytes()
+                ends = np.cumsum([m[2] for m in metas])
+                starts = np.concatenate(([0], ends[:-1]))
+                rows = [
+                    (doc_id, _pack_wav_ulaw(rate, codes[starts[k] : ends[k]]))
+                    for k, (doc_id, rate, _n) in enumerate(metas)
+                ]
+            else:
+                rows = []
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     proj = _spread(
@@ -1813,14 +1852,33 @@ def decode_wav_ulaw_features(df: DataFrame, id_col: str, payload_col: str) -> Da
             "sum_decoded", "sum_abs_decoded", "max_abs_decoded",
         ]
         for pdf in batches:
-            rows = []
+            # r13: per-doc chunk walk, ONE µ-law expansion over the batch's
+            # concatenated code words, per-doc stats via reduceat segments
+            # on the shared decoded array (guide §4.2); identical integers
+            metas = []
+            code_arrs = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 rate, n, codes = _parse_wav_ulaw(bytes(payload))
-                dec = _ulaw_decode_arr(codes)
-                rows.append(
-                    (doc_id, n, 7, 8, rate, int(dec.sum()),
-                     int(np.abs(dec).sum()), int(np.abs(dec).max(initial=0)))
-                )
+                metas.append((doc_id, n, rate))
+                code_arrs.append(codes)
+            rows = []
+            if metas:
+                dec = _ulaw_decode_arr(np.concatenate(code_arrs))
+                ads = np.abs(dec)
+                ends = np.cumsum([m[1] for m in metas])
+                starts = np.concatenate(([0], ends[:-1]))
+                nz = ends > starts  # reduceat misreads zero-length segments
+                sums = np.zeros(len(metas), dtype=np.int64)
+                asums = np.zeros(len(metas), dtype=np.int64)
+                amaxs = np.zeros(len(metas), dtype=np.int64)
+                if nz.any():
+                    sums[nz] = np.add.reduceat(dec, starts[nz])
+                    asums[nz] = np.add.reduceat(ads, starts[nz])
+                    amaxs[nz] = np.maximum.reduceat(ads, starts[nz])
+                for k, (doc_id, n, rate) in enumerate(metas):
+                    rows.append(
+                        (doc_id, n, 7, 8, rate, int(sums[k]), int(asums[k]), int(amaxs[k]))
+                    )
             yield pd.DataFrame(rows, columns=cols)
 
     proj = _spread(
@@ -2238,37 +2296,36 @@ def _png_encode(img, filters=None) -> bytes:
 
     h, w, _ = img.shape
     bpp = 3
-    raw = img.astype(np.int64)
-    stream = bytearray()
-    for y in range(h):
-        row = raw[y].reshape(-1)  # w*3 bytes
-        left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
-        if y > 0:
-            up = raw[y - 1].reshape(-1)
-            ul = np.concatenate([np.zeros(bpp, dtype=np.int64), up[:-bpp]])
-        else:
-            up = np.zeros_like(row)
-            ul = np.zeros_like(row)
-        f = (y % 5) if filters is None else int(filters[y])
-        if f == 0:
-            filt = row
-        elif f == 1:
-            filt = row - left
-        elif f == 2:
-            filt = row - up
-        elif f == 3:
-            filt = row - (left + up) // 2
-        else:  # 4 paeth
-            pred = np.where(
-                np.abs(left + up - ul - left) <= np.minimum(
-                    np.abs(left + up - ul - up), np.abs(left + up - ul - ul)
-                ),
-                left,
-                np.where(np.abs(left + up - ul - up) <= np.abs(left + up - ul - ul), up, ul),
-            )
-            filt = row - pred
-        stream.append(f)
-        stream.extend((filt % 256).astype(np.uint8).tobytes())
+    stride = w * bpp
+    # r13: whole-image vectorized filter pass (guide §4.2) — left/up/
+    # upper-left neighbor planes are matrix shifts, all five filter
+    # variants evaluate as matrix expressions, and each row picks its
+    # variant by index.  Encoding filters see RAW neighbors per the spec,
+    # which is exactly what makes this full-image form legal; the emitted
+    # scanline stream is byte-identical to the per-row loop's.
+    raw = img.astype(np.int64).reshape(h, stride)
+    left = np.zeros_like(raw)
+    left[:, bpp:] = raw[:, :-bpp]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    ul = np.zeros_like(raw)
+    ul[1:, bpp:] = raw[:-1, :-bpp]
+    p = left + up - ul
+    pred = np.where(
+        np.abs(p - left) <= np.minimum(np.abs(p - up), np.abs(p - ul)),
+        left,
+        np.where(np.abs(p - up) <= np.abs(p - ul), up, ul),
+    )
+    fidx = (
+        (np.arange(h, dtype=np.int64) % 5)
+        if filters is None
+        else np.asarray([int(f) for f in filters], dtype=np.int64)
+    )
+    variants = np.stack([raw, raw - left, raw - up, raw - (left + up) // 2, raw - pred])
+    out = np.empty((h, stride + 1), dtype=np.uint8)
+    out[:, 0] = fidx
+    out[:, 1:] = variants[fidx, np.arange(h)] % 256
+    stream = out.tobytes()
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -2349,20 +2406,31 @@ def _png_decode(raw: bytes):
             cur[:] = row
         elif f == 2:
             cur[:] = (np.asarray(row) + prev) % 256
+        elif f == 1:
+            # r13: the sub filter's recurrence cur[i] = (row[i] +
+            # cur[i−bpp]) % 256 is a per-channel-lane running sum — one
+            # vectorized cumsum replaces the per-byte loop (same integers)
+            cur[:] = (
+                np.cumsum(np.asarray(row, dtype=np.int64).reshape(-1, bpp), axis=0) % 256
+            ).reshape(-1)
         else:
+            # average/paeth predictors need RECONSTRUCTED left neighbors —
+            # sequential by spec.  r13: run the recurrence on plain Python
+            # lists (numpy scalar indexing in the hot loop was ~4× slower)
+            prev_l = prev.tolist()
+            out_l = [0] * stride
             for i in range(stride):
-                a = int(cur[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
+                a = out_l[i - bpp] if i >= bpp else 0
+                b = prev_l[i]
+                c = prev_l[i - bpp] if i >= bpp else 0
+                if f == 3:
                     pred = (a + b) // 2
                 elif f == 4:
                     pred = _paeth(a, b, c)
                 else:
                     raise ValueError(f"bad PNG filter type {f}")
-                cur[i] = (row[i] + pred) % 256
+                out_l[i] = (row[i] + pred) % 256
+            cur[:] = out_l
     out = img.reshape(h, w, bpp).astype(np.uint8)
     if color_type == 3:  # palette indices -> RGB through PLTE
         idx = out.reshape(h, w)
@@ -4020,20 +4088,23 @@ def tfidf_topk(
     engines' ln implementations.
 
     Scale: term-frequency agg (map-side partial count; the (doc, term) space
-    hits the shuffle once), document-frequency derived FROM the tf aggregate
-    (the vocabulary, not the corpus, shuffles again), corpus size joined as a
-    broadcast 1-row aggregate (no driver action), shuffled equi-join back on
-    term, then per-doc top-k via one ranked window.  Nothing rescans the raw
-    text twice and no stage is driver-bound."""
+    hits the shuffle once), document frequency via a window count over the
+    tf frame partitioned by term (r13: the original groupBy+self-join
+    duplicated the unpersisted tf subtree, so the corpus was tokenized
+    twice — the window computes the same df in the SAME pass over tf,
+    guide §2.4), corpus size joined as a broadcast 1-row aggregate (no
+    driver action), then per-doc top-k via one ranked window.  Nothing
+    rescans the raw text twice and no stage is driver-bound."""
     terms = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    tf = tf.withColumn(
+        "df_count", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).filter(F.col("df_count") >= min_df)
     ndocs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
     scored = (
-        tf.join(dfreq.filter(F.col("df_count") >= min_df), "term")
-        .crossJoin(F.broadcast(ndocs))
+        tf.crossJoin(F.broadcast(ndocs))
         .select(
             F.col(id_col),
             "term",
@@ -4105,18 +4176,25 @@ def unigram_logprob(
     H(doc) = ln(total) − (Σ tf·ln cnt(w)) / n_tokens, floor-quantized like
     tfidf_topk so the comparison is integer-exact.
 
-    Scale: one (doc, term) tf aggregate, a vocabulary-sized count re-agg, a
-    shuffled join on term, a per-doc sum — all map-side combinable; the
-    1-row totals frame broadcasts.  No second scan of the text."""
+    Scale: one (doc, term) tf aggregate, vocabulary counts via a window sum
+    partitioned by term over the SAME tf frame (r13: the original
+    groupBy+self-join duplicated the unpersisted tf subtree, tokenizing
+    the corpus twice, and the totals aggregate re-derived the vocabulary a
+    third time — the window kills both, guide §2.4), a per-doc sum — all
+    map-side combinable; the 1-row totals frame (corpus token count, no
+    explode, pure HOF size sum) broadcasts."""
     terms = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
-    totals = vocab.agg(F.sum("cnt").cast("double").alias("__total"))
+    tf = tf.withColumn("cnt", F.sum("tf").over(Window.partitionBy("term")))
+    totals = _spread(df.select(F.col(text_col))).agg(
+        F.sum(
+            F.size(F.filter(tokens(F.col(text_col)), lambda t: t != F.lit("")))
+        ).cast("double").alias("__total")
+    )
     return (
-        tf.join(vocab, "term")
-        .groupBy(id_col)
+        tf.groupBy(id_col)
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),
             F.sum(F.col("tf") * F.log(F.col("cnt").cast("double"))).alias("__s"),
@@ -4456,9 +4534,12 @@ def ngram_novelty(
     Determinism: novelty is integers (novel count, distinct count) with the
     ratio floor-quantized in one expression.
 
-    Scale: distinct (doc, gram) pairs → gram-keyed df count (map-side
-    combinable) → join back on gram → per-doc integer sums.  Bounded by
-    gram-type cardinality, no pairwise document stage — the same shape as
+    Scale: distinct (doc, gram) pairs → per-gram df via a window count
+    partitioned by the gram over the SAME pair frame (r13: the original
+    groupBy+self-join duplicated the unpersisted pair subtree, tokenizing
+    and shingling the corpus twice — the window computes the identical df
+    in one pass, guide §2.4) → per-doc integer sums.  Bounded by gram-type
+    cardinality, no pairwise document stage — the same shape as
     tfidf/inverted-index."""
     pairs = (
         _spread(df.select(F.col(id_col), F.col(text_col)))
@@ -4468,9 +4549,8 @@ def ngram_novelty(
         )
         .filter(F.col("__g") != "")
     )
-    dfreq = pairs.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
     per_doc = (
-        pairs.join(dfreq, "__g")
+        pairs.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("__g")))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams_distinct"),
@@ -4527,14 +4607,27 @@ def profile_columns(
         aggs += [
             F.count(F.col(c)).cast("long").alias(f"__cnt_{c}"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__null_{c}"),
-            ndv(c).cast("long").alias(f"__ndv_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
         ]
-    # multi-distinct aggregation expands rows x len(cols) before the partial
-    # aggregate — spread the scan so the expand+partial phase parallelizes
-    # even on a one-row-group test file (measured 7.6s -> 2.0s at sf0.1)
-    one = _spread(df).agg(*aggs)
+    if approx:
+        # sketches are regular (non-distinct) aggregates — everything fits
+        # in ONE Expand-free pass
+        one = _spread(df).agg(
+            *aggs, *[ndv(c).cast("long").alias(f"__ndv_{c}") for c in cols]
+        )
+    else:
+        # r13: the exact path computes the multi-distinct aggregate SEPARATELY
+        # from the plain stats and crossJoins the two 1-row frames.  A single
+        # combined agg evaluates count/null/min/max on the Expand-multiplied
+        # rows (×(len(cols)+1)) and keeps their buffer slots in every
+        # per-distinct-value partial-agg group — measured 3.1 s vs
+        # 0.35 + 1.75 s split at sf0.1 (guide §1.2: per-task work after plan
+        # shape).  The Expand itself stays: it IS the one-pass exact
+        # multi-column ndv plan; q149's sketch mode is the scale path.
+        stats = _spread(df).agg(*aggs)
+        ndvs = _spread(df).agg(*[ndv(c).cast("long").alias(f"__ndv_{c}") for c in cols])
+        one = stats.crossJoin(F.broadcast(ndvs))
     stack_args = ", ".join(
         f"'{c}', `__cnt_{c}`, `__null_{c}`, `__ndv_{c}`, `__min_{c}`, `__max_{c}`"
         for c in cols
@@ -4542,6 +4635,62 @@ def profile_columns(
     return one.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS "
         "(column, n_nonnull, n_null, n_distinct, min_str, max_str)"
+    )
+
+
+def profile_ndv_audit(
+    df: DataFrame, cols: Sequence[str], rsd: float = 0.02
+) -> DataFrame:
+    """Sketch-vs-exact ndv audit in ONE aggregation pass: per column,
+    n_nonnull / n_null / min / max plus BOTH the HyperLogLog++ ndv sketch
+    and the exact count_distinct, folded to ``ndv_ok`` = |hll − exact| ≤
+    max(3·rsd·exact, 1).
+
+    Optimization-round (r13) restructure of the original q149 composition
+    ``profile_columns(approx=True) ⋈ profile_columns(approx=False)``: the
+    plain stats ride the Expand-free sketch aggregate instead of being
+    recomputed on the exact side's Expand-multiplied rows, and the key
+    join of two 5-row frames becomes a crossJoin of two 1-row aggregates
+    BEFORE the unpivot.  (First attempt folded everything into one agg —
+    catastrophic: each per-distinct-value partial-agg group then carries
+    its own HLL buffer, 19 s vs 2.3 s at sf0.1.  Split shape measured
+    ~1.5 s.)  Values are bit-identical to the two-pass composition — the
+    audit arithmetic is the same expression over the same two numbers."""
+    stats = _spread(df).agg(
+        *[
+            a
+            for c in cols
+            for a in (
+                F.count(F.col(c)).cast("long").alias(f"__cnt_{c}"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__null_{c}"),
+                F.approx_count_distinct(F.col(c), rsd=rsd).cast("long").alias(f"__hll_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            )
+        ]
+    )
+    ndvs = _spread(df).agg(
+        *[F.count_distinct(F.col(c)).cast("long").alias(f"__ndv_{c}") for c in cols]
+    )
+    one = stats.crossJoin(F.broadcast(ndvs))
+    stack_args = ", ".join(
+        f"'{c}', `__cnt_{c}`, `__null_{c}`, `__hll_{c}`, `__ndv_{c}`, `__min_{c}`, `__max_{c}`"
+        for c in cols
+    )
+    rows = one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_nonnull, n_null, __ndv_hll, __ndv_exact, min_str, max_str)"
+    )
+    return rows.select(
+        "column",
+        "n_nonnull",
+        "n_null",
+        (
+            F.abs(F.col("__ndv_hll") - F.col("__ndv_exact"))
+            <= F.greatest(F.lit(3 * rsd) * F.col("__ndv_exact"), F.lit(1.0))
+        ).alias("ndv_ok"),
+        "min_str",
+        "max_str",
     )
 
 
@@ -4620,17 +4769,23 @@ def pmi_collocations(
     vocabulary-sized equi-joins for the marginals, 1-row totals broadcast,
     global top-k via TakeOrderedAndProject."""
     base = _spread(df.select(F.col(text_col))).select(tokens(F.col(text_col)).alias("__t"))
-    uni = (
+    # r13: persist both vocabulary-sized count frames — uni feeds the t1
+    # total AND both marginal join sides, bi_all feeds the t2 total AND the
+    # collocation rows; unpersisted, each consumer re-tokenized the corpus
+    # (five passes total → two; caches are n-gram-type-bounded, guide §5)
+    uni = _persist(
         base.select(F.explode("__t").alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    bi = (
+    bi_all = _persist(
         base.select(F.explode(word_ngrams_multiset(F.col("__t"), 2)).alias("xy"))
         .groupBy("xy")
         .agg(F.count(F.lit(1)).alias("c_xy"))
-        .filter(F.col("c_xy") >= min_count)
+    )
+    bi = (
+        bi_all.filter(F.col("c_xy") >= min_count)
         .select(
             F.split_part(F.col("xy"), F.lit(" "), F.lit(1)).alias("x"),
             F.split_part(F.col("xy"), F.lit(" "), F.lit(2)).alias("y"),
@@ -4639,8 +4794,7 @@ def pmi_collocations(
     )
     totals = F.broadcast(
         uni.agg(F.sum("c").cast("double").alias("__t1")).crossJoin(
-            base.select(F.explode(word_ngrams_multiset(F.col("__t"), 2)).alias("xy"))
-            .agg(F.count(F.lit(1)).cast("double").alias("__t2"))
+            bi_all.agg(F.sum("c_xy").cast("double").alias("__t2"))
         )
     )
     ux = uni.select(F.col("w").alias("x"), F.col("c").alias("c_x"))
@@ -4718,17 +4872,16 @@ def repeated_spans(
     ex = _spread(df).select(F.col(id_col), F.explode(spans).alias("__span")).select(
         F.col(id_col), F.md5(F.col("__span")).alias("__h")
     )
-    repeated = (
-        ex.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= min_count)
-    )
+    # r13: corpus-wide span counts via a window over the SAME exploded frame
+    # (the original groupBy+left-join duplicated the unpersisted explode
+    # subtree — two full tokenize+shingle passes; the window computes the
+    # identical per-digest count in one, guide §2.4)
     per_doc = (
-        ex.join(repeated, "__h", "left")
+        ex.withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("__h")))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
-            F.count("__c").alias("n_dup_windows"),
+            F.sum(F.when(F.col("__c") >= min_count, 1).otherwise(0)).alias("n_dup_windows"),
         )
     )
     base = df.select(F.col(id_col))
@@ -4816,11 +4969,16 @@ def dsir_logweights(
     (id, n_grams, logw_q); downstream, resample with sample_hash /
     sample_per_group_quota ranked by logw_q.
 
-    Scale: two corpus scans reduce to ``n_buckets``-row histograms (map-side
-    combinable counts); the score table is broadcast; per-doc scoring is one
-    explode + broadcast-join + integer sum — no pairwise stage, no second
-    pass over text.  The md5 bucket hash keeps the oracle portable
-    (portable_hash32); swap xxhash64 at production scale."""
+    Scale: the RAW corpus is tokenized ONCE into a persisted per-(doc,
+    bucket) count frame (r13: the original shape tokenized raw twice —
+    once for its histogram, once for per-doc scoring — and the unpersisted
+    duplication made it six scan subtrees in the physical plan; the raw
+    histogram now folds out of the per-doc counts, guide §2.4/§5); the
+    target subset is one further histogram pass; the score table is
+    broadcast; per-doc scoring is a broadcast-join + integer weighted sum
+    over the persisted counts — no pairwise stage.  The md5 bucket hash
+    keeps the oracle portable (portable_hash32); swap xxhash64 at
+    production scale."""
     def gram_buckets(df: DataFrame) -> DataFrame:
         return (
             _spread(df)
@@ -4828,8 +4986,18 @@ def dsir_logweights(
             .select((portable_hash32(F.col("__g")) % n_buckets).alias("__b"))
         )
 
+    doc_hist = _persist(
+        _spread(raw)
+        .select(
+            F.col(id_col),
+            F.explode(word_ngrams_multiset(tokens(F.col(text_col)), n)).alias("__g"),
+        )
+        .select(F.col(id_col), (portable_hash32(F.col("__g")) % n_buckets).alias("__b"))
+        .groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__cn"))
+    )
     t_hist = gram_buckets(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
-    r_hist = gram_buckets(raw).groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    r_hist = doc_hist.groupBy("__b").agg(F.sum("__cn").alias("__cr"))
     t_tot = t_hist.agg(F.sum("__ct").cast("double").alias("__tt"))
     r_tot = r_hist.agg(F.sum("__cr").cast("double").alias("__tr"))
     scores = (
@@ -4851,15 +5019,12 @@ def dsir_logweights(
             .alias("__score_q"),
         )
     )
-    doc_b = _spread(raw).select(
-        F.col(id_col), F.explode(word_ngrams_multiset(tokens(F.col(text_col)), n)).alias("__g")
-    ).select(F.col(id_col), (portable_hash32(F.col("__g")) % n_buckets).alias("__b"))
     per_doc = (
-        doc_b.join(F.broadcast(scores), "__b")
+        doc_hist.join(F.broadcast(scores), "__b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum("__score_q").cast("long").alias("logw_q"),
+            F.sum("__cn").cast("long").alias("n_grams"),
+            F.sum(F.col("__cn") * F.col("__score_q")).cast("long").alias("logw_q"),
         )
     )
     return (
@@ -5205,27 +5370,33 @@ def bm25_topk(
     Scale: the explode filters to the broadcast query-term set IMMEDIATELY
     (array_contains on a literal array — predicate applies at the scan
     stage), so the shuffled intermediate is O(matching occurrences), not
-    O(all tokens).  Document lengths and df come from one token-count pass
-    + a query-terms-sized df aggregate; N/avgdl is a broadcast 1-row frame.
-    Top-k is a TakeOrderedAndProject, no global sort materialized."""
+    O(all tokens).  N/avgdl is a broadcast 1-row frame.  Top-k is a
+    TakeOrderedAndProject, no global sort materialized.
+
+    r13 optimization (guide §2.4): the original shape tokenized the corpus
+    FOUR times — once for N/avgdl, once for the per-doc-length join, and
+    twice more because the tf subtree fed both the df broadcast and the
+    probe side (Spark duplicates unpersisted subtrees).  Now (1) ``dl``
+    rides the explode row and joins the tf group key (it is functionally
+    dependent on the doc id), killing the length join, and (2) df comes
+    from a window count over the tiny tf frame instead of a self-join,
+    killing the duplicated subtree — two scans total, no broadcast join,
+    identical arithmetic."""
     terms_lit = F.array(*[F.lit(t) for t in query_terms])
     toks = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.filter(tokens(F.col(text_col)), lambda t: t != F.lit("")).alias("__t")
     )
-    lens = toks.select(F.col(id_col), F.size("__t").alias("dl"))
-    totals = lens.agg(
+    totals = toks.agg(
         F.count(F.lit(1)).cast("double").alias("__N"),
-        F.avg(F.col("dl").cast("double")).alias("__avgdl"),
+        F.avg(F.size("__t").cast("double")).alias("__avgdl"),
     )
-    occ = toks.select(F.col(id_col), F.explode("__t").alias("term")).filter(
-        F.array_contains(terms_lit, F.col("term"))
-    )
-    tf = occ.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    occ = toks.select(
+        F.col(id_col), F.size("__t").alias("dl"), F.explode("__t").alias("term")
+    ).filter(F.array_contains(terms_lit, F.col("term")))
+    tf = occ.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     contrib = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(lens, id_col)
-        .crossJoin(F.broadcast(totals))
+        tf.crossJoin(F.broadcast(totals))
         .select(
             F.col(id_col),
             F.floor(
@@ -5726,7 +5897,11 @@ def vocab_drift(
             .agg(F.count(F.lit(1)).alias(name))
         )
 
-    j = (
+    # r13: persist the vocabulary-sized joined count frame — it feeds both
+    # the totals aggregate and the scored projection, and unpersisted it
+    # would be recomputed per consumer (four corpus tokenize passes instead
+    # of two; the cache is vocabulary-bounded, guide §5 caching rule)
+    j = _persist(
         counts(old, "cnt_old")
         .join(counts(new, "cnt_new"), "token", "full")
         .select(

@@ -41,6 +41,8 @@ ALLOWED_BNLJ = {
     "q137_vocab_drift": "crossJoin(broadcast(1-row totals)) scalar join for the smoothed denominators",
     "q145_hybrid_search": "bm25's 1-row N/avgdl scalar join + the 1-row broadcast query-vector join",
     "q116_bm25_topk": "crossJoin(broadcast(1-row N/avgdl)) scalar join for the BM25 constants",
+    "q124_profile_columns": "crossJoin(broadcast(1-row ndv agg)) — r13 split of the exact profile into stats ⊗ multi-distinct (both 1-row)",
+    "q149_profile_approx": "crossJoin(broadcast(1-row ndv agg)) — r13 single-join sketch-vs-exact profile audit (both sides 1-row)",
 }
 ALLOWED_SINGLE_PARTITION_WINDOW = {
     "q92_pack_tokens": "global packing order on a bounded eval set; shard_col is the corpus-scale mode",
