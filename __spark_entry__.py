@@ -3073,16 +3073,14 @@ def q177_image_sniff(spark, sf_dir):
         (F.col("doc_id") % 251).alias("b"),
         (F.lit(4) + F.col("doc_id") % 13).alias("p"),
     )
-    ppm = llmops.synth_ppm(
-        params.filter(F.col("doc_id") % 3 == 0), "doc_id", "w", "h", "a", "b"
+    # r13: the three filtered synth branches + union paid three corpus scans
+    # and four Python stages; synth_image_mixed dispatches per row inside ONE
+    # Arrow stage (identical bytes per doc), and decode_any_image_features
+    # fuses onto it — one scan, one JVM↔Python crossing (guide §1.2, §4.1)
+    mixed = llmops.synth_image_mixed(
+        params.withColumn("fmt", F.col("doc_id") % 3),
+        "doc_id", "w", "h", "a", "b", "p", "fmt",
     )
-    png = llmops.synth_png(
-        params.filter(F.col("doc_id") % 3 == 1), "doc_id", "w", "h", "a", "b"
-    )
-    gif = llmops.synth_gif(
-        params.filter(F.col("doc_id") % 3 == 2), "doc_id", "w", "h", "a", "b", "p"
-    )
-    mixed = ppm.unionByName(png).unionByName(gif)
     return llmops.decode_any_image_features(mixed, "doc_id", "payload")
 
 

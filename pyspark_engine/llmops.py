@@ -56,6 +56,94 @@ def release_cache() -> None:
         _CACHED.pop().unpersist()
 
 
+# ------------------------------------------------- Arrow-stage fusion (r13)
+#
+# Every multimodal operator is an Arrow-batched iterator transform
+# (Iterator[pd.DataFrame] -> Iterator[pd.DataFrame]) run through mapInPandas.
+# Chaining two such operators (synth -> transcode -> decode) used to pay one
+# full JVM->Python->JVM crossing PER OPERATOR even though Spark pipelines
+# them into a single task: each crossing costs a worker round-trip plus two
+# Arrow (de)serializations of the intermediate payload column.  Measured at
+# sf0.1/local[32], each extra Python stage adds ~0.25-0.45 s of pure
+# boundary overhead per query while the codec compute itself is milliseconds
+# (OPTIMIZATION_r13.md "multimodal fusion").
+#
+# _arrow_stage removes the interior crossings (guide §4.1: you cannot avoid
+# the boundary, but you control how often you cross it): when its input
+# DataFrame is the *direct, un-projected* result of a previous _arrow_stage,
+# the iterator transforms compose in Python — one mapInPandas over the
+# original source runs the whole chain, so the intermediate payloads never
+# leave the worker.  Semantics are identical by construction: the same
+# worker callables run in the same order on the same rows; only the
+# intermediate Arrow materialization (a pure serialize/deserialize
+# round-trip) is elided.  Fusion is per-DataFrame-object (a plain Python
+# attribute), so any Catalyst op in between — select, filter, join, union —
+# naturally breaks the chain and falls back to the unfused path.
+
+def _rename_shim(colmap: Sequence[tuple[str, str]]):
+    """Pandas-side equivalent of ``df.select(F.col(s).alias(a) ...)`` for a
+    fused chain: project/rename the upstream worker's output columns."""
+
+    def shim(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({a: pdf[s] for s, a in colmap})
+
+    return shim
+
+
+def _chain_workers(workers):
+    def fused(batches: Iterator) -> Iterator:
+        it = batches
+        for wk in workers:
+            it = wk(it)
+        return it
+
+    return fused
+
+
+def _arrow_stage(
+    df: DataFrame,
+    colmap: Sequence[tuple[str, str]],
+    worker,
+    schema: str,
+    spread: bool = True,
+) -> DataFrame:
+    """Run ``worker`` as one mapInPandas stage over ``df`` projected per
+    ``colmap`` [(src, alias), ...], fusing with an immediately preceding
+    _arrow_stage result into a single Python crossing (see block comment
+    above).  ``spread=False`` preserves operators that historically did not
+    repartition their input."""
+    chain = getattr(df, "_pse_arrow_chain", None)
+    if chain is not None:
+        src_df, upstream, out_cols = chain
+        if all(s in out_cols for s, _ in colmap):
+            shims = (
+                [_rename_shim(colmap)]
+                if any(s != a for s, a in colmap)
+                else []
+            )
+            workers = upstream + shims + [worker]
+            out = src_df.mapInPandas(_chain_workers(workers), schema)
+            out._pse_arrow_chain = (
+                src_df,
+                workers,
+                [c.strip().split()[0] for c in schema.split(",")],
+            )
+            return out
+    proj = df.select(*[F.col(s).alias(a) for s, a in colmap])
+    if spread:
+        proj = _spread(proj)
+    out = proj.mapInPandas(worker, schema)
+    out._pse_arrow_chain = (
+        proj,
+        [worker],
+        [c.strip().split()[0] for c in schema.split(",")],
+    )
+    return out
+
+
 # ---------------------------------------------------------------- tokenize
 
 def tokens(text: Column) -> Column:
@@ -1484,19 +1572,15 @@ def synth_wav(
     binary).  ``pre_col``/``post_col`` prepend/append that many zero
     (silence) samples around the ramp — the planted input for the
     silence-trim roundtrip (q157).  One Arrow pass, no shuffle."""
-    cols = [
-        F.col(id_col).alias("doc_id"),
-        F.col(n_col).alias("n"),
-        F.col(rate_col).alias("rate"),
-        F.col(a_col).alias("a"),
-        F.col(b_col).alias("b"),
+    colmap = [
+        (id_col, "doc_id"), (n_col, "n"), (rate_col, "rate"),
+        (a_col, "a"), (b_col, "b"),
     ]
     if pre_col is not None:
-        cols.append(F.col(pre_col).alias("pre"))
+        colmap.append((pre_col, "pre"))
     if post_col is not None:
-        cols.append(F.col(post_col).alias("post"))
-    proj = _spread(df.select(*cols))
-    return proj.mapInPandas(synth_wav_batches, "doc_id long, payload binary")
+        colmap.append((post_col, "post"))
+    return _arrow_stage(df, colmap, synth_wav_batches, "doc_id long, payload binary")
 
 
 def _decode_pcm(raw: bytes):
@@ -1573,10 +1657,9 @@ def decode_wav_features(df: DataFrame, id_col: str, payload_col: str) -> DataFra
     (q155).  Scale: identical shape to multimodal_features — payloads
     stream through workers in Arrow batches, worker memory bounded by
     maxPartitionBytes."""
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (payload_col, "payload")], decode_wav_batches, WAV_FEATURES_SCHEMA
     )
-    return proj.mapInPandas(decode_wav_batches, WAV_FEATURES_SCHEMA)
 
 
 WAV_FRAMES_SCHEMA = "doc_id long, frame_idx long, n_samples long, peak_abs long, sumsq long"
@@ -1652,11 +1735,9 @@ def wav_trim_silence(
     feature recomputed in SQL from the synthesis + trim parameters).
     Scale: Arrow-batched 1→1 mapInPandas, no shuffle, payload-bounded
     worker memory — same shape as resize_payloads."""
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
-    )
-    return proj.mapInPandas(
-        _wav_trim_worker(int(frame_len), int(max_peak)), "doc_id long, payload binary"
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (payload_col, "payload")],
+        _wav_trim_worker(int(frame_len), int(max_peak)), "doc_id long, payload binary",
     )
 
 
@@ -1692,10 +1773,9 @@ def wav_downsample(
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (payload_col, "payload")], worker, "doc_id long, payload binary"
     )
-    return proj.mapInPandas(worker, "doc_id long, payload binary")
 
 
 def _ulaw_encode_arr(samples):
@@ -1825,10 +1905,9 @@ def wav_transcode_ulaw(df: DataFrame, id_col: str, payload_col: str) -> DataFram
                 rows = []
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (payload_col, "payload")], worker, "doc_id long, payload binary"
     )
-    return proj.mapInPandas(worker, "doc_id long, payload binary")
 
 
 WAV_ULAW_FEATURES_SCHEMA = (
@@ -1881,10 +1960,9 @@ def decode_wav_ulaw_features(df: DataFrame, id_col: str, payload_col: str) -> Da
                     )
             yield pd.DataFrame(rows, columns=cols)
 
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (payload_col, "payload")], worker, WAV_ULAW_FEATURES_SCHEMA
     )
-    return proj.mapInPandas(worker, WAV_ULAW_FEATURES_SCHEMA)
 
 
 _IMA_STEPS = [
@@ -2058,10 +2136,9 @@ def wav_transcode_adpcm(df: DataFrame, id_col: str, payload_col: str) -> DataFra
                 rows.append((doc_id, _pack_wav_adpcm(rate, samples.tolist())))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (payload_col, "payload")], worker, "doc_id long, payload binary"
     )
-    return proj.mapInPandas(worker, "doc_id long, payload binary")
 
 
 WAV_ADPCM_FIDELITY_SCHEMA = (
@@ -2101,10 +2178,9 @@ def wav_adpcm_fidelity(df: DataFrame, id_col: str, payload_col: str) -> DataFram
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (payload_col, "payload")], worker, WAV_ADPCM_FIDELITY_SCHEMA
     )
-    return proj.mapInPandas(worker, WAV_ADPCM_FIDELITY_SCHEMA)
 
 
 def wav_frame_energy(
@@ -2118,10 +2194,10 @@ def wav_frame_energy(
     Scale: Arrow-batched 1→N mapInPandas like frame_sample — payload bytes
     never shuffle; downstream energy filters and per-doc aggregations key on
     doc_id, the partitioning the scan already has."""
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (payload_col, "payload")],
+        _wav_frame_worker(int(frame_len)), WAV_FRAMES_SCHEMA,
     )
-    return proj.mapInPandas(_wav_frame_worker(int(frame_len)), WAV_FRAMES_SCHEMA)
 
 
 PPM_FEATURES_SCHEMA = (
@@ -2187,16 +2263,11 @@ def synth_ppm_batches(batches: Iterator) -> Iterator:
 def synth_ppm(df: DataFrame, id_col: str, w_col: str, h_col: str, a_col: str, b_col: str) -> DataFrame:
     """Deterministic P6 image synthesis (see synth_ppm_batches); returns
     (doc_id, payload binary).  One Arrow pass, no shuffle."""
-    proj = _spread(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(w_col).alias("w"),
-            F.col(h_col).alias("h"),
-            F.col(a_col).alias("a"),
-            F.col(b_col).alias("b"),
-        )
+    return _arrow_stage(
+        df,
+        [(id_col, "doc_id"), (w_col, "w"), (h_col, "h"), (a_col, "a"), (b_col, "b")],
+        synth_ppm_batches, "doc_id long, payload binary",
     )
-    return proj.mapInPandas(synth_ppm_batches, "doc_id long, payload binary")
 
 
 def decode_ppm_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
@@ -2221,10 +2292,9 @@ def decode_ppm_features(df: DataFrame, id_col: str, payload_col: str) -> DataFra
                 rows.append((doc_id, w, h, maxval, len(raw), int(s[0]), int(s[1]), int(s[2])))
             yield pd.DataFrame(rows, columns=cols)
 
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (payload_col, "payload")], worker, PPM_FEATURES_SCHEMA
     )
-    return proj.mapInPandas(worker, PPM_FEATURES_SCHEMA)
 
 
 def resize_ppm_blockmean(
@@ -2255,10 +2325,9 @@ def resize_ppm_blockmean(
                 rows.append((doc_id, out))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (payload_col, "payload")], worker, "doc_id long, payload binary"
     )
-    return proj.mapInPandas(worker, "doc_id long, payload binary")
 
 
 # ------------------------------------------------------------------- PNG
@@ -2463,16 +2532,11 @@ def synth_png(df: DataFrame, id_col: str, w_col: str, h_col: str, a_col: str, b_
                 rows.append((doc_id, _png_encode(img)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    proj = _spread(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(w_col).alias("w"),
-            F.col(h_col).alias("h"),
-            F.col(a_col).alias("a"),
-            F.col(b_col).alias("b"),
-        )
+    return _arrow_stage(
+        df,
+        [(id_col, "doc_id"), (w_col, "w"), (h_col, "h"), (a_col, "a"), (b_col, "b")],
+        worker, "doc_id long, payload binary",
     )
-    return proj.mapInPandas(worker, "doc_id long, payload binary")
 
 
 def decode_png_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
@@ -2508,10 +2572,9 @@ def decode_png_features(df: DataFrame, id_col: str, payload_col: str) -> DataFra
                 rows.append((doc_id, w, h, depth, ctype, nft, int(s[0]), int(s[1]), int(s[2]), True))
             yield pd.DataFrame(rows, columns=cols)
 
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (payload_col, "payload")], worker, PNG_FEATURES_SCHEMA
     )
-    return proj.mapInPandas(worker, PNG_FEATURES_SCHEMA)
 
 
 def resize_png_blockmean(df: DataFrame, id_col: str, payload_col: str, block: int) -> DataFrame:
@@ -2539,10 +2602,9 @@ def resize_png_blockmean(df: DataFrame, id_col: str, payload_col: str, block: in
                 rows.append((doc_id, _png_encode(small)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (payload_col, "payload")], worker, "doc_id long, payload binary"
     )
-    return proj.mapInPandas(worker, "doc_id long, payload binary")
 
 
 # ------------------------------------------------------------------ JPEG
@@ -2928,17 +2990,12 @@ def synth_gif(df: DataFrame, id_col: str, w_col: str, h_col: str, a_col: str, b_
                 rows.append((doc_id, _gif_encode(idx.tolist(), pal, w, h)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    proj = _spread(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(w_col).alias("w"),
-            F.col(h_col).alias("h"),
-            F.col(a_col).alias("a"),
-            F.col(b_col).alias("b"),
-            F.col(p_col).alias("p"),
-        )
+    return _arrow_stage(
+        df,
+        [(id_col, "doc_id"), (w_col, "w"), (h_col, "h"),
+         (a_col, "a"), (b_col, "b"), (p_col, "p")],
+        worker, "doc_id long, payload binary",
     )
-    return proj.mapInPandas(worker, "doc_id long, payload binary")
 
 
 def decode_gif_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
@@ -2973,10 +3030,9 @@ def decode_gif_features(df: DataFrame, id_col: str, payload_col: str) -> DataFra
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (payload_col, "payload")], worker, GIF_FEATURES_SCHEMA
     )
-    return proj.mapInPandas(worker, GIF_FEATURES_SCHEMA)
 
 
 def synth_gif_animation(
@@ -3030,18 +3086,12 @@ def synth_gif_animation(
                 rows.append((doc_id, _gif_encode_animated(w, h, pal, frames)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    proj = _spread(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(w_col).alias("w"),
-            F.col(h_col).alias("h"),
-            F.col(n_col).alias("n"),
-            F.col(a_col).alias("a"),
-            F.col(b_col).alias("b"),
-            F.col(p_col).alias("p"),
-        )
+    return _arrow_stage(
+        df,
+        [(id_col, "doc_id"), (w_col, "w"), (h_col, "h"), (n_col, "n"),
+         (a_col, "a"), (b_col, "b"), (p_col, "p")],
+        worker, "doc_id long, payload binary",
     )
-    return proj.mapInPandas(worker, "doc_id long, payload binary")
 
 
 GIF_ANIMATION_SCHEMA = (
@@ -3092,10 +3142,9 @@ def decode_gif_animation(df: DataFrame, id_col: str, payload_col: str) -> DataFr
                     )
             yield pd.DataFrame(rows, columns=cols)
 
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (payload_col, "payload")], worker, GIF_ANIMATION_SCHEMA
     )
-    return proj.mapInPandas(worker, GIF_ANIMATION_SCHEMA)
 
 
 def gif_frame_sample(df: DataFrame, id_col: str, payload_col: str, stride: int = 2) -> DataFrame:
@@ -3127,7 +3176,10 @@ def gif_frame_sample(df: DataFrame, id_col: str, payload_col: str, stride: int =
                     )
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames_out})
 
-    return df.mapInPandas(gen, f"{id_col} long, frame_idx int, frame binary")
+    return _arrow_stage(
+        df, [(id_col, id_col), (payload_col, payload_col)],
+        gen, f"{id_col} long, frame_idx int, frame binary", spread=False,
+    )
 
 
 def _bmp_encode(img) -> bytes:
@@ -3257,16 +3309,11 @@ def synth_bmp(df: DataFrame, id_col: str, w_col: str, h_col: str, a_col: str, b_
                 rows.append((doc_id, _bmp_encode(img)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    proj = _spread(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(w_col).alias("w"),
-            F.col(h_col).alias("h"),
-            F.col(a_col).alias("a"),
-            F.col(b_col).alias("b"),
-        )
+    return _arrow_stage(
+        df,
+        [(id_col, "doc_id"), (w_col, "w"), (h_col, "h"), (a_col, "a"), (b_col, "b")],
+        worker, "doc_id long, payload binary",
     )
-    return proj.mapInPandas(worker, "doc_id long, payload binary")
 
 
 BMP_FEATURES_SCHEMA = (
@@ -3294,10 +3341,9 @@ def decode_bmp_features(df: DataFrame, id_col: str, payload_col: str) -> DataFra
                 rows.append((doc_id, w, h, bpp, comp, int(s[0]), int(s[1]), int(s[2])))
             yield pd.DataFrame(rows, columns=cols)
 
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (payload_col, "payload")], worker, BMP_FEATURES_SCHEMA
     )
-    return proj.mapInPandas(worker, BMP_FEATURES_SCHEMA)
 
 
 def decode_any_image_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
@@ -3331,10 +3377,69 @@ def decode_any_image_features(df: DataFrame, id_col: str, payload_col: str) -> D
                 rows.append((doc_id, fmt, w, h, int(s[0]), int(s[1]), int(s[2])))
             yield pd.DataFrame(rows, columns=cols)
 
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (payload_col, "payload")], worker, IMAGE_SNIFF_SCHEMA
     )
-    return proj.mapInPandas(worker, IMAGE_SNIFF_SCHEMA)
+
+
+def synth_image_mixed(
+    df: DataFrame,
+    id_col: str,
+    w_col: str,
+    h_col: str,
+    a_col: str,
+    b_col: str,
+    p_col: str,
+    fmt_col: str,
+) -> DataFrame:
+    """One-stage heterogeneous-corpus synthesis (the q177 ingest shape):
+    per-row dispatch on ``fmt_col`` (0 → PPM, 1 → PNG, 2 → GIF) to the SAME
+    per-payload encoders the per-format synth operators use, so each row's
+    bytes are identical to the corresponding synth_ppm/synth_png/synth_gif
+    output.  r13 optimization: replaces three filtered synth branches + a
+    union — one corpus scan and ONE Python stage instead of three scans,
+    three Python stages and a union (guide §1.2 algorithm passes, §4.1
+    boundary crossings); decode_any_image_features then fuses on top for a
+    single JVM↔Python crossing end to end."""
+
+    def worker(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, w, h, a, b, p, fmt in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["a"], pdf["b"],
+                pdf["p"], pdf["fmt"],
+            ):
+                w, h, a, b, p, fmt = int(w), int(h), int(a), int(b), int(p), int(fmt)
+                i = np.arange(w * h, dtype=np.int64)[:, None]
+                if fmt == 0:  # PPM — synth_ppm_batches' exact bytes
+                    c = np.arange(3, dtype=np.int64)[None, :]
+                    img = ((a * i + b + 85 * c) % 256).astype(np.uint8)
+                    payload = f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+                elif fmt == 1:  # PNG — synth_png's exact bytes
+                    c = np.arange(3, dtype=np.int64)[None, :]
+                    img = ((a * i + b + 85 * c) % 256).astype(np.uint8).reshape(h, w, 3)
+                    payload = _png_encode(img)
+                elif fmt == 2:  # GIF — synth_gif's exact bytes
+                    pal = [
+                        tuple(int((a * j + b + 85 * c) % 256) for c in range(3))
+                        for j in range(p)
+                    ]
+                    idx = (a * i[:, 0] + b) % p
+                    payload = _gif_encode(idx.tolist(), pal, w, h)
+                else:
+                    raise ValueError(f"unknown mixed-image fmt {fmt}")
+                rows.append((doc_id, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return _arrow_stage(
+        df,
+        [(id_col, "doc_id"), (w_col, "w"), (h_col, "h"),
+         (a_col, "a"), (b_col, "b"), (p_col, "p"), (fmt_col, "fmt")],
+        worker, "doc_id long, payload binary",
+    )
 
 
 def _jpeg_ramp(w: int, h: int, ay: int, ax: int, b: int):
@@ -3369,17 +3474,12 @@ def synth_jpeg(df: DataFrame, id_col: str, w_col: str, h_col: str, ay_col: str, 
                 rows.append((doc_id, _jpeg.jpeg_encode(img)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    proj = _spread(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(w_col).alias("w"),
-            F.col(h_col).alias("h"),
-            F.col(ay_col).alias("ay"),
-            F.col(ax_col).alias("ax"),
-            F.col(b_col).alias("b"),
-        )
+    return _arrow_stage(
+        df,
+        [(id_col, "doc_id"), (w_col, "w"), (h_col, "h"),
+         (ay_col, "ay"), (ax_col, "ax"), (b_col, "b")],
+        worker, "doc_id long, payload binary",
     )
-    return proj.mapInPandas(worker, "doc_id long, payload binary")
 
 
 def decode_jpeg_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
@@ -3406,10 +3506,9 @@ def decode_jpeg_features(df: DataFrame, id_col: str, payload_col: str) -> DataFr
                 rows.append((doc_id, w, h, nc, n_blocks, int(s[0]), int(s[1]), int(s[2])))
             yield pd.DataFrame(rows, columns=cols)
 
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (payload_col, "payload")], worker, JPEG_FEATURES_SCHEMA
     )
-    return proj.mapInPandas(worker, JPEG_FEATURES_SCHEMA)
 
 
 def jpeg_fidelity(df: DataFrame, id_col: str, w_col: str, h_col: str, ay_col: str, ax_col: str, b_col: str, subsample=False) -> DataFrame:
@@ -3441,17 +3540,10 @@ def jpeg_fidelity(df: DataFrame, id_col: str, w_col: str, h_col: str, ay_col: st
                 rows.append((doc_id, w2, h2, nc, n_blocks, int(e.max()), int(e.sum())))
             yield pd.DataFrame(rows, columns=cols)
 
-    proj = _spread(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(w_col).alias("w"),
-            F.col(h_col).alias("h"),
-            F.col(ay_col).alias("ay"),
-            F.col(ax_col).alias("ax"),
-            F.col(b_col).alias("b"),
-        )
-    )
-    return proj.mapInPandas(
+    return _arrow_stage(
+        df,
+        [(id_col, "doc_id"), (w_col, "w"), (h_col, "h"),
+         (ay_col, "ay"), (ax_col, "ax"), (b_col, "b")],
         worker,
         "doc_id long, width long, height long, n_components long, n_blocks long, "
         "max_err long, sum_abs_err long",
@@ -3476,10 +3568,9 @@ def transcode_png_jpeg(df: DataFrame, id_col: str, payload_col: str, subsample=T
                 rows.append((doc_id, _jpeg.jpeg_encode(img, subsample=subsample)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (payload_col, "payload")], worker, "doc_id long, payload binary"
     )
-    return proj.mapInPandas(worker, "doc_id long, payload binary")
 
 
 # ---------------------------------------------------------------- PII scrub
@@ -5168,10 +5259,9 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str, level: int = 6)
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    proj = _spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    return _arrow_stage(
+        df, [(id_col, "doc_id"), (text_col, "text")], worker, COMPRESSION_SCHEMA
     )
-    return proj.mapInPandas(worker, COMPRESSION_SCHEMA)
 
 
 def char_entropy(df: DataFrame, id_col: str, text_col: str, quant: int = 1000) -> DataFrame:
