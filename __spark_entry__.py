@@ -1687,8 +1687,13 @@ def q110_dsir_weights(spark, sf_dir):
     log-ratios quantize BEFORE the per-doc sum.  The oracle rebuilds both
     histograms, the smoothed score table, and the integer sums in SQL."""
     docs = read_table(configure(spark), sf_dir, "documents")
-    target = docs.filter(F.col("lang") == "en")
-    return llmops.dsir_logweights(docs, target, "doc_id", "text", n=2, n_buckets=10_000)
+    # r13: the target domain is a row-filter of the same corpus — pass the
+    # predicate so the target histogram folds out of the one persisted
+    # per-doc count frame instead of a second tokenize pass (guide §1.2)
+    return llmops.dsir_logweights(
+        docs, None, "doc_id", "text", n=2, n_buckets=10_000,
+        target_filter=F.col("lang") == "en",
+    )
 
 
 def q111_bigram_backoff(spark, sf_dir):

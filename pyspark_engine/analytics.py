@@ -470,10 +470,17 @@ def cohort_retention_over_activity(
     """The retention-triangle rule over an EXISTING distinct (user, b_ms)
     activity table — the continuous-operation entry point; batch
     cohort_retention ≡ cohort_activity ∘ this (first-seen is re-derived as
-    min(b_ms), so the store needs no separate cohort table)."""
-    first = active.groupBy(user_col).agg(F.min("b_ms").alias("__cohort"))
+    min(b_ms), so the store needs no separate cohort table).
+
+    r13: first-seen is a window min over the user partitioning instead of a
+    groupBy + self-join — the join duplicated the activity subtree in the
+    plan and paid an extra exchange; the window runs on the same user-keyed
+    shuffle the join needed anyway (guide §2.4 "window functions partitioned
+    by the same key as a preceding aggregation")."""
     return (
-        active.join(first, user_col)
+        active.withColumn(
+            "__cohort", F.min("b_ms").over(Window.partitionBy(user_col))
+        )
         .select(
             F.col("__cohort").alias("cohort_ms"),
             ((F.col("b_ms") - F.col("__cohort")) / F.lit(bucket_ms)).cast("long").alias("k"),

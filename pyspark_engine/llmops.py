@@ -4271,25 +4271,27 @@ def unigram_logprob(
     partitioned by term over the SAME tf frame (r13: the original
     groupBy+self-join duplicated the unpersisted tf subtree, tokenizing
     the corpus twice, and the totals aggregate re-derived the vocabulary a
-    third time — the window kills both, guide §2.4), a per-doc sum — all
-    map-side combinable; the 1-row totals frame (corpus token count, no
-    explode, pure HOF size sum) broadcasts."""
+    third time — the window kills both, guide §2.4), a per-doc sum.  The
+    corpus token total is Σ_doc n_tokens, so it folds out of the PERSISTED
+    per-doc frame (one row per doc, three numbers — cache cost negligible)
+    instead of a second tokenize scan of the corpus (r13 second pass: that
+    HOF size-sum scan was the only remaining extra corpus pass, guide
+    §1.2/§2.4); the 1-row total broadcasts as before."""
     terms = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     tf = tf.withColumn("cnt", F.sum("tf").over(Window.partitionBy("term")))
-    totals = _spread(df.select(F.col(text_col))).agg(
-        F.sum(
-            F.size(F.filter(tokens(F.col(text_col)), lambda t: t != F.lit("")))
-        ).cast("double").alias("__total")
-    )
-    return (
+    per_doc = _persist(
         tf.groupBy(id_col)
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),
             F.sum(F.col("tf") * F.log(F.col("cnt").cast("double"))).alias("__s"),
         )
+    )
+    totals = per_doc.agg(F.sum("n_tokens").cast("double").alias("__total"))
+    return (
+        per_doc
         .crossJoin(F.broadcast(totals))
         .select(
             F.col(id_col),
@@ -4701,10 +4703,19 @@ def profile_columns(
             F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
         ]
+    # r13 (second pass): NO _spread before these aggregates.  Partial (map-
+    # side) aggregation collapses each scan task's rows to bytes of agg state
+    # before any exchange, so the pre-agg round-robin repartition shuffled the
+    # full 5-column table (24 MB at sf0.1) only to parallelize work the scan
+    # task does in well under the shuffle's own cost — measured 2.09 s →
+    # 0.87 s (stats) and 1.74 s → 1.28 s (exact ndv) at sf0.1 (guide §2.3
+    # "aggregate before you shuffle", §2.4 remove shuffles outright).  At
+    # corpus scale the scan has ≥ cores splits and _spread was a no-op anyway,
+    # so this only removes the local compensation where it was a pessimation.
     if approx:
         # sketches are regular (non-distinct) aggregates — everything fits
         # in ONE Expand-free pass
-        one = _spread(df).agg(
+        one = df.agg(
             *aggs, *[ndv(c).cast("long").alias(f"__ndv_{c}") for c in cols]
         )
     else:
@@ -4716,8 +4727,8 @@ def profile_columns(
         # 0.35 + 1.75 s split at sf0.1 (guide §1.2: per-task work after plan
         # shape).  The Expand itself stays: it IS the one-pass exact
         # multi-column ndv plan; q149's sketch mode is the scale path.
-        stats = _spread(df).agg(*aggs)
-        ndvs = _spread(df).agg(*[ndv(c).cast("long").alias(f"__ndv_{c}") for c in cols])
+        stats = df.agg(*aggs)
+        ndvs = df.agg(*[ndv(c).cast("long").alias(f"__ndv_{c}") for c in cols])
         one = stats.crossJoin(F.broadcast(ndvs))
     stack_args = ", ".join(
         f"'{c}', `__cnt_{c}`, `__null_{c}`, `__ndv_{c}`, `__min_{c}`, `__max_{c}`"
@@ -4747,7 +4758,10 @@ def profile_ndv_audit(
     its own HLL buffer, 19 s vs 2.3 s at sf0.1.  Split shape measured
     ~1.5 s.)  Values are bit-identical to the two-pass composition — the
     audit arithmetic is the same expression over the same two numbers."""
-    stats = _spread(df).agg(
+    # r13 (second pass): no _spread — partial aggregation shrinks the
+    # exchange to agg-state bytes, so the pre-agg repartition only added a
+    # full-table shuffle (see profile_columns for the measured numbers)
+    stats = df.agg(
         *[
             a
             for c in cols
@@ -4760,7 +4774,7 @@ def profile_ndv_audit(
             )
         ]
     )
-    ndvs = _spread(df).agg(
+    ndvs = df.agg(
         *[F.count_distinct(F.col(c)).cast("long").alias(f"__ndv_{c}") for c in cols]
     )
     one = stats.crossJoin(F.broadcast(ndvs))
@@ -5038,12 +5052,13 @@ def semantic_dedup(
 
 def dsir_logweights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     id_col: str,
     text_col: str,
     n: int = 2,
     n_buckets: int = 10_000,
     quant: int = 1000,
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al., "Data Selection for
     Language Models via Importance Resampling"): score each RAW document by
@@ -5069,7 +5084,17 @@ def dsir_logweights(
     broadcast; per-doc scoring is a broadcast-join + integer weighted sum
     over the persisted counts — no pairwise stage.  The md5 bucket hash
     keeps the oracle portable (portable_hash32); swap xxhash64 at
-    production scale."""
+    production scale.
+
+    ``target_filter`` (r13): when the target domain is a row-filter of
+    ``raw`` itself (the common DSIR setup — e.g. lang == 'en'), pass the
+    predicate instead of a separate ``target`` frame.  The per-doc count
+    frame then carries the (per-doc constant) flag and the target histogram
+    folds out of the SAME persisted counts — the whole operator tokenizes
+    the corpus exactly once instead of re-tokenizing the target subset in a
+    second pass (guide §1.2 "how many full passes are unavoidable", §2.4).
+    Results are identical by construction: the sum of per-(doc,bucket)
+    counts over flagged docs IS the subset's bucket histogram."""
     def gram_buckets(df: DataFrame) -> DataFrame:
         return (
             _spread(df)
@@ -5077,17 +5102,32 @@ def dsir_logweights(
             .select((portable_hash32(F.col("__g")) % n_buckets).alias("__b"))
         )
 
+    flag = [] if target_filter is None else [target_filter.alias("__is_t")]
     doc_hist = _persist(
         _spread(raw)
         .select(
             F.col(id_col),
+            *flag,
             F.explode(word_ngrams_multiset(tokens(F.col(text_col)), n)).alias("__g"),
         )
-        .select(F.col(id_col), (portable_hash32(F.col("__g")) % n_buckets).alias("__b"))
-        .groupBy(id_col, "__b")
+        .select(
+            F.col(id_col),
+            *([F.col("__is_t")] if flag else []),
+            (portable_hash32(F.col("__g")) % n_buckets).alias("__b"),
+        )
+        # __is_t is constant per doc, so adding it to the grouping keys
+        # changes no group boundaries
+        .groupBy(id_col, *(["__is_t"] if flag else []), "__b")
         .agg(F.count(F.lit(1)).alias("__cn"))
     )
-    t_hist = gram_buckets(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    if target_filter is not None:
+        t_hist = (
+            doc_hist.filter(F.col("__is_t"))
+            .groupBy("__b")
+            .agg(F.sum("__cn").alias("__ct"))
+        )
+    else:
+        t_hist = gram_buckets(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
     r_hist = doc_hist.groupBy("__b").agg(F.sum("__cn").alias("__cr"))
     t_tot = t_hist.agg(F.sum("__ct").cast("double").alias("__tt"))
     r_tot = r_hist.agg(F.sum("__cr").cast("double").alias("__tr"))
