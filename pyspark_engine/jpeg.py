@@ -140,6 +140,68 @@ def _dct_matrix():
     return m
 
 
+# r13 (guide §4.5): every table the codec needs is a pure function of small
+# tuples, but the original built them per call — 4 Huffman dicts + the DCT
+# basis per ENCODED IMAGE, and a decode dict per DHT segment per DECODED
+# image.  At 5k tiny images per query that construction dominated.  One
+# process-wide memo (keyed by the table bytes, so non-standard streams still
+# work) builds each exactly once per worker.
+_TABLE_CACHE: dict = {}
+
+
+def _cached_dct():
+    m = _TABLE_CACHE.get("dct")
+    if m is None:
+        m = _TABLE_CACHE["dct"] = _dct_matrix()
+    return m
+
+
+def _enc_arrays(bits, vals):
+    """Encode tables as arrays: (codes uint32[256], lengths int64[256])
+    indexed by symbol value — the vectorized encoder gathers whole symbol
+    streams from these with one fancy-index."""
+    key = ("enc", tuple(bits), tuple(vals))
+    t = _TABLE_CACHE.get(key)
+    if t is None:
+        import numpy as np
+
+        codes = np.zeros(256, dtype=np.int64)
+        lens = np.zeros(256, dtype=np.int64)
+        for v, (code, ln) in _huff_codes(bits, vals).items():
+            codes[v] = code
+            lens[v] = ln
+        t = _TABLE_CACHE[key] = (codes, lens)
+    return t
+
+
+def _dec_lut(bits, vals):
+    """Decode table as a 16-bit-prefix LUT: (value, code_length) plain
+    Python lists of length 65536.  A canonical code of length L owns the
+    2^(16−L) table slots whose top L bits equal the code, so one indexed
+    read replaces the per-bit tree walk (length 0 marks an invalid
+    prefix)."""
+    key = ("dec", tuple(bits), tuple(vals))
+    t = _TABLE_CACHE.get(key)
+    if t is None:
+        import numpy as np
+
+        val = np.zeros(65536, dtype=np.int64)
+        ln_ = np.zeros(65536, dtype=np.int64)
+        code = 0
+        i = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                hi = lo + (1 << (16 - length))
+                val[lo:hi] = vals[i]
+                ln_[lo:hi] = length
+                code += 1
+                i += 1
+            code <<= 1
+        t = _TABLE_CACHE[key] = (val.tolist(), ln_.tolist())
+    return t
+
+
 # ----------------------------------------------------------------- encode
 
 def _rgb_to_ycbcr(img):
@@ -258,71 +320,258 @@ SAMP_FACTORS = {
 }
 
 
-def jpeg_encode(img, subsample=False) -> bytes:
-    """8-bit RGB ndarray[h, w, 3] → baseline JFIF bytes (Annex K tables).
-    ``subsample`` picks the chroma layout — False/"444", True/"420", "422",
-    "411" (SAMP_FACTORS).  One MCU covers 8·sh × 8·sv pixels as sh·sv Y
-    blocks (row-major) plus one (sv×sh)-mean-downsampled Cb and Cr block,
-    interleaved per T.81 A.2.3; 4:4:4 degenerates to Y Cb Cr per 8×8 block.
-    Dimensions need not be multiples of the MCU size — edges replicate."""
+def _cat_mag_vec(v, np):
+    """Vector T.81 F.1.2.1: (category, magnitude-offset bits) arrays."""
+    a = np.abs(v)
+    cat = np.where(a == 0, 0, np.frexp(a.astype(np.float64))[1]).astype(np.int64)
+    mag = np.where(v > 0, v, v + (np.int64(1) << cat) - 1).astype(np.int64)
+    return cat, np.where(cat == 0, 0, mag)
+
+
+def _const_segments(subsample):
+    """The byte-constant container pieces for a sampling mode: everything
+    except the per-image SOF dims (cached; one image differs from the next
+    only in w/h and entropy data)."""
+    key = ("seg", SAMP_FACTORS[subsample])
+    t = _TABLE_CACHE.get(key)
+    if t is None:
+        sh, sv = SAMP_FACTORS[subsample]
+
+        def seg(marker: int, payload: bytes) -> bytes:
+            return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+        def dqt(tid: int, table) -> bytes:
+            zz = bytes(int(table[ZIGZAG[i]]) for i in range(64))
+            return seg(0xFFDB, bytes([tid]) + zz)
+
+        def dht(tc: int, th: int, bits, vals) -> bytes:
+            return seg(0xFFC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+        head = b"\xff\xd8" + dqt(0, QL) + dqt(1, QC)
+        samp = [(sh << 4) | sv, 0x11, 0x11]
+        sof_tail = bytes([1, samp[0], 0, 2, samp[1], 1, 3, samp[2], 1])
+        mid = (
+            dht(0, 0, *DC_L) + dht(0, 1, *DC_C)
+            + dht(1, 0, *AC_L) + dht(1, 1, *AC_C)
+            + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        )
+        t = _TABLE_CACHE[key] = (head, sof_tail, mid)
+    return t
+
+
+def jpeg_encode_batch(imgs, subsample=False) -> list:
+    """Encode a BATCH of 8-bit RGB ndarrays[h, w, 3] → list of baseline
+    JFIF bytes (Annex K tables), each byte-identical to the scalar
+    single-image walk.  ``subsample`` picks the chroma layout — False/"444",
+    True/"420", "422", "411" (SAMP_FACTORS).  One MCU covers 8·sh × 8·sv
+    pixels as sh·sv Y blocks (row-major) plus one (sv×sh)-mean-downsampled
+    Cb and Cr block, interleaved per T.81 A.2.3; 4:4:4 degenerates to
+    Y Cb Cr per 8×8 block.  Dimensions need not be multiples of the MCU
+    size — edges replicate.
+
+    r13 vectorized encode (guide §4.2): the scalar reference walked the
+    MCUs block by block (_encode_block) — FDCT, quantize, zigzag, and the
+    bit emission all per 8×8 block in interpreted Python, and rebuilt the
+    Huffman/DCT tables per image.  This implementation gathers every block
+    of EVERY image in the batch (the suite's images are tiny, so
+    per-image fixed cost is what dominates), runs FDCT/quantize/zigzag as
+    three array ops over the whole batch, derives the full
+    (code, length, magnitude) symbol sequence with numpy (run lengths,
+    ZRL splits, EOB), bit-packs one global stream, and splits/stuffs it
+    per image.  Byte output is IDENTICAL to the scalar walk (pinned by
+    tests/test_jpeg_vectorized.py)."""
     import numpy as np
 
     if subsample not in SAMP_FACTORS:
         raise ValueError(f"unsupported sampling mode {subsample!r} (one of {sorted(str(k) for k in SAMP_FACTORS)})")
+    if not imgs:
+        return []
     sh, sv = SAMP_FACTORS[subsample]
-    h, w, _ = img.shape
-    ycc = _rgb_to_ycbcr(img) - 128.0
-    m = _dct_matrix()
-    q = {0: np.array(QL, dtype=np.float64).reshape(8, 8),
-         1: np.array(QC, dtype=np.float64).reshape(8, 8)}
-    enc_dc = {0: _huff_codes(*DC_L), 1: _huff_codes(*DC_C)}
-    enc_ac = {0: _huff_codes(*AC_L), 1: _huff_codes(*AC_C)}
+    svsh = sv * sh
+    m = _cached_dct()
+    q = _TABLE_CACHE.get("qstack")
+    if q is None:
+        q = _TABLE_CACHE["qstack"] = np.stack(
+            [np.array(QL, dtype=np.float64).reshape(8, 8),
+             np.array(QC, dtype=np.float64).reshape(8, 8)]
+        )
+    pat_key = ("pattern", sh, sv)
+    pat = _TABLE_CACHE.get(pat_key)
+    if pat is None:
+        pat = _TABLE_CACHE[pat_key] = (
+            np.array([0] * svsh + [1, 1], dtype=np.int64),
+            np.array([0] * svsh + [1, 2], dtype=np.int64),
+        )
+    tq_pat, comp_pat = pat
 
-    bw_ = _BitWriter()
-    prev_dc = [0, 0, 0]
-    mh, mw = -(-h // (8 * sv)), -(-w // (8 * sh))
-    y_p = _pad_edge(ycc[..., 0], mh * 8 * sv, mw * 8 * sh)
-    # chroma: sv×sh mean over the padded plane, one sample per tile
-    cbcr = []
-    for c in (1, 2):
-        p = _pad_edge(ycc[..., c], mh * 8 * sv, mw * 8 * sh)
-        cbcr.append(p.reshape(mh * 8, sv, mw * 8, sh).mean(axis=(1, 3)))
-    for my in range(mh):
-        for mx in range(mw):
-            for dy in range(sv):
-                for dx in range(sh):
-                    blk = y_p[(my * sv + dy) * 8 : (my * sv + dy) * 8 + 8,
-                              (mx * sh + dx) * 8 : (mx * sh + dx) * 8 + 8]
-                    _encode_block(bw_, blk, 0, 0, prev_dc, m, q, enc_dc, enc_ac)
-            for ci, plane in enumerate(cbcr):
-                blk = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-                _encode_block(bw_, blk, 1, ci + 1, prev_dc, m, q, enc_dc, enc_ac)
-    samp = [(sh << 4) | sv, 0x11, 0x11]
-    bw_.flush()
+    # ---- gather every image's blocks in MCU walk order
+    parts = []
+    dims = []
+    for img in imgs:
+        h, w, _ = img.shape
+        ycc = _rgb_to_ycbcr(img) - 128.0
+        mh, mw = -(-h // (8 * sv)), -(-w // (8 * sh))
+        y_p = _pad_edge(ycc[..., 0], mh * 8 * sv, mw * 8 * sh)
+        nmcu = mh * mw
+        yb = (
+            y_p.reshape(mh, sv, 8, mw, sh, 8)
+            .transpose(0, 3, 1, 4, 2, 5)
+            .reshape(nmcu, svsh, 8, 8)
+        )
+        mcu = [yb]
+        for c in (1, 2):
+            p = _pad_edge(ycc[..., c], mh * 8 * sv, mw * 8 * sh)
+            # chroma: sv×sh mean over the padded plane, one sample per tile
+            ds = p.reshape(mh * 8, sv, mw * 8, sh).mean(axis=(1, 3))
+            mcu.append(ds.reshape(mh, 8, mw, 8).transpose(0, 2, 1, 3).reshape(nmcu, 1, 8, 8))
+        parts.append(np.concatenate(mcu, axis=1).reshape(nmcu * (svsh + 2), 8, 8))
+        dims.append((w, h, nmcu))
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
+    counts = np.array([p.shape[0] for p in parts], dtype=np.int64)
+    blocks = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    n_blk = blocks.shape[0]
+    nimg = len(imgs)
+    img_of = np.repeat(np.arange(nimg, dtype=np.int64), counts)
+    tq_blk = np.tile(tq_pat, n_blk // (svsh + 2))
+    comp_blk = np.tile(comp_pat, n_blk // (svsh + 2))
 
-    def dqt(tid: int, table) -> bytes:
-        zz = bytes(int(table[ZIGZAG[i] // 8][ZIGZAG[i] % 8]) for i in range(64))
-        return seg(0xFFDB, bytes([tid]) + zz)
+    coef = np.matmul(np.matmul(m, blocks), m.T)  # m @ blk @ m.T, batched (BLAS)
+    quant = np.round(coef / q[tq_blk]).astype(np.int64)
+    zz = quant.reshape(n_blk, 64)[:, ZIGZAG]
 
-    def dht(tc: int, th: int, bits, vals) -> bytes:
-        return seg(0xFFC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    # ---- DC differentials per (image, component), in block-sequence order
+    dc = zz[:, 0]
+    diffs = np.empty(n_blk, dtype=np.int64)
+    for c in range(3):
+        idx = np.nonzero(comp_blk == c)[0]
+        d = dc[idx]
+        im = img_of[idx]
+        prev = np.empty_like(d)
+        prev[0] = 0
+        prev[1:] = d[:-1]
+        if idx.size > 1:
+            prev[1:][im[1:] != im[:-1]] = 0  # DC predictor resets per image
+        diffs[idx] = d - prev
 
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
-              + bytes([1, samp[0], 0, 2, samp[1], 1, 3, samp[2], 1]))
-    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    return (
-        b"\xff\xd8"  # SOI
-        + dqt(0, q[0]) + dqt(1, q[1])
-        + sof
-        + dht(0, 0, *DC_L) + dht(0, 1, *DC_C)
-        + dht(1, 0, *AC_L) + dht(1, 1, *AC_C)
-        + sos
-        + bytes(bw_.out)
-        + b"\xff\xd9"  # EOI
-    )
+    dct0, dcl0 = _enc_arrays(*DC_L)
+    dct1, dcl1 = _enc_arrays(*DC_C)
+    act0, acl0 = _enc_arrays(*AC_L)
+    act1, acl1 = _enc_arrays(*AC_C)
+    dc_codes = np.stack([dct0, dct1])   # (2, 256)
+    dc_lens = np.stack([dcl0, dcl1])
+    ac_codes = np.stack([act0, act1])
+    ac_lens = np.stack([acl0, acl1])
+
+    # ---- DC records: one per block (key (block, k=0, sub=0))
+    dcat, dmag = _cat_mag_vec(diffs, np)
+    r_blk = [np.arange(n_blk, dtype=np.int64)]
+    r_k = [np.zeros(n_blk, dtype=np.int64)]
+    r_sub = [np.zeros(n_blk, dtype=np.int64)]
+    r_code = [dc_codes[tq_blk, dcat]]
+    r_clen = [dc_lens[tq_blk, dcat]]
+    r_mag = [dmag]
+    r_mlen = [dcat]
+
+    # ---- AC records from the nonzero coefficients (row-major nonzero scan
+    # == ascending (block, k), exactly the scalar emission order)
+    rows, kpos = np.nonzero(zz[:, 1:])
+    kpos = kpos + 1
+    if rows.size:
+        vals = zz[rows, kpos]
+        first = np.empty(rows.size, dtype=bool)
+        first[0] = True
+        first[1:] = rows[1:] != rows[:-1]
+        prevk = np.empty_like(kpos)
+        prevk[0] = 0
+        prevk[1:] = kpos[:-1]
+        prevk[first] = 0
+        gap = kpos - prevk - 1
+        nzrl = gap >> 4          # ZRL symbols emitted before this coefficient
+        run = gap & 15
+        acat, amag = _cat_mag_vec(vals, np)
+        rs = (run << 4) | acat
+        tq_nz = tq_blk[rows]
+        r_blk.append(rows.astype(np.int64))
+        r_k.append(kpos.astype(np.int64))
+        r_sub.append(nzrl)       # after its ZRLs (their sub = 0..nzrl-1)
+        r_code.append(ac_codes[tq_nz, rs])
+        r_clen.append(ac_lens[tq_nz, rs])
+        r_mag.append(amag)
+        r_mlen.append(acat)
+        tot_zrl = int(nzrl.sum())
+        if tot_zrl:
+            zrl_rows = np.repeat(rows, nzrl).astype(np.int64)
+            zrl_k = np.repeat(kpos, nzrl).astype(np.int64)
+            off = np.cumsum(nzrl) - nzrl
+            zrl_sub = np.arange(tot_zrl, dtype=np.int64) - np.repeat(off, nzrl)
+            zrl_tq = tq_blk[zrl_rows]
+            r_blk.append(zrl_rows)
+            r_k.append(zrl_k)
+            r_sub.append(zrl_sub)
+            r_code.append(ac_codes[zrl_tq, 0xF0])
+            r_clen.append(ac_lens[zrl_tq, 0xF0])
+            r_mag.append(np.zeros(tot_zrl, dtype=np.int64))
+            r_mlen.append(np.zeros(tot_zrl, dtype=np.int64))
+
+    # ---- EOB records for blocks whose last nonzero AC index < 63
+    last_nz = np.zeros(n_blk, dtype=np.int64)
+    if rows.size:
+        last_nz[rows] = kpos     # row-major scan: final write per block is max
+    eob = np.nonzero(last_nz < 63)[0]
+    if eob.size:
+        eob_tq = tq_blk[eob]
+        r_blk.append(eob.astype(np.int64))
+        r_k.append(np.full(eob.size, 64, dtype=np.int64))
+        r_sub.append(np.zeros(eob.size, dtype=np.int64))
+        r_code.append(ac_codes[eob_tq, 0x00])
+        r_clen.append(ac_lens[eob_tq, 0x00])
+        r_mag.append(np.zeros(eob.size, dtype=np.int64))
+        r_mlen.append(np.zeros(eob.size, dtype=np.int64))
+
+    blk_a = np.concatenate(r_blk)
+    k_a = np.concatenate(r_k)
+    sub_a = np.concatenate(r_sub)
+    code_a = np.concatenate(r_code)
+    clen_a = np.concatenate(r_clen)
+    mag_a = np.concatenate(r_mag)
+    mlen_a = np.concatenate(r_mlen)
+    # blocks are numbered in image order, so sorting by block also groups
+    # the stream image-contiguously
+    order = np.lexsort((sub_a, k_a, blk_a))
+
+    # each record is (huffman code ‖ magnitude bits); expand the whole
+    # batch's bit stream at once, then split/pad/stuff per image
+    val_a = (code_a[order] << mlen_a[order]) | mag_a[order]
+    tot_a = clen_a[order] + mlen_a[order]       # ≤ 16 + 11 bits
+    width = int(tot_a.max())
+    j = np.arange(width, dtype=np.int64)
+    shift = np.maximum(tot_a[:, None] - 1 - j, 0)
+    bits_mat = (val_a[:, None] >> shift) & 1
+    bit_stream = bits_mat[j < tot_a[:, None]].astype(np.uint8)
+    rec_img = img_of[blk_a[order]]
+    img_bits = np.bincount(rec_img, weights=tot_a, minlength=nimg).astype(np.int64)
+    bounds = np.concatenate([[0], np.cumsum(img_bits)])
+
+    head, sof_tail, mid = _const_segments(subsample)
+    out = []
+    ones = np.ones(7, dtype=np.uint8)
+    for i, (w, h, _nmcu) in enumerate(dims):
+        seg_bits = bit_stream[bounds[i] : bounds[i + 1]]
+        pad = (-seg_bits.size) % 8
+        if pad:  # pad with 1-bits per spec
+            seg_bits = np.concatenate([seg_bits, ones[:pad]])
+        packed = np.packbits(seg_bits)
+        ffpos = np.nonzero(packed == 0xFF)[0]
+        if ffpos.size:  # byte stuffing (T.81 B.1.1.5)
+            packed = np.insert(packed, ffpos + 1, 0)
+        sof = struct.pack(">HHBHHB", 0xFFC0, 6 + len(sof_tail) + 2, 8, h, w, 3) + sof_tail
+        out.append(head + sof + mid + packed.tobytes() + b"\xff\xd9")
+    return out
+
+
+def jpeg_encode(img, subsample=False) -> bytes:
+    """Single-image wrapper over jpeg_encode_batch (same bytes)."""
+    return jpeg_encode_batch([img], subsample=subsample)[0]
 
 
 # ----------------------------------------------------------------- decode
@@ -374,21 +623,18 @@ def _read_huff(r: _BitReader, table) -> int:
     raise ValueError("invalid JPEG Huffman code")
 
 
-def jpeg_decode(raw: bytes):
-    """Baseline JFIF bytes → (width, height, n_components, ndarray[h,w,3]).
-    Real marker walk (segment lengths, table ids, byte stuffing), Huffman
-    entropy decode, dequantize, IDCT, color transform.  Raises on
-    progressive (SOF2), arithmetic (SOF9+), non-3-component, or
-    unsupported-sampling streams — the supported subset is exactly what
-    jpeg_encode writes, and anything else is decode-library territory."""
+def _parse_jpeg(raw: bytes):
+    """The real marker walk (segment lengths, table ids), unchanged from the
+    scalar decoder: returns (w, h, sampling, scan_spec, tq_of, qt,
+    dc_tables, ac_tables, entropy_data)."""
     import numpy as np
 
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qt: dict[int, object] = {}
-    dc_tables: dict[int, dict] = {}
-    ac_tables: dict[int, dict] = {}
+    dc_tables: dict[int, tuple] = {}
+    ac_tables: dict[int, tuple] = {}
     dims = None
     comp_spec = None  # [(cid, tq)] in SOF order
     sampling = None  # [samp_byte] in SOF order
@@ -416,8 +662,7 @@ def jpeg_decode(raw: bytes):
                 if p + 65 > len(payload):
                     raise ValueError("truncated JPEG: DQT table cut off")
                 tbl = np.zeros(64)
-                for i in range(64):
-                    tbl[ZIGZAG[i]] = payload[p + 1 + i]
+                tbl[ZIGZAG] = np.frombuffer(payload, dtype=np.uint8, count=64, offset=p + 1)
                 qt[tid] = tbl.reshape(8, 8)
                 p += 65
         elif marker == 0xC0:  # SOF0 baseline
@@ -453,7 +698,9 @@ def jpeg_decode(raw: bytes):
                 if p + 17 + nv > len(payload) or len(bits) < 16:
                     raise ValueError("truncated JPEG: DHT table cut off")
                 vals = list(payload[p + 17 : p + 17 + nv])
-                (dc_tables if tc == 0 else ac_tables)[th] = _huff_decoder(bits, vals)
+                # r13: 16-bit-prefix LUT (memoized) instead of the per-bit
+                # dict walk — one indexed read per symbol
+                (dc_tables if tc == 0 else ac_tables)[th] = _dec_lut(bits, vals)
                 p += 17 + nv
         if marker == 0xDA:  # SOS — entropy data follows
             ns = payload[0]
@@ -466,66 +713,193 @@ def jpeg_decode(raw: bytes):
         pos += ln
     if dims is None or data is None or comp_spec is None:
         raise ValueError("JPEG missing SOF/SOS")
-    w, h = dims
     # strip the EOI off the entropy segment (scan until 0xFFD9)
     end = data.rfind(b"\xff\xd9")
     if end >= 0:
         data = data[:end]
-    r = _BitReader(data)
-    m = _dct_matrix()
-    prev_dc = [0, 0, 0]
+    w, h = dims
     tq_of = {cid: tq for cid, tq in comp_spec}
+    return w, h, sampling, scan_spec, tq_of, qt, dc_tables, ac_tables, data
 
-    def decode_block(ci: int, cid: int, td: int, ta: int):
-        zz = np.zeros(64, dtype=np.int64)
-        cat = _read_huff(r, dc_tables[td])
-        diff = _extend(r.bits(cat), cat) if cat else 0
-        prev_dc[ci] += diff
-        zz[0] = prev_dc[ci]
-        k = 1
-        while k < 64:
-            rs = _read_huff(r, ac_tables[ta])
-            run, cat = rs >> 4, rs & 0xF
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("AC coefficient index overflow")
-            zz[k] = _extend(r.bits(cat), cat)
-            k += 1
-        blk = np.zeros(64)
-        blk[ZIGZAG] = zz
-        coef = blk.reshape(8, 8) * qt[tq_of[cid]]
-        return m.T @ coef @ m
 
-    # generic MCU walk over luma factors (sh, sv); (1,1) degenerates to the
-    # per-8×8-block Y Cb Cr interleave of 4:4:4 (A.2.3)
-    sh, sv = sampling[0] >> 4, sampling[0] & 0xF
-    mh, mw = -(-h // (8 * sv)), -(-w // (8 * sh))
-    y_p = np.zeros((mh * 8 * sv, mw * 8 * sh))
-    cb = np.zeros((mh * 8, mw * 8))
-    cr = np.zeros((mh * 8, mw * 8))
-    (ycid, ytd, yta), (bcid, btd, bta), (rcid, rtd, rta) = scan_spec
-    for my in range(mh):
-        for mx in range(mw):
-            for dy in range(sv):
-                for dx in range(sh):
-                    y_p[(my * sv + dy) * 8 : (my * sv + dy) * 8 + 8,
-                        (mx * sh + dx) * 8 : (mx * sh + dx) * 8 + 8] = decode_block(
-                        0, ycid, ytd, yta
-                    )
-            cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = decode_block(
-                1, bcid, btd, bta
-            )
-            cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = decode_block(
-                2, rcid, rtd, rta
-            )
-    # nearest-neighbor chroma upsample back to luma resolution
-    cb_up = np.repeat(np.repeat(cb, sv, axis=0), sh, axis=1)
-    cr_up = np.repeat(np.repeat(cr, sv, axis=0), sh, axis=1)
-    ycc = np.stack([y_p, cb_up, cr_up], axis=-1)[:h, :w]
-    img = _ycbcr_to_rgb(ycc + 128.0)
-    return w, h, 3, img
+def jpeg_decode_batch(raws) -> list:
+    """Decode a BATCH of baseline JFIF byte strings → list of
+    (width, height, n_components, ndarray[h,w,3]).  Real marker walk per
+    image (segment lengths, table ids, byte stuffing), then the heavy
+    phases run batched.  Raises on progressive (SOF2), arithmetic (SOF9+),
+    non-3-component, or unsupported-sampling streams — the supported subset
+    is exactly what jpeg_encode writes.
+
+    r13 vectorized decode (guide §4.2): the scalar reference pulled the
+    entropy stream bit by bit through dict probes (_BitReader/_read_huff)
+    and ran one IDCT + two allocations per 8×8 block, per image.  This
+    implementation un-stuffs each stream with one array pass, precomputes a
+    16-bit look-ahead window per bit position over the CONCATENATED batch
+    stream, decodes each Huffman symbol with ONE LUT read (plus one shift
+    for its magnitude bits), collects every image's coefficients into a
+    single matrix, and batches dequantize + IDCT across the whole batch.
+    A symbol's LUT slot is determined by its own first L bits alone
+    (canonical prefix code), so the cross-image look-ahead bits cannot
+    change any decode inside an image's own bit budget.  Decoded pixels
+    are identical to the scalar walk (tests/test_jpeg_vectorized.py)."""
+    import numpy as np
+
+    if not raws:
+        return []
+    m = _cached_dct()
+    parsed = [_parse_jpeg(raw) for raw in raws]
+
+    # ---- per-image destuff + validation, then one global bit window.
+    # Validity of the whole stream: every 0xFF must begin a (non-
+    # overlapping) stuffed 0xFF 0x00 pair, so count equality is the test —
+    # the slow scan runs only to produce the error detail.
+    cleaned = []
+    for _w, _h, _samp, _scan, _tqof, _qt, _dct, _act, data in parsed:
+        n_ff = data.count(b"\xff")
+        if n_ff:
+            if data.endswith(b"\xff"):
+                raise ValueError("JPEG entropy stream exhausted")
+            if data.count(b"\xff\x00") != n_ff:
+                i = 0
+                while True:
+                    i = data.index(b"\xff", i)
+                    if data[i + 1] != 0x00:
+                        raise ValueError(
+                            f"unexpected marker 0xFF{data[i + 1]:02X} in entropy stream"
+                        )
+                    i += 2
+            data = data.replace(b"\xff\x00", b"\xff")
+        cleaned.append(np.frombuffer(data, dtype=np.uint8))
+    sizes = np.array([c.size for c in cleaned], dtype=np.int64)
+    bounds = np.concatenate([[0], np.cumsum(sizes)]) * 8
+    allbytes = np.concatenate(cleaned) if len(cleaned) > 1 else cleaned[0]
+    bits_a = np.unpackbits(allbytes)
+    tbits = int(bits_a.size)
+    padded = np.concatenate([bits_a.astype(np.uint32), np.zeros(16, dtype=np.uint32)])
+    w16 = np.zeros(tbits, dtype=np.uint32)
+    for jj in range(16):
+        w16 |= padded[jj : jj + tbits] << (15 - jj)
+    wl = w16.tolist()
+
+    # ---- entropy decode every image's coefficients into one flat list
+    img_meta = []  # (w, h, sh, sv, mh, mw, nmcu, block_base)
+    qparts = []
+    total_blocks = 0
+    for i, (w, h, sampling, scan_spec, tq_of, qt, dc_tables, ac_tables, _d) in enumerate(parsed):
+        sh, sv = sampling[0] >> 4, sampling[0] & 0xF
+        svsh = sh * sv
+        mh, mw = -(-h // (8 * sv)), -(-w // (8 * sh))
+        nmcu = mh * mw
+        img_meta.append((w, h, sh, sv, mh, mw, nmcu, total_blocks))
+        total_blocks += nmcu * (svsh + 2)
+        qpat = np.stack(
+            [qt[tq_of[scan_spec[0][0]]]] * svsh
+            + [qt[tq_of[scan_spec[1][0]]], qt[tq_of[scan_spec[2][0]]]]
+        )
+        qparts.append(np.tile(qpat, (nmcu, 1, 1)))
+    flat = [0] * (total_blocks * 64)
+    for i, (w, h, sampling, scan_spec, tq_of, qt, dc_tables, ac_tables, _d) in enumerate(parsed):
+        _w, _h, sh, sv, mh, mw, nmcu, block_base = img_meta[i]
+        svsh = sh * sv
+        # per-MCU component layout: (ci, dc LUT pair, ac LUT pair)
+        layout = []
+        for ci, (cid, td, ta) in enumerate(scan_spec):
+            reps = svsh if ci == 0 else 1
+            dcv, dcn = dc_tables[td]
+            acv, acn = ac_tables[ta]
+            layout.extend([(ci, dcv, dcn, acv, acn)] * reps)
+        pos = int(bounds[i])
+        nbits = int(bounds[i + 1])
+        prev = [0, 0, 0]
+        bi = block_base
+        for _mcu in range(nmcu):
+            for ci, dcv, dcn, acv, acn in layout:
+                wv = wl[pos] if pos < nbits else 0
+                ln = dcn[wv]
+                if ln == 0:
+                    raise ValueError("invalid JPEG Huffman code")
+                pos += ln
+                if pos > nbits:
+                    raise ValueError("JPEG entropy stream exhausted")
+                cat = dcv[wv]
+                if cat:
+                    mag = (wl[pos] >> (16 - cat)) if pos < nbits else 0
+                    pos += cat
+                    if pos > nbits:
+                        raise ValueError("JPEG entropy stream exhausted")
+                    diff = mag if mag >= (1 << (cat - 1)) else mag - (1 << cat) + 1
+                else:
+                    diff = 0
+                prev[ci] += diff
+                base = bi * 64
+                flat[base] = prev[ci]
+                k = 1
+                while k < 64:
+                    wv = wl[pos] if pos < nbits else 0
+                    ln = acn[wv]
+                    if ln == 0:
+                        raise ValueError("invalid JPEG Huffman code")
+                    pos += ln
+                    if pos > nbits:
+                        raise ValueError("JPEG entropy stream exhausted")
+                    rs = acv[wv]
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    cat = rs & 0xF
+                    if k > 63:
+                        raise ValueError("AC coefficient index overflow")
+                    if cat:
+                        mag = (wl[pos] >> (16 - cat)) if pos < nbits else 0
+                        pos += cat
+                        if pos > nbits:
+                            raise ValueError("JPEG entropy stream exhausted")
+                        flat[base + k] = (
+                            mag if mag >= (1 << (cat - 1)) else mag - (1 << cat) + 1
+                        )
+                    k += 1
+                bi += 1
+
+    # ---- batched dequantize + IDCT over every block of every image
+    zzm = np.array(flat, dtype=np.int64).reshape(total_blocks, 64)
+    nat = np.zeros((total_blocks, 64))
+    nat[:, ZIGZAG] = zzm
+    qall = np.concatenate(qparts) if len(qparts) > 1 else qparts[0]
+    deq = nat.reshape(total_blocks, 8, 8) * qall
+    rec = np.matmul(np.matmul(m.T, deq), m)  # m.T @ coef @ m, batched (BLAS)
+
+    # ---- per-image plane assembly + color transform
+    out = []
+    for i, (w, h, sh, sv, mh, mw, nmcu, block_base) in enumerate(img_meta):
+        svsh = sh * sv
+        r = rec[block_base : block_base + nmcu * (svsh + 2)].reshape(
+            nmcu, svsh + 2, 8, 8
+        )
+        y_p = (
+            r[:, :svsh]
+            .reshape(mh, mw, sv, sh, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mh * sv * 8, mw * sh * 8)
+        )
+        cb = r[:, svsh].reshape(mh, mw, 8, 8).transpose(0, 2, 1, 3).reshape(mh * 8, mw * 8)
+        cr = (
+            r[:, svsh + 1]
+            .reshape(mh, mw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(mh * 8, mw * 8)
+        )
+        # nearest-neighbor chroma upsample back to luma resolution
+        cb_up = np.repeat(np.repeat(cb, sv, axis=0), sh, axis=1)
+        cr_up = np.repeat(np.repeat(cr, sv, axis=0), sh, axis=1)
+        ycc = np.stack([y_p, cb_up, cr_up], axis=-1)[:h, :w]
+        out.append((w, h, 3, _ycbcr_to_rgb(ycc + 128.0)))
+    return out
+
+
+def jpeg_decode(raw: bytes):
+    """Baseline JFIF bytes → (width, height, n_components, ndarray[h,w,3]).
+    Single-image wrapper over jpeg_decode_batch (same pixels)."""
+    return jpeg_decode_batch([raw])[0]

@@ -3466,13 +3466,17 @@ def synth_jpeg(df: DataFrame, id_col: str, w_col: str, h_col: str, ay_col: str, 
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for doc_id, w, h, ay, ax, b in zip(
-                pdf["doc_id"], pdf["w"], pdf["h"], pdf["ay"], pdf["ax"], pdf["b"]
-            ):
-                img = _jpeg_ramp(int(w), int(h), int(ay), int(ax), int(b))
-                rows.append((doc_id, _jpeg.jpeg_encode(img)))
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+            # r13: whole-batch vectorized encode (guide §4.2) — per-image
+            # fixed cost is what dominates at these block counts
+            imgs = [
+                _jpeg_ramp(int(w), int(h), int(ay), int(ax), int(b))
+                for w, h, ay, ax, b in zip(
+                    pdf["w"], pdf["h"], pdf["ay"], pdf["ax"], pdf["b"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": _jpeg.jpeg_encode_batch(imgs)}
+            )
 
     return _arrow_stage(
         df,
@@ -3498,9 +3502,10 @@ def decode_jpeg_features(df: DataFrame, id_col: str, payload_col: str) -> DataFr
         cols = ["doc_id", "width", "height", "n_components", "n_blocks",
                 "sum_r", "sum_g", "sum_b"]
         for pdf in batches:
+            # r13: whole-batch vectorized decode (guide §4.2)
+            decoded = _jpeg.jpeg_decode_batch([bytes(p) for p in pdf["payload"]])
             rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, nc, img = _jpeg.jpeg_decode(bytes(payload))
+            for doc_id, (w, h, nc, img) in zip(pdf["doc_id"], decoded):
                 s = img.astype("int64").sum(axis=(0, 1))
                 n_blocks = -(-w // 8) * -(-h // 8)
                 rows.append((doc_id, w, h, nc, n_blocks, int(s[0]), int(s[1]), int(s[2])))
@@ -3527,14 +3532,18 @@ def jpeg_fidelity(df: DataFrame, id_col: str, w_col: str, h_col: str, ay_col: st
         cols = ["doc_id", "width", "height", "n_components", "n_blocks",
                 "max_err", "sum_abs_err"]
         for pdf in batches:
-            rows = []
-            for doc_id, w, h, ay, ax, b in zip(
-                pdf["doc_id"], pdf["w"], pdf["h"], pdf["ay"], pdf["ax"], pdf["b"]
-            ):
-                img = _jpeg_ramp(int(w), int(h), int(ay), int(ax), int(b))
-                w2, h2, nc, back = _jpeg.jpeg_decode(
-                    _jpeg.jpeg_encode(img, subsample=subsample)
+            # r13: whole-batch vectorized encode → decode (guide §4.2)
+            imgs = [
+                _jpeg_ramp(int(w), int(h), int(ay), int(ax), int(b))
+                for w, h, ay, ax, b in zip(
+                    pdf["w"], pdf["h"], pdf["ay"], pdf["ax"], pdf["b"]
                 )
+            ]
+            decoded = _jpeg.jpeg_decode_batch(
+                _jpeg.jpeg_encode_batch(imgs, subsample=subsample)
+            )
+            rows = []
+            for doc_id, img, (w2, h2, nc, back) in zip(pdf["doc_id"], imgs, decoded):
                 e = np.abs(back.astype(np.int64) - img.astype(np.int64))
                 n_blocks = -(-w2 // 8) * -(-h2 // 8)
                 rows.append((doc_id, w2, h2, nc, n_blocks, int(e.max()), int(e.sum())))
@@ -3562,11 +3571,15 @@ def transcode_png_jpeg(df: DataFrame, id_col: str, payload_col: str, subsample=T
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                _w, _h, _d, _c, _n, img = _png_decode(bytes(payload))
-                rows.append((doc_id, _jpeg.jpeg_encode(img, subsample=subsample)))
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+            # r13: PNG decode per image (zlib-bound), JPEG encode whole-batch
+            # vectorized (guide §4.2)
+            imgs = [_png_decode(bytes(p))[5] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": _jpeg.jpeg_encode_batch(imgs, subsample=subsample),
+                }
+            )
 
     return _arrow_stage(
         df, [(id_col, "doc_id"), (payload_col, "payload")], worker, "doc_id long, payload binary"
