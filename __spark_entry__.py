@@ -1457,7 +1457,12 @@ def q103_avro_wire(spark, sf_dir):
     just encode∘decode = id."""
     reg = serdes.InMemorySchemaRegistry()
     sid = reg.register("events-value", _AVRO_EVENT_SCHEMA)
-    ev = read_table(configure(spark), sf_dir, "events")
+    # r13: the whole serde chain (encode UDF -> frame -> unframe -> decode
+    # UDF) sits downstream of a ONE-row-group scan with no exchange, so it
+    # serialized onto a single task; spread it (ensure_min_parallelism —
+    # no-op at corpus scale where the scan has >= cores splits; guide §2.5
+    # input skew / one huge unsplittable input)
+    ev = llmops._spread(read_table(configure(spark), sf_dir, "events"))
     wire = ev.select(
         serdes.frame_confluent(
             serdes.encode_avro_py(
@@ -2678,7 +2683,12 @@ def q166_pii_scrub_v2(spark, sf_dir):
     overlap contract is visible in the expectations: the invalid IBAN's
     digit tail over-redacts to DE<CC>, and both planted numbers also count
     as n_phone (counts are per-signal on the original text)."""
-    docs = read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    # r13: the whole scrub (regex family + Luhn + mod-97 HOFs) ran on ONE
+    # task (single-row-group documents scan, zero exchanges) — spread it;
+    # no-op at corpus scale
+    docs = llmops._spread(
+        read_table(configure(spark), sf_dir, "documents").select("doc_id")
+    )
     base = F.lpad(
         ((F.col("doc_id") * 7919 + 123456789) % F.lit(10**15)).cast("string"), 15, "0"
     )
@@ -2942,7 +2952,9 @@ def q173_wire_serde(spark, sf_dir):
     two's-complement little-endian hex per byte — so the layout itself is
     checked, not just encode∘decode = id.  Pure Catalyst: hex/unhex/conv
     expression folds, no Python in the plan."""
-    o = read_table(configure(spark), sf_dir, "orders")
+    # r13: the wide hex/unhex/conv pipeline ran on ONE task (single-row-group
+    # orders scan, zero exchanges) — spread it; no-op at corpus scale
+    o = llmops._spread(read_table(configure(spark), sf_dir, "orders"))
     signed = (F.col("o_custkey") - F.lit(700)).cast("int")
     ts = (F.col("o_orderkey") * 1000 + 123).cast("bigint")
     # staged projections so each wire value MATERIALIZES once: inlining the

@@ -5661,18 +5661,33 @@ def strip_boilerplate(
     n_kept, n_removed — documents that were pure boilerplate stay present
     with empty text, so downstream joins never lose rows.
 
-    Scale: paragraph doc-frequency is a groupBy on the 128-bit digest
-    (map-side partial distinct on (digest, doc) pairs), joined back on the
-    digest — two digest-keyed shuffles plus the reassembly shuffle on doc
-    id.  The df table is (digest, count) only; no pairwise comparisons.
-    Hot paragraphs are exactly what gets REMOVED, so the skew is self-
-    limiting."""
+    Scale: paragraph doc-frequency via a distinct-count window over the ONE
+    digest-keyed shuffle (r13: the original groupBy + join-back duplicated
+    the unpersisted split→explode→md5 subtree — the same repeated-subtree
+    anti-pattern fixed across the text family this round, guide §2.4;
+    plan: Scan 4→2, Exchange 8→4, no join), then the reassembly shuffle on
+    doc id.  No pairwise comparisons.  The distinct count is NOT a
+    collect_set (a corpus-wide boilerplate digest would build a
+    non-spillable doc-id set on one task): it is a lag-based
+    first-occurrence flag summed over the partition, so per-row state is
+    constant and WindowExec's sort spills like any other."""
     parts = _spread(df).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "para"),
     ).withColumn("pfp", F.md5(F.col("para")))
-    docfreq = parts.groupBy("pfp").agg(F.count_distinct(F.col(id_col)).alias("__pdf"))
-    flagged = parts.join(docfreq, "pfp").withColumn("keep", F.col("__pdf") < F.lit(min_docs))
+    # count_distinct is not a window function; sum of "first row of this
+    # (pfp, id) run" over the id-ordered pfp partition is the same number
+    # computed on the same shuffle (null ids excluded, as count_distinct
+    # does), with O(1) per-row state instead of a collect_set
+    wo = Window.partitionBy("pfp").orderBy(F.col(id_col).asc_nulls_first())
+    wp = Window.partitionBy("pfp")
+    first_occ = (
+        F.col(id_col).isNotNull()
+        & ~F.col(id_col).eqNullSafe(F.lag(F.col(id_col)).over(wo))
+    ).cast("long")
+    flagged = parts.withColumn(
+        "__pdf", F.coalesce(F.sum(first_occ).over(wp), F.lit(0).cast("long"))
+    ).withColumn("keep", F.col("__pdf") < F.lit(min_docs))
     return flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -110,13 +110,19 @@ def test_versioned_join_two_exchanges_and_pruning(spark):
             assert "props" not in line  # unused columns never leave the scan
 
 
-def test_avro_wire_path_no_shuffle(spark):
-    """q103: the serde path is scan → Arrow-batched encode → expressions →
-    Arrow-batched decode — ZERO exchanges, and the events scan reads only
-    the five encoded columns (user_id is not part of the record)."""
+def test_avro_wire_path_spread_then_no_shuffle(spark):
+    """q103: the serde chain is Arrow-batched encode → expressions →
+    Arrow-batched decode with NO key shuffle; the only exchange is the ONE
+    scale-adaptive round-robin spread in front of it (r13: the single-row-
+    group test scan otherwise serializes the whole per-row serde onto one
+    task; ensure_min_parallelism is a no-op at corpus scale).  The events
+    scan reads only the five encoded columns (user_id is not part of the
+    record)."""
     df = entry.queries()["q103_avro_wire"](spark, SF)
     plan = _plan(df)
-    assert plan.count("Exchange") == 0
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan  # the spread, not a key shuffle
+    assert plan.count("hashpartitioning") == 0
     assert plan.count("ArrowEvalPython") == 2  # encode + decode, both Arrow-batched
     scan = next(l for l in plan.splitlines() if "FileScan" in l)
     schema = scan.split("ReadSchema:")[1]
