@@ -476,9 +476,14 @@ def cohort_retention_over_activity(
     groupBy + self-join — the join duplicated the activity subtree in the
     plan and paid an extra exchange; the window runs on the same user-keyed
     shuffle the join needed anyway (guide §2.4 "window functions partitioned
-    by the same key as a preceding aggregation")."""
+    by the same key as a preceding aggregation").  r14 (ADVICE item):
+    null users are dropped explicitly — the pre-r13 inner join silently
+    excluded them, and this is the documented continuous-operation entry
+    point over an externally maintained store, where a null user must not
+    become its own cohort."""
     return (
-        active.withColumn(
+        active.filter(F.col(user_col).isNotNull())
+        .withColumn(
             "__cohort", F.min("b_ms").over(Window.partitionBy(user_col))
         )
         .select(

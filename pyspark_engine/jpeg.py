@@ -166,7 +166,11 @@ def _enc_arrays(bits, vals):
         import numpy as np
 
         codes = np.zeros(256, dtype=np.int64)
-        lens = np.zeros(256, dtype=np.int64)
+        # -1 marks symbols ABSENT from the table: encoding one must fail
+        # fast (the scalar reference raised KeyError), not silently emit
+        # zero bits and corrupt the stream.  Unreachable for 8-bit baseline
+        # input with the Annex K tables, but cheap to keep honest.
+        lens = np.full(256, -1, dtype=np.int64)
         for v, (code, ln) in _huff_codes(bits, vals).items():
             codes[v] = code
             lens[v] = ln
@@ -533,6 +537,10 @@ def jpeg_encode_batch(imgs, subsample=False) -> list:
     sub_a = np.concatenate(r_sub)
     code_a = np.concatenate(r_code)
     clen_a = np.concatenate(r_clen)
+    if clen_a.size and int(clen_a.min()) < 1:
+        # a gathered length of -1 means the symbol is absent from the
+        # Huffman table — preserve the scalar encoder's fail-fast KeyError
+        raise KeyError("symbol not present in Huffman table")
     mag_a = np.concatenate(r_mag)
     mlen_a = np.concatenate(r_mlen)
     # blocks are numbered in image order, so sorting by block also groups
@@ -722,10 +730,42 @@ def _parse_jpeg(raw: bytes):
     return w, h, sampling, scan_spec, tq_of, qt, dc_tables, ac_tables, data
 
 
+# peak-memory bounds for the vectorized decode (r14, ADVICE item): the
+# per-bit look-ahead list costs ~36 bytes per BIT of entropy data (one boxed
+# int + list slot), so an unchunked 10k-row Arrow batch of real-sized JPEGs
+# would cost gigabytes per task.  Sub-chunking by summed compressed bytes
+# caps the transient at ~75 MB per chunk regardless of batch size; a single
+# image bigger than the tolist cap falls back to indexing the uint32 window
+# array directly (4 bytes/bit, slower per symbol, unbounded-safe).
+_DECODE_CHUNK_BYTES = 1 << 18
+_TOLIST_BITS_CAP = 1 << 22
+
+
 def jpeg_decode_batch(raws) -> list:
     """Decode a BATCH of baseline JFIF byte strings → list of
-    (width, height, n_components, ndarray[h,w,3]).  Real marker walk per
-    image (segment lengths, table ids, byte stuffing), then the heavy
+    (width, height, n_components, ndarray[h,w,3]).  Processes the batch in
+    sub-chunks of ~_DECODE_CHUNK_BYTES compressed bytes so peak temporaries
+    stay bounded by the chunk, not the Arrow batch (worker memory contract).
+    """
+    if not raws:
+        return []
+    out: list = []
+    cur: list = []
+    cur_bytes = 0
+    for raw in raws:
+        cur.append(raw)
+        cur_bytes += len(raw)
+        if cur_bytes >= _DECODE_CHUNK_BYTES:
+            out.extend(_jpeg_decode_chunk(cur))
+            cur, cur_bytes = [], 0
+    if cur:
+        out.extend(_jpeg_decode_chunk(cur))
+    return out
+
+
+def _jpeg_decode_chunk(raws) -> list:
+    """Decode one bounded chunk — see jpeg_decode_batch.  Real marker walk
+    per image (segment lengths, table ids, byte stuffing), then the heavy
     phases run batched.  Raises on progressive (SOF2), arithmetic (SOF9+),
     non-3-component, or unsupported-sampling streams — the supported subset
     is exactly what jpeg_encode writes.
@@ -779,7 +819,11 @@ def jpeg_decode_batch(raws) -> list:
     w16 = np.zeros(tbits, dtype=np.uint32)
     for jj in range(16):
         w16 |= padded[jj : jj + tbits] << (15 - jj)
-    wl = w16.tolist()
+    # tolist() trades 4 B/bit (uint32 array) for ~36 B/bit of boxed ints in
+    # exchange for much faster per-symbol reads; past the cap (one giant
+    # image can exceed any chunking) read through a memoryview instead —
+    # same plain-int semantics at every use site, 4 B/bit resident
+    wl = w16.tolist() if tbits <= _TOLIST_BITS_CAP else memoryview(w16)
 
     # ---- entropy decode every image's coefficients into one flat list
     img_meta = []  # (w, h, sh, sv, mh, mw, nmcu, block_base)

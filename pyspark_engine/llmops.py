@@ -56,6 +56,75 @@ def release_cache() -> None:
         _CACHED.pop().unpersist()
 
 
+# ------------------------------------------------- skew-safe key-stat attach
+#
+# The text-analytics family repeatedly needs "attach a per-key aggregate
+# (document frequency, vocabulary count) back onto the frame it was computed
+# from".  r13 used `agg OVER (PARTITION BY key)` windows, which avoid the
+# join but put EVERY row of a key on ONE task (WindowExec cannot be split):
+# a stopword term or a corpus-wide boilerplate digest becomes a single-task
+# sort of ~n_docs rows at 100 TB, and parallelism is capped at key
+# cardinality (r13 verdict item 2).  This helper restores a join-based
+# attach that is safe at BOTH ends of the key-frequency spectrum
+# (guide §2.5 "broadcast-join just the hot keys and shuffle-join the rest"):
+#
+#   * keys with >= hot_rows source rows attach via a BROADCAST hash join —
+#     there can be at most total_rows/hot_rows of them (pigeonhole), so the
+#     broadcast is provably bounded (~100 MB at 10^13 tokens with the
+#     default), and the skewed rows never shuffle at all;
+#   * the remaining keys attach via an ordinary shuffle join whose per-key
+#     row count is < hot_rows BY CONSTRUCTION, so AQE's partition-granular
+#     skew splitting suffices and no single-key straggler is possible.
+#     Locally the cold table is vocabulary-sized and AQE broadcasts it, so
+#     the big side does not shuffle there either.
+#
+# The big frame is consumed by both branches — callers _persist it (the
+# same frames r13 already shuffled wholesale into WindowExec sorts).
+
+_HOT_KEY_ROWS = 1_000_000
+
+
+def _attach_key_stats(
+    big: DataFrame, tbl: DataFrame, key: str, rows_col: str, hot_rows: int | None = None
+) -> DataFrame:
+    """Skew-safely join ``tbl`` (one row per ``key`` with per-key aggregates,
+    including ``rows_col`` = number of ``big`` rows carrying that key, or any
+    upper bound on it) onto ``big``.  Keys must be non-null (every call site
+    filters/derives them).  ``big`` rows whose key is absent from ``tbl``
+    are dropped (inner-join semantics — pass a complete ``tbl`` when every
+    row must survive).  Returns ``big``'s columns plus ``tbl``'s non-key
+    columns.
+
+    A one-row probe (``max(rows_col)`` — the same adaptive pattern as
+    jaccard_pairs_exact's collapse probe; the probe's pass over ``big``
+    doubles as its cache build) picks between two shapes:
+
+      * no key reaches ``hot_rows``: ONE plain equi-join — locally AQE
+        broadcasts the vocabulary-sized ``tbl`` so ``big`` never shuffles,
+        and at scale every shuffle-join partition is < hot_rows rows per
+        key by the probe's own bound, so AQE's partition-granular skew
+        split suffices.  This keeps the no-skew fast path free of the
+        split's union/branch overhead (measured +0.3 s/query at sf0.1).
+      * some key is hot: hot/cold split.  The hot slice broadcasts — there
+        are at most total/hot_rows such keys (pigeonhole), so the broadcast
+        is provably bounded — and its rows never shuffle at all; cold keys
+        are < hot_rows per key by construction.  A mis-probed corpus only
+        costs performance, never correctness (both shapes are the same
+        inner join)."""
+    if hot_rows is None:
+        hot_rows = _HOT_KEY_ROWS  # module var, so stress tooling can lower it
+    mx = tbl.agg(F.max(F.col(rows_col)).alias("m")).collect()[0]["m"]
+    if mx is None or mx < hot_rows:
+        return big.join(tbl, key)
+    hot = tbl.filter(F.col(rows_col) >= hot_rows)
+    cold = tbl.filter(F.col(rows_col) < hot_rows)
+    probe = big.join(F.broadcast(hot), key, "left")
+    hit = probe.filter(F.col(rows_col).isNotNull())
+    extra = [c for c in tbl.columns if c != key]
+    miss = probe.filter(F.col(rows_col).isNull()).drop(*extra).join(cold, key)
+    return hit.unionByName(miss)
+
+
 # ------------------------------------------------- Arrow-stage fusion (r13)
 #
 # Every multimodal operator is an Arrow-batched iterator transform
@@ -114,7 +183,20 @@ def _arrow_stage(
     ``colmap`` [(src, alias), ...], fusing with an immediately preceding
     _arrow_stage result into a single Python crossing (see block comment
     above).  ``spread=False`` preserves operators that historically did not
-    repartition their input."""
+    repartition their input.
+
+    Fused-chain invariant (r14, ADVICE item): the fused path elides the
+    intermediate Arrow round-trip, so a downstream worker sees the upstream
+    worker's raw pandas output rather than schema-cast values — every
+    fusable worker must therefore emit exactly its declared columns with
+    exact dtypes (all of this module's workers do; access is name-based).
+    The out-column list is parsed with Spark's own DDL parser so nested
+    types (struct/array fields containing commas) can never corrupt it."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    def _ddl_names(ddl: str) -> list:
+        return [f.name for f in _parse_datatype_string(ddl).fields]
+
     chain = getattr(df, "_pse_arrow_chain", None)
     if chain is not None:
         src_df, upstream, out_cols = chain
@@ -129,7 +211,7 @@ def _arrow_stage(
             out._pse_arrow_chain = (
                 src_df,
                 workers,
-                [c.strip().split()[0] for c in schema.split(",")],
+                _ddl_names(schema),
             )
             return out
     proj = df.select(*[F.col(s).alias(a) for s, a in colmap])
@@ -139,7 +221,7 @@ def _arrow_stage(
     out._pse_arrow_chain = (
         proj,
         [worker],
-        [c.strip().split()[0] for c in schema.split(",")],
+        _ddl_names(schema),
     )
     return out
 
@@ -4192,20 +4274,26 @@ def tfidf_topk(
     engines' ln implementations.
 
     Scale: term-frequency agg (map-side partial count; the (doc, term) space
-    hits the shuffle once), document frequency via a window count over the
-    tf frame partitioned by term (r13: the original groupBy+self-join
-    duplicated the unpersisted tf subtree, so the corpus was tokenized
-    twice — the window computes the same df in the SAME pass over tf,
-    guide §2.4), corpus size joined as a broadcast 1-row aggregate (no
-    driver action), then per-doc top-k via one ranked window.  Nothing
-    rescans the raw text twice and no stage is driver-bound."""
+    hits the shuffle once, and the persisted result is what both consumers
+    below read — the corpus is tokenized ONCE, r13's win kept), document
+    frequency via a map-side-combinable groupBy(term) count over the
+    persisted tf frame attached back skew-safely (_attach_key_stats — r14:
+    the r13 `count(*) over (partition by term)` window put every tf row of
+    a term on ONE task, capping parallelism at vocabulary size and making a
+    stopword a single-task sort of ~n_docs rows at 100 TB; the hot/cold
+    attach bounds per-task rows by construction, guide §2.5), corpus size
+    joined as a broadcast 1-row aggregate (no driver action), then per-doc
+    top-k via one ranked window (doc-keyed — per-doc row counts are
+    vocabulary-bounded, no hot key possible).  Nothing rescans the raw text
+    twice and no stage is driver-bound."""
     terms = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    tf = tf.withColumn(
-        "df_count", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    ).filter(F.col("df_count") >= min_df)
+    tf = _persist(terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    tf = _attach_key_stats(tf, df_tbl, "term", "df_count").filter(
+        F.col("df_count") >= min_df
+    )
     ndocs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
     scored = (
         tf.crossJoin(F.broadcast(ndocs))
@@ -4273,6 +4361,7 @@ def unigram_logprob(
     id_col: str,
     text_col: str,
     quant: int = 1000,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Unigram-LM cross-entropy per document (the classic cheap perplexity
     proxy for quality scoring: gibberish / rare-token documents score high,
@@ -4280,23 +4369,34 @@ def unigram_logprob(
     H(doc) = ln(total) − (Σ tf·ln cnt(w)) / n_tokens, floor-quantized like
     tfidf_topk so the comparison is integer-exact.
 
-    Scale: one (doc, term) tf aggregate, vocabulary counts via a window sum
-    partitioned by term over the SAME tf frame (r13: the original
-    groupBy+self-join duplicated the unpersisted tf subtree, tokenizing
-    the corpus twice, and the totals aggregate re-derived the vocabulary a
-    third time — the window kills both, guide §2.4), a per-doc sum.  The
-    corpus token total is Σ_doc n_tokens, so it folds out of the PERSISTED
-    per-doc frame (one row per doc, three numbers — cache cost negligible)
-    instead of a second tokenize scan of the corpus (r13 second pass: that
-    HOF size-sum scan was the only remaining extra corpus pass, guide
-    §1.2/§2.4); the 1-row total broadcasts as before."""
-    terms = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ``carry_cols``: per-document columns (functionally dependent on
+    ``id_col``, e.g. a language tag) ridden through the tf aggregation and
+    surfaced on the output — callers that would otherwise re-join them onto
+    the scored frame (perplexity_buckets) skip a doc-sized join (r14, r13
+    "not yet optimized" #1).
+
+    Scale: one (doc, term) tf aggregate (persisted — both consumers below
+    read it, so the corpus is tokenized ONCE), vocabulary counts via a
+    map-side-combinable groupBy(term) sum attached back skew-safely
+    (_attach_key_stats — r14: the r13 window sum put every tf row of a term
+    on one task, the stopword/parallelism hazard of verdict item 2), a
+    per-doc sum.  The corpus token total is Σ_doc n_tokens, so it folds out
+    of the PERSISTED per-doc frame (one row per doc, three numbers — cache
+    cost negligible) instead of a second tokenize scan of the corpus; the
+    1-row total broadcasts as before."""
+    carry = [F.col(c) for c in carry_cols]
+    terms = _spread(df.select(F.col(id_col), *carry, F.col(text_col))).select(
+        F.col(id_col), *carry, F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    tf = tf.withColumn("cnt", F.sum("tf").over(Window.partitionBy("term")))
+    tf = _persist(
+        terms.groupBy(id_col, *carry_cols, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("term").agg(
+        F.sum("tf").alias("cnt"), F.count(F.lit(1)).alias("__nr")
+    )
+    tf = _attach_key_stats(tf, vocab, "term", "__nr")
     per_doc = _persist(
-        tf.groupBy(id_col)
+        tf.groupBy(id_col, *carry_cols)
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),
             F.sum(F.col("tf") * F.log(F.col("cnt").cast("double"))).alias("__s"),
@@ -4308,6 +4408,7 @@ def unigram_logprob(
         .crossJoin(F.broadcast(totals))
         .select(
             F.col(id_col),
+            *carry,
             "n_tokens",
             F.floor(
                 (F.log(F.col("__total")) - F.col("__s") / F.col("n_tokens")) * F.lit(quant)
@@ -4640,13 +4741,18 @@ def ngram_novelty(
     Determinism: novelty is integers (novel count, distinct count) with the
     ratio floor-quantized in one expression.
 
-    Scale: distinct (doc, gram) pairs → per-gram df via a window count
-    partitioned by the gram over the SAME pair frame (r13: the original
-    groupBy+self-join duplicated the unpersisted pair subtree, tokenizing
-    and shingling the corpus twice — the window computes the identical df
-    in one pass, guide §2.4) → per-doc integer sums.  Bounded by gram-type
-    cardinality, no pairwise document stage — the same shape as
-    tfidf/inverted-index."""
+    Scale (r14 rewrite, guide §8 "decide with small rows"): a gram with
+    df == 1 belongs to exactly ONE document, so the per-doc novel count is
+    derivable WITHOUT attaching df back onto the pair frame at all — the
+    skew-safe groupBy(gram) aggregate carries min(doc id) alongside the
+    count, its df==1 rows group by that owner id, and the per-doc distinct
+    gram count is a pure per-row expression on the corpus scan (size of the
+    distinct-shingle array — no explode, no shuffle).  r13's window version
+    put every pair row of a gram on one task (stopword-bigram hazard,
+    verdict item 2); this shape's only wide operation is the
+    map-side-combinable gram count, and the final join is doc-keyed between
+    two doc-sized frames.  The corpus is scanned twice, both map-only — no
+    cache, no payload re-shuffle."""
     pairs = (
         _spread(df.select(F.col(id_col), F.col(text_col)))
         .select(
@@ -4655,17 +4761,24 @@ def ngram_novelty(
         )
         .filter(F.col("__g") != "")
     )
-    per_doc = (
-        pairs.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("__g")))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams_distinct"),
-            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).cast("long").alias("n_novel"),
-        )
+    gram_tbl = pairs.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__c"), F.min(F.col(id_col)).alias("__owner")
+    )
+    novel = (
+        gram_tbl.filter(F.col("__c") == 1)
+        .groupBy("__owner")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+        .select(F.col("__owner").alias(id_col), "n_novel")
+    )
+    per_doc = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.size(
+            F.filter(word_ngrams(tokens(F.col(text_col)), n), lambda g: g != F.lit(""))
+        ).cast("long").alias("n_grams_distinct"),
     )
     return (
-        df.select(F.col(id_col))
-        .join(per_doc, id_col, "left")
+        per_doc
+        .join(novel, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("n_grams_distinct"), F.lit(0)).cast("long").alias("n_grams_distinct"),
@@ -4674,7 +4787,7 @@ def ngram_novelty(
                 F.col("n_grams_distinct") > 0,
                 F.floor(
                     F.lit(float(quant))
-                    * F.col("n_novel").cast("double")
+                    * F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
                     / F.col("n_grams_distinct").cast("double")
                 ).cast("long"),
             )
@@ -4987,23 +5100,62 @@ def repeated_spans(
     documented) without touching the plan shape."""
     toks = tokens(F.col(text_col))
     spans = word_ngrams_multiset(toks, span_tokens)
+    # r14 de-skew (verdict item 2): the r13 per-digest window count put every
+    # occurrence of a span digest on ONE task — a corpus-wide boilerplate
+    # span is exactly the hot key that breaks that at 100 TB.  The per-doc
+    # window total needs no shuffle at all (size of the span array, a
+    # per-row expression on the scan), and the dup count derives from ONE
+    # skew-safe digest aggregation:
+    #
+    #   * min_count == 2 (the default): a window is non-dup iff its digest
+    #     occurs EXACTLY ONCE corpus-wide — that occurrence names its owner
+    #     doc, so min(id) carried through the digest aggregate routes every
+    #     unique window back to its document and n_dup = n_windows − n_uniq
+    #     (the same owner trick as ngram_novelty, guide §8 "decide with
+    #     small rows").  One tokenize pass, one map-side-combinable shuffle,
+    #     doc-sized joins; no cache, no attach join at all.
+    #   * min_count > 2: occurrences of a below-threshold digest can spread
+    #     over several docs, so the owner trick does not apply — the
+    #     per-(doc, digest) counts persist and the repeated digests attach
+    #     back with the hot/cold skew-safe join.
     ex = _spread(df).select(F.col(id_col), F.explode(spans).alias("__span")).select(
         F.col(id_col), F.md5(F.col("__span")).alias("__h")
     )
-    # r13: corpus-wide span counts via a window over the SAME exploded frame
-    # (the original groupBy+left-join duplicated the unpersisted explode
-    # subtree — two full tokenize+shingle passes; the window computes the
-    # identical per-digest count in one, guide §2.4)
-    per_doc = (
-        ex.withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("__h")))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.when(F.col("__c") >= min_count, 1).otherwise(0)).alias("n_dup_windows"),
-        )
+    base = _spread(df).select(
+        F.col(id_col), F.size(spans).cast("long").alias("n_windows")
     )
-    base = df.select(F.col(id_col))
-    out = base.join(per_doc, id_col, "left")
+    if min_count == 2:
+        gram_tbl = ex.groupBy("__h").agg(
+            F.count(F.lit(1)).alias("__c"), F.min(F.col(id_col)).alias("__owner")
+        )
+        uniq = (
+            gram_tbl.filter(F.col("__c") == 1)
+            .groupBy("__owner")
+            .agg(F.count(F.lit(1)).alias("__n_uniq"))
+            .select(F.col("__owner").alias(id_col), "__n_uniq")
+        )
+        per_doc = uniq.select(
+            F.col(id_col), F.col("__n_uniq").alias("__sub")
+        )
+        out = base.join(per_doc, id_col, "left").select(
+            F.col(id_col),
+            F.col("n_windows"),
+            (F.col("n_windows") - F.coalesce(F.col("__sub"), F.lit(0))).alias(
+                "n_dup_windows"
+            ),
+        )
+    else:
+        grp = _persist(
+            ex.groupBy(id_col, "__h").agg(F.count(F.lit(1)).alias("__occ"))
+        )
+        tot = grp.groupBy("__h").agg(F.sum("__occ").alias("__c"))
+        rep = tot.filter(F.col("__c") >= min_count)
+        per_doc = (
+            _attach_key_stats(grp, rep, "__h", "__c")
+            .groupBy(id_col)
+            .agg(F.sum("__occ").alias("n_dup_windows"))
+        )
+        out = base.join(per_doc, id_col, "left")
     n_w = F.coalesce(F.col("n_windows"), F.lit(0)).cast("long")
     n_d = F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long")
     return out.select(
@@ -5472,13 +5624,15 @@ def perplexity_buckets(
     unigram_logprob; ntile ties break on ``id_col``, so the tile assignment
     is total-order exact in any engine.
 
-    Scale: scoring is unigram_logprob's vocabulary-bounded aggregation; the
-    tiling is one shuffle by group + per-group sort.  At corpus scale with
-    few huge groups, replace ntile with precomputed per-group score
-    thresholds (exact percentiles on the integer scores) and a broadcast
-    threshold join — same buckets, no full sort."""
-    scored = unigram_logprob(df, id_col, text_col, quant=quant)
-    joined = df.select(F.col(id_col), F.col(group_col)).join(scored, id_col)
+    Scale: scoring is unigram_logprob's vocabulary-bounded aggregation with
+    ``group_col`` carried through the tf keys (r14: it is functionally
+    dependent on the doc id, so the grouping is unchanged and the doc-sized
+    join of the group tag onto the scored frame disappears — r13 "not yet
+    optimized" #1); the tiling is one shuffle by group + per-group sort.
+    At corpus scale with few huge groups, replace ntile with precomputed
+    per-group score thresholds (exact percentiles on the integer scores)
+    and a broadcast threshold join — same buckets, no full sort."""
+    joined = unigram_logprob(df, id_col, text_col, quant=quant, carry_cols=(group_col,))
     w = Window.partitionBy(group_col).orderBy(F.col("xent_q").asc(), F.col(id_col).asc())
     return joined.select(
         F.col(id_col),
@@ -5522,9 +5676,13 @@ def bm25_topk(
     probe side (Spark duplicates unpersisted subtrees).  Now (1) ``dl``
     rides the explode row and joins the tf group key (it is functionally
     dependent on the doc id), killing the length join, and (2) df comes
-    from a window count over the tiny tf frame instead of a self-join,
-    killing the duplicated subtree — two scans total, no broadcast join,
-    identical arithmetic."""
+    from a groupBy(term) count over the PERSISTED tf frame broadcast back
+    (r14: the r13 window count partitioned the matching-doc frame by term —
+    at most len(query_terms) distinct values, so parallelism was capped at
+    the query length and a common query term put every matching doc on one
+    task; the df table is provably ≤ len(query_terms) rows, the one case
+    where an unconditional broadcast is safe at any corpus size).  Two
+    scans total, identical arithmetic."""
     terms_lit = F.array(*[F.lit(t) for t in query_terms])
     toks = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.filter(tokens(F.col(text_col)), lambda t: t != F.lit("")).alias("__t")
@@ -5536,8 +5694,9 @@ def bm25_topk(
     occ = toks.select(
         F.col(id_col), F.size("__t").alias("dl"), F.explode("__t").alias("term")
     ).filter(F.array_contains(terms_lit, F.col("term")))
-    tf = occ.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    tf = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    tf = _persist(occ.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf = tf.join(F.broadcast(df_tbl), "term")
     contrib = (
         tf.crossJoin(F.broadcast(totals))
         .select(
@@ -5661,46 +5820,62 @@ def strip_boilerplate(
     n_kept, n_removed — documents that were pure boilerplate stay present
     with empty text, so downstream joins never lose rows.
 
-    Scale: paragraph doc-frequency via a distinct-count window over the ONE
-    digest-keyed shuffle (r13: the original groupBy + join-back duplicated
-    the unpersisted split→explode→md5 subtree — the same repeated-subtree
-    anti-pattern fixed across the text family this round, guide §2.4;
-    plan: Scan 4→2, Exchange 8→4, no join), then the reassembly shuffle on
-    doc id.  No pairwise comparisons.  The distinct count is NOT a
-    collect_set (a corpus-wide boilerplate digest would build a
-    non-spillable doc-id set on one task): it is a lag-based
-    first-occurrence flag summed over the partition, so per-row state is
-    constant and WindowExec's sort spills like any other."""
-    parts = _spread(df).select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "para"),
-    ).withColumn("pfp", F.md5(F.col("para")))
-    # count_distinct is not a window function; sum of "first row of this
-    # (pfp, id) run" over the id-ordered pfp partition is the same number
-    # computed on the same shuffle (null ids excluded, as count_distinct
-    # does), with O(1) per-row state instead of a collect_set
-    wo = Window.partitionBy("pfp").orderBy(F.col(id_col).asc_nulls_first())
-    wp = Window.partitionBy("pfp")
-    first_occ = (
-        F.col(id_col).isNotNull()
-        & ~F.col(id_col).eqNullSafe(F.lag(F.col(id_col)).over(wo))
-    ).cast("long")
-    flagged = parts.withColumn(
-        "__pdf", F.coalesce(F.sum(first_occ).over(wp), F.lit(0).cast("long"))
-    ).withColumn("keep", F.col("__pdf") < F.lit(min_docs))
-    return flagged.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.filter(
-                    F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("para"), F.col("keep")))),
-                    lambda s: s["keep"],
-                ),
-                lambda s: s["para"],
-            ),
-            sep,
-        ).alias("clean_text"),
+    Scale (r14 rewrite, guide §8 "decide with small rows, move big rows
+    once"): every decision here is a function of (doc id, position,
+    paragraph DIGEST) — ~50 bytes/paragraph — so the paragraph TEXT never
+    enters any shuffle or cache.  Doc-frequency is a count_distinct(id)
+    groupBy over the digest (planned as a (pfp, id)-keyed partial dedup —
+    no hot key, the key includes the doc id — then map-side-combined
+    counts; the r13 lag-window it replaces put EVERY occurrence of a
+    corpus-wide boilerplate digest on a single task, verdict item 2),
+    attached back onto the persisted narrow metadata with the hot/cold
+    skew-safe join; keep-flags fold to one boolean array per document, and
+    the reassembly RE-SPLITS the original text per row (a map-side
+    expression — CPU traded for never shuffling paragraph payloads, the
+    guide §8 rule).  Precondition: ``id_col`` is row-unique (standard for a
+    document corpus; enforce with exact_dedup upstream) — the flag array is
+    per id while the re-split is per row."""
+    parts = _persist(
+        _spread(df).select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "para"),
+        ).select(F.col(id_col), "pos", F.md5(F.col("para")).alias("pfp"))
+    )
+    pdf = parts.groupBy("pfp").agg(
+        F.count_distinct(F.col(id_col)).alias("__pdf"),
+        F.count(F.lit(1)).alias("__rows"),
+    )
+    flagged = _attach_key_stats(parts, pdf, "pfp", "__rows").withColumn(
+        "keep", F.col("__pdf") < F.lit(min_docs)
+    )
+    fpd = flagged.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("keep")))),
+            lambda s: s["keep"],
+        ).alias("__keeps"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
         F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+    ).withColumnRenamed(id_col, "__fid")
+    paras = F.split(F.col(text_col), F.lit(sep), -1)
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(fpd, F.col(id_col).eqNullSafe(F.col("__fid")))
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.filter(
+                    F.zip_with(
+                        paras,
+                        F.col("__keeps"),
+                        lambda p, k: F.when(k, p),
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.col("n_kept"),
+            F.col("n_removed"),
+        )
     )
 
 

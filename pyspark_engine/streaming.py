@@ -869,6 +869,51 @@ class StreamingBuilder:
 # ---------------- sinks (SinkProcessor / To analogs) ----------------
 
 
+# sizing target for the bounded-drain state shuffle (r14, verdict item 4):
+# one state/shuffle partition per ~64 MB of source data, capped at the
+# session's configured partition count.  Stateful-streaming cost is per
+# partition per micro-batch (state store open/commit/snapshot), NOT per row,
+# so a KB-scale local drain on cpus-many partitions pays cpus × that fixed
+# overhead for nothing — measured 7.3 s at 32 partitions vs 0.7 s at 8 for
+# the same 100 k-row replay (BENCH_r13 vs BENCH_r13_c8).  At cluster scale
+# bytes/64 MB exceeds any sane partition count, so the session derivation
+# (cores-based, AQE-coalesced) is untouched — this only right-sizes drains
+# whose input is provably small (guide §2.3 "fewer, larger partitions").
+_DRAIN_TARGET_BYTES = 64 * 1024 * 1024
+
+
+def _file_source_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the file sources feeding a streaming frame
+    (driver-side metadata only).  None when any leaf is not a file source —
+    unbounded sources (Kafka, rate) must keep the session's sizing."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() != "StreamingRelation":
+                return None
+            opts = leaf.dataSource().options()
+            popt = opts.get("path")
+            if not popt.isDefined():
+                return None
+            path = popt.get()
+            if os.path.isfile(path):
+                total += os.path.getsize(path)
+                continue
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.startswith(("_", ".")):
+                        continue
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        return total
+    except Exception:
+        return None
+
+
 def run_available_now(obj, name: str | None = None, output_mode: str = "append") -> DataFrame:
     """Drain everything currently available through the streaming plan into an
     in-memory table and return it — the TopologyTestDriver analog
@@ -878,19 +923,34 @@ def run_available_now(obj, name: str | None = None, output_mode: str = "append")
     for full aggregate state (how the parity tests read final KTable state).
     A table marked emit-final by ``KTable.suppress`` must drain in append
     mode (that IS the suppression); other modes are rejected.
+
+    State/shuffle partitions for the drain are sized from the source bytes
+    (see _DRAIN_TARGET_BYTES) — safe here because every drain starts a FRESH
+    checkpoint (a restarted checkpoint pins its original partition count);
+    the session value is restored afterwards.
     """
     df = obj.df if hasattr(obj, "df") else obj
     _check_emit_final(obj, df, output_mode)
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", _checkpoint(None))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = df.sparkSession
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    src_bytes = _file_source_bytes(df)
+    if src_bytes is not None:
+        want = max(1, min(int(saved), -(-src_bytes // _DRAIN_TARGET_BYTES)))
+        if want < int(saved):
+            spark.conf.set("spark.sql.shuffle.partitions", str(want))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", _checkpoint(None))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     return df.sparkSession.table(name)
 
 

@@ -28,9 +28,12 @@ def main() -> int:
     spark = build_session("time-queries", cpus=cpus, shuffle_partitions=cpus, ui=False)
     qs = entrymod.queries()
     out = {}
+    cold = {}
     for name in names:
         df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm-up
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()  # warm-up (timed too:
+        cold[name] = round(time.time() - t0, 3)  # includes persist build/JIT)
         best = None
         for _ in range(reps):
             t0 = time.time()
@@ -39,8 +42,8 @@ def main() -> int:
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
         llmops.release_cache()
-        print(f"{out[name]:8.3f}  {name}", flush=True)
-    print(json.dumps(out))
+        print(f"{out[name]:8.3f}  (cold {cold[name]:8.3f})  {name}", flush=True)
+    print(json.dumps({"steady": out, "cold": cold}))
     return 0
 
 

@@ -245,3 +245,38 @@ def test_decoder_error_paths_still_raise():
     body[i + 15] = 0xD7  # looks like an RST marker mid-stream
     with pytest.raises(ValueError, match="entropy stream|Huffman|exhausted"):
         J.jpeg_decode(bytes(body))
+
+
+def test_decode_batch_chunking_identical(monkeypatch):
+    """r14 memory-bound decode (ADVICE): forcing a tiny chunk threshold must
+    split the batch into many sub-chunks with pixel-identical output, and
+    the over-cap memoryview fallback (no tolist) must decode identically
+    too — the paths differ only in how the bit window is read."""
+    imgs = [_jpeg_ramp(16 + (i % 3) * 8, 12 + (i % 2) * 8, i % 3, (i + 1) % 3, 40 + i) for i in range(9)]
+    raws = [J.jpeg_encode(im, subsample=(i % 2 == 0)) for i, im in enumerate(imgs)]
+    want = J.jpeg_decode_batch(raws)
+    monkeypatch.setattr(J, "_DECODE_CHUNK_BYTES", 1)  # one image per chunk
+    got_chunked = J.jpeg_decode_batch(raws)
+    monkeypatch.setattr(J, "_TOLIST_BITS_CAP", 0)  # force memoryview path
+    got_mv = J.jpeg_decode_batch(raws)
+    for a, b, c in zip(want, got_chunked, got_mv):
+        assert a[:3] == b[:3] == c[:3]
+        np.testing.assert_array_equal(a[3], b[3])
+        np.testing.assert_array_equal(a[3], c[3])
+
+
+def test_encode_absent_symbol_fails_fast():
+    """r14 (ADVICE): an out-of-table symbol must raise (the scalar path's
+    KeyError), never emit zero bits and corrupt the stream.  Reach it by
+    poisoning the cached encode table for an in-range symbol."""
+    img = _jpeg_ramp(16, 16, 1, 2, 50)
+    key = ("enc", tuple(J.DC_L[0]), tuple(J.DC_L[1]))
+    J._enc_arrays(*J.DC_L)  # populate cache
+    codes, lens = J._TABLE_CACHE[key]
+    saved = lens.copy()
+    try:
+        lens[:] = -1  # every DC-luma symbol now "absent"
+        with pytest.raises(KeyError):
+            J.jpeg_encode_batch([img])
+    finally:
+        lens[:] = saved

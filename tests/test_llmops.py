@@ -3007,3 +3007,24 @@ def test_jaccard_positional_filter_boundary_pair_kept(spark):
         ).collect()
     ]
     assert got == [(0, 1, 10, 20)]
+
+
+def test_attach_key_stats_hot_and_cold_paths_agree(spark):
+    """r14 de-skew helper: the hot/cold split (forced via a tiny hot_rows)
+    must return exactly the plain-join rows — hot keys via the bounded
+    broadcast, cold keys via the shuffle join, partial tables with
+    inner-join semantics."""
+    from pyspark_engine.llmops import _attach_key_stats
+
+    rows = [(i, "hot" if i % 3 else f"k{i}") for i in range(60)]
+    big = spark.createDataFrame(rows, "id long, key string")
+    tbl = big.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    want = sorted(map(tuple, big.join(tbl, "key").collect()))
+    # hot_rows=5: 'hot' (40 rows) splits to the broadcast branch
+    got = sorted(map(tuple, _attach_key_stats(big, tbl, "key", "n", hot_rows=5).collect()))
+    assert got == want
+    # partial tbl (inner semantics): only the hot key survives
+    hot_only = tbl.filter(F.col("n") >= 5)
+    want2 = sorted(map(tuple, big.join(hot_only, "key").collect()))
+    got2 = sorted(map(tuple, _attach_key_stats(big, hot_only, "key", "n", hot_rows=5).collect()))
+    assert got2 == want2

@@ -177,3 +177,42 @@ def test_profile_columns_approx_has_no_expand(spark):
     assert "Expand" not in approx
     assert "approx_count_distinct" in approx
     assert "partial_approx_count_distinct" in approx  # map-side combine
+
+
+def test_text_family_no_hot_key_window(spark):
+    """r14 de-skew pin (r13 verdict item 2): the doc-frequency / vocabulary-
+    count attachment in the text-analytics family must NOT plan as an
+    aggregate window over a term/digest partition — WindowExec puts every
+    row of a key on ONE task, so a stopword term or corpus-wide boilerplate
+    digest becomes a single-task sort of ~n_docs rows at 100 TB.  Any
+    Window that remains must be keyed by the document id (per-doc top-k —
+    vocabulary-bounded partitions) or the declared group column (ntile —
+    documented as the threshold-join candidate at scale), never by the
+    term/gram/digest key."""
+    from pyspark_engine import llmops
+
+    qs = entry.queries()
+    for q in (
+        "q96_tfidf_topk",
+        "q97_unigram_xent",
+        "q108_repeated_spans",
+        "q116_bm25_topk",
+        "q123_ngram_novelty",
+        "q131_strip_boilerplate",
+    ):
+        plan = _plan(qs[q](spark, SF))
+        llmops.release_cache()
+        import re
+
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+            spec = m.group(1)
+            # partition keys print first, each WITHOUT a sort direction;
+            # ordering columns carry ASC/DESC — cut there so an order-by
+            # tie-break on the term does not false-positive
+            part = re.split(r"\b(?:ASC|DESC)\b", spec)[0]
+            assert (
+                "term#" not in part
+                and "__g#" not in part
+                and "__h#" not in part
+                and "pfp#" not in part
+            ), f"{q}: hot-key window survived: {spec[:160]}"
