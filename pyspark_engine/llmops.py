@@ -83,6 +83,15 @@ def release_cache() -> None:
 
 _HOT_KEY_ROWS = 1_000_000
 
+# Cap for probe-gated broadcasts of per-doc payload tables (gram-hash /
+# gram-string / vector arrays) onto candidate-pair frames.  64 MB of raw
+# payload stays far under the 8 GB broadcast hard cap even after the 2-4x
+# hash-relation build overhead, and is a trivial slice of executor memory
+# at any deployment size; the gate reads MEASURED byte totals from the
+# pipeline's existing probe pass, so an over-cap corpus keeps the r13
+# merge-join shape (arrays shuffled once by id, never broadcast).
+_BCAST_ARRAYS_BYTES = 64 << 20
+
 
 def _attach_key_stats(
     big: DataFrame, tbl: DataFrame, key: str, rows_col: str, hot_rows: int | None = None
@@ -526,7 +535,17 @@ def jaccard_pairs_exact(
     re-verified on the string gram sets so (inter_n, union_n) stay
     bit-exact.  On a dense-vocabulary corpus (every shingle shared by many
     docs — the prefix filter's worst case) the positional filter is what
-    keeps the verify join linear in TRUE pairs rather than in candidates."""
+    keeps the verify join linear in TRUE pairs rather than in candidates.
+
+    r14: (a) df==1 prefix tokens are pruned before the self-join — they
+    cannot generate candidates, and the rarity order makes them a slice
+    offset (``__n1``), so the prefix exchange only carries shareable
+    tokens; (b) the verify joins broadcast the per-doc array tables when
+    the probe's MEASURED byte totals fit ``_BCAST_ARRAYS_BYTES`` — below
+    the cap the candidate pairs never re-shuffle (the id_b exchange used
+    to drag every candidate's gram-hash array: 46.5 of q151's 56.8
+    shuffle-MB at sf0.1), above it the merge-join shape stands
+    unchanged."""
     grams = F.array_sort(word_ngrams(tokens(F.col(text_col)), shingle))
     every = (
         _spread(df.select(F.col(id_col), F.col(text_col)))
@@ -539,15 +558,45 @@ def jaccard_pairs_exact(
     )
     every = _persist(every)
     memb = every.select("__id", "__d", F.size("__grams").alias("__sn"))
+    # ONE probe action (doubles as the persist build, as before) now also
+    # measures the corpus's gram-array byte volume, so the verify joins
+    # below can be broadcast-gated on MEASURED sizes rather than planner
+    # estimates (guide §3.1: estimates are badly wrong after explodes/UDFs;
+    # r14, VERDICT r13 item 5).  Totals are pre-collapse, so they upper-
+    # bound the representative table whichever path is taken.
+    probe = every.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("__d", 0.02).alias("nd"),
+        F.coalesce(F.sum(F.size("__grams")), F.lit(0)).alias("g_tot"),
+        F.coalesce(
+            F.sum(F.aggregate("__grams", F.lit(0).cast("long"), lambda a, x: a + F.length(x))),
+            F.lit(0),
+        ).alias("chars_tot"),
+    ).collect()[0]
     if collapse == "auto":
-        probe = every.agg(
-            F.count(F.lit(1)).alias("n"), F.approx_count_distinct("__d", 0.02).alias("nd")
-        ).collect()[0]
         do_collapse = probe["n"] > 0 and probe["nd"] < 0.98 * probe["n"]
     elif collapse in ("always", "never"):
         do_collapse = collapse == "always"
     else:
         raise ValueError(f"collapse must be auto|always|never, got {collapse!r}")
+    # measured upper bounds on what a broadcast of the per-doc array tables
+    # would hold (8 B per gram hash; string grams cost their UTF-8 bytes +
+    # per-element overhead; ~96 B/row of id + sha digest + array headers)
+    hash_side_bytes = 24 * probe["n"] + 8 * probe["g_tot"]
+    str_side_bytes = 96 * probe["n"] + 16 * probe["g_tot"] + probe["chars_tot"]
+
+    def _attach_arrays(small: DataFrame, tbl: DataFrame, key: str, est_bytes: int) -> DataFrame:
+        """Join a per-doc array table onto the (small) candidate-pair frame.
+        Measured bytes under the cap → broadcast the array table: the pairs
+        never re-shuffle, so candidate rows stop dragging gram arrays
+        through a pair-keyed Exchange (measured 46.5 MiB of q151's 56.8 MB
+        at sf0.1 — the id_b exchange carried every candidate's __ha array).
+        Over the cap → the r13 shape: merge-hinted SMJ, arrays shuffled
+        once by id, never broadcast (the documented OOM guard for an
+        unbounded corpus)."""
+        if est_bytes <= _BCAST_ARRAYS_BYTES:
+            return small.join(F.broadcast(tbl), key)
+        return small.join(tbl.hint("merge"), key)
     if do_collapse:
         # representative = min-id member per digest, selected with ONE
         # map-side-combinable min_by aggregate (duplicates collapse before
@@ -581,11 +630,15 @@ def jaccard_pairs_exact(
             F.transform(
                 F.array_sort(F.collect_list(F.struct(F.col("__dfc"), F.col("__g")))),
                 lambda s: s["__g"],
-            ).alias("__ord")
+            ).alias("__ord"),
+            # number of df==1 grams: the rarity sort is (dfc asc, g asc), so
+            # they occupy exactly the FIRST __n1 positions of __ord
+            F.sum(F.when(F.col("__dfc") == 1, 1).otherwise(0)).cast("int").alias("__n1"),
         )
         .select(
             "__id",
             "__ord",
+            "__n1",
             F.size("__ord").alias("__n"),
             # prefix length n - ceil(t*n) + 1; the 1e-9 nudge keeps float
             # noise (0.4*10 = 4.0000000000000004) from ceil-ing one past the
@@ -600,10 +653,26 @@ def jaccard_pairs_exact(
         )
     )
     ordered = _persist(ordered)
+    # r14: prefix tokens with df == 1 can never generate a candidate (a
+    # token shared by two docs has df >= 2 by definition), and the rarity
+    # order puts all of them at positions < __n1 — so the explode starts at
+    # the first shared gram.  EXACTNESS is untouched: every candidate pair
+    # is generated by each SHARED prefix token, all of which survive, and
+    # the positional filter's min(pos) over shared tokens is unchanged
+    # (__pos stays the GLOBAL rarity position).  On a hapax-heavy corpus
+    # (realistic web text: ~half the distinct shingles are df==1, and the
+    # prefix holds each doc's rarest grams) this drops a large fraction of
+    # the prefix exchange/join rows for free.
+    skip = F.least(F.col("__n1"), F.col("__p"))
     pref = ordered.select(
         "__id",
         "__n",
-        F.posexplode(F.slice("__ord", 1, F.col("__p"))).alias("__pos", "__g"),
+        skip.alias("__skip"),
+        F.posexplode(
+            F.slice("__ord", skip + 1, F.greatest(F.col("__p") - skip, F.lit(0)))
+        ).alias("__rpos", "__g"),
+    ).select(
+        "__id", "__n", (F.col("__rpos") + F.col("__skip")).alias("__pos"), "__g"
     )
     a, b = pref.alias("a"), pref.alias("b")
     t = float(threshold)
@@ -654,8 +723,8 @@ def jaccard_pairs_exact(
     gb = ordered.select(F.col("__id").alias("id_b"), F.col("__ord").alias("__hb"))
     inter_h = F.size(F.array_intersect("__ha", "__hb"))
     hash_pairs = (
-        cand.join(ga.hint("merge"), "id_a")
-        .join(gb.hint("merge"), "id_b")
+        _attach_arrays(cand, ga, "id_a", hash_side_bytes)
+        .transform(lambda d: _attach_arrays(d, gb, "id_b", hash_side_bytes))
         .filter(
             inter_h.cast("double")
             / (F.size("__ha") + F.size("__hb") - inter_h).cast("double")
@@ -673,8 +742,8 @@ def jaccard_pairs_exact(
     )
     inter = F.size(F.array_intersect("__sa", "__sb"))
     rep_pairs = (
-        hash_pairs.join(sa.hint("merge"), "id_a")
-        .join(sb.hint("merge"), "id_b")
+        _attach_arrays(hash_pairs, sa, "id_a", str_side_bytes)
+        .transform(lambda d: _attach_arrays(d, sb, "id_b", str_side_bytes))
         .select(
             "id_a",
             "id_b",
@@ -1086,25 +1155,56 @@ def embedding_neardup(
     near-identical vectors land in the same bucket by construction.  Bucket
     OCCUPANCY is the lever that must track corpus size: pass
     ``n_planes="auto"`` to size the plane count to the corpus
-    (_resolve_planes — recall tradeoff documented there)."""
+    (_resolve_planes — recall tradeoff documented there).
+
+    r14 (VERDICT r13 item 8): (a) every row also carries a 63-bit
+    hyperplane SIGNATURE (an independent plane family); candidate pairs
+    whose signature Hamming distance exceeds a 6-sigma cutoff for the
+    threshold angle are dropped before the distinct/verify stages.  For
+    exact duplicates the signatures are identical (never dropped); for a
+    borderline pair at exactly ``threshold`` the drop probability is the
+    binomial tail P(Binom(63, acos(t)/pi) > mu+6*sigma) ~ 1e-7 — orders of
+    magnitude below the bucket stage's own miss rate for the same pair
+    (~0.34 at t=0.9 with 8 planes + multiprobe 1), so the operator's
+    probabilistic-recall contract is unchanged in any practical sense,
+    and the exact-cosine verify still decides every SURVIVING pair.
+    (b) the verify join broadcasts the vector table when its MEASURED
+    bytes (count probe x row width) fit ``_BCAST_ARRAYS_BYTES`` — below
+    the cap candidate pairs never re-shuffle (the id_b exchange used to
+    drag every candidate's vector: 14 of q60's 17.9 shuffle-MB at sf0.1);
+    above it the r13 merge-join shape stands (vectors never broadcast)."""
     n_planes = _resolve_planes(emb, n_planes)
+    sig_bits = 63  # 64 would need bit 63 = Long.MIN; 63 keeps positive longs
     base = _spread(emb).select(
         F.col(id_col).alias("__id"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("__b0"),
+        lsh_bucket(F.col(vec_col), dim, sig_bits, seed=777).alias("__sig"),
     )
-    base = _persist(base)  # (id, bucket) pairs, reused by both join sides
+    base = _persist(base)  # (id, bucket, sig) rows, reused by both join sides
     if multiprobe >= 1:
         probes = F.array(
             F.col("__b0"), *[F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
         )
     else:
         probes = F.array(F.col("__b0"))
-    a = base.select("__id", F.explode(probes).alias("__bucket")).alias("a")
+    # 6-sigma Hamming cutoff for pairs at the threshold angle: each bit
+    # differs independently with p = acos(t)/pi (Goemans-Williamson)
+    p_diff = math.acos(min(max(float(threshold), -1.0), 1.0)) / math.pi
+    cutoff = min(
+        sig_bits,
+        math.ceil(sig_bits * p_diff + 6.0 * math.sqrt(sig_bits * p_diff * (1.0 - p_diff))),
+    )
+    a = base.select("__id", "__sig", F.explode(probes).alias("__bucket")).alias("a")
     b = base.withColumnRenamed("__b0", "__bucket").alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.__bucket") == F.col("b.__bucket")) & (F.col("a.__id") < F.col("b.__id")),
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (
+                F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig")))
+                <= F.lit(int(cutoff))
+            ),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
@@ -1115,13 +1215,20 @@ def embedding_neardup(
         _norm(F.col(vec_col)).alias("__vn"),
     )
     vecs = _persist(vecs)
+    # probe = count of the persisted vector table (builds the cache, like
+    # jaccard's collapse probe); gates the broadcast on measured bytes
+    vec_bytes = vecs.count() * (8 * dim + 32)
     va = vecs.select(F.col("__vid").alias("id_a"), F.col("__vec").alias("__va"), F.col("__vn").alias("__na"))
     vb = vecs.select(F.col("__vid").alias("id_b"), F.col("__vec").alias("__vb"), F.col("__vn").alias("__nb"))
-    # merge hints: never let the planner broadcast the vector payloads
-    # (same broadcast-OOM hazard as minhash_lsh_pairs' gram arrays)
+    if vec_bytes <= _BCAST_ARRAYS_BYTES:
+        va, vb = F.broadcast(va), F.broadcast(vb)
+    else:
+        # merge hints: never let the planner broadcast unbounded vector
+        # payloads (same broadcast-OOM hazard as minhash_lsh_pairs' grams)
+        va, vb = va.hint("merge"), vb.hint("merge")
     return (
-        pairs.join(va.hint("merge"), "id_a")
-        .join(vb.hint("merge"), "id_b")
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("__sim", _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")))
         .filter(F.col("__sim") >= threshold)
         .select("id_a", "id_b")

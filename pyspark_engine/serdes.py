@@ -645,6 +645,124 @@ def _avro_decode_row(buf, fields) -> list:
     return vals
 
 
+def _read_varint_vec(flat, pos, active):
+    """Vectorized ``_read_varint`` across a whole batch: ``flat`` is the
+    concatenated uint8 buffer, ``pos`` the per-row cursor, ``active`` the
+    rows that have a varint at their cursor.  Returns (uint64 values,
+    advanced cursors); inactive rows are untouched.  At most 10 gather
+    passes (a 64-bit zigzag varint is ≤ 10 bytes), each ~4 numpy ops."""
+    import numpy as np
+
+    out = np.zeros(len(pos), dtype=np.uint64)
+    pos = pos.copy()
+    busy = active.copy()
+    shift = np.uint64(0)
+    for _ in range(10):
+        if not busy.any():
+            break
+        b = flat[np.where(busy, pos, 0)].astype(np.uint64)
+        out = np.where(busy, out | ((b & np.uint64(0x7F)) << shift), out)
+        pos = np.where(busy, pos + 1, pos)
+        busy = busy & ((b & np.uint64(0x80)) != np.uint64(0))
+        shift += np.uint64(7)
+    return out, pos
+
+
+def _unzigzag_vec(z):
+    """Vectorized ``_unzigzag``: uint64 zigzag values → int64."""
+    import numpy as np
+
+    return (z >> np.uint64(1)).astype(np.int64) ^ -(z & np.uint64(1)).astype(np.int64)
+
+
+def _avro_decode_batch_fast(s: "pd.Series", fields) -> "pd.DataFrame | None":
+    """Vectorized whole-batch Avro decode (guide §4.2) — the inverse of
+    ``_avro_encode_batch_fast``.  All rows parse in lockstep, one field at a
+    time: varints via ``_read_varint_vec`` (≤ 10 gather passes), fixed-width
+    floats via one 2-D gather + ``view``, strings/bytes as slices of ONE
+    contiguous buffer.  Nullable fields carry a per-row validity mask so
+    null rows skip the value bytes exactly like ``_avro_decode_row``.
+    Returns None when a field type has no vectorized path (arrays) or any
+    input row is null — the caller falls back to the per-row reference
+    decoder.  Value-identical to ``_avro_decode_row`` case by case (the
+    roundtrip/wire tests pin both paths)."""
+    import numpy as np
+
+    for _, t, _ in fields:
+        if t.startswith("array:"):
+            return None
+    if s.isna().any():
+        return None
+    bufs = s.tolist()
+    n = len(bufs)
+    # one pad byte so inactive-lane gathers at the very end stay in range
+    flat = np.frombuffer(b"".join(bufs) + b"\x00", dtype=np.uint8)
+    raw = flat.tobytes()
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    pos = np.zeros(n, dtype=np.int64)
+    pos[1:] = np.cumsum(lens)[:-1]
+    active_all = np.ones(n, dtype=bool)
+    cols: dict[str, object] = {}
+    for name, t, nullable in fields:
+        if nullable:
+            idx, pos = _read_varint_vec(flat, pos, active_all)
+            valid = _unzigzag_vec(idx) != 0
+        else:
+            valid = active_all
+        if t in ("int", "long", "timestamp-micros"):
+            z, pos = _read_varint_vec(flat, pos, valid)
+            vals = _unzigzag_vec(z)
+            if t == "timestamp-micros":
+                ts = pd.Series(pd.to_datetime(np.where(valid, vals, 0), unit="us"))
+                cols[name] = ts.mask(~pd.Series(valid), pd.NaT) if nullable else ts
+            elif nullable:
+                obj = vals.astype(object)
+                obj[~valid] = None
+                cols[name] = pd.Series(obj, dtype=object)
+            else:
+                cols[name] = pd.Series(vals)
+        elif t in ("double", "float"):
+            k = 8 if t == "double" else 4
+            idx2 = np.where(valid[:, None], pos[:, None] + np.arange(k), 0)
+            fl = flat[idx2].copy().view("<f8" if t == "double" else "<f4").ravel()
+            fl = fl.astype(np.float64)  # float widens like struct.unpack
+            pos = pos + np.where(valid, k, 0)
+            if nullable:
+                # object column: a VALUE-branch NaN must stay NaN while the
+                # null branch becomes None, exactly like the per-row path
+                obj = fl.astype(object)
+                obj[~valid] = None
+                cols[name] = pd.Series(obj, dtype=object)
+            else:
+                cols[name] = pd.Series(fl)
+        elif t == "boolean":
+            b = flat[np.where(valid, pos, 0)] == 1
+            pos = pos + np.where(valid, 1, 0)
+            if nullable:
+                obj = b.astype(object)
+                obj[~valid] = None
+                cols[name] = pd.Series(obj, dtype=object)
+            else:
+                cols[name] = pd.Series(b)
+        else:  # string / bytes: length varint + one slice per row
+            z, pos = _read_varint_vec(flat, pos, valid)
+            ln = np.where(valid, _unzigzag_vec(z), 0)
+            end = pos + ln
+            if t == "string":
+                vals_l = [
+                    raw[a:b].decode("utf-8") if ok else None
+                    for a, b, ok in zip(pos.tolist(), end.tolist(), valid.tolist())
+                ]
+            else:
+                vals_l = [
+                    raw[a:b] if ok else None
+                    for a, b, ok in zip(pos.tolist(), end.tolist(), valid.tolist())
+                ]
+            pos = end
+            cols[name] = pd.Series(vals_l, dtype=object)
+    return pd.DataFrame(cols)
+
+
 def _varint_zigzag_list(vals) -> list:
     """Vectorized zigzag+varint: int64 ndarray → list of per-value encoded
     bytes.  The byte MATRIX (n×10) is computed with ~25 numpy ops —
@@ -767,7 +885,13 @@ def encode_avro_py(col: Column, json_schema: str) -> Column:
 
 
 def decode_avro_py(col: Column, json_schema: str) -> Column:
-    """Avro binary → struct column (package-free inverse of encode_avro_py)."""
+    """Avro binary → struct column (package-free inverse of encode_avro_py).
+    r14: batches whose field types all have a vectorized path decode via
+    numpy whole-batch (guide §4.2 — the per-row reference decoder walked
+    every varint byte-by-byte in Python and built one pd.Timestamp object
+    per row; measured 6.2 s → see OPTIMIZATION_r14.md q103); arrays or
+    null input rows take the original per-row decoder.  Both paths produce
+    identical values."""
     from pyspark.sql.functions import pandas_udf
 
     fields = _avro_fields(json_schema)
@@ -776,6 +900,9 @@ def decode_avro_py(col: Column, json_schema: str) -> Column:
 
     @pandas_udf(ddl)
     def dec(s: pd.Series) -> pd.DataFrame:
+        fast = _avro_decode_batch_fast(s, fields)
+        if fast is not None:
+            return fast
         rows = [
             [None] * len(fields) if _is_null(b) else _avro_decode_row(b, fields)
             for b in s

@@ -3028,3 +3028,107 @@ def test_attach_key_stats_hot_and_cold_paths_agree(spark):
     want2 = sorted(map(tuple, big.join(hot_only, "key").collect()))
     got2 = sorted(map(tuple, _attach_key_stats(big, hot_only, "key", "n", hot_rows=5).collect()))
     assert got2 == want2
+
+
+def test_jaccard_verify_broadcast_and_merge_paths_agree(spark, monkeypatch):
+    """r14 broadcast gate (VERDICT r13 item 5): the verify joins broadcast
+    the per-doc array tables only under a measured byte cap; forcing the
+    over-cap fallback (cap = 0 -> merge-hinted SMJs, the r13 shape) must
+    return the identical pair set and stats."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    docs = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),
+        (3, base),
+        (4, "completely different text about spark engines and shuffle planning at scale"),
+        (5, base.replace("today", "tonight")),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def run():
+        return sorted(
+            (r.id_a, r.id_b, r.inter_n, r.union_n)
+            for r in llmops.jaccard_pairs_exact(df, "doc_id", "text", threshold=0.4).collect()
+        )
+
+    want = run()  # default cap: broadcast path on this tiny corpus
+    monkeypatch.setattr(llmops, "_BCAST_ARRAYS_BYTES", 0)
+    assert run() == want  # merge fallback: same rows
+    assert want, "corpus must produce pairs for the comparison to mean anything"
+
+
+def test_jaccard_df1_prefix_prune_keeps_rare_gram_pairs(spark):
+    """r14 df==1 prefix pruning: candidates whose ONLY shared prefix token
+    is globally rare (df exactly 2 — the minimum that can generate a pair)
+    must survive the pruned explode.  Docs 1/2 share one df==2 shingle in a
+    sea of df==1 shingles, sitting right at the boundary the __n1 slice
+    offset must not cross."""
+    d1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d2 = "alpha beta gamma lambda mu nu xi omicron pi rho"
+    docs = [(1, d1), (2, d2), (3, "sigma tau upsilon phi chi psi omega one two three")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.inter_n, r.union_n)
+        for r in llmops.jaccard_pairs_exact(df, "doc_id", "text", threshold=0.05).collect()
+    }
+    # brute force: 3-gram shingle sets
+    import itertools
+
+    def sh(s):
+        t = s.lower().split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    want = {}
+    gs = {i: sh(s) for i, s in docs}
+    for a, b in itertools.combinations(sorted(gs), 2):
+        i, u = len(gs[a] & gs[b]), len(gs[a] | gs[b])
+        if u and i / u >= 0.05:
+            want[(a, b)] = (i, u)
+    assert got == want and (1, 2) in got
+
+
+def test_embedding_neardup_broadcast_and_merge_paths_agree(spark, monkeypatch):
+    """r14 vector-side broadcast gate (VERDICT r13 item 8): forcing the
+    over-cap merge fallback must return the identical pair set."""
+    import hashlib as _h
+
+    def vec(seed, dim=16):
+        return [
+            int.from_bytes(_h.sha256(f"{seed}:{d}".encode()).digest()[:4], "big") / 2**32 - 0.5
+            for d in range(dim)
+        ]
+
+    rows = [(i, vec(i)) for i in range(40)] + [(100 + i, vec(i)) for i in range(0, 40, 4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def run():
+        return sorted(
+            (r.id_a, r.id_b)
+            for r in llmops.embedding_neardup(emb, dim=16, threshold=0.9).collect()
+        )
+
+    want = run()
+    assert want, "planted exact copies must be found"
+    monkeypatch.setattr(llmops, "_BCAST_ARRAYS_BYTES", 0)
+    assert run() == want
+
+
+def test_embedding_neardup_signature_keeps_exact_duplicates(spark):
+    """r14 Hamming signature pre-filter: exact duplicates have IDENTICAL
+    63-bit signatures (distance 0), so the pre-filter can never drop them —
+    the planted-copy recall contract is deterministic, not probabilistic."""
+    import hashlib as _h
+
+    def vec(seed, dim=16):
+        return [
+            int.from_bytes(_h.sha256(f"{seed}:{d}".encode()).digest()[:4], "big") / 2**32 - 0.5
+            for d in range(dim)
+        ]
+
+    rows = [(i, vec(i)) for i in range(30)] + [(1000 + i, vec(i)) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in llmops.embedding_neardup(emb, dim=16, threshold=0.9).collect()
+    }
+    assert {(i, 1000 + i) for i in range(30)} <= got
