@@ -244,7 +244,10 @@ def run_full_pytest(env: dict) -> tuple[int, str]:
     AFTER the refreshed artifacts are committed, per the round-close recipe."""
     env = {k: v for k, v in env.items() if k != "PSE_CLOSE_ROUND"}
     r = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/", "-q", "--no-header", "-p", "no:cacheprovider"],
+        # -m "slow or not slow": the round close runs BOTH tiers — the
+        # default tier pytest.ini limits itself to is for budgeted runs
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--no-header",
+         "-p", "no:cacheprovider", "-m", "slow or not slow"],
         cwd=REPO, env=env, capture_output=True, text=True,
     )
     # stderr too: a collection error / usage error / interpreter crash puts

@@ -163,6 +163,7 @@ def test_close_round_generate_requires_green_pytest(tmp_path):
     assert "green suite" not in r.stdout and "correctness" in r.stdout, r.stdout
 
 
+@pytest.mark.slow
 def test_sf01_sample_gate_catches_scale_dependent_wrong_answer():
     """r10 verdict item 3: all ordinary answer-checking runs at sf0.01, so a
     cardinality-dependent wrong answer (overflowing bucket math, a cap that

@@ -1644,6 +1644,7 @@ def test_versioned_asof_join_streaming_parity(spark, tmp_path, engine):
     pd.testing.assert_frame_equal(_sorted_pdf(got, cols), _sorted_pdf(want, cols))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("engine", ["exact", "tws"])
 def test_asof_join_streaming_differential_fuzz(spark, tmp_path, engine):
     """r11 verdict task 7: randomized differential oracle for the as-of
@@ -1921,6 +1922,7 @@ def test_cogroup_streaming_restart_recovers_generation(spark, tmp_path):
     assert again == got
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("engine", ["keyed", "tws", "exact"])
 def test_tt_join_streaming_restart_recovers_generation(spark, tmp_path, engine):
     """join_tables_streaming restart: re-invoking with the same durable
@@ -2138,6 +2140,7 @@ def test_fk_join_keyed_tunnel_restart_and_guards(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_keyed_join_crash_replay_idempotent(spark, tmp_path):
     """Crash-replay robustness of the keyed join engines (same protocol as
     the suppress replay test: delete the newest commit marker, re-drain).
@@ -2219,6 +2222,7 @@ def test_keyed_join_crash_replay_idempotent(spark, tmp_path):
     assert {(r["pk"], r["fk"], r["rv"]) for r in fkj().collect()} == fwant
 
 
+@pytest.mark.slow
 def test_join_engines_differential_random_changelogs(spark, tmp_path):
     """Engine-differential fuzz for the continuous joins: seeded random
     changelogs with MULTIPLE updates per key per microbatch, out-of-order
@@ -2299,6 +2303,7 @@ def test_join_engines_differential_random_changelogs(spark, tmp_path):
     assert tws_fk == exact_fk
 
 
+@pytest.mark.slow
 def test_join_engines_container_values_differential(spark, tmp_path):
     """r12 verdict task 2 gate: the tws engines with ``array<double>``
     VALUE columns (binary-tunneled state, NaN/None/empty elements included)
@@ -2762,6 +2767,7 @@ def test_suppress_buffered_resume_no_redelivery(spark, tmp_path, engine):
         suppress_buffered(mk(), time_col="ts", state_dir=state, engine=engine)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("engine", ["keyed", "tws", "exact"])
 def test_suppress_buffered_crash_replay_idempotent(spark, tmp_path, engine):
     """Advisor finding (r8, medium): emission must be idempotent under
@@ -2852,6 +2858,7 @@ def test_fk_join_streaming_accepts_shared_fk_name(spark, tmp_path):
     assert "__fk_rk" not in got.columns and "dept_id" in got.columns
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("engine", [None, "tws", "exact"])
 def test_suppress_buffered_differential_fuzz(spark, tmp_path, engine):
     """Differential check of the suppress buffer against an independent
@@ -2960,6 +2967,7 @@ def test_suppress_buffered_differential_fuzz(spark, tmp_path, engine):
         ) == want_buf, f"seed {seed} buffer mismatch"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("engine", ["keyed", "tws"])
 def test_compact_emission_log_tt_join(spark, tmp_path, engine):
     """r11 advice: the emission log grows without bound across resumed
@@ -3104,6 +3112,7 @@ def test_engine_none_auto_selection_honors_dirs_and_containers(spark, tmp_path):
     assert [tuple(r) for r in snap2.collect()] == [(1, 5, 1, 9, 1)]
 
 
+@pytest.mark.slow
 def test_compact_emission_log_fk_and_suppress(spark, tmp_path):
     """fk-join compaction retains last-op-D keys in the base (so a crash
     can never resurrect them) and prunes consumed sub-log files; suppress
@@ -3181,6 +3190,7 @@ def test_compact_emission_log_fk_and_suppress(spark, tmp_path):
     assert "a" not in second and "b" not in second
 
 
+@pytest.mark.slow
 def test_autocompact_bounds_partitions_across_drains(spark, tmp_path, monkeypatch):
     """r12 verdict task 5: the compact-every-N policy runs automatically at
     drain entry (PSE_COMPACT_EVERY), so a long-lived resumed state dir keeps
@@ -3235,6 +3245,7 @@ def test_autocompact_bounds_partitions_across_drains(spark, tmp_path, monkeypatc
     assert len(parts("auto")) <= 5
 
 
+@pytest.mark.slow
 def test_compact_emission_log_kind_from_markers_not_columns(spark, tmp_path):
     """Round-12 advice (medium): the log kind comes from the engine's state
     -dir version marker, NOT from output-column sniffing — a tt-join whose
@@ -3363,6 +3374,7 @@ def test_changelog_join_refuses_resume_without_checkpoint(spark, tmp_path):
         cogroup_streaming(cg(), state_dir=cstate)
 
 
+@pytest.mark.slow
 def test_state_dir_refuses_mismatched_checkpoint(spark, tmp_path):
     """r9 verdict item 3: a populated state dir paired with a WRONG-but-
     existing checkpoint (from a different query) must be refused on every
@@ -3523,6 +3535,7 @@ def test_legacy_unbound_state_adoption_and_commit_guard(spark, tmp_path):
         join_table_asof_streaming(ks, vt, how="left", out_dir=legacy)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("engine", ["keyed", "tws", "exact"])
 def test_suppress_buffered_resume_differential_fuzz(spark, tmp_path, engine):
     """Cross-DRAIN differential check: the same seeded workloads as the
