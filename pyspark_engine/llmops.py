@@ -441,27 +441,45 @@ def minhash_lsh_pairs(
     )
     ga = base.select(F.col("__id").alias("id_a"), F.col("__grams").alias("__ga"))
     gb = base.select(F.col("__id").alias("id_b"), F.col("__grams").alias("__gb"))
-    # merge-hint the payload sides: Catalyst's planning-time estimate of the
-    # persisted shingle table can elect a BroadcastHashJoin of the GRAM
-    # ARRAYS — corpus-sized payloads that must never transit the driver
+    # r14 (same gate as jaccard_pairs_exact): a one-row probe over the
+    # persisted shingle table measures its real byte volume; under the cap
+    # the gram tables broadcast, so candidate pairs never re-shuffle while
+    # dragging gram arrays (the two id-keyed exchanges were q43's whole
+    # 7.9 shuffle-MB at sf0.1), and the salt is unnecessary (no exchange
+    # left to skew).  Over the cap the r13 shape stands unchanged:
+    # merge-hint the payload sides — Catalyst's planning-time estimate of
+    # the persisted shingle table can elect a BroadcastHashJoin of the GRAM
+    # ARRAYS, corpus-sized payloads that must never transit the driver
     # (measured: broadcast-build OOM at 2 GiB driver on the x30 corpus,
-    # SCALE_STRESS.json low_memory; sort-merge spills gracefully instead)
-    ja, jb = ["id_a"], ["id_b"]
-    if verify_salt is not None and int(verify_salt) > 1:
-        s = int(verify_salt)
-        cand = cand.withColumns(
-            {
-                "__sa": F.pmod(F.xxhash64("id_a", "id_b"), F.lit(s)).cast("int"),
-                "__sb": F.pmod(F.xxhash64("id_b", "id_a", F.lit(1)), F.lit(s)).cast("int"),
-            }
-        )
-        salt_seq = F.sequence(F.lit(0).cast("int"), F.lit(s - 1).cast("int"))
-        ga = ga.withColumn("__sa", F.explode(salt_seq))
-        gb = gb.withColumn("__sb", F.explode(salt_seq))
-        ja, jb = ["id_a", "__sa"], ["id_b", "__sb"]
+    # SCALE_STRESS.json low_memory; sort-merge spills gracefully instead).
+    gprobe = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size("__grams")), F.lit(0)).alias("g_tot"),
+        F.coalesce(
+            F.sum(F.aggregate("__grams", F.lit(0).cast("long"), lambda a, x: a + F.length(x))),
+            F.lit(0),
+        ).alias("chars_tot"),
+    ).collect()[0]
+    gram_bytes = 40 * gprobe["n"] + 16 * gprobe["g_tot"] + gprobe["chars_tot"]
+    if gram_bytes <= _BCAST_ARRAYS_BYTES:
+        verified_base = cand.join(F.broadcast(ga), "id_a").join(F.broadcast(gb), "id_b")
+    else:
+        ja, jb = ["id_a"], ["id_b"]
+        if verify_salt is not None and int(verify_salt) > 1:
+            s = int(verify_salt)
+            cand = cand.withColumns(
+                {
+                    "__sa": F.pmod(F.xxhash64("id_a", "id_b"), F.lit(s)).cast("int"),
+                    "__sb": F.pmod(F.xxhash64("id_b", "id_a", F.lit(1)), F.lit(s)).cast("int"),
+                }
+            )
+            salt_seq = F.sequence(F.lit(0).cast("int"), F.lit(s - 1).cast("int"))
+            ga = ga.withColumn("__sa", F.explode(salt_seq))
+            gb = gb.withColumn("__sb", F.explode(salt_seq))
+            ja, jb = ["id_a", "__sa"], ["id_b", "__sb"]
+        verified_base = cand.join(ga.hint("merge"), ja).join(gb.hint("merge"), jb)
     verified = (
-        cand.join(ga.hint("merge"), ja)
-        .join(gb.hint("merge"), jb)
+        verified_base
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("__ga", "__gb")) / F.size(F.array_union("__ga", "__gb")),
@@ -5228,8 +5246,15 @@ def repeated_spans(
     ex = _spread(df).select(F.col(id_col), F.explode(spans).alias("__span")).select(
         F.col(id_col), F.md5(F.col("__span")).alias("__h")
     )
+    # r14: size(word_ngrams_multiset(toks, n)) == greatest(size(toks)-n+1, 0)
+    # by construction (the transform's index sequence IS that length, incl.
+    # the short-doc and null-text guards), so the per-doc window total needs
+    # one split() — not a second build of the full ngram-string array
     base = _spread(df).select(
-        F.col(id_col), F.size(spans).cast("long").alias("n_windows")
+        F.col(id_col),
+        F.greatest(F.size(toks) - F.lit(span_tokens - 1), F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
     )
     if min_count == 2:
         gram_tbl = ex.groupBy("__h").agg(

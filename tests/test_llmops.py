@@ -3132,3 +3132,52 @@ def test_embedding_neardup_signature_keeps_exact_duplicates(spark):
         for r in llmops.embedding_neardup(emb, dim=16, threshold=0.9).collect()
     }
     assert {(i, 1000 + i) for i in range(30)} <= got
+
+
+def test_minhash_verify_broadcast_and_merge_paths_agree(spark, monkeypatch):
+    """r14 broadcast gate on the minhash verify joins: forcing the over-cap
+    fallback (merge SMJs, incl. the verify_salt replication) must return
+    the identical pair set."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    docs = [(i, base) for i in range(1, 5)] + [
+        (10, base.replace("lazy", "sleepy")),
+        (11, "entirely different words about stream processing and state stores here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def run(**kw):
+        return sorted(
+            (r.id_a, r.id_b)
+            for r in llmops.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5, **kw).collect()
+        )
+
+    want = run()
+    monkeypatch.setattr(llmops, "_BCAST_ARRAYS_BYTES", 0)
+    assert run() == want
+    assert run(verify_salt=4) == want  # salted fallback: same pairs
+    assert want, "identical docs must pair"
+
+
+def test_ngram_count_arithmetic_equals_array_size(spark):
+    """r14 repeated_spans rewrite: greatest(size(toks)-n+1, 0) must equal
+    size(word_ngrams_multiset(toks, n)) on every edge (short doc, exactly-n
+    tokens, empty string, NULL text, repeated whitespace)."""
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b"),
+        (3, "a b c"),
+        (4, ""),
+        (5, None),
+        (6, "  x   y  z   w  "),
+        (7, "one"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    toks = llmops.tokens(F.col("text"))
+    for n in (1, 2, 3, 5, 15):
+        got = df.select(
+            "id",
+            F.size(llmops.word_ngrams_multiset(toks, n)).cast("long").alias("a"),
+            F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)).cast("long").alias("b"),
+        ).collect()
+        for r in got:
+            assert r.a == r.b, (r.id, n, r.a, r.b)
