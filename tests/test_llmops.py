@@ -31,13 +31,17 @@ def test_minhash_lsh_finds_planted_near_dup(spark):
     assert all(3 not in p and 4 not in p for p in got)
 
 
-def test_minhash_verify_salt_hot_bucket(spark):
+def test_minhash_verify_salt_hot_bucket(spark, monkeypatch):
     """Planted hot bucket — ONE boilerplate string duplicated across k docs
     puts ~k candidate rows behind each hot doc id in the verify join.
     verify_salt must (a) leave the emitted pair set IDENTICAL to the
     unsalted join and (b) spread each hot id's verify rows over multiple
     salt groups so no single reducer carries the whole key (the
-    join_table_salted lever, extended to the LSH candidate-verify join)."""
+    join_table_salted lever, extended to the LSH candidate-verify join).
+    r14: the salt only exists on the over-cap merge-join path (under the
+    measured-bytes cap the gram tables broadcast and there is no exchange
+    left to skew), so force that path for this pin."""
+    monkeypatch.setattr(llmops, "_BCAST_ARRAYS_BYTES", 0)
     k, s = 120, 4
     boiler = "the quick brown fox jumps over the lazy dog boilerplate footer text here"
     rows = [(i, boiler) for i in range(k)]
